@@ -1,0 +1,572 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.text.TextOps
+
+/** Relational operator surface (SURVEY §2.1–2.3, §2.7–2.8) plus the
+  * [EXT] relational operators Catalyst gives us for free (windows, rollup,
+  * set ops, semi/anti joins, top-k) declared over the synthetic star schema.
+  *
+  * Every query here is a declarative DataFrame plan — filters and column
+  * selections reach the parquet scan (PushedFilters/ReadSchema), aggregates
+  * get map-side partial aggregation, and small-dimension joins broadcast.
+  *
+  * EXACTNESS CONTRACT with the DuckDB oracle: all money columns in the
+  * fixtures are exact 2-decimal doubles, so monetary aggregates are computed
+  * in integer cents (`CAST(round(x*100) AS BIGINT)`), making sums
+  * order-independent and bit-exact across engines. Ratios/averages are
+  * rounded to fixed decimals in BOTH dialects.
+  */
+object Relational {
+
+  // integer-cents helper (exact: inputs are 2-decimal doubles)
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def centsSql(c: String): String = s"CAST(round($c * 100) AS BIGINT)"
+
+  // deterministic "dirty text" builders used by the regex-step queries —
+  // the synthetic corpus is pure lowercase alpha, so the URL/mention/digit
+  // strip operators need synthesized input to have anything to do.
+  private def dirty(spec: (String, Column)*): Column = concat(spec.map(_._2): _*)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  // =====================================================================
+  //  §2.1 scans / sources / sinks
+  // =====================================================================
+
+  /** S1: projected+filtered scan; predicate and 2-column ReadSchema reach
+    * the parquet reader (reference analogue: line-oriented text scan,
+    * `NB.java:300-301`). */
+  val s1: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .filter(col("n_chars") > 0).orderBy("doc_id")
+  val s1Sql =
+    "SELECT doc_id, text FROM documents WHERE n_chars > 0 ORDER BY doc_id"
+
+  /** S2: scan with explicit partitioning knob (`minPartitions=3`,
+    * `NaiveBayes.py:40`) → `repartition(3)`; result is partition-invariant. */
+  val s2: Q = (s, d) =>
+    li(s, d).repartition(3).agg(count(lit(1)).as("n"))
+  val s2Sql = "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem"
+
+  /** S3: multi-directory scan = UNION ALL of scans (`SVM.java:180-182`). */
+  val s3: Q = (s, d) => {
+    val o = ord(s, d)
+    o.filter(col("o_orderstatus") === "F")
+      .unionAll(o.filter(col("o_orderstatus") === "O"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+  val s3Sql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT * FROM orders WHERE o_orderstatus = 'F'
+      |  UNION ALL
+      |  SELECT * FROM orders WHERE o_orderstatus = 'O'
+      |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** S5: tab-separated text-sink lines, NB model-file format
+    * `word \t pos@neg` (`NB.java:122`). */
+  val s5: Q = (s, d) =>
+    SentimentNb.model(s, d)
+      .select(concat(col("word"), lit("\t"),
+        col("pos").cast("string"), lit("@"), col("neg").cast("string")).as("line"))
+      .orderBy("line")
+  val s5Sql =
+    s"""WITH ${SentimentNb.modelCte}
+       |SELECT word || chr(9) || CAST(pos AS VARCHAR) || '@' || CAST(neg AS VARCHAR) AS line
+       |FROM model ORDER BY line""".stripMargin
+
+  /** S6: destructive overwrite sink (`fs.delete` + rewrite,
+    * `NB.java:284-287`) → `mode("overwrite")`, written twice to prove
+    * idempotence, then read back. Not SQL-expressible (side effect). */
+  val s6: Q = (s, d) => {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_s6_sink"
+    val m = SentimentNb.model(s, d)
+    m.write.mode("overwrite").parquet(dir)
+    m.write.mode("overwrite").parquet(dir) // second write must replace, not append
+    s.read.parquet(dir).agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** S7: metrics/stdout sink — collects the 1-row metrics DF to the driver
+    * and prints it (`NB.java:343-349`); returns the DF for verification. */
+  val s7: Q = (s, d) => {
+    val m = SentimentNb.binaryMetrics(s, d)
+    m.collect().foreach(r => println(s"[graft.metrics] $r"))
+    m
+  }
+  val s7Sql = SentimentNb.binaryMetricsSql
+
+  // =====================================================================
+  //  §2.2 projections / filters / row transforms
+  // =====================================================================
+
+  // reconstructable CSV line with commas injected into the text column
+  private def csvLine(withCommas: Boolean): Column = {
+    val text = if (withCommas) expr("replace(text, 'table', 'ta,ble')") else col("text")
+    concat(col("doc_id").cast("string"), lit(","),
+      when(col("lang") === "en", "1").otherwise("0"), lit(","),
+      col("source"), lit(","), text)
+  }
+  private val csvLineSql =
+    "doc_id::VARCHAR || ',' || (CASE WHEN lang = 'en' THEN '1' ELSE '0' END) || ',' || source || ',' || replace(text, 'table', 'ta,ble')"
+
+  /** P1: naive CSV split + comma-dropping stitch (`NB.java:53-64`). The
+    * injected `ta,ble` commas are dropped by the stitch, restoring `table`. */
+  val p1: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(TextOps.csvSplitStitch(csvLine(withCommas = true)).as("r"))
+      .select(col("r.id").as("id"), col("r.label").as("label"),
+        col("r.source").as("source"), col("r.text").as("text"))
+      .orderBy(col("id").cast("long"))
+  val p1Sql =
+    s"""SELECT parts[1] AS id, parts[2] AS label, parts[3] AS source,
+       |       array_to_string(parts[4:], '') AS text
+       |FROM (SELECT str_split($csvLineSql, ',') AS parts FROM documents)
+       |ORDER BY CAST(id AS BIGINT)""".stripMargin
+
+  /** P2: malformed-row filter — keep only lines with ≥4 CSV columns
+    * (`SVM.java:74`). Every 10th line is truncated to 2 columns. */
+  val p2: Q = (s, d) => {
+    val line = when(col("doc_id") % 10 === 0, concat(col("doc_id").cast("string"), lit(",oops")))
+      .otherwise(csvLine(withCommas = false))
+    Tables.documents(s, d).select(col("doc_id"), line.as("line"))
+      .filter(TextOps.wellFormed(col("line")))
+      .select(col("doc_id")).orderBy("doc_id")
+  }
+  val p2Sql =
+    """SELECT doc_id FROM (
+      |  SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN doc_id::VARCHAR || ',oops'
+      |         ELSE doc_id::VARCHAR || ',' || (CASE WHEN lang = 'en' THEN '1' ELSE '0' END) || ',' || source || ',' || text END AS line
+      |  FROM documents)
+      |WHERE len(str_split(line, ',')) >= 4 ORDER BY doc_id""".stripMargin
+
+  /** P3: empty-text guard (`NB.java:90`): rows whose cleaned text is blank
+    * are dropped before tokenization. Every 5th doc is made all-digits so
+    * it cleans to empty. */
+  val p3: Q = (s, d) => {
+    val t = when(col("doc_id") % 5 === 0, lit("  123 456 !! ")).otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.cleanNb(t).as("clean"))
+      .filter(length(trim(col("clean"))) > 0)
+      .orderBy("doc_id")
+  }
+  val p3Sql = {
+    val t = "CASE WHEN doc_id % 5 = 0 THEN '  123 456 !! ' ELSE text END"
+    s"""SELECT doc_id, ${TextOps.cleanNbSql(t)} AS clean FROM documents
+       |WHERE length(trim(${TextOps.cleanNbSql(t)})) > 0 ORDER BY doc_id""".stripMargin
+  }
+
+  /** P4: URL strip, SVM pattern `(?i)(https?://\S+)` → " " (`SVM.java:39,77`).
+    * (The NB 4-alternative pattern uses a lookahead RE2 can't run; it is
+    * exercised Java-side in the test suite instead.) */
+  val p4: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      TextOps.stripUrlSvm(dirty(
+        "u" -> lit("see https://s"), "n" -> (col("doc_id") % 10).cast("string"),
+        "h" -> lit(".com/x ok "), "t" -> col("text"))).as("t"))
+      .orderBy("doc_id")
+  val p4Sql =
+    s"""SELECT doc_id, ${TextOps.stripUrlSvmSql("'see https://s' || (doc_id % 10)::VARCHAR || '.com/x ok ' || text")} AS t
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** P5: mention/hashtag/entity strip `(#|@|&).*?\w+` (`NB.java:68`). */
+  val p5: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      TextOps.stripMention(dirty(
+        "a" -> lit("hi @user"), "n" -> (col("doc_id") % 7).cast("string"),
+        "b" -> lit(" #tag ok & rest "), "t" -> col("text"))).as("t"))
+      .orderBy("doc_id")
+  val p5Sql =
+    s"""SELECT doc_id, ${TextOps.stripMentionSql("'hi @user' || (doc_id % 7)::VARCHAR || ' #tag ok & rest ' || text")} AS t
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** P6: digit strip `\d+` → "" (`NB.java:69`). */
+  val p6: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      TextOps.stripDigits(dirty(
+        "a" -> lit("n"), "n" -> (col("doc_id") % 100).cast("string"),
+        "b" -> lit(" mid42dle "), "t" -> col("text"))).as("t"))
+      .orderBy("doc_id")
+  val p6Sql =
+    s"""SELECT doc_id, ${TextOps.stripDigitsSql("'n' || (doc_id % 100)::VARCHAR || ' mid42dle ' || text")} AS t
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** P7: non-alpha → space `[^a-zA-Z ]` (`NB.java:70`). */
+  val p7: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      TextOps.nonAlphaToSpace(concat(lit("x! y? z."), col("text"))).as("t"))
+      .orderBy("doc_id")
+  val p7Sql =
+    s"""SELECT doc_id, ${TextOps.nonAlphaToSpaceSql("'x! y? z.' || text")} AS t
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** P8: lowercase (`NB.java:71`). */
+  val p8: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      lower(concat(upper(col("lang")), lit(" "), col("text"))).as("t"))
+      .orderBy("doc_id")
+  val p8Sql =
+    "SELECT doc_id, lower(upper(lang) || ' ' || text) AS t FROM documents ORDER BY doc_id"
+
+  /** P9: trim + whitespace squeeze (`NB.java:72-73`, trim THEN `\s+`→" "). */
+  val p9: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      TextOps.squeezeWs(trim(concat(lit("  "), col("lang"), lit("   "), col("text"), lit("  ")))).as("t"))
+      .orderBy("doc_id")
+  val p9Sql =
+    s"""SELECT doc_id, ${TextOps.squeezeWsSql("trim('  ' || lang || '   ' || text || '  ')")} AS t
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** P10: label normalization, both conventions (`NB.java:75-87`, `SVM.java:75`). */
+  val p10: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      when(col("lang") === "en", "1").otherwise(col("lang")).as("raw"))
+      .select(col("doc_id"), col("raw"),
+        TextOps.normLabel(col("raw")).as("label_01"),
+        TextOps.normLabel(col("raw"), negative = -1.0).as("label_pm"))
+      .orderBy("doc_id")
+  val p10Sql =
+    """SELECT doc_id, raw,
+      |       CAST(CASE WHEN raw = '1' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label_01,
+      |       CAST(CASE WHEN raw = '1' THEN 1.0 ELSE -1.0 END AS DOUBLE) AS label_pm
+      |FROM (SELECT doc_id, CASE WHEN lang = 'en' THEN '1' ELSE lang END AS raw FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** P11: output-key concat `id@cleanedText` (`NB.java:257`). */
+  val p11: Q = (s, d) =>
+    Corpus.cleanedNb(s, d)
+      .select(concat(col("doc_id").cast("string"), lit("@"), col("clean")).as("k"))
+      .orderBy("k")
+  val p11Sql =
+    s"""WITH ${Corpus.cleanedNbCte}
+       |SELECT doc_id::VARCHAR || '@' || clean AS k FROM cleaned ORDER BY k""".stripMargin
+
+  // =====================================================================
+  //  §2.3 tokenization / lateral
+  // =====================================================================
+
+  /** T1: explode on single-space split of cleaned text (`NB.java:92-95`) —
+    * the map-side flatMap; word counts prove the emission multiset. */
+  val t1: Q = (s, d) =>
+    Corpus.tokensNb(s, d).groupBy("word").agg(count(lit(1)).as("n")).orderBy("word")
+  val t1Sql =
+    s"""WITH ${Corpus.tokensNbCte}
+       |SELECT word, CAST(count(*) AS BIGINT) AS n FROM tokens GROUP BY word ORDER BY word""".stripMargin
+
+  /** T2: whitespace-run tokenizer (StringTokenizer ≈ `\s+`, `SVM.java:80`). */
+  val t2: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n")).orderBy("word")
+  val t2Sql =
+    """SELECT word, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+      |GROUP BY word ORDER BY word""".stripMargin
+
+  /** T3: `ml.feature.Tokenizer` semantics — lowercase + split on `\s`
+    * (`NaiveBayes.py:50`). Verified through an explode to stay relational. */
+  val t3: Q = (s, d) => {
+    import org.apache.spark.ml.feature.Tokenizer
+    val tok = new Tokenizer().setInputCol("t").setOutputCol("words")
+    val in = Tables.documents(s, d).select(col("doc_id"), trim(col("text")).as("t"))
+    tok.transform(in)
+      .select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n")).orderBy("word")
+  }
+  val t3Sql =
+    """SELECT word, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s')) AS word FROM documents)
+      |GROUP BY word ORDER BY word""".stripMargin
+
+  // =====================================================================
+  //  §2.7 sort / export (O1)
+  // =====================================================================
+
+  /** O1: model export sorted by word — the reference's sort is an artifact
+    * of the MR shuffle with 3 reducers (`NB.java:294-295`); we mirror the
+    * partition-then-sort then impose a total order for determinism. */
+  val o1: Q = (s, d) =>
+    SentimentNb.model(s, d)
+      .repartition(3, col("word")).sortWithinPartitions("word")
+      .orderBy("word")
+  val o1Sql =
+    s"""WITH ${SentimentNb.modelCte}
+       |SELECT word, pos, neg FROM model ORDER BY word""".stripMargin
+
+  // =====================================================================
+  //  TPC-H-style analytics (scale-oriented headline queries)
+  // =====================================================================
+
+  /** Q1-style pricing summary: single-pass hash aggregate over the fact
+    * table; all money math in exact integer cents/e4/e6 units. */
+  val q1: Q = (s, d) =>
+    li(s, d)
+      .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+        sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("sum_disc_e4"),
+        sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))
+          * (lit(100) + cents(col("l_tax")))).as("sum_charge_e6"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+       |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_c,
+       |  CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS sum_disc_e4,
+       |  CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}) * (100 + ${centsSql("l_tax")})) AS BIGINT) AS sum_charge_e6,
+       |  round(avg(l_quantity), 4) AS avg_qty,
+       |  round(avg(l_extendedprice), 4) AS avg_price,
+       |  round(avg(l_discount), 6) AS avg_disc,
+       |  CAST(count(*) AS BIGINT) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q3-style shipping priority: 3-way join (customer ⋈ orders ⋈ lineitem)
+    * with both dimension filters pushed below the join, top-10 by revenue.
+    * customer is broadcast (small); orders⋈lineitem shuffles on orderkey. */
+  val q3: Q = (s, d) => {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = ord(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = li(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+      .limit(10)
+  }
+  val q3Sql =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_e4
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Q5-style local-supplier revenue: 6-table join where every dimension
+    * (region→nation→{customer,supplier}) is broadcast; only the
+    * orders⋈lineitem edge shuffles. Co-located nation test c=s. */
+  val q5: Q = (s, d) => {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d).join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = Tables.customer(s, d).join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val sp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val o = ord(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = li(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("n_name"))
+  }
+  val q5Sql =
+    s"""SELECT n_name,
+       |  CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_e4
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""".stripMargin
+
+  // =====================================================================
+  //  [EXT] windows / rollup / set ops / semi-anti (free from Catalyst)
+  // =====================================================================
+
+  /** W1: running revenue per supplier (window aggregate, no shuffle beyond
+    * the hash partition on l_suppkey). */
+  val w1: Q = (s, d) => {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li(s, d).select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("rev_e4"),
+      col("l_shipdate"))
+      .withColumn("running_e4", sum(col("rev_e4")).over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_e4")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+  val w1Sql =
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+       |  CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}))
+       |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_e4
+       |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** W2: top-3 parts by revenue within each brand (row_number top-k —
+    * the scalable alternative to a global sort). */
+  val w2: Q = (s, d) => {
+    val p = Tables.part(s, d).select("p_partkey", "p_brand")
+    val rev = li(s, d).groupBy("l_partkey")
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("revenue_e4"))
+    val w = Window.partitionBy("p_brand").orderBy(col("revenue_e4").desc, col("p_partkey"))
+    rev.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("p_brand", "p_partkey", "revenue_e4", "rk")
+      .orderBy("p_brand", "rk")
+  }
+  val w2Sql =
+    s"""SELECT p_brand, p_partkey, revenue_e4, rk FROM (
+       |  SELECT p_brand, p_partkey, revenue_e4,
+       |    CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue_e4 DESC, p_partkey) AS INTEGER) AS rk
+       |  FROM (
+       |    SELECT p_brand, p_partkey,
+       |      CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_e4
+       |    FROM lineitem JOIN part ON l_partkey = p_partkey
+       |    GROUP BY p_brand, p_partkey))
+       |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin
+
+  /** G1: ROLLUP over returnflag/linestatus (grouping sets). */
+  val g1: Q = (s, d) =>
+    li(s, d).rollup("l_returnflag", "l_linestatus")
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  val g1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** SET1: INTERSECT / EXCEPT — customers ordering in both/only-one of two
+    * years (distinct set semantics). */
+  val set1: Q = (s, d) => {
+    val y96 = ord(s, d).filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+    val y97 = ord(s, d).filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+    val both = y96.intersect(y97).agg(count(lit(1)).as("n")).select(lit("both").as("bucket"), col("n"))
+    val only96 = y96.except(y97).agg(count(lit(1)).as("n")).select(lit("only96").as("bucket"), col("n"))
+    both.unionAll(only96).orderBy("bucket")
+  }
+  val set1Sql =
+    """SELECT 'both' AS bucket, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      |UNION ALL
+      |SELECT 'only96' AS bucket, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      |ORDER BY bucket""".stripMargin
+
+  /** SJ1: left-semi / left-anti joins — customer segments by whether they
+    * have any urgent order (EXISTS / NOT EXISTS). */
+  val sj1: Q = (s, d) => {
+    val urgent = ord(s, d).filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val c = Tables.customer(s, d)
+    val withU = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n")).withColumn("bucket", lit("has_urgent"))
+    val withoutU = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n")).withColumn("bucket", lit("no_urgent"))
+    withU.unionAll(withoutU).select("bucket", "c_mktsegment", "n").orderBy("bucket", "c_mktsegment")
+  }
+  val sj1Sql =
+    """SELECT 'has_urgent' AS bucket, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 'no_urgent' AS bucket, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY bucket, c_mktsegment""".stripMargin
+
+  // =====================================================================
+  //  registry
+  // =====================================================================
+
+  val queries: Map[String, Q] = Map(
+    "s1_scan_pruned" -> s1,
+    "s2_partitioned_scan" -> s2,
+    "s3_union_scan" -> s3,
+    "s5_text_sink_lines" -> s5,
+    "s6_overwrite_sink" -> s6,
+    "s7_metrics_sink" -> s7,
+    "p1_csv_split_stitch" -> p1,
+    "p2_malformed_filter" -> p2,
+    "p3_empty_text_guard" -> p3,
+    "p4_url_strip" -> p4,
+    "p5_mention_strip" -> p5,
+    "p6_digit_strip" -> p6,
+    "p7_nonalpha_space" -> p7,
+    "p8_lowercase" -> p8,
+    "p9_trim_squeeze" -> p9,
+    "p10_label_normalize" -> p10,
+    "p11_key_concat" -> p11,
+    "t1_explode_tokens" -> t1,
+    "t2_tokenize_ws_runs" -> t2,
+    "t3_ml_tokenizer" -> t3,
+    "o1_sorted_model_export" -> o1,
+    "q1_pricing_summary" -> q1,
+    "q3_shipping_priority" -> q3,
+    "q5_local_supplier_revenue" -> q5,
+    "w1_running_revenue" -> w1,
+    "w2_topk_per_group" -> w2,
+    "g1_rollup" -> g1,
+    "set1_intersect_except" -> set1,
+    "sj1_semi_anti_join" -> sj1,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_scan_pruned" -> s1Sql,
+    "s2_partitioned_scan" -> s2Sql,
+    "s3_union_scan" -> s3Sql,
+    "s5_text_sink_lines" -> s5Sql,
+    "s7_metrics_sink" -> s7Sql,
+    "p1_csv_split_stitch" -> p1Sql,
+    "p2_malformed_filter" -> p2Sql,
+    "p3_empty_text_guard" -> p3Sql,
+    "p4_url_strip" -> p4Sql,
+    "p5_mention_strip" -> p5Sql,
+    "p6_digit_strip" -> p6Sql,
+    "p7_nonalpha_space" -> p7Sql,
+    "p8_lowercase" -> p8Sql,
+    "p9_trim_squeeze" -> p9Sql,
+    "p10_label_normalize" -> p10Sql,
+    "p11_key_concat" -> p11Sql,
+    "t1_explode_tokens" -> t1Sql,
+    "t2_tokenize_ws_runs" -> t2Sql,
+    "t3_ml_tokenizer" -> t3Sql,
+    "o1_sorted_model_export" -> o1Sql,
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier_revenue" -> q5Sql,
+    "w1_running_revenue" -> w1Sql,
+    "w2_topk_per_group" -> w2Sql,
+    "g1_rollup" -> g1Sql,
+    "set1_intersect_except" -> set1Sql,
+    "sj1_semi_anti_join" -> sj1Sql,
+  )
+}

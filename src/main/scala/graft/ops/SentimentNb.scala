@@ -1,0 +1,235 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hand-rolled Naive Bayes reproduced as declarative DataFrame queries —
+  * SURVEY §2.5 A1/A2/A4/A6, §2.6 J1, §2.10 M5/M6.
+  *
+  * Reference semantics (`Hadoop/NB/NB.java`): training builds `word →
+  * (posCount, negCount)` (A1, NB.java:103-124) plus six corpus scalars (A2,
+  * NB.java:27-39); scoring probes the broadcast model per test-token
+  * (J1, NB.java:230-243) with Laplace-smoothed `(count+1)/(classWords+V)`
+  * probabilities × class prior (M6, NB.java:190-194,246-247); tie → NEGATIVE
+  * (strict `>`, NB.java:250). Engine-native scoring is LOG-space (the
+  * reference's product-space underflow is a bug we do not reproduce here;
+  * prediction parity holds wherever the product doesn't underflow).
+  *
+  * Scale notes: the model/scalars are the only intentionally-small
+  * DataFrames; they are `broadcast()` to the probe side (no shuffle on the
+  * big fact). A web-scale vocabulary would exceed broadcast — then drop the
+  * hint and the same plan becomes a shuffle hash join.
+  *
+  * Float determinism vs the DuckDB oracle: per-doc log-prob sums commute
+  * differently between engines, so the decision margin is `round(…, 6)`
+  * before the strict-`>` compare; all other outputs are exact integers or
+  * derived from exact integers by identical double ops.
+  */
+object SentimentNb {
+  type Q = (SparkSession, String) => DataFrame
+
+  // =====================================================================
+  //  model (A1/M5) — word × class counts over the training split
+  // =====================================================================
+
+  def model(s: SparkSession, d: String): DataFrame =
+    Corpus.tokensNb(s, d).filter(col("is_train"))
+      .groupBy("word")
+      .agg(sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("pos"),
+           sum(when(col("label") === 1.0, 0L).otherwise(1L)).as("neg"))
+
+  private val modelBody: String =
+    """model AS (
+      |  SELECT word,
+      |         CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+      |         CAST(sum(CASE WHEN label = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      |  FROM tokens WHERE is_train GROUP BY word)""".stripMargin
+
+  /** CTE chain `cleaned → tokens → model` (for `WITH ${modelCte} …`). */
+  val modelCte: String = s"${Corpus.tokensNbCte},\n$modelBody"
+
+  val a1: Q = (s, d) => model(s, d).orderBy("word")
+  val a1Sql: String =
+    s"""WITH $modelCte
+       |SELECT word, pos, neg FROM model ORDER BY word""".stripMargin
+
+  // =====================================================================
+  //  corpus scalars (A2) — the six counters of NB.java:27-39
+  // =====================================================================
+
+  def corpusStats(s: SparkSession, d: String): DataFrame = {
+    val docsAgg = Corpus.cleanedNb(s, d).filter(col("is_train")).agg(
+      count(lit(1)).as("tweets"),
+      sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("pos_tweets"),
+      sum(when(col("label") === 1.0, 0L).otherwise(1L)).as("neg_tweets"))
+    val wordsAgg = Corpus.tokensNb(s, d).filter(col("is_train")).agg(
+      sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("pos_words"),
+      sum(when(col("label") === 1.0, 0L).otherwise(1L)).as("neg_words"),
+      countDistinct(col("word")).as("features"))
+    docsAgg.crossJoin(wordsAgg) // 1 row × 1 row
+  }
+
+  private val statsBody: String =
+    """stats AS (
+      |  SELECT d.tweets, d.pos_tweets, d.neg_tweets,
+      |         w.pos_words, w.neg_words, w.features
+      |  FROM (SELECT CAST(count(*) AS BIGINT) AS tweets,
+      |               CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos_tweets,
+      |               CAST(sum(CASE WHEN label = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS neg_tweets
+      |        FROM cleaned WHERE is_train) d
+      |  CROSS JOIN
+      |       (SELECT CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos_words,
+      |               CAST(sum(CASE WHEN label = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS neg_words,
+      |               CAST(count(DISTINCT word) AS BIGINT) AS features
+      |        FROM tokens WHERE is_train) w)""".stripMargin
+
+  val a2: Q = corpusStats
+  val a2Sql: String =
+    s"""WITH ${Corpus.tokensNbCte},
+       |$statsBody
+       |SELECT tweets, pos_tweets, neg_tweets, pos_words, neg_words, features
+       |FROM stats""".stripMargin
+
+  // =====================================================================
+  //  J1 — broadcast model probe (the reference's hand-rolled map-side join)
+  // =====================================================================
+
+  /** Test-token × model lookup: every matched probe, grouped per word.
+    * `pos`/`neg` are functionally determined by `word` (min = the value). */
+  val j1: Q = (s, d) =>
+    Corpus.tokensNb(s, d).filter(!col("is_train"))
+      .join(broadcast(model(s, d)), "word")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_probe"), min(col("pos")).as("pos"), min(col("neg")).as("neg"))
+      .orderBy("word")
+  val j1Sql: String =
+    s"""WITH $modelCte
+       |SELECT word, CAST(count(*) AS BIGINT) AS n_probe,
+       |       min(pos) AS pos, min(neg) AS neg
+       |FROM tokens JOIN model USING (word)
+       |WHERE NOT is_train GROUP BY word ORDER BY word""".stripMargin
+
+  // =====================================================================
+  //  scoring (M6, log-space) + confusion (A4) + metrics (A6)
+  // =====================================================================
+
+  /** Internal: (doc_id, label, clean, prediction) over the test split. */
+  private def scoredDf(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Corpus.tokensNb(s, d).filter(!col("is_train"))
+      .join(broadcast(model(s, d)), "word")
+      .groupBy("doc_id")
+      .agg(sum(log(col("pos") + lit(1.0))).as("sp"),
+           sum(log(col("neg") + lit(1.0))).as("sn"),
+           count(lit(1)).as("n"))
+    val margin =
+      (coalesce(col("sp"), lit(0.0))
+        - coalesce(col("n"), lit(0L)) * log(col("pos_words") + col("features"))
+        + log(col("pos_tweets") / col("tweets"))) -
+      (coalesce(col("sn"), lit(0.0))
+        - coalesce(col("n"), lit(0L)) * log(col("neg_words") + col("features"))
+        + log(col("neg_tweets") / col("tweets")))
+    Corpus.cleanedNb(s, d).filter(!col("is_train"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(corpusStats(s, d)))
+      .select(col("doc_id"), col("label").cast("double").as("label"), col("clean"),
+        when(round(margin, 6) > 0, 1.0).otherwise(0.0).as("prediction"))
+  }
+
+  /** CTE chain ending in `scored(doc_id, label, clean, prediction)`. */
+  private val scoredCte: String =
+    s"""$modelCte,
+       |$statsBody,
+       |perdoc AS (
+       |  SELECT t.doc_id,
+       |         sum(ln(m.pos + 1.0)) AS sp,
+       |         sum(ln(m.neg + 1.0)) AS sn,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM tokens t JOIN model m USING (word)
+       |  WHERE NOT t.is_train GROUP BY t.doc_id),
+       |scored AS (
+       |  SELECT c.doc_id, CAST(c.label AS DOUBLE) AS label, c.clean,
+       |         CAST(CASE WHEN round(
+       |           (coalesce(p.sp, 0.0) - coalesce(p.n, 0) * ln(s.pos_words + s.features) + ln(s.pos_tweets / s.tweets))
+       |           - (coalesce(p.sn, 0.0) - coalesce(p.n, 0) * ln(s.neg_words + s.features) + ln(s.neg_tweets / s.tweets)), 6) > 0
+       |         THEN 1.0 ELSE 0.0 END AS DOUBLE) AS prediction
+       |  FROM cleaned c LEFT JOIN perdoc p USING (doc_id) CROSS JOIN stats s
+       |  WHERE NOT c.is_train)""".stripMargin
+
+  val m6: Q = (s, d) =>
+    scoredDf(s, d).select("doc_id", "label", "prediction").orderBy("doc_id")
+  val m6Sql: String =
+    s"""WITH $scoredCte
+       |SELECT doc_id, label, prediction FROM scored ORDER BY doc_id""".stripMargin
+
+  /** Prediction sink lines `id@cleanedText \t POSITIVE|NEGATIVE` (NB.java:257,266). */
+  val m6Lines: Q = (s, d) =>
+    scoredDf(s, d)
+      .select(concat(col("doc_id").cast("string"), lit("@"), col("clean"), lit("\t"),
+        when(col("prediction") === 1.0, "POSITIVE").otherwise("NEGATIVE")).as("line"))
+      .orderBy("line")
+  val m6LinesSql: String =
+    s"""WITH $scoredCte
+       |SELECT doc_id::VARCHAR || '@' || clean || chr(9) ||
+       |       CASE WHEN prediction = 1.0 THEN 'POSITIVE' ELSE 'NEGATIVE' END AS line
+       |FROM scored ORDER BY line""".stripMargin
+
+  val a4: Q = (s, d) =>
+    scoredDf(s, d).groupBy("prediction", "label").agg(count(lit(1)).as("n"))
+      .orderBy("prediction", "label")
+  val a4Sql: String =
+    s"""WITH $scoredCte
+       |SELECT prediction, label, CAST(count(*) AS BIGINT) AS n
+       |FROM scored GROUP BY prediction, label ORDER BY prediction, label""".stripMargin
+
+  /** A6: accuracy/precision/recall/F1 from exact integer counts; F1 uses the
+    * integer form 2·tp/(2·tp+fp+fn) so both engines divide identical operands. */
+  def binaryMetrics(s: SparkSession, d: String): DataFrame =
+    scoredDf(s, d).agg(
+      sum(when(col("prediction") === 1.0 && col("label") === 1.0, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("prediction") === 1.0 && col("label") === 0.0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("prediction") === 0.0 && col("label") === 0.0, 1L).otherwise(0L)).as("tn"),
+      sum(when(col("prediction") === 0.0 && col("label") === 1.0, 1L).otherwise(0L)).as("fn"))
+    .select(col("tp"), col("fp"), col("tn"), col("fn"),
+      round((col("tp") + col("tn")) / nullif(col("tp") + col("fp") + col("tn") + col("fn"), lit(0L)), 6).as("accuracy"),
+      round(col("tp") / nullif(col("tp") + col("fp"), lit(0L)), 6).as("precision"),
+      round(col("tp") / nullif(col("tp") + col("fn"), lit(0L)), 6).as("recall"),
+      round((lit(2L) * col("tp")) / nullif(lit(2L) * col("tp") + col("fp") + col("fn"), lit(0L)), 6).as("f1"))
+  val binaryMetricsSql: String =
+    s"""WITH $scoredCte,
+       |cm AS (
+       |  SELECT CAST(sum(CASE WHEN prediction = 1.0 AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN prediction = 1.0 AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(sum(CASE WHEN prediction = 0.0 AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |         CAST(sum(CASE WHEN prediction = 0.0 AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM scored)
+       |SELECT tp, fp, tn, fn,
+       |       round((tp + tn) / nullif(tp + fp + tn + fn, 0), 6) AS accuracy,
+       |       round(tp / nullif(tp + fp, 0), 6) AS precision,
+       |       round(tp / nullif(tp + fn, 0), 6) AS recall,
+       |       round((2 * tp) / nullif(2 * tp + fp + fn, 0), 6) AS f1
+       |FROM cm""".stripMargin
+
+  // =====================================================================
+  //  registry
+  // =====================================================================
+
+  val queries: Map[String, Q] = Map(
+    "a1_nb_word_class_counts" -> a1,
+    "a2_corpus_scalars" -> a2,
+    "j1_broadcast_model_join" -> j1,
+    "m6_nb_score" -> m6,
+    "m6_nb_prediction_lines" -> m6Lines,
+    "a4_confusion_matrix" -> a4,
+    "a6_nb_metrics" -> ((s, d) => binaryMetrics(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_nb_word_class_counts" -> a1Sql,
+    "a2_corpus_scalars" -> a2Sql,
+    "j1_broadcast_model_join" -> j1Sql,
+    "m6_nb_score" -> m6Sql,
+    "m6_nb_prediction_lines" -> m6LinesSql,
+    "a4_confusion_matrix" -> a4Sql,
+    "a6_nb_metrics" -> binaryMetricsSql,
+  )
+}
