@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Relational, SentimentNb, SentimentSvm}
+import graft.ml.MlPipelines
+import graft.ops.{Events, Relational, SentimentNb, SentimentSvm}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,10 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ SentimentNb.queries ++ SentimentSvm.queries
+    Relational.queries ++ SentimentNb.queries ++ SentimentSvm.queries ++
+      Events.queries ++ MlPipelines.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ SentimentNb.oracle ++ SentimentSvm.oracle
+    Relational.oracle ++ SentimentNb.oracle ++ SentimentSvm.oracle ++
+      Events.oracle ++ MlPipelines.oracle
 }

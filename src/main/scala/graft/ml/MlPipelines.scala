@@ -1,0 +1,116 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.{LinearSVC, NaiveBayes}
+import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Corpus
+
+/** MLlib estimator/transformer surface — SURVEY §2.4 F1-F3, §2.9 R1,
+  * §2.10 M1-M4 — mirroring the reference's PySpark pipelines
+  * (`Spark/NaiveBayes/python/NaiveBayes.py:50-75`,
+  * `Spark/SVM/python/SVM.py:50-76`) in pure JVM Scala:
+  * Tokenizer → HashingTF(2^18) → IDF → {NaiveBayes | LinearSVC(maxIter=10,
+  * regParam=0.1)} → randomSplit(0.75/0.25, seed=1234) → metrics.
+  *
+  * These queries are rows-only checked (no DuckDB oracle): feature hashing
+  * (MurmurHash3 buckets) and the estimators are engine-defined, and
+  * `randomSplit` membership is partition-layout-dependent (SURVEY §2.9 R1).
+  * Deterministic sub-results (token counts, metric arithmetic) are oracled
+  * through the hand-rolled pipeline queries instead.
+  *
+  * Scale: `fit` runs per-partition treeAggregate jobs (NB single-pass;
+  * LinearSVC OWLQN ≤10 iterations over cached instances) — no driver-side
+  * data beyond coefficient vectors.
+  */
+object MlPipelines {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Seed = 1234L
+
+  /** Labeled corpus for ML: (label double, tweet string) like the reference's
+    * two-column DataFrame (`NaiveBayes.py:48`). */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Corpus.docs(s, d).select(Corpus.label.as("label"), col("text").as("tweet"))
+
+  private def featurize = {
+    val tok = new Tokenizer().setInputCol("tweet").setOutputCol("words")
+    val tf = new HashingTF().setInputCol("words").setOutputCol("rawFeatures") // default 2^18
+    val idf = new IDF().setInputCol("rawFeatures").setOutputCol("features")
+    (tok, tf, idf)
+  }
+
+  /** Confusion + accuracy/weighted-F1 equivalent of `MulticlassMetrics`
+    * (A5) as a pure DataFrame aggregation over (prediction, label). */
+  private def binaryMetricsDf(scored: DataFrame): DataFrame =
+    scored.agg(
+      sum(when(col("prediction") === 1.0 && col("label") === 1.0, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("prediction") === 1.0 && col("label") === 0.0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("prediction") === 0.0 && col("label") === 0.0, 1L).otherwise(0L)).as("tn"),
+      sum(when(col("prediction") === 0.0 && col("label") === 1.0, 1L).otherwise(0L)).as("fn"))
+    .select(col("tp"), col("fp"), col("tn"), col("fn"),
+      round((col("tp") + col("tn")) / nullif(col("tp") + col("fp") + col("tn") + col("fn"), lit(0L)), 6).as("accuracy"),
+      round((lit(2L) * col("tp")) / nullif(lit(2L) * col("tp") + col("fp") + col("fn"), lit(0L)), 6).as("f1"))
+
+  private def fitScore(s: SparkSession, d: String, estimator: org.apache.spark.ml.PipelineStage): DataFrame = {
+    val (tok, tf, idf) = featurize
+    val data = corpus(s, d)
+    val pipe = new Pipeline().setStages(Array(tok, tf, idf))
+    val prepared = pipe.fit(data).transform(data).select("label", "features")
+    val Array(train, test) = prepared.randomSplit(Array(0.75, 0.25), seed = Seed)
+    val model = new Pipeline().setStages(Array(estimator)).fit(train)
+    binaryMetricsDf(model.transform(test).select("prediction", "label"))
+  }
+
+  /** M1/M2: multinomial NB (smoothing 1.0 default) fit+transform → metrics. */
+  val mlNb: Q = (s, d) =>
+    fitScore(s, d, new NaiveBayes()) // defaults: smoothing=1.0, multinomial
+
+  /** M3/M4: LinearSVC(maxIter=10, regParam=0.1) fit+transform → metrics. */
+  val mlSvm: Q = (s, d) =>
+    fitScore(s, d, new LinearSVC().setMaxIter(10).setRegParam(0.1))
+
+  /** F1-F3: HashingTF + IDF shapes — per-doc nnz/total-TF before and after
+    * IDF scaling (deterministic ints + engine-defined doubles; rows-only). */
+  val f123: Q = (s, d) => {
+    val (tok, tf, idf) = featurize
+    val data = corpus(s, d)
+    val withTf = tf.transform(tok.transform(data))
+    val scaled = idf.fit(withTf).transform(withTf)
+    import org.apache.spark.ml.linalg.Vector
+    val nnz = udf((v: Vector) => v.numNonzeros)
+    val tot = udf((v: Vector) => v.toArray.sum)
+    scaled.select(
+      nnz(col("rawFeatures")).as("tf_nnz"),
+      round(tot(col("rawFeatures")), 0).cast("long").as("tf_total"))
+      .groupBy("tf_nnz", "tf_total").agg(count(lit(1)).as("n"))
+      .orderBy("tf_nnz", "tf_total")
+  }
+
+  /** R1: randomSplit(0.75/0.25, seed) disjointness + coverage invariants:
+    * train+test = total and overlap = 0 (membership itself is engine RNG). */
+  val r1: Q = (s, d) => {
+    val data = Corpus.docs(s, d).select("doc_id")
+    val Array(train, test) = data.randomSplit(Array(0.75, 0.25), seed = Seed)
+    val nAll = data.count()
+    val nTrain = train.count()
+    val nTest = test.count()
+    val overlap = train.intersect(test).count()
+    val s2 = s
+    import s2.implicits._
+    Seq((nAll, nTrain, nTest, overlap, nTrain + nTest == nAll, overlap == 0L))
+      .toDF("n_total", "n_train", "n_test", "n_overlap", "covers", "disjoint")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m1_ml_naive_bayes" -> mlNb,
+    "m3_ml_linear_svc" -> mlSvm,
+    "f1_hashing_tf_idf" -> f123,
+    "r1_random_split" -> r1,
+  )
+
+  /** No DuckDB oracles — engine-defined results; driver records rows-only. */
+  val oracle: Map[String, String] = Map()
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics in batch mode over the `events` fixture — the
+  * [EXT] windowing surface (SURVEY §2.11/§7.8). Structured Streaming runs
+  * the same logical aggregations incrementally (graft.streaming); these
+  * batch declarations double as their correctness oracles.
+  *
+  * Time arithmetic is done in epoch MICROSECONDS (exact integers) so gap
+  * and bucket comparisons are bit-identical across engines — second-level
+  * `unix_timestamp` truncation would disagree with DuckDB's fractional
+  * `epoch()` on sub-second boundaries.
+  *
+  * Scale: tumbling/sliding are single-shuffle hash aggregates keyed by
+  * (bucket, type); sessionization shuffles once on user_id and uses a
+  * running-sum window — the standard gaps-and-islands plan.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+  private val centsSql = "CAST(round(value * 100) AS BIGINT)"
+
+  /** E1: tumbling 1-hour windows × event_type. */
+  val e1: Q = (s, d) =>
+    ev(s, d).groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy("window_start", "event_type")
+  val e1Sql: String =
+    s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+       |       CAST(count(*) AS BIGINT) AS n, CAST(sum($centsSql) AS BIGINT) AS sum_value_c
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** E2: sliding windows, 1 h length / 30 min slide — every event lands in
+    * two buckets (start = floor-to-30min and that minus 30 min). */
+  val e2: Q = (s, d) => {
+    val start30 = timestamp_seconds(
+      floor(unix_micros(col("ts")) / lit(1800000000L)).cast("long") * 1800L)
+    ev(s, d)
+      .select(col("value"),
+        explode(array(start30, start30 - expr("INTERVAL 30 MINUTES"))).as("window_start"))
+      .groupBy("window_start")
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy("window_start")
+  }
+  val e2Sql: String =
+    s"""SELECT window_start, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum($centsSql) AS BIGINT) AS sum_value_c
+       |FROM (
+       |  SELECT value, CAST(to_timestamp(CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) * 1800
+       |                     - offs) AS TIMESTAMP) AS window_start
+       |  FROM events CROSS JOIN (SELECT unnest([0, 1800]) AS offs))
+       |GROUP BY window_start ORDER BY window_start""".stripMargin
+
+  /** E3: session windows per user, 10-minute inactivity gap — classic
+    * gaps-and-islands (lag → new-session flag → running sum → agg). */
+  val e3: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val us = unix_micros(col("ts"))
+    val newSession =
+      when(lag(us, 1).over(byUser).isNull || us - lag(us, 1).over(byUser) > 600000000L, 1L)
+        .otherwise(0L)
+    ev(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("session_id"))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_value_c"))
+      .orderBy("user_id", "session_id")
+  }
+  val e3Sql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |numbered AS (
+       |  SELECT user_id, ts, value,
+       |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id,
+       |       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       |       CAST(max(ts) AS TIMESTAMP) AS session_end,
+       |       CAST(count(*) AS BIGINT) AS n_events, CAST(sum($centsSql) AS BIGINT) AS sum_value_c
+       |FROM numbered GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  /** E4: JSON property extraction from the `props` column + aggregation. */
+  val e4: Q = (s, d) =>
+    ev(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("event_type"))
+      .groupBy(expr("k % 10").as("k_mod"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k_mod", "event_type")
+  val e4Sql: String =
+    """SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_mod,
+      |       event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** E5: top event per user by value (dedup-style argmax via row_number). */
+  val e5: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    ev(s, d).withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id"), cents(col("value")).as("value_c"))
+      .orderBy("user_id")
+  }
+  val e5Sql: String =
+    s"""SELECT user_id, event_id, $centsSql AS value_c FROM (
+       |  SELECT user_id, event_id, value,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+       |  FROM events)
+       |WHERE rk = 1 ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "e1_tumbling_window" -> e1,
+    "e2_sliding_window" -> e2,
+    "e3_session_windows" -> e3,
+    "e4_json_extract" -> e4,
+    "e5_argmax_per_user" -> e5,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e1_tumbling_window" -> e1Sql,
+    "e2_sliding_window" -> e2Sql,
+    "e3_session_windows" -> e3Sql,
+    "e4_json_extract" -> e4Sql,
+    "e5_argmax_per_user" -> e5Sql,
+  )
+}
