@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlPipelines
-import graft.ops.{Events, Relational, SentimentNb, SentimentSvm}
+import graft.ops.{Dedup, Events, Relational, SentimentNb, SentimentSvm, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ SentimentNb.queries ++ SentimentSvm.queries ++
-      Events.queries ++ MlPipelines.queries
+      Events.queries ++ MlPipelines.queries ++
+      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ SentimentNb.oracle ++ SentimentSvm.oracle ++
-      Events.oracle ++ MlPipelines.oracle
+      Events.oracle ++ MlPipelines.oracle ++
+      Dedup.oracle ++ TextAnalysis.oracle ++ Similarity.oracle
 }

@@ -1,0 +1,372 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** [EXT] Deduplication operators for large-scale training-data pipelines
+  * (SURVEY §7.8): exact, MinHash+LSH, SimHash, blocked n-gram Jaccard, and
+  * embedding-cosine near-dup. Not derived from the reference.
+  *
+  * Every hash is built from `md5` (identical output in Spark and DuckDB) so
+  * the whole pipeline is oracle-checkable: 60-bit integer hashes come from
+  * the first 15 md5 hex chars, minhashes compare md5 strings
+  * lexicographically, and all similarity predicates are exact-integer
+  * cross-multiplications (no float tolerance anywhere).
+  *
+  * Scale design: everything is hash-partitioned aggregation + equi-joins on
+  * hash/band keys — LSH banding turns the O(n²) pair space into same-bucket
+  * joins; blocked Jaccard bounds pairwise work to within (lang, source)
+  * blocks; embedding near-dup samples or LSH-buckets before the zip-dot.
+  *
+  * The fixture corpus has no duplicates, so a deterministic dup-injection
+  * (exact copies for doc_id % 7 = 0, first-word-dropped near-copies for
+  * doc_id % 11 = 0) gives the operators something to find — reproducible in
+  * SQL, so the oracle sees the same corpus.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Portable 60-bit hash: first 15 md5 hex chars as integer. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def h60Sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  // ---- corpus with injected duplicates ----
+
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    base
+      .unionAll(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  private val corpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, substr(text, strpos(text, ' ') + 1)
+      |  FROM documents WHERE doc_id % 11 = 0)""".stripMargin
+
+  // ---- D1: exact dedup (hash-groupBy) ----
+
+  val d1: Q = (s, d) =>
+    corpus(s, d).groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_copies") > 1)
+      .orderBy("text_hash")
+  val d1Sql: String =
+    s"""WITH $corpusCte
+       |SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       |       min(doc_id) AS keeper
+       |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
+
+  // ---- word 3-gram shingles (distinct per doc) ----
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .select(col("doc_id"), explode(
+        when(size(split(col("text"), " ")) >= 3,
+          expr("transform(sequence(0, size(split(text, ' ')) - 3)," +
+            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
+          .otherwise(array(col("text")))).as("shingle"))
+      .distinct()
+
+  private val shinglesCte: String =
+    s"""$corpusCte,
+       |shingles AS (
+       |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(str_split(text, ' ')) >= 3
+       |    THEN [array_to_string((str_split(text, ' '))[i+1:i+3], ' ')
+       |          for i in range(len(str_split(text, ' ')) - 2)]
+       |    ELSE [text] END) AS shingle
+       |  FROM corpus)""".stripMargin
+
+  // ---- D2: MinHash signatures (4 permutations via seeded md5) ----
+
+  private val MinhashSeeds = 0 until 4
+
+  private def minhash(s: SparkSession, d: String): DataFrame =
+    shingles(s, d).groupBy("doc_id")
+      .agg(
+        min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
+        MinhashSeeds.tail.map(k =>
+          min(md5(concat(lit(s"$k|"), col("shingle")))).as(s"mh$k")): _*)
+
+  private val minhashCte: String =
+    s"""$shinglesCte,
+       |minhash AS (
+       |  SELECT doc_id,
+       |         ${MinhashSeeds.map(k => s"min(md5('$k|' || shingle)) AS mh$k").mkString(",\n         ")}
+       |  FROM shingles GROUP BY doc_id)""".stripMargin
+
+  val d2: Q = (s, d) => minhash(s, d).orderBy("doc_id")
+  val d2Sql: String =
+    s"""WITH $minhashCte
+       |SELECT doc_id, mh0, mh1, mh2, mh3 FROM minhash ORDER BY doc_id""".stripMargin
+
+  // ---- D3: LSH banding → candidate pairs → exact-Jaccard verify ----
+
+  val d3: Q = (s, d) => {
+    val mh = minhash(s, d)
+    val bands = mh.select(col("doc_id"), md5(concat(col("mh0"), col("mh1"))).as("band"), lit(0).as("bi"))
+      .unionAll(mh.select(col("doc_id"), md5(concat(col("mh2"), col("mh3"))).as("band"), lit(1).as("bi")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bi") === col("b.bi") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("id_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("na.n") + col("nb.n") - col("inter")).as("uni"))
+      .filter(col("inter") * 5 >= col("uni") * 4) // jaccard >= 0.8, exact integers
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        expr("inter * 10000 div uni").as("jac_bp"))
+      .orderBy("id_a", "id_b")
+  }
+  val d3Sql: String =
+    s"""WITH $minhashCte,
+       |bands AS (
+       |  SELECT doc_id, md5(mh0 || mh1) AS band, 0 AS bi FROM minhash
+       |  UNION ALL
+       |  SELECT doc_id, md5(mh2 || mh3) AS band, 1 AS bi FROM minhash),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bi = b.bi AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id),
+       |ints AS (
+       |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |  JOIN shingles sa ON sa.doc_id = c.id_a
+       |  JOIN shingles sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT i.id_a, i.id_b, i.inter, (na.n + nb.n - i.inter) AS uni,
+       |       i.inter * 10000 // (na.n + nb.n - i.inter) AS jac_bp
+       |FROM ints i
+       |JOIN sizes na ON na.doc_id = i.id_a
+       |JOIN sizes nb ON nb.doc_id = i.id_b
+       |WHERE i.inter * 5 >= (na.n + nb.n - i.inter) * 4
+       |ORDER BY i.id_a, i.id_b""".stripMargin
+
+  // ---- D4: SimHash signatures (32-bit, md5-derived bit planes) ----
+  // 32 bits (one per md5 hex char, set iff char >= '8'): 16 bits is too
+  // coarse on a small shared vocabulary — near-all-pairs collide and the
+  // candidate set degenerates to O(n²).
+
+  private val SimhashBits = 0 until 32
+
+  private def simhash(s: SparkSession, d: String): DataFrame = {
+    val toks = corpus(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val bitCols = SimhashBits.map { j =>
+      when(sum(when(substring(md5(col("word")), j + 1, 1) >= "8", 1L).otherwise(-1L)) >= 0, "1")
+        .otherwise("0").as(s"b$j")
+    }
+    toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        concat(SimhashBits.map(j => col(s"b$j")): _*).as("simhash"))
+  }
+
+  private val simhashCte: String = {
+    val bitExprs = SimhashBits.map { j =>
+      s"CASE WHEN sum(CASE WHEN substr(md5(word), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END"
+    }
+    s"""$corpusCte,
+       |toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM corpus),
+       |simhash AS (
+       |  SELECT doc_id, ${bitExprs.mkString(" ||\n         ")} AS simhash
+       |  FROM toks GROUP BY doc_id)""".stripMargin
+  }
+
+  val d4: Q = (s, d) => simhash(s, d).orderBy("doc_id")
+  val d4Sql: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM simhash ORDER BY doc_id""".stripMargin
+
+  // ---- D5: SimHash near-dup pairs (quarter-band blocking + Hamming ≤ 3) ----
+
+  val d5: Q = (s, d) => {
+    val sh = simhash(s, d)
+    val halves = (0 until 4).map(k =>
+        sh.select(col("doc_id"), col("simhash"),
+          substring(col("simhash"), k * 8 + 1, 8).as("half"), lit(k).as("hi")))
+      .reduce(_ unionAll _)
+    val hamming = SimhashBits.map { j =>
+      when(substring(col("a.simhash"), j + 1, 1) =!= substring(col("b.simhash"), j + 1, 1), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    halves.as("a").join(halves.as("b"),
+        col("a.half") === col("b.half") && col("a.hi") === col("b.hi") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+  val d5Sql: String = {
+    val ham = SimhashBits.map { j =>
+      s"CASE WHEN substr(a.simhash, ${j + 1}, 1) <> substr(b.simhash, ${j + 1}, 1) THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH $simhashCte,
+       |halves AS (
+       |${(0 until 4).map(k =>
+        s"  SELECT doc_id, simhash, substr(simhash, ${k * 8 + 1}, 8) AS half, $k AS hi FROM simhash")
+        .mkString("\n  UNION ALL\n")})
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST($ham AS BIGINT) AS hamming
+       |  FROM halves a JOIN halves b
+       |    ON a.half = b.half AND a.hi = b.hi AND a.doc_id < b.doc_id)
+       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---- D6: blocked n-gram Jaccard (pairwise within (lang, source) blocks) ----
+
+  val d6: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(
+        when(size(split(col("text"), " ")) >= 3,
+          expr("transform(sequence(0, size(split(text, ' ')) - 3)," +
+            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
+          .otherwise(array(col("text")))).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = docs.as("a").join(docs.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val inter = pairs
+      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("id_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        expr("inter * 10000 div (na.n + nb.n - inter)").as("jac_bp"))
+      .filter(col("jac_bp") >= 500)
+      .orderBy("id_a", "id_b")
+  }
+  val d6Sql: String =
+    """WITH shing AS (
+      |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(str_split(text, ' ')) >= 3
+      |    THEN [array_to_string((str_split(text, ' '))[i+1:i+3], ' ')
+      |          for i in range(len(str_split(text, ' ')) - 2)]
+      |    ELSE [text] END) AS shingle
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shing GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM documents a JOIN documents b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+      |ints AS (
+      |  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS inter
+      |  FROM pairs p
+      |  JOIN shing sa ON sa.doc_id = p.id_a
+      |  JOIN shing sb ON sb.doc_id = p.id_b AND sa.shingle = sb.shingle
+      |  GROUP BY p.id_a, p.id_b)
+      |SELECT i.id_a, i.id_b, i.inter * 10000 // (na.n + nb.n - i.inter) AS jac_bp
+      |FROM ints i
+      |JOIN sizes na ON na.doc_id = i.id_a
+      |JOIN sizes nb ON nb.doc_id = i.id_b
+      |WHERE i.inter * 10000 // (na.n + nb.n - i.inter) >= 500
+      |ORDER BY i.id_a, i.id_b""".stripMargin
+
+  // ---- D7: embedding-cosine near-dup (integer-quantized, sampled pairs) ----
+
+  /** Quantized vectors: q_i = round(e_i · 1000) as int — dot/norm math is
+    * then exact, and cos ≥ 0.9 becomes dot ≥ 0 ∧ 100·dot² ≥ 81·‖a‖²·‖b‖². */
+  private def qvec(s: SparkSession, d: String, filterExpr: String): DataFrame =
+    Tables.embeddings(s, d).filter(expr(filterExpr))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+
+  private def qvecSql(filter: String): String =
+    s"""qvec AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings WHERE $filter)""".stripMargin
+
+  val d7: Q = (s, d) => {
+    val base = qvec(s, d, "vec_id % 5 = 0")
+    // inject near-dup vectors (first component nudged by +50 ≈ 0.05) so the
+    // operator has true positives to find — random embeddings never reach
+    // cos ≥ 0.9 on their own
+    val qv = base.unionAll(
+      base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          expr("concat(array(element_at(q, 1) + 50), slice(q, 2, 63))").as("q")))
+    val norms = qv.select(col("vec_id"),
+      expr("aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v)").as("nrm"))
+    val pairs = qv.as("a").join(qv.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        expr("aggregate(zip_with(a.q, b.q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"))
+    pairs
+      .join(norms.as("na"), col("id_a") === col("na.vec_id"))
+      .join(norms.as("nb"), col("id_b") === col("nb.vec_id"))
+      .filter(col("dot") >= 0 &&
+        col("dot") * col("dot") * 100 >= lit(81) * col("na.nrm") * col("nb.nrm"))
+      .select(col("id_a"), col("id_b"), col("dot"),
+        col("na.nrm").as("norm_a"), col("nb.nrm").as("norm_b"))
+      .orderBy("id_a", "id_b")
+  }
+  val d7Sql: String =
+    s"""WITH ${qvecSql("vec_id % 5 = 0").replace("qvec AS (", "qbase AS (")},
+       |qvec AS (
+       |  SELECT vec_id, q FROM qbase
+       |  UNION ALL
+       |  SELECT vec_id + 100000, list_prepend(q[1] + 50, q[2:64])
+       |  FROM qbase WHERE vec_id % 10 = 0),
+       |norms AS (
+       |  SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+       |  FROM qvec),
+       |dots AS (
+       |  SELECT id_a, id_b, CAST(sum(xa * xb) AS BIGINT) AS dot FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b, unnest(a.q) AS xa, unnest(b.q) AS xb
+       |    FROM qvec a JOIN qvec b ON a.vec_id < b.vec_id)
+       |  GROUP BY id_a, id_b)
+       |SELECT d.id_a, d.id_b, d.dot, na.nrm AS norm_a, nb.nrm AS norm_b
+       |FROM dots d
+       |JOIN norms na ON na.vec_id = d.id_a
+       |JOIN norms nb ON nb.vec_id = d.id_b
+       |WHERE d.dot >= 0 AND d.dot * d.dot * 100 >= 81 * na.nrm * nb.nrm
+       |ORDER BY d.id_a, d.id_b""".stripMargin
+
+  // =====================================================================
+  //  registry
+  // =====================================================================
+
+  val queries: Map[String, Q] = Map(
+    "d1_exact_dedup" -> d1,
+    "d2_minhash_signatures" -> d2,
+    "d3_minhash_lsh_pairs" -> d3,
+    "d4_simhash_signatures" -> d4,
+    "d5_simhash_pairs" -> d5,
+    "d6_ngram_jaccard_blocked" -> d6,
+    "d7_embedding_neardup" -> d7,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Sql,
+    "d2_minhash_signatures" -> d2Sql,
+    "d3_minhash_lsh_pairs" -> d3Sql,
+    "d4_simhash_signatures" -> d4Sql,
+    "d5_simhash_pairs" -> d5Sql,
+    "d6_ngram_jaccard_blocked" -> d6Sql,
+    "d7_embedding_neardup" -> d7Sql,
+  )
+}

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** [EXT] Similarity search over the `embeddings` table (SURVEY §7.8):
+  * brute-force cosine top-k as the exact baseline, and a deterministic
+  * hyperplane-LSH bucketing as the approximate scale path (the IVF-style
+  * coarse quantizer), plus their composition (search within bucket).
+  *
+  * Exactness across engines: vectors are quantized to integers
+  * (q_i = round(e_i·1000)), so dots and norms are exact int64; cosine is
+  * then ONE double division of identical operands in both engines —
+  * bit-identical, so even rank ordering matches. LSH hyperplane components
+  * are md5-derived small integers, so bucket assignment is exact.
+  *
+  * Scale: brute-force is O(|Q|·N·dim) with the query side broadcast — the
+  * correct plan when |Q| is small. The LSH path prunes N to a bucket:
+  * shuffle on bucket key only. At 100 TB the bucket histogram (sim2) is
+  * the balance check for the coarse quantizer.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** All vectors, integer-quantized, with exact norms; zero vectors dropped. */
+  private def qnorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .withColumn("nrm", expr("aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v)"))
+      .filter(col("nrm") > 0)
+
+  private val qnormCte: String =
+    """qn AS (
+      |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM (SELECT vec_id,
+      |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |        FROM embeddings)
+      |  WHERE CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) > 0)""".stripMargin
+
+  // ---- SIM1: brute-force cosine top-k (exact baseline) ----
+
+  val sim1: Q = (s, d) => {
+    val qn = qnorm(s, d)
+    val queries = qn.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nrm").as("q_nrm"))
+    val pairs = qn.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        expr("aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"),
+        col("q_nrm"), col("nrm"))
+      .withColumn("cos", col("dot") / sqrt(col("q_nrm").cast("double") * col("nrm").cast("double")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("cand_id"), col("rk"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("q_id", "rk")
+  }
+  val sim1Sql: String =
+    s"""WITH $qnormCte,
+       |dots AS (
+       |  SELECT q_id, cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot, q_nrm, c_nrm FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS cand_id, a.nrm AS q_nrm, b.nrm AS c_nrm,
+       |           unnest(a.q) AS xa, unnest(b.q) AS xb
+       |    FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+       |  GROUP BY q_id, cand_id, q_nrm, c_nrm),
+       |ranked AS (
+       |  SELECT q_id, cand_id,
+       |         dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) AS cos,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) DESC, cand_id)
+       |           AS INTEGER) AS rk
+       |  FROM dots)
+       |SELECT q_id, cand_id, rk, round(cos, 6) AS cos_r
+       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  // ---- SIM2: hyperplane-LSH bucket assignment (coarse quantizer) ----
+
+  /** 8 md5-derived integer hyperplanes over 64 dims; bucket = 8 sign bits. */
+  private def buckets(s: SparkSession, d: String): DataFrame = {
+    val planes = s.range(8).select(col("id").as("p"))
+      .crossJoin(s.range(64).select(col("id").as("i")))
+      .select(col("p"), col("i"),
+        (conv(substring(md5(concat(col("p").cast("string"), lit("-"), col("i").cast("string"))), 1, 1), 16, 10)
+          .cast("long") - 8).as("w"))
+    val comps = qnorm(s, d).select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+    val signs = comps.join(broadcast(planes), "i")
+      .groupBy("vec_id", "p")
+      .agg(when(sum(col("x") * col("w")) >= 0, "1").otherwise("0").as("b"))
+    signs.groupBy("vec_id")
+      .agg(concat((0 until 8).map(k => min(when(col("p") === k, col("b")))): _*).as("bucket"))
+  }
+
+  private val bucketsCte: String =
+    s"""$qnormCte,
+       |planes AS (
+       |  SELECT p, i, ('0x' || substr(md5(p::VARCHAR || '-' || i::VARCHAR), 1, 1))::BIGINT - 8 AS w
+       |  FROM range(8) tp(p) CROSS JOIN range(64) ti(i)),
+       |comps AS (
+       |  SELECT vec_id, unnest(range(64)) AS i, unnest(q) AS x FROM qn),
+       |signs AS (
+       |  SELECT c.vec_id, pl.p,
+       |         CASE WHEN sum(c.x * pl.w) >= 0 THEN '1' ELSE '0' END AS b
+       |  FROM comps c JOIN planes pl ON c.i = pl.i
+       |  GROUP BY c.vec_id, pl.p),
+       |buckets AS (
+       |  SELECT vec_id, string_agg(b, '' ORDER BY p) AS bucket
+       |  FROM signs GROUP BY vec_id)""".stripMargin
+
+  /** Bucket histogram — the quantizer balance check. */
+  val sim2: Q = (s, d) =>
+    buckets(s, d).groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
+      .orderBy("bucket")
+  val sim2Sql: String =
+    s"""WITH $bucketsCte
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs, min(vec_id) AS first_vec
+       |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---- SIM3: ANN search within LSH bucket (the composed scale path) ----
+
+  val sim3: Q = (s, d) => {
+    val qb = qnorm(s, d).join(buckets(s, d), "vec_id")
+    val queries = qb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nrm").as("q_nrm"),
+        col("bucket").as("q_bucket"))
+    val pairs = qb.join(broadcast(queries),
+        col("vec_id") =!= col("q_id") && col("bucket") === col("q_bucket"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        expr("aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"),
+        col("q_nrm"), col("nrm"))
+      .withColumn("cos", col("dot") / sqrt(col("q_nrm").cast("double") * col("nrm").cast("double")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("q_id"), col("cand_id"), col("rk"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("q_id", "rk")
+  }
+  val sim3Sql: String =
+    s"""WITH $bucketsCte,
+       |qb AS (SELECT qn.vec_id, qn.q, qn.nrm, bk.bucket
+       |       FROM qn JOIN buckets bk ON qn.vec_id = bk.vec_id),
+       |dots AS (
+       |  SELECT q_id, cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot, q_nrm, c_nrm FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS cand_id, a.nrm AS q_nrm, b.nrm AS c_nrm,
+       |           unnest(a.q) AS xa, unnest(b.q) AS xb
+       |    FROM qb a JOIN qb b
+       |      ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id AND a.bucket = b.bucket)
+       |  GROUP BY q_id, cand_id, q_nrm, c_nrm),
+       |ranked AS (
+       |  SELECT q_id, cand_id,
+       |         dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) AS cos,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) DESC, cand_id)
+       |           AS INTEGER) AS rk
+       |  FROM dots)
+       |SELECT q_id, cand_id, rk, round(cos, 6) AS cos_r
+       |FROM ranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "sim1_ann_bruteforce_topk" -> sim1,
+    "sim2_lsh_buckets" -> sim2,
+    "sim3_lsh_ann_topk" -> sim3,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sim1_ann_bruteforce_topk" -> sim1Sql,
+    "sim2_lsh_buckets" -> sim2Sql,
+    "sim3_lsh_ann_topk" -> sim3Sql,
+  )
+}

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** [EXT] Text-analysis operators for training-data pipelines (SURVEY §7.8):
+  * dictionary language-ID, quality scoring, token counting, and document
+  * fingerprinting. Not derived from the reference.
+  *
+  * All scores are exact integers (basis points via integer division) and
+  * the fingerprint is a 31-bit rolling polynomial hash seeded from md5 —
+  * every query is bit-exact against the DuckDB oracle.
+  *
+  * Scale: per-doc map-side expressions + one hash aggregate each; the
+  * language-ID join broadcasts a constant dictionary.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tiny deterministic word→language dictionary (shared by Spark + SQL). */
+  private val LangDict: Seq[(String, String)] = Seq(
+    "the" -> "en", "a" -> "en", "data" -> "en",
+    "join" -> "fr", "merge" -> "fr",
+    "fast" -> "de", "hash" -> "de",
+    "table" -> "es", "sort" -> "es",
+    "scan" -> "zh", "stream" -> "zh")
+
+  private val StopWords: Seq[String] =
+    Seq("the", "a", "data", "value", "row")
+
+  private def dictDf(s: SparkSession): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    LangDict.toDF("word", "dlang")
+  }
+  private val dictSql: String =
+    LangDict.map { case (w, l) => s"('$w', '$l')" }.mkString("(VALUES ", ", ", ") AS dict(word, dlang)")
+
+  private val stopListSql: String = StopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  // ---- T4: language identification (dictionary-hit argmax) ----
+
+  val t4: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val hits = toks.join(broadcast(dictDf(s)), "word")
+      .groupBy("doc_id", "dlang").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("dlang"))
+    val best = hits.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("dlang"), col("n").as("n_hits"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("dlang"), lit("und")).as("lang_pred"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+  val t4Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+       |hits AS (
+       |  SELECT t.doc_id, dict.dlang, CAST(count(*) AS BIGINT) AS n
+       |  FROM toks t JOIN $dictSql ON t.word = dict.word
+       |  GROUP BY t.doc_id, dict.dlang),
+       |best AS (
+       |  SELECT doc_id, dlang, n AS n_hits FROM (
+       |    SELECT doc_id, dlang, n,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, dlang) AS rk
+       |    FROM hits)
+       |  WHERE rk = 1)
+       |SELECT doc.doc_id, doc.lang,
+       |       coalesce(b.dlang, 'und') AS lang_pred,
+       |       coalesce(b.n_hits, 0) AS n_hits
+       |FROM documents doc LEFT JOIN best b ON doc.doc_id = b.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+
+  // ---- T5: quality scoring (length / word-shape / stopword ratios) ----
+
+  val t5: Q = (s, d) => {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    val sumTokLen = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val stops = toks.filter(col("word").isInCollection(StopWords))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_stop"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
+        nAlpha.as("n_alpha"), sumTokLen.as("sum_tok_len"))
+      .join(stops, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sum_tok_len * 100 div n_tokens").as("mean_tok_len_x100"),
+        expr("n_alpha * 10000 div greatest(n_chars, 1)").as("alpha_bp"),
+        expr("coalesce(n_stop, 0) * 10000 div n_tokens").as("stop_bp"))
+      .withColumn("quality",
+        expr("(CASE WHEN n_tokens >= 20 THEN 2500 ELSE n_tokens * 125 END)" +
+          " + alpha_bp div 4 + stop_bp div 4" +
+          " + (CASE WHEN mean_tok_len_x100 BETWEEN 300 AND 800 THEN 2500 ELSE 0 END)"))
+      .orderBy("doc_id")
+  }
+  val t5Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |         CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS sum_tok_len
+       |  FROM documents),
+       |stops AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop FROM (
+       |    SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+       |  WHERE word IN $stopListSql GROUP BY doc_id),
+       |m AS (
+       |  SELECT b.doc_id, b.n_tokens,
+       |         b.sum_tok_len * 100 // b.n_tokens AS mean_tok_len_x100,
+       |         b.n_alpha * 10000 // greatest(b.n_chars, 1) AS alpha_bp,
+       |         coalesce(s.n_stop, 0) * 10000 // b.n_tokens AS stop_bp
+       |  FROM base b LEFT JOIN stops s ON b.doc_id = s.doc_id)
+       |SELECT doc_id, n_tokens, mean_tok_len_x100, alpha_bp, stop_bp,
+       |       (CASE WHEN n_tokens >= 20 THEN 2500 ELSE n_tokens * 125 END)
+       |       + alpha_bp // 4 + stop_bp // 4
+       |       + (CASE WHEN mean_tok_len_x100 BETWEEN 300 AND 800 THEN 2500 ELSE 0 END) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---- T6: token counting (whitespace, BPE-ish regex, chars/4 heuristic) ----
+
+  private val BpeRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  val t6: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      size(expr(s"regexp_extract_all(text, '${BpeRe.replace("\\", "\\\\")}', 0)")).cast("long").as("n_bpe_tokens"),
+      expr("n_chars div 4").as("n_chars_div4"))
+      .orderBy("doc_id")
+  val t6Sql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |       CAST(len(regexp_extract_all(text, '$BpeRe')) AS BIGINT) AS n_bpe_tokens,
+       |       n_chars // 4 AS n_chars_div4
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- T7: document fingerprint (31-bit rolling polynomial hash) ----
+
+  private val FpMod = 2147483647L // 2^31 - 1
+
+  val t7: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      expr("aggregate(" +
+        s"transform(split(text, ' '), w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) % $FpMod)," +
+        s" 0L, (acc, v) -> (acc * 131 + v) % $FpMod)").as("fingerprint"))
+      .orderBy("doc_id")
+  val t7Sql: String =
+    s"""SELECT doc_id,
+       |       list_reduce(
+       |         list_prepend(0, list_transform(str_split(text, ' '),
+       |           w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % $FpMod)),
+       |         (a, b) -> (a * 131 + b) % $FpMod) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "t4_language_id" -> t4,
+    "t5_quality_score" -> t5,
+    "t6_token_counts" -> t6,
+    "t7_fingerprint" -> t7,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t4_language_id" -> t4Sql,
+    "t5_quality_score" -> t5Sql,
+    "t6_token_counts" -> t6Sql,
+    "t7_fingerprint" -> t7Sql,
+  )
+}
