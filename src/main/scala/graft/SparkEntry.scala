@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ SentimentNb.queries ++ SentimentSvm.queries ++
       Events.queries ++ MlPipelines.queries ++
-      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries
+      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
+      graft.streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ SentimentNb.oracle ++ SentimentSvm.oracle ++
       Events.oracle ++ MlPipelines.oracle ++
-      Dedup.oracle ++ TextAnalysis.oracle ++ Similarity.oracle
+      Dedup.oracle ++ TextAnalysis.oracle ++ Similarity.oracle ++
+      graft.streaming.Streams.oracle
 }

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** [EXT] Structured Streaming surface (SURVEY §2.11/§7.8): the same
+  * windowed aggregations as graft.ops.Events, executed as REAL streaming
+  * queries — `readStream` file source → watermarked windowed aggregation /
+  * arbitrary stateful sessionization → memory sink — with
+  * `Trigger.AvailableNow` so the bounded fixture drains deterministically.
+  * Results therefore hash-match the identical DuckDB oracles as the batch
+  * variants (e1/e2/e3), which is the strongest correctness statement a
+  * bounded streaming run can make.
+  *
+  * Scale notes: state is keyed by (window, type) / user_id — Spark
+  * partitions state by key across executors; watermarks bound state size.
+  * On an unbounded 100 TB/day feed the same plans run with append mode +
+  * checkpointing to durable storage; complete-mode memory sinks here are
+  * only the bounded-drain test harness.
+  */
+object Streams {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  /** Streaming scan of the events fixture with the same ns→µs conversion
+    * as Tables.events (file source needs an explicit schema). */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file streaming sources require a DIRECTORY: stage one containing a
+    // symlink to the fixture file (read-only testdata must not move)
+    val srcDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_stream_src_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    Files.createDirectories(srcDir)
+    val link = srcDir.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$d/events.parquet"))
+    // the raw file carries ts as nanos (read as long); file sources need
+    // an explicit schema for streaming reads
+    val physical = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(physical).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a bounded streaming query to a memory sink and return the table. */
+  private def drain(s: SparkSession, out: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString
+    val q = out.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** ST1: streaming tumbling 1-hour window × event_type with a 1-hour
+    * watermark — same result contract as Events.e1. */
+  val st1: Q = (s, d) => {
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+    drain(s, agg, "st1_out", OutputMode.Complete())
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value_c"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** ST2: streaming sliding windows (1 h / 30 min) — contract of Events.e2. */
+  val st2: Q = (s, d) => {
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+    drain(s, agg, "st2_out", OutputMode.Complete())
+      .select(col("window.start").as("window_start"), col("n"), col("sum_value_c"))
+      .orderBy("window_start")
+  }
+
+  // ---- ST3: arbitrary stateful sessionization (flatMapGroupsWithState) ----
+
+  case class Ev(user_id: Long, ts_us: Long, value_c: Long)
+  case class SessionOut(user_id: Long, session_id: Long,
+    session_start_us: Long, session_end_us: Long, n_events: Long, sum_value_c: Long)
+
+  private val GapUs = 600000000L // 10 minutes
+
+  /** Sessionize one user's events (sorted) into gap-separated sessions. */
+  private[streaming] def sessionize(userId: Long, evs: Iterator[Ev]): Iterator[SessionOut] = {
+    val sorted = evs.toVector.sortBy(e => (e.ts_us, e.value_c))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = Vector.newBuilder[SessionOut]
+      var sid = 1L
+      var start = sorted.head.ts_us; var end = start
+      var n = 0L; var sum = 0L
+      for (e <- sorted) {
+        if (e.ts_us - end > GapUs) {
+          out += SessionOut(userId, sid, start, end, n, sum)
+          sid += 1; start = e.ts_us; n = 0L; sum = 0L
+        }
+        end = e.ts_us; n += 1; sum += e.value_c
+      }
+      out += SessionOut(userId, sid, start, end, n, sum)
+      out.result().iterator
+    }
+  }
+
+  /** ST3: sessions via flatMapGroupsWithState — contract of Events.e3.
+    * With AvailableNow over a bounded source every user's events arrive
+    * before the final emit, so sessions are final and match the batch
+    * gaps-and-islands result. */
+  val st3: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val evs: Dataset[Ev] = eventStream(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        cents(col("value")).as("value_c"))
+      .as[Ev]
+    val sessions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Vector[Ev], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[Vector[Ev]]) =>
+          // bounded drain: all events arrive in the available batches; emit
+          // sessions from everything seen so far (single emission per key
+          // under AvailableNow with one input file)
+          val all = state.getOption.getOrElse(Vector.empty) ++ it
+          state.update(all)
+          sessionize(uid, all.iterator)
+      }
+    drain(s, sessions.toDF(), "st3_out", OutputMode.Append())
+      .select(col("user_id"), col("session_id"),
+        timestamp_micros(col("session_start_us")).as("session_start"),
+        timestamp_micros(col("session_end_us")).as("session_end"),
+        col("n_events"), col("sum_value_c"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "st1_stream_tumbling" -> st1,
+    "st2_stream_sliding" -> st2,
+    "st3_stream_sessions" -> st3,
+  )
+
+  /** Streaming results must equal the batch windowing oracles. */
+  val oracle: Map[String, String] = Map(
+    "st1_stream_tumbling" -> graft.ops.Events.e1Sql,
+    "st2_stream_sliding" -> {
+      // e2 oracle without the event_type column: reuse its shape
+      graft.ops.Events.e2Sql
+    },
+    "st3_stream_sessions" -> graft.ops.Events.e3Sql,
+  )
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Planted-positive checks for dedup/similarity: the oracle gate proves
+  * Spark≡DuckDB; these prove the detectors actually FIND what was planted. */
+class DedupSimSpec extends SparkSpec {
+
+  test("D1 finds exactly the planted exact duplicates (doc_id % 7 == 0)") {
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    val expected = (0L until nDocs).count(_ % 7 == 0)
+    val groups = Dedup.d1(spark, sfDir).collect()
+    assert(groups.length === expected)
+    assert(groups.forall(_.getLong(1) == 2L), "each planted dup has exactly 2 copies")
+  }
+
+  test("D3 LSH pairs include every exact duplicate at jaccard = 10000 bp") {
+    val rows = Dedup.d3(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val exact = rows.filter(_._3 == 10000L)
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    val expected = (0L until nDocs).count(_ % 7 == 0)
+    assert(exact.length >= expected)
+    // planted exact pairs are (id, id + 1000000)
+    val planted = (0L until nDocs).filter(_ % 7 == 0).map(id => (id, id + 1000000L)).toSet
+    assert(planted.subsetOf(rows.map(t => (t._1, t._2)).toSet))
+  }
+
+  test("D3 finds first-word-drop near-dups (doc_id % 11 == 0) above 0.8") {
+    val pairs = Dedup.d3(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    val planted = (0L until nDocs).filter(_ % 11 == 0).map(id => (id, id + 2000000L))
+    val found = planted.count(pairs.contains)
+    // long docs lose one shingle → jaccard near 1; nearly all should surface
+    assert(found >= planted.size * 8 / 10, s"found $found of ${planted.size}")
+  }
+
+  test("D7 finds exactly the planted perturbed embeddings") {
+    val rows = Dedup.d7(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    val planted = (0L until nVecs).filter(_ % 10 == 0).map(id => (id, id + 100000L)).toSet
+    assert(planted.subsetOf(rows.toSet), "every planted near-dup pair is found")
+  }
+
+  test("SIM1 top-k is well-formed: k rows per query, cosine non-increasing") {
+    val rows = Similarity.sim1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1 to byRank.length))
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      }, s"cosine must be non-increasing in rank for query $q")
+    }
+  }
+
+  test("SIM2 buckets partition all non-zero vectors") {
+    val total = Similarity.sim2(spark, sfDir).collect().map(_.getLong(1)).sum
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    assert(total === nVecs) // no zero-norm vectors in the fixture
+  }
+
+  test("SIM3 within-bucket results are a subset of some brute-force pair space") {
+    val sim3 = Similarity.sim3(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every (q, cand) in sim3 must share the query's bucket — verified by
+    // construction; here check ranks are contiguous per query
+    Similarity.sim3(spark, sfDir).collect().groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq === (1 to rs.length))
+    }
+    assert(sim3.nonEmpty)
+  }
+
+  test("T7 fingerprint is order-sensitive (rolling hash, not a bag hash)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fp = (t: String) => Seq(t).toDF("text").select(
+      expr("aggregate(transform(split(text, ' '), w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) % 2147483647), 0L, (acc, v) -> (acc * 131 + v) % 2147483647)"))
+      .head().getLong(0)
+    assert(fp("a b c") !== fp("c b a"))
+    assert(fp("a b c") === fp("a b c"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Scale-guardrail assertions on PHYSICAL PLANS: filters/projections must
+  * reach the parquet scan and small dimensions must broadcast — the plan
+  * properties that decide whether a query survives a 100× scale-up.
+  * A regression here is a performance bug even while results stay correct. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("S1: predicate pushdown + column pruning reach the parquet scan") {
+    val p = plan(Relational.s1(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,0)]"), p.take(800))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>"), p.take(800))
+  }
+
+  test("Q3: dimension side broadcast, no shuffle of the customer table") {
+    val p = plan(Relational.q3(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "customer join must broadcast")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      "mktsegment filter must be pushed to the customer scan")
+  }
+
+  test("Q5: all dimension joins broadcast; only the fact edge shuffles") {
+    val p = plan(Relational.q5(spark, sfDir))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj")
+  }
+
+  test("Q1: aggregate is partial+final (map-side combine) on the fact scan") {
+    val p = plan(Relational.q1(spark, sfDir))
+    assert(p.contains("HashAggregate"), p.take(400))
+    assert(p.contains("partial_"), "must have partial (map-side) aggregation")
+  }
+
+  test("J1/model joins broadcast the model side") {
+    val p = plan(SentimentNb.j1(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "model probe must be a broadcast join")
+  }
+
+  test("W2 top-k per group avoids global sort until after rank filter") {
+    val p = plan(Relational.w2(spark, sfDir))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(400))
+  }
+
+  test("whole-stage codegen covers the text-cleaning chain (no UDFs)") {
+    val p = plan(Corpus.tokensNb(spark, sfDir))
+    // '*(n)' prefixes mark operators fused into WholeStageCodegen stage n
+    assert(p.contains("*(1)"), "clean/tokenize chain must be codegen-fused")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "clean/tokenize chain must stay pure-Catalyst")
+  }
+}
