@@ -23,7 +23,7 @@ object SparkEntry {
     Relational.queries ++ SentimentNb.queries ++ SentimentSvm.queries ++
       Events.queries ++ MlPipelines.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      graft.streaming.Streams.queries
+      graft.streaming.Streams.queries ++ graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -31,5 +31,5 @@ object SparkEntry {
     Relational.oracle ++ SentimentNb.oracle ++ SentimentSvm.oracle ++
       Events.oracle ++ MlPipelines.oracle ++
       Dedup.oracle ++ TextAnalysis.oracle ++ Similarity.oracle ++
-      graft.streaming.Streams.oracle
+      graft.streaming.Streams.oracle ++ graft.multimodal.Multimodal.oracle
 }

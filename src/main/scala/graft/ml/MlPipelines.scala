@@ -81,7 +81,13 @@ object MlPipelines {
     val scaled = idf.fit(withTf).transform(withTf)
     import org.apache.spark.ml.linalg.Vector
     val nnz = udf((v: Vector) => v.numNonzeros)
-    val tot = udf((v: Vector) => v.toArray.sum)
+    // sum over ACTIVE entries only — v.toArray would densify the 2^18-dim
+    // sparse vector per row (250k doubles/row; dominated the whole bench)
+    val tot = udf((v: Vector) => {
+      var s = 0.0
+      v.foreachActive((_, x) => s += x)
+      s
+    })
     scaled.select(
       nnz(col("rawFeatures")).as("tf_nnz"),
       round(tot(col("rawFeatures")), 0).cast("long").as("tf_total"))

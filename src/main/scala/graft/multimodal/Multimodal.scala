@@ -1,0 +1,174 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** [EXT] Multimodal-column handling (SURVEY §7.8): media payloads as opaque
+  * `binary` columns with typed metadata, plus decode / feature-extract /
+  * frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic STUB (`FakeDecoder`) — but everything
+  * Spark-side is real and tested: the (id, modality, bytes, meta) schema,
+  * binary-column expressions, the partition-wise decoder lifecycle
+  * (decoder constructed once per partition, amortizing real codec init
+  * cost), batch shapes, and the explode/sample plumbing.
+  *
+  * The media "fixture" derives deterministically from `documents`: payload
+  * bytes are the utf-8 text, modality cycles by doc_id — so metadata
+  * queries are DuckDB-oracle-checkable (md5/byte-length of utf-8 text are
+  * engine-independent).
+  *
+  * Scale: payloads stay in executors end-to-end (no driver collect); the
+  * decode stage is mapPartitions so a real decoder would amortize init per
+  * partition; frame sampling explodes lazily inside codegen.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  case class Media(doc_id: Long, modality: String, bytes: Array[Byte], n_bytes: Long)
+  case class MediaFeatures(doc_id: Long, modality: String, width: Int, height: Int,
+    n_frames: Int, byte_mean_x100: Long, byte_min: Int, byte_max: Int)
+
+  /** Media table: (doc_id, modality, bytes, n_bytes). */
+  def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      length(col("text")).cast("long").as("n_bytes"))
+
+  private val mediaCte: String =
+    """media AS (
+      |  SELECT doc_id,
+      |         (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,
+      |         encode(text) AS bytes,
+      |         CAST(length(text) AS BIGINT) AS n_bytes
+      |  FROM documents)""".stripMargin
+
+  /** MM1: binary metadata — length + content hash per payload (oracled:
+    * bytes are utf-8 text, so md5(bytes) ≡ md5(text) in any engine). */
+  val mm1: Q = (s, d) =>
+    media(s, d).select(col("doc_id"), col("modality"),
+      length(col("bytes")).cast("long").as("byte_len"),
+      md5(col("bytes")).as("payload_md5"))
+      .orderBy("doc_id")
+  val mm1Sql: String =
+    s"""WITH $mediaCte
+       |SELECT doc_id, modality, CAST(octet_length(bytes) AS BIGINT) AS byte_len,
+       |       md5(bytes::VARCHAR) AS payload_md5
+       |FROM media ORDER BY doc_id""".stripMargin
+
+  /** MM2: per-modality storage stats (the partition-planning query a media
+    * lake runs before a decode pass). */
+  val mm2: Q = (s, d) =>
+    media(s, d).groupBy("modality")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+      .orderBy("modality")
+  val mm2Sql: String =
+    s"""WITH $mediaCte
+       |SELECT modality, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       |       CAST(max(n_bytes) AS BIGINT) AS max_bytes
+       |FROM media GROUP BY modality ORDER BY modality""".stripMargin
+
+  // ---- the decode stage (STUBBED codec, real Spark plumbing) ----
+
+  /** STUB decoder — stands in for a real image/audio codec (none in this
+    * container). Deterministic: "dimensions" and "frames" derive from the
+    * payload bytes; feature moments are computed from the real bytes.
+    * A production impl swaps `decode` for e.g. javax.imageio / ffmpeg
+    * bindings; the lifecycle (one instance per partition) is the real
+    * pattern for amortizing codec initialization. */
+  final class FakeDecoder {
+    def decode(m: Media): MediaFeatures = {
+      val bs = m.bytes
+      val b0 = if (bs.nonEmpty) bs(0) & 0xff else 0
+      val width = 16 + b0 % 48
+      val height = 16 + (if (bs.length > 1) (bs(1) & 0xff) % 48 else 0)
+      val nFrames = m.modality match {
+        case "image" => 1
+        case "audio" => 1 + (bs.length % 16)
+        case _       => 1 + (bs.length % 30)
+      }
+      val ints = bs.map(_ & 0xff)
+      val mean = if (ints.isEmpty) 0L else ints.map(_.toLong).sum * 100 / ints.length
+      MediaFeatures(m.doc_id, m.modality, width, height, nFrames,
+        mean, if (ints.isEmpty) 0 else ints.min, if (ints.isEmpty) 0 else ints.max)
+    }
+  }
+
+  /** MM3: decode + feature extraction via mapPartitions — one decoder per
+    * partition, rows streamed through it (never materialized driver-side).
+    * Deterministic stub ⇒ still DuckDB-checkable via integer byte math. */
+  val mm3: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val ds: Dataset[Media] = media(s, d).as[Media]
+    ds.mapPartitions { it =>
+      val decoder = new FakeDecoder // init once per partition (codec pattern)
+      it.map(decoder.decode)
+    }.toDF().orderBy("doc_id")
+  }
+  // oracle replicates the stub's integer byte math on utf-8 text (ascii ⇒
+  // byte values are code points; documents are ascii by construction)
+  val mm3Sql: String =
+    s"""WITH $mediaCte,
+       |chars AS (
+       |  SELECT doc_id, unnest(string_split_regex(bytes::VARCHAR, '')) AS c FROM media),
+       |cstats AS (
+       |  SELECT doc_id, CAST(sum(ord(c)) AS BIGINT) AS bsum,
+       |         min(ord(c)) AS bmin, max(ord(c)) AS bmax
+       |  FROM chars WHERE c <> '' GROUP BY doc_id)
+       |SELECT m.doc_id, m.modality,
+       |       CAST(16 + ord(substr(m.bytes::VARCHAR, 1, 1)) % 48 AS INTEGER) AS width,
+       |       CAST(16 + (CASE WHEN m.n_bytes > 1 THEN ord(substr(m.bytes::VARCHAR, 2, 1)) ELSE 0 END) % 48 AS INTEGER) AS height,
+       |       CAST(CASE m.modality WHEN 'image' THEN 1
+       |                            WHEN 'audio' THEN 1 + m.n_bytes % 16
+       |                            ELSE 1 + m.n_bytes % 30 END AS INTEGER) AS n_frames,
+       |       CAST(coalesce(s.bsum * 100 // m.n_bytes, 0) AS BIGINT) AS byte_mean_x100,
+       |       CAST(coalesce(s.bmin, 0) AS INTEGER) AS byte_min,
+       |       CAST(coalesce(s.bmax, 0) AS INTEGER) AS byte_max
+       |FROM media m LEFT JOIN cstats s ON m.doc_id = s.doc_id
+       |ORDER BY m.doc_id""".stripMargin
+
+  /** MM4: frame sampling — explode the (stubbed) frame index space and keep
+    * every 5th frame; the lazily-generated explode is the real plumbing a
+    * video pipeline uses to fan out frame work. */
+  val mm4: Q = (s, d) =>
+    media(s, d)
+      .filter(col("modality") === "video")
+      .select(col("doc_id"),
+        explode(sequence(lit(0), ((col("n_bytes") % 30)).cast("int"))).as("frame_idx"))
+      .filter(col("frame_idx") % 5 === 0)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"),
+        max(col("frame_idx")).as("last_frame"))
+      .orderBy("doc_id")
+  val mm4Sql: String =
+    s"""WITH $mediaCte
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+       |       CAST(max(frame_idx) AS INTEGER) AS last_frame
+       |FROM (
+       |  SELECT doc_id, unnest(range(0, CAST(n_bytes % 30 AS INTEGER) + 1)) AS frame_idx
+       |  FROM media WHERE modality = 'video')
+       |WHERE frame_idx % 5 = 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "mm1_binary_metadata" -> mm1,
+    "mm2_modality_stats" -> mm2,
+    "mm3_decode_features" -> mm3,
+    "mm4_frame_sampling" -> mm4,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm1_binary_metadata" -> mm1Sql,
+    "mm2_modality_stats" -> mm2Sql,
+    "mm3_decode_features" -> mm3Sql,
+    "mm4_frame_sampling" -> mm4Sql,
+  )
+}

@@ -198,6 +198,13 @@ object Dedup {
        |SELECT doc_id, simhash FROM simhash ORDER BY doc_id""".stripMargin
 
   // ---- D5: SimHash near-dup pairs (quarter-band blocking + Hamming ≤ 3) ----
+  // Scale guards: (1) degenerate band buckets wider than MaxBucket are
+  // skipped — on skewed corpora a popular bucket otherwise recreates the
+  // O(n²) pair space LSH exists to avoid (standard practice: super-clusters
+  // are handled by a separate pass); (2) candidate pairs are DEDUPED before
+  // the 32-term Hamming expression runs, not after.
+
+  private val MaxBucket = 50
 
   val d5: Q = (s, d) => {
     val sh = simhash(s, d)
@@ -205,31 +212,40 @@ object Dedup {
         sh.select(col("doc_id"), col("simhash"),
           substring(col("simhash"), k * 8 + 1, 8).as("half"), lit(k).as("hi")))
       .reduce(_ unionAll _)
-    val hamming = SimhashBits.map { j =>
-      when(substring(col("a.simhash"), j + 1, 1) =!= substring(col("b.simhash"), j + 1, 1), 1L).otherwise(0L)
-    }.reduce(_ + _)
-    halves.as("a").join(halves.as("b"),
+    val ok = halves.groupBy("half", "hi").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= MaxBucket).select("half", "hi")
+    val bounded = halves.join(ok, Seq("half", "hi"))
+    val cand = bounded.as("a").join(bounded.as("b"),
         col("a.half") === col("b.half") && col("a.hi") === col("b.hi") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), hamming.as("hamming"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
       .distinct()
+    val hamming = SimhashBits.map { j =>
+      when(substring(col("sig_a"), j + 1, 1) =!= substring(col("sig_b"), j + 1, 1), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    cand.select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy("id_a", "id_b")
   }
   val d5Sql: String = {
     val ham = SimhashBits.map { j =>
-      s"CASE WHEN substr(a.simhash, ${j + 1}, 1) <> substr(b.simhash, ${j + 1}, 1) THEN 1 ELSE 0 END"
+      s"CASE WHEN substr(sig_a, ${j + 1}, 1) <> substr(sig_b, ${j + 1}, 1) THEN 1 ELSE 0 END"
     }.mkString(" + ")
     s"""WITH $simhashCte,
        |halves AS (
        |${(0 until 4).map(k =>
         s"  SELECT doc_id, simhash, substr(simhash, ${k * 8 + 1}, 8) AS half, $k AS hi FROM simhash")
-        .mkString("\n  UNION ALL\n")})
-       |SELECT id_a, id_b, hamming FROM (
+        .mkString("\n  UNION ALL\n")}),
+       |ok AS (SELECT half, hi FROM halves GROUP BY half, hi HAVING count(*) <= $MaxBucket),
+       |bounded AS (SELECT h.* FROM halves h JOIN ok USING (half, hi)),
+       |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |         CAST($ham AS BIGINT) AS hamming
-       |  FROM halves a JOIN halves b
+       |         a.simhash AS sig_a, b.simhash AS sig_b
+       |  FROM bounded a JOIN bounded b
        |    ON a.half = b.half AND a.hi = b.hi AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming FROM cand)
        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
   }
 

@@ -1,0 +1,43 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Multimodal plumbing: binary payload integrity, typed decode stage shape,
+  * and frame-sampling arithmetic (decode itself is a documented stub). */
+class MultimodalSpec extends SparkSpec {
+
+  test("MM1 payload bytes round-trip: md5(bytes) == md5 of source text") {
+    import org.apache.spark.sql.functions._
+    val joined = Multimodal.media(spark, sfDir)
+      .join(graft.Tables.documents(spark, sfDir), "doc_id")
+      .select(md5(col("bytes")).as("mb"), md5(col("text")).as("mt"))
+      .filter(col("mb") =!= col("mt")).count()
+    assert(joined === 0L)
+  }
+
+  test("MM3 decode emits one typed row per media row, fields in stub ranges") {
+    val n = Multimodal.media(spark, sfDir).count()
+    val rows = Multimodal.mm3(spark, sfDir).collect()
+    assert(rows.length.toLong === n)
+    rows.foreach { r =>
+      val (w, h, f) = (r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(w >= 16 && w < 64 && h >= 16 && h < 64, s"dims out of stub range: $w x $h")
+      assert(f >= 1 && f <= 30, s"frames out of range: $f")
+      assert(Set("image", "audio", "video")(r.getString(1)))
+    }
+  }
+
+  test("MM3 decoder is deterministic across runs") {
+    val a = Multimodal.mm3(spark, sfDir).collect().toSeq
+    val b = Multimodal.mm3(spark, sfDir).collect().toSeq
+    assert(a === b)
+  }
+
+  test("MM4 samples every 5th frame: n_sampled == floor(last/5) + 1") {
+    Multimodal.mm4(spark, sfDir).collect().foreach { r =>
+      val (n, last) = (r.getLong(1), r.getInt(2))
+      assert(last % 5 === 0, "last sampled frame must be a multiple of 5")
+      assert(n === last / 5 + 1)
+    }
+  }
+}
