@@ -23,7 +23,8 @@ object SparkEntry {
     Relational.queries ++ SentimentNb.queries ++ SentimentSvm.queries ++
       Events.queries ++ MlPipelines.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      graft.streaming.Streams.queries ++ graft.multimodal.Multimodal.queries
+      graft.streaming.Streams.queries ++ graft.multimodal.Multimodal.queries ++
+      graft.ml.SvmSgd.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */

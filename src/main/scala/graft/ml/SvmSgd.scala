@@ -1,0 +1,81 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.ops.Corpus
+
+/** Corrected multi-epoch hand-rolled SVM (SURVEY §7.6, M7 "corrected
+  * mode"): the reference's batch-SGD loop with the epoch-path bug fixed —
+  * epoch e genuinely starts from epoch e-1's weights instead of zeros
+  * (`SVM.java:50` reads `model_epoch_e` before it exists; see SURVEY M7).
+  *
+  * Per epoch (reference semantics, `SVM.java:42-106`):
+  *   eta_e = 0.1 / (1 + e·0.01); for every train doc with margin
+  *   label·⟨w,x⟩ < 1: emit +eta·label per token occurrence and an L2
+  *   shrink −eta·λ·w_k for EVERY weight k (so the shrink scales with the
+  *   number of misclassified docs M_e); the reduce sums deltas into w.
+  *
+  * Scale: the driver loop holds only the weights DataFrame handle; each
+  * epoch is two shuffles (per-doc margin agg, per-word gradient agg) with
+  * the weights side broadcast. Epoch checkpoints go to parquet exactly as
+  * the reference persisted `model_epoch_<e>` to HDFS.
+  */
+object SvmSgd {
+
+  private val Lambda = 0.01
+  private def eta(e: Int): Double = 0.1 / (1.0 + e * 0.01)
+
+  /** Run `epochs` corrected epochs; returns (epoch summaries DF, final weights DF).
+    * Weights schema: (word, weight double). */
+  def train(s: SparkSession, d: String, epochs: Int = 5,
+    checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
+    val toks = Corpus.tokensSvm(s, d).filter(col("is_train"))
+      .select(col("doc_id"), col("label"), col("word"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sp = s
+    import sp.implicits._
+
+    var weights = Seq.empty[(String, Double)].toDF("word", "weight")
+    val summaries = Seq.newBuilder[(Int, Long, Long, Double)]
+
+    for (e <- 1 to epochs) {
+      val et = eta(e)
+      // margin per doc under current weights (missing word → 0)
+      val margins = toks.join(broadcast(weights), Seq("word"), "left")
+        .groupBy("doc_id", "label")
+        .agg(sum(coalesce(col("weight"), lit(0.0))).as("dot"))
+        .select(col("doc_id"), (col("label") * col("dot") < 1.0).as("mis"))
+      val misIds = margins.filter(col("mis")).select("doc_id")
+      val mCount = misIds.count() // driver scalar, like the reference's counter
+      // hinge gradient: +eta·label per token of misclassified docs
+      val grad = toks.join(misIds, "doc_id")
+        .groupBy("word").agg(sum(col("label")).as("msum"))
+        .select(col("word"), (lit(et) * col("msum")).as("delta"))
+      // L2 shrink: the reference emits −eta·λ·w_k per misclassified doc,
+      // all against the SAME epoch-start weights, then sums — a linear
+      // batch delta w·(1 − eta·λ·M), not a compounded (1−eta·λ)^M
+      val shrink = 1.0 - et * Lambda * mCount.toDouble
+      weights = weights
+        .select(col("word"), (col("weight") * shrink).as("weight"))
+        .join(grad, Seq("word"), "full_outer")
+        .select(col("word"),
+          (coalesce(col("weight"), lit(0.0)) + coalesce(col("delta"), lit(0.0))).as("weight"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      checkpointDir.foreach(dir =>
+        weights.write.mode("overwrite").parquet(s"$dir/model_epoch_$e"))
+      val nW = weights.count()
+      val wNorm = weights.agg(sum(col("weight") * col("weight"))).head().getDouble(0)
+      summaries += ((e, mCount, nW, math.sqrt(wNorm)))
+    }
+    toks.unpersist()
+    (summaries.result().toDF("epoch", "n_misclassified", "n_weights", "w_norm"), weights)
+  }
+
+  /** Rows-only query for the registry: per-epoch training summary. */
+  val query: (SparkSession, String) => DataFrame = (s, d) => train(s, d, 5)._1
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("m7c_svm_corrected_epochs" -> query)
+}
