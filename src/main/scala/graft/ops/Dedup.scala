@@ -221,10 +221,10 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
       .distinct()
-    val hamming = SimhashBits.map { j =>
-      when(substring(col("sig_a"), j + 1, 1) =!= substring(col("sig_b"), j + 1, 1), 1L).otherwise(0L)
-    }.reduce(_ + _)
-    cand.select(col("id_a"), col("id_b"), hamming.as("hamming"))
+    // native codegen'd Hamming expression (graft.functions.HammingDistance)
+    // instead of a 32-term substring-compare chain
+    graft.functions.GraftFunctions.register(s)
+    cand.select(col("id_a"), col("id_b"), expr("graft_hamming(sig_a, sig_b)").as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy("id_a", "id_b")
   }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Custom Catalyst surface: the native HammingDistance expression (eval +
+  * codegen parity, null propagation), the expression-tree SQL functions,
+  * and the typed confusion Aggregator. */
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("graft_hamming: distance semantics incl. length mismatch") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val got = Seq(
+      ("0101", "0101", 0L), ("0101", "0111", 1L),
+      ("0000", "1111", 4L), ("abc", "abcdd", 2L), ("", "xyz", 3L))
+      .toDF("a", "b", "want")
+      .select(expr("graft_hamming(a, b)").as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("graft_hamming propagates nulls") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = Seq(("x", Option.empty[String])).toDF("a", "b")
+      .select(expr("graft_hamming(a, b)")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("graft_hamming interpreted eval matches codegen result") {
+    // direct eval path (interpreted)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = HammingDistance(Literal("10110"), Literal("00111"))
+    assert(e.eval(null) === 2L)
+  }
+
+  test("graft_clean_nb via spark.sql equals the Column-API cleaner") {
+    GraftFunctions.register(spark)
+    graft.Tables.documents(spark, sfDir).createOrReplaceTempView("docs_fn_test")
+    val viaSql = spark.sql("SELECT graft_clean_nb(text) AS c FROM docs_fn_test ORDER BY doc_id")
+    val viaCol = graft.Tables.documents(spark, sfDir).orderBy("doc_id")
+      .select(graft.text.TextOps.cleanNb(col("text")).as("c"))
+    assert(viaSql.collect().toSeq === viaCol.collect().toSeq)
+  }
+
+  test("typed ConfusionMetricsAggregator matches the SQL metric query") {
+    val typed = graft.ops.SqlSurface.a5(spark, sfDir).head()
+    val sql = graft.ops.SentimentNb.binaryMetrics(spark, sfDir).head()
+    assert((0 to 3).forall(i => typed.getLong(i) == sql.getLong(i)))
+    assert((4 to 7).forall(i => typed.getDouble(i) == sql.getDouble(i)))
+  }
+}
