@@ -503,6 +503,26 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY bucket, c_mktsegment""".stripMargin
 
+  /** SK1: skew-aware two-phase count-distinct — distinct words per LANGUAGE
+    * (5 heavy keys over 32 partitions = the classic skewed-aggregation
+    * shape). Phase 1 shuffles on the COMPOSITE (lang, word) key — spreading
+    * each heavy lang across all partitions — phase 2 counts the already-
+    * distinct pairs per lang. A naive `groupBy(lang).agg(countDistinct)`
+    * funnels each lang through one task; this plan scales with cluster
+    * width regardless of key skew. */
+  val sk1: Q = (s, d) => {
+    val pairs = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .distinct() // phase 1: shuffle on (lang, word) — skew-free
+    pairs.groupBy("lang").agg(count(lit(1)).as("n_distinct_words")) // phase 2
+      .orderBy("lang")
+  }
+  val sk1Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_distinct_words FROM (
+      |  SELECT DISTINCT lang, word FROM (
+      |    SELECT lang, unnest(str_split(text, ' ')) AS word FROM documents))
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   // =====================================================================
   //  registry
   // =====================================================================
@@ -537,6 +557,7 @@ object Relational {
     "g1_rollup" -> g1,
     "set1_intersect_except" -> set1,
     "sj1_semi_anti_join" -> sj1,
+    "sk1_skew_twophase_distinct" -> sk1,
   )
 
   val oracle: Map[String, String] = Map(
@@ -568,5 +589,6 @@ object Relational {
     "g1_rollup" -> g1Sql,
     "set1_intersect_except" -> set1Sql,
     "sj1_semi_anti_join" -> sj1Sql,
+    "sk1_skew_twophase_distinct" -> sk1Sql,
   )
 }
