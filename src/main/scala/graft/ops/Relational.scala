@@ -503,6 +503,66 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY bucket, c_mktsegment""".stripMargin
 
+  /** Q2-style min-per-group correlated lookup: cheapest supplier per part
+    * via window-min (the scalable rewrite of TPC-H Q2's correlated
+    * subquery — one shuffle on partkey, no per-row re-scan). */
+  val q2: Q = (s, d) => {
+    val l = li(s, d).select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val w = Window.partitionBy("l_partkey")
+    l.withColumn("min_price_c", min(cents(col("l_extendedprice"))).over(w))
+      .filter(cents(col("l_extendedprice")) === col("min_price_c"))
+      .groupBy("l_partkey")
+      .agg(min(col("l_suppkey")).as("cheapest_supp"), min(col("min_price_c")).as("min_price_c"))
+      .orderBy("l_partkey")
+  }
+  val q2Sql: String =
+    s"""SELECT l_partkey, min(l_suppkey) AS cheapest_supp, min(pc) AS min_price_c FROM (
+       |  SELECT l_partkey, l_suppkey, ${centsSql("l_extendedprice")} AS pc,
+       |         min(${centsSql("l_extendedprice")}) OVER (PARTITION BY l_partkey) AS mpc
+       |  FROM lineitem)
+       |WHERE pc = mpc GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+
+  /** Q7-style cross-nation volume: supplier-nation × customer-nation pairs,
+    * dimensions broadcast, yearly revenue rollup. */
+  val q7: Q = (s, d) => {
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    li(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"), year(col("l_shipdate")).as("l_year"))
+      .join(ord(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") < col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("revenue_e4"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+  val q7Sql: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       |       CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_e4
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |WHERE sn.n_name < cn.n_name
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** HLL1: sketch-based distinct (approx_count_distinct / HyperLogLog++) —
+    * engine-defined estimate, so rows-only; accuracy asserted in tests. */
+  val hll1: Q = (s, d) =>
+    li(s, d).agg(
+      approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+      countDistinct(col("l_orderkey")).as("exact_orders"))
+
   /** SK1: skew-aware two-phase count-distinct — distinct words per LANGUAGE
     * (5 heavy keys over 32 partitions = the classic skewed-aggregation
     * shape). Phase 1 shuffles on the COMPOSITE (lang, word) key — spreading
@@ -558,6 +618,9 @@ object Relational {
     "set1_intersect_except" -> set1,
     "sj1_semi_anti_join" -> sj1,
     "sk1_skew_twophase_distinct" -> sk1,
+    "q2_min_per_group" -> q2,
+    "q7_cross_nation_volume" -> q7,
+    "hll1_sketch_distinct" -> hll1,
   )
 
   val oracle: Map[String, String] = Map(
@@ -590,5 +653,7 @@ object Relational {
     "set1_intersect_except" -> set1Sql,
     "sj1_semi_anti_join" -> sj1Sql,
     "sk1_skew_twophase_distinct" -> sk1Sql,
+    "q2_min_per_group" -> q2Sql,
+    "q7_cross_nation_volume" -> q7Sql,
   )
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** 100 TB design paths that small-SF correctness can't see on its own:
+  * the broadcast-join fallback (web-scale vocabularies exceed broadcast —
+  * the same plan must work as a shuffle join), bucketed co-located joins
+  * (the zero-shuffle fact⋈fact path), and sketch accuracy. */
+class ScalePathSpec extends SparkSpec {
+
+  test("J1 model join falls back to shuffle join when broadcast is disabled — same results") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val withBroadcast = SentimentNb.m6(spark, sfDir).collect().toSeq
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // broadcast() hints still apply; build the hint-free variant inline:
+      val toks = Corpus.tokensNb(spark, sfDir).filter(!col("is_train"))
+      val joined = toks.join(SentimentNb.model(spark, sfDir), "word") // no hint
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        "with threshold=-1 and no hint this must NOT broadcast")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join, got:\n${plan.take(600)}")
+      // and the full scoring pipeline still gives identical predictions
+      // (broadcast() hints inside m6 keep it broadcast; the point is the
+      // hint-free path stays correct for when the model outgrows broadcast)
+      val probes = joined.groupBy("word").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val reference = SentimentNb.j1(spark, sfDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(probes === reference, "shuffle-join probe counts == broadcast-join probe counts")
+      assert(withBroadcast.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("bucketed tables co-locate the orders⋈lineitem join (no exchange on bucketed sides)") {
+    // warehouse dir is a static conf — TestSpark sets a tmp dir at build time
+    try {
+      graft.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+      graft.Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderdate")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("ord_bucketed")
+      val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("li_bucketed")
+          .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed join must be exchange-free, got:\n${plan.take(800)}")
+        // correctness: same row count as the plain join
+        val expected = graft.Tables.lineitem(spark, sfDir)
+          .join(graft.Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+          .count()
+        assert(j.count() === expected)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("HLL sketch distinct is within 5% of exact") {
+    val r = Relational.hll1(spark, sfDir).head()
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+}
