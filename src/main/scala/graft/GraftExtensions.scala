@@ -4,29 +4,20 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{GraftFunctions, HammingDistance}
+import graft.functions.GraftFunctions
 
 /** Canonical extension wiring: `--conf spark.sql.extensions=graft.GraftExtensions`
   * makes the graft SQL functions available in every session of the cluster
   * (SURVEY §7.2's extension point). The same functions can be added to an
-  * existing session with `GraftFunctions.register(spark)`.
+  * existing session with `GraftFunctions.register(spark)`; both paths
+  * iterate the one `GraftFunctions.builders` list so they cannot drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_clean_nb"),
-      new ExpressionInfo("graft.functions.GraftFunctions", "graft_clean_nb"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        GraftFunctions.cleanNbExpr(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_clean_svm"),
-      new ExpressionInfo("graft.functions.GraftFunctions", "graft_clean_svm"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        GraftFunctions.cleanSvmExpr(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_hamming"),
-      new ExpressionInfo("graft.functions.GraftFunctions", "graft_hamming"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        HammingDistance(args(0), args(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name),
+        builder))
+    }
 }

@@ -27,7 +27,9 @@ object GraftFunctions {
   def cleanSvmExpr(c: Expression): Expression =
     StringTrim(rr(rr(rr(Lower(c), TextOps.SvmUrlRe, " "), "[^a-zA-Z ]", " "), "\\s+", " "))
 
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  /** Single source of truth for both registration paths (imperative
+    * [[register]] and [[graft.GraftExtensions]]). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_clean_nb" -> { args => cleanNbExpr(args.head) },
     "graft_clean_svm" -> { args => cleanSvmExpr(args.head) },
     "graft_hamming" -> { args => HammingDistance(args(0), args(1)) },

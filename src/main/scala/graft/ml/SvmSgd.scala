@@ -57,6 +57,7 @@ object SvmSgd {
       // all against the SAME epoch-start weights, then sums — a linear
       // batch delta w·(1 − eta·λ·M), not a compounded (1−eta·λ)^M
       val shrink = 1.0 - et * Lambda * mCount.toDouble
+      val prev = weights
       weights = weights
         .select(col("word"), (col("weight") * shrink).as("weight"))
         .join(grad, Seq("word"), "full_outer")
@@ -65,7 +66,8 @@ object SvmSgd {
         .persist(StorageLevel.MEMORY_AND_DISK)
       checkpointDir.foreach(dir =>
         weights.write.mode("overwrite").parquet(s"$dir/model_epoch_$e"))
-      val nW = weights.count()
+      val nW = weights.count() // materialize before dropping the parent cache
+      prev.unpersist()
       val wNorm = weights.agg(sum(col("weight") * col("weight"))).head().getDouble(0)
       summaries += ((e, mCount, nW, math.sqrt(wNorm)))
     }

@@ -125,12 +125,14 @@ object Multimodal {
        |         min(ord(c)) AS bmin, max(ord(c)) AS bmax
        |  FROM chars WHERE c <> '' GROUP BY doc_id)
        |SELECT m.doc_id, m.modality,
-       |       CAST(16 + ord(substr(m.bytes::VARCHAR, 1, 1)) % 48 AS INTEGER) AS width,
+       |       CAST(CASE WHEN m.n_bytes = 0 THEN 16
+       |            ELSE 16 + ord(substr(m.bytes::VARCHAR, 1, 1)) % 48 END AS INTEGER) AS width,
        |       CAST(16 + (CASE WHEN m.n_bytes > 1 THEN ord(substr(m.bytes::VARCHAR, 2, 1)) ELSE 0 END) % 48 AS INTEGER) AS height,
        |       CAST(CASE m.modality WHEN 'image' THEN 1
        |                            WHEN 'audio' THEN 1 + m.n_bytes % 16
        |                            ELSE 1 + m.n_bytes % 30 END AS INTEGER) AS n_frames,
-       |       CAST(coalesce(s.bsum * 100 // m.n_bytes, 0) AS BIGINT) AS byte_mean_x100,
+       |       CAST(CASE WHEN m.n_bytes = 0 THEN 0
+       |            ELSE coalesce(s.bsum * 100 // m.n_bytes, 0) END AS BIGINT) AS byte_mean_x100,
        |       CAST(coalesce(s.bmin, 0) AS INTEGER) AS byte_min,
        |       CAST(coalesce(s.bmax, 0) AS INTEGER) AS byte_max
        |FROM media m LEFT JOIN cstats s ON m.doc_id = s.doc_id

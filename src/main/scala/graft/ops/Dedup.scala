@@ -70,8 +70,11 @@ object Dedup {
 
   // ---- word 3-gram shingles (distinct per doc) ----
 
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    corpus(s, d)
+  /** Word 3-gram shingles (distinct per doc) of any (doc_id, text) frame —
+    * single definition shared by d2/d3 (dup-injected corpus) and d6 (raw
+    * documents) so the <3-word fallback can't drift between them. */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(
         when(size(split(col("text"), " ")) >= 3,
           expr("transform(sequence(0, size(split(text, ' ')) - 3)," +
@@ -79,14 +82,20 @@ object Dedup {
           .otherwise(array(col("text")))).as("shingle"))
       .distinct()
 
-  private val shinglesCte: String =
-    s"""$corpusCte,
-       |shingles AS (
+  private def shinglesCteBody(cteName: String, src: String): String =
+    s"""$cteName AS (
        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(str_split(text, ' ')) >= 3
        |    THEN [array_to_string((str_split(text, ' '))[i+1:i+3], ' ')
        |          for i in range(len(str_split(text, ' ')) - 2)]
        |    ELSE [text] END) AS shingle
-       |  FROM corpus)""".stripMargin
+       |  FROM $src)""".stripMargin
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(corpus(s, d))
+
+  private val shinglesCte: String =
+    s"""$corpusCte,
+       |${shinglesCteBody("shingles", "corpus")}""".stripMargin
 
   // ---- D2: MinHash signatures (4 permutations via seeded md5) ----
 
@@ -253,13 +262,7 @@ object Dedup {
 
   val d6: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(
-        when(size(split(col("text"), " ")) >= 3,
-          expr("transform(sequence(0, size(split(text, ' ')) - 3)," +
-            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
-          .otherwise(array(col("text")))).as("shingle"))
-      .distinct()
+    val sh = shinglesOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = docs.as("a").join(docs.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
@@ -278,12 +281,7 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
   val d6Sql: String =
-    """WITH shing AS (
-      |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(str_split(text, ' ')) >= 3
-      |    THEN [array_to_string((str_split(text, ' '))[i+1:i+3], ' ')
-      |          for i in range(len(str_split(text, ' ')) - 2)]
-      |    ELSE [text] END) AS shingle
-      |  FROM documents),
+    s"""WITH ${shinglesCteBody("shing", "documents")},
       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shing GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b

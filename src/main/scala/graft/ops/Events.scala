@@ -53,8 +53,9 @@ object Events {
     s"""SELECT window_start, CAST(count(*) AS BIGINT) AS n,
        |       CAST(sum($centsSql) AS BIGINT) AS sum_value_c
        |FROM (
-       |  SELECT value, CAST(to_timestamp(CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) * 1800
-       |                     - offs) AS TIMESTAMP) AS window_start
+       |  SELECT value, TIMESTAMP '1970-01-01 00:00:00'
+       |                + (CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) * 1800 - offs)
+       |                  * INTERVAL 1 SECOND AS window_start
        |  FROM events CROSS JOIN (SELECT unnest([0, 1800]) AS offs))
        |GROUP BY window_start ORDER BY window_start""".stripMargin
 

@@ -449,6 +449,33 @@ object Relational {
        |    GROUP BY p_brand, p_partkey))
        |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin
 
+  /** G2: CUBE over returnflag/linestatus — all grouping-set combinations. */
+  val g2: Q = (s, d) =>
+    li(s, d).cube("l_returnflag", "l_linestatus")
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  val g2Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** PV1: pivot — returnflag rows × linestatus columns (wide aggregation);
+    * fixed pivot values so the plan is single-pass (no distinct-scan). */
+  val pv1: Q = (s, d) =>
+    li(s, d).groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(cents(col("l_quantity"))))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "qty_f_c", "O" -> "qty_o_c"))
+      .orderBy("l_returnflag")
+  val pv1Sql: String =
+    s"""SELECT l_returnflag,
+       |  CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN ${centsSql("l_quantity")} END), 0) AS BIGINT) AS qty_f_c,
+       |  CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN ${centsSql("l_quantity")} END), 0) AS BIGINT) AS qty_o_c
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** G1: ROLLUP over returnflag/linestatus (grouping sets). */
   val g1: Q = (s, d) =>
     li(s, d).rollup("l_returnflag", "l_linestatus")
@@ -621,6 +648,8 @@ object Relational {
     "q2_min_per_group" -> q2,
     "q7_cross_nation_volume" -> q7,
     "hll1_sketch_distinct" -> hll1,
+    "g2_cube" -> g2,
+    "pv1_pivot" -> pv1,
   )
 
   val oracle: Map[String, String] = Map(
@@ -655,5 +684,7 @@ object Relational {
     "sk1_skew_twophase_distinct" -> sk1Sql,
     "q2_min_per_group" -> q2Sql,
     "q7_cross_nation_volume" -> q7Sql,
+    "g2_cube" -> g2Sql,
+    "pv1_pivot" -> pv1Sql,
   )
 }

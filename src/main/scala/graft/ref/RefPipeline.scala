@@ -68,10 +68,10 @@ object RefPipeline {
     val margin =
       (coalesce(col("sp"), lit(0.0))
         - coalesce(col("n"), lit(0L)) * log(col("pos_words") + col("features"))
-        + log(col("pos_tweets") / col("tweets"))) -
+        + log(nullif(col("pos_tweets"), lit(0L)) / col("tweets"))) -
       (coalesce(col("sn"), lit(0.0))
         - coalesce(col("n"), lit(0L)) * log(col("neg_words") + col("features"))
-        + log(col("neg_tweets") / col("tweets")))
+        + log(nullif(col("neg_tweets"), lit(0L)) / col("tweets")))
     val scored = docs.filter(!col("is_train"))
       .join(perDoc, Seq("id"), "left")
       .crossJoin(broadcast(stats))

@@ -36,8 +36,11 @@ object Streams {
       sys.props("java.io.tmpdir"), "graft_stream_src_" + d.replaceAll("[^A-Za-z0-9]", "_"))
     Files.createDirectories(srcDir)
     val link = srcDir.resolve("events.parquet")
-    if (!Files.exists(link))
-      Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$d/events.parquet"))
+    // NOFOLLOW: a dangling link (fixture moved) must be detected and
+    // replaced, not re-created into FileAlreadyExistsException
+    if (Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      Files.delete(link)
+    Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$d/events.parquet"))
     // the raw file carries ts as nanos (read as long); file sources need
     // an explicit schema for streaming reads
     val physical = s.read.parquet(s"$d/events.parquet").schema

@@ -18,6 +18,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def canon(v):
     if v is None:
         return "NULL"
+    if hasattr(v, "tzinfo") and getattr(v, "tzinfo", None) is not None:
+        # normalize tz-aware timestamps to naive UTC for comparison
+        import datetime
+        v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -40,6 +44,9 @@ def table_digest(cols, rows):
 
 def main(sfdir, outdir):
     con = duckdb.connect()
+    # Spark side is pinned UTC; pin DuckDB too or timestamp-emitting queries
+    # (to_timestamp casts, TIMESTAMPTZ parquet reads) become host-TZ-dependent
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
