@@ -24,7 +24,7 @@ object SparkEntry {
       Events.queries ++ MlPipelines.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       graft.streaming.Streams.queries ++ graft.multimodal.Multimodal.queries ++
-      graft.ml.SvmSgd.queries ++ SqlSurface.queries
+      graft.ml.SvmSgd.queries ++ SqlSurface.queries ++ graft.ml.MlLsh.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -33,5 +33,5 @@ object SparkEntry {
       Events.oracle ++ MlPipelines.oracle ++
       Dedup.oracle ++ TextAnalysis.oracle ++ Similarity.oracle ++
       graft.streaming.Streams.oracle ++ graft.multimodal.Multimodal.oracle ++
-      SqlSurface.oracle
+      SqlSurface.oracle ++ graft.ml.MlLsh.oracle
 }

@@ -1,0 +1,113 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, CountVectorizer, MinHashLSH, NGram, Normalizer, Tokenizer}
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** MLlib-native similarity operators (SURVEY §7.8 names these directly):
+  * `ml.feature.MinHashLSH` over token-set vectors for near-dup joins,
+  * `BucketedRandomProjectionLSH` + `Normalizer` over embeddings for
+  * approximate cosine neighbors, and `ml.feature.NGram` for shingling.
+  * These complement the hand-built md5-LSH queries (graft.ops.Dedup /
+  * Similarity): the hand-built ones are oracle-checkable; these are the
+  * stock-MLlib path a Spark shop would reach for first. Engine-defined
+  * hashes ⇒ rows-only checks + recall assertions in `MlLshSpec`.
+  */
+object MlLsh {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Seed = 42L
+
+  /** T8: ml.feature.NGram word 3-grams — verified through explode like T3.
+    * Matches the hand-built shingle format (space-joined). */
+  val t8: Q = (s, d) => {
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+    val ng = new NGram().setN(3).setInputCol("words").setOutputCol("ngrams")
+    val in = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    ng.transform(tok.transform(in))
+      .select(explode(col("ngrams")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("n"))
+      .orderBy("shingle")
+  }
+  // oracle: 3-grams of the lowercase \s-split tokens, space-joined
+  val t8Sql: String =
+    """SELECT shingle, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT unnest([array_to_string(toks[i+1:i+3], ' ')
+      |                 for i in range(greatest(len(toks) - 2, 0))]) AS shingle
+      |  FROM (SELECT regexp_split_to_array(lower(text), '\s') AS toks FROM documents))
+      |GROUP BY shingle ORDER BY shingle""".stripMargin
+
+  /** Token-set vectors for MinHashLSH (CountVectorizer binary=true). */
+  private def tokenVectors(s: SparkSession, d: String): DataFrame = {
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+    val docs = tok.transform(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    val cv = new CountVectorizer().setInputCol("words").setOutputCol("features")
+      .setBinary(true).fit(docs)
+    cv.transform(docs).select(col("doc_id"), col("features"))
+      // MinHashLSH requires at least one non-zero entry
+      .filter(expr("features IS NOT NULL"))
+  }
+
+  /** LSH1: MinHashLSH self-join — Jaccard-distance near-dup candidates.
+    * Rows-only (MinHash perms are seeded but engine-defined). Sampled input
+    * + tight threshold: on this shared-vocabulary corpus a full self-join at
+    * 0.5 degenerates to near-all-pairs (the same skew the hand-built d5
+    * guards with bucket caps — MLlib's join has no such cap, so bound the
+    * input instead). */
+  val lsh1: Q = (s, d) => {
+    val vecs = tokenVectors(s, d).filter(col("doc_id") % 5 === 0)
+    val mh = new MinHashLSH().setNumHashTables(4).setInputCol("features")
+      .setOutputCol("hashes").setSeed(Seed)
+    val model = mh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, 0.3, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("id_a"), col("datasetB.doc_id").as("id_b"),
+        col("jaccard_dist"))
+      .filter(col("id_a") < col("id_b"))
+      // token SETS on this shared-vocab corpus are nearly identical, so the
+      // pair space is dense — emit the distance histogram, not raw pairs
+      .groupBy(round(col("jaccard_dist"), 1).as("dist_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("id_a")).as("sample_id_a"))
+      .orderBy("dist_bucket")
+  }
+
+  /** LSH2: BucketedRandomProjectionLSH kNN over L2-normalized embeddings —
+    * Euclidean distance on the unit sphere is monotone in cosine, so this
+    * is cosine ANN the stock-MLlib way. Rows-only. */
+  val lsh2: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble))) }
+      .toDF("vec_id", "raw")
+    val norm = new Normalizer().setInputCol("raw").setOutputCol("features").setP(2.0)
+    val data = norm.transform(vecs).select("vec_id", "features")
+    val brp = new BucketedRandomProjectionLSH().setBucketLength(0.5)
+      .setNumHashTables(3).setInputCol("features").setOutputCol("hashes").setSeed(Seed)
+    val model = brp.fit(data)
+    val queries = data.filter(col("vec_id") % 100 === 0)
+    queries.collect().map(_.getLong(0)).sorted.take(3).foldLeft(
+      Seq.empty[DataFrame]) { (acc, qid) =>
+        val key = data.filter(col("vec_id") === qid).head().getAs[org.apache.spark.ml.linalg.Vector]("features")
+        acc :+ model.approxNearestNeighbors(data.filter(col("vec_id") =!= qid), key, 5)
+          .select(lit(qid).as("q_id"), col("vec_id").as("cand_id"),
+            round(col("distCol"), 4).as("dist"))
+      }.reduce(_ unionAll _)
+      .orderBy("q_id", "dist", "cand_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t8_ml_ngram" -> t8,
+    "lsh1_ml_minhash_join" -> lsh1,
+    "lsh2_ml_brp_knn" -> lsh2,
+  )
+
+  /** t8 is deterministic (pure token math); the LSH ops are engine-defined. */
+  val oracle: Map[String, String] = Map(
+    "t8_ml_ngram" -> t8Sql,
+  )
+}
