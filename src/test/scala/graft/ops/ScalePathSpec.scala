@@ -66,6 +66,20 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("partitionBy writes prune partitions at read time (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"partition filter must prune directories:\n${plan.take(600)}")
+    val expected = graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R").count()
+    assert(q.count() === expected)
+  }
+
   test("HLL sketch distinct is within 5% of exact") {
     val r = Relational.hll1(spark, sfDir).head()
     val (approx, exact) = (r.getLong(0), r.getLong(1))
