@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.MlPipelines
-import graft.ops.{Dedup, Events, Relational, SentimentNb, SentimentSvm, Similarity, SqlSurface, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Events, Relational, SentimentNb, SentimentSvm, Similarity, SqlSurface, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
       Events.queries ++ MlPipelines.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       graft.streaming.Streams.queries ++ graft.multimodal.Multimodal.queries ++
-      graft.ml.SvmSgd.queries ++ SqlSurface.queries ++ graft.ml.MlLsh.queries
+      graft.ml.SvmSgd.queries ++ SqlSurface.queries ++ graft.ml.MlLsh.queries ++
+      AsOf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -33,5 +34,5 @@ object SparkEntry {
       Events.oracle ++ MlPipelines.oracle ++
       Dedup.oracle ++ TextAnalysis.oracle ++ Similarity.oracle ++
       graft.streaming.Streams.oracle ++ graft.multimodal.Multimodal.oracle ++
-      SqlSurface.oracle ++ graft.ml.MlLsh.oracle
+      SqlSurface.oracle ++ graft.ml.MlLsh.oracle ++ AsOf.oracle
 }
