@@ -121,12 +121,78 @@ object Events {
        |  FROM events)
        |WHERE rk = 1 ORDER BY user_id""".stripMargin
 
+  /** E6: range join via BANDING — pairs of same-user events within 60 s of
+    * each other. The naive plan is a theta join (O(n²) candidate space, a
+    * BroadcastNestedLoop at scale); banding each event into its 60-s bucket
+    * and joining (user, bucket±1) keeps it an equi-join shuffle, with the
+    * exact |Δt| ≤ 60 s predicate applied after. The scalable range-join
+    * pattern for any tolerance join. */
+  val e6: Q = (s, d) => {
+    val base = ev(s, d).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("t_us"))
+    val bucketed = base.withColumn("bkt", expr("t_us div 60000000"))
+    // probe side explodes into its own and both neighbor buckets
+    val probes = base.select(col("user_id"), col("event_id").as("id_b"), col("t_us").as("t_b"),
+      explode(expr("array(t_us div 60000000 - 1, t_us div 60000000, t_us div 60000000 + 1)")).as("bkt"))
+    bucketed.join(probes, Seq("user_id", "bkt"))
+      .filter(col("event_id") < col("id_b") &&
+        abs(col("t_us") - col("t_b")) <= 60000000L)
+      .select(col("user_id"), col("event_id").as("id_a"), col("id_b"))
+      .distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("n_close_pairs"))
+      .orderBy("user_id")
+  }
+  val e6Sql: String =
+    """SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_close_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
+  /** E7: funnel — users progressing signup → later click → later purchase;
+    * stage timestamps via staged conditional-min aggregations (exact
+    * epoch-µs), one row of stage counts out. */
+  val e7: Q = (s, d) => {
+    val base = ev(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("t_us"))
+    val s1 = base.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("t_us")).as("t_signup"))
+    val s2 = base.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("t_us") >= col("t_signup"))
+      .groupBy("user_id").agg(min(col("t_us")).as("t_click"))
+    val s3 = base.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("t_us") >= col("t_click"))
+      .groupBy("user_id").agg(min(col("t_us")).as("t_purchase"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_after_signup")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+  val e7Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t_signup FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t_signup
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t_click
+      |  GROUP BY e.user_id)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_after_signup,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_after_click""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "e1_tumbling_window" -> e1,
     "e2_sliding_window" -> e2,
     "e3_session_windows" -> e3,
     "e4_json_extract" -> e4,
     "e5_argmax_per_user" -> e5,
+    "e6_banded_range_join" -> e6,
+    "e7_funnel_stages" -> e7,
   )
 
   val oracle: Map[String, String] = Map(
@@ -135,5 +201,7 @@ object Events {
     "e3_session_windows" -> e3Sql,
     "e4_json_extract" -> e4Sql,
     "e5_argmax_per_user" -> e5Sql,
+    "e6_banded_range_join" -> e6Sql,
+    "e7_funnel_stages" -> e7Sql,
   )
 }
