@@ -344,8 +344,10 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     val l = li(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
+    // no broadcast hint on customer: a 1/5 segment of a TPC-H-scale
+    // customer table exceeds broadcast memory — AQE picks BHJ by size
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("revenue_e4"))
       .orderBy(col("revenue_e4").desc, col("l_orderkey"))
@@ -378,9 +380,11 @@ object Relational {
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       .select("o_orderkey", "o_custkey")
     val l = li(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    // customer/supplier are NOT hinted: they scale with SF and would
+    // force-broadcast past memory at 100 TB; region/nation stay hinted
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sp), col("l_suppkey") === col("s_suppkey") &&
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
@@ -432,7 +436,7 @@ object Relational {
     val rev = li(s, d).groupBy("l_partkey")
       .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("revenue_e4"))
     val w = Window.partitionBy("p_brand").orderBy(col("revenue_e4").desc, col("p_partkey"))
-    rev.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    rev.join(p, col("l_partkey") === col("p_partkey"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select("p_brand", "p_partkey", "revenue_e4", "rk")
@@ -563,8 +567,8 @@ object Relational {
         col("l_extendedprice"), col("l_discount"), year(col("l_shipdate")).as("l_year"))
       .join(ord(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter(col("supp_nation") < col("cust_nation"))
       .groupBy("supp_nation", "cust_nation", "l_year")
       .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("revenue_e4"))
