@@ -587,6 +587,28 @@ object Relational {
        |WHERE sn.n_name < cn.n_name
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** Q17-style correlated-average filter: lineitems below 20% of their
+    * part's average quantity — the correlated scalar subquery decorrelated
+    * into a window average (one shuffle on partkey, no per-row rescan).
+    * Predicate in exact integer cents: 5·qty < avg ⟺ 5·qty·n < sum. */
+  val q17: Q = (s, d) =>
+    li(s, d).select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_quantity")).as("qc"))
+      .withColumn("sum_qc", sum(col("qc")).over(Window.partitionBy("l_partkey")))
+      .withColumn("n_li", count(lit(1)).over(Window.partitionBy("l_partkey")))
+      .filter(col("qc") * 5 * col("n_li") < col("sum_qc"))
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("qc"))
+      .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+  val q17Sql: String =
+    s"""SELECT l_partkey, l_orderkey, l_linenumber, qc FROM (
+       |  SELECT l_partkey, l_orderkey, l_linenumber,
+       |         ${centsSql("l_quantity")} AS qc,
+       |         sum(${centsSql("l_quantity")}) OVER (PARTITION BY l_partkey) AS sum_qc,
+       |         CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS n_li
+       |  FROM lineitem)
+       |WHERE qc * 5 * n_li < sum_qc
+       |ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin
+
   /** HLL1: sketch-based distinct (approx_count_distinct / HyperLogLog++) —
     * engine-defined estimate, so rows-only; accuracy asserted in tests. */
   val hll1: Q = (s, d) =>
@@ -654,6 +676,7 @@ object Relational {
     "hll1_sketch_distinct" -> hll1,
     "g2_cube" -> g2,
     "pv1_pivot" -> pv1,
+    "q17_correlated_avg_filter" -> q17,
   )
 
   val oracle: Map[String, String] = Map(
@@ -690,5 +713,6 @@ object Relational {
     "q7_cross_nation_volume" -> q7Sql,
     "g2_cube" -> g2Sql,
     "pv1_pivot" -> pv1Sql,
+    "q17_correlated_avg_filter" -> q17Sql,
   )
 }
