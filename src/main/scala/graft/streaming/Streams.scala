@@ -142,10 +142,31 @@ object Streams {
       .orderBy("user_id", "session_id")
   }
 
+  /** ST4: streaming deduplication — `dropDuplicates` keyed on a synthetic
+    * dup-prone key (user_id, minute bucket, event_type) with a watermark
+    * bounding the dedup state (the streaming face of graft.ops.Dedup).
+    * Result = batch DISTINCT on the same key, which is the oracle. */
+  val st4: Q = (s, d) => {
+    val keyed = eventStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("user_id"),
+        expr("unix_micros(ts) div 60000000").as("minute_bkt"), col("event_type"))
+      .dropDuplicates("user_id", "minute_bkt", "event_type")
+    val agg = keyed.groupBy("event_type").agg(count(lit(1)).as("n_unique"))
+    drain(s, agg, "st4_out", OutputMode.Complete())
+      .orderBy("event_type")
+  }
+  val st4Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique FROM (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 60000000 AS minute_bkt, event_type
+      |  FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st1_stream_tumbling" -> st1,
     "st2_stream_sliding" -> st2,
     "st3_stream_sessions" -> st3,
+    "st4_stream_dedup" -> st4,
   )
 
   /** Streaming results must equal the batch windowing oracles. */
@@ -156,5 +177,6 @@ object Streams {
       graft.ops.Events.e2Sql
     },
     "st3_stream_sessions" -> graft.ops.Events.e3Sql,
+    "st4_stream_dedup" -> st4Sql,
   )
 }
