@@ -45,6 +45,23 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql.collect().toSeq === viaCol.collect().toSeq)
   }
 
+  test("SimplifyGraftHamming optimizer rule folds hamming(x, x) to literal 0") {
+    GraftFunctions.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(SimplifyGraftHamming))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SimplifyGraftHamming
+    val df = graft.Tables.documents(spark, sfDir)
+      .select(expr("graft_hamming(text, text)").as("h"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("graft_hamming"),
+      s"rule must fold the self-distance away:\n${optimized.take(300)}")
+    assert(df.collect().forall(_.getLong(0) == 0L))
+    // and it must NOT fire on distinct children
+    val keep = graft.Tables.documents(spark, sfDir)
+      .select(expr("graft_hamming(text, lang)").as("h"))
+    assert(keep.queryExecution.optimizedPlan.toString.contains("graft_hamming"))
+  }
+
   test("typed ConfusionMetricsAggregator matches the SQL metric query") {
     val typed = graft.ops.SqlSurface.a5(spark, sfDir).head()
     val sql = graft.ops.SentimentNb.binaryMetrics(spark, sfDir).head()
