@@ -160,8 +160,40 @@ object Multimodal {
        |WHERE frame_idx % 5 = 0
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** MM5: resize planning — aspect-fit each (stub-decoded) image into a
+    * 224×224 box with exact integer math (scale in thousandths), the shape
+    * a preprocessing pipeline computes before the actual pixel resample. */
+  val mm5: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val feats = media(s, d).as[Media].mapPartitions { it =>
+      val decoder = new FakeDecoder
+      it.map(decoder.decode)
+    }.toDF()
+    feats.filter(col("modality") === "image")
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("least(224000 div width, 224000 div height)").cast("long").as("scale_x1000"))
+      .select(col("doc_id"), col("width"), col("height"), col("scale_x1000"),
+        expr("width * scale_x1000 div 1000").as("out_w"),
+        expr("height * scale_x1000 div 1000").as("out_h"))
+      .orderBy("doc_id")
+  }
+  val mm5Sql: String =
+    s"""WITH $mediaCte,
+       |dims AS (
+       |  SELECT doc_id, modality,
+       |         CAST(16 + ord(substr(bytes::VARCHAR, 1, 1)) % 48 AS INTEGER) AS width,
+       |         CAST(16 + (CASE WHEN n_bytes > 1 THEN ord(substr(bytes::VARCHAR, 2, 1)) ELSE 0 END) % 48 AS INTEGER) AS height
+       |  FROM media WHERE n_bytes > 0)
+       |SELECT doc_id, width, height,
+       |       CAST(least(224000 // width, 224000 // height) AS BIGINT) AS scale_x1000,
+       |       width * CAST(least(224000 // width, 224000 // height) AS BIGINT) // 1000 AS out_w,
+       |       height * CAST(least(224000 // width, 224000 // height) AS BIGINT) // 1000 AS out_h
+       |FROM dims WHERE modality = 'image' ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm1_binary_metadata" -> mm1,
+    "mm5_resize_planning" -> mm5,
     "mm2_modality_stats" -> mm2,
     "mm3_decode_features" -> mm3,
     "mm4_frame_sampling" -> mm4,
@@ -169,6 +201,7 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "mm1_binary_metadata" -> mm1Sql,
+    "mm5_resize_planning" -> mm5Sql,
     "mm2_modality_stats" -> mm2Sql,
     "mm3_decode_features" -> mm3Sql,
     "mm4_frame_sampling" -> mm4Sql,
