@@ -182,9 +182,10 @@ object Multimodal {
     s"""WITH $mediaCte,
        |dims AS (
        |  SELECT doc_id, modality,
-       |         CAST(16 + ord(substr(bytes::VARCHAR, 1, 1)) % 48 AS INTEGER) AS width,
+       |         CAST(CASE WHEN n_bytes = 0 THEN 16
+       |              ELSE 16 + ord(substr(bytes::VARCHAR, 1, 1)) % 48 END AS INTEGER) AS width,
        |         CAST(16 + (CASE WHEN n_bytes > 1 THEN ord(substr(bytes::VARCHAR, 2, 1)) ELSE 0 END) % 48 AS INTEGER) AS height
-       |  FROM media WHERE n_bytes > 0)
+       |  FROM media)
        |SELECT doc_id, width, height,
        |       CAST(least(224000 // width, 224000 // height) AS BIGINT) AS scale_x1000,
        |       width * CAST(least(224000 // width, 224000 // height) AS BIGINT) // 1000 AS out_w,

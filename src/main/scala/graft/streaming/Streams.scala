@@ -142,16 +142,20 @@ object Streams {
       .orderBy("user_id", "session_id")
   }
 
-  /** ST4: streaming deduplication — `dropDuplicates` keyed on a synthetic
-    * dup-prone key (user_id, minute bucket, event_type) with a watermark
-    * bounding the dedup state (the streaming face of graft.ops.Dedup).
-    * Result = batch DISTINCT on the same key, which is the oracle. */
+  /** ST4: streaming deduplication — `dropDuplicatesWithinWatermark` keyed
+    * on a synthetic dup-prone key (user_id, minute bucket, event_type); the
+    * watermark genuinely bounds the dedup state: per-key state carries the
+    * event time and is evicted once the watermark passes it (plain
+    * `dropDuplicates` on a non-event-time key would grow state forever on
+    * unbounded input). Duplicates of a key share its minute bucket, so any
+    * duplicate arrives well within the 1-hour delay and the semantics on
+    * the bounded fixture equal batch DISTINCT, which is the oracle. */
   val st4: Q = (s, d) => {
     val keyed = eventStream(s, d)
       .withWatermark("ts", "1 hour")
       .select(col("ts"), col("user_id"),
         expr("unix_micros(ts) div 60000000").as("minute_bkt"), col("event_type"))
-      .dropDuplicates("user_id", "minute_bkt", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "minute_bkt", "event_type")
     val agg = keyed.groupBy("event_type").agg(count(lit(1)).as("n_unique"))
     drain(s, agg, "st4_out", OutputMode.Complete())
       .orderBy("event_type")

@@ -47,19 +47,37 @@ class GraftFunctionsSpec extends SparkSpec {
 
   test("SimplifyGraftHamming optimizer rule folds hamming(x, x) to literal 0") {
     GraftFunctions.register(spark)
-    if (!spark.experimental.extraOptimizations.contains(SimplifyGraftHamming))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ SimplifyGraftHamming
-    val df = graft.Tables.documents(spark, sfDir)
-      .select(expr("graft_hamming(text, text)").as("h"))
-    val optimized = df.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("graft_hamming"),
-      s"rule must fold the self-distance away:\n${optimized.take(300)}")
-    assert(df.collect().forall(_.getLong(0) == 0L))
-    // and it must NOT fire on distinct children
-    val keep = graft.Tables.documents(spark, sfDir)
-      .select(expr("graft_hamming(text, lang)").as("h"))
-    assert(keep.queryExecution.optimizedPlan.toString.contains("graft_hamming"))
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ SimplifyGraftHamming
+    try {
+      val df = graft.Tables.documents(spark, sfDir)
+        .select(expr("graft_hamming(text, text)").as("h"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("graft_hamming"),
+        s"rule must fold the self-distance away:\n${optimized.take(300)}")
+      assert(df.collect().forall(r => r.isNullAt(0) || r.getLong(0) == 0L))
+      // and it must NOT fire on distinct children
+      val keep = graft.Tables.documents(spark, sfDir)
+        .select(expr("graft_hamming(text, lang)").as("h"))
+      assert(keep.queryExecution.optimizedPlan.toString.contains("graft_hamming"))
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("SimplifyGraftHamming preserves NULL on nullable children") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ SimplifyGraftHamming
+    try {
+      val df = Seq(Option("abc"), None).toDF("s")
+        .select(expr("graft_hamming(s, s)").as("h"))
+      // fold still removes the popcount work…
+      assert(!df.queryExecution.optimizedPlan.toString.contains("graft_hamming"))
+      // …but NULL input must stay NULL, not become 0
+      val rows = df.collect()
+      assert(rows.count(_.isNullAt(0)) === 1)
+      assert(rows.exists(r => !r.isNullAt(0) && r.getLong(0) == 0L))
+    } finally spark.experimental.extraOptimizations = before
   }
 
   test("typed ConfusionMetricsAggregator matches the SQL metric query") {
