@@ -58,7 +58,10 @@ object MlLsh {
     * guards with bucket caps — MLlib's join has no such cap, so bound the
     * input instead). */
   val lsh1: Q = (s, d) => {
+    // persist: the vectors feed the fit AND both sides of the self-join —
+    // without the cache the tokenize+vectorize pipeline runs three times
     val vecs = tokenVectors(s, d).filter(col("doc_id") % 5 === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh = new MinHashLSH().setNumHashTables(4).setInputCol("features")
       .setOutputCol("hashes").setSeed(Seed)
     val model = mh.fit(vecs)
@@ -85,18 +88,23 @@ object MlLsh {
       .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble))) }
       .toDF("vec_id", "raw")
     val norm = new Normalizer().setInputCol("raw").setOutputCol("features").setP(2.0)
+    // persist: the normalized vectors feed the fit plus one ANN scan per
+    // query key — recomputing the decode+normalize per pass dominates cost
     val data = norm.transform(vecs).select("vec_id", "features")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val brp = new BucketedRandomProjectionLSH().setBucketLength(0.5)
       .setNumHashTables(3).setInputCol("features").setOutputCol("hashes").setSeed(Seed)
     val model = brp.fit(data)
-    val queries = data.filter(col("vec_id") % 100 === 0)
-    queries.collect().map(_.getLong(0)).sorted.take(3).foldLeft(
-      Seq.empty[DataFrame]) { (acc, qid) =>
-        val key = data.filter(col("vec_id") === qid).head().getAs[org.apache.spark.ml.linalg.Vector]("features")
-        acc :+ model.approxNearestNeighbors(data.filter(col("vec_id") =!= qid), key, 5)
-          .select(lit(qid).as("q_id"), col("vec_id").as("cand_id"),
-            round(col("distCol"), 4).as("dist"))
-      }.reduce(_ unionAll _)
+    // ONE job fetches the query ids AND their key vectors (was: a collect
+    // plus a per-key head() job each)
+    val keys = data.filter(col("vec_id") % 100 === 0)
+      .orderBy("vec_id").limit(3).collect()
+      .map(r => r.getLong(0) -> r.getAs[org.apache.spark.ml.linalg.Vector]("features"))
+    keys.map { case (qid, key) =>
+      model.approxNearestNeighbors(data.filter(col("vec_id") =!= qid), key, 5)
+        .select(lit(qid).as("q_id"), col("vec_id").as("cand_id"),
+          round(col("distCol"), 4).as("dist"))
+    }.reduce(_ unionAll _)
       .orderBy("q_id", "dist", "cand_id")
   }
 

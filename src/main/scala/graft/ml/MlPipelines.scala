@@ -58,7 +58,11 @@ object MlPipelines {
     val (tok, tf, idf) = featurize
     val data = corpus(s, d)
     val pipe = new Pipeline().setStages(Array(tok, tf, idf))
+    // persist: the featurized frame feeds the estimator fit (train side) and
+    // the scoring pass (test side) — uncached, tokenize+hash+IDF-scale reruns
+    // per consumer
     val prepared = pipe.fit(data).transform(data).select("label", "features")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val Array(train, test) = prepared.randomSplit(Array(0.75, 0.25), seed = Seed)
     val model = new Pipeline().setStages(Array(estimator)).fit(train)
     binaryMetricsDf(model.transform(test).select("prediction", "label"))

@@ -123,6 +123,11 @@ object Dedup {
   // ---- D3: LSH banding → candidate pairs → exact-Jaccard verify ----
 
   val d3: Q = (s, d) => {
+    // NOT cached: measured at sf0.1, materializing the wide shingle/signature
+    // frames costs more than the recompute it saves — uncached, Catalyst
+    // prunes each band projection to 2 of the 4 min-md5 aggs and keeps the
+    // whole pipeline in codegen (cache-wins pattern: small aggregates like
+    // d5's signatures; cache-loses: big exploded frames like shingles)
     val mh = minhash(s, d)
     val bands = mh.select(col("doc_id"), md5(concat(col("mh0"), col("mh1"))).as("band"), lit(0).as("bi"))
       .unionAll(mh.select(col("doc_id"), md5(concat(col("mh2"), col("mh3"))).as("band"), lit(1).as("bi")))
@@ -216,7 +221,11 @@ object Dedup {
   private val MaxBucket = 50
 
   val d5: Q = (s, d) => {
+    // persist: the signature agg feeds the 4-way band union, which in turn
+    // feeds the bucket-size filter AND both sides of the candidate join —
+    // uncached, the 32-sum simhash aggregation recomputes ~12×
     val sh = simhash(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val halves = (0 until 4).map(k =>
         sh.select(col("doc_id"), col("simhash"),
           substring(col("simhash"), k * 8 + 1, 8).as("half"), lit(k).as("hi")))
@@ -224,6 +233,7 @@ object Dedup {
     val ok = halves.groupBy("half", "hi").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= MaxBucket).select("half", "hi")
     val bounded = halves.join(ok, Seq("half", "hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bounded.as("a").join(bounded.as("b"),
         col("a.half") === col("b.half") && col("a.hi") === col("b.hi") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -261,17 +271,26 @@ object Dedup {
   // ---- D6: blocked n-gram Jaccard (pairwise within (lang, source) blocks) ----
 
   val d6: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
-    val sh = shinglesOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    // shingles carrying the block key (lang, source) — constant per doc, so
+    // the per-doc distinct is unchanged
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), explode(
+        when(size(split(col("text"), " ")) >= 3,
+          expr("transform(sequence(0, size(split(text, ' ')) - 3)," +
+            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
+          .otherwise(array(col("text")))).as("shingle"))
+      .dropDuplicates("doc_id", "shingle")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = docs.as("a").join(docs.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val inter = pairs
-      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    // intersection counts straight off a shingle-equality self-join within
+    // the block: only pairs that actually SHARE a shingle are materialized,
+    // instead of enumerating every intra-block doc pair first — at scale the
+    // all-pairs frame is quadratic per block while this is quadratic only
+    // per shingle bucket (inner joins ⇒ same result set)
+    val inter = sh.as("sa").join(sh.as("sb"),
+        col("sa.lang") === col("sb.lang") && col("sa.source") === col("sb.source") &&
+          col("sa.shingle") === col("sb.shingle") && col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("id_a"), col("sb.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("na"), col("id_a") === col("na.doc_id"))
       .join(sizes.as("nb"), col("id_b") === col("nb.doc_id"))
@@ -320,10 +339,13 @@ object Dedup {
     // inject near-dup vectors (first component nudged by +50 ≈ 0.05) so the
     // operator has true positives to find — random embeddings never reach
     // cos ≥ 0.9 on their own
+    // persist: feeds the norms projection and both sides of the pair join —
+    // uncached, the parquet scan + quantize transform runs ~6×
     val qv = base.unionAll(
       base.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 100000).as("vec_id"),
           expr("concat(array(element_at(q, 1) + 50), slice(q, 2, 63))").as("q")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = qv.select(col("vec_id"),
       expr("aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v)").as("nrm"))
     val pairs = qv.as("a").join(qv.as("b"), col("a.vec_id") < col("b.vec_id"))
