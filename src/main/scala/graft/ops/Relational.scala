@@ -636,6 +636,121 @@ object Relational {
       |    SELECT lang, unnest(str_split(text, ' ')) AS word FROM documents))
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Q4-style EXISTS: orders in a half-year window having at least one
+    * returned line — the correlated EXISTS expressed as a LEFT SEMI join
+    * (one shuffle on orderkey; no per-row subquery re-scan). */
+  val q4: Q = (s, d) => {
+    val returned = li(s, d).filter(col("l_returnflag") === "R").select("l_orderkey")
+    ord(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+  val q4Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q13-style customer order-count distribution: LEFT OUTER join keeping
+    * order-less customers (count(o_orderkey) = 0), then a second aggregate
+    * over the counts — two shuffles, both on uniform keys. */
+  val q13: Q = (s, d) => {
+    val o = ord(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(s, d).select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+  val q13Sql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q22-style idle-rich customers: balance above the positive-balance
+    * average (scalar-subquery → broadcast single-row cross join) AND no
+    * URGENT order (NOT EXISTS → LEFT ANTI join; "urgent" rather than "any"
+    * so the anti-join has survivors on the dense synthetic orders table).
+    * Balance math in exact cents; the avg is the same long-sum/long-count
+    * division in both engines. */
+  val q22: Q = (s, d) => {
+    val avgBal = Tables.customer(s, d).filter(col("c_acctbal") > 0)
+      .agg(avg(cents(col("c_acctbal"))).as("avg_bal_c"))
+    Tables.customer(s, d)
+      .join(broadcast(avgBal))
+      .filter(cents(col("c_acctbal")) > col("avg_bal_c"))
+      .join(ord(s, d).filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), sum(cents(col("c_acctbal"))).as("totacctbal_c"))
+      .orderBy("c_mktsegment")
+  }
+  val q22Sql: String =
+    s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+       |       CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) AS totacctbal_c
+       |FROM customer
+       |WHERE ${centsSql("c_acctbal")} > (
+       |    SELECT avg(${centsSql("c_acctbal")}) FROM customer WHERE c_acctbal > 0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** W3: per-user inter-event gaps via lag() — sessionization's building
+    * block; one shuffle on user_id, exact integer microsecond math. */
+  val w3: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), min("gap_us").as("min_gap_us"),
+        max("gap_us").as("max_gap_us"), sum("gap_us").as("sum_gap_us"))
+      .orderBy("user_id")
+  }
+  val w3Sql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |       min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+      |       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+      |FROM (
+      |  SELECT user_id,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      |  FROM events)
+      |WHERE gap_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** W4: ntile(4) balance quartiles within each nation — partitioned, so
+    * the total order is per-nation (scalable), never a global sort. */
+  val w4: Q = (s, d) => {
+    val w = Window.partitionBy("c_nationkey").orderBy("bal_c", "c_custkey")
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"), cents(col("c_acctbal")).as("bal_c"))
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("c_nationkey", "quartile")
+      .agg(count(lit(1)).as("n"), min("bal_c").as("min_bal_c"), max("bal_c").as("max_bal_c"))
+      .orderBy("c_nationkey", "quartile")
+  }
+  val w4Sql: String =
+    s"""SELECT c_nationkey, quartile, CAST(count(*) AS BIGINT) AS n,
+       |       min(bal_c) AS min_bal_c, max(bal_c) AS max_bal_c
+       |FROM (
+       |  SELECT c_nationkey, ${centsSql("c_acctbal")} AS bal_c,
+       |         CAST(ntile(4) OVER (PARTITION BY c_nationkey
+       |           ORDER BY ${centsSql("c_acctbal")}, c_custkey) AS INTEGER) AS quartile
+       |  FROM customer)
+       |GROUP BY c_nationkey, quartile ORDER BY c_nationkey, quartile""".stripMargin
+
   // =====================================================================
   //  registry
   // =====================================================================
@@ -677,6 +792,11 @@ object Relational {
     "g2_cube" -> g2,
     "pv1_pivot" -> pv1,
     "q17_correlated_avg_filter" -> q17,
+    "q4_exists_priority" -> q4,
+    "q13_order_count_dist" -> q13,
+    "q22_idle_rich_antijoin" -> q22,
+    "w3_lag_event_gaps" -> w3,
+    "w4_ntile_quartiles" -> w4,
   )
 
   val oracle: Map[String, String] = Map(
@@ -714,5 +834,10 @@ object Relational {
     "g2_cube" -> g2Sql,
     "pv1_pivot" -> pv1Sql,
     "q17_correlated_avg_filter" -> q17Sql,
+    "q4_exists_priority" -> q4Sql,
+    "q13_order_count_dist" -> q13Sql,
+    "q22_idle_rich_antijoin" -> q22Sql,
+    "w3_lag_event_gaps" -> w3Sql,
+    "w4_ntile_quartiles" -> w4Sql,
   )
 }

@@ -157,15 +157,85 @@ object Similarity {
        |SELECT q_id, cand_id, rk, round(cos, 6) AS cos_r
        |FROM ranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
 
+  // ---- SIM4: IVF-style ANN (centroid cells, probe = 1) ----
+
+  /** IVF coarse quantizer with deterministic centroids (the 8 lowest-id
+    * vectors stand in for trained k-means centers): every vector is assigned
+    * to its max-cosine centroid (argmax over a BROADCAST centroid set —
+    * map-side; the row_number is one shuffle on vec_id), then each query
+    * searches only its own cell. The inverted-file structure is the cell
+    * keying itself: at scale the assign output is written partitioned by
+    * cell id, and a query touches 1/k of the corpus (nprobe=1). */
+  val sim4: Q = (s, d) => {
+    val qn = qnorm(s, d)
+    val cent = qn.filter(col("vec_id") <= 8)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
+    val aw = Window.partitionBy("vec_id").orderBy(col("acos").desc, col("cid"))
+    val assign = qn.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("q"), col("nrm"), col("cid"),
+        expr("aggregate(zip_with(q, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("adot"),
+        col("cnrm"))
+      .withColumn("acos", col("adot") / sqrt(col("nrm").cast("double") * col("cnrm").cast("double")))
+      .withColumn("ark", row_number().over(aw)).filter(col("ark") === 1)
+      .select(col("vec_id"), col("q"), col("nrm"), col("cid"))
+    val queries = assign.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nrm").as("q_nrm"),
+        col("cid").as("q_cid"))
+    val pairs = assign.join(broadcast(queries),
+        col("vec_id") =!= col("q_id") && col("cid") === col("q_cid"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        expr("aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"),
+        col("q_nrm"), col("nrm"))
+      .withColumn("cos", col("dot") / sqrt(col("q_nrm").cast("double") * col("nrm").cast("double")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("q_id"), col("cand_id"), col("rk"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("q_id", "rk")
+  }
+  val sim4Sql: String =
+    s"""WITH $qnormCte,
+       |cent AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm FROM qn WHERE vec_id <= 8),
+       |adots AS (
+       |  SELECT vec_id, cid, CAST(sum(x * y) AS BIGINT) AS adot, nrm, cnrm FROM (
+       |    SELECT a.vec_id, c.cid, a.nrm, c.cnrm, unnest(a.q) AS x, unnest(c.cq) AS y
+       |    FROM qn a CROSS JOIN cent c)
+       |  GROUP BY vec_id, cid, nrm, cnrm),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY adot / sqrt(CAST(nrm AS DOUBLE) * CAST(cnrm AS DOUBLE)) DESC, cid)
+       |      AS INTEGER) AS ark
+       |    FROM adots) WHERE ark = 1),
+       |qb AS (SELECT qn.vec_id, qn.q, qn.nrm, a.cid
+       |       FROM qn JOIN assign a ON qn.vec_id = a.vec_id),
+       |dots AS (
+       |  SELECT q_id, cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot, q_nrm, c_nrm FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS cand_id, a.nrm AS q_nrm, b.nrm AS c_nrm,
+       |           unnest(a.q) AS xa, unnest(b.q) AS xb
+       |    FROM qb a JOIN qb b
+       |      ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id AND a.cid = b.cid)
+       |  GROUP BY q_id, cand_id, q_nrm, c_nrm),
+       |ranked AS (
+       |  SELECT q_id, cand_id,
+       |         dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) AS cos,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) DESC, cand_id)
+       |           AS INTEGER) AS rk
+       |  FROM dots)
+       |SELECT q_id, cand_id, rk, round(cos, 6) AS cos_r
+       |FROM ranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sim1_ann_bruteforce_topk" -> sim1,
     "sim2_lsh_buckets" -> sim2,
     "sim3_lsh_ann_topk" -> sim3,
+    "sim4_ivf_topk" -> sim4,
   )
 
   val oracle: Map[String, String] = Map(
     "sim1_ann_bruteforce_topk" -> sim1Sql,
     "sim2_lsh_buckets" -> sim2Sql,
     "sim3_lsh_ann_topk" -> sim3Sql,
+    "sim4_ivf_topk" -> sim4Sql,
   )
 }

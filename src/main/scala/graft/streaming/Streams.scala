@@ -166,11 +166,43 @@ object Streams {
       |  FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** ST5: stream-stream inner join — click→purchase attribution within 30
+    * minutes per user. Both sides are watermarked and the join condition
+    * carries the time bound, so each side's state is evicted once the
+    * watermark passes `ts + 30 min` (the canonical bounded-state
+    * stream-stream join). Under AvailableNow over the bounded fixture the
+    * matched-pair set is complete, so the batch theta-join is the oracle. */
+  val st5: Q = (s, d) => {
+    val clicks = eventStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_eid"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_eid"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    drain(s, joined, "st5_out", OutputMode.Append())
+      .select(col("c_user").as("user_id"), col("c_eid"), col("p_eid"))
+      .orderBy("user_id", "c_eid", "p_eid")
+  }
+  val st5Sql: String =
+    """SELECT c.user_id AS user_id, c.event_id AS c_eid, p.event_id AS p_eid
+      |FROM events c JOIN events p
+      |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.user_id = c.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY c.user_id, c_eid, p_eid""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st1_stream_tumbling" -> st1,
     "st2_stream_sliding" -> st2,
     "st3_stream_sessions" -> st3,
     "st4_stream_dedup" -> st4,
+    "st5_stream_stream_join" -> st5,
   )
 
   /** Streaming results must equal the batch windowing oracles. */
@@ -182,5 +214,6 @@ object Streams {
     },
     "st3_stream_sessions" -> graft.ops.Events.e3Sql,
     "st4_stream_dedup" -> st4Sql,
+    "st5_stream_stream_join" -> st5Sql,
   )
 }

@@ -71,6 +71,22 @@ class DedupSimSpec extends SparkSpec {
     assert(sim3.nonEmpty)
   }
 
+  test("SIM4 IVF results are well-formed and agree with brute force on shared pairs") {
+    val sim4 = Similarity.sim4(spark, sfDir).collect()
+    assert(sim4.nonEmpty)
+    sim4.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq === (1 to rs.length), "contiguous ranks")
+      assert(rs.forall(r => r.getDouble(3) >= -1.000001 && r.getDouble(3) <= 1.000001))
+    }
+    // a (q, cand) pair surfaced by IVF carries the same cosine as brute force
+    val bf = Similarity.sim1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    sim4.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(c === r.getDouble(3), "cosine must not depend on the index path"))
+    }
+  }
+
   test("T7 fingerprint is order-sensitive (rolling hash, not a bag hash)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

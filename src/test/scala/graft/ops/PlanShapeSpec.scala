@@ -46,6 +46,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(400))
   }
 
+  test("Q4 EXISTS decorrelates to a semi join, Q22 NOT EXISTS to an anti join") {
+    val p4 = plan(Relational.q4(spark, sfDir))
+    assert(p4.contains("LeftSemi"), "EXISTS must run as a LEFT SEMI join\n" + p4.take(600))
+    val p22 = plan(Relational.q22(spark, sfDir))
+    assert(p22.contains("LeftAnti"), "NOT EXISTS must run as a LEFT ANTI join\n" + p22.take(600))
+    assert(!p22.contains("CartesianProduct"),
+      "the scalar-average must broadcast, never a cartesian shuffle")
+  }
+
+  test("Q13 keeps order-less customers through the outer join") {
+    val rows = Relational.q13(spark, sfDir).collect()
+    val nCust = graft.Tables.customer(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum === nCust,
+      "custdist must partition ALL customers, including zero-order ones")
+  }
+
+  test("W4 ntile quartiles are balanced within each nation") {
+    val rows = Relational.w4(spark, sfDir).collect()
+    rows.groupBy(_.getInt(0)).foreach { case (_, qs) =>
+      val sizes = qs.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"ntile must balance buckets: ${sizes.toSeq}")
+    }
+  }
+
   test("whole-stage codegen covers the text-cleaning chain (no UDFs)") {
     val p = plan(Corpus.tokensNb(spark, sfDir))
     // '*(n)' prefixes mark operators fused into WholeStageCodegen stage n
