@@ -22,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => SimplifyGraftHamming)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -751,6 +751,31 @@ object Relational {
        |  FROM customer)
        |GROUP BY c_nationkey, quartile ORDER BY c_nationkey, quartile""".stripMargin
 
+  /** X1: top-3 parts by revenue per brand through the CUSTOM Catalyst
+    * operator (graft.plans.TopKPerGroup: LogicalPlan + Strategy + partial/
+    * final SparkPlans) — the map-side-pruned alternative to w2's window
+    * formulation; identical result contract, so the same oracle shape. */
+  val x1: Q = (s, d) => {
+    val p = Tables.part(s, d).select("p_partkey", "p_brand")
+    val rev = li(s, d).groupBy("l_partkey")
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("revenue_e4"))
+    val joined = rev.join(p, col("l_partkey") === col("p_partkey"))
+      .select("p_brand", "p_partkey", "revenue_e4")
+    graft.plans.TopKPerGroup(joined,
+        Seq("p_brand"), Seq("revenue_e4" -> true, "p_partkey" -> false), 3)
+      .orderBy("p_brand", "p_partkey")
+  }
+  val x1Sql: String =
+    s"""SELECT p_brand, p_partkey, revenue_e4 FROM (
+       |  SELECT p_brand, p_partkey, revenue_e4,
+       |    row_number() OVER (PARTITION BY p_brand ORDER BY revenue_e4 DESC, p_partkey) AS rk
+       |  FROM (
+       |    SELECT p_brand, p_partkey,
+       |      CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_e4
+       |    FROM lineitem JOIN part ON l_partkey = p_partkey
+       |    GROUP BY p_brand, p_partkey))
+       |WHERE rk <= 3 ORDER BY p_brand, p_partkey""".stripMargin
+
   // =====================================================================
   //  registry
   // =====================================================================
@@ -797,6 +822,7 @@ object Relational {
     "q22_idle_rich_antijoin" -> q22,
     "w3_lag_event_gaps" -> w3,
     "w4_ntile_quartiles" -> w4,
+    "x1_topk_custom_strategy" -> x1,
   )
 
   val oracle: Map[String, String] = Map(
@@ -839,5 +865,6 @@ object Relational {
     "q22_idle_rich_antijoin" -> q22Sql,
     "w3_lag_event_gaps" -> w3Sql,
     "w4_ntile_quartiles" -> w4Sql,
+    "x1_topk_custom_strategy" -> x1Sql,
   )
 }

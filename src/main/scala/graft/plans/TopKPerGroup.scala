@@ -1,0 +1,141 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator Catalyst extension (SURVEY §7.2 path (c)): top-k rows per
+  * group as a custom `LogicalPlan` + `SparkStrategy` + physical operators.
+  *
+  * WHY a custom operator: the stock formulation
+  * (`row_number().over(partitionBy(g).orderBy(o)) <= k`, see Relational.w2)
+  * shuffles EVERY row to its group's reducer and sorts there — at 100 TB
+  * the exchange carries the full fact table. This operator keeps a bounded
+  * heap of k rows per group on the MAP side ([[TopKPartialExec]]), so the
+  * exchange carries at most k·|groups| rows per input partition, then
+  * merges heaps on the reduce side ([[TopKFinalExec]]) — the same
+  * partial/final split Spark uses for aggregates, applied to a rank filter.
+  * The planner inserts the hash exchange between the two because the final
+  * node declares `ClusteredDistribution` over the group keys.
+  *
+  * Determinism contract: callers must make `order` a total order (e.g. add
+  * a unique tiebreak column); the kept set is then exactly the first k
+  * under that order, independent of partitioning.
+  */
+case class TopKPerGroupPlan(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
+    copy(child = newChild)
+}
+
+/** Planner rule: custom logical node → partial + final physical pair. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(g, o, k, child) =>
+      TopKFinalExec(g, o, k, TopKPartialExec(g, o, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Shared per-partition bounded-heap pass: keeps the first k rows per group
+  * under `order` within one partition. */
+private[plans] trait TopKExecBase extends UnaryExecNode {
+  def groupExprs: Seq[Expression]
+  def order: Seq[SortOrder]
+  def k: Int
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  protected def prunePartitions(rdd: RDD[InternalRow]): RDD[InternalRow] = {
+    val (g, o, kk, attrs) = (groupExprs, order, k, child.output)
+    rdd.mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(g, attrs)
+      // head of the queue = row that sorts LAST under `order` = the current
+      // worst of the kept k (PriorityQueue is a max-heap in its Ordering)
+      val ord = RowOrdering.create(o, attrs)
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      it.foreach { row =>
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < kk) heap.enqueue(row.copy())
+            else if (ord.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+          case None =>
+            val heap = mutable.PriorityQueue.empty[InternalRow](ord)
+            heap.enqueue(row.copy())
+            heaps.put(key.copy(), heap)
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+}
+
+/** Map-side prune: runs on the child's partitioning (no exchange below). */
+case class TopKPartialExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends TopKExecBase {
+  override def requiredChildDistribution: Seq[Distribution] = UnspecifiedDistribution :: Nil
+  override protected def doExecute(): RDD[InternalRow] = prunePartitions(child.execute())
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
+    copy(child = newChild)
+}
+
+/** Reduce-side merge: declares clustering on the group keys so
+  * EnsureRequirements inserts ONE hash exchange over the pruned rows. */
+case class TopKFinalExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends TopKExecBase {
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+  override protected def doExecute(): RDD[InternalRow] = prunePartitions(child.execute())
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKFinalExec =
+    copy(child = newChild)
+}
+
+/** Name-based front door: `TopKPerGroup(df, groupBy, orderBy, k)`. Orders
+  * are (column, descending?) pairs. Unresolved attributes are built here
+  * and resolved by the analyzer against the child — constructing the
+  * catalyst tree ourselves keeps it free of Column-node conversion tags
+  * (which embed non-serializable `sql.internal` nodes). */
+object TopKPerGroup {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+
+  /** Registers the strategy once per session (idempotent). */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+
+  def apply(df: DataFrame, groupBy: Seq[String], orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val plan = TopKPerGroupPlan(
+      groupBy.map(UnresolvedAttribute(_)),
+      orderBy.map { case (name, desc) =>
+        SortOrder(UnresolvedAttribute(name), if (desc) Descending else Ascending)
+      },
+      k,
+      df.queryExecution.analyzed)
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark, plan)
+  }
+}

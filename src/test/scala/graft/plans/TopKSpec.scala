@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The custom TopKPerGroup operator: result parity with the window-based
+  * formulation, the partial/final plan split, and tie determinism. */
+class TopKSpec extends SparkSpec {
+
+  test("custom top-k equals the window row_number formulation") {
+    val custom = graft.ops.Relational.x1(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val window = graft.ops.Relational.w2(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(custom === window)
+  }
+
+  test("plan splits into partial (pre-shuffle) and final (post-shuffle) execs") {
+    val df = graft.ops.Relational.x1(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPartial"), p.take(1200))
+    assert(p.contains("TopKFinal"), p.take(1200))
+    // the exchange must sit BETWEEN final and partial: final above, partial below
+    val iFinal = p.indexOf("TopKFinal")
+    val iEx = p.indexOf("Exchange hashpartitioning", iFinal)
+    val iPartial = p.indexOf("TopKPartial", iEx max 0)
+    assert(iEx >= 0 && iPartial > iEx,
+      "hash exchange must carry only the partially-pruned rows\n" + p.take(1200))
+  }
+
+  test("map-side prune bounds pre-shuffle rows to k per (partition, group)") {
+    import spark.implicits._
+    // one input partition, one group, 1000 rows → partial emits exactly k
+    // (AQE off so the raw plan tree exposes the exec for direct execution)
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (1 to 1000).map(i => ("g", i.toLong)).toDF("g", "v").coalesce(1)
+      val topk = TopKPerGroup(df, Seq("g"), Seq("v" -> true), 5)
+      val partial = topk.queryExecution.executedPlan.collectFirst {
+        case e: TopKPartialExec => e
+      }
+      assert(partial.nonEmpty, "partial exec must exist")
+      assert(partial.get.execute().count() === 5L)
+      assert(topk.collect().map(_.getLong(1)).sorted.toSeq === (996L to 1000L))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
+  test("ties resolve by the caller's tiebreak order, not by partitioning") {
+    import spark.implicits._
+    val df = Seq(("g", 10L, 1L), ("g", 10L, 2L), ("g", 10L, 3L), ("g", 10L, 4L))
+      .toDF("g", "v", "id").repartition(4)
+    val kept = TopKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 2)
+      .collect().map(_.getLong(2)).sorted.toSeq
+    assert(kept === Seq(1L, 2L), "equal values must keep the lowest tiebreak ids")
+  }
+}
