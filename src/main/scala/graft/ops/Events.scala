@@ -185,6 +185,27 @@ object Events {
       |       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_after_signup,
       |       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_after_click""".stripMargin
 
+  /** E8: schema-ful JSON decode — `from_json` with an explicit struct
+    * schema (vs e4's path extraction): one parse per row into a typed
+    * struct, the plan a production pipeline uses so the parsed fields are
+    * columnar and prunable downstream. */
+  val e8: Q = (s, d) =>
+    ev(s, d)
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("p"),
+        col("event_type"))
+      .select(col("p.k").as("k"), col("event_type"))
+      .filter(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+  val e8Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(k) AS BIGINT) AS sum_k, CAST(max(k) AS BIGINT) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |WHERE k IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "e1_tumbling_window" -> e1,
     "e2_sliding_window" -> e2,
@@ -193,6 +214,7 @@ object Events {
     "e5_argmax_per_user" -> e5,
     "e6_banded_range_join" -> e6,
     "e7_funnel_stages" -> e7,
+    "e8_from_json_struct" -> e8,
   )
 
   val oracle: Map[String, String] = Map(
@@ -203,5 +225,6 @@ object Events {
     "e5_argmax_per_user" -> e5Sql,
     "e6_banded_range_join" -> e6Sql,
     "e7_funnel_stages" -> e7Sql,
+    "e8_from_json_struct" -> e8Sql,
   )
 }

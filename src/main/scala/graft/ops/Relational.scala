@@ -751,6 +751,34 @@ object Relational {
        |  FROM customer)
        |GROUP BY c_nationkey, quartile ORDER BY c_nationkey, quartile""".stripMargin
 
+  /** SK2: SALTED join — the skew-mitigation pattern for a shuffle join on
+    * a heavily-skewed key (5 langs over the whole corpus: a naive shuffle
+    * join funnels each lang through one task). The fact side gets a
+    * deterministic salt (doc_id % 16); the dim side is replicated ×16 via a
+    * range cross join; the join key becomes (lang, salt) → 80 uniform
+    * tasks. `shuffle_hash` hint keeps it a shuffle join so the pattern is
+    * actually exercised (AQE would broadcast this tiny dim; at 100 TB a
+    * mid-size dim over a skewed key is exactly where salting applies). */
+  val sk2: Q = (s, d) => {
+    val SaltN = 16
+    val fact = Tables.documents(s, d).select(col("lang"), col("n_chars"),
+      (col("doc_id") % SaltN).cast("int").as("salt"))
+    val dim = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("lang_docs"))
+    val saltedDim = dim.crossJoin(
+      s.range(SaltN).select(col("id").cast("int").as("salt")))
+    fact.join(saltedDim.hint("shuffle_hash"), Seq("lang", "salt"))
+      .groupBy("lang", "lang_docs")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+  val sk2Sql: String =
+    """SELECT d.lang, ld.lang_docs, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+      |FROM documents d
+      |JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs
+      |      FROM documents GROUP BY lang) ld ON d.lang = ld.lang
+      |GROUP BY d.lang, ld.lang_docs ORDER BY d.lang""".stripMargin
+
   /** X1: top-3 parts by revenue per brand through the CUSTOM Catalyst
     * operator (graft.plans.TopKPerGroup: LogicalPlan + Strategy + partial/
     * final SparkPlans) — the map-side-pruned alternative to w2's window
@@ -823,6 +851,7 @@ object Relational {
     "w3_lag_event_gaps" -> w3,
     "w4_ntile_quartiles" -> w4,
     "x1_topk_custom_strategy" -> x1,
+    "sk2_salted_skew_join" -> sk2,
   )
 
   val oracle: Map[String, String] = Map(
@@ -866,5 +895,6 @@ object Relational {
     "w3_lag_event_gaps" -> w3Sql,
     "w4_ntile_quartiles" -> w4Sql,
     "x1_topk_custom_strategy" -> x1Sql,
+    "sk2_salted_skew_join" -> sk2Sql,
   )
 }
