@@ -51,12 +51,21 @@ object Streams {
   /** Run a bounded streaming query to a memory sink and return the table. */
   private def drain(s: SparkSession, out: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString
-    val q = out.writeStream
-      .format("memory").queryName(name).outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // size the state-store partition count to the stream's load: each state
+    // partition costs a provider instance + checkpoint delta files per
+    // batch, so a bounded test stream wants few; a production deployment
+    // sets this per-job before first start (it is fixed by the checkpoint)
+    val statePartitions = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8")
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = out.writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", before)
     s.table(name)
   }
 
