@@ -616,6 +616,16 @@ object Relational {
       approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
       countDistinct(col("l_orderkey")).as("exact_orders"))
 
+  /** APX1: approximate percentiles (Greenwald-Khanna sketch via
+    * `approx_percentile`) beside their exact counterparts — the
+    * single-pass mergeable-sketch path a 100 TB profile job uses instead
+    * of an exact full sort. Engine-defined digest ⇒ rows-only; ≤1%
+    * relative error asserted in ScalePathSpec. */
+  val apx1: Q = (s, d) =>
+    li(s, d).agg(
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)").as("apx"),
+      expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("exact"))
+
   /** SK1: skew-aware two-phase count-distinct — distinct words per LANGUAGE
     * (5 heavy keys over 32 partitions = the classic skewed-aggregation
     * shape). Phase 1 shuffles on the COMPOSITE (lang, word) key — spreading
@@ -852,6 +862,7 @@ object Relational {
     "w4_ntile_quartiles" -> w4,
     "x1_topk_custom_strategy" -> x1,
     "sk2_salted_skew_join" -> sk2,
+    "apx1_quantile_sketch" -> apx1,
   )
 
   val oracle: Map[String, String] = Map(

@@ -86,4 +86,13 @@ class ScalePathSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx $approx vs exact $exact")
   }
+
+  test("approx_percentile sketch is within 1% of exact percentiles") {
+    val r = Relational.apx1(spark, sfDir).head()
+    val apx = r.getSeq[Double](0)
+    val exact = r.getSeq[Double](1)
+    apx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) / e < 0.01, s"approx $a vs exact $e")
+    }
+  }
 }
