@@ -70,6 +70,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("SK2 salted join actually shuffles (hint respected, not broadcast)") {
+    val df = graft.ops.Relational.sk2(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("ShuffledHashJoin"),
+      "salting is only exercised by a shuffle join — hint must hold\n" + p.take(600))
+  }
+
   test("whole-stage codegen covers the text-cleaning chain (no UDFs)") {
     val p = plan(Corpus.tokensNb(spark, sfDir))
     // '*(n)' prefixes mark operators fused into WholeStageCodegen stage n
