@@ -206,12 +206,37 @@ object Streams {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |ORDER BY c.user_id, c_eid, p_eid""".stripMargin
 
+  /** ST6: stream-static join — the streaming scan joined to a BROADCAST
+    * static dimension (here: per-type weights derived from the batch side),
+    * the shape every production enrichment pipeline uses: no state store at
+    * all, the dim rebroadcasts per micro-batch, and the stream side never
+    * shuffles for the join. */
+  val st6: Q = (s, d) => {
+    val dim = graft.Tables.events(s, d)
+      .groupBy("event_type").agg(count(lit(1)).as("type_n"))
+    val joined = eventStream(s, d)
+      .join(org.apache.spark.sql.functions.broadcast(dim), "event_type")
+      .groupBy("event_type", "type_n")
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+    drain(s, joined, "st6_out", OutputMode.Complete())
+      .select(col("event_type"), col("type_n"), col("n"), col("sum_value_c"))
+      .orderBy("event_type")
+  }
+  val st6Sql: String =
+    """SELECT e.event_type, t.type_n, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+      |FROM events e
+      |JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS type_n
+      |      FROM events GROUP BY event_type) t ON e.event_type = t.event_type
+      |GROUP BY e.event_type, t.type_n ORDER BY e.event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st1_stream_tumbling" -> st1,
     "st2_stream_sliding" -> st2,
     "st3_stream_sessions" -> st3,
     "st4_stream_dedup" -> st4,
     "st5_stream_stream_join" -> st5,
+    "st6_stream_static_join" -> st6,
   )
 
   /** Streaming results must equal the batch windowing oracles. */
@@ -224,5 +249,6 @@ object Streams {
     "st3_stream_sessions" -> graft.ops.Events.e3Sql,
     "st4_stream_dedup" -> st4Sql,
     "st5_stream_stream_join" -> st5Sql,
+    "st6_stream_static_join" -> st6Sql,
   )
 }
