@@ -94,6 +94,47 @@ object Relational {
     s.read.parquet(dir).agg(count(lit(1)).as("n_rows"))
   }
 
+  /** S8: native CSV source — stage a deterministic CSV from `documents`,
+    * read it back through `spark.read.csv` with an explicit schema and
+    * PERMISSIVE mode (the DataSource-API face of the reference's
+    * line-splitting P1 path), and aggregate. Oracle = the same aggregate
+    * straight off the parquet table. */
+  val s8: Q = (s, d) => {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_s8_csv_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    Tables.documents(s, d)
+      .select(concat_ws(",", col("doc_id"), col("lang"), col("n_chars")).as("value"))
+      .write.mode("overwrite").text(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    s.read.schema(schema).option("mode", "PERMISSIVE").csv(dir)
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+  val s8Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** S9: native JSON-lines source — `to_json` staging + `spark.read.json`
+    * with explicit schema (schema-on-read, no inference scan). */
+  val s9: Q = (s, d) => {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_s9_json_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    Tables.documents(s, d)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("value"))
+      .write.mode("overwrite").text(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    s.read.schema(schema).json(dir)
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_doc"))
+      .orderBy("lang")
+  }
+  val s9Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       min(doc_id) AS min_doc
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** S7: metrics/stdout sink — collects the 1-row metrics DF to the driver
     * and prints it (`NB.java:343-349`); returns the DF for verification. */
   val s7: Q = (s, d) => {
@@ -863,6 +904,8 @@ object Relational {
     "x1_topk_custom_strategy" -> x1,
     "sk2_salted_skew_join" -> sk2,
     "apx1_quantile_sketch" -> apx1,
+    "s8_csv_source" -> s8,
+    "s9_json_source" -> s9,
   )
 
   val oracle: Map[String, String] = Map(
@@ -907,5 +950,7 @@ object Relational {
     "w4_ntile_quartiles" -> w4Sql,
     "x1_topk_custom_strategy" -> x1Sql,
     "sk2_salted_skew_join" -> sk2Sql,
+    "s8_csv_source" -> s8Sql,
+    "s9_json_source" -> s9Sql,
   )
 }
