@@ -802,6 +802,94 @@ object Relational {
        |  FROM customer)
        |GROUP BY c_nationkey, quartile ORDER BY c_nationkey, quartile""".stripMargin
 
+  /** Q9-style profit rollup: 5-table join (lineitem⋈part⋈supplier⋈nation,
+    * orders for the year) aggregated by (nation, year). Margin proxy =
+    * revenue − qty·retailprice/10 in exact integer e4 units (the fixture
+    * has no partsupp cost table). Dimension joins broadcast; the only
+    * data-sized shuffle is the final group-by. */
+  val q9: Q = (s, d) => {
+    val p = Tables.part(s, d).filter(col("p_name").contains("a"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("cost_c"))
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    li(s, d).select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        cents(col("l_quantity")).as("qty_c"),
+        (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("rev_e4"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(ord(s, d).select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("n_name", "o_year")
+      // `div` (integer) — Column./ on longs is DOUBLE division in Spark
+      .agg(sum(col("rev_e4") - expr("qty_c * cost_c div 10")).as("profit_e4"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name", "o_year")
+  }
+  val q9Sql: String =
+    s"""SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |  CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
+       |           - ${centsSql("l_quantity")} * ${centsSql("p_retailprice")} // 10) AS BIGINT) AS profit_e4,
+       |  CAST(count(*) AS BIGINT) AS n_lines
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%a%'
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Q16-style supplier-part counts: distinct suppliers per (brand, type,
+    * size) for parts NOT supplied by any 'F'-status-order customer's
+    * suppliers — here adapted: exclude suppliers appearing on 'R'-returned
+    * lines (NOT IN → LEFT ANTI join), then the skew-safe two-phase
+    * distinct count. */
+  val q16: Q = (s, d) => {
+    val excluded = li(s, d)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 49)
+      .select(col("l_suppkey")).distinct()
+    val pairs = li(s, d).select("l_partkey", "l_suppkey")
+      .join(excluded, Seq("l_suppkey"), "left_anti")
+      .join(Tables.part(s, d).select("p_partkey", "p_brand", "p_type", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .select("p_brand", "p_type", "p_size", "l_suppkey")
+      .distinct() // phase 1: shuffle on the composite key (skew-free)
+    pairs.groupBy("p_brand", "p_type", "p_size")
+      .agg(count(lit(1)).as("supplier_cnt")) // phase 2
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size, CAST(count(*) AS BIGINT) AS supplier_cnt FROM (
+      |  SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_suppkey NOT IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_returnflag = 'R' AND l_quantity > 49))
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** W5: RANGE-frame window — revenue within ±1 day of each order date per
+    * priority (a value-range frame, not a row-count frame: peers are
+    * determined by the ORDER BY value, the frame the row-based w1 cannot
+    * express). Day-granular long key keeps the range arithmetic integral. */
+  val w5: Q = (s, d) => {
+    val byDay = ord(s, d).select(col("o_orderpriority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        cents(col("o_totalprice")).as("price_c"))
+      .groupBy("o_orderpriority", "day").agg(sum("price_c").as("day_price_c"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("day").rangeBetween(-1, 1)
+    byDay.withColumn("win3_price_c", sum("day_price_c").over(w))
+      .orderBy("o_orderpriority", "day")
+  }
+  val w5Sql: String =
+    s"""SELECT o_orderpriority, day, day_price_c,
+       |  CAST(sum(day_price_c) OVER (PARTITION BY o_orderpriority ORDER BY day
+       |       RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS win3_price_c
+       |FROM (
+       |  SELECT o_orderpriority, epoch_us(o_orderdate) // 86400000000 AS day,
+       |         CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS day_price_c
+       |  FROM orders GROUP BY 1, 2)
+       |ORDER BY o_orderpriority, day""".stripMargin
+
   /** SK2: SALTED join — the skew-mitigation pattern for a shuffle join on
     * a heavily-skewed key (5 langs over the whole corpus: a naive shuffle
     * join funnels each lang through one task). The fact side gets a
@@ -906,6 +994,9 @@ object Relational {
     "apx1_quantile_sketch" -> apx1,
     "s8_csv_source" -> s8,
     "s9_json_source" -> s9,
+    "q9_profit_rollup" -> q9,
+    "q16_supplier_part_counts" -> q16,
+    "w5_range_frame_window" -> w5,
   )
 
   val oracle: Map[String, String] = Map(
@@ -952,5 +1043,8 @@ object Relational {
     "sk2_salted_skew_join" -> sk2Sql,
     "s8_csv_source" -> s8Sql,
     "s9_json_source" -> s9Sql,
+    "q9_profit_rollup" -> q9Sql,
+    "q16_supplier_part_counts" -> q16Sql,
+    "w5_range_frame_window" -> w5Sql,
   )
 }
