@@ -97,6 +97,7 @@ object Streams {
   case class Ev(user_id: Long, ts_us: Long, value_c: Long)
   case class SessionOut(user_id: Long, session_id: Long,
     session_start_us: Long, session_end_us: Long, n_events: Long, sum_value_c: Long)
+  case class UserStat(user_id: Long, n_events: Long, sum_value_c: Long, last_ts_us: Long)
 
   private val GapUs = 600000000L // 10 minutes
 
@@ -206,6 +207,40 @@ object Streams {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |ORDER BY c.user_id, c_eid, p_eid""".stripMargin
 
+  /** ST7: per-key running aggregate via `mapGroupsWithState` — ONE updated
+    * row per key per batch (vs st3's flatMap multi-emission): the running
+    * per-user counter shape. State is the (n, sum, max_ts) triple; under
+    * multi-batch replay the memory sink holds one update per batch, so the
+    * post-drain argmax-by-n keeps the latest — monotone state makes that
+    * deterministic. */
+  val st7: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val evs: Dataset[Ev] = eventStream(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        cents(col("value")).as("value_c"))
+      .as[Ev]
+    val stats = evs.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long, Long), UserStat](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[(Long, Long, Long)]) =>
+          var (n, sum, mx) = state.getOption.getOrElse((0L, 0L, Long.MinValue))
+          it.foreach { e => n += 1; sum += e.value_c; mx = math.max(mx, e.ts_us) }
+          state.update((n, sum, mx))
+          UserStat(uid, n, sum, mx)
+      }
+    drain(s, stats.toDF(), "st7_out", OutputMode.Update())
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_value_c"), col("last_ts_us"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.sum_value_c").as("sum_value_c"), col("m.last_ts_us").as("last_ts_us"))
+      .orderBy("user_id")
+  }
+  val st7Sql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+      |       max(epoch_us(ts)) AS last_ts_us
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** ST6: stream-static join — the streaming scan joined to a BROADCAST
     * static dimension (here: per-type weights derived from the batch side),
     * the shape every production enrichment pipeline uses: no state store at
@@ -237,6 +272,7 @@ object Streams {
     "st4_stream_dedup" -> st4,
     "st5_stream_stream_join" -> st5,
     "st6_stream_static_join" -> st6,
+    "st7_mapgroups_running_stats" -> st7,
   )
 
   /** Streaming results must equal the batch windowing oracles. */
@@ -250,5 +286,6 @@ object Streams {
     "st4_stream_dedup" -> st4Sql,
     "st5_stream_stream_join" -> st5Sql,
     "st6_stream_static_join" -> st6Sql,
+    "st7_mapgroups_running_stats" -> st7Sql,
   )
 }

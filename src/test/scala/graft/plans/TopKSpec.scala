@@ -48,6 +48,27 @@ class TopKSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", before)
   }
 
+  test("k larger than any group passes every row through") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v").repartition(3)
+    val out = TopKPerGroup(df, Seq("g"), Seq("v" -> true), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out === Set(("a", 1L), ("a", 2L), ("b", 3L)))
+  }
+
+  test("null group keys form their own group; null order values sort per SortOrder") {
+    import spark.implicits._
+    val df = Seq((Option("a"), Option(1L)), (None, Option(5L)), (None, Option(7L)),
+      (None, Option.empty[Long]), (Option("a"), Option(2L)))
+      .toDF("g", "v").repartition(4)
+    val out = TopKPerGroup(df, Seq("g"), Seq("v" -> true), 2).collect()
+      .map(r => (if (r.isNullAt(0)) "NULL" else r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // v DESC is NULLS LAST: the null-v row must lose to 5 and 7 in the null-g group
+    assert(out.filter(_._1 == "NULL").map(_._2).sorted.toSeq === Seq(5L, 7L))
+    assert(out.filter(_._1 == "a").map(_._2).sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("ties resolve by the caller's tiebreak order, not by partitioning") {
     import spark.implicits._
     val df = Seq(("g", 10L, 1L), ("g", 10L, 2L), ("g", 10L, 3L), ("g", 10L, 4L))
