@@ -521,6 +521,24 @@ object Relational {
        |  CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN ${centsSql("l_quantity")} END), 0) AS BIGINT) AS qty_o_c
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** PV2: UNPIVOT (melt) — the inverse of pv1: per-returnflag wide columns
+    * back to (flag, status, qty) long form via `unpivot`; wide→long is the
+    * standard normalization step before a groupBy over the melted key. */
+  val pv2: Q = (s, d) =>
+    pv1(s, d) // (l_returnflag, qty_f_c, qty_o_c)
+      .unpivot(Array(col("l_returnflag")), Array(col("qty_f_c"), col("qty_o_c")),
+        "status_col", "qty_c")
+      .select(col("l_returnflag"),
+        when(col("status_col") === "qty_f_c", "F").otherwise("O").as("l_linestatus"),
+        col("qty_c"))
+      .orderBy("l_returnflag", "l_linestatus")
+  val pv2Sql: String =
+    s"""SELECT l_returnflag, want AS l_linestatus,
+       |       CAST(coalesce(sum(CASE WHEN l_linestatus = want THEN ${centsSql("l_quantity")} END), 0) AS BIGINT) AS qty_c
+       |FROM lineitem CROSS JOIN (SELECT unnest(['F', 'O']) AS want) w
+       |GROUP BY l_returnflag, want
+       |ORDER BY l_returnflag, want""".stripMargin
+
   /** G1: ROLLUP over returnflag/linestatus (grouping sets). */
   val g1: Q = (s, d) =>
     li(s, d).rollup("l_returnflag", "l_linestatus")
@@ -997,6 +1015,7 @@ object Relational {
     "q9_profit_rollup" -> q9,
     "q16_supplier_part_counts" -> q16,
     "w5_range_frame_window" -> w5,
+    "pv2_unpivot" -> pv2,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1046,5 +1065,6 @@ object Relational {
     "q9_profit_rollup" -> q9Sql,
     "q16_supplier_part_counts" -> q16Sql,
     "w5_range_frame_window" -> w5Sql,
+    "pv2_unpivot" -> pv2Sql,
   )
 }
