@@ -820,6 +820,76 @@ object Relational {
        |  FROM customer)
        |GROUP BY c_nationkey, quartile ORDER BY c_nationkey, quartile""".stripMargin
 
+  /** Q6-style forecast revenue: pure filter + single-row aggregate — the
+    * minimal scan-bound query; every predicate must reach PushedFilters so
+    * the scan is the whole plan. */
+  val q6: Q = (s, d) =>
+    li(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice")) * cents(col("l_discount"))).as("revenue_e4"),
+        count(lit(1)).as("n_lines"))
+  val q6Sql: String =
+    s"""SELECT CAST(sum(${centsSql("l_extendedprice")} * ${centsSql("l_discount")}) AS BIGINT) AS revenue_e4,
+       |       CAST(count(*) AS BIGINT) AS n_lines
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Q14-style promo share: conditional aggregate over a join — the
+    * numerator is a CASE inside the same sum pass (no second scan); share
+    * in exact basis points via integer division. */
+  val q14: Q = (s, d) =>
+    li(s, d)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"),
+          cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .otherwise(0L)).as("promo_e4"),
+        sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("total_e4"))
+      .select(col("promo_e4"), col("total_e4"),
+        expr("promo_e4 * 10000 div total_e4").as("promo_share_bp"))
+  val q14Sql: String =
+    s"""SELECT promo_e4, total_e4, promo_e4 * 10000 // total_e4 AS promo_share_bp FROM (
+       |  SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+       |               THEN ${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
+       |               ELSE 0 END) AS BIGINT) AS promo_e4,
+       |         CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS total_e4
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+       |    AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00')""".stripMargin
+
+  /** Q19-style disjunctive predicate join: OR-of-ANDs across two tables —
+    * the shape that tests predicate normalization: the common l/p join key
+    * plus per-branch ranges; Catalyst extracts the shared join condition
+    * and pushes the common `l_quantity` bounds to the scan. */
+  val q19: Q = (s, d) =>
+    li(s, d).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(Tables.part(s, d).select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 21)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40)))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("revenue_e4"),
+        count(lit(1)).as("n_lines"))
+  val q19Sql: String =
+    s"""SELECT CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_e4,
+       |       CAST(count(*) AS BIGINT) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
   /** Q9-style profit rollup: 5-table join (lineitem⋈part⋈supplier⋈nation,
     * orders for the year) aggregated by (nation, year). Margin proxy =
     * revenue − qty·retailprice/10 in exact integer e4 units (the fixture
@@ -1016,6 +1086,9 @@ object Relational {
     "q16_supplier_part_counts" -> q16,
     "w5_range_frame_window" -> w5,
     "pv2_unpivot" -> pv2,
+    "q6_forecast_revenue" -> q6,
+    "q14_promo_share" -> q14,
+    "q19_disjunctive_join" -> q19,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1066,5 +1139,8 @@ object Relational {
     "q16_supplier_part_counts" -> q16Sql,
     "w5_range_frame_window" -> w5Sql,
     "pv2_unpivot" -> pv2Sql,
+    "q6_forecast_revenue" -> q6Sql,
+    "q14_promo_share" -> q14Sql,
+    "q19_disjunctive_join" -> q19Sql,
   )
 }
