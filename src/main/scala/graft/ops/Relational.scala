@@ -679,11 +679,53 @@ object Relational {
     * `approx_percentile`) beside their exact counterparts — the
     * single-pass mergeable-sketch path a 100 TB profile job uses instead
     * of an exact full sort. Engine-defined digest ⇒ rows-only; ≤1%
-    * relative error asserted in ScalePathSpec. */
+    * relative error asserted in ScalePathSpec. One SCALAR row per
+    * percentile (pct, apx, exact) — array columns are unsortable by the
+    * harness's rows-only compare. */
   val apx1: Q = (s, d) =>
-    li(s, d).agg(
-      expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)").as("apx"),
-      expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("exact"))
+    li(s, d)
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)").as("apx_a"),
+        expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("exact_a"))
+      .select(posexplode(expr("array(0.5D, 0.95D, 0.99D)")).as(Seq("i", "pct")),
+        col("apx_a"), col("exact_a"))
+      .select(col("pct"), expr("apx_a[i]").as("apx"), expr("exact_a[i]").as("exact"))
+      .orderBy("pct")
+
+  /** APX2: EXACT distributed percentiles, oracle-checked — aggregate to
+    * (value, frequency) pairs first (one hash-agg shuffle; the heavy
+    * lifting), then a cumulative sum over the DISTINCT values only (the
+    * price domain is bounded: quantity 1–50 × part prices, so the ordered
+    * frame is orders of magnitude smaller than the fact table) and pick
+    * the first value whose cumulative count reaches ceil(pct·n). Money in
+    * integer cents and the rank target computed with the identical double
+    * `ceil(pct * n)` on both engines ⇒ bit-exact. At 100 TB the sketch
+    * (apx1) is the everyday path; this is the exact audit path. */
+  val apx2: Q = (s, d) => {
+    val freq = li(s, d)
+      .groupBy(cents(col("l_extendedprice")).as("price_c"))
+      .agg(count(lit(1)).as("f"))
+    val cum = freq
+      .withColumn("cf", sum("f").over(Window.orderBy("price_c")))
+      .withColumn("n", sum("f").over(Window.partitionBy(lit(1))))
+    val pcts = s.sql("SELECT explode(array(0.5D, 0.95D, 0.99D)) AS pct")
+    cum.join(broadcast(pcts), col("cf") >= ceil(col("pct") * col("n")))
+      .groupBy("pct").agg(min("price_c").as("exact_pct_c"))
+      .orderBy("pct")
+  }
+  val apx2Sql: String =
+    s"""WITH freq AS (
+       |  SELECT ${centsSql("l_extendedprice")} AS price_c, count(*) AS f
+       |  FROM lineitem GROUP BY 1),
+       |cum AS (
+       |  SELECT price_c,
+       |         CAST(sum(f) OVER (ORDER BY price_c) AS BIGINT) AS cf,
+       |         CAST(sum(f) OVER () AS BIGINT) AS n
+       |  FROM freq),
+       |pcts AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS pct)
+       |SELECT pct, min(price_c) AS exact_pct_c
+       |FROM cum JOIN pcts ON cf >= ceil(pct * n)
+       |GROUP BY pct ORDER BY pct""".stripMargin
 
   /** SK1: skew-aware two-phase count-distinct — distinct words per LANGUAGE
     * (5 heavy keys over 32 partitions = the classic skewed-aggregation
@@ -1080,6 +1122,7 @@ object Relational {
     "x1_topk_custom_strategy" -> x1,
     "sk2_salted_skew_join" -> sk2,
     "apx1_quantile_sketch" -> apx1,
+    "apx2_exact_percentiles" -> apx2,
     "s8_csv_source" -> s8,
     "s9_json_source" -> s9,
     "q9_profit_rollup" -> q9,
@@ -1133,6 +1176,7 @@ object Relational {
     "w4_ntile_quartiles" -> w4Sql,
     "x1_topk_custom_strategy" -> x1Sql,
     "sk2_salted_skew_join" -> sk2Sql,
+    "apx2_exact_percentiles" -> apx2Sql,
     "s8_csv_source" -> s8Sql,
     "s9_json_source" -> s9Sql,
     "q9_profit_rollup" -> q9Sql,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,20 +77,34 @@ object Similarity {
 
   // ---- SIM2: hyperplane-LSH bucket assignment (coarse quantizer) ----
 
+  /** Deterministic hyperplane weights w(p,i) = (first md5 hex digit of
+    * "p-i") − 8, the exact formula the DuckDB oracle dialect computes in
+    * SQL. Evaluated DRIVER-side (the planes are plan-time constants), so
+    * bucket assignment becomes a map-side dot product against literal
+    * arrays — zero explodes, zero joins, zero shuffles; the 100 TB plan
+    * is a pure projection over the vector scan. */
+  private[ops] def planeWeights(nPlanes: Int, dims: Int = 64): IndexedSeq[IndexedSeq[Long]] =
+    (0 until nPlanes).map { p =>
+      (0 until dims).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$p-$i".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.substring(0, 1), 16) - 8L
+      }
+    }
+
+  /** Exact integer dot of a quantized-vector column against one plane. */
+  private[ops] def planeDot(qCol: String, weights: IndexedSeq[Long]): Column =
+    expr(s"aggregate(zip_with($qCol, array(${weights.map(_ + "L").mkString(",")}), " +
+      "(x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+  /** Sign-bit key over a slice of planes: '1'/'0' per plane, concatenated. */
+  private[ops] def signBits(qCol: String, planes: Seq[IndexedSeq[Long]]): Column =
+    concat(planes.map(w => when(planeDot(qCol, w) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
   /** 8 md5-derived integer hyperplanes over 64 dims; bucket = 8 sign bits. */
-  private def buckets(s: SparkSession, d: String): DataFrame = {
-    val planes = s.range(8).select(col("id").as("p"))
-      .crossJoin(s.range(64).select(col("id").as("i")))
-      .select(col("p"), col("i"),
-        (conv(substring(md5(concat(col("p").cast("string"), lit("-"), col("i").cast("string"))), 1, 1), 16, 10)
-          .cast("long") - 8).as("w"))
-    val comps = qnorm(s, d).select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
-    val signs = comps.join(broadcast(planes), "i")
-      .groupBy("vec_id", "p")
-      .agg(when(sum(col("x") * col("w")) >= 0, "1").otherwise("0").as("b"))
-    signs.groupBy("vec_id")
-      .agg(concat((0 until 8).map(k => min(when(col("p") === k, col("b")))): _*).as("bucket"))
-  }
+  private def buckets(s: SparkSession, d: String): DataFrame =
+    qnorm(s, d).select(col("vec_id"), signBits("q", planeWeights(8)).as("bucket"))
 
   private val bucketsCte: String =
     s"""$qnormCte,

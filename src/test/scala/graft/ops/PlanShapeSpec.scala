@@ -78,6 +78,18 @@ class PlanShapeSpec extends SparkSpec {
       "salting is only exercised by a shuffle join — hint must hold\n" + p.take(600))
   }
 
+  test("D7 embedding near-dup candidates come from banded equi-joins, never all-pairs") {
+    val p = plan(Dedup.d7(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidate generation must join on the (band, key) column, not enumerate pairs\n" + p.take(800))
+  }
+
+  test("SIM2 bucket assignment is a map-side projection (no joins, no explode)") {
+    val p = plan(Similarity.queries("sim2_lsh_buckets")(spark, sfDir))
+    assert(!p.contains("Join"), "plane dots must be literal-array expressions, not a join\n" + p.take(800))
+    assert(!p.contains("Generate"), "no posexplode of vector components\n" + p.take(800))
+  }
+
   test("whole-stage codegen covers the text-cleaning chain (no UDFs)") {
     val p = plan(Corpus.tokensNb(spark, sfDir))
     // '*(n)' prefixes mark operators fused into WholeStageCodegen stage n

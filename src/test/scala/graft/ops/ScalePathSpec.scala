@@ -88,11 +88,24 @@ class ScalePathSpec extends SparkSpec {
   }
 
   test("approx_percentile sketch is within 1% of exact percentiles") {
-    val r = Relational.apx1(spark, sfDir).head()
-    val apx = r.getSeq[Double](0)
-    val exact = r.getSeq[Double](1)
-    apx.zip(exact).foreach { case (a, e) =>
-      assert(math.abs(a - e) / e < 0.01, s"approx $a vs exact $e")
+    val rows = Relational.apx1(spark, sfDir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (a, e) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a - e) / e < 0.01, s"pct ${r.getDouble(0)}: approx $a vs exact $e")
+    }
+  }
+
+  test("apx2 exact percentiles agree with a full-sort percentile") {
+    val got = Relational.apx2(spark, sfDir).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .orderBy("c").collect().map(_.getLong(0))
+    Seq(0.5, 0.95, 0.99).foreach { p =>
+      val target = math.ceil(p * exact.length).toLong
+      assert(got(p) === exact((target - 1).toInt),
+        s"pct $p: got ${got(p)} want ${exact((target - 1).toInt)}")
     }
   }
 }
