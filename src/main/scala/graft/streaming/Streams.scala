@@ -27,13 +27,23 @@ object Streams {
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
   /** Streaming scan of the events fixture with the same ns→µs conversion
-    * as Tables.events (file source needs an explicit schema). */
-  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    * as Tables.events (file source needs an explicit schema).
+    *
+    * `variant` isolates a query's staging directory (queries that add
+    * extra source files must not leak them into the shared scan);
+    * `flushSentinel` stages one far-future row for user_id = -1 so the
+    * final watermark advances past every real event — the no-data batch
+    * that follows fires all pending event-time timeouts, letting append-
+    * mode stateful operators emit their last sessions under a bounded
+    * AvailableNow drain. Callers filter the sentinel user out. */
+  private def eventStream(s: SparkSession, d: String,
+      variant: String = "", flushSentinel: Boolean = false): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file streaming sources require a DIRECTORY: stage one containing a
     // symlink to the fixture file (read-only testdata must not move)
     val srcDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_stream_src_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      sys.props("java.io.tmpdir"),
+      "graft_stream_src_" + variant + d.replaceAll("[^A-Za-z0-9]", "_"))
     Files.createDirectories(srcDir)
     val link = srcDir.resolve("events.parquet")
     // NOFOLLOW: a dangling link (fixture moved) must be detected and
@@ -41,6 +51,22 @@ object Streams {
     if (Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
       Files.delete(link)
     Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$d/events.parquet"))
+    if (flushSentinel) {
+      val sf = srcDir.resolve("sentinel.parquet")
+      if (!Files.exists(sf)) {
+        val raw = s.read.parquet(s"$d/events.parquet")
+        val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+        val farNs = maxNs + 2L * 86400L * 1000000000L // +2 days
+        val one = raw.limit(1)
+          .withColumn("user_id", lit(-1L))
+          .withColumn("ts", lit(farNs))
+        val tmpOut = Files.createTempDirectory("graft_sentinel").toString
+        one.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+        val part = new java.io.File(tmpOut).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, sf)
+      }
+    }
     // the raw file carries ts as nanos (read as long); file sources need
     // an explicit schema for streaming reads
     val physical = s.read.parquet(s"$d/events.parquet").schema
@@ -95,6 +121,10 @@ object Streams {
   // ---- ST3: arbitrary stateful sessionization (flatMapGroupsWithState) ----
 
   case class Ev(user_id: Long, ts_us: Long, value_c: Long)
+  /** st3 input row: carries the watermark-tagged timestamp column itself —
+    * event-time timeout requires the watermarked column to survive into
+    * the stateful operator's input, so it cannot be projected away. */
+  case class EvW(user_id: Long, ts: java.sql.Timestamp, ts_us: Long, value_c: Long)
   case class SessionOut(user_id: Long, session_id: Long,
     session_start_us: Long, session_end_us: Long, n_events: Long, sum_value_c: Long)
   case class UserStat(user_id: Long, n_events: Long, sum_value_c: Long, last_ts_us: Long)
@@ -122,29 +152,93 @@ object Streams {
     }
   }
 
-  /** ST3: sessions via flatMapGroupsWithState — contract of Events.e3.
-    * With AvailableNow over a bounded source every user's events arrive
-    * before the final emit, so sessions are final and match the batch
-    * gaps-and-islands result. */
+  /** One open session "island": a gap-separated run of events, kept as an
+    * AGGREGATE (start, end, n, sum) — never the events themselves. */
+  case class SessAgg(start_us: Long, end_us: Long, n: Long, sum_c: Long)
+  /** Per-user state: next session number to assign + open islands only.
+    * Bounded: islands older than watermark − gap are emitted and dropped,
+    * so state holds at most (watermark delay / gap) + 1 aggregates. */
+  case class SessState(next_sid: Long, islands: Vector[SessAgg])
+
+  /** Merge a batch of (possibly out-of-order) events into the open-island
+    * set: an event within `gap` of an island extends it; an event bridging
+    * two islands fuses them; anything else opens a new island. Pure. */
+  private[streaming] def mergeIslands(islands: Vector[SessAgg], evs: Seq[Ev]): Vector[SessAgg] = {
+    var isl = islands
+    for (e <- evs.sortBy(x => (x.ts_us, x.value_c))) {
+      val (touch, rest) = isl.partition(i =>
+        e.ts_us >= i.start_us - GapUs && e.ts_us <= i.end_us + GapUs)
+      val merged =
+        if (touch.isEmpty) SessAgg(e.ts_us, e.ts_us, 1L, e.value_c)
+        else SessAgg(
+          math.min(touch.map(_.start_us).min, e.ts_us),
+          math.max(touch.map(_.end_us).max, e.ts_us),
+          touch.map(_.n).sum + 1L,
+          touch.map(_.sum_c).sum + e.value_c)
+      isl = rest :+ merged
+    }
+    isl.sortBy(_.start_us)
+  }
+
+  /** Split the island set at the watermark: islands whose `end + gap` the
+    * watermark has passed can never grow again (later events would be
+    * dropped as late) — they are final. Islands are disjoint and ordered,
+    * so the closable set is always a PREFIX, which keeps session numbering
+    * (assigned at close, in start order) identical to the batch oracle. */
+  private[streaming] def closeReady(st: SessState, uid: Long, wmUs: Long): (Vector[SessionOut], SessState) = {
+    val (closed, open) = st.islands.partition(i => i.end_us + GapUs <= wmUs)
+    val out = closed.sortBy(_.start_us).zipWithIndex.map { case (c, k) =>
+      SessionOut(uid, st.next_sid + k, c.start_us, c.end_us, c.n, c.sum_c)
+    }
+    (out, SessState(st.next_sid + closed.size, open))
+  }
+
+  /** ST3: sessions via flatMapGroupsWithState with BOUNDED state — the
+    * contract of Events.e3. Data batches only merge events into the open
+    * islands; sessions are emitted by EVENT-TIME TIMEOUT once the
+    * watermark passes `end + gap` (the point after which the session is
+    * provably final), and the emitted island leaves the state. The
+    * flush-sentinel row (user −1, filtered below) pushes the final
+    * watermark past every real event so the AvailableNow drain finalizes
+    * every session; on an unbounded feed the same operator runs forever
+    * with per-user state bounded by (delay/gap)+1 aggregates. */
+  /** The st3 state-transition function (named so StreamsSpec can exercise
+    * it through a MemoryStream batch-by-batch). */
+  private[streaming] val sessionFunc
+      : (Long, Iterator[EvW], GroupState[SessState]) => Iterator[SessionOut] = {
+    (uid: Long, it: Iterator[EvW], state: GroupState[SessState]) =>
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st0 = state.getOption.getOrElse(SessState(1L, Vector.empty))
+      val merged =
+        if (state.hasTimedOut) st0
+        else SessState(st0.next_sid,
+          mergeIslands(st0.islands, it.map(e => Ev(e.user_id, e.ts_us, e.value_c)).toSeq))
+      val (out, st1) = closeReady(merged, uid, wmUs)
+      // state persists even with no open island: the session ORDINAL the
+      // oracle requires (per-user 1..k numbering) costs two longs per key
+      // forever — the event data itself is never retained. A timeout is
+      // only armed while an island is open (a fired timeout auto-clears).
+      state.update(st1)
+      if (st1.islands.nonEmpty)
+        state.setTimeoutTimestamp(math.max(
+          (st1.islands.map(_.end_us).min + GapUs) / 1000L,
+          state.getCurrentWatermarkMs() + 1L))
+      out.iterator
+  }
+
   val st3: Q = (s, d) => {
     val sp = s
     import sp.implicits._
-    val evs: Dataset[Ev] = eventStream(s, d)
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+    val evs: Dataset[EvW] = eventStream(s, d, variant = "st3_", flushSentinel = true)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
         cents(col("value")).as("value_c"))
-      .as[Ev]
+      .as[EvW]
     val sessions = evs.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Vector[Ev], SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, it: Iterator[Ev], state: GroupState[Vector[Ev]]) =>
-          // bounded drain: all events arrive in the available batches; emit
-          // sessions from everything seen so far (single emission per key
-          // under AvailableNow with one input file)
-          val all = state.getOption.getOrElse(Vector.empty) ++ it
-          state.update(all)
-          sessionize(uid, all.iterator)
-      }
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionFunc)
     drain(s, sessions.toDF(), "st3_out", OutputMode.Append())
+      .filter(col("user_id") >= 0) // drop the watermark-flush sentinel user
       .select(col("user_id"), col("session_id"),
         timestamp_micros(col("session_start_us")).as("session_start"),
         timestamp_micros(col("session_end_us")).as("session_end"),

@@ -102,5 +102,84 @@ class StreamsSpec extends SparkSpec {
     assert(Streams.sessionize(2L, evs).size === 1)
   }
 
+  test("mergeIslands handles out-of-order events and bridges islands") {
+    import Streams.{Ev, SessAgg}
+    // two islands [0,8] and [25,25], then a bridge at 16 (within the
+    // 10-minute gap of BOTH: 16-8=8 and 25-16=9) fuses them
+    val isl1 = Streams.mergeIslands(Vector.empty,
+      Seq(Ev(1L, minuteUs(0), 10), Ev(1L, minuteUs(8), 15), Ev(1L, minuteUs(25), 20)))
+    assert(isl1.size === 2)
+    val isl2 = Streams.mergeIslands(isl1, Seq(Ev(1L, minuteUs(16), 30)))
+    assert(isl2 === Vector(SessAgg(minuteUs(0), minuteUs(25), 4L, 75L)),
+      "an event within gap of both islands must fuse them")
+    // out-of-order within a batch: same result as sorted arrival
+    val sorted = Streams.mergeIslands(Vector.empty,
+      Seq(Ev(1L, minuteUs(0), 1), Ev(1L, minuteUs(5), 2), Ev(1L, minuteUs(30), 3)))
+    val shuffled = Streams.mergeIslands(Vector.empty,
+      Seq(Ev(1L, minuteUs(30), 3), Ev(1L, minuteUs(0), 1), Ev(1L, minuteUs(5), 2)))
+    assert(sorted === shuffled)
+  }
+
+  test("closeReady emits only watermark-final islands and keeps the rest") {
+    import Streams.{SessAgg, SessState}
+    val st = SessState(3L, Vector(
+      SessAgg(minuteUs(0), minuteUs(5), 2L, 10L),
+      SessAgg(minuteUs(30), minuteUs(40), 3L, 20L)))
+    // watermark at minute 20: first island's end+gap (15) passed, second not
+    val (out, st1) = Streams.closeReady(st, 7L, minuteUs(20))
+    assert(out.map(o => (o.session_id, o.n_events)) === Vector((3L, 2L)))
+    assert(st1 === SessState(4L, Vector(SessAgg(minuteUs(30), minuteUs(40), 3L, 20L))),
+      "closed island must LEAVE the state; open island stays")
+    // nothing closable → no emission, state unchanged
+    val (out2, st2) = Streams.closeReady(st1, 7L, minuteUs(20))
+    assert(out2.isEmpty && st2 === st1)
+  }
+
+  test("st3 session state drops closed sessions across batches (EventTimeTimeout)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Streams.Ev]
+    val evs = input.toDS()
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("user_id"), col("value_c"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"), col("value_c"))
+      .as[Streams.EvW]
+    val sessions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Streams.SessState, Streams.SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
+        Streams.sessionFunc)
+    val q = sessions.toDF().writeStream.format("memory").queryName("st3_inc")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: user 1 session A (minutes 100..105; offset keeps the
+      // first event above the initial epoch-0 watermark, which drops
+      // ts <= watermark rows as late)
+      input.addData(Streams.Ev(1L, minuteUs(100), 100), Streams.Ev(1L, minuteUs(105), 200))
+      q.processAllAvailable()
+      // batch 2: far-future event advances watermark past A's end+gap →
+      // A emits via timeout and leaves state
+      input.addData(Streams.Ev(99L, minuteUs(220), 1))
+      q.processAllAvailable()
+      val afterClose = sp.table("st3_inc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+      assert(afterClose.toSet === Set((1L, 1L, 2L, 300L)),
+        s"session A must emit exactly once on watermark close: ${afterClose.toSeq}")
+      // batch 3: user 1 session B (minute 125) + flush at minute 300 —
+      // B must get session_id 2 (numbering survived A's eviction) and emit
+      // exactly one NEW row (A is not re-emitted: it left the state)
+      input.addData(Streams.Ev(1L, minuteUs(225), 500))
+      q.processAllAvailable()
+      input.addData(Streams.Ev(99L, minuteUs(400), 1))
+      q.processAllAvailable()
+      val all = sp.table("st3_inc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+        .filter(_._1 == 1L)
+      assert(all.toSet === Set((1L, 1L, 2L, 300L), (1L, 2L, 1L, 500L)),
+        s"closed session must not re-emit; numbering must persist: ${all.toSeq}")
+    } finally q.stop()
+  }
+
   private def minuteUs(m: Int): Long = m * 60L * 1000000L
 }
