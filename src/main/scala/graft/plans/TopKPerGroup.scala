@@ -27,6 +27,23 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Determinism contract: callers must make `order` a total order (e.g. add
   * a unique tiebreak column); the kept set is then exactly the first k
   * under that order, independent of partitioning.
+  *
+  * Capacity contract: the per-partition heap map is an unmanaged JVM
+  * structure — no `TaskMemoryManager` accounting, no spill — holding up to
+  * k·|groups seen in the partition| row copies. It is the right operator
+  * when k·|groups| per partition fits comfortably in executor memory
+  * (ranks over brands/nations/categories at any fact-table size). For
+  * HIGH-CARDINALITY group keys (per-user, per-document) prefer the window
+  * formulation (Relational.w2), whose external sort spills; this operator
+  * would hold the whole group-key domain on the reduce side. The two plans
+  * are result-identical (asserted in TopKSpec), so the choice is purely a
+  * memory-shape decision.
+  *
+  * Codegen boundary: both exec nodes are iterator-based (`doExecute`), so
+  * they sit OUTSIDE whole-stage codegen — the scan/join below and anything
+  * above still fuse among themselves; the boundary costs one row-copy per
+  * retained row (k·|groups| rows, not the fact table), which the bounded
+  * exchange repays many times over at scale (see PLANS.md x1).
   */
 case class TopKPerGroupPlan(
     groupExprs: Seq[Expression],

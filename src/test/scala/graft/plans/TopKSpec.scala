@@ -48,6 +48,29 @@ class TopKSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", before)
   }
 
+  test("at sf0.1 the exchange carries at most k·|groups| rows per input partition") {
+    // the operator's entire reason to exist: the shuffle between partial
+    // and final must be bounded by k·|groups| per map partition regardless
+    // of fact-table size. Measured on the real bench-scale input.
+    val sf01 = "/root/testdata/sf0.1"
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.ops.Relational.x1(spark, sf01)
+      val partial = df.queryExecution.executedPlan.collectFirst {
+        case e: TopKPartialExec => e
+      }
+      assert(partial.nonEmpty, "partial exec must exist in the x1 plan")
+      val nGroups = graft.Tables.part(spark, sf01).select("p_brand").distinct().count()
+      val perPartition = partial.get.execute()
+        .mapPartitions(it => Iterator(it.size.toLong)).collect()
+      val bound = 3L * nGroups
+      perPartition.foreach(n =>
+        assert(n <= bound, s"partial emitted $n rows from one partition; bound is k*|groups| = $bound"))
+      assert(perPartition.sum > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
   test("k larger than any group passes every row through") {
     import spark.implicits._
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v").repartition(3)

@@ -47,6 +47,24 @@ class TextOpsSpec extends SparkSpec {
     assert(evalStr(TextOps.stripUrlNb(lit(in))) === "go  and  end")
   }
 
+  test("P4 NB URL regex matches the frozen java.util.regex golden file") {
+    // golden generated ONCE via String.replaceAll(NbUrlRe, "") — the
+    // reference's exact engine and call (NB.java:67) — then committed.
+    // Freezes the lookahead dialect's quirks (http://wwwnot.com survives;
+    // wwww.quad.com -> "w" via the www. alternative at offset 1) against
+    // any future edit to the pattern or the expression wiring.
+    import spark.implicits._
+    val golden = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden/nb_url_golden.tsv"), "UTF-8")
+      .getLines().map { l => val Array(in, out) = l.split("\t", -1); (in, out) }
+      .toSeq
+    assert(golden.size === 25, "golden file must not be silently truncated")
+    val got = golden.map(_._1).toDF("in")
+      .select(col("in"), TextOps.stripUrlNb(col("in")).as("out"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === golden, "Spark expression must reproduce the frozen reference-engine output")
+  }
+
   test("P4 SVM URL regex strips only scheme'd urls, replaces with space") {
     val in = "go http://example.com/x and www.foo.com/y end"
     assert(evalStr(TextOps.stripUrlSvm(lit(in))) === "go   and www.foo.com/y end")
