@@ -82,6 +82,12 @@ object Streams {
     // batch, so a bounded test stream wants few; a production deployment
     // sets this per-job before first start (it is fixed by the checkpoint)
     val statePartitions = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8")
+    // SEQUENTIAL-EXECUTION ASSUMPTION: this toggles a session-global conf
+    // around the stream's start and restores it in finally. Verify/Bench
+    // run queries strictly one at a time, so nothing else observes the
+    // temporary value; a host embedding this library alongside concurrent
+    // batch queries should instead run streams in a cloned session
+    // (spark.newSession()) whose conf is free to differ.
     val before = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions)
     try {

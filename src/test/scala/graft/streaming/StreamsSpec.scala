@@ -181,5 +181,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fixture arrival disorder stays inside st4's 1-hour watermark delay") {
+    // st4's dropDuplicatesWithinWatermark equals batch DISTINCT only while
+    // no event arrives more than the delay behind the running event-time
+    // maximum (a more-late row would be dropped / re-emitted under a
+    // multi-batch replay). Assert that data-layout assumption on the
+    // fixture IN FILE ORDER (= streaming arrival order) so a future
+    // fixture change fails here loudly instead of flaking the oracle.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsNs = spark.read
+      .option("mergeSchema", "false")
+      .parquet(s"$sfDir/events.parquet")
+      .select("ts").collect().map(_.getLong(0)) // file order, nanos
+    assert(tsNs.nonEmpty)
+    val delayNs = 3600L * 1000000000L
+    var runMax = Long.MinValue
+    var worst = 0L
+    tsNs.foreach { t =>
+      if (runMax != Long.MinValue) worst = math.max(worst, runMax - t)
+      runMax = math.max(runMax, t)
+    }
+    assert(worst <= delayNs,
+      s"max arrival disorder ${worst / 1e9}s exceeds st4's 1-hour watermark delay")
+  }
+
   private def minuteUs(m: Int): Long = m * 60L * 1000000L
 }
