@@ -33,6 +33,15 @@ object GraftFunctions {
     "graft_clean_nb" -> { args => cleanNbExpr(args.head) },
     "graft_clean_svm" -> { args => cleanSvmExpr(args.head) },
     "graft_hamming" -> { args => HammingDistance(args(0), args(1)) },
+    // Spark's runtime-filter Bloom expressions (BloomFilterAggregate /
+    // BloomFilterMightContain) are not in the public FunctionRegistry;
+    // exposing them makes the classic 100 TB semi-join reduction —
+    // distributed sketch build, map-side probe — writable as a plain query
+    // (see ScaleOps.bf1). Args: (xxhash64 value, est items, num bits).
+    "graft_bloom_agg" -> { args =>
+      new aggregate.BloomFilterAggregate(args(0), args(1), args(2)).toAggregateExpression()
+    },
+    "graft_might_contain" -> { args => BloomFilterMightContain(args(0), args(1)) },
   )
 
   /** Idempotently register all graft functions on a session. */

@@ -1,0 +1,171 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** [EXT] Scale-path operators a 100 TB training-data pipeline leans on
+  * beyond the core dedup/similarity family: Bloom-filter semi-join
+  * reduction, sequence packing (concat-and-chunk) for pretraining batches,
+  * deterministic stratified splits, and partition-pruned sinks.
+  *
+  * All four are exact-oracle queries: the Bloom filter has no false
+  * negatives and the exact join removes false positives, packing and
+  * splitting are integer/md5 math shared bit-for-bit with DuckDB, and the
+  * partitioned sink round-trips the data it wrote.
+  */
+object ScaleOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // ---- BF1: Bloom-filter semi-join reduction ----
+
+  /** BF1: the canonical 100 TB shuffle-avoidance move — build a Bloom
+    * filter over the (filtered) dim-side join keys as a DISTRIBUTED
+    * aggregate (partial sketches merged, never a driver collect), attach
+    * the one-row sketch via broadcast, and probe it MAP-SIDE on the fact
+    * scan so non-joining fact rows die before the exchange. The exact
+    * join afterwards removes Bloom false positives, so the result —
+    * and the DuckDB oracle — is the plain join. Uses Spark's own
+    * runtime-filter expressions (BloomFilterAggregate/MightContain)
+    * surfaced through the graft FunctionRegistry (codegen'd, no UDF). */
+  val bf1: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    // might_contain requires the sketch as a constant or SCALAR SUBQUERY
+    // (the same shape Spark's InjectRuntimeFilter plans): the subquery runs
+    // once, its fixed-size result is broadcast into the map-side predicate.
+    Tables.orders(s, d).createOrReplaceTempView("g_bf1_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("g_bf1_lineitem")
+    s.sql("""
+      WITH dim AS (
+        SELECT o_orderkey FROM g_bf1_orders WHERE o_orderpriority = '1-URGENT'),
+      pruned AS (
+        SELECT l_orderkey, l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        FROM g_bf1_lineitem
+        WHERE graft_might_contain(
+          (SELECT graft_bloom_agg(xxhash64(o_orderkey), 100000L, 800000L) FROM dim),
+          xxhash64(l_orderkey)))
+      SELECT l_returnflag, count(*) AS n, sum(price_c) AS sum_price_c
+      FROM pruned JOIN dim ON l_orderkey = o_orderkey
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+  val bf1Sql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- PACK1: sequence packing (concat-and-chunk) ----
+
+  private val PackBudget = 512L // tokens per training window
+
+  /** PACK1: pretraining sequence packing, concat-and-chunk flavor: within
+    * each language shard, documents are concatenated in doc_id order and
+    * the token stream is cut into fixed 512-token windows; a document
+    * whose span crosses a cut is a straddler (the part the loss masks or
+    * the loader re-reads). Emits per-(lang, window) packing stats. The
+    * running sum is windowed PER SHARD (lang), so no global single-
+    * partition sort exists at scale — shards pack independently, which is
+    * exactly how training shards are laid out. */
+  val pack1: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("cum_before", coalesce(sum("toks").over(w), lit(0L)))
+      .select(col("lang"), col("toks"),
+        expr(s"cum_before div $PackBudget").as("win"),
+        expr(s"(cum_before + toks - 1) div $PackBudget").as("last_win"))
+      .groupBy("lang", "win")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("sum_toks"),
+        sum(when(col("last_win") =!= col("win"), 1L).otherwise(0L)).as("n_straddlers"))
+      .orderBy("lang", "win")
+  }
+  val pack1Sql: String =
+    s"""WITH t AS (
+       |  SELECT lang, CAST(len(str_split(text, ' ')) AS BIGINT) AS toks,
+       |         CAST(coalesce(sum(len(str_split(text, ' ')))
+       |           OVER (PARTITION BY lang ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS cum_before
+       |  FROM documents)
+       |SELECT lang, cum_before // $PackBudget AS win,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(toks) AS BIGINT) AS sum_toks,
+       |       CAST(sum(CASE WHEN (cum_before + toks - 1) // $PackBudget
+       |                          != cum_before // $PackBudget
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+       |FROM t GROUP BY lang, win ORDER BY lang, win""".stripMargin
+
+  // ---- SAMP1: deterministic stratified split ----
+
+  /** SAMP1: hash-deterministic stratified train/eval split — no RNG, no
+    * seed coordination across engines or reruns: a document's split is a
+    * pure function of its id (first 4 md5 hex digits mod 100 < 25 ⇒
+    * eval), stratified per language. The everyday alternative to
+    * randomSplit when the split must be reproducible at 100 TB and
+    * consistent between the training job and any later audit. */
+  val samp1: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        when(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100 < 25, "eval").otherwise("train").as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang", "split")
+  val samp1Sql: String =
+    """SELECT lang,
+      |       CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 25
+      |            THEN 'eval' ELSE 'train' END AS split,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  // ---- S10: partitioned sink + pruned read-back ----
+
+  /** S10: hive-style partitioned sink (`partitionBy(lang)`) and a pruned
+    * read-back: the `lang = 'en'` filter resolves against the DIRECTORY
+    * layout (partition pruning — PlanShapeSpec asserts only one partition
+    * is listed), which is the data-layout half of scan performance at
+    * 100 TB. The round-trip aggregate equals the same aggregate on the
+    * source, which is the oracle. */
+  val s10: Q = (s, d) => {
+    val out = Files.createTempDirectory("graft_s10").toString
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .filter(col("lang") === "en")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang", "source")
+  }
+  val s10Sql: String =
+    """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "bf1_bloom_semijoin" -> bf1,
+    "pack1_sequence_packing" -> pack1,
+    "samp1_stratified_split" -> samp1,
+    "s10_partitioned_sink" -> s10,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "bf1_bloom_semijoin" -> bf1Sql,
+    "pack1_sequence_packing" -> pack1Sql,
+    "samp1_stratified_split" -> samp1Sql,
+    "s10_partitioned_sink" -> s10Sql,
+  )
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ScaleOps semantics + the plan/row-count properties that make each one a
+  * scale-path operator rather than a rewrite of a plain query. */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("bf1 equals the plain join and the bloom probe actually prunes") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = ScaleOps.bf1(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val dim = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val plain = graft.Tables.lineitem(spark, sfDir)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === plain, "bloom false positives must be removed by the exact join")
+
+    // the reduction property: rows passing the map-side probe must cover
+    // every true match (no false negatives) yet prune a real fraction of
+    // the fact table (false-positive rate bounded by the sketch sizing)
+    val factN = graft.Tables.lineitem(spark, sfDir).count()
+    val trueN = graft.Tables.lineitem(spark, sfDir)
+      .join(dim, col("l_orderkey") === col("o_orderkey")).count()
+    graft.Tables.orders(spark, sfDir).createOrReplaceTempView("g_bf1_orders")
+    graft.Tables.lineitem(spark, sfDir).createOrReplaceTempView("g_bf1_lineitem")
+    val passedN = spark.sql("""
+      SELECT count(*) FROM g_bf1_lineitem
+      WHERE graft_might_contain(
+        (SELECT graft_bloom_agg(xxhash64(o_orderkey), 100000L, 800000L)
+         FROM g_bf1_orders WHERE o_orderpriority = '1-URGENT'),
+        xxhash64(l_orderkey))""").head().getLong(0)
+    assert(passedN >= trueN, "bloom filters must have no false negatives")
+    assert(passedN < factN, "the probe must prune part of the fact scan")
+  }
+
+  test("pack1 windows are contiguous and conserve every token per shard") {
+    val rows = ScaleOps.pack1(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (lang, ws) =>
+      val wins = ws.map(_._2).sorted
+      assert(wins.head === 0L, s"$lang: first window must be 0")
+      // a doc STARTS in window w only if the stream reaches w, so start-
+      // windows can skip values only when one doc spans multiple windows;
+      // the last start-window must still be where the final token lands
+      assert(wins.last === (docs(lang) - 1) / 512,
+        s"$lang: last start-window must match total token count")
+      assert(ws.map(_._4).sum === docs(lang),
+        s"$lang: packed token counts must conserve the shard total")
+    }
+  }
+
+  test("samp1 split partitions every document exactly once per stratum") {
+    val rows = ScaleOps.samp1(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val perLang = graft.Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (lang, ss) =>
+      assert(ss.map(_._3).sum === perLang(lang),
+        s"$lang: train+eval must partition the stratum")
+      assert(ss.map(_._2).toSet.subsetOf(Set("train", "eval")))
+    }
+  }
+
+  test("s10 read-back scan prunes to the lang=en partition directory") {
+    val df = ScaleOps.s10(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      "the lang filter must resolve against the directory layout\n" + p.take(800))
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"),
+      "lang must be a partition column, not a data column")
+  }
+}
