@@ -155,11 +155,77 @@ object ScaleOps {
       |FROM documents WHERE lang = 'en'
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---- PROF1: column profile (data-quality pass) ----
+
+  /** PROF1: the single-scan data-quality profile every ingestion pipeline
+    * runs before training — per source: row count, null/empty-text counts,
+    * distinct languages, char-length min/max/sum, and token sum. One
+    * hash-agg shuffle over group keys; every statistic is map-side
+    * partial-aggregated, so the exchange carries one row per source. */
+  val prof1: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+        sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("n_blank_text"),
+        countDistinct(col("lang")).as("n_langs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        sum("n_chars").as("sum_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_toks"))
+      .orderBy("source")
+  val prof1Sql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+      |       CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blank_text,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_toks
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- APX3: per-group exact percentiles ----
+
+  /** APX3: the per-group variant of Relational.apx2 — exact p50/p95 of
+    * document length per language via (value, freq) aggregation and a
+    * cumulative rank pick WITHIN each group. Both window and join are
+    * partitioned by lang, so the ordered frame is per-group distinct
+    * values, never a global sort; rank targets use the identical
+    * ceil(pct·n) double math in both engines ⇒ bit-exact. */
+  val apx3: Q = (s, d) => {
+    val freq = Tables.documents(s, d)
+      .groupBy(col("lang"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("f"))
+    val cum = freq
+      .withColumn("cf", sum("f").over(
+        Window.partitionBy("lang").orderBy("v")))
+      .withColumn("n", sum("f").over(Window.partitionBy("lang")))
+    val pcts = s.sql("SELECT explode(array(0.5D, 0.95D)) AS pct")
+    cum.join(broadcast(pcts), col("cf") >= ceil(col("pct") * col("n")))
+      .groupBy("lang", "pct").agg(min("v").as("exact_pct_chars"))
+      .orderBy("lang", "pct")
+  }
+  val apx3Sql: String =
+    """WITH freq AS (
+      |  SELECT lang, n_chars AS v, count(*) AS f FROM documents GROUP BY lang, n_chars),
+      |cum AS (
+      |  SELECT lang, v,
+      |         CAST(sum(f) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cf,
+      |         CAST(sum(f) OVER (PARTITION BY lang) AS BIGINT) AS n
+      |  FROM freq),
+      |pcts AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS pct)
+      |SELECT lang, pct, min(v) AS exact_pct_chars
+      |FROM cum JOIN pcts ON cf >= ceil(pct * n)
+      |GROUP BY lang, pct ORDER BY lang, pct""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "bf1_bloom_semijoin" -> bf1,
     "pack1_sequence_packing" -> pack1,
     "samp1_stratified_split" -> samp1,
     "s10_partitioned_sink" -> s10,
+    "prof1_column_profile" -> prof1,
+    "apx3_grouped_percentiles" -> apx3,
   )
 
   val oracle: Map[String, String] = Map(
@@ -167,5 +233,7 @@ object ScaleOps {
     "pack1_sequence_packing" -> pack1Sql,
     "samp1_stratified_split" -> samp1Sql,
     "s10_partitioned_sink" -> s10Sql,
+    "prof1_column_profile" -> prof1Sql,
+    "apx3_grouped_percentiles" -> apx3Sql,
   )
 }
