@@ -365,6 +365,44 @@ object Streams {
       |      FROM events GROUP BY event_type) t ON e.event_type = t.event_type
       |GROUP BY e.event_type, t.type_n ORDER BY e.event_type""".stripMargin
 
+  /** ST8: the BUILT-IN `session_window` aggregation — the stock
+    * counterpart to st3's arbitrary-stateful sessionization. State and
+    * emission are fully managed by Spark (merging session state store,
+    * append-on-watermark); the flush sentinel finalizes the tail sessions
+    * under the bounded drain. Semantics differ from st3/e3 in ONE
+    * documented way: the built-in closes a session when the next event is
+    * `>= gap` after the last (st3 keeps an exactly-gap event), and the
+    * emitted window end is `last_ts + gap` — so st8 carries its own
+    * oracle rather than reusing e3's. */
+  val st8: Q = (s, d) => {
+    val agg = eventStream(s, d, variant = "st8_", flushSentinel = true)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_value_c"))
+    drain(s, agg, "st8_out", OutputMode.Append())
+      .filter(col("user_id") >= 0) // drop the watermark-flush sentinel user
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value_c"))
+      .orderBy("user_id", "session_start")
+  }
+  val st8Sql: String =
+    """WITH m AS (
+      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS v,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM m)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL 10 MINUTE AS session_end,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(v) AS BIGINT) AS sum_value_c
+      |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st1_stream_tumbling" -> st1,
     "st2_stream_sliding" -> st2,
@@ -373,6 +411,7 @@ object Streams {
     "st5_stream_stream_join" -> st5,
     "st6_stream_static_join" -> st6,
     "st7_mapgroups_running_stats" -> st7,
+    "st8_session_window_builtin" -> st8,
   )
 
   /** Streaming results must equal the batch windowing oracles. */
@@ -387,5 +426,6 @@ object Streams {
     "st5_stream_stream_join" -> st5Sql,
     "st6_stream_static_join" -> st6Sql,
     "st7_mapgroups_running_stats" -> st7Sql,
+    "st8_session_window_builtin" -> st8Sql,
   )
 }
