@@ -90,6 +90,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Generate"), "no posexplode of vector components\n" + p.take(800))
   }
 
+  test("BF1 bloom probe filters the fact scan BELOW the join") {
+    val df = ScaleOps.bf1(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    val iProbe = p.indexOf("might_contain")
+    val iJoin = math.max(p.indexOf("SortMergeJoin"), math.max(
+      p.indexOf("ShuffledHashJoin"), p.indexOf("BroadcastHashJoin")))
+    assert(iProbe >= 0, "map-side bloom probe must be in the plan\n" + p.take(800))
+    assert(iJoin >= 0 && iProbe > iJoin,
+      "the probe must sit under the exact join (prune before the exchange)\n" + p.take(1200))
+  }
+
+  test("PROF1 profile aggregates partially on the map side (one scan)") {
+    val p = plan(ScaleOps.prof1(spark, sfDir))
+    assert(p.contains("partial_"), "profile stats must map-side combine\n" + p.take(600))
+    assert("FileScan|Scan parquet".r.findAllIn(p).length <= 2,
+      "the profile must come from a single pass over documents\n" + p.take(600))
+  }
+
   test("whole-stage codegen covers the text-cleaning chain (no UDFs)") {
     val p = plan(Corpus.tokensNb(spark, sfDir))
     // '*(n)' prefixes mark operators fused into WholeStageCodegen stage n
