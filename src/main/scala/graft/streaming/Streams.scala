@@ -403,6 +403,42 @@ object Streams {
       |       CAST(sum(v) AS BIGINT) AS sum_value_c
       |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin
 
+  /** ST9: the DURABLE sink path — append-mode watermarked tumbling windows
+    * written to a parquet FILE SINK with a checkpoint (exactly-once via
+    * the sink's transaction log), then read back. The memory sinks in
+    * st1–st8 are the bounded-drain test harness; this is the shape a
+    * production job ships: `writeStream.format("parquet")` + checkpoint
+    * recovery. Append emits a window only once the watermark closes it —
+    * the flush sentinel closes every real window, and its own far-future
+    * window is filtered on read-back. Result: identical rows to the e1
+    * batch oracle. */
+  val st9: Q = (s, d) => {
+    val agg = eventStream(s, d, variant = "st9_", flushSentinel = true)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value_c"))
+    val outDir = Files.createTempDirectory("graft_st9_sink").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_st9").toString
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    try {
+      val q = agg.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", before)
+    val maxRealTs = graft.Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+    s.read.parquet(outDir)
+      .filter(col("window_start") <= lit(maxRealTs)) // drop the sentinel's window
+      .orderBy("window_start", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "st1_stream_tumbling" -> st1,
     "st2_stream_sliding" -> st2,
@@ -412,6 +448,7 @@ object Streams {
     "st6_stream_static_join" -> st6,
     "st7_mapgroups_running_stats" -> st7,
     "st8_session_window_builtin" -> st8,
+    "st9_stream_file_sink" -> st9,
   )
 
   /** Streaming results must equal the batch windowing oracles. */
@@ -427,5 +464,6 @@ object Streams {
     "st6_stream_static_join" -> st6Sql,
     "st7_mapgroups_running_stats" -> st7Sql,
     "st8_session_window_builtin" -> st8Sql,
+    "st9_stream_file_sink" -> graft.ops.Events.e1Sql,
   )
 }
