@@ -407,6 +407,69 @@ object Dedup {
        |WHERE d.dot >= 0 AND d.dot * d.dot * 100 >= 81 * na.nrm * nb.nrm
        |ORDER BY d.id_a, d.id_b""".stripMargin
 
+  // ---- D8: dedup clusters (connected components over near-dup pairs) ----
+
+  /** D8: the step that makes pair lists actionable — connected components
+    * over d3's verified near-dup pairs (jaccard ≥ 0.8), so each document
+    * gets a CLUSTER id (= the minimum doc_id reachable through dup edges)
+    * and a cluster size; a pipeline keeps `doc_id == cluster_id` and drops
+    * the rest. Iterative min-label propagation on DataFrames (the SvmSgd
+    * driver-loop pattern): each round joins labels to edges, takes the
+    * min neighbor label, and stops when no label changed — rounds ≈ graph
+    * diameter (dup clusters are near-cliques, so 2-3). Per round: one
+    * shuffle on the edge key + one tiny label join; labels/edges frames
+    * hold only documents that HAVE a duplicate, a vanishing fraction of
+    * the corpus at 100 TB. Deterministic (min over longs) ⇒ exact oracle
+    * via DuckDB's recursive CTE. */
+  val d8: Q = (s, d) => {
+    val pairs = d3(s, d).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges.join(labels, col("id_b") === col("id"))
+        .groupBy("id_a").agg(min("lbl").as("nlbl"))
+      val prev = labels
+      labels = labels.join(neighborMin, col("id") === col("id_a"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = labels.join(prev.withColumnRenamed("lbl", "plbl"), "id")
+        .filter(col("lbl") =!= col("plbl")).count()
+      prev.unpersist()
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    val out = labels
+      .join(labels.groupBy("lbl").agg(count(lit(1)).as("n_members")), "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+  val d8Sql: String = {
+    val d3NoTrailing = d3Sql
+    s"""WITH RECURSIVE p AS ($d3NoTrailing),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM p),
+       |reach(id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.lbl = e.a),
+       |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       |SELECT cc.id AS doc_id, cc.cluster_id,
+       |       CAST(sz.n AS BIGINT) AS n_members
+       |FROM cc JOIN (SELECT cluster_id, count(*) AS n
+       |              FROM cc GROUP BY cluster_id) sz USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // =====================================================================
   //  registry
   // =====================================================================
@@ -419,6 +482,7 @@ object Dedup {
     "d5_simhash_pairs" -> d5,
     "d6_ngram_jaccard_blocked" -> d6,
     "d7_embedding_neardup" -> d7,
+    "d8_dedup_clusters" -> d8,
   )
 
   val oracle: Map[String, String] = Map(
@@ -429,5 +493,6 @@ object Dedup {
     "d5_simhash_pairs" -> d5Sql,
     "d6_ngram_jaccard_blocked" -> d6Sql,
     "d7_embedding_neardup" -> d7Sql,
+    "d8_dedup_clusters" -> d8Sql,
   )
 }

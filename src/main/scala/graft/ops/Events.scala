@@ -206,6 +206,37 @@ object Events {
       |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
       |WHERE k IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** E9: cohort retention — users bucketed by the epoch-week of their
+    * FIRST event (cohort), then distinct active users per (cohort,
+    * weeks-since-cohort) offset: the classic retention triangle. Two
+    * shuffles total: the per-user min-week aggregate and the final
+    * (cohort, offset) distinct-count — both partial-aggregated; the
+    * distinct-(user, week) projection collapses map-side first. Epoch-week
+    * integer buckets (µs div week) keep the math bit-identical to DuckDB,
+    * where ISO week truncation would diverge on locale rules. */
+  val e9: Q = (s, d) => {
+    val weekUs = 7L * 86400L * 1000000L
+    val uw = ev(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $weekUs").as("week"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+  val e9Sql: String = {
+    val weekUs = 7L * 86400L * 1000000L
+    s"""WITH uw AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $weekUs AS week FROM events),
+       |cohort AS (
+       |  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+       |SELECT c.cohort_week, u.week - c.cohort_week AS week_offset,
+       |       CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users
+       |FROM uw u JOIN cohort c USING (user_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_tumbling_window" -> e1,
     "e2_sliding_window" -> e2,
@@ -215,6 +246,7 @@ object Events {
     "e6_banded_range_join" -> e6,
     "e7_funnel_stages" -> e7,
     "e8_from_json_struct" -> e8,
+    "e9_cohort_retention" -> e9,
   )
 
   val oracle: Map[String, String] = Map(
@@ -226,5 +258,6 @@ object Events {
     "e6_banded_range_join" -> e6Sql,
     "e7_funnel_stages" -> e7Sql,
     "e8_from_json_struct" -> e8Sql,
+    "e9_cohort_retention" -> e9Sql,
   )
 }
