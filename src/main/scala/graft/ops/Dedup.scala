@@ -423,27 +423,39 @@ object Dedup {
     * via DuckDB's recursive CTE. */
   val d8: Q = (s, d) => {
     val pairs = d3(s, d).select(col("id_a"), col("id_b"))
-    val edges = pairs
-      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // symmetrize via explode, NOT a self-union: a union would embed the
+    // whole (uncached) d3 pipeline twice in the plan and evaluate it twice
+    val edges = pairs.select(explode(array(
+        struct(col("id_a"), col("id_b")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("e"))
+      .select(col("e.id_a"), col("e.id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE the loop so every round reads the cache, never d3
+    edges.count()
     var labels = edges.select(col("id_a").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    // labels only ever DECREASE (least of self and neighbors), so the
+    // label sum is strictly monotone until the fixpoint: sum-unchanged ⟺
+    // element-wise unchanged — one aggregate per round instead of a
+    // diff-join against the previous iteration
+    var prevSum = Long.MaxValue
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (!converged && rounds < 20) {
       val neighborMin = edges.join(labels, col("id_b") === col("id"))
         .groupBy("id_a").agg(min("lbl").as("nlbl"))
       val prev = labels
       labels = labels.join(neighborMin, col("id") === col("id_a"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = labels.join(prev.withColumnRenamed("lbl", "plbl"), "id")
-        .filter(col("lbl") =!= col("plbl")).count()
+      val sum = labels.agg(org.apache.spark.sql.functions.sum("lbl")).head().getLong(0)
+      converged = sum == prevSum
+      prevSum = sum
       prev.unpersist()
       rounds += 1
     }
-    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    require(converged, s"label propagation did not converge in $rounds rounds")
     val out = labels
       .join(labels.groupBy("lbl").agg(count(lit(1)).as("n_members")), "lbl")
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("n_members"))

@@ -87,6 +87,27 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("D8 clusters are canonical: min-id labels, closed under dup edges") {
+    val rows = Dedup.queries("d8_dedup_clusters")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    // the cluster id is the component minimum, so it labels itself
+    rows.foreach { case (id, cid, _) =>
+      assert(cid <= id, "cluster id must be the component minimum")
+      assert(cluster(cid) === cid, "the canonical doc must be in its own cluster")
+    }
+    // n_members is consistent with the labeling
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    rows.foreach { case (_, cid, n) => assert(n === sizes(cid)) }
+    // every d3 near-dup pair landed in the same cluster (edge closure)
+    Dedup.queries("d3_minhash_lsh_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .foreach { case (a, b) =>
+        assert(cluster(a) === cluster(b), s"pair ($a,$b) must share a cluster")
+      }
+  }
+
   test("T7 fingerprint is order-sensitive (rolling hash, not a bag hash)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
