@@ -219,7 +219,85 @@ object ScaleOps {
       |FROM cum JOIN pcts ON cf >= ceil(pct * n)
       |GROUP BY lang, pct ORDER BY lang, pct""".stripMargin
 
+  // ---- MERGE1: CDC upsert (merge-into semantics via full-outer join) ----
+
+  /** MERGE1: the lakehouse MERGE INTO shape without a table format — apply
+    * a deterministic change batch (updates for o_orderkey % 10 = 0, new
+    * inserts keyed +5,000,000 for % 100 = 0) onto the base snapshot with
+    * ONE full-outer join on the key and a coalesce precedence (update >
+    * base). At 100 TB both sides hash-partition on the key — the same
+    * single-shuffle plan Delta/Iceberg generate for a matched merge; with
+    * the base bucketed by key the shuffle drops to the change batch only.
+    * Emits the post-merge priority histogram (exact-cents totals). */
+  val merge1: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
+        (col("o_totalprice") + 1).as("o_totalprice"))
+      .unionAll(base.filter(col("o_orderkey") % 100 === 0)
+        .select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+          lit("INSERTED").as("o_orderpriority"), col("o_totalprice")))
+    base.as("b").join(updates.as("u"),
+        col("b.o_orderkey") === col("u.o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("u.o_orderpriority"), col("b.o_orderpriority")).as("prio"),
+        cents(coalesce(col("u.o_totalprice"), col("b.o_totalprice"))).as("price_c"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n"), sum("price_c").as("sum_price_c"))
+      .orderBy("prio")
+  }
+  val merge1Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+      |updates AS (
+      |  SELECT o_orderkey, 'MERGED' AS o_orderpriority, o_totalprice + 1 AS o_totalprice
+      |  FROM base WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 5000000, 'INSERTED', o_totalprice
+      |  FROM base WHERE o_orderkey % 100 = 0)
+      |SELECT coalesce(u.o_orderpriority, b.o_orderpriority) AS prio,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(coalesce(u.o_totalprice, b.o_totalprice) * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_price_c
+      |FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+      |GROUP BY prio ORDER BY prio""".stripMargin
+
+  // ---- S11: schema-evolution read across parquet generations ----
+
+  /** S11: mergeSchema read over two parquet generations — an old dir
+    * written WITHOUT the `source` column and a new dir with it — the
+    * data-lake reality that schemas grow over time. Old rows surface NULL
+    * for the added column; the aggregation buckets them as 'legacy'. The
+    * schema union happens at footer-merge time; each file still reads only
+    * its own pruned columns. */
+  val s11: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val oldDir = Files.createTempDirectory("graft_s11_old").toString
+    val newDir = Files.createTempDirectory("graft_s11_new").toString
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(oldDir)
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      .write.mode("overwrite").parquet(newDir)
+    s.read.option("mergeSchema", "true").parquet(oldDir, newDir)
+      .select(col("lang"), coalesce(col("source"), lit("legacy")).as("source"),
+        col("n_chars"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang", "source")
+  }
+  val s11Sql: String =
+    """SELECT lang,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'legacy' ELSE source END AS source,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "merge1_cdc_upsert" -> merge1,
+    "s11_schema_evolution" -> s11,
     "bf1_bloom_semijoin" -> bf1,
     "pack1_sequence_packing" -> pack1,
     "samp1_stratified_split" -> samp1,
@@ -229,6 +307,8 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "merge1_cdc_upsert" -> merge1Sql,
+    "s11_schema_evolution" -> s11Sql,
     "bf1_bloom_semijoin" -> bf1Sql,
     "pack1_sequence_packing" -> pack1Sql,
     "samp1_stratified_split" -> samp1Sql,
