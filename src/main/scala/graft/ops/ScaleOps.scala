@@ -295,8 +295,41 @@ object ScaleOps {
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- S12: small-file compaction ----
+
+  /** S12: the operational fix for the small-files problem — a fragmented
+    * dataset (64 tiny files here) is rewritten to ⌈bytes / 128 MiB⌉ files
+    * via `coalesce` (a NARROW repartitioning: no shuffle, each output task
+    * concatenates input splits). At 100 TB this runs per partition
+    * directory with the same byte-budget math; the content-preservation
+    * oracle (post-compaction aggregate = source aggregate) is exactly what
+    * a production compactor asserts before swapping directories. File-count
+    * reduction is asserted in ScaleOpsSpec. */
+  val s12: Q = (s, d) => {
+    val smallDir = Files.createTempDirectory("graft_s12_small").toString
+    val compactDir = Files.createTempDirectory("graft_s12_compact").toString
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartition(64) // manufacture the fragmentation
+      .write.mode("overwrite").parquet(smallDir)
+    val bytes = new java.io.File(smallDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val targetFiles = math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+    s.read.parquet(smallDir).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(compactDir)
+    s.read.parquet(compactDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+  val s12Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "merge1_cdc_upsert" -> merge1,
+    "s12_compaction" -> s12,
     "s11_schema_evolution" -> s11,
     "bf1_bloom_semijoin" -> bf1,
     "pack1_sequence_packing" -> pack1,
@@ -308,6 +341,7 @@ object ScaleOps {
 
   val oracle: Map[String, String] = Map(
     "merge1_cdc_upsert" -> merge1Sql,
+    "s12_compaction" -> s12Sql,
     "s11_schema_evolution" -> s11Sql,
     "bf1_bloom_semijoin" -> bf1Sql,
     "pack1_sequence_packing" -> pack1Sql,

@@ -72,6 +72,34 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("merge1 upsert: updates win, inserts append, untouched rows survive") {
+    import graft.Tables
+    val base = Tables.orders(spark, sfDir)
+    val nBase = base.count()
+    val nInserts = base.filter(col("o_orderkey") % 100 === 0).count()
+    val got = ScaleOps.merge1(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // cardinality: every base row exactly once + the inserted keys
+    assert(got.values.map(_._1).sum === nBase + nInserts)
+    // every %10 key carries the update marker, every insert its own
+    assert(got("MERGED")._1 === base.filter(col("o_orderkey") % 10 === 0).count())
+    assert(got("INSERTED")._1 === nInserts)
+  }
+
+  test("s12 compaction reduces the file count and preserves content") {
+    val result = ScaleOps.s12(spark, sfDir)
+    val rows = result.collect()
+    // content preserved (same agg as source)
+    val src = graft.Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet === src)
+    // the compacted read plan touches far fewer files than the 64 written
+    val scanned = result.queryExecution.executedPlan.toString
+    val m = "numFiles=(\\d+)".r.findFirstMatchIn(scanned)
+    m.foreach(g => assert(g.group(1).toInt < 64, s"compaction must reduce files: $scanned"))
+  }
+
   test("s10 read-back scan prunes to the lang=en partition directory") {
     val df = ScaleOps.s10(spark, sfDir)
     df.collect()
