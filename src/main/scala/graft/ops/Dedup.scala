@@ -482,6 +482,46 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- D9: benchmark decontamination ----
+
+  /** D9: the pre-training contamination check — training documents that
+    * share ANY word 3-gram with the benchmark/eval set (stand-in: doc_id
+    * % 97 = 0) are flagged, per language. One LEFT SEMI join of train
+    * shingles against the distinct benchmark shingle set: the benchmark
+    * side is tiny (the eval suite), so at 100 TB it broadcasts and the
+    * train scan never shuffles for the probe; the per-doc distinct + lang
+    * rollup are ordinary partial aggregates. The overlap rule (any shared
+    * shingle) is the conservative industry default; tightening to k-of-n
+    * shingles is a WHERE clause on the same join. */
+  val d9: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sh = shinglesOf(docs.select(col("doc_id"), col("text")))
+    val benchShingles = sh.filter(col("doc_id") % 97 === 0)
+      .select("shingle").distinct()
+    val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(benchShingles, Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .orderBy("lang")
+  }
+  val d9Sql: String =
+    s"""WITH ${shinglesCteBody("shing", "documents")},
+       |bench AS (SELECT DISTINCT shingle FROM shing WHERE doc_id % 97 = 0),
+       |contam AS (
+       |  SELECT DISTINCT s.doc_id FROM shing s
+       |  WHERE s.doc_id % 97 != 0
+       |    AND EXISTS (SELECT 1 FROM bench b WHERE b.shingle = s.shingle))
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_train,
+       |       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_contaminated
+       |FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+       |WHERE d.doc_id % 97 != 0
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   // =====================================================================
   //  registry
   // =====================================================================
@@ -495,6 +535,7 @@ object Dedup {
     "d6_ngram_jaccard_blocked" -> d6,
     "d7_embedding_neardup" -> d7,
     "d8_dedup_clusters" -> d8,
+    "d9_decontamination" -> d9,
   )
 
   val oracle: Map[String, String] = Map(
@@ -506,5 +547,6 @@ object Dedup {
     "d6_ngram_jaccard_blocked" -> d6Sql,
     "d7_embedding_neardup" -> d7Sql,
     "d8_dedup_clusters" -> d8Sql,
+    "d9_decontamination" -> d9Sql,
   )
 }
