@@ -65,7 +65,11 @@ object Bench {
     val warmByName = timings.toMap
     val qs = Headline.flatMap(n => warmByName.get(n).map { case (_, w) => s"\"$n\":${f(w)}" })
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(totalWarm)},"unit":"sec","queries":$qs,"queries_file":"$fullPath","sf":"$sfDir"}""")
+    // crashed queries are clamped OUT of the totals (a crash must not read
+    // as a speedup), so they have to be loud on the stdout line instead
+    val failed = timings.collect { case (n, (c, w)) if c < 0 || w < 0 => s"\"$n\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(totalWarm)},"unit":"sec","queries":$qs,"failed":$failed,"queries_file":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -431,37 +431,46 @@ object Dedup {
       .select(col("e.id_a"), col("e.id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize BEFORE the loop so every round reads the cache, never d3
-    edges.count()
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // labels only ever DECREASE (least of self and neighbors), so the
-    // label sum is strictly monotone until the fixpoint: sum-unchanged ⟺
-    // element-wise unchanged — one aggregate per round instead of a
-    // diff-join against the previous iteration
-    var prevSum = Long.MaxValue
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val neighborMin = edges.join(labels, col("id_b") === col("id"))
-        .groupBy("id_a").agg(min("lbl").as("nlbl"))
-      val prev = labels
-      labels = labels.join(neighborMin, col("id") === col("id_a"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+    if (edges.count() == 0) {
+      // no near-dup pairs at all: the recursive-CTE oracle yields an empty
+      // result; mirror it (the loop below would NPE on a NULL sum(lbl))
+      edges.unpersist()
+      edges.select(col("id_a").as("doc_id"), col("id_b").as("cluster_id"),
+        lit(0L).as("n_members")).limit(0)
+    } else {
+      var labels = edges.select(col("id_a").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sum = labels.agg(org.apache.spark.sql.functions.sum("lbl")).head().getLong(0)
-      converged = sum == prevSum
-      prevSum = sum
-      prev.unpersist()
-      rounds += 1
+      // labels only ever DECREASE (least of self and neighbors), so the
+      // label sum is strictly monotone until the fixpoint: sum-unchanged ⟺
+      // element-wise unchanged — one aggregate per round instead of a
+      // diff-join against the previous iteration
+      var prevSum = Long.MaxValue
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val neighborMin = edges.join(labels, col("id_b") === col("id"))
+          .groupBy("id_a").agg(min("lbl").as("nlbl"))
+        val prev = labels
+        labels = labels.join(neighborMin, col("id") === col("id_a"), "left")
+          .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sum = labels.agg(org.apache.spark.sql.functions.sum("lbl")).head().getLong(0)
+        converged = sum == prevSum
+        prevSum = sum
+        prev.unpersist()
+        rounds += 1
+      }
+      require(converged, s"label propagation did not converge in $rounds rounds")
+      // edges/labels stay cached until the caller's final action — the
+      // returned frame is LAZY, so an eager unpersist here would force a
+      // full d3 recompute on eviction; the harness clears the session
+      // cache between queries (Verify/Bench), which is the owning scope
+      labels
+        .join(labels.groupBy("lbl").agg(count(lit(1)).as("n_members")), "lbl")
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
+        .orderBy("doc_id")
     }
-    require(converged, s"label propagation did not converge in $rounds rounds")
-    val out = labels
-      .join(labels.groupBy("lbl").agg(count(lit(1)).as("n_members")), "lbl")
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
-      .orderBy("doc_id")
-    edges.unpersist()
-    out
   }
   val d8Sql: String = {
     val d3NoTrailing = d3Sql

@@ -232,11 +232,15 @@ object ScaleOps {
   val merge1: Q = (s, d) => {
     val base = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    // insert keys start STRICTLY ABOVE the current max key (computed, not
+    // a fixed offset — a constant collides with real keys at larger SFs;
+    // and max+1, not max, because key 0 exists in the fixture)
+    val insOffset = base.agg(max("o_orderkey")).head().getLong(0) + 1L
     val updates = base.filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
         (col("o_totalprice") + 1).as("o_totalprice"))
       .unionAll(base.filter(col("o_orderkey") % 100 === 0)
-        .select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+        .select((col("o_orderkey") + lit(insOffset)).as("o_orderkey"),
           lit("INSERTED").as("o_orderpriority"), col("o_totalprice")))
     base.as("b").join(updates.as("u"),
         col("b.o_orderkey") === col("u.o_orderkey"), "full_outer")
@@ -254,7 +258,7 @@ object ScaleOps {
       |  SELECT o_orderkey, 'MERGED' AS o_orderpriority, o_totalprice + 1 AS o_totalprice
       |  FROM base WHERE o_orderkey % 10 = 0
       |  UNION ALL
-      |  SELECT o_orderkey + 5000000, 'INSERTED', o_totalprice
+      |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM base), 'INSERTED', o_totalprice
       |  FROM base WHERE o_orderkey % 100 = 0)
       |SELECT coalesce(u.o_orderpriority, b.o_orderpriority) AS prio,
       |       CAST(count(*) AS BIGINT) AS n,

@@ -52,11 +52,18 @@ object Streams {
       Files.delete(link)
     Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$d/events.parquet"))
     if (flushSentinel) {
-      val sf = srcDir.resolve("sentinel.parquet")
+      // the sentinel must outrun the CURRENT fixture's max event time, so
+      // the cache key is the flush timestamp itself: a regenerated fixture
+      // with later events gets a fresh sentinel (a stale one would leave
+      // the final watermark short and silently drop tail sessions/windows)
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+      val farNs = maxNs + 2L * 86400L * 1000000000L // +2 days
+      val sf = srcDir.resolve(s"sentinel_$farNs.parquet")
       if (!Files.exists(sf)) {
-        val raw = s.read.parquet(s"$d/events.parquet")
-        val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
-        val farNs = maxNs + 2L * 86400L * 1000000000L // +2 days
+        new java.io.File(srcDir.toString).listFiles()
+          .filter(f => f.getName.startsWith("sentinel_") && f.getName.endsWith(".parquet"))
+          .foreach(_.delete()) // stale sentinels from an older fixture
         val one = raw.limit(1)
           .withColumn("user_id", lit(-1L))
           .withColumn("ts", lit(farNs))

@@ -90,11 +90,11 @@ class GraftFunctionsSpec extends SparkSpec {
   test("graft_bloom_agg/might_contain: no false negatives, bounded false positives") {
     GraftFunctions.register(spark)
     // membership via scalar subquery (the only shape might_contain accepts)
-    val hits = spark.sql("""
-      SELECT count(*) FROM range(1000)
-      WHERE might_contain_t(id)""".replace("might_contain_t(id)",
-        "graft_might_contain((SELECT graft_bloom_agg(xxhash64(id), 1000L, 8000L) " +
-        "FROM range(0, 1000, 3)), xxhash64(id))")).head().getLong(0)
+    val hits = spark.sql(
+      """SELECT count(*) FROM range(1000)
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(id), 1000L, 8000L) FROM range(0, 1000, 3)),
+        |  xxhash64(id))""".stripMargin).head().getLong(0)
     val members = (0 until 1000 by 3).size // 334
     assert(hits >= members, s"every inserted key must test positive, got $hits < $members")
     // 8 bits/key sizing keeps the false-positive rate well under 10%

@@ -46,14 +46,23 @@ class ScaleOpsSpec extends SparkSpec {
     val docs = graft.Tables.documents(spark, sfDir)
       .groupBy("lang").agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the last START window is where the final doc BEGINS (total tokens
+    // minus the last doc's own), not where the stream ends — the final doc
+    // may straddle into later windows that then contain no starts
+    val lastDocStart = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy(col("doc_id").desc)
+      graft.Tables.documents(spark, sfDir)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .collect().map(r => r.getString(0) -> (docs(r.getString(0)) - r.getLong(2))).toMap
+    }
     rows.groupBy(_._1).foreach { case (lang, ws) =>
       val wins = ws.map(_._2).sorted
       assert(wins.head === 0L, s"$lang: first window must be 0")
-      // a doc STARTS in window w only if the stream reaches w, so start-
-      // windows can skip values only when one doc spans multiple windows;
-      // the last start-window must still be where the final token lands
-      assert(wins.last === (docs(lang) - 1) / 512,
-        s"$lang: last start-window must match total token count")
+      assert(wins.last === lastDocStart(lang) / 512,
+        s"$lang: last start-window must be where the final doc begins")
       assert(ws.map(_._4).sum === docs(lang),
         s"$lang: packed token counts must conserve the shard total")
     }
