@@ -331,9 +331,37 @@ object ScaleOps {
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- S13: ORC source/sink round-trip ----
+
+  /** S13: the columnar-format portability path — the same documents frame
+    * written as ORC (Spark's other first-class columnar format: ZLIB
+    * stripes, built-in bloom/min-max indexes) and read back through the
+    * vectorized ORC reader with predicate pushdown (`n_chars > 0` reaches
+    * the stripe level). Round-trip aggregate equals the source aggregate,
+    * which is the oracle — format conversion must be lossless. */
+  val s13: Q = (s, d) => {
+    val out = Files.createTempDirectory("graft_s13_orc").toString
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .filter(col("n_chars") > 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("lang")
+  }
+  val s13Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents WHERE n_chars > 0
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "merge1_cdc_upsert" -> merge1,
     "s12_compaction" -> s12,
+    "s13_orc_roundtrip" -> s13,
     "s11_schema_evolution" -> s11,
     "bf1_bloom_semijoin" -> bf1,
     "pack1_sequence_packing" -> pack1,
@@ -346,6 +374,7 @@ object ScaleOps {
   val oracle: Map[String, String] = Map(
     "merge1_cdc_upsert" -> merge1Sql,
     "s12_compaction" -> s12Sql,
+    "s13_orc_roundtrip" -> s13Sql,
     "s11_schema_evolution" -> s11Sql,
     "bf1_bloom_semijoin" -> bf1Sql,
     "pack1_sequence_packing" -> pack1Sql,
