@@ -181,6 +181,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st3 fuses two open islands when a bridging event arrives in a LATER batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Streams.Ev]
+    val evs = input.toDS()
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("user_id"), col("value_c"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"), col("value_c"))
+      .as[Streams.EvW]
+    val sessions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Streams.SessState, Streams.SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
+        Streams.sessionFunc)
+    val q = sessions.toDF().writeStream.format("memory").queryName("st3_bridge")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: islands [100,105] and [118,120] (13-min gap between them);
+      // watermark after = 120 - 10 = minute 110 < 105+10, so neither closes
+      input.addData(Streams.Ev(1L, minuteUs(100), 1), Streams.Ev(1L, minuteUs(105), 2),
+        Streams.Ev(1L, minuteUs(118), 4), Streams.Ev(1L, minuteUs(120), 8))
+      q.processAllAvailable()
+      // batch 2: minute 111 (above the 110 watermark — NOT late) is within
+      // the gap of both islands and must FUSE them into [100,120]
+      input.addData(Streams.Ev(1L, minuteUs(111), 16))
+      q.processAllAvailable()
+      // batch 3: flush — the single fused session must emit exactly once
+      input.addData(Streams.Ev(99L, minuteUs(400), 1))
+      q.processAllAvailable()
+      val got = sp.table("st3_bridge").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+        .filter(_._1 == 1L)
+      assert(got.toSet === Set((1L, 1L, 5L, 31L)),
+        s"cross-batch bridge must fuse the open islands into ONE session: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("fixture arrival disorder stays inside st4's 1-hour watermark delay") {
     // st4's dropDuplicatesWithinWatermark equals batch DISTINCT only while
     // no event arrives more than the delay behind the running event-time
