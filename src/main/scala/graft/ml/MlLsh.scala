@@ -32,12 +32,16 @@ object MlLsh {
       .groupBy("shingle").agg(count(lit(1)).as("n"))
       .orderBy("shingle")
   }
-  // oracle: 3-grams of the lowercase \s-split tokens, space-joined
+  // oracle: 3-grams of the lowercase \s-split tokens, space-joined.
+  // Trailing whitespace is stripped BEFORE the split: Java's split("\\s")
+  // (what ml.Tokenizer runs) drops trailing empty tokens while DuckDB's
+  // regexp_split_to_array keeps them — interior empties are kept by both.
   val t8Sql: String =
     """SELECT shingle, CAST(count(*) AS BIGINT) AS n FROM (
       |  SELECT unnest([array_to_string(toks[i+1:i+3], ' ')
       |                 for i in range(greatest(len(toks) - 2, 0))]) AS shingle
-      |  FROM (SELECT regexp_split_to_array(lower(text), '\s') AS toks FROM documents))
+      |  FROM (SELECT regexp_split_to_array(regexp_replace(lower(text), '\s+$', ''), '\s') AS toks
+      |        FROM documents))
       |GROUP BY shingle ORDER BY shingle""".stripMargin
 
   /** Token-set vectors for MinHashLSH (CountVectorizer binary=true). */
@@ -47,8 +51,12 @@ object MlLsh {
     val cv = new CountVectorizer().setInputCol("words").setOutputCol("features")
       .setBinary(true).fit(docs)
     cv.transform(docs).select(col("doc_id"), col("features"))
-      // MinHashLSH requires at least one non-zero entry
-      .filter(expr("features IS NOT NULL"))
+      // MinHashLSH requires at least one non-zero entry. CountVectorizer
+      // never yields NULL — the real failure mode is an ALL-ZERO vector
+      // (every token of a doc truncated out of the vocabSize cap), so the
+      // guard must test numNonzeros, not nullness.
+      .filter((r: org.apache.spark.sql.Row) =>
+        r.getAs[org.apache.spark.ml.linalg.Vector]("features").numNonzeros > 0)
   }
 
   /** LSH1: MinHashLSH self-join — Jaccard-distance near-dup candidates.
@@ -100,12 +108,17 @@ object MlLsh {
     val keys = data.filter(col("vec_id") % 100 === 0)
       .orderBy("vec_id").limit(3).collect()
       .map(r => r.getLong(0) -> r.getAs[org.apache.spark.ml.linalg.Vector]("features"))
-    keys.map { case (qid, key) =>
+    val perKey = keys.map { case (qid, key) =>
       model.approxNearestNeighbors(data.filter(col("vec_id") =!= qid), key, 5)
         .select(lit(qid).as("q_id"), col("vec_id").as("cand_id"),
           round(col("distCol"), 4).as("dist"))
-    }.reduce(_ unionAll _)
-      .orderBy("q_id", "dist", "cand_id")
+    }
+    // a fixture without any %100 vec_id yields zero query keys — return an
+    // empty frame instead of crashing reduce on an empty collection
+    if (perKey.isEmpty)
+      data.select(col("vec_id").as("q_id"), col("vec_id").as("cand_id"),
+        lit(0.0).as("dist")).limit(0)
+    else perKey.reduce(_ unionAll _).orderBy("q_id", "dist", "cand_id")
   }
 
   val queries: Map[String, Q] = Map(

@@ -57,6 +57,12 @@ object MlPipelines {
   private def fitScore(s: SparkSession, d: String, estimator: org.apache.spark.ml.PipelineStage): DataFrame = {
     val (tok, tf, idf) = featurize
     val data = corpus(s, d)
+    // DELIBERATE reference parity: IDF is fitted on the FULL corpus and
+    // the split happens on the already-featurized frame, exactly as
+    // `NaiveBayes.py:56-61` does (fit -> transform -> randomSplit). That
+    // leaks test-set document frequencies into the features — reproducing
+    // the reference's behavior is the contract here, so do not "fix" the
+    // order without also changing the published-metrics comparison.
     val pipe = new Pipeline().setStages(Array(tok, tf, idf))
     // persist: the featurized frame feeds the estimator fit (train side) and
     // the scoring pass (test side) — uncached, tokenize+hash+IDF-scale reruns
@@ -94,9 +100,15 @@ object MlPipelines {
     })
     scaled.select(
       nnz(col("rawFeatures")).as("tf_nnz"),
-      round(tot(col("rawFeatures")), 0).cast("long").as("tf_total"))
-      .groupBy("tf_nnz", "tf_total").agg(count(lit(1)).as("n"))
-      .orderBy("tf_nnz", "tf_total")
+      round(tot(col("rawFeatures")), 0).cast("long").as("tf_total"),
+      // after-IDF: numNonzeros can DROP (a term present in every doc has
+      // idf = 0, zeroing its scaled value), and the value sum becomes the
+      // engine-defined double the rows-only check tolerates
+      nnz(col("features")).as("idf_nnz"),
+      tot(col("features")).as("idf_total"))
+      .groupBy("tf_nnz", "tf_total", "idf_nnz")
+      .agg(count(lit(1)).as("n"), round(sum("idf_total"), 3).as("sum_idf_total"))
+      .orderBy("tf_nnz", "tf_total", "idf_nnz")
   }
 
   /** R1: randomSplit(0.75/0.25, seed) disjointness + coverage invariants:

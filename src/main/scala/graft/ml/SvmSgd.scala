@@ -78,8 +78,15 @@ object SvmSgd {
     (summaries.result().toDF("epoch", "n_misclassified", "n_weights", "w_norm"), weights)
   }
 
-  /** Rows-only query for the registry: per-epoch training summary. */
-  val query: (SparkSession, String) => DataFrame = (s, d) => train(s, d, 5)._1
+  /** Rows-only query for the registry: per-epoch training summary. The
+    * summaries frame is a local relation (built from driver-side scalars),
+    * so the final weights cache — whose handle this path discards — can be
+    * released immediately instead of leaking for the session's life. */
+  val query: (SparkSession, String) => DataFrame = (s, d) => {
+    val (summaries, weights) = train(s, d, 5)
+    weights.unpersist()
+    summaries
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("m7c_svm_corrected_epochs" -> query)

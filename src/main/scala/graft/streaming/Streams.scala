@@ -81,30 +81,34 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Run a bounded streaming query to a memory sink and return the table. */
-  private def drain(s: SparkSession, out: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString
-    // size the state-store partition count to the stream's load: each state
-    // partition costs a provider instance + checkpoint delta files per
-    // batch, so a bounded test stream wants few; a production deployment
-    // sets this per-job before first start (it is fixed by the checkpoint)
+  /** Start a bounded (AvailableNow) run of a pre-configured writer with
+    * the state-store partition count sized to the stream's load: each
+    * state partition costs a provider instance + checkpoint delta files
+    * per batch, so a bounded test stream wants few; a production
+    * deployment sets this per-job before first start (it is fixed by the
+    * checkpoint). SEQUENTIAL-EXECUTION ASSUMPTION: this toggles a
+    * session-global conf around the stream's start and restores it in
+    * finally. Verify/Bench run queries strictly one at a time, so nothing
+    * else observes the temporary value; a host embedding this library
+    * alongside concurrent batch queries should instead run streams in a
+    * cloned session (spark.newSession()) whose conf is free to differ. */
+  private def runBounded(s: SparkSession,
+      writer: org.apache.spark.sql.streaming.DataStreamWriter[Row]): Unit = {
     val statePartitions = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8")
-    // SEQUENTIAL-EXECUTION ASSUMPTION: this toggles a session-global conf
-    // around the stream's start and restores it in finally. Verify/Bench
-    // run queries strictly one at a time, so nothing else observes the
-    // temporary value; a host embedding this library alongside concurrent
-    // batch queries should instead run streams in a cloned session
-    // (spark.newSession()) whose conf is free to differ.
     val before = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions)
     try {
-      val q = out.writeStream
-        .format("memory").queryName(name).outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = writer.trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  /** Run a bounded streaming query to a memory sink and return the table. */
+  private def drain(s: SparkSession, out: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString
+    runBounded(s, out.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", ckpt))
     s.table(name)
   }
 
@@ -428,18 +432,10 @@ object Streams {
         col("n"), col("sum_value_c"))
     val outDir = Files.createTempDirectory("graft_st9_sink").toString
     val ckpt = Files.createTempDirectory("graft_ckpt_st9").toString
-    val before = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
-    try {
-      val q = agg.writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", before)
+    runBounded(s, agg.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()))
     val maxRealTs = graft.Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
     s.read.parquet(outDir)
       .filter(col("window_start") <= lit(maxRealTs)) // drop the sentinel's window
