@@ -166,11 +166,15 @@ object Multimodal {
   val mm5: Q = (s, d) => {
     val sp = s
     import sp.implicits._
-    val feats = media(s, d).as[Media].mapPartitions { it =>
-      val decoder = new FakeDecoder
-      it.map(decoder.decode)
-    }.toDF()
-    feats.filter(col("modality") === "image")
+    // filter BEFORE the opaque mapPartitions — Catalyst cannot push a
+    // predicate through it, and decode is row-wise, so decoding the ~2/3
+    // non-image rows first would be pure waste (3x with a real codec)
+    val feats = media(s, d).filter(col("modality") === "image")
+      .as[Media].mapPartitions { it =>
+        val decoder = new FakeDecoder
+        it.map(decoder.decode)
+      }.toDF()
+    feats
       .select(col("doc_id"), col("width"), col("height"),
         expr("least(224000 div width, 224000 div height)").cast("long").as("scale_x1000"))
       .select(col("doc_id"), col("width"), col("height"), col("scale_x1000"),

@@ -23,7 +23,7 @@ import graft.Tables
 object AsOf {
   type Q = (SparkSession, String) => DataFrame
 
-  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+  private def cents(c: org.apache.spark.sql.Column) = Money.cents(c)
 
   val af1: Q = (s, d) => {
     val ev = Tables.events(s, d)
@@ -40,13 +40,17 @@ object AsOf {
         col("event_id").as("purchase_id"), lit(null).cast("long").as("click_value_c"))
     val w = Window.partitionBy("user_id").orderBy("t_us", "side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the as-of row is selected by the SIDE flag packed into one struct —
+    // keying on value-nullness would skip a click whose value is genuinely
+    // NULL and pair an older click's value with the newer click's time
     clicks.unionAll(purchases)
-      .withColumn("asof_click_value_c", last(col("click_value_c"), ignoreNulls = true).over(w))
-      .withColumn("asof_click_t_us", last(when(col("side") === 0, col("t_us")), ignoreNulls = true).over(w))
+      .withColumn("asof_click", last(when(col("side") === 0,
+        struct(col("t_us").as("t"), col("click_value_c").as("v"))),
+        ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("purchase_id"), col("user_id"),
-        col("asof_click_value_c"),
-        (col("t_us") - col("asof_click_t_us")).as("gap_us"))
+        col("asof_click.v").as("asof_click_value_c"),
+        (col("t_us") - col("asof_click.t")).as("gap_us"))
       .orderBy("purchase_id")
   }
   val af1Sql: String =

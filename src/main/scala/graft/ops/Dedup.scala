@@ -271,15 +271,11 @@ object Dedup {
   // ---- D6: blocked n-gram Jaccard (pairwise within (lang, source) blocks) ----
 
   val d6: Q = (s, d) => {
-    // shingles carrying the block key (lang, source) — constant per doc, so
-    // the per-doc distinct is unchanged
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"), explode(
-        when(size(split(col("text"), " ")) >= 3,
-          expr("transform(sequence(0, size(split(text, ' ')) - 3)," +
-            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"))
-          .otherwise(array(col("text")))).as("shingle"))
-      .dropDuplicates("doc_id", "shingle")
+    // the ONE shared shingle definition (shinglesOf — same as d2/d3/d9, so
+    // the <3-word fallback cannot drift), with the (lang, source) block key
+    // joined back on doc_id (constant per doc ⇒ per-doc distinct unchanged)
+    val sh = shinglesOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")), "doc_id")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // intersection counts straight off a shingle-equality self-join within
     // the block: only pairs that actually SHARE a shingle are materialized,
@@ -327,12 +323,20 @@ object Dedup {
     Tables.embeddings(s, d).filter(expr(filterExpr))
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      // zero-norm vectors (all |e_i| < 0.0005) are dropped: the integer
+      // cos >= 0.9 predicate (dot >= 0 AND 100 dot^2 >= 81 na nb) is
+      // VACUOUSLY true when a norm is 0, and the all-pairs oracle would
+      // emit such a vector against everything while the banded Spark side
+      // only sees its band collisions
+      .filter(expr("aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v) > 0"))
 
   private def qvecSql(filter: String): String =
     s"""qvec AS (
-       |  SELECT vec_id,
-       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-       |  FROM embeddings WHERE $filter)""".stripMargin
+       |  SELECT vec_id, q FROM (
+       |    SELECT vec_id,
+       |           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |    FROM embeddings WHERE $filter)
+       |  WHERE CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) > 0)""".stripMargin
 
   /** Banding parameters: 24 hyperplanes in 4 bands of 6 sign bits. A true
     * near-dup (cos ≥ 0.9 ⇒ per-bit flip prob ≤ acos(.9)/π ≈ 0.14; the

@@ -24,8 +24,8 @@ object Events {
   type Q = (SparkSession, String) => DataFrame
 
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
-  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
-  private val centsSql = "CAST(round(value * 100) AS BIGINT)"
+  private def cents(c: org.apache.spark.sql.Column) = Money.cents(c)
+  private val centsSql = Money.centsSql("value")
 
   /** E1: tumbling 1-hour windows × event_type. */
   val e1: Q = (s, d) =>
@@ -134,11 +134,13 @@ object Events {
     // probe side explodes into its own and both neighbor buckets
     val probes = base.select(col("user_id"), col("event_id").as("id_b"), col("t_us").as("t_b"),
       explode(expr("array(t_us div 60000000 - 1, t_us div 60000000, t_us div 60000000 + 1)")).as("bkt"))
+    // no distinct needed: a row has exactly ONE bucket and the three
+    // probe buckets are distinct, so each (id_a, id_b) pair joins at most
+    // once — a dedup here would be a wasted full shuffle of the pair set
     bucketed.join(probes, Seq("user_id", "bkt"))
       .filter(col("event_id") < col("id_b") &&
         abs(col("t_us") - col("t_b")) <= 60000000L)
       .select(col("user_id"), col("event_id").as("id_a"), col("id_b"))
-      .distinct()
       .groupBy("user_id").agg(count(lit(1)).as("n_close_pairs"))
       .orderBy("user_id")
   }

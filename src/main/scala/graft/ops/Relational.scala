@@ -24,8 +24,8 @@ import graft.text.TextOps
 object Relational {
 
   // integer-cents helper (exact: inputs are 2-decimal doubles)
-  private def cents(c: Column): Column = round(c * 100).cast("long")
-  private def centsSql(c: String): String = s"CAST(round($c * 100) AS BIGINT)"
+  private def cents(c: Column): Column = Money.cents(c)
+  private def centsSql(c: String): String = Money.centsSql(c)
 
   // deterministic "dirty text" builders used by the regex-step queries —
   // the synthetic corpus is pure lowercase alpha, so the URL/mention/digit
@@ -87,7 +87,7 @@ object Relational {
     * `NB.java:284-287`) → `mode("overwrite")`, written twice to prove
     * idempotence, then read back. Not SQL-expressible (side effect). */
   val s6: Q = (s, d) => {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_s6_sink"
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_s6_sink_" + d.replaceAll("[^A-Za-z0-9]", "_")
     val m = SentimentNb.model(s, d)
     m.write.mode("overwrite").parquet(dir)
     m.write.mode("overwrite").parquet(dir) // second write must replace, not append

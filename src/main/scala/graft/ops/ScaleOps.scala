@@ -21,7 +21,7 @@ import graft.Tables
 object ScaleOps {
   type Q = (SparkSession, String) => DataFrame
 
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def cents(c: Column): Column = Money.cents(c)
 
   // ---- BF1: Bloom-filter semi-join reduction ----
 

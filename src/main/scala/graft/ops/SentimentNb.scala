@@ -121,14 +121,16 @@ object SentimentNb {
       .agg(sum(log(col("pos") + lit(1.0))).as("sp"),
            sum(log(col("neg") + lit(1.0))).as("sn"),
            count(lit(1)).as("n"))
-    // nullif guards the empty-class prior: Spark log(0)=NULL but DuckDB
-    // ln(0) ERRORS — nullif makes both yield NULL margin → prediction 0.0
+    // nullif guards BOTH log(0) sites — the empty-class prior AND the
+    // empty-vocabulary denominator (all train docs cleaning to blank):
+    // Spark log(0)=NULL but DuckDB ln(0) ERRORS — nullif makes both
+    // engines yield NULL margin → prediction 0.0
     val margin =
       (coalesce(col("sp"), lit(0.0))
-        - coalesce(col("n"), lit(0L)) * log(col("pos_words") + col("features"))
+        - coalesce(col("n"), lit(0L)) * log(nullif(col("pos_words") + col("features"), lit(0L)))
         + log(nullif(col("pos_tweets"), lit(0L)) / col("tweets"))) -
       (coalesce(col("sn"), lit(0.0))
-        - coalesce(col("n"), lit(0L)) * log(col("neg_words") + col("features"))
+        - coalesce(col("n"), lit(0L)) * log(nullif(col("neg_words") + col("features"), lit(0L)))
         + log(nullif(col("neg_tweets"), lit(0L)) / col("tweets")))
     Corpus.cleanedNb(s, d).filter(!col("is_train"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -151,8 +153,8 @@ object SentimentNb {
        |scored AS (
        |  SELECT c.doc_id, CAST(c.label AS DOUBLE) AS label, c.clean,
        |         CAST(CASE WHEN round(
-       |           (coalesce(p.sp, 0.0) - coalesce(p.n, 0) * ln(s.pos_words + s.features) + ln(nullif(s.pos_tweets, 0) / s.tweets))
-       |           - (coalesce(p.sn, 0.0) - coalesce(p.n, 0) * ln(s.neg_words + s.features) + ln(nullif(s.neg_tweets, 0) / s.tweets)), 6) > 0
+       |           (coalesce(p.sp, 0.0) - coalesce(p.n, 0) * ln(nullif(s.pos_words + s.features, 0)) + ln(nullif(s.pos_tweets, 0) / s.tweets))
+       |           - (coalesce(p.sn, 0.0) - coalesce(p.n, 0) * ln(nullif(s.neg_words + s.features, 0)) + ln(nullif(s.neg_tweets, 0) / s.tweets)), 6) > 0
        |         THEN 1.0 ELSE 0.0 END AS DOUBLE) AS prediction
        |  FROM cleaned c LEFT JOIN perdoc p USING (doc_id) CROSS JOIN stats s
        |  WHERE NOT c.is_train)""".stripMargin

@@ -24,7 +24,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Streams {
   type Q = (SparkSession, String) => DataFrame
 
-  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+  private def cents(c: org.apache.spark.sql.Column) = graft.ops.Money.cents(c)
 
   /** Streaming scan of the events fixture with the same ns→µs conversion
     * as Tables.events (file source needs an explicit schema).
