@@ -33,7 +33,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: streaming micro-batches emit per-batch WARN lines
+    // (ResolveWriteToStream / MicroBatchExecution) that flooded the driver's
+    // bounded output capture in round 3 and pushed the bench JSON line out of
+    // the window it keeps. log4j2.properties quiets pre-context logging too.
+    spark.sparkContext.setLogLevel("ERROR")
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -59,7 +63,17 @@ object Bench {
         s"""{\n  "sf": "$sfDir",\n  "unit": "sec",\n  "total_cold": ${f(totalCold)},\n  "total_warm": ${f(totalWarm)},\n  "queries": {\n""",
         ",\n",
         "\n  }\n}\n")
-    val fullPath = Paths.get("BENCH_FULL.json").toAbsolutePath
+    // Anchor next to build.sbt (walking up from the CWD), not at the bare
+    // CWD: running Bench from a subdirectory used to drop the file there.
+    // SPARK_GRAFT_BENCH_OUT overrides for harnesses that want it elsewhere.
+    val repoRoot = Iterator
+      .iterate(Paths.get("").toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null)
+      .find(p => Files.exists(p.resolve("build.sbt")))
+      .getOrElse(Paths.get("").toAbsolutePath)
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(Paths.get(_).toAbsolutePath)
+      .getOrElse(repoRoot.resolve("BENCH_FULL.json"))
     Files.writeString(fullPath, fullJson)
 
     val warmByName = timings.toMap
@@ -69,7 +83,10 @@ object Bench {
     // as a speedup), so they have to be loud on the stdout line instead
     val failed = timings.collect { case (n, (c, w)) if c < 0 || w < 0 => s"\"$n\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(totalWarm)},"unit":"sec","queries":$qs,"failed":$failed,"queries_file":"$fullPath","sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing the metric line so no executor/streaming
+    // thread can log after it — the JSON line must be the last output.
     spark.stop()
+    println(s"""{"metric":"total","value":${f(totalWarm)},"unit":"sec","queries":$qs,"failed":$failed,"queries_file":"$fullPath","sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

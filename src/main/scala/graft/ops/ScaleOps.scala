@@ -235,7 +235,10 @@ object ScaleOps {
     // insert keys start STRICTLY ABOVE the current max key (computed, not
     // a fixed offset — a constant collides with real keys at larger SFs;
     // and max+1, not max, because key 0 exists in the fixture)
-    val insOffset = base.agg(max("o_orderkey")).head().getLong(0) + 1L
+    // coalesce, not bare getLong: max() over an empty base is NULL, and an
+    // empty merge should return an empty result, not NPE on the offset
+    val insOffset = base.agg(coalesce(max("o_orderkey"), lit(-1L)))
+      .head().getLong(0) + 1L
     val updates = base.filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
         (col("o_totalprice") + 1).as("o_totalprice"))
@@ -294,7 +297,8 @@ object ScaleOps {
   }
   val s11Sql: String =
     """SELECT lang,
-      |       CASE WHEN doc_id % 2 = 0 THEN 'legacy' ELSE source END AS source,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'legacy'
+      |            ELSE coalesce(source, 'legacy') END AS source,
       |       CAST(count(*) AS BIGINT) AS n,
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

@@ -203,7 +203,11 @@ object Streams {
     * so the closable set is always a PREFIX, which keeps session numbering
     * (assigned at close, in start order) identical to the batch oracle. */
   private[streaming] def closeReady(st: SessState, uid: Long, wmUs: Long): (Vector[SessionOut], SessState) = {
-    val (closed, open) = st.islands.partition(i => i.end_us + GapUs <= wmUs)
+    // Strict <: Spark still admits an event at ts == watermark, and the
+    // batch oracle splits only on gap > GapUs — so an event landing exactly
+    // at end + gap must still merge. The re-armed timeout closes the island
+    // on the next watermark advance.
+    val (closed, open) = st.islands.partition(i => i.end_us + GapUs < wmUs)
     val out = closed.sortBy(_.start_us).zipWithIndex.map { case (c, k) =>
       SessionOut(uid, st.next_sid + k, c.start_us, c.end_us, c.n, c.sum_c)
     }

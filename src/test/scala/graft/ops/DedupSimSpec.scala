@@ -42,6 +42,31 @@ class DedupSimSpec extends SparkSpec {
     assert(planted.subsetOf(rows.toSet), "every planted near-dup pair is found")
   }
 
+  test("D7 banded candidate generation misses NO cos>=0.9 pair (exact all-pairs ground truth)") {
+    // The 4x6-bit banding is only probabilistically complete (~5e-5 miss per
+    // true pair); this pins recall = 1.0 against a driver-side exact
+    // all-pairs sweep on the same quantized vectors, so a regenerated
+    // fixture or changed hyperplanes that opens a gap fails HERE, loudly,
+    // instead of in the oracle run.
+    val raw = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .filter("vec_id % 5 = 0")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val all = raw ++ raw.collect { case (id, q) if id % 10 == 0 =>
+      (id + 100000L, (q.head + 50L) +: q.tail)
+    }
+    val nz = all.filter { case (_, q) => q.exists(_ != 0L) }
+    val exact = (for {
+      i <- nz.indices; j <- nz.indices if nz(i)._1 < nz(j)._1
+      dot = nz(i)._2.zip(nz(j)._2).map { case (x, y) => x * y }.sum
+      na = nz(i)._2.map(x => x * x).sum; nb = nz(j)._2.map(x => x * x).sum
+      if dot >= 0 && dot * dot * 100 >= 81L * na * nb
+    } yield (nz(i)._1, nz(j)._1)).toSet
+    val banded = Dedup.d7(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === exact, s"banded=${banded.size} exact=${exact.size}; missed=${(exact -- banded).take(5)}")
+  }
+
   test("SIM1 top-k is well-formed: k rows per query, cosine non-increasing") {
     val rows = Similarity.sim1(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))

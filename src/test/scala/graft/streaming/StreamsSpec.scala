@@ -133,6 +133,14 @@ class StreamsSpec extends SparkSpec {
     // nothing closable → no emission, state unchanged
     val (out2, st2) = Streams.closeReady(st1, 7L, minuteUs(20))
     assert(out2.isEmpty && st2 === st1)
+    // BOUNDARY: watermark exactly AT end+gap must NOT close — Spark still
+    // admits an event with ts == watermark, and the batch oracle merges an
+    // event landing exactly at end+gap (it splits only on gap > GapUs)
+    val (outEq, stEq) = Streams.closeReady(st1, 7L, minuteUs(50))
+    assert(outEq.isEmpty && stEq === st1,
+      "island whose end+gap == watermark could still absorb a ts==watermark event")
+    val (outGt, _) = Streams.closeReady(st1, 7L, minuteUs(50) + 1L)
+    assert(outGt.map(_.n_events) === Vector(3L), "one microsecond past end+gap closes it")
   }
 
   test("st3 session state drops closed sessions across batches (EventTimeTimeout)") {
