@@ -362,7 +362,121 @@ object ScaleOps {
       |FROM documents WHERE n_chars > 0
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- SHUF1: deterministic global shuffle (reproducible training order) ----
+
+  /** SHUF1: a reproducible pseudo-random total order over the corpus — the
+    * "shuffle the training data, identically on every rerun" primitive.
+    * Order key = md5 of a salted doc_id; the GLOBAL position is computed
+    * distributed, never with one big window: 256 hex-prefix buckets give
+    * per-bucket row_numbers (partitioned window), a 256-row prefix sum
+    * gives bucket offsets, and pos = offset + rank. md5's first two hex
+    * chars sort identically to the full string's bucket order, so the
+    * concatenation IS the global md5 order — the same distributed
+    * prefix-sum shape as apx2. Oracle: one ROW_NUMBER over the md5 order. */
+  val shuf1: Q = (s, d) => {
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("bkt", substring(col("k"), 1, 2))
+    val rn = row_number().over(
+      Window.partitionBy("bkt").orderBy("k", "doc_id")).cast("long")
+    val inBucket = keyed.withColumn("rk", rn)
+    val offsets = keyed.groupBy("bkt").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum("n").over(Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L))) // 256-row frame: the only unpartitioned window
+      .select("bkt", "off")
+    inBucket.join(broadcast(offsets), "bkt")
+      .select((col("off") + col("rk")).as("pos"), col("doc_id"), col("lang"))
+      .orderBy("pos")
+  }
+  val shuf1Sql: String =
+    """SELECT row_number() OVER (ORDER BY md5('shuf:' || doc_id::VARCHAR), doc_id) AS pos,
+      |       doc_id, lang
+      |FROM documents ORDER BY pos""".stripMargin
+
+  // ---- SAMP2: weighted per-source sampling (corpus mixing) ----
+
+  /** SAMP2: deterministic weighted downsampling per source — the corpus
+    * re-mixing step of a pretraining pipeline (keep 75% of src0, 50% of
+    * src1, 25% of src2, 12.5% of the tail). The keep decision compares the
+    * doc's salted md5 against a PER-SOURCE hex threshold: lowercase-hex
+    * string order equals numeric order, so the comparison is a uniform
+    * Bernoulli draw that both engines evaluate bit-identically — rerun-
+    * stable, join-free, map-side. */
+  val samp2: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("thr", expr(
+        "CASE source WHEN 'src0' THEN 'c0' WHEN 'src1' THEN '80'" +
+          " WHEN 'src2' THEN '40' ELSE '20' END"))
+      .withColumn("keep",
+        substring(md5(concat(lit("samp2:"), col("doc_id").cast("string"))), 1, 2) < col("thr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("source")
+  val samp2Sql: String =
+    """WITH k AS (
+      |  SELECT source, n_chars,
+      |         substr(md5('samp2:' || doc_id::VARCHAR), 1, 2) <
+      |           (CASE source WHEN 'src0' THEN 'c0' WHEN 'src1' THEN '80'
+      |                        WHEN 'src2' THEN '40' ELSE '20' END) AS keep
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+      |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- B1: bucketed co-located join (no shuffle on either join side) ----
+
+  /** B1: the pre-partitioning answer to the biggest shuffle in the engine —
+    * both fact tables are written `bucketBy(8, key).sortBy(key)` into a
+    * managed warehouse, and the subsequent equi-join on the bucket key
+    * reads bucket i against bucket i with NO exchange on either side
+    * (PlanShapeSpec asserts it). At 100 TB this is how a join that would
+    * shuffle both sides every run amortizes to zero shuffles across every
+    * downstream query sharing the key. The merge hint keeps AQE from
+    * flipping the demo to broadcast at test scale. Oracle: the plain join
+    * on the raw fixture — bucketing must not change a single row. */
+  val b1: Q = (s, d) => {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_b1_wh"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_b1 LOCATION '$wh'")
+    // a FRESH session's catalog does not remember tables a previous run
+    // wrote, but their directories persist — clear both or saveAsTable
+    // dies with LOCATION_ALREADY_EXISTS
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    Seq("orders", "lineitem").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS graft_b1.$t")
+      rm(new java.io.File(s"$wh/$t"))
+    }
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_b1.orders")
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_b1.lineitem")
+    s.table("graft_b1.lineitem").hint("merge")
+      .join(s.table("graft_b1.orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("sum_price_c"))
+      .orderBy("o_orderpriority")
+  }
+  val b1Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "shuf1_deterministic_shuffle" -> shuf1,
+    "samp2_weighted_source_sample" -> samp2,
+    "b1_bucketed_join" -> b1,
     "merge1_cdc_upsert" -> merge1,
     "s12_compaction" -> s12,
     "s13_orc_roundtrip" -> s13,
@@ -376,6 +490,9 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "shuf1_deterministic_shuffle" -> shuf1Sql,
+    "samp2_weighted_source_sample" -> samp2Sql,
+    "b1_bucketed_join" -> b1Sql,
     "merge1_cdc_upsert" -> merge1Sql,
     "s12_compaction" -> s12Sql,
     "s13_orc_roundtrip" -> s13Sql,

@@ -159,11 +159,108 @@ object TextAnalysis {
        |         (a, b) -> (a * 131 + b) % $FpMod) AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- T9: PII detection + redaction ----
+
+  /** RE2-compatible patterns (identical match semantics in Java regex and
+    * DuckDB's RE2): ASCII classes only, no lookaround. */
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** The fixture corpus is synthetic word soup with no natural PII, so the
+    * query PLANTS deterministic spans (email / phone / IPv4 keyed on
+    * doc_id % 4 — the same construction in the oracle SQL) and then runs
+    * the real detector: per-pattern match counts + a full redaction whose
+    * md5 is the hash-checked witness that the rewrite is byte-identical
+    * across engines. Scale: pure map-side projection, no shuffle below the
+    * final presentation sort. */
+  val t9: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("pii", expr(
+        """CASE CAST(doc_id % 4 AS INT)
+          | WHEN 0 THEN concat(text, ' reach me at user', CAST(doc_id AS STRING), '@mail.example.com now')
+          | WHEN 1 THEN concat(text, ' call 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'),
+          |                    '-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' today')
+          | WHEN 2 THEN concat(text, ' from host 10.', CAST(doc_id % 256 AS STRING),
+          |                    '.0.', CAST((doc_id div 256) % 256 AS STRING), ' logged')
+          | ELSE text END""".stripMargin))
+      .select(col("doc_id"),
+        regexp_count(col("pii"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("pii"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("pii"), lit(IpRe)).cast("long").as("n_ips"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("pii"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          IpRe, "[IP]")).as("redacted_md5"))
+      .orderBy("doc_id")
+  val t9Sql: String =
+    s"""WITH pii AS (
+       |  SELECT doc_id,
+       |         CASE CAST(doc_id % 4 AS INT)
+       |          WHEN 0 THEN concat(text, ' reach me at user', CAST(doc_id AS VARCHAR), '@mail.example.com now')
+       |          WHEN 1 THEN concat(text, ' call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+       |                             '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' today')
+       |          WHEN 2 THEN concat(text, ' from host 10.', CAST(doc_id % 256 AS VARCHAR),
+       |                             '.0.', CAST((doc_id // 256) % 256 AS VARCHAR), ' logged')
+       |          ELSE text END AS pii
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(pii, '$EmailRe')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(pii, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |       CAST(len(regexp_extract_all(pii, '$IpRe')) AS BIGINT) AS n_ips,
+       |       md5(regexp_replace(regexp_replace(regexp_replace(pii,
+       |             '$EmailRe', '[EMAIL]', 'g'),
+       |             '$PhoneRe', '[PHONE]', 'g'),
+       |             '$IpRe', '[IP]', 'g')) AS redacted_md5
+       |FROM pii ORDER BY doc_id""".stripMargin
+
+  // ---- T10: repetition ratio (Gopher-style quality signal) ----
+
+  /** T10: within-document repetition — the fraction of duplicated words
+    * and duplicated word-trigrams, in basis points (integer math, exact
+    * oracle). High-repetition documents are a classic pretraining-quality
+    * cut (boilerplate, keyword stuffing, generation loops). Scale: the
+    * n-gram set is built per row with array expressions — no explode, no
+    * shuffle below the presentation sort. */
+  val t10: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("tris", expr(
+        "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws) - 2)," +
+          " i -> array_join(slice(ws, i, 3), ' ')) ELSE slice(ws, 1, 0) END"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        expr("CAST((size(ws) - size(array_distinct(ws))) * 10000 div size(ws) AS BIGINT)")
+          .as("dup_word_bp"),
+        size(col("tris")).cast("long").as("n_trigrams"),
+        expr("CAST((size(tris) - size(array_distinct(tris))) * 10000" +
+          " div greatest(size(tris), 1) AS BIGINT)").as("dup_tri_bp"))
+      .orderBy("doc_id")
+  val t10Sql: String =
+    """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+      |t AS (
+      |  SELECT doc_id, ws,
+      |         CASE WHEN len(ws) >= 3
+      |              THEN list_transform(range(1, len(ws) - 1),
+      |                     i -> array_to_string(ws[i:i+2], ' '))
+      |              ELSE [] END AS tris
+      |  FROM w)
+      |SELECT doc_id,
+      |       CAST(len(ws) AS BIGINT) AS n_tokens,
+      |       CAST((len(ws) - len(list_distinct(ws))) * 10000 // len(ws) AS BIGINT) AS dup_word_bp,
+      |       CAST(len(tris) AS BIGINT) AS n_trigrams,
+      |       CAST((len(tris) - len(list_distinct(tris))) * 10000
+      |            // greatest(len(tris), 1) AS BIGINT) AS dup_tri_bp
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "t4_language_id" -> t4,
     "t5_quality_score" -> t5,
     "t6_token_counts" -> t6,
     "t7_fingerprint" -> t7,
+    "t9_pii_redact" -> t9,
+    "t10_repetition_ratio" -> t10,
   )
 
   val oracle: Map[String, String] = Map(
@@ -171,5 +268,7 @@ object TextAnalysis {
     "t5_quality_score" -> t5Sql,
     "t6_token_counts" -> t6Sql,
     "t7_fingerprint" -> t7Sql,
+    "t9_pii_redact" -> t9Sql,
+    "t10_repetition_ratio" -> t10Sql,
   )
 }

@@ -118,4 +118,51 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!p.contains("PushedFilters: [IsNotNull(lang)"),
       "lang must be a partition column, not a data column")
   }
+
+  test("b1 bucketed join runs with NO exchange and NO sort below the join") {
+    // AQE wraps stages in opaque leaf nodes, so assert on the static plan —
+    // the bucket-alignment property is decided at planning time anyway
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = ScaleOps.b1(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, "bucketed join must plan as SortMergeJoin\n" + plan.toString.take(600))
+      val belowJoin = smj.head.children.flatMap(_.collect { case n => n })
+      assert(!belowJoin.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+        "bucket-aligned sides must join WITHOUT an exchange\n" + plan.toString.take(800))
+      assert(plan.toString.contains("SelectedBucketsCount"),
+        "scan must report bucketed layout\n" + plan.toString.take(800))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("shuf1 is a permutation: every doc exactly once, positions 1..N, rerun-stable") {
+    val rows = ScaleOps.shuf1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.length.toLong === n)
+    assert(rows.map(_._1).toSeq === (1L to n).toSeq, "positions must be dense 1..N")
+    assert(rows.map(_._2).distinct.length.toLong === n, "each doc appears exactly once")
+    assert(rows.map(_._2).toSeq !== (0L until n).toSeq, "order must not be the identity")
+    val again = ScaleOps.shuf1(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === again.toSeq, "the shuffle must be bit-identical across reruns")
+  }
+
+  test("samp2 keep rates land near the per-source targets") {
+    // thresholds c0/80/40/20 = 75% / 50% / 25% / 12.5% expected keeps
+    val target = Map("src0" -> 0.75, "src1" -> 0.50, "src2" -> 0.25)
+    ScaleOps.samp2(spark, sfDir).collect().foreach { r =>
+      val (src, total, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val want = target.getOrElse(src, 0.125)
+      val got = kept.toDouble / total
+      // binomial 4-sigma band: sf0.001 strata hold only ~25 docs each
+      val tol = math.max(0.02, 4.0 * math.sqrt(want * (1 - want) / total))
+      assert(math.abs(got - want) < tol,
+        s"$src keep rate $got too far from $want (n=$total, tol=$tol)")
+    }
+  }
 }
