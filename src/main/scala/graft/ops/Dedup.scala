@@ -97,23 +97,40 @@ object Dedup {
     s"""$corpusCte,
        |${shinglesCteBody("shingles", "corpus")}""".stripMargin
 
-  // ---- D2: MinHash signatures (4 permutations via seeded md5) ----
+  // ---- D2: MinHash signatures (4 universal-hash permutations) ----
 
-  private val MinhashSeeds = 0 until 4
+  /** Textbook universal-hash MinHash: ONE md5 per shingle, quantized to a
+    * 28-bit integer h, and each "permutation" k is the affine map
+    * (A_k·h + B_k) mod P over that integer. Versus seeded-md5-per-
+    * permutation (round ≤3) this computes 4× fewer string hashes on the
+    * exploded shingle frame — the hot loop of the whole dedup family —
+    * and carries LONG signatures / band keys through the shuffle instead
+    * of 32-char strings. P > 2^28 is prime, so h never wraps and each map
+    * is a bijection on the h-universe; A_k·h + B_k ≤ 2^59 — no overflow
+    * under ANSI mode. */
+  private val MhP = 536870909L // prime, > 2^28
+  private val MhA = Seq(1103515245L, 1299709L, 15485863L, 32452843L)
+  private val MhB = Seq(12345L, 67890L, 424243L, 9999991L)
 
   private def minhash(s: SparkSession, d: String): DataFrame =
-    shingles(s, d).groupBy("doc_id")
+    shingles(s, d)
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(shingle), 1, 7), 16, 10) AS BIGINT)").as("h"))
+      .groupBy("doc_id")
       .agg(
-        min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
-        MinhashSeeds.tail.map(k =>
-          min(md5(concat(lit(s"$k|"), col("shingle")))).as(s"mh$k")): _*)
+        min((col("h") * MhA.head + MhB.head) % MhP).as("mh0"),
+        (1 until 4).map(k =>
+          min((col("h") * MhA(k) + MhB(k)) % MhP).as(s"mh$k")): _*)
 
   private val minhashCte: String =
     s"""$shinglesCte,
+       |hs AS (
+       |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+       |  FROM shingles),
        |minhash AS (
        |  SELECT doc_id,
-       |         ${MinhashSeeds.map(k => s"min(md5('$k|' || shingle)) AS mh$k").mkString(",\n         ")}
-       |  FROM shingles GROUP BY doc_id)""".stripMargin
+       |         ${(0 until 4).map(k => s"min((h * ${MhA(k)} + ${MhB(k)}) % $MhP) AS mh$k").mkString(",\n         ")}
+       |  FROM hs GROUP BY doc_id)""".stripMargin
 
   val d2: Q = (s, d) => minhash(s, d).orderBy("doc_id")
   val d2Sql: String =
@@ -122,15 +139,21 @@ object Dedup {
 
   // ---- D3: LSH banding → candidate pairs → exact-Jaccard verify ----
 
-  val d3: Q = (s, d) => {
+  /** The verified pair set WITHOUT the presentation sort — d8 consumes
+    * this (cluster labels don't care about pair order; the global sort is
+    * pure overhead there). */
+  private[ops] val d3Verified: Q = (s, d) => {
     // NOT cached: measured at sf0.1, materializing the wide shingle/signature
     // frames costs more than the recompute it saves — uncached, Catalyst
     // prunes each band projection to 2 of the 4 min-md5 aggs and keeps the
     // whole pipeline in codegen (cache-wins pattern: small aggregates like
     // d5's signatures; cache-loses: big exploded frames like shingles)
     val mh = minhash(s, d)
-    val bands = mh.select(col("doc_id"), md5(concat(col("mh0"), col("mh1"))).as("band"), lit(0).as("bi"))
-      .unionAll(mh.select(col("doc_id"), md5(concat(col("mh2"), col("mh3"))).as("band"), lit(1).as("bi")))
+    // band key = mh_i·P + mh_j packs the 2-signature band into ONE long
+    // (mh < P ⇒ no collisions across distinct pairs, max < P² ≈ 2^58) —
+    // the equi-join shuffles 8 bytes per row where an md5 key shuffled 32
+    val bands = mh.select(col("doc_id"), (col("mh0") * MhP + col("mh1")).as("band"), lit(0).as("bi"))
+      .unionAll(mh.select(col("doc_id"), (col("mh2") * MhP + col("mh3")).as("band"), lit(1).as("bi")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bi") === col("b.bi") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -149,14 +172,15 @@ object Dedup {
       .filter(col("inter") * 5 >= col("uni") * 4) // jaccard >= 0.8, exact integers
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         expr("inter * 10000 div uni").as("jac_bp"))
-      .orderBy("id_a", "id_b")
   }
+
+  val d3: Q = (s, d) => d3Verified(s, d).orderBy("id_a", "id_b")
   val d3Sql: String =
     s"""WITH $minhashCte,
        |bands AS (
-       |  SELECT doc_id, md5(mh0 || mh1) AS band, 0 AS bi FROM minhash
+       |  SELECT doc_id, mh0 * $MhP + mh1 AS band, 0 AS bi FROM minhash
        |  UNION ALL
-       |  SELECT doc_id, md5(mh2 || mh3) AS band, 1 AS bi FROM minhash),
+       |  SELECT doc_id, mh2 * $MhP + mh3 AS band, 1 AS bi FROM minhash),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
@@ -319,7 +343,8 @@ object Dedup {
 
   /** Quantized vectors: q_i = round(e_i · 1000) as int — dot/norm math is
     * then exact, and cos ≥ 0.9 becomes dot ≥ 0 ∧ 100·dot² ≥ 81·‖a‖²·‖b‖². */
-  private def qvec(s: SparkSession, d: String, filterExpr: String): DataFrame =
+  private def qvec(s: SparkSession, d: String, filterExpr: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d).filter(expr(filterExpr))
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
@@ -328,7 +353,8 @@ object Dedup {
       // VACUOUSLY true when a norm is 0, and the all-pairs oracle would
       // emit such a vector against everything while the banded Spark side
       // only sees its band collisions
-      .filter(expr("aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v) > 0"))
+      .filter(expr("graft_dot(q, q) > 0"))
+  }
 
   private def qvecSql(filter: String): String =
     s"""qvec AS (
@@ -360,7 +386,7 @@ object Dedup {
           expr("concat(array(element_at(q, 1) + 50), slice(q, 2, 63))").as("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = qv.select(col("vec_id"),
-      expr("aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v)").as("nrm"))
+      expr("graft_dot(q, q)").as("nrm"))
     // map-side band keys from driver-side literal hyperplanes (see
     // Similarity.planeWeights) — one row per (vector, band)
     val planes = Similarity.planeWeights(D7Bands * D7BitsPerBand)
@@ -379,7 +405,7 @@ object Dedup {
       .join(qv.as("qa"), col("id_a") === col("qa.vec_id"))
       .join(qv.as("qb"), col("id_b") === col("qb.vec_id"))
       .select(col("id_a"), col("id_b"),
-        expr("aggregate(zip_with(qa.q, qb.q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"))
+        expr("graft_dot(qa.q, qb.q)").as("dot"))
     pairs
       .join(norms.as("na"), col("id_a") === col("na.vec_id"))
       .join(norms.as("nb"), col("id_b") === col("nb.vec_id"))
@@ -426,7 +452,7 @@ object Dedup {
     * the corpus at 100 TB. Deterministic (min over longs) ⇒ exact oracle
     * via DuckDB's recursive CTE. */
   val d8: Q = (s, d) => {
-    val pairs = d3(s, d).select(col("id_a"), col("id_b"))
+    val pairs = d3Verified(s, d).select(col("id_a"), col("id_b"))
     // symmetrize via explode, NOT a self-union: a union would embed the
     // whole (uncached) d3 pipeline twice in the plan and evaluate it twice
     val edges = pairs.select(explode(array(

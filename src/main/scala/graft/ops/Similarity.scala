@@ -25,13 +25,17 @@ import graft.Tables
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** All vectors, integer-quantized, with exact norms; zero vectors dropped. */
-  private def qnorm(s: SparkSession, d: String): DataFrame =
+  /** All vectors, integer-quantized, with exact norms; zero vectors dropped.
+    * Dots/norms run through the codegen'd `graft_dot` expression — the
+    * registry call makes every Similarity query self-contained. */
+  private def qnorm(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
-      .withColumn("nrm", expr("aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v)"))
+      .withColumn("nrm", expr("graft_dot(q, q)"))
       .filter(col("nrm") > 0)
+  }
 
   private val qnormCte: String =
     """qn AS (
@@ -49,7 +53,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nrm").as("q_nrm"))
     val pairs = qn.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        expr("aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"),
+        expr("graft_dot(qq, q)").as("dot"),
         col("q_nrm"), col("nrm"))
       .withColumn("cos", col("dot") / sqrt(col("q_nrm").cast("double") * col("nrm").cast("double")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
@@ -142,7 +146,7 @@ object Similarity {
     val pairs = qb.join(broadcast(queries),
         col("vec_id") =!= col("q_id") && col("bucket") === col("q_bucket"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        expr("aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"),
+        expr("graft_dot(qq, q)").as("dot"),
         col("q_nrm"), col("nrm"))
       .withColumn("cos", col("dot") / sqrt(col("q_nrm").cast("double") * col("nrm").cast("double")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
@@ -187,7 +191,7 @@ object Similarity {
     val aw = Window.partitionBy("vec_id").orderBy(col("acos").desc, col("cid"))
     val assign = qn.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("q"), col("nrm"), col("cid"),
-        expr("aggregate(zip_with(q, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("adot"),
+        expr("graft_dot(q, cq)").as("adot"),
         col("cnrm"))
       .withColumn("acos", col("adot") / sqrt(col("nrm").cast("double") * col("cnrm").cast("double")))
       .withColumn("ark", row_number().over(aw)).filter(col("ark") === 1)
@@ -198,7 +202,7 @@ object Similarity {
     val pairs = assign.join(broadcast(queries),
         col("vec_id") =!= col("q_id") && col("cid") === col("q_cid"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        expr("aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"),
+        expr("graft_dot(qq, q)").as("dot"),
         col("q_nrm"), col("nrm"))
       .withColumn("cos", col("dot") / sqrt(col("q_nrm").cast("double") * col("nrm").cast("double")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))

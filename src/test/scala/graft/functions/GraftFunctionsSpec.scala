@@ -36,6 +36,31 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(e.eval(null) === 2L)
   }
 
+  test("graft_dot: codegen result equals the interpreted higher-order formulation") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),    // 4+10+18 = 32
+      (Seq(-7L, 0L), Seq(3L, 9L)),           // -21
+      (Seq.empty[Long], Seq.empty[Long]),    // 0
+      (Seq(2L, 2L, 2L), Seq(1L)))            // common prefix only: 2
+      .toDF("a", "b")
+      .select(expr("graft_dot(a, b)").as("got"),
+        expr("aggregate(zip_with(a, b, (x, y) -> coalesce(x * y, 0L)), 0L, (acc, v) -> acc + v)").as("want"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+    // null input propagates; interpreted eval path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val lit = (xs: Seq[Long]) =>
+      Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(LongType, false))
+    assert(DotProductLong(lit(Seq(1L, 2L, 3L)), lit(Seq(4L, 5L, 6L))).eval(null) === 32L)
+    val n = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(expr("graft_dot(a, b)")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("graft_clean_nb via spark.sql equals the Column-API cleaner") {
     GraftFunctions.register(spark)
     graft.Tables.documents(spark, sfDir).createOrReplaceTempView("docs_fn_test")
