@@ -506,6 +506,30 @@ object Relational {
        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** GS1: explicit GROUPING SETS — the independent-marginals shape
+    * ((returnflag), (linestatus)) that neither ROLLUP nor CUBE expresses;
+    * one scan feeds both marginal aggregates (Spark plans Expand + a
+    * single hash aggregate, not two scans). Grouping markers emitted as
+    * 'ALL' coalesces so the cross-engine comparison has no NULL-ordering
+    * ambiguity. */
+  val gs1: Q = (s, d) =>
+    li(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty_c"), col("n"))
+      .orderBy("flag", "status")
+  val gs1Sql: String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       |       coalesce(l_linestatus, 'ALL') AS status,
+       |  CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+       |ORDER BY flag, status""".stripMargin
+
   /** PV1: pivot — returnflag rows × linestatus columns (wide aggregation);
     * fixed pivot values so the plan is single-pass (no distinct-scan). */
   val pv1: Q = (s, d) =>
@@ -1128,6 +1152,7 @@ object Relational {
     "q7_cross_nation_volume" -> q7,
     "hll1_sketch_distinct" -> hll1,
     "g2_cube" -> g2,
+    "gs1_grouping_sets" -> gs1,
     "pv1_pivot" -> pv1,
     "q17_correlated_avg_filter" -> q17,
     "q4_exists_priority" -> q4,
@@ -1183,6 +1208,7 @@ object Relational {
     "q2_min_per_group" -> q2Sql,
     "q7_cross_nation_volume" -> q7Sql,
     "g2_cube" -> g2Sql,
+    "gs1_grouping_sets" -> gs1Sql,
     "pv1_pivot" -> pv1Sql,
     "q17_correlated_avg_filter" -> q17Sql,
     "q4_exists_priority" -> q4Sql,
