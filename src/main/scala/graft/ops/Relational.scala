@@ -692,6 +692,33 @@ object Relational {
        |WHERE qc * 5 * n_li < sum_qc
        |ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin
 
+  /** Q18: large-volume orders — the HAVING-IN decorrelation shape (TPC-H
+    * Q18): an aggregated subquery feeds the probe side of an equi-join
+    * instead of a per-row IN evaluation. The aggregate runs FIRST (one
+    * partial+final pass over lineitem), its survivor set (~0.1% of orders)
+    * drives the joins, and customer broadcasts. Exact-cents quantities. */
+  val q18: Q = (s, d) => {
+    val big = li(s, d).groupBy("l_orderkey")
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"))
+      .filter(col("sum_qty_c") > 250 * 100)
+    ord(s, d).join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"), col("sum_qty_c"))
+      .orderBy(col("price_c").desc, col("o_orderkey"))
+  }
+  val q18Sql: String =
+    s"""SELECT c_custkey, o_orderkey,
+       |       ${centsSql("o_totalprice")} AS price_c, sum_qty_c
+       |FROM orders
+       |JOIN (SELECT l_orderkey,
+       |             CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_c
+       |      FROM lineitem GROUP BY 1
+       |      HAVING CAST(sum(${centsSql("l_quantity")}) AS BIGINT) > 25000) b
+       |  ON o_orderkey = b.l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY price_c DESC, o_orderkey""".stripMargin
+
   /** HLL1: sketch-based distinct (approx_count_distinct / HyperLogLog++) —
     * engine-defined estimate, so rows-only; accuracy asserted in tests. */
   val hll1: Q = (s, d) =>
@@ -1155,6 +1182,7 @@ object Relational {
     "gs1_grouping_sets" -> gs1,
     "pv1_pivot" -> pv1,
     "q17_correlated_avg_filter" -> q17,
+    "q18_large_volume_orders" -> q18,
     "q4_exists_priority" -> q4,
     "q13_order_count_dist" -> q13,
     "q22_idle_rich_antijoin" -> q22,
@@ -1211,6 +1239,7 @@ object Relational {
     "gs1_grouping_sets" -> gs1Sql,
     "pv1_pivot" -> pv1Sql,
     "q17_correlated_avg_filter" -> q17Sql,
+    "q18_large_volume_orders" -> q18Sql,
     "q4_exists_priority" -> q4Sql,
     "q13_order_count_dist" -> q13Sql,
     "q22_idle_rich_antijoin" -> q22Sql,
