@@ -1,0 +1,93 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.functions.GraftFunctions
+import graft.ops.{Dedup, ScaleOps, TextAnalysis}
+import graft.plans.TopKPerGroup
+import graft.text.TextOps
+
+/** The user-facing library surface: df-in/df-out operators over YOUR
+  * DataFrames, decoupled from the fixture-bound query registry
+  * (`SparkEntry.queries` binds these same implementations to the test
+  * corpus for the oracle gate — `ApiSpec` asserts the two stay equal).
+  *
+  * Document-frame contract: `doc_id` BIGINT (unique) + `text` STRING
+  * unless a parameter says otherwise. All operators are deterministic —
+  * md5-derived hashing, integer similarity predicates, no RNG — so every
+  * pipeline is rerun-stable by construction.
+  */
+object GraftApi {
+
+  /** Register the graft SQL functions (`graft_clean_nb`, `graft_clean_svm`,
+    * `graft_hamming`, `graft_dot`, `graft_bloom_agg`, `graft_might_contain`)
+    * on a session. Idempotent. */
+  def registerFunctions(spark: SparkSession): Unit = GraftFunctions.register(spark)
+
+  // ---- reference text-cleaning dialects (pure Catalyst columns) ----
+
+  /** NB-dialect clean chain (url/mention/digit strip → non-alpha → lower →
+    * trim/squeeze), `NB.java:67-73` order. */
+  def cleanNb(c: Column): Column = TextOps.cleanNb(c)
+
+  /** SVM-dialect clean chain, `SVM.java:76-79` order. */
+  def cleanSvm(c: Column): Column = TextOps.cleanSvm(c)
+
+  // ---- deduplication ----
+
+  /** Exact-duplicate groups: one row per text with >1 copy —
+    * (text_hash, n_copies, keeper = min doc_id). */
+  def exactDupGroups(docs: DataFrame): DataFrame = Dedup.exactDupGroupsOf(docs)
+
+  /** 4-permutation universal-hash MinHash signatures over word 3-gram
+    * shingles — (doc_id, mh0..mh3). */
+  def minhashSignatures(docs: DataFrame): DataFrame = Dedup.minhashOf(docs)
+
+  /** Near-duplicate pairs: banded-LSH candidates verified by exact Jaccard
+    * ≥ `minJaccardBp` basis points — (id_a, id_b, inter, uni, jac_bp).
+    * Candidates come from band-key equi-joins, never an all-pairs product. */
+  def nearDupPairs(docs: DataFrame, minJaccardBp: Int = 8000): DataFrame =
+    Dedup.nearDupPairsOf(docs, minJaccardBp)
+
+  /** Duplicate clusters: connected components over [[nearDupPairs]] —
+    * (doc_id, cluster_id = min reachable doc_id, n_members). Keep
+    * `doc_id == cluster_id`, drop the rest. */
+  def dedupClusters(docs: DataFrame, minJaccardBp: Int = 8000): DataFrame =
+    dedupClustersFromPairs(nearDupPairs(docs, minJaccardBp).select("id_a", "id_b"))
+
+  /** Same, over an existing (id_a, id_b) pair frame (e.g. pairs from an
+    * embedding-based detector). */
+  def dedupClustersFromPairs(pairs: DataFrame): DataFrame =
+    Dedup.dedupClustersOf(pairs)
+
+  // ---- text analysis ----
+
+  /** Redact PII in place: email → [EMAIL], phone → [PHONE], IPv4 → [IP]. */
+  def redactPii(c: Column): Column = TextAnalysis.redactPii(c)
+
+  /** Per-doc PII counts + redaction md5 —
+    * (doc_id, n_emails, n_phones, n_ips, redacted_md5). */
+  def piiStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    TextAnalysis.piiStatsOf(docs, textCol)
+
+  /** Per-doc repetition ratios (Gopher-style quality signal) —
+    * (doc_id, n_tokens, dup_word_bp, n_trigrams, dup_tri_bp). */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    TextAnalysis.repetitionStatsOf(docs)
+
+  // ---- ordering / top-k ----
+
+  /** Reproducible pseudo-random total order: adds `pos` (dense 1..N over
+    * salted-md5 order) via a distributed prefix sum — no global window.
+    * Same salt + same ids ⇒ identical order on every rerun. */
+  def deterministicShuffle(df: DataFrame, idCol: String, salt: String = "shuf:"): DataFrame =
+    ScaleOps.deterministicShuffleOf(df, idCol, salt)
+
+  /** Top-k rows per group through the custom partial/final strategy whose
+    * exchange carries ≤ k rows per (group, partition). `orderBy` pairs are
+    * (column, descending?). Bounded group domains only — see the operator
+    * contract in `TopKPerGroup.scala`. */
+  def topKPerGroup(df: DataFrame, groupBy: Seq[String],
+      orderBy: Seq[(String, Boolean)], k: Int): DataFrame =
+    TopKPerGroup(df, groupBy, orderBy, k)
+}

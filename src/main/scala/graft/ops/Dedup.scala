@@ -57,11 +57,14 @@ object Dedup {
 
   // ---- D1: exact dedup (hash-groupBy) ----
 
-  val d1: Q = (s, d) =>
-    corpus(s, d).groupBy(md5(col("text")).as("text_hash"))
+  /** Exact-duplicate groups of any (doc_id, text) frame — the library
+    * entry point ([[graft.api.GraftApi.exactDupGroups]]). */
+  private[graft] def exactDupGroupsOf(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
       .filter(col("n_copies") > 1)
-      .orderBy("text_hash")
+
+  val d1: Q = (s, d) => exactDupGroupsOf(corpus(s, d)).orderBy("text_hash")
   val d1Sql: String =
     s"""WITH $corpusCte
        |SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
@@ -112,8 +115,10 @@ object Dedup {
   private val MhA = Seq(1103515245L, 1299709L, 15485863L, 32452843L)
   private val MhB = Seq(12345L, 67890L, 424243L, 9999991L)
 
-  private def minhash(s: SparkSession, d: String): DataFrame =
-    shingles(s, d)
+  /** MinHash signatures of any (doc_id, text) frame — the library entry
+    * point ([[graft.api.GraftApi.minhashSignatures]]). */
+  private[graft] def minhashOf(docs: DataFrame): DataFrame =
+    shinglesOf(docs)
       .select(col("doc_id"),
         expr("CAST(conv(substr(md5(shingle), 1, 7), 16, 10) AS BIGINT)").as("h"))
       .groupBy("doc_id")
@@ -121,6 +126,9 @@ object Dedup {
         min((col("h") * MhA.head + MhB.head) % MhP).as("mh0"),
         (1 until 4).map(k =>
           min((col("h") * MhA(k) + MhB(k)) % MhP).as(s"mh$k")): _*)
+
+  private def minhash(s: SparkSession, d: String): DataFrame =
+    minhashOf(corpus(s, d))
 
   private val minhashCte: String =
     s"""$shinglesCte,
@@ -139,16 +147,17 @@ object Dedup {
 
   // ---- D3: LSH banding → candidate pairs → exact-Jaccard verify ----
 
-  /** The verified pair set WITHOUT the presentation sort — d8 consumes
-    * this (cluster labels don't care about pair order; the global sort is
-    * pure overhead there). */
-  private[ops] val d3Verified: Q = (s, d) => {
+  /** Banded-LSH candidate pairs of any (doc_id, text) frame, verified by
+    * exact Jaccard ≥ `minJacBp` basis points (integer cross-multiplication,
+    * no float tolerance) — the library entry point behind d3/d8 and
+    * [[graft.api.GraftApi.nearDupPairs]]. Unsorted. */
+  private[graft] def nearDupPairsOf(docs: DataFrame, minJacBp: Int = 8000): DataFrame = {
     // NOT cached: measured at sf0.1, materializing the wide shingle/signature
     // frames costs more than the recompute it saves — uncached, Catalyst
     // prunes each band projection to 2 of the 4 min-md5 aggs and keeps the
     // whole pipeline in codegen (cache-wins pattern: small aggregates like
     // d5's signatures; cache-loses: big exploded frames like shingles)
-    val mh = minhash(s, d)
+    val mh = minhashOf(docs)
     // band key = mh_i·P + mh_j packs the 2-signature band into ONE long
     // (mh < P ⇒ no collisions across distinct pairs, max < P² ≈ 2^58) —
     // the equi-join shuffles 8 bytes per row where an md5 key shuffled 32
@@ -158,7 +167,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bi") === col("b.bi") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
-    val sh = shingles(s, d)
+    val sh = shinglesOf(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
@@ -169,10 +178,15 @@ object Dedup {
       .join(sizes.as("nb"), col("id_b") === col("nb.doc_id"))
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("na.n") + col("nb.n") - col("inter")).as("uni"))
-      .filter(col("inter") * 5 >= col("uni") * 4) // jaccard >= 0.8, exact integers
+      .filter(col("inter") * 10000 >= col("uni") * minJacBp)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         expr("inter * 10000 div uni").as("jac_bp"))
   }
+
+  /** The verified pair set WITHOUT the presentation sort — d8 consumes
+    * this (cluster labels don't care about pair order; the global sort is
+    * pure overhead there). */
+  private[ops] val d3Verified: Q = (s, d) => nearDupPairsOf(corpus(s, d))
 
   val d3: Q = (s, d) => d3Verified(s, d).orderBy("id_a", "id_b")
   val d3Sql: String =
@@ -451,8 +465,15 @@ object Dedup {
     * hold only documents that HAVE a duplicate, a vanishing fraction of
     * the corpus at 100 TB. Deterministic (min over longs) ⇒ exact oracle
     * via DuckDB's recursive CTE. */
-  val d8: Q = (s, d) => {
-    val pairs = d3Verified(s, d).select(col("id_a"), col("id_b"))
+  val d8: Q = (s, d) =>
+    dedupClustersOf(d3Verified(s, d).select(col("id_a"), col("id_b")))
+
+  /** Connected components over a near-dup pair list (id_a, id_b) — every
+    * document reachable through dup edges gets cluster_id = the minimum
+    * reachable doc_id, plus the cluster size. The library entry point
+    * ([[graft.api.GraftApi.dedupClusters]]); iterative min-label
+    * propagation, rounds ≈ graph diameter. */
+  private[graft] def dedupClustersOf(pairs: DataFrame): DataFrame = {
     // symmetrize via explode, NOT a self-union: a union would embed the
     // whole (uncached) d3 pipeline twice in the plan and evaluate it twice
     val edges = pairs.select(explode(array(

@@ -373,13 +373,17 @@ object ScaleOps {
     * chars sort identically to the full string's bucket order, so the
     * concatenation IS the global md5 order — the same distributed
     * prefix-sum shape as apx2. Oracle: one ROW_NUMBER over the md5 order. */
-  val shuf1: Q = (s, d) => {
-    val keyed = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+  /** Deterministic-shuffle positions for ANY frame with a unique id column
+    * — the library entry point ([[graft.api.GraftApi.deterministicShuffle]]).
+    * Adds `pos` (dense 1..N in salted-md5 order); all input columns pass
+    * through. */
+  private[graft] def deterministicShuffleOf(
+      df: DataFrame, idCol: String, salt: String = "shuf:"): DataFrame = {
+    val keyed = df
+      .withColumn("k", md5(concat(lit(salt), col(idCol).cast("string"))))
       .withColumn("bkt", substring(col("k"), 1, 2))
     val rn = row_number().over(
-      Window.partitionBy("bkt").orderBy("k", "doc_id")).cast("long")
+      Window.partitionBy("bkt").orderBy("k", idCol)).cast("long")
     val inBucket = keyed.withColumn("rk", rn)
     val offsets = keyed.groupBy("bkt").agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(
@@ -387,9 +391,15 @@ object ScaleOps {
         lit(0L))) // 256-row frame: the only unpartitioned window
       .select("bkt", "off")
     inBucket.join(broadcast(offsets), "bkt")
-      .select((col("off") + col("rk")).as("pos"), col("doc_id"), col("lang"))
-      .orderBy("pos")
+      .withColumn("pos", col("off") + col("rk"))
+      .drop("k", "bkt", "rk", "off")
   }
+
+  val shuf1: Q = (s, d) =>
+    deterministicShuffleOf(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("pos"), col("doc_id"), col("lang"))
+      .orderBy("pos")
   val shuf1Sql: String =
     """SELECT row_number() OVER (ORDER BY md5('shuf:' || doc_id::VARCHAR), doc_id) AS pos,
       |       doc_id, lang

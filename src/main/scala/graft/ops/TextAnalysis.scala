@@ -167,6 +167,25 @@ object TextAnalysis {
   private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
   private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  /** Full PII redaction of a text column (email → [EMAIL], phone →
+    * [PHONE], IPv4 → [IP]) — the library column transform
+    * ([[graft.api.GraftApi.redactPii]]). */
+  private[graft] def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      IpRe, "[IP]")
+
+  /** PII detector over any (doc_id, <textCol>) frame: per-pattern counts
+    * plus the md5 of the redaction. Pure map-side projection. */
+  private[graft] def piiStatsOf(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col(textCol), lit(IpRe)).cast("long").as("n_ips"),
+      md5(redactPii(col(textCol))).as("redacted_md5"))
+
   /** The fixture corpus is synthetic word soup with no natural PII, so the
     * query PLANTS deterministic spans (email / phone / IPv4 keyed on
     * doc_id % 4 — the same construction in the oracle SQL) and then runs
@@ -175,24 +194,17 @@ object TextAnalysis {
     * across engines. Scale: pure map-side projection, no shuffle below the
     * final presentation sort. */
   val t9: Q = (s, d) =>
-    Tables.documents(s, d)
-      .withColumn("pii", expr(
-        """CASE CAST(doc_id % 4 AS INT)
-          | WHEN 0 THEN concat(text, ' reach me at user', CAST(doc_id AS STRING), '@mail.example.com now')
-          | WHEN 1 THEN concat(text, ' call 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'),
-          |                    '-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' today')
-          | WHEN 2 THEN concat(text, ' from host 10.', CAST(doc_id % 256 AS STRING),
-          |                    '.0.', CAST((doc_id div 256) % 256 AS STRING), ' logged')
-          | ELSE text END""".stripMargin))
-      .select(col("doc_id"),
-        regexp_count(col("pii"), lit(EmailRe)).cast("long").as("n_emails"),
-        regexp_count(col("pii"), lit(PhoneRe)).cast("long").as("n_phones"),
-        regexp_count(col("pii"), lit(IpRe)).cast("long").as("n_ips"),
-        md5(regexp_replace(
-          regexp_replace(
-            regexp_replace(col("pii"), EmailRe, "[EMAIL]"),
-            PhoneRe, "[PHONE]"),
-          IpRe, "[IP]")).as("redacted_md5"))
+    piiStatsOf(
+      Tables.documents(s, d)
+        .withColumn("pii", expr(
+          """CASE CAST(doc_id % 4 AS INT)
+            | WHEN 0 THEN concat(text, ' reach me at user', CAST(doc_id AS STRING), '@mail.example.com now')
+            | WHEN 1 THEN concat(text, ' call 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'),
+            |                    '-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' today')
+            | WHEN 2 THEN concat(text, ' from host 10.', CAST(doc_id % 256 AS STRING),
+            |                    '.0.', CAST((doc_id div 256) % 256 AS STRING), ' logged')
+            | ELSE text END""".stripMargin)),
+      textCol = "pii")
       .orderBy("doc_id")
   val t9Sql: String =
     s"""WITH pii AS (
@@ -223,8 +235,10 @@ object TextAnalysis {
     * cut (boilerplate, keyword stuffing, generation loops). Scale: the
     * n-gram set is built per row with array expressions — no explode, no
     * shuffle below the presentation sort. */
-  val t10: Q = (s, d) =>
-    Tables.documents(s, d)
+  /** Repetition ratios over any (doc_id, text) frame — the library entry
+    * point ([[graft.api.GraftApi.repetitionStats]]). */
+  private[graft] def repetitionStatsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("tris", expr(
         "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws) - 2)," +
@@ -236,7 +250,9 @@ object TextAnalysis {
         size(col("tris")).cast("long").as("n_trigrams"),
         expr("CAST((size(tris) - size(array_distinct(tris))) * 10000" +
           " div greatest(size(tris), 1) AS BIGINT)").as("dup_tri_bp"))
-      .orderBy("doc_id")
+
+  val t10: Q = (s, d) =>
+    repetitionStatsOf(Tables.documents(s, d)).orderBy("doc_id")
   val t10Sql: String =
     """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
       |t AS (

@@ -1,0 +1,88 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The library facade: works on arbitrary user frames (not just the
+  * fixture), and the fixture-bound registry queries are exactly these
+  * operators (no drift between what users call and what the oracle
+  * gate checks). */
+class ApiSpec extends SparkSpec {
+
+  private def userDocs = {
+    val sp = spark
+    import sp.implicits._
+    // 12+ words: dropping the first word keeps trigram jaccard at
+    // (n-3)/(n-2) >= 0.8 only for n >= 12
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"), // exact dup of 1
+      (3L, "beta gamma delta epsilon zeta eta theta iota kappa lambda mu"), // near dup (first word dropped)
+      (4L, "one two three four five six seven eight"),
+      (5L, "totally different words entirely here now"),
+      (6L, "email me at jane.doe@corp.example.org or call 555-123-4567 from 10.0.0.1"))
+      .toDF("doc_id", "text")
+  }
+
+  test("dedup family finds planted dups on a hand-built frame") {
+    val exact = GraftApi.exactDupGroups(userDocs).collect()
+    assert(exact.length === 1 && exact.head.getLong(1) === 2L && exact.head.getLong(2) === 1L)
+
+    val pairs = GraftApi.nearDupPairs(userDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 10000L), "exact pair at 10000 bp")
+    assert(pairs.exists(p => (p._1, p._2) == (1L, 3L) || (p._1, p._2) == (2L, 3L)),
+      "near pair must surface")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L),
+      "unrelated docs must not pair")
+
+    val clusters = GraftApi.dedupClusters(userDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(clusters.map(_._1).toSeq === Seq(1L, 2L, 3L), "docs 1,2,3 form the only cluster")
+    assert(clusters.forall(_._2 == 1L), "cluster id = min member")
+    assert(clusters.forall(_._3 == 3L), "cluster size 3")
+  }
+
+  test("piiStats/redactPii detect and strip the planted PII") {
+    val r = GraftApi.piiStats(userDocs).filter(col("doc_id") === 6).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((1L, 1L, 1L)))
+    val red = userDocs.filter(col("doc_id") === 6)
+      .select(GraftApi.redactPii(col("text"))).head().getString(0)
+    assert(red === "email me at [EMAIL] or call [PHONE] from [IP]")
+  }
+
+  test("deterministicShuffle is a stable permutation with pass-through columns") {
+    val out = GraftApi.deterministicShuffle(userDocs, "doc_id")
+    assert(out.columns.toSet === Set("doc_id", "text", "pos"))
+    val ps = out.select("pos").collect().map(_.getLong(0)).sorted
+    assert(ps.toSeq === (1L to 6L).toSeq)
+    val o1 = out.orderBy("pos").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val o2 = GraftApi.deterministicShuffle(userDocs, "doc_id")
+      .orderBy("pos").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(o1 === o2, "rerun-stable")
+    assert(GraftApi.deterministicShuffle(userDocs, "doc_id", salt = "other:")
+      .orderBy("pos").select("doc_id").collect().map(_.getLong(0)).toSeq !== o1,
+      "different salt, different order")
+  }
+
+  test("topKPerGroup facade returns k rows per group") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8)).toDF("g", "v")
+    val top = GraftApi.topKPerGroup(df, Seq("g"), Seq(("v", true)), 2)
+      .collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    assert(top.toSeq === Seq(("a", 2), ("a", 3), ("b", 8), ("b", 9)))
+  }
+
+  test("facade output equals the registry query on the fixture corpus") {
+    // t10 binds repetitionStats to the fixture; the facade on the same
+    // frame must produce the identical result (no drift)
+    val viaApi = GraftApi.repetitionStats(
+      graft.Tables.documents(spark, sfDir).select("doc_id", "text"))
+      .orderBy("doc_id").collect().toSeq
+    val viaRegistry = graft.SparkEntry.queries("t10_repetition_ratio")(spark, sfDir)
+      .collect().toSeq
+    assert(viaApi === viaRegistry)
+  }
+}
