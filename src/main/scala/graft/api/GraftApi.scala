@@ -75,6 +75,42 @@ object GraftApi {
   def repetitionStats(docs: DataFrame): DataFrame =
     TextAnalysis.repetitionStatsOf(docs)
 
+  /** Dictionary language-ID: per-doc argmax of word hits against a
+    * broadcast (word → lang) dictionary — (doc_id, lang_pred, n_hits),
+    * 'und' when nothing hits. */
+  def languageId(docs: DataFrame, dict: Seq[(String, String)]): DataFrame =
+    TextAnalysis.languageIdOf(docs, dict)
+
+  /** Integer quality scores (length/alpha/stopword/token-shape components,
+    * basis points) — needs (doc_id, text, n_chars). */
+  def qualityScore(docs: DataFrame): DataFrame = TextAnalysis.qualityScoreOf(docs)
+
+  /** Token-count estimators (whitespace, BPE-ish regex, chars/4) — needs
+    * (doc_id, text, n_chars). */
+  def tokenCounts(docs: DataFrame): DataFrame = TextAnalysis.tokenCountsOf(docs)
+
+  /** Order-sensitive rolling-hash document fingerprints —
+    * (doc_id, fingerprint). */
+  def fingerprints(docs: DataFrame): DataFrame = TextAnalysis.fingerprintsOf(docs)
+
+  // ---- similarity ----
+
+  /** Exact brute-force cosine top-k of a small (broadcastable) query set
+    * against a corpus; both frames (vec_id BIGINT, embedding ARRAY<FLOAT>).
+    * Returns (q_id, cand_id, rk, cos_r); zero-norm vectors are dropped and
+    * a query never matches its own vec_id. The correct plan when |queries|
+    * is small — for corpus-scale query sets use an LSH/IVF path first. */
+  def cosineTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    graft.ops.Similarity.cosineTopKOf(vectors, queries, k)
+
+  // ---- sampling ----
+
+  /** Deterministic Bernoulli keep column: true for `keepBp` basis points
+    * of ids by salted-md5 draw — RNG-free and rerun-stable; `keepBp` may
+    * be per-row (e.g. a CASE over a source column) for corpus mixing. */
+  def bernoulliKeep(id: Column, salt: String, keepBp: Column): Column =
+    ScaleOps.bernoulliKeep(id, salt, keepBp)
+
   // ---- ordering / top-k ----
 
   /** Reproducible pseudo-random total order: adds `pos` (dense 1..N over

@@ -414,6 +414,15 @@ object ScaleOps {
     * string order equals numeric order, so the comparison is a uniform
     * Bernoulli draw that both engines evaluate bit-identically — rerun-
     * stable, join-free, map-side. */
+  /** Deterministic Bernoulli keep decision for ANY id column: true for
+    * `keepBp` basis points of ids, by salted-md5 draw (uniform over the
+    * first 4 hex chars) — the library sampling primitive
+    * ([[graft.api.GraftApi.bernoulliKeep]]). Map-side, RNG-free,
+    * rerun-stable; `keepBp` may be per-row (e.g. a CASE over source). */
+  private[graft] def bernoulliKeep(id: Column, salt: String, keepBp: Column): Column =
+    (conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 10000) < keepBp
+
   val samp2: Q = (s, d) =>
     Tables.documents(s, d)
       .withColumn("thr", expr(

@@ -25,17 +25,21 @@ import graft.Tables
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** All vectors, integer-quantized, with exact norms; zero vectors dropped.
-    * Dots/norms run through the codegen'd `graft_dot` expression — the
-    * registry call makes every Similarity query self-contained. */
-  private def qnorm(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    Tables.embeddings(s, d)
+  /** Any (vec_id, embedding) frame, integer-quantized, with exact norms;
+    * zero vectors dropped. Dots/norms run through the codegen'd
+    * `graft_dot` expression — the registry call makes every consumer
+    * self-contained. */
+  private[graft] def qnormOf(vectors: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    vectors
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
       .withColumn("nrm", expr("graft_dot(q, q)"))
       .filter(col("nrm") > 0)
   }
+
+  private def qnorm(s: SparkSession, d: String): DataFrame =
+    qnormOf(Tables.embeddings(s, d))
 
   private val qnormCte: String =
     """qn AS (
@@ -47,20 +51,28 @@ object Similarity {
 
   // ---- SIM1: brute-force cosine top-k (exact baseline) ----
 
-  val sim1: Q = (s, d) => {
-    val qn = qnorm(s, d)
-    val queries = qn.filter(col("vec_id") % 50 === 0)
+  /** Exact brute-force cosine top-k of a (small, broadcastable) query set
+    * against a corpus — the library entry point
+    * ([[graft.api.GraftApi.cosineTopK]]); both frames (vec_id, embedding).
+    * The query's own vec_id is excluded from its neighbors. */
+  private[graft] def cosineTopKOf(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qn = qnormOf(vectors)
+    val qs = qnormOf(queries)
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nrm").as("q_nrm"))
-    val pairs = qn.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+    val pairs = qn.join(broadcast(qs), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         expr("graft_dot(qq, q)").as("dot"),
         col("q_nrm"), col("nrm"))
       .withColumn("cos", col("dot") / sqrt(col("q_nrm").cast("double") * col("nrm").cast("double")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("cand_id"), col("rk"), round(col("cos"), 6).as("cos_r"))
-      .orderBy("q_id", "rk")
   }
+
+  val sim1: Q = (s, d) =>
+    cosineTopKOf(Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0), k = 5)
+      .orderBy("q_id", "rk")
   val sim1Sql: String =
     s"""WITH $qnormCte,
        |dots AS (

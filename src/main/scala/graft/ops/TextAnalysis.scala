@@ -43,21 +43,32 @@ object TextAnalysis {
 
   // ---- T4: language identification (dictionary-hit argmax) ----
 
-  val t4: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
+  /** Dictionary language-ID over any (doc_id, text) frame: per-doc argmax
+    * of word hits against a broadcast (word → lang) dictionary, 'und' when
+    * nothing hits — the library entry point
+    * ([[graft.api.GraftApi.languageId]]). */
+  private[graft] def languageIdOf(
+      docs: DataFrame, dict: Seq[(String, String)] = LangDict): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val hits = toks.join(broadcast(dictDf(s)), "word")
+    val hits = toks.join(broadcast(dict.toDF("word", "dlang")), "word")
       .groupBy("doc_id", "dlang").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("dlang"))
     val best = hits.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("doc_id"), col("dlang"), col("n").as("n_hits"))
-    Tables.documents(s, d).select(col("doc_id"), col("lang"))
-      .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"),
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
         coalesce(col("dlang"), lit("und")).as("lang_pred"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-      .orderBy("doc_id")
   }
+
+  val t4: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(languageIdOf(Tables.documents(s, d).select("doc_id", "text")), Seq("doc_id"))
+      .select("doc_id", "lang", "lang_pred", "n_hits")
+      .orderBy("doc_id")
   val t4Sql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
@@ -79,15 +90,17 @@ object TextAnalysis {
 
   // ---- T5: quality scoring (length / word-shape / stopword ratios) ----
 
-  val t5: Q = (s, d) => {
+  /** Integer quality scores over any (doc_id, text, n_chars) frame — the
+    * library entry point ([[graft.api.GraftApi.qualityScore]]). */
+  private[graft] def qualityScoreOf(docs: DataFrame): DataFrame = {
     val nTok = size(split(col("text"), " ")).cast("long")
     val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
     val sumTokLen = length(regexp_replace(col("text"), " ", "")).cast("long")
-    val toks = Tables.documents(s, d)
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val stops = toks.filter(col("word").isInCollection(StopWords))
       .groupBy("doc_id").agg(count(lit(1)).as("n_stop"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
         nAlpha.as("n_alpha"), sumTokLen.as("sum_tok_len"))
       .join(stops, Seq("doc_id"), "left")
@@ -99,8 +112,10 @@ object TextAnalysis {
         expr("(CASE WHEN n_tokens >= 20 THEN 2500 ELSE n_tokens * 125 END)" +
           " + alpha_bp div 4 + stop_bp div 4" +
           " + (CASE WHEN mean_tok_len_x100 BETWEEN 300 AND 800 THEN 2500 ELSE 0 END)"))
-      .orderBy("doc_id")
   }
+
+  val t5: Q = (s, d) =>
+    qualityScoreOf(Tables.documents(s, d)).orderBy("doc_id")
   val t5Sql: String =
     s"""WITH base AS (
        |  SELECT doc_id, n_chars,
@@ -128,12 +143,16 @@ object TextAnalysis {
 
   private val BpeRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
-  val t6: Q = (s, d) =>
-    Tables.documents(s, d).select(col("doc_id"),
+  /** Token-count estimators over any (doc_id, text, n_chars) frame — the
+    * library entry point ([[graft.api.GraftApi.tokenCounts]]). */
+  private[graft] def tokenCountsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
       size(expr(s"regexp_extract_all(text, '${BpeRe.replace("\\", "\\\\")}', 0)")).cast("long").as("n_bpe_tokens"),
       expr("n_chars div 4").as("n_chars_div4"))
-      .orderBy("doc_id")
+
+  val t6: Q = (s, d) =>
+    tokenCountsOf(Tables.documents(s, d)).orderBy("doc_id")
   val t6Sql: String =
     s"""SELECT doc_id,
        |       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -145,12 +164,16 @@ object TextAnalysis {
 
   private val FpMod = 2147483647L // 2^31 - 1
 
-  val t7: Q = (s, d) =>
-    Tables.documents(s, d).select(col("doc_id"),
+  /** Order-sensitive rolling-hash fingerprints over any (doc_id, text)
+    * frame — the library entry point ([[graft.api.GraftApi.fingerprints]]). */
+  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       expr("aggregate(" +
         s"transform(split(text, ' '), w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) % $FpMod)," +
         s" 0L, (acc, v) -> (acc * 131 + v) % $FpMod)").as("fingerprint"))
-      .orderBy("doc_id")
+
+  val t7: Q = (s, d) =>
+    fingerprintsOf(Tables.documents(s, d)).orderBy("doc_id")
   val t7Sql: String =
     s"""SELECT doc_id,
        |       list_reduce(

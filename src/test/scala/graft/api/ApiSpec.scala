@@ -75,6 +75,39 @@ class ApiSpec extends SparkSpec {
     assert(top.toSeq === Seq(("a", 2), ("a", 3), ("b", 8), ("b", 9)))
   }
 
+  test("languageId/fingerprints/cosineTopK work on arbitrary frames") {
+    val sp = spark
+    import sp.implicits._
+    val lid = GraftApi.languageId(userDocs,
+      dict = Seq("alpha" -> "gr", "beta" -> "gr", "one" -> "en", "two" -> "en"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(lid(1L) === "gr" && lid(4L) === "en" && lid(5L) === "und")
+
+    val fps = GraftApi.fingerprints(userDocs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fps(1L) === fps(2L), "identical text, identical fingerprint")
+    assert(fps(1L) !== fps(3L))
+
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, 0.0f))) // zero vector dropped
+      .toDF("vec_id", "embedding")
+    val top = GraftApi.cosineTopK(vecs, vecs.filter($"vec_id" === 1L), k = 2)
+      .orderBy("rk").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(top.toSeq === Seq((2L, 1), (3L, 2)), "nearest first, zero vector excluded")
+  }
+
+  test("bernoulliKeep hits its basis-point rate deterministically") {
+    val sp = spark
+    import sp.implicits._
+    val ids = (0L until 10000L).toDF("id")
+    val kept = ids.filter(GraftApi.bernoulliKeep(col("id"), "s:", lit(2500))).count()
+    assert(math.abs(kept - 2500L) < 200, s"kept $kept of 10000 at 25% target")
+    val kept2 = ids.filter(GraftApi.bernoulliKeep(col("id"), "s:", lit(2500))).count()
+    assert(kept === kept2, "same salt, same draw")
+    assert(ids.filter(GraftApi.bernoulliKeep(col("id"), "s:", lit(0))).count() === 0L)
+    assert(ids.filter(GraftApi.bernoulliKeep(col("id"), "s:", lit(10000))).count() === 10000L)
+  }
+
   test("facade output equals the registry query on the fixture corpus") {
     // t10 binds repetitionStats to the fixture; the facade on the same
     // frame must produce the identical result (no drift)
