@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.GraftFunctions
-import graft.ops.{Dedup, ScaleOps, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Events, ScaleOps, TextAnalysis}
 import graft.plans.TopKPerGroup
 import graft.text.TextOps
 
@@ -102,6 +102,26 @@ object GraftApi {
     * is small — for corpus-scale query sets use an LSH/IVF path first. */
   def cosineTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
     graft.ops.Similarity.cosineTopKOf(vectors, queries, k)
+
+  // ---- temporal ----
+
+  /** Inclusive as-of join: for each left row, attach `asof_<tsCol>` /
+    * `asof_<valueCol>` from the latest right row with right.ts <= left.ts
+    * sharing `keyCol` (NULL when none). One shuffle on the key, never a
+    * candidate-pair product. Pre-dedupe right rows at identical (key, ts)
+    * for a deterministic pick; `valueCol` must not collide with a left
+    * column. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String): DataFrame =
+    AsOf.asofJoinOf(left, right, keyCol, tsCol, valueCol)
+
+  /** Gap-based sessionization: tags each event with a per-key `session_id`
+    * (1..k in (tsCol, tieCol) order; a new session starts when the gap to
+    * the previous event exceeds `gapUs`, strict >). One shuffle on the
+    * key. `tsCol` must be a TIMESTAMP column. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gapUs: Long): DataFrame =
+    Events.sessionizeOf(events, keyCol, tsCol, tieCol, gapUs)
 
   // ---- sampling ----
 

@@ -25,32 +25,49 @@ object AsOf {
 
   private def cents(c: org.apache.spark.sql.Column) = Money.cents(c)
 
+  /** Generic inclusive as-of join — for each left row, the latest right
+    * row with right.ts <= left.ts sharing `keyCol`. Attaches
+    * `asof_<tsCol>` and `asof_<valueCol>` (NULL when no prior right row);
+    * all left columns pass through. One shuffle on the key, no candidate
+    * pairs. Rows of the RIGHT side at identical (key, ts) should be
+    * pre-deduplicated for a deterministic pick. The library entry point
+    * ([[graft.api.GraftApi.asofJoin]]); `valueCol` must not collide with
+    * a left column name. */
+  private[graft] def asofJoinOf(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String): DataFrame = {
+    val lu = left.withColumn("__side", lit(1))
+    val ru = right.select(col(keyCol), col(tsCol), col(valueCol))
+      .withColumn("__side", lit(0))
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, "__side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lu.unionByName(ru, allowMissingColumns = true)
+      .withColumn("__asof", last(when(col("__side") === 0,
+        struct(col(tsCol).as("t"), col(valueCol).as("v"))),
+        ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) :+
+        col("__asof.t").as(s"asof_$tsCol") :+
+        col("__asof.v").as(s"asof_$valueCol"): _*)
+  }
+
   val af1: Q = (s, d) => {
     val ev = Tables.events(s, d)
     val us = unix_micros(col("ts"))
     // dedupe clicks at equal (user, ts): keep the max event_id — makes the
-    // as-of pick deterministic in both engines
+    // as-of pick deterministic in both engines. The generic asofJoinOf
+    // selects the as-of row by the SIDE flag packed into one struct —
+    // keying on value-nullness would skip a click whose value is genuinely
+    // NULL and pair an older click's value with the newer click's time.
     val clickW = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
     val clicks = ev.filter(col("event_type") === "click")
       .withColumn("rk", row_number().over(clickW)).filter(col("rk") === 1)
-      .select(col("user_id"), us.as("t_us"), lit(0).as("side"),
-        lit(null).cast("long").as("purchase_id"), cents(col("value")).as("click_value_c"))
+      .select(col("user_id"), us.as("t_us"), cents(col("value")).as("click_value_c"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), us.as("t_us"), lit(1).as("side"),
-        col("event_id").as("purchase_id"), lit(null).cast("long").as("click_value_c"))
-    val w = Window.partitionBy("user_id").orderBy("t_us", "side")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the as-of row is selected by the SIDE flag packed into one struct —
-    // keying on value-nullness would skip a click whose value is genuinely
-    // NULL and pair an older click's value with the newer click's time
-    clicks.unionAll(purchases)
-      .withColumn("asof_click", last(when(col("side") === 0,
-        struct(col("t_us").as("t"), col("click_value_c").as("v"))),
-        ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"), us.as("t_us"))
+    asofJoinOf(purchases, clicks, "user_id", "t_us", "click_value_c")
       .select(col("purchase_id"), col("user_id"),
-        col("asof_click.v").as("asof_click_value_c"),
-        (col("t_us") - col("asof_click.t")).as("gap_us"))
+        col("asof_click_value_c"),
+        (col("t_us") - col("asof_t_us")).as("gap_us"))
       .orderBy("purchase_id")
   }
   val af1Sql: String =

@@ -61,20 +61,31 @@ object Events {
 
   /** E3: session windows per user, 10-minute inactivity gap — classic
     * gaps-and-islands (lag → new-session flag → running sum → agg). */
-  val e3: Q = (s, d) => {
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val us = unix_micros(col("ts"))
+  /** Gap-based sessionization of ANY event frame: tags each row with a
+    * per-key `session_id` (1..k in time order; a new session starts when
+    * the gap to the previous event exceeds `gapUs`, strict >). One shuffle
+    * on the key — the library entry point
+    * ([[graft.api.GraftApi.sessionize]]). `tieCol` breaks equal-timestamp
+    * ordering deterministically. */
+  private[graft] def sessionizeOf(events: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+    val us = unix_micros(col(tsCol))
     val newSession =
-      when(lag(us, 1).over(byUser).isNull || us - lag(us, 1).over(byUser) > 600000000L, 1L)
+      when(lag(us, 1).over(w).isNull || us - lag(us, 1).over(w) > gapUs, 1L)
         .otherwise(0L)
-    ev(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
-        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("session_id"))
+    events.withColumn("session_id",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  val e3: Q = (s, d) =>
+    sessionizeOf(
+      ev(s, d).select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      "user_id", "ts", "event_id", 600000000L)
       .groupBy("user_id", "session_id")
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_value_c"))
       .orderBy("user_id", "session_id")
-  }
   val e3Sql: String =
     s"""WITH flagged AS (
        |  SELECT user_id, ts, event_id, value,

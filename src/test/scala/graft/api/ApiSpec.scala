@@ -108,6 +108,34 @@ class ApiSpec extends SparkSpec {
     assert(ids.filter(GraftApi.bernoulliKeep(col("id"), "s:", lit(10000))).count() === 10000L)
   }
 
+  test("asofJoin attaches the latest prior right row, inclusive at equal ts") {
+    val sp = spark
+    import sp.implicits._
+    val quotes = Seq((1L, 100L, 10L), (1L, 200L, 20L), (2L, 150L, 99L))
+      .toDF("k", "t", "px")
+    val trades = Seq((1L, 50L, "early"), (1L, 100L, "at"), (1L, 250L, "late"), (3L, 100L, "nokey"))
+      .toDF("k", "t", "name")
+    val out = GraftApi.asofJoin(trades, quotes, "k", "t", "px")
+      .collect().map(r => (r.getString(2), if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out("early") === -1L, "no prior quote")
+    assert(out("at") === 10L, "inclusive: quote at the same ts matches")
+    assert(out("late") === 20L, "latest prior quote wins")
+    assert(out("nokey") === -1L, "unmatched key stays NULL")
+  }
+
+  test("sessionize splits on gap > gapUs and numbers sessions per key") {
+    val sp = spark
+    import sp.implicits._
+    val ts = (m: Long) => new java.sql.Timestamp(m * 60000L)
+    val ev = Seq((7L, ts(0), 1L), (7L, ts(5), 2L), (7L, ts(15), 3L), (7L, ts(40), 4L),
+        (8L, ts(0), 5L))
+      .toDF("user_id", "ts", "event_id")
+    // 10-minute gap: minute 15 is exactly gap from minute 5 -> same session
+    val got = GraftApi.sessionize(ev, "user_id", "ts", "event_id", 600000000L)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("facade output equals the registry query on the fixture corpus") {
     // t10 binds repetitionStats to the fixture; the facade on the same
     // frame must produce the identical result (no drift)
