@@ -131,6 +131,22 @@ object GraftApi {
   def bernoulliKeep(id: Column, salt: String, keepBp: Column): Column =
     ScaleOps.bernoulliKeep(id, salt, keepBp)
 
+  // ---- batch/layout planning ----
+
+  /** Concat-and-chunk packing assignment: adds `win` (the pretraining
+    * window this row's first token lands in, per-shard running token
+    * count div `budget`) and `last_win` (where its last token lands —
+    * differs when the row straddles a boundary). Per-shard windowed
+    * cumsum, no global sort. */
+  def packWindows(docs: DataFrame, shardCol: String, orderCol: String,
+      toksCol: String, budget: Long): DataFrame =
+    ScaleOps.packWindowsOf(docs, shardCol, orderCol, toksCol, budget)
+
+  /** Single-scan column profile grouped by `groupCol`: per remaining
+    * column — null count, distinct count, min/max (stringified). */
+  def profile(df: DataFrame, groupCol: String): DataFrame =
+    ScaleOps.profileOf(df, groupCol)
+
   // ---- ordering / top-k ----
 
   /** Reproducible pseudo-random total order: adds `pos` (dense 1..N over

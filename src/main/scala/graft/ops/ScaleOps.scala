@@ -74,22 +74,34 @@ object ScaleOps {
     * running sum is windowed PER SHARD (lang), so no global single-
     * partition sort exists at scale — shards pack independently, which is
     * exactly how training shards are laid out. */
-  val pack1: Q = (s, d) => {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+  /** Concat-and-chunk packing assignment for ANY frame: each row gets the
+    * `win`dow its first token lands in (per-shard running token count
+    * div `budget`) and `last_win` (the window its last token lands in —
+    * differs when the row straddles a boundary). Per-shard windowed
+    * cumsum, no global sort — the library entry point
+    * ([[graft.api.GraftApi.packWindows]]). */
+  private[graft] def packWindowsOf(docs: DataFrame, shardCol: String,
+      orderCol: String, toksCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("toks"))
-      .withColumn("cum_before", coalesce(sum("toks").over(w), lit(0L)))
-      .select(col("lang"), col("toks"),
-        expr(s"cum_before div $PackBudget").as("win"),
-        expr(s"(cum_before + toks - 1) div $PackBudget").as("last_win"))
+    docs
+      .withColumn("cum_before", coalesce(sum(toksCol).over(w), lit(0L)))
+      .withColumn("win", expr(s"cum_before div $budget"))
+      .withColumn("last_win", expr(s"(cum_before + $toksCol - 1) div $budget"))
+      .drop("cum_before")
+  }
+
+  val pack1: Q = (s, d) =>
+    packWindowsOf(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("toks")),
+      "lang", "doc_id", "toks", PackBudget)
       .groupBy("lang", "win")
       .agg(count(lit(1)).as("n_docs"),
         sum("toks").as("sum_toks"),
         sum(when(col("last_win") =!= col("win"), 1L).otherwise(0L)).as("n_straddlers"))
       .orderBy("lang", "win")
-  }
   val pack1Sql: String =
     s"""WITH t AS (
        |  SELECT lang, CAST(len(str_split(text, ' ')) AS BIGINT) AS toks,
@@ -162,6 +174,22 @@ object ScaleOps {
     * distinct languages, char-length min/max/sum, and token sum. One
     * hash-agg shuffle over group keys; every statistic is map-side
     * partial-aggregated, so the exchange carries one row per source. */
+  /** Single-scan column profile of ANY frame, grouped by `groupCol`: per
+    * remaining column — null count, distinct count, min/max (as strings,
+    * so mixed types share one schema). One hash aggregate over the scan —
+    * the library entry point ([[graft.api.GraftApi.profile]]). */
+  private[graft] def profileOf(df: DataFrame, groupCol: String): DataFrame = {
+    val others = df.columns.filterNot(_ == groupCol)
+    val aggs = others.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    df.groupBy(groupCol).agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
   val prof1: Q = (s, d) =>
     Tables.documents(s, d)
       .groupBy("source")

@@ -136,6 +136,32 @@ class ApiSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("packWindows assigns contiguous windows and flags straddlers") {
+    val sp = spark
+    import sp.implicits._
+    // shard a: tokens 6,6,6 over budget 10 -> wins 0,0,1; doc 2 straddles
+    val df = Seq((1L, "a", 6L), (2L, "a", 6L), (3L, "a", 6L), (9L, "b", 4L))
+      .toDF("doc_id", "shard", "toks")
+    val got = GraftApi.packWindows(df, "shard", "doc_id", "toks", 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((0L, 0L)))
+    assert(got(2L) === ((0L, 1L)), "straddles the first boundary")
+    assert(got(3L) === ((1L, 1L)))
+    assert(got(9L) === ((0L, 0L)), "shards pack independently")
+  }
+
+  test("profile reports nulls/distincts/min/max per group") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("a", Some(1L)), ("a", None), ("b", Some(5L)))
+      .toDF("g", "v")
+    val rows = GraftApi.profile(df, "g").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5))))).toMap
+    assert(rows("a") === ((2L, 1L, 1L, Some("1"), Some("1"))))
+    assert(rows("b") === ((1L, 0L, 1L, Some("5"), Some("5"))))
+  }
+
   test("facade output equals the registry query on the fixture corpus") {
     // t10 binds repetitionStats to the fixture; the facade on the same
     // frame must produce the identical result (no drift)
