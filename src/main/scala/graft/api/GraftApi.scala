@@ -147,6 +147,14 @@ object GraftApi {
   def profile(df: DataFrame, groupCol: String): DataFrame =
     ScaleOps.profileOf(df, groupCol)
 
+  /** EXACT per-group percentiles via (value, freq) + cumulative-rank pick
+    * — one shuffle on the group, no global sort, bit-deterministic (the
+    * audit path beside `approx_percentile`). Returns
+    * (groupCol, pct, exact_pct). */
+  def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      pcts: Seq[Double]): DataFrame =
+    ScaleOps.exactPercentilesOf(df, groupCol, valueCol, pcts)
+
   // ---- ordering / top-k ----
 
   /** Reproducible pseudo-random total order: adds `pos` (dense 1..N over

@@ -221,19 +221,30 @@ object ScaleOps {
     * partitioned by lang, so the ordered frame is per-group distinct
     * values, never a global sort; rank targets use the identical
     * ceil(pct·n) double math in both engines ⇒ bit-exact. */
-  val apx3: Q = (s, d) => {
-    val freq = Tables.documents(s, d)
-      .groupBy(col("lang"), col("n_chars").as("v"))
+  /** Exact per-group percentiles of ANY (groupCol, valueCol) frame via
+    * the (value, freq) + cumulative-rank pick — one shuffle on the group,
+    * windows partitioned by group (never a global sort). Returns
+    * (groupCol, pct, exact_pct) — the library entry point
+    * ([[graft.api.GraftApi.exactPercentiles]]). */
+  private[graft] def exactPercentilesOf(df: DataFrame, groupCol: String,
+      valueCol: String, pcts: Seq[Double]): DataFrame = {
+    val freq = df
+      .groupBy(col(groupCol), col(valueCol).as("v"))
       .agg(count(lit(1)).as("f"))
     val cum = freq
       .withColumn("cf", sum("f").over(
-        Window.partitionBy("lang").orderBy("v")))
-      .withColumn("n", sum("f").over(Window.partitionBy("lang")))
-    val pcts = s.sql("SELECT explode(array(0.5D, 0.95D)) AS pct")
-    cum.join(broadcast(pcts), col("cf") >= ceil(col("pct") * col("n")))
-      .groupBy("lang", "pct").agg(min("v").as("exact_pct_chars"))
-      .orderBy("lang", "pct")
+        Window.partitionBy(groupCol).orderBy("v")))
+      .withColumn("n", sum("f").over(Window.partitionBy(groupCol)))
+    val pctsDf = df.sparkSession.sql(
+      s"SELECT explode(array(${pcts.map(p => s"${p}D").mkString(", ")})) AS pct")
+    cum.join(broadcast(pctsDf), col("cf") >= ceil(col("pct") * col("n")))
+      .groupBy(col(groupCol), col("pct")).agg(min("v").as("exact_pct"))
   }
+
+  val apx3: Q = (s, d) =>
+    exactPercentilesOf(Tables.documents(s, d), "lang", "n_chars", Seq(0.5, 0.95))
+      .withColumnRenamed("exact_pct", "exact_pct_chars")
+      .orderBy("lang", "pct")
   val apx3Sql: String =
     """WITH freq AS (
       |  SELECT lang, n_chars AS v, count(*) AS f FROM documents GROUP BY lang, n_chars),

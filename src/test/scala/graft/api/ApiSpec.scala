@@ -162,6 +162,18 @@ class ApiSpec extends SparkSpec {
     assert(rows("b") === ((1L, 0L, 1L, Some("5"), Some("5"))))
   }
 
+  test("exactPercentiles matches a driver-side sort on a hand-built frame") {
+    val sp = spark
+    import sp.implicits._
+    val vals = Seq.tabulate(100)(i => ("g", (i + 1).toLong)) ++ Seq(("h", 5L), ("h", 6L))
+    val got = GraftApi.exactPercentiles(vals.toDF("g", "v"), "g", "v", Seq(0.5, 0.95))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(got(("g", 0.5)) === 50L)
+    assert(got(("g", 0.95)) === 95L)
+    assert(got(("h", 0.5)) === 5L)
+    assert(got(("h", 0.95)) === 6L)
+  }
+
   test("facade output equals the registry query on the fixture corpus") {
     // t10 binds repetitionStats to the fixture; the facade on the same
     // frame must produce the identical result (no drift)
