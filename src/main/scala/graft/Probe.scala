@@ -2,8 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch timing probe (not part of the driver contract; deleted or kept
-  * out of the registry). Times named queries' sub-stages. */
+/** Dev timing probe: times individual registry queries cold+warm without
+  * running the whole Bench sweep. Usage:
+  *   sbt "runMain graft.Probe d3_minhash_lsh_pairs d8_dedup_clusters"
+  * (no args → a default set of the historically slowest queries).
+  * Ambient host load swings timings ±35% — probe twice before believing
+  * any regression (lsh1 measured 5.6 s and 8.3 s with identical code). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,26 +17,26 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("d3_minhash_lsh_pairs", "d8_dedup_clusters", "lsh1_ml_minhash_join",
+        "m7c_svm_corrected_epochs", "d6_ngram_jaccard_blocked")
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => println(s"[probe] $name: not in registry")
+        case Some(fn) =>
+          def once(): (Double, Long) = {
+            val t0 = System.nanoTime()
+            val n = fn(spark, sfDir).count()
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          val (cold, n) = once()
+          spark.catalog.clearCache()
+          val (warm, _) = once()
+          spark.catalog.clearCache()
+          println(f"[probe] $name: cold $cold%.2f s, warm $warm%.2f s ($n rows)")
+      }
     }
-    // warm the JVM/page cache once
-    time("d3 warmup")(ops.Dedup.d3(spark, sfDir).count())
-    spark.catalog.clearCache()
-    time("d3 warm")(ops.Dedup.d3(spark, sfDir).count())
-    spark.catalog.clearCache()
-    time("d3 pairs only (no verify)")(
-      ops.Dedup.d3(spark, sfDir).select("id_a", "id_b").count())
-    spark.catalog.clearCache()
-    time("d8 full")(ops.Dedup.d8(spark, sfDir).count())
-    spark.catalog.clearCache()
-    time("d8 full again")(ops.Dedup.d8(spark, sfDir).count())
-    spark.catalog.clearCache()
-    time("lsh1")(ml.MlLsh.lsh1(spark, sfDir).count())
-    spark.catalog.clearCache()
-    time("lsh1 again")(ml.MlLsh.lsh1(spark, sfDir).count())
     spark.stop()
   }
 }
