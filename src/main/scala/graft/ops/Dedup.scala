@@ -167,11 +167,16 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bi") === col("b.bi") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
-    val sh = shinglesOf(docs)
+    // intersections join on the 60-bit md5-prefix key, not the shingle
+    // STRING: the exchange carries 8 bytes per row instead of the full
+    // shingle text, and both engines derive the key from the same md5 —
+    // an h60 collision (≈2^-60 per distinct pair) would be counted
+    // identically on both sides, so bit-exactness is preserved
+    val sh = shinglesOf(docs).select(col("doc_id"), h60(col("shingle")).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("na"), col("id_a") === col("na.doc_id"))
@@ -199,12 +204,13 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bi = b.bi AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id),
+       |shh AS (SELECT doc_id, ${h60Sql("shingle")} AS sh FROM shingles),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shh GROUP BY doc_id),
        |ints AS (
        |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
        |  FROM cand c
-       |  JOIN shingles sa ON sa.doc_id = c.id_a
-       |  JOIN shingles sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+       |  JOIN shh sa ON sa.doc_id = c.id_a
+       |  JOIN shh sb ON sb.doc_id = c.id_b AND sa.sh = sb.sh
        |  GROUP BY c.id_a, c.id_b)
        |SELECT i.id_a, i.id_b, i.inter, (na.n + nb.n - i.inter) AS uni,
        |       i.inter * 10000 // (na.n + nb.n - i.inter) AS jac_bp
@@ -313,6 +319,7 @@ object Dedup {
     // the <3-word fallback cannot drift), with the (lang, source) block key
     // joined back on doc_id (constant per doc ⇒ per-doc distinct unchanged)
     val sh = shinglesOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), h60(col("shingle")).as("sh")) // 8-byte join key (see d3)
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")), "doc_id")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // intersection counts straight off a shingle-equality self-join within
@@ -322,7 +329,7 @@ object Dedup {
     // per shingle bucket (inner joins ⇒ same result set)
     val inter = sh.as("sa").join(sh.as("sb"),
         col("sa.lang") === col("sb.lang") && col("sa.source") === col("sb.source") &&
-          col("sa.shingle") === col("sb.shingle") && col("sa.doc_id") < col("sb.doc_id"))
+          col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
       .groupBy(col("sa.doc_id").as("id_a"), col("sb.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -335,7 +342,8 @@ object Dedup {
   }
   val d6Sql: String =
     s"""WITH ${shinglesCteBody("shing", "documents")},
-      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shing GROUP BY doc_id),
+      |shh AS (SELECT doc_id, ${h60Sql("shingle")} AS sh FROM shing),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM documents a JOIN documents b
@@ -343,8 +351,8 @@ object Dedup {
       |ints AS (
       |  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS inter
       |  FROM pairs p
-      |  JOIN shing sa ON sa.doc_id = p.id_a
-      |  JOIN shing sb ON sb.doc_id = p.id_b AND sa.shingle = sb.shingle
+      |  JOIN shh sa ON sa.doc_id = p.id_a
+      |  JOIN shh sb ON sb.doc_id = p.id_b AND sa.sh = sb.sh
       |  GROUP BY p.id_a, p.id_b)
       |SELECT i.id_a, i.id_b, i.inter * 10000 // (na.n + nb.n - i.inter) AS jac_bp
       |FROM ints i
