@@ -16,6 +16,14 @@ import graft.text.TextOps
   * unless a parameter says otherwise. All operators are deterministic —
   * md5-derived hashing, integer similarity predicates, no RNG — so every
   * pipeline is rerun-stable by construction.
+  *
+  * Reserved names: operators that ADD columns to your frame claim these
+  * names (an existing column of the same name is replaced or shadowed) —
+  * [[deterministicShuffle]]: `pos` (plus internal k/bkt/rk/off);
+  * [[packWindows]]: `win`, `last_win` (plus internal cum_before);
+  * [[sessionize]]: `session_id`; [[asofJoin]]: `asof_<tsCol>`,
+  * `asof_<valueCol>` (plus internal __side/__asof); [[profile]]: `n_rows`
+  * and `<col>_nulls/_distinct/_min/_max` in its output.
   */
 object GraftApi {
 
