@@ -25,7 +25,7 @@ object SparkEntry {
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       graft.streaming.Streams.queries ++ graft.multimodal.Multimodal.queries ++
       graft.ml.SvmSgd.queries ++ SqlSurface.queries ++ graft.ml.MlLsh.queries ++
-      AsOf.queries ++ ops.ScaleOps.queries
+      AsOf.queries ++ ops.ScaleOps.queries ++ ops.TpchFull.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -34,5 +34,6 @@ object SparkEntry {
       Events.oracle ++ MlPipelines.oracle ++
       Dedup.oracle ++ TextAnalysis.oracle ++ Similarity.oracle ++
       graft.streaming.Streams.oracle ++ graft.multimodal.Multimodal.oracle ++
-      SqlSurface.oracle ++ graft.ml.MlLsh.oracle ++ AsOf.oracle ++ ops.ScaleOps.oracle
+      SqlSurface.oracle ++ graft.ml.MlLsh.oracle ++ AsOf.oracle ++ ops.ScaleOps.oracle ++
+      ops.TpchFull.oracle
 }
