@@ -531,7 +531,138 @@ object ScaleOps {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- ZO1: Z-order (Morton) clustering layout ----
+
+  /** Bit-spread of the low 16 bits of `c` to even bit positions — the
+    * classic Morton mask-shift cascade, pure `&`/`|`/`<<` on int64, so
+    * Spark and DuckDB compute identical values. */
+  private def spread16(c: Column): Column = {
+    val a  = c.bitwiseAND(lit(65535L))
+    val b1 = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(16711935L))     // 0x00FF00FF
+    val b2 = b1.bitwiseOR(shiftleft(b1, 4)).bitwiseAND(lit(252645135L))  // 0x0F0F0F0F
+    val b3 = b2.bitwiseOR(shiftleft(b2, 2)).bitwiseAND(lit(858993459L))  // 0x33333333
+    b3.bitwiseOR(shiftleft(b3, 1)).bitwiseAND(lit(1431655765L))          // 0x55555555
+  }
+
+  /** Morton/Z-order key of two 16-bit dimensions: interleaved bits, so a
+    * RANGE of z values is a small rectangle in (x, y) space. The library
+    * entry point ([[graft.api.GraftApi]]): at 100 TB, lay files out with
+    * `repartitionByRange($"z").sortWithinPartitions($"z")` before the
+    * parquet write — row-group min/max stats then stay tight on BOTH
+    * dimensions, and a predicate on EITHER column skips most files (the
+    * property a single-column sort gives only its own column). */
+  private[graft] def zorder2(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  private def spread16Sql(e: String): String = {
+    val a  = s"($e & 65535)"
+    val b1 = s"(($a | ($a << 8)) & 16711935)"
+    val b2 = s"(($b1 | ($b1 << 4)) & 252645135)"
+    val b3 = s"(($b2 | ($b2 << 2)) & 858993459)"
+    s"(($b3 | ($b3 << 1)) & 1431655765)"
+  }
+  private def zorder2Sql(x: String, y: String): String =
+    s"(${spread16Sql(x)} | (${spread16Sql(y)} << 1))"
+
+  /** ZO1: z-order layout quality report — bucket lineitem by 32 equal
+    * z-ranges of (partkey, suppkey) and report each bucket's min/max on
+    * both dimensions: tight per-bucket rectangles = effective file
+    * skipping for predicates on either key. Bucketing is a broadcast
+    * 1-row min/max scalar + exact integer math (no ntile global sort —
+    * the bucket id is map-side, which is also how the write-path
+    * repartitionByRange assigns files at scale). */
+  val zo1: Q = (s, d) => {
+    val z = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
+      zorder2(col("l_partkey"), col("l_suppkey")).as("z"))
+    val bounds = z.agg(min("z").as("zmin"), max("z").as("zmax"))
+    z.join(broadcast(bounds))
+      .withColumn("bucket", least(lit(31L), expr("(z - zmin) * 32 div (zmax - zmin + 1)")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+      .orderBy("bucket")
+  }
+  val zo1Sql: String =
+    s"""WITH z AS (
+       |  SELECT l_partkey, l_suppkey,
+       |         ${zorder2Sql("l_partkey", "l_suppkey")} AS z
+       |  FROM lineitem),
+       |b AS (SELECT min(z) AS zmin, max(z) AS zmax FROM z)
+       |SELECT least(31, (z - zmin) * 32 // (zmax - zmin + 1)) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+       |FROM z CROSS JOIN b
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- SCD1: slowly-changing-dimension type-2 history ----
+
+  /** SCD1: type-2 dimension history derived from an event log — per user,
+    * collapse consecutive equal event_types into versioned validity
+    * intervals ([valid_from, valid_to), NULL = current). The standard
+    * lakehouse CDC shape: one shuffle on the entity key, lag() to detect
+    * changes, lead() to close intervals; no self-join, no per-entity
+    * driver loop. Exact integer-microsecond timestamps. */
+  val scd1: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val changes = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val wc = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes
+      .withColumn("version", row_number().over(wc))
+      .withColumn("valid_to_us", lead("ts_us", 1).over(wc))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy("user_id", "version")
+  }
+  val scd1Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(ts) AS ts_us,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, event_id, event_type, ts_us FROM ev
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id,
+      |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS INTEGER) AS version,
+      |       event_type,
+      |       ts_us AS valid_from_us,
+      |       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+      |FROM chg ORDER BY user_id, version""".stripMargin
+
+  // ---- APX4: count-min-sketch heavy hitters ----
+
+  /** APX4: heavy-hitter detection with a count-min sketch — the bounded-
+    * memory alternative to an exact groupBy when the key space is huge.
+    * The sketch is built as a DISTRIBUTED aggregate (`df.stat
+    * .countMinSketch`: partial sketches merged, never a row collect),
+    * broadcast once, and probed map-side. CMS guarantees est ≥ exact and
+    * est ≤ exact + ε·N w.h.p. — asserted against exact counts in
+    * ScaleOpsSpec; rows-only at the driver (sketch estimates are
+    * engine-defined, like hll1). Output: tokens whose ESTIMATE crosses
+    * the threshold, with both counts. */
+  val apx4: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val cms = toks.stat.countMinSketch(col("tok"), eps = 0.001, confidence = 0.99, seed = 42)
+    val bc = toks.sparkSession.sparkContext.broadcast(cms)
+    val est = udf((t: String) => bc.value.estimateCount(t))
+    toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("est_cnt", est(col("tok")))
+      .filter(col("est_cnt") >= 400)
+      .orderBy(col("est_cnt").desc, col("tok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "zo1_zorder_layout" -> zo1,
+    "scd1_type2_history" -> scd1,
+    "apx4_cms_heavy_hitters" -> apx4,
     "shuf1_deterministic_shuffle" -> shuf1,
     "samp2_weighted_source_sample" -> samp2,
     "b1_bucketed_join" -> b1,
@@ -548,6 +679,9 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "zo1_zorder_layout" -> zo1Sql,
+    "scd1_type2_history" -> scd1Sql,
+    // apx4 deliberately absent: CMS estimates are engine-defined (rows-only)
     "shuf1_deterministic_shuffle" -> shuf1Sql,
     "samp2_weighted_source_sample" -> samp2Sql,
     "b1_bucketed_join" -> b1Sql,

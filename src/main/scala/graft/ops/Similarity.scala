@@ -255,11 +255,75 @@ object Similarity {
        |SELECT q_id, cand_id, rk, round(cos, 6) AS cos_r
        |FROM ranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
 
+  // ---- SIM5: int8 scalar-quantized ANN (the bandwidth-optimized path) ----
+
+  /** Per-vector symmetric int8 quantization in PURE integer arithmetic:
+    * mx = max|q_i|, q8_i = ((q_i + mx)·127) div (2·mx) − 64 ∈ [−64, 63].
+    * The shifted numerator is never negative, so truncating division
+    * behaves identically in Spark (`div`) and DuckDB (`//`) — no float
+    * rounding anywhere, bit-exact across engines. At scale the q8 vectors
+    * are the stored search structure: 8× smaller than float64 (1 byte per
+    * dim as TINYINT/binary), so a brute-force or bucketed scan moves 8×
+    * less data for near-identical ranking (recall asserted in
+    * SimilaritySpec). Values stay in an ARRAY<BIGINT> here so the
+    * codegen'd `graft_dot` runs unchanged. */
+  private[graft] def quantizeInt8Of(vectors: DataFrame): DataFrame =
+    qnormOf(vectors)
+      .withColumn("mx", expr("array_max(transform(q, x -> abs(x)))"))
+      .select(col("vec_id"),
+        expr("transform(q, x -> (((x + mx) * 127) div (2 * mx)) - 64)").as("q8"))
+      .withColumn("n8", expr("graft_dot(q8, q8)"))
+
+  private val q8Cte: String =
+    s"""$qnormCte,
+       |q8n AS (
+       |  SELECT vec_id, q8, CAST(list_sum(list_transform(q8, x -> x * x)) AS BIGINT) AS n8
+       |  FROM (SELECT vec_id,
+       |          list_transform(q, x -> ((x + mx) * 127) // (2 * mx) - 64) AS q8
+       |        FROM (SELECT vec_id, q,
+       |                list_max(list_transform(q, x -> abs(x))) AS mx FROM qn)))""".stripMargin
+
+  /** Quantized brute-force cosine top-k — sim1's plan shape over the int8
+    * vectors (query side broadcast, one window rank). Exact int64 dots of
+    * int8 components; the only double op is the final norm division,
+    * identical in both engines. */
+  val sim5: Q = (s, d) => {
+    val qn = quantizeInt8Of(Tables.embeddings(s, d))
+    val qs = qn.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("q8").as("qq"), col("n8").as("q_n8"))
+    val pairs = qn.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        expr("graft_dot(qq, q8)").as("dot"), col("q_n8"), col("n8"))
+      .withColumn("cos", col("dot") / sqrt(col("q_n8").cast("double") * col("n8").cast("double")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("cand_id"), col("rk"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("q_id", "rk")
+  }
+  val sim5Sql: String =
+    s"""WITH $q8Cte,
+       |dots AS (
+       |  SELECT q_id, cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot, q_n8, c_n8 FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS cand_id, a.n8 AS q_n8, b.n8 AS c_n8,
+       |           unnest(a.q8) AS xa, unnest(b.q8) AS xb
+       |    FROM q8n a JOIN q8n b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+       |  GROUP BY q_id, cand_id, q_n8, c_n8),
+       |ranked AS (
+       |  SELECT q_id, cand_id,
+       |         dot / sqrt(CAST(q_n8 AS DOUBLE) * CAST(c_n8 AS DOUBLE)) AS cos,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY dot / sqrt(CAST(q_n8 AS DOUBLE) * CAST(c_n8 AS DOUBLE)) DESC, cand_id)
+       |           AS INTEGER) AS rk
+       |  FROM dots)
+       |SELECT q_id, cand_id, rk, round(cos, 6) AS cos_r
+       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sim1_ann_bruteforce_topk" -> sim1,
     "sim2_lsh_buckets" -> sim2,
     "sim3_lsh_ann_topk" -> sim3,
     "sim4_ivf_topk" -> sim4,
+    "sim5_int8_quantized_topk" -> sim5,
   )
 
   val oracle: Map[String, String] = Map(
@@ -267,5 +331,6 @@ object Similarity {
     "sim2_lsh_buckets" -> sim2Sql,
     "sim3_lsh_ann_topk" -> sim3Sql,
     "sim4_ivf_topk" -> sim4Sql,
+    "sim5_int8_quantized_topk" -> sim5Sql,
   )
 }

@@ -142,4 +142,20 @@ class DedupSimSpec extends SparkSpec {
     assert(fp("a b c") !== fp("c b a"))
     assert(fp("a b c") === fp("a b c"))
   }
+
+  test("SIM5 int8 quantization: values fit int8, recall@5 vs exact >= 0.8") {
+    val q8 = Similarity.quantizeInt8Of(graft.Tables.embeddings(spark, sfDir))
+    q8.selectExpr("explode(q8) AS v").collect().foreach { r =>
+      val v = r.getLong(0)
+      assert(v >= -64 && v <= 63, s"quantized component $v outside int8 range")
+    }
+    val exact = Similarity.sim1(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val quant = Similarity.sim5(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(quant.keySet === exact.keySet, "same query set as the exact baseline")
+    val recalls = exact.map { case (q, e) => (quant(q) & e).size.toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@5 of int8 path = $mean (must be >= 0.8)")
+  }
 }

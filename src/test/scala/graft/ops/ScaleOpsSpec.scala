@@ -165,4 +165,49 @@ class ScaleOpsSpec extends SparkSpec {
         s"$src keep rate $got too far from $want (n=$total, tol=$tol)")
     }
   }
+
+  test("zo1 buckets partition all lineitems into z-contiguous rectangles") {
+    val rows = ScaleOps.zo1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val total = graft.Tables.lineitem(spark, sfDir).count()
+    assert(rows.map(_._2).sum === total, "buckets must partition every row")
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 31))
+    // z-order locality: each bucket's partkey rectangle must be a strict
+    // subset of the global range (a random bucketing would span ~all of it)
+    val (gMin, gMax) = (rows.map(_._3).min, rows.map(_._4).max)
+    val tight = rows.count(r => (r._4 - r._3) < (gMax - gMin))
+    assert(tight >= rows.length / 2,
+      s"at least half the buckets must have a sub-global partkey range ($tight/${rows.length})")
+  }
+
+  test("scd1 intervals chain per user: contiguous versions, valid_to = next valid_from") {
+    val rows = ScaleOps.scd1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      val byV = vs.sortBy(_._2)
+      assert(byV.map(_._2).toSeq === (1 to byV.length), s"user $u versions must be contiguous")
+      byV.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $u: valid_to must equal next valid_from")
+          assert(a._3 !== b._3, s"user $u: consecutive versions must differ in type")
+        case _ =>
+      }
+      assert(byV.last._5.isEmpty, s"user $u: current version must be open-ended")
+    }
+  }
+
+  test("apx4 CMS estimates bound exact counts: est >= exact, est <= exact + eps*N") {
+    val rows = ScaleOps.apx4(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val n = graft.Tables.documents(spark, sfDir)
+      .selectExpr("explode(split(text, ' ')) AS t").filter("length(t) > 0").count()
+    rows.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"CMS must never underestimate ($tok: $est < $exact)")
+      assert(est <= exact + (0.001 * n).toLong + 1,
+        s"CMS overestimate beyond eps*N bound ($tok: $est vs $exact, N=$n)")
+    }
+  }
 }
