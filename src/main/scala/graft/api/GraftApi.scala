@@ -63,6 +63,13 @@ object GraftApi {
   def dedupClusters(docs: DataFrame, minJaccardBp: Int = 8000): DataFrame =
     dedupClustersFromPairs(nearDupPairs(docs, minJaccardBp).select("id_a", "id_b"))
 
+  /** The deduplicated corpus: `docs` (doc_id, text, …) minus every
+    * non-canonical near-dup cluster member (canonical = min doc_id per
+    * cluster). Non-dup rows pass through the LEFT ANTI probe untouched —
+    * the drop list is only the docs that HAVE a near-dup. */
+  def dedupedCorpus(docs: DataFrame, minJaccardBp: Int = 8000): DataFrame =
+    Dedup.dedupedCorpusOf(docs, minJaccardBp)
+
   /** Same, over an existing (id_a, id_b) pair frame (e.g. pairs from an
     * embedding-based detector). */
   def dedupClustersFromPairs(pairs: DataFrame): DataFrame =
@@ -111,6 +118,19 @@ object GraftApi {
   def cosineTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
     graft.ops.Similarity.cosineTopKOf(vectors, queries, k)
 
+  /** Per-vector symmetric int8 quantization of (vec_id, embedding) —
+    * (vec_id, q8 ARRAY<BIGINT> with values in [−64, 63], n8 squared
+    * norm). Pure integer math (rerun- and engine-stable); at scale store
+    * q8 as the 8×-smaller search structure. */
+  def quantizeInt8(vectors: DataFrame): DataFrame =
+    graft.ops.Similarity.quantizeInt8Of(vectors)
+
+  /** [[cosineTopK]] over [[quantizeInt8]] vectors — same plan shape,
+    * ~8× less data moved per candidate; recall@5 vs exact ≥0.8 on the
+    * synthetic embeddings (DedupSimSpec). */
+  def quantizedCosineTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    graft.ops.Similarity.quantizedCosineTopKOf(vectors, queries, k)
+
   // ---- temporal ----
 
   /** Inclusive as-of join: for each left row, attach `asof_<tsCol>` /
@@ -149,6 +169,30 @@ object GraftApi {
   def packWindows(docs: DataFrame, shardCol: String, orderCol: String,
       toksCol: String, budget: Long): DataFrame =
     ScaleOps.packWindowsOf(docs, shardCol, orderCol, toksCol, budget)
+
+  /** Z-order (Morton) key of two 16-bit dimensions — lay files out with
+    * `repartitionByRange(col("z")).sortWithinPartitions(col("z"))` before
+    * the write so parquet min/max stats skip files for predicates on
+    * EITHER dimension. Pure `&`/`|`/`<<` int64 math. */
+  def zorderKey(x: Column, y: Column): Column = ScaleOps.zorder2(x, y)
+
+  /** Type-2 (SCD2) history of `attrCol` per `keyCol`: consecutive equal
+    * values collapse into (keyCol, version, attrCol, valid_from_us,
+    * valid_to_us) intervals; NULL valid_to = current. `tsUsCol` must be
+    * an integer-microsecond column; `tieCol` breaks equal timestamps.
+    * One shuffle on the key. */
+  def scd2History(df: DataFrame, keyCol: String, attrCol: String,
+      tsUsCol: String, tieCol: String): DataFrame =
+    ScaleOps.scd2HistoryOf(df, keyCol, attrCol, tsUsCol, tieCol)
+
+  /** Count-min-sketch heavy hitters over a string column: rows whose CMS
+    * ESTIMATE ≥ `minEst`, with exact counts beside the estimates
+    * (est ≥ exact always; est ≤ exact + ε·N w.h.p.). The sketch builds
+    * as a distributed aggregate and broadcasts once — bounded memory
+    * regardless of key-space size. */
+  def cmsHeavyHitters(df: DataFrame, column: String, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42, minEst: Long = 100L): DataFrame =
+    ScaleOps.cmsHeavyHittersOf(df, column, eps, confidence, seed, minEst)
 
   /** Single-scan column profile grouped by `groupCol`: per remaining
     * column — null count, distinct count, min/max (stringified). */

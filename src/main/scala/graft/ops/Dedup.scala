@@ -594,7 +594,40 @@ object Dedup {
   //  registry
   // =====================================================================
 
+  // ---- D10: deduplicated corpus (the end-user keep-list) ----
+
+  /** D10: what a training pipeline actually consumes — the corpus with
+    * every near-dup cluster collapsed to its canonical (min-id) member.
+    * One LEFT ANTI join of the corpus against the non-canonical cluster
+    * members (a tiny set: only docs that HAVE a near-dup); non-dup docs
+    * never join, so at 100 TB the corpus scan passes through untouched
+    * except for the anti-probe against the broadcast-sized drop list. */
+  private[graft] def dedupedCorpusOf(docs: DataFrame, minJaccardBp: Int = 8000): DataFrame = {
+    val cl = dedupClustersOf(nearDupPairsOf(docs, minJaccardBp).select(col("id_a"), col("id_b")))
+    docs.join(cl.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+  }
+
+  val d10: Q = (s, d) =>
+    dedupedCorpusOf(corpus(s, d)).select("doc_id").orderBy("doc_id")
+  val d10Sql: String =
+    s"""WITH RECURSIVE p AS ($d3Sql),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM p),
+       |reach(id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.lbl = e.a),
+       |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |$corpusCte
+       |SELECT c.doc_id FROM corpus c
+       |WHERE c.doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+       |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d10_deduped_corpus" -> d10,
     "d1_exact_dedup" -> d1,
     "d2_minhash_signatures" -> d2,
     "d3_minhash_lsh_pairs" -> d3,
@@ -607,6 +640,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d10_deduped_corpus" -> d10Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_signatures" -> d2Sql,
     "d3_minhash_lsh_pairs" -> d3Sql,

@@ -604,21 +604,25 @@ object ScaleOps {
     * lakehouse CDC shape: one shuffle on the entity key, lag() to detect
     * changes, lead() to close intervals; no self-join, no per-entity
     * driver loop. Exact integer-microsecond timestamps. */
-  val scd1: Q = (s, d) => {
-    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    val changes = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"))
-      .withColumn("prev_type", lag("event_type", 1).over(w))
-      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-    val wc = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+  private[graft] def scd2HistoryOf(df: DataFrame, keyCol: String, attrCol: String,
+      tsUsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsUsCol, tieCol)
+    val changes = df
+      .withColumn("prev_attr", lag(attrCol, 1).over(w))
+      .filter(col("prev_attr").isNull || col("prev_attr") =!= col(attrCol))
     changes
-      .withColumn("version", row_number().over(wc))
-      .withColumn("valid_to_us", lead("ts_us", 1).over(wc))
-      .select(col("user_id"), col("version"), col("event_type"),
-        col("ts_us").as("valid_from_us"), col("valid_to_us"))
-      .orderBy("user_id", "version")
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_us", lead(tsUsCol, 1).over(w))
+      .select(col(keyCol), col("version"), col(attrCol),
+        col(tsUsCol).as("valid_from_us"), col("valid_to_us"))
   }
+
+  val scd1: Q = (s, d) =>
+    scd2HistoryOf(
+      Tables.events(s, d).select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us")),
+      "user_id", "event_type", "ts_us", "event_id")
+      .orderBy("user_id", "version")
   val scd1Sql: String =
     """WITH ev AS (
       |  SELECT user_id, event_id, event_type,
@@ -646,18 +650,23 @@ object ScaleOps {
     * ScaleOpsSpec; rows-only at the driver (sketch estimates are
     * engine-defined, like hll1). Output: tokens whose ESTIMATE crosses
     * the threshold, with both counts. */
-  val apx4: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
-    val cms = toks.stat.countMinSketch(col("tok"), eps = 0.001, confidence = 0.99, seed = 42)
-    val bc = toks.sparkSession.sparkContext.broadcast(cms)
+  private[graft] def cmsHeavyHittersOf(df: DataFrame, c: String, eps: Double,
+      confidence: Double, seed: Int, minEst: Long): DataFrame = {
+    val cms = df.stat.countMinSketch(col(c), eps, confidence, seed)
+    val bc = df.sparkSession.sparkContext.broadcast(cms)
     val est = udf((t: String) => bc.value.estimateCount(t))
-    toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
-      .withColumn("est_cnt", est(col("tok")))
-      .filter(col("est_cnt") >= 400)
-      .orderBy(col("est_cnt").desc, col("tok"))
+    df.groupBy(c).agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("est_cnt", est(col(c)))
+      .filter(col("est_cnt") >= minEst)
+      .orderBy(col("est_cnt").desc, col(c))
   }
+
+  val apx4: Q = (s, d) =>
+    cmsHeavyHittersOf(
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0),
+      "tok", eps = 0.001, confidence = 0.99, seed = 42, minEst = 400)
 
   val queries: Map[String, Q] = Map(
     "zo1_zorder_layout" -> zo1,

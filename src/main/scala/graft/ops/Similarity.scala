@@ -286,20 +286,26 @@ object Similarity {
   /** Quantized brute-force cosine top-k — sim1's plan shape over the int8
     * vectors (query side broadcast, one window rank). Exact int64 dots of
     * int8 components; the only double op is the final norm division,
-    * identical in both engines. */
-  val sim5: Q = (s, d) => {
-    val qn = quantizeInt8Of(Tables.embeddings(s, d))
-    val qs = qn.filter(col("vec_id") % 50 === 0)
+    * identical in both engines. The library entry point
+    * ([[graft.api.GraftApi.quantizedCosineTopK]]). */
+  private[graft] def quantizedCosineTopKOf(vectors: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val qn = quantizeInt8Of(vectors)
+    val qs = quantizeInt8Of(queries)
       .select(col("vec_id").as("q_id"), col("q8").as("qq"), col("n8").as("q_n8"))
     val pairs = qn.join(broadcast(qs), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         expr("graft_dot(qq, q8)").as("dot"), col("q_n8"), col("n8"))
       .withColumn("cos", col("dot") / sqrt(col("q_n8").cast("double") * col("n8").cast("double")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("cand_id"), col("rk"), round(col("cos"), 6).as("cos_r"))
-      .orderBy("q_id", "rk")
   }
+
+  val sim5: Q = (s, d) =>
+    quantizedCosineTopKOf(Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0), k = 5)
+      .orderBy("q_id", "rk")
   val sim5Sql: String =
     s"""WITH $q8Cte,
        |dots AS (

@@ -184,4 +184,67 @@ class ApiSpec extends SparkSpec {
       .collect().toSeq
     assert(viaApi === viaRegistry)
   }
+
+  test("dedupedCorpus keeps canonical + unrelated docs, drops the rest") {
+    val kept = GraftApi.dedupedCorpus(userDocs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // cluster {1,2,3} collapses to canonical 1; 4,5,6 are untouched
+    assert(kept === Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("quantizeInt8/quantizedCosineTopK on a hand-built embedding frame") {
+    val sp = spark
+    import sp.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.05f, 0.0f)),  // near 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q8 = GraftApi.quantizeInt8(vecs)
+    assert(q8.columns.toSet === Set("vec_id", "q8", "n8"))
+    q8.selectExpr("explode(q8) AS v").collect()
+      .foreach(r => assert(r.getLong(0) >= -64 && r.getLong(0) <= 63))
+    val nn = GraftApi.quantizedCosineTopK(vecs, vecs.filter($"vec_id" === 1), k = 1)
+      .head()
+    assert(nn.getLong(0) === 1L && nn.getLong(1) === 2L, "nearest to v1 must be v2")
+  }
+
+  test("zorderKey interleaves bits: small rectangles map to contiguous z runs") {
+    val sp = spark
+    import sp.implicits._
+    val grid = (for (x <- 0 until 8; y <- 0 until 8) yield (x.toLong, y.toLong)).toDF("x", "y")
+    val zs = grid.select(GraftApi.zorderKey(col("x"), col("y")).as("z"), col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(zs.map(_._1).distinct.length === 64, "z keys must be unique on the grid")
+    // hand-checked Morton values: (1,0)->1, (0,1)->2, (1,1)->3, (2,2)->12
+    val byXY = zs.map(t => (t._2, t._3) -> t._1).toMap
+    assert(byXY((0L, 0L)) === 0L && byXY((1L, 0L)) === 1L &&
+      byXY((0L, 1L)) === 2L && byXY((1L, 1L)) === 3L && byXY((2L, 2L)) === 12L)
+  }
+
+  test("scd2History collapses runs and chains intervals on a hand-built log") {
+    val sp = spark
+    import sp.implicits._
+    val log = Seq(
+      (7L, 1L, "bronze", 100L), (7L, 2L, "bronze", 200L),
+      (7L, 3L, "silver", 300L), (7L, 4L, "gold", 400L), (7L, 5L, "gold", 500L))
+      .toDF("acct", "seq", "tier", "ts_us")
+    val hist = GraftApi.scd2History(log, "acct", "tier", "ts_us", "seq")
+      .orderBy("version").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(hist.toSeq === Seq((1, "bronze", 100L, 300L), (2, "silver", 300L, 400L),
+      (3, "gold", 400L, -1L)))
+  }
+
+  test("cmsHeavyHitters surfaces the planted heavy key with exact count beside it") {
+    val sp = spark
+    import sp.implicits._
+    val toks = (Seq.fill(500)("heavy") ++ (1 to 300).map(i => s"light_$i")).toDF("tok")
+    val hh = GraftApi.cmsHeavyHitters(toks, "tok", minEst = 400L).collect()
+    assert(hh.length === 1 && hh.head.getString(0) === "heavy")
+    assert(hh.head.getLong(1) === 500L, "exact count")
+    assert(hh.head.getLong(2) >= 500L, "CMS never underestimates")
+  }
 }
