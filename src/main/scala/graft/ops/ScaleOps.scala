@@ -668,7 +668,36 @@ object ScaleOps {
         .filter(length(col("tok")) > 0),
       "tok", eps = 0.001, confidence = 0.99, seed = 42, minEst = 400)
 
+  // ---- MV1: incremental aggregate maintenance ----
+
+  /** MV1: materialized-view delta merge — the 100 TB answer to "a day of
+    * new data arrived": aggregate ONLY the delta batch, then combine it
+    * with the stored base aggregate via a full-outer key join +
+    * coalesce-sum (sum/count are commutative monoids, so partial-merge ≡
+    * recompute). The oracle IS the full recompute over base ∪ delta —
+    * the hash match proves the incremental path exact. Base here is
+    * pre-1999 orders (the "stored MV"), delta the 1999+ tail. */
+  val mv1: Q = (s, d) => {
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    def aggOf(df: DataFrame, pfx: String): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as(s"${pfx}_n"),
+          sum(cents(col("o_totalprice"))).as(s"${pfx}_sum_c"))
+    val base  = aggOf(Tables.orders(s, d).filter(col("o_orderdate") <  cutoff), "b")
+    val delta = aggOf(Tables.orders(s, d).filter(col("o_orderdate") >= cutoff), "d")
+    base.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+        (coalesce(col("b_sum_c"), lit(0L)) + coalesce(col("d_sum_c"), lit(0L))).as("sum_c"))
+      .orderBy("o_orderpriority")
+  }
+  val mv1Sql: String =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(${Money.centsSql("o_totalprice")}) AS BIGINT) AS sum_c
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mv1_incremental_agg_merge" -> mv1,
     "zo1_zorder_layout" -> zo1,
     "scd1_type2_history" -> scd1,
     "apx4_cms_heavy_hitters" -> apx4,
@@ -688,6 +717,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "mv1_incremental_agg_merge" -> mv1Sql,
     "zo1_zorder_layout" -> zo1Sql,
     "scd1_type2_history" -> scd1Sql,
     // apx4 deliberately absent: CMS estimates are engine-defined (rows-only)
