@@ -626,7 +626,37 @@ object Dedup {
        |WHERE c.doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---- D11: edit-distance near-dup pairs (suffix-blocked) ----
+
+  /** D11: character-level near-dup pairs by Levenshtein distance — the
+    * string-similarity-join shape (PPJoin-family blocking): candidates
+    * come from an EQUI-join on a 24-char suffix block key (never
+    * all-pairs; shared suffix is the signature the planted edits — exact
+    * copies and first-word drops — preserve), then the expensive verify
+    * runs only within blocks, using Spark's THRESHOLDED levenshtein
+    * (banded DP, early exit at >20; the oracle's plain levenshtein ≤ 20
+    * proves the threshold form exact on survivors). */
+  val d11: Q = (s, d) => {
+    val c = corpus(s, d).select(col("doc_id"), col("text"),
+      expr("right(text, 24)").as("blk"))
+    c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.text"), col("b.text"), 20).as("dist"))
+      .filter(col("dist") >= 0)
+      .orderBy("id_a", "id_b")
+  }
+  val d11Sql: String =
+    s"""WITH $corpusCte,
+       |blk AS (SELECT doc_id, text, right(text, 24) AS blk FROM corpus)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+       |FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.text, b.text) <= 20
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d11_edit_distance_pairs" -> d11,
     "d10_deduped_corpus" -> d10,
     "d1_exact_dedup" -> d1,
     "d2_minhash_signatures" -> d2,
@@ -640,6 +670,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d11_edit_distance_pairs" -> d11Sql,
     "d10_deduped_corpus" -> d10Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_signatures" -> d2Sql,
