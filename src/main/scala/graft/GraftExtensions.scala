@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{GraftFunctions, SimplifyGraftHamming}
+import graft.functions.{GraftFunctions, SimplifyGraftHamming, ThresholdLevenshtein}
 
 /** Canonical extension wiring: `--conf spark.sql.extensions=graft.GraftExtensions`
   * makes the graft SQL functions and optimizer rules available in every
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => SimplifyGraftHamming)
+    ext.injectOptimizerRule(_ => ThresholdLevenshtein)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThan, GreaterThanOrEqual, If, IsNull, LessThan, LessThanOrEqual, Levenshtein, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Custom optimizer rule (SURVEY §7.2's `Rule[LogicalPlan]` extension
   * point): algebraic simplification of graft expressions —
@@ -24,5 +24,38 @@ object SimplifyGraftHamming extends Rule[LogicalPlan] {
       case HammingDistance(l, r) if l.deterministic && l.semanticEquals(r) =>
         if (l.nullable) If(IsNull(l), Literal(null, LongType), Literal(0L, LongType))
         else Literal(0L, LongType)
+    }
+}
+
+/** Optimizer rule: rewrite bounded Levenshtein comparisons to the
+  * THRESHOLDED form — `levenshtein(a, b) <= k` becomes
+  * `levenshtein(a, b, k) >= 0`. Spark's thresholded implementation runs a
+  * banded DP (O(k·n) and early exit) instead of the full O(n·m) matrix,
+  * so users can write the natural predicate and still get the
+  * string-similarity-join fast path (the hand-written form of this
+  * rewrite is what `Dedup.d11` does explicitly).
+  *
+  * Value equivalence: thresholded levenshtein returns the distance when
+  * it is ≤ k and −1 otherwise, so `dist <= k ⟺ dist_t(k) >= 0`; both
+  * sides null-propagate identically. `<= 0` (and `< 1`) means string
+  * equality — rewritten to `a = b`, which skips the DP entirely and can
+  * further enable join-key extraction. Guarded to foldable non-negative
+  * INT literals and un-thresholded calls only. */
+object ThresholdLevenshtein extends Rule[LogicalPlan] {
+  private def thresholded(l: Levenshtein, k: Int): Expression =
+    GreaterThanOrEqual(l.copy(threshold = Some(Literal(k))), Literal(0))
+  private def rewrite(l: Levenshtein, k: Int): Expression =
+    if (k == 0) EqualTo(l.left, l.right) else thresholded(l, k)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case LessThanOrEqual(l: Levenshtein, Literal(k: Int, IntegerType))
+          if l.threshold.isEmpty && k >= 0 => rewrite(l, k)
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), l: Levenshtein)
+          if l.threshold.isEmpty && k >= 0 => rewrite(l, k)
+      case LessThan(l: Levenshtein, Literal(k: Int, IntegerType))
+          if l.threshold.isEmpty && k >= 1 => rewrite(l, k - 1)
+      case GreaterThan(Literal(k: Int, IntegerType), l: Levenshtein)
+          if l.threshold.isEmpty && k >= 1 => rewrite(l, k - 1)
     }
 }

@@ -125,4 +125,50 @@ class GraftFunctionsSpec extends SparkSpec {
     // 8 bits/key sizing keeps the false-positive rate well under 10%
     assert(hits <= members + 100, s"false-positive rate blew past the sketch sizing: $hits")
   }
+
+  test("ThresholdLevenshtein rewrites bounded comparisons to the banded-DP form") {
+    import spark.implicits._
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ graft.functions.ThresholdLevenshtein
+    try {
+      // plan assertions need a file-backed frame (a LocalRelation filter
+      // constant-folds away before the plan can be inspected)
+      val docs = graft.Tables.documents(spark, sfDir)
+      val bounded = docs.filter(expr("levenshtein(text, lang) <= 3"))
+      val opt = bounded.queryExecution.optimizedPlan.toString
+      assert(opt.contains("levenshtein(text#") && opt.contains(", Some(3)) >= 0"),
+        s"must carry the threshold into the expression:\n$opt")
+      // <= 0 degrades to string equality (no DP at all)
+      val eq = docs.filter(expr("levenshtein(text, lang) <= 0"))
+      assert(!eq.queryExecution.optimizedPlan.toString.contains("levenshtein"),
+        "distance-0 bound must become text = lang")
+      // unbounded / projected uses must NOT be rewritten
+      val proj = docs.select(expr("levenshtein(text, lang)").as("d"))
+      assert(proj.queryExecution.optimizedPlan.toString.contains("levenshtein(text#"))
+      // value equivalence on data
+      val df = Seq(("kitten", "sitting"), ("abc", "abc"), ("abc", "zzzzzz"))
+        .toDF("a", "b")
+      assert(df.filter(expr("levenshtein(a, b) <= 3"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+        Set(("kitten", "sitting"), ("abc", "abc")))
+      assert(df.filter(expr("levenshtein(a, b) < 3")).collect().length === 1,
+        "only the exact match is at distance < 3")
+      assert(df.filter(expr("levenshtein(a, b) <= 0")).collect()
+        .map(_.getString(0)).toSeq === Seq("abc"))
+      assert(df.select(expr("levenshtein(a, b)").as("d"))
+        .collect().map(_.getInt(0)).sorted.toSeq === Seq(0, 3, 6))
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("ThresholdLevenshtein preserves null semantics") {
+    import spark.implicits._
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ graft.functions.ThresholdLevenshtein
+    try {
+      val df = Seq((Option("abc"), Option("abd")), (None, Option("x")), (Option("x"), None))
+        .toDF("a", "b")
+      val kept = df.filter(expr("levenshtein(a, b) <= 3")).collect()
+      assert(kept.length === 1, "null inputs must not satisfy the bounded predicate")
+    } finally spark.experimental.extraOptimizations = before
+  }
 }
