@@ -446,7 +446,70 @@ object Streams {
       .orderBy("window_start", "event_type")
   }
 
+  /** ST10: streaming incremental MV maintenance via foreachBatch — each
+    * micro-batch aggregates ONLY its delta and full-outer-merges it into
+    * the stored aggregate (the streaming mirror of batch `mv1`;
+    * coalesce-sum over a commutative monoid ⟹ the final MV equals the
+    * global aggregate REGARDLESS of batch boundaries, which the batch
+    * oracle proves). Exactly-once without a transactional sink: each
+    * merge writes generation dir `gen_<batchId>` reading the latest
+    * generation strictly OLDER than its own batch id, so a retried batch
+    * overwrites its own output idempotently instead of double-counting.
+    * The source is staged as 4 files with maxFilesPerTrigger=1 to force
+    * real multi-batch incremental behavior. */
+  val st10: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // stage the fixture split into 4 files (once per (variant, fixture))
+    val srcDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream_src_st10_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    if (!Files.isDirectory(srcDir) ||
+        !new java.io.File(srcDir.toString).listFiles().exists(_.getName.endsWith(".parquet"))) {
+      s.read.parquet(s"$d/events.parquet")
+        .repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(srcDir.toString)
+    }
+    val physical = s.read.parquet(s"$d/events.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .select(col("event_type"), cents(col("value")).as("v_c"))
+    val mvRoot = Files.createTempDirectory("graft_st10_mv").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(mvRoot).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st10").toString
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val delta = batch.groupBy("event_type")
+          .agg(count(lit(1)).as("d_n"), sum("v_c").as("d_sum_c"))
+        val prior = gens().filter(_._1 < batchId)
+        val merged = prior.sortBy(-_._1).headOption match {
+          case None => delta.select(col("event_type"),
+            col("d_n").as("n"), col("d_sum_c").as("sum_c"))
+          case Some((_, path)) =>
+            sess.read.parquet(path).join(delta, Seq("event_type"), "full_outer")
+              .select(col("event_type"),
+                (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+                (coalesce(col("sum_c"), lit(0L)) + coalesce(col("d_sum_c"), lit(0L))).as("sum_c"))
+        }
+        merged.write.mode("overwrite").parquet(s"$mvRoot/gen_$batchId")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    s.read.parquet(latest._2).orderBy("event_type")
+  }
+  val st10Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st10_stream_mv_merge" -> st10,
     "st1_stream_tumbling" -> st1,
     "st2_stream_sliding" -> st2,
     "st3_stream_sessions" -> st3,
@@ -472,5 +535,6 @@ object Streams {
     "st7_mapgroups_running_stats" -> st7Sql,
     "st8_session_window_builtin" -> st8Sql,
     "st9_stream_file_sink" -> graft.ops.Events.e1Sql,
+    "st10_stream_mv_merge" -> st10Sql,
   )
 }
