@@ -167,6 +167,61 @@ object ScaleOps {
       |FROM documents WHERE lang = 'en'
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---- DPP1: dynamic partition pruning ----
+
+  /** DPP1: the partition-pruning move that matters at 100 TB — a fact
+    * table partitioned on the join key, joined to a dimension whose
+    * filter is only known at runtime (here a computed column, so no
+    * static pushdown is possible). Catalyst inserts a dynamic-pruning
+    * subquery into the fact scan's PartitionFilters: the dim side
+    * evaluates first and only the surviving partitions' files are read
+    * at all (asserted `dynamicpruning` in `ScaleOpsSpec`). */
+  val dpp1: Q = (s, d) => {
+    val out = Files.createTempDirectory("graft_dpp1").toString
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    val fact = s.read.parquet(out)
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri")).distinct()
+      .withColumn("urgent", col("pri").isin("1-URGENT", "2-HIGH"))
+    fact.join(broadcast(dim.filter(col("urgent"))), col("o_orderpriority") === col("pri"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_price_c"))
+      .orderBy("o_orderpriority")
+  }
+  val dpp1Sql: String =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(${Money.centsSql("o_totalprice")}) AS BIGINT) AS sum_price_c
+       |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- BIN1: binaryFile source (the multimodal ingest path) ----
+
+  /** BIN1: opaque-file ingestion through Spark's built-in `binaryFile`
+    * source — how image/audio dirs enter a multimodal pipeline at scale
+    * (path + length + content bytes per file, distributed over the file
+    * listing). Staged as one tiny text file per region row; the oracle
+    * recomputes each file's md5 from the SAME fixture strings, proving
+    * content fidelity end-to-end. */
+  val bin1: Q = (s, d) => {
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_bin1_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    Files.createDirectories(dir)
+    Tables.region(s, d).select("r_regionkey", "r_name").collect().foreach { r =>
+      Files.writeString(dir.resolve(s"r_${r.getInt(0)}.txt"), r.getString(1))
+    }
+    s.read.format("binaryFile").load(s"$dir/*.txt")
+      .select(
+        regexp_extract(col("path"), "r_(\\d+)\\.txt", 1).cast("int").as("r_regionkey"),
+        col("length"), md5(col("content")).as("content_md5"))
+      .orderBy("r_regionkey")
+  }
+  val bin1Sql: String =
+    """SELECT r_regionkey, CAST(length(r_name) AS BIGINT) AS length,
+      |       md5(r_name) AS content_md5
+      |FROM region ORDER BY r_regionkey""".stripMargin
+
   // ---- PROF1: column profile (data-quality pass) ----
 
   /** PROF1: the single-scan data-quality profile every ingestion pipeline
@@ -697,6 +752,8 @@ object ScaleOps {
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "dpp1_dynamic_partition_pruning" -> dpp1,
+    "bin1_binaryfile_source" -> bin1,
     "mv1_incremental_agg_merge" -> mv1,
     "zo1_zorder_layout" -> zo1,
     "scd1_type2_history" -> scd1,
@@ -717,6 +774,8 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "dpp1_dynamic_partition_pruning" -> dpp1Sql,
+    "bin1_binaryfile_source" -> bin1Sql,
     "mv1_incremental_agg_merge" -> mv1Sql,
     "zo1_zorder_layout" -> zo1Sql,
     "scd1_type2_history" -> scd1Sql,

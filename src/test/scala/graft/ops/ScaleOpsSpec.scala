@@ -198,6 +198,24 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("dpp1 fact scan carries a dynamic-pruning partition filter") {
+    val df = ScaleOps.dpp1(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"the fact scan must be pruned by the dim-side runtime filter:\n${p.take(1200)}")
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("1-URGENT", "2-HIGH"))
+  }
+
+  test("bin1 binaryFile content bytes round-trip the fixture strings") {
+    val rows = ScaleOps.bin1(spark, sfDir).collect()
+    val names = graft.Tables.region(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows.length === names.size)
+    rows.foreach { r =>
+      assert(r.getLong(1) === names(r.getInt(0)).length.toLong, "byte length = string length")
+    }
+  }
+
   test("apx4 CMS estimates bound exact counts: est >= exact, est <= exact + eps*N") {
     val rows = ScaleOps.apx4(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
