@@ -80,6 +80,11 @@ object GraftApi {
   /** Redact PII in place: email → [EMAIL], phone → [PHONE], IPv4 → [IP]. */
   def redactPii(c: Column): Column = TextAnalysis.redactPii(c)
 
+  /** Strip HTML markup: tags → space, core character entities decoded
+    * (&amp; last, so no double-decode), whitespace squeezed — the
+    * standard web-crawl pre-tokenization cleanup; map-side regex chain. */
+  def stripHtml(c: Column): Column = TextAnalysis.stripHtml(c)
+
   /** Per-doc PII counts + redaction md5 —
     * (doc_id, n_emails, n_phones, n_ips, redacted_md5). */
   def piiStats(docs: DataFrame, textCol: String = "text"): DataFrame =

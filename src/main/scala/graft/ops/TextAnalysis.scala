@@ -293,7 +293,47 @@ object TextAnalysis {
       |            // greatest(len(tris), 1) AS BIGINT) AS dup_tri_bp
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---- T11: HTML/boilerplate strip ----
+
+  /** Strip markup from scraped text: tags → space, the 5 core character
+    * entities decoded, whitespace squeezed — the standard pre-tokenization
+    * cleanup for web-crawl corpora. Pure regexp_replace chain (RE2-safe,
+    * map-side, codegen'd); the library entry point
+    * ([[graft.api.GraftApi.stripHtml]]). */
+  private[graft] def stripHtml(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      noTags, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"), "&amp;", "&")
+    trim(regexp_replace(decoded, " +", " "))
+  }
+
+  /** T11 binds [[stripHtml]] to a deterministic HTML-wrapped variant of
+    * the fixture corpus (the raw corpus has no markup to strip). */
+  val t11: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("html", expr(
+        """concat('<html><body class="c', CAST(doc_id % 7 AS STRING), '">',
+          |'<h1>Doc &amp; entry #', CAST(doc_id AS STRING), '</h1><p>', text,
+          |'</p><br/>&lt;end&gt; &quot;fin&quot;</body></html>')""".stripMargin))
+      .select(col("doc_id"), stripHtml(col("html")).as("clean"))
+      .orderBy("doc_id")
+  val t11Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         concat('<html><body class="c', CAST(doc_id % 7 AS VARCHAR), '">',
+      |                '<h1>Doc &amp; entry #', CAST(doc_id AS VARCHAR), '</h1><p>', text,
+      |                '</p><br/>&lt;end&gt; &quot;fin&quot;</body></html>') AS html
+      |  FROM documents)
+      |SELECT doc_id,
+      |       trim(regexp_replace(
+      |         replace(replace(replace(replace(replace(
+      |           regexp_replace(html, '<[^>]*>', ' ', 'g'),
+      |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+      |         ' +', ' ', 'g')) AS clean
+      |FROM h ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t11_html_strip" -> t11,
     "t4_language_id" -> t4,
     "t5_quality_score" -> t5,
     "t6_token_counts" -> t6,
@@ -303,6 +343,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t11_html_strip" -> t11Sql,
     "t4_language_id" -> t4Sql,
     "t5_quality_score" -> t5Sql,
     "t6_token_counts" -> t6Sql,

@@ -238,6 +238,15 @@ class ApiSpec extends SparkSpec {
       (3, "gold", 400L, -1L)))
   }
 
+  test("stripHtml removes tags, decodes entities once, squeezes whitespace") {
+    val sp = spark
+    import sp.implicits._
+    val out = Seq("<p>a &amp;&lt;b&gt;  c</p><br/>&quot;d&quot; &#39;e&#39; &amp;amp;")
+      .toDF("t").select(GraftApi.stripHtml(col("t"))).head().getString(0)
+    assert(out === "a &<b> c \"d\" 'e' &amp;",
+      "entities decode exactly once (&amp;amp; must NOT double-decode)")
+  }
+
   test("cmsHeavyHitters surfaces the planted heavy key with exact count beside it") {
     val sp = spark
     import sp.implicits._
