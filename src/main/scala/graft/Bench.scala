@@ -17,13 +17,16 @@ import java.nio.file.{Files, Paths}
   * subset of per-query warm times, and the path to the full file. */
 object Bench {
   /** Stable cross-round comparison set: the flagship pipelines plus every
-    * query that regressed >2x in round 2 (sim3/t1/t2/set1/d1/s7). */
+    * query that regressed >2x in round 2 (sim3/t1/t2/set1/d1/s7), plus the
+    * round-5 headliners (q21 window decorrelation, int8 ANN, dedup
+    * endgame). Existing keys never change — only appended. */
   private val Headline = Seq(
     "q1_pricing_summary", "q5_local_supplier_revenue", "m1_ml_naive_bayes",
     "m3_ml_linear_svc", "s7_metrics_sink", "d1_exact_dedup",
     "d6_ngram_jaccard_blocked", "d7_embedding_neardup", "sim1_ann_bruteforce_topk",
     "sim3_lsh_ann_topk", "t1_explode_tokens", "t2_tokenize_ws_runs",
-    "set1_intersect_except", "st4_stream_dedup", "x1_topk_custom_strategy")
+    "set1_intersect_except", "st4_stream_dedup", "x1_topk_custom_strategy",
+    "q21_waiting_suppliers", "sim5_int8_quantized_topk", "d10_deduped_corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
