@@ -222,6 +222,88 @@ object ScaleOps {
       |       md5(r_name) AS content_md5
       |FROM region ORDER BY r_regionkey""".stripMargin
 
+  // ---- S15: columnar compression codec (zstd) ----
+
+  /** S15: parquet codec selection — the same projection written twice,
+    * zstd and snappy, then read back from the zstd copy. Content
+    * round-trip is the oracle (codecs must be lossless); the size win
+    * (zstd strictly smaller on this data) is asserted in `ScaleOpsSpec`
+    * because byte counts are environment-defined. At 100 TB codec choice
+    * is a first-order cost lever: zstd trades ~1.2-2× smaller files
+    * (less scan I/O + cache footprint) for more decode CPU. */
+  val s15: Q = (s, d) => {
+    val src = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_extendedprice", "l_returnflag")
+    val zstdDir = Files.createTempDirectory("graft_s15_zstd").toString
+    val snapDir = Files.createTempDirectory("graft_s15_snappy").toString
+    src.write.mode("overwrite").option("compression", "zstd").parquet(zstdDir)
+    src.write.mode("overwrite").option("compression", "snappy").parquet(snapDir)
+    s.read.parquet(zstdDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("sum_price_c"))
+      .orderBy("l_returnflag")
+  }
+  val s15Sql: String =
+    s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(${Money.centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_c
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Parquet bytes written per codec for the s15 projection — spec-only
+    * helper (sizes are environment-defined, never oracled). */
+  private[graft] def codecBytes(s: SparkSession, d: String): (Long, Long) = {
+    val src = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_extendedprice", "l_returnflag")
+    def write(codec: String): Long = {
+      val dir = Files.createTempDirectory(s"graft_s15_$codec").toString
+      src.write.mode("overwrite").option("compression", codec).parquet(dir)
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length).sum
+    }
+    (write("zstd"), write("snappy"))
+  }
+
+  // ---- T12: robust ingestion via try_cast ----
+
+  /** T12: malformed-numeric tolerance — the ANSI-mode-safe ingestion
+    * pattern: `try_cast` turns unparseable strings into NULLs instead of
+    * task failures (one bad row must not kill a 100 TB scan), and the
+    * aggregate counts exactly what was lost per input class. Dirty
+    * values are synthesized deterministically; DOUBLE target so the
+    * exponent form parses identically in both engines. */
+  val t12: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 6).cast("int").as("cls"))
+      .withColumn("raw", expr(
+        """CASE cls
+          | WHEN 0 THEN '42'
+          | WHEN 1 THEN concat(' ', CAST(doc_id AS STRING), ' ')
+          | WHEN 2 THEN '3.14'
+          | WHEN 3 THEN 'abc'
+          | WHEN 4 THEN ''
+          | ELSE '1e2' END""".stripMargin))
+      .withColumn("v", expr("try_cast(raw AS DOUBLE)"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n"),
+        count(col("v")).as("n_parsed"),
+        sum(cents(coalesce(col("v"), lit(0.0)))).as("sum_c"))
+      .orderBy("cls")
+  val t12Sql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS cls,
+      |         CASE CAST(doc_id % 6 AS INTEGER)
+      |          WHEN 0 THEN '42'
+      |          WHEN 1 THEN concat(' ', CAST(doc_id AS VARCHAR), ' ')
+      |          WHEN 2 THEN '3.14'
+      |          WHEN 3 THEN 'abc'
+      |          WHEN 4 THEN ''
+      |          ELSE '1e2' END AS r
+      |  FROM documents),
+      |parsed AS (SELECT cls, TRY_CAST(r AS DOUBLE) AS v FROM raw)
+      |SELECT cls, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(v) AS BIGINT) AS n_parsed,
+      |       CAST(sum(CAST(round(coalesce(v, 0.0) * 100) AS BIGINT)) AS BIGINT) AS sum_c
+      |FROM parsed GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- PROF1: column profile (data-quality pass) ----
 
   /** PROF1: the single-scan data-quality profile every ingestion pipeline
@@ -752,6 +834,8 @@ object ScaleOps {
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "s15_zstd_codec" -> s15,
+    "t12_robust_cast" -> t12,
     "dpp1_dynamic_partition_pruning" -> dpp1,
     "bin1_binaryfile_source" -> bin1,
     "mv1_incremental_agg_merge" -> mv1,
@@ -774,6 +858,8 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "s15_zstd_codec" -> s15Sql,
+    "t12_robust_cast" -> t12Sql,
     "dpp1_dynamic_partition_pruning" -> dpp1Sql,
     "bin1_binaryfile_source" -> bin1Sql,
     "mv1_incremental_agg_merge" -> mv1Sql,

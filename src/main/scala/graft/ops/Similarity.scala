@@ -324,7 +324,76 @@ object Similarity {
        |SELECT q_id, cand_id, rk, round(cos, 6) AS cos_r
        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  // ---- SIM6: IVF with nprobe = 2 (the recall knob) ----
+
+  /** sim4's IVF search with the query probing its TOP-2 centroid cells
+    * instead of 1 — the standard recall/cost knob: corpus vectors stay
+    * assigned to exactly one cell (the inverted file is unchanged), only
+    * the query fans out, so cost scales linearly in nprobe while recall
+    * approaches brute force. Same broadcast-centroid argmax, same
+    * window top-k; the only change is `ark <= 2` on the QUERY side. */
+  val sim6: Q = (s, d) => {
+    val qn = qnorm(s, d)
+    val cent = qn.filter(col("vec_id") <= 8)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
+    val aw = Window.partitionBy("vec_id").orderBy(col("acos").desc, col("cid"))
+    val ranked = qn.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("q"), col("nrm"), col("cid"),
+        expr("graft_dot(q, cq)").as("adot"), col("cnrm"))
+      .withColumn("acos", col("adot") / sqrt(col("nrm").cast("double") * col("cnrm").cast("double")))
+      .withColumn("ark", row_number().over(aw))
+    val assign = ranked.filter(col("ark") === 1)
+      .select(col("vec_id"), col("q"), col("nrm"), col("cid"))
+    val queries2 = ranked.filter(col("ark") <= 2 && col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nrm").as("q_nrm"),
+        col("cid").as("q_cid"))
+    val pairs = assign.join(broadcast(queries2),
+        col("vec_id") =!= col("q_id") && col("cid") === col("q_cid"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        expr("graft_dot(qq, q)").as("dot"), col("q_nrm"), col("nrm"))
+      .withColumn("cos", col("dot") / sqrt(col("q_nrm").cast("double") * col("nrm").cast("double")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("q_id"), col("cand_id"), col("rk"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("q_id", "rk")
+  }
+  val sim6Sql: String =
+    s"""WITH $qnormCte,
+       |cent AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm FROM qn WHERE vec_id <= 8),
+       |adots AS (
+       |  SELECT vec_id, cid, CAST(sum(x * y) AS BIGINT) AS adot, nrm, cnrm FROM (
+       |    SELECT a.vec_id, c.cid, a.nrm, c.cnrm, unnest(a.q) AS x, unnest(c.cq) AS y
+       |    FROM qn a CROSS JOIN cent c)
+       |  GROUP BY vec_id, cid, nrm, cnrm),
+       |ranked AS (
+       |  SELECT vec_id, cid, CAST(row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY adot / sqrt(CAST(nrm AS DOUBLE) * CAST(cnrm AS DOUBLE)) DESC, cid)
+       |    AS INTEGER) AS ark
+       |  FROM adots),
+       |assign AS (SELECT vec_id, cid FROM ranked WHERE ark = 1),
+       |qprobe AS (SELECT vec_id, cid FROM ranked WHERE ark <= 2 AND vec_id % 50 = 0),
+       |qb AS (SELECT qn.vec_id, qn.q, qn.nrm, a.cid
+       |       FROM qn JOIN assign a ON qn.vec_id = a.vec_id),
+       |qs AS (SELECT qn.vec_id, qn.q, qn.nrm, p.cid
+       |       FROM qn JOIN qprobe p ON qn.vec_id = p.vec_id),
+       |dots AS (
+       |  SELECT q_id, cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot, q_nrm, c_nrm FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS cand_id, a.nrm AS q_nrm, b.nrm AS c_nrm,
+       |           unnest(a.q) AS xa, unnest(b.q) AS xb
+       |    FROM qs a JOIN qb b ON b.vec_id <> a.vec_id AND a.cid = b.cid)
+       |  GROUP BY q_id, cand_id, q_nrm, c_nrm),
+       |ranked2 AS (
+       |  SELECT q_id, cand_id,
+       |         dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) AS cos,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) DESC, cand_id)
+       |           AS INTEGER) AS rk
+       |  FROM dots)
+       |SELECT q_id, cand_id, rk, round(cos, 6) AS cos_r
+       |FROM ranked2 WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim6_ivf_nprobe2_topk" -> sim6,
     "sim1_ann_bruteforce_topk" -> sim1,
     "sim2_lsh_buckets" -> sim2,
     "sim3_lsh_ann_topk" -> sim3,
@@ -338,5 +407,6 @@ object Similarity {
     "sim3_lsh_ann_topk" -> sim3Sql,
     "sim4_ivf_topk" -> sim4Sql,
     "sim5_int8_quantized_topk" -> sim5Sql,
+    "sim6_ivf_nprobe2_topk" -> sim6Sql,
   )
 }

@@ -143,6 +143,27 @@ class DedupSimSpec extends SparkSpec {
     assert(fp("a b c") === fp("a b c"))
   }
 
+  test("SIM6 nprobe=2 candidate pool contains sim4's (probe-1 is a subset)") {
+    def pool(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pool(Similarity.sim4(spark, sfDir))
+    val p2 = pool(Similarity.sim6(spark, sfDir))
+    // every probe-1 top-3 pair is still reachable at nprobe=2; ranks can
+    // only improve or stay, so top-3 sets may differ — compare reachability
+    // through the shared exact-cosine map instead of raw equality
+    val bf = Similarity.sim1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val better = p2 -- p1
+    better.foreach { pair =>
+      bf.get(pair).foreach { c =>
+        assert(c >= p1.flatMap(bf.get).minOption.getOrElse(-1.0) - 1e-9,
+          s"a pair surfaced only by nprobe=2 must not rank below probe-1's floor: $pair")
+      }
+    }
+    assert(p2.nonEmpty && p2.size >= p1.size,
+      "nprobe=2 must return at least as many results as probe-1")
+  }
+
   test("SIM5 int8 quantization: values fit int8, recall@5 vs exact >= 0.8") {
     val q8 = Similarity.quantizeInt8Of(graft.Tables.embeddings(spark, sfDir))
     q8.selectExpr("explode(q8) AS v").collect().foreach { r =>

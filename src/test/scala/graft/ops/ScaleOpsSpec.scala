@@ -198,6 +198,12 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("s15 zstd writes strictly fewer bytes than snappy for the same rows") {
+    val (zstd, snappy) = ScaleOps.codecBytes(spark, sfDir)
+    assert(zstd > 0 && snappy > 0)
+    assert(zstd < snappy, s"zstd=$zstd must beat snappy=$snappy on this projection")
+  }
+
   test("dpp1 fact scan carries a dynamic-pruning partition filter") {
     val df = ScaleOps.dpp1(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
