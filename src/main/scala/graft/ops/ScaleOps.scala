@@ -304,6 +304,27 @@ object ScaleOps {
       |       CAST(sum(CAST(round(coalesce(v, 0.0) * 100) AS BIGINT)) AS BIGINT) AS sum_c
       |FROM parsed GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- APX5: mergeable HLL sketches (sketch once, union cheaply) ----
+
+  /** APX5: the property that makes sketches the 100 TB answer —
+    * MERGEABILITY. Distinct-user sketches are built once per event_type
+    * (one scan, partial sketches merged in the agg), then the global
+    * distinct count comes from `hll_union_agg` over the 5 tiny sketch
+    * rows — no second scan of the fact table. Exact counts ride along
+    * for the error bound (≤5% asserted in `ScaleOpsSpec`); rows-only at
+    * the driver (Datasketches binaries are engine-defined, like hll1). */
+  val apx5: Q = (s, d) => {
+    val sk = Tables.events(s, d).groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        countDistinct(col("user_id")).as("exact_nd"))
+    val perType = sk.select(col("event_type"),
+      expr("hll_sketch_estimate(sk)").as("est_nd"), col("exact_nd"))
+    val globalExact = Tables.events(s, d).agg(countDistinct(col("user_id"))).head().getLong(0)
+    val global = sk.agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_nd"))
+      .select(lit("ALL").as("event_type"), col("est_nd"), lit(globalExact).as("exact_nd"))
+    perType.unionAll(global).orderBy("event_type")
+  }
+
   // ---- PROF1: column profile (data-quality pass) ----
 
   /** PROF1: the single-scan data-quality profile every ingestion pipeline
@@ -836,6 +857,7 @@ object ScaleOps {
   val queries: Map[String, Q] = Map(
     "s15_zstd_codec" -> s15,
     "t12_robust_cast" -> t12,
+    "apx5_hll_mergeable" -> apx5,
     "dpp1_dynamic_partition_pruning" -> dpp1,
     "bin1_binaryfile_source" -> bin1,
     "mv1_incremental_agg_merge" -> mv1,

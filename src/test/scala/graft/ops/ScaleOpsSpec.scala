@@ -198,6 +198,16 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("apx5 sketch estimates land within 5% of exact, global = union of parts") {
+    val rows = ScaleOps.apx5(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).contains("ALL"))
+    rows.foreach { case (et, est, exact) =>
+      assert(math.abs(est - exact) <= math.max(1L, (0.05 * exact).toLong),
+        s"$et: sketch estimate $est strays >5% from exact $exact")
+    }
+  }
+
   test("s15 zstd writes strictly fewer bytes than snappy for the same rows") {
     val (zstd, snappy) = ScaleOps.codecBytes(spark, sfDir)
     assert(zstd > 0 && snappy > 0)
