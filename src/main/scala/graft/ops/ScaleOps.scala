@@ -325,6 +325,25 @@ object ScaleOps {
     perType.unionAll(global).orderBy("event_type")
   }
 
+  // ---- SRC1: custom DataSource V2 with pushdown ----
+
+  /** SRC1 binds [[graft.sources.GraftDocsSource]] — the custom DSv2
+    * source — with a range predicate that must reach the source's
+    * `pushFilters` (generation narrowed to 100 of 10,000 rows before any
+    * row exists; asserted on the scan description in `ScaleOpsSpec`).
+    * Content is a pure function of the row index, so DuckDB reproduces
+    * it from `range()` + `md5()`. */
+  val src1: Q = (s, _) =>
+    s.read.format("graft.sources.GraftDocsSource")
+      .option("rows", "10000").load()
+      .filter(col("doc_id") >= 2000 && col("doc_id") < 2100)
+      .orderBy("doc_id")
+  val src1Sql: String =
+    """SELECT i AS doc_id,
+      |       CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lang,
+      |       concat('doc ', CAST(i AS VARCHAR), ' ', md5(CAST(i AS VARCHAR))) AS text
+      |FROM range(2000, 2100) t(i) ORDER BY 1""".stripMargin
+
   // ---- PROF1: column profile (data-quality pass) ----
 
   /** PROF1: the single-scan data-quality profile every ingestion pipeline
@@ -858,6 +877,7 @@ object ScaleOps {
     "s15_zstd_codec" -> s15,
     "t12_robust_cast" -> t12,
     "apx5_hll_mergeable" -> apx5,
+    "src1_custom_dsv2_source" -> src1,
     "dpp1_dynamic_partition_pruning" -> dpp1,
     "bin1_binaryfile_source" -> bin1,
     "mv1_incremental_agg_merge" -> mv1,
@@ -882,6 +902,7 @@ object ScaleOps {
   val oracle: Map[String, String] = Map(
     "s15_zstd_codec" -> s15Sql,
     "t12_robust_cast" -> t12Sql,
+    "src1_custom_dsv2_source" -> src1Sql,
     "dpp1_dynamic_partition_pruning" -> dpp1Sql,
     "bin1_binaryfile_source" -> bin1Sql,
     "mv1_incremental_agg_merge" -> mv1Sql,

@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSource V2 (SURVEY §7.2's source extension point): a
+  * deterministic synthetic document table generated ON THE EXECUTORS —
+  * no files, no driver materialization — with real pushdown:
+  *
+  *  - `SupportsPushDownFilters`: range/equality predicates on `doc_id`
+  *    narrow the generated interval BEFORE generation, so a filtered
+  *    read does proportionally less work (the DSv2 analogue of parquet
+  *    row-group skipping).
+  *  - `SupportsPushDownRequiredColumns`: unprojected columns are never
+  *    generated (the md5 text column is the expensive one).
+  *  - `planInputPartitions`: the interval splits into `partitions`
+  *    (default 8) independent ranges — the scan parallelizes like any
+  *    file source.
+  *
+  * Rows are pure functions of the row index (text embeds
+  * `md5(i.toString)`), so DuckDB reproduces the exact content from
+  * `range()` + `md5()` — the source is oracle-checkable end-to-end.
+  *
+  * Usage: `spark.read.format("graft.sources.GraftDocsSource")
+  *   .option("rows", "10000").load()`
+  */
+class GraftDocsSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftDocsSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftDocsTable(
+      Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
+      Option(properties.get("partitions")).map(_.toInt).getOrElse(8))
+}
+
+object GraftDocsSource {
+  val schema: StructType = new StructType()
+    .add("doc_id", LongType, nullable = false)
+    .add("lang", StringType, nullable = false)
+    .add("text", StringType, nullable = false)
+
+  private val Langs = Array("en", "de", "fr")
+
+  private[sources] def lang(i: Long): String = Langs((i % 3).toInt)
+
+  private[sources] def text(i: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(i.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    s"doc $i $hex"
+  }
+}
+
+private class GraftDocsTable(rows: Long, partitions: Int)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft_docs($rows)"
+  override def schema(): StructType = GraftDocsSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftDocsScanBuilder(rows, partitions)
+}
+
+private class GraftDocsScanBuilder(rows: Long, partitions: Int)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L
+  private var hi = rows // exclusive
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = GraftDocsSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition {
+      case GreaterThan("doc_id", _: Long) | GreaterThanOrEqual("doc_id", _: Long) |
+           LessThan("doc_id", _: Long) | LessThanOrEqual("doc_id", _: Long) |
+           EqualTo("doc_id", _: Long) => true
+      case _ => false
+    }
+    ours.foreach {
+      case GreaterThan("doc_id", v: Long)        => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
+      case LessThan("doc_id", v: Long)           => hi = math.min(hi, v)
+      case LessThanOrEqual("doc_id", v: Long)    => hi = math.min(hi, v + 1)
+      case EqualTo("doc_id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    accepted = ours
+    rest // Spark re-applies these above the scan
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftDocsScan(lo, math.max(lo, hi), partitions, required)
+}
+
+private class GraftDocsScan(lo: Long, hi: Long, partitions: Int, required: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftDocsScan(range=[$lo,$hi), cols=${required.fieldNames.mkString(",")})"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    if (n <= 0) Array.empty
+    else {
+      val k = math.min(partitions.toLong, n).toInt
+      (0 until k).map { p =>
+        val start = lo + n * p / k
+        val end = lo + n * (p + 1) / k
+        GraftDocsPartition(start, end): InputPartition
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftDocsReaderFactory(required.fieldNames)
+}
+
+private case class GraftDocsPartition(start: Long, end: Long) extends InputPartition
+
+/** Serialized to executors; generates rows for one index range, only the
+  * requested columns. */
+private class GraftDocsReaderFactory(fields: Array[String])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftDocsPartition]
+    new PartitionReader[InternalRow] {
+      private var i = p.start - 1
+      override def next(): Boolean = { i += 1; i < p.end }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fields.toSeq.map {
+          case "doc_id" => i
+          case "lang"   => UTF8String.fromString(GraftDocsSource.lang(i))
+          case "text"   => UTF8String.fromString(GraftDocsSource.text(i))
+        })
+      override def close(): Unit = ()
+    }
+  }
+}
