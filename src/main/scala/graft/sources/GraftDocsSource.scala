@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,12 +66,14 @@ private class GraftDocsTable(rows: Long, partitions: Int)
   override def name(): String = s"graft_docs($rows)"
   override def schema(): StructType = GraftDocsSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftDocsScanBuilder(rows, partitions)
+    new GraftDocsScanBuilder(rows, partitions,
+      Option(options.get("streamBatchRows")).map(_.toLong))
 }
 
-private class GraftDocsScanBuilder(rows: Long, partitions: Int)
+private class GraftDocsScanBuilder(rows: Long, partitions: Int,
+    streamBatchRows: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = 0L
@@ -101,15 +104,55 @@ private class GraftDocsScanBuilder(rows: Long, partitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftDocsScan(lo, math.max(lo, hi), partitions, required)
+  override def build(): Scan =
+    new GraftDocsScan(lo, math.max(lo, hi), partitions, required,
+      streamBatchRows.getOrElse(math.max(1L, (math.max(lo, hi) - lo) / 4)))
 }
 
-private class GraftDocsScan(lo: Long, hi: Long, partitions: Int, required: StructType)
+private class GraftDocsScan(lo: Long, hi: Long, partitions: Int, required: StructType,
+    streamBatchRows: Long)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftDocsScan(range=[$lo,$hi), cols=${required.fieldNames.mkString(",")})"
   override def toBatch: Batch = this
+
+  /** Micro-batch view of the same interval: the offset is the next unread
+    * row index. Admission control caps each micro-batch at
+    * `streamBatchRows` (so the engine's committed offset always equals
+    * what was actually emitted — clamping inside planInputPartitions
+    * would silently drop rows), and `SupportsTriggerAvailableNow` lets
+    * `Trigger.AvailableNow` drain the interval as several bounded
+    * batches. Rows are pure index functions, so streaming ≡ batch and
+    * the batch SQL oracle verifies the streamed result. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+      private def off(v: Long): Offset = new Offset {
+        override def json(): String = v.toString
+      }
+      override def initialOffset(): Offset = off(lo)
+      override def latestOffset(): Offset =
+        throw new UnsupportedOperationException(
+          "admission-controlled source: use latestOffset(start, limit)")
+      override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(streamBatchRows)
+      override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+        val s = start.json().toLong
+        off(math.min(s + streamBatchRows, hi))
+      }
+      override def prepareForTriggerAvailableNow(): Unit = ()
+      override def reportLatestOffset(): Offset = off(hi)
+      override def deserializeOffset(json: String): Offset = off(json.toLong)
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        val s = start.json().toLong
+        val e = end.json().toLong
+        if (e <= s) Array.empty
+        else Array(GraftDocsPartition(s, e): InputPartition)
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new GraftDocsReaderFactory(required.fieldNames)
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = hi - lo

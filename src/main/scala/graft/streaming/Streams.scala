@@ -508,7 +508,26 @@ object Streams {
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SRC2: the custom DSv2 source read as a STREAM — the same
+    * `graft.sources.GraftDocsSource` interval drained through
+    * micro-batches (admission control caps 500 rows/batch; AvailableNow
+    * runs 4 bounded batches). Rows are pure index functions, so the
+    * streamed table is bit-identical to the batch read and the batch SQL
+    * oracle verifies it. */
+  val src2: Q = (s, _) => {
+    val out = s.readStream.format("graft.sources.GraftDocsSource")
+      .option("rows", "2000").option("streamBatchRows", "500").load()
+    drain(s, out, "src2_custom_source_stream", OutputMode.Append())
+      .orderBy("doc_id")
+  }
+  val src2Sql: String =
+    """SELECT i AS doc_id,
+      |       CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lang,
+      |       concat('doc ', CAST(i AS VARCHAR), ' ', md5(CAST(i AS VARCHAR))) AS text
+      |FROM range(0, 2000) t(i) ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "src2_custom_source_stream" -> src2,
     "st10_stream_mv_merge" -> st10,
     "st1_stream_tumbling" -> st1,
     "st2_stream_sliding" -> st2,
@@ -536,5 +555,6 @@ object Streams {
     "st8_session_window_builtin" -> st8Sql,
     "st9_stream_file_sink" -> graft.ops.Events.e1Sql,
     "st10_stream_mv_merge" -> st10Sql,
+    "src2_custom_source_stream" -> src2Sql,
   )
 }

@@ -51,4 +51,21 @@ class GraftDocsSourceSpec extends SparkSpec {
     val df = load().filter(col("doc_id") > 5000L && col("doc_id") < 100L)
     assert(df.count() === 0)
   }
+
+  test("micro-batch stream drains in bounded batches and equals the batch read") {
+    val stream = spark.readStream.format("graft.sources.GraftDocsSource")
+      .option("rows", "2000").option("streamBatchRows", "500").load()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_src2_spec").toString
+    val q = stream.writeStream.format("memory").queryName("src2spec")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 4, s"admission control must split 2000 rows at 500/batch, saw $dataBatches")
+    assert(q.recentProgress.filter(_.numInputRows > 0).forall(_.numInputRows <= 500),
+      "no micro-batch may exceed the admission-control cap")
+    val streamed = spark.table("src2spec").orderBy("doc_id").collect().toSeq
+    val batch = load(2000L).orderBy("doc_id").collect().toSeq
+    assert(streamed === batch, "streamed rows must be bit-identical to the batch read")
+  }
 }
