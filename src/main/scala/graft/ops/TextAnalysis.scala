@@ -332,7 +332,75 @@ object TextAnalysis {
       |         ' +', ' ', 'g')) AS clean
       |FROM h ORDER BY doc_id""".stripMargin
 
+  // ---- VOC1: vocabulary induction + OOV accounting ----
+
+  /** VOC1: min-frequency vocabulary induction and per-document
+    * out-of-vocabulary rate — the tokenizer-prep pass every pretraining
+    * corpus runs. The vocab is ONE hash aggregate over the exploded
+    * tokens (freq ≥ 5 cutoff); the per-doc OOV rate comes from a left
+    * join of tokens against that vocab (at 100 TB the vocab is the small
+    * side by construction — a frequency cutoff bounds it — so the probe
+    * broadcasts and the token stream never shuffles twice). Integer
+    * basis-point rates. */
+  val voc1: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 5)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(vocab, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_toks"), col("n_oov"),
+        expr("n_oov * 10000 div n_toks").as("oov_bp"))
+      .orderBy("doc_id")
+  }
+  val voc1Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+      |tk AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+      |vocab AS (SELECT tok FROM tk GROUP BY tok HAVING count(*) >= 5)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000
+      |         // CAST(count(*) AS BIGINT) AS oov_bp
+      |FROM tk LEFT JOIN vocab v USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- CHUNK1: sliding-window document chunking ----
+
+  /** CHUNK1: long-document chunking with overlap (window 128 tokens,
+    * stride 96 = 32-token overlap) — the context-window prep step. Chunk
+    * starts come from an integer `sequence` (map-side, no join); a tail
+    * chunk is kept only if it adds content beyond the overlap
+    * (start = 0 or start + 32 < n). Emits (doc_id, chunk_idx, start_tok,
+    * chunk_toks). */
+  val chunk1: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(expr("sequence(0, greatest(n - 1, 0), 96)")).as("start_tok"))
+      .filter(col("start_tok") === 0 || col("start_tok") + 32 < col("n"))
+      .withColumn("chunk_idx", expr("start_tok div 96"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(lit(128), col("n") - col("start_tok")).as("chunk_toks"))
+      .orderBy("doc_id", "chunk_idx")
+  val chunk1Sql: String =
+    """WITH n AS (SELECT doc_id, len(str_split(text, ' ')) AS n FROM documents),
+      |starts AS (
+      |  SELECT doc_id, n, unnest(range(0, greatest(n, 1), 96)) AS start_tok FROM n)
+      |SELECT doc_id, CAST(start_tok // 96 AS INTEGER) AS chunk_idx,
+      |       CAST(start_tok AS INTEGER) AS start_tok,
+      |       CAST(least(128, n - start_tok) AS INTEGER) AS chunk_toks
+      |FROM starts
+      |WHERE start_tok = 0 OR start_tok + 32 < n
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "voc1_vocab_oov" -> voc1,
+    "chunk1_sliding_chunks" -> chunk1,
     "t11_html_strip" -> t11,
     "t4_language_id" -> t4,
     "t5_quality_score" -> t5,
@@ -343,6 +411,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "voc1_vocab_oov" -> voc1Sql,
+    "chunk1_sliding_chunks" -> chunk1Sql,
     "t11_html_strip" -> t11Sql,
     "t4_language_id" -> t4Sql,
     "t5_quality_score" -> t5Sql,

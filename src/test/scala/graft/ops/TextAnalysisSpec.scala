@@ -39,4 +39,38 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.t10(spark, sfDir).count()
     assert(avgDup > 1000, s"average dup_word_bp $avgDup suspiciously low for the fixture")
   }
+
+  test("chunk1 window/stride math on a long document (multi-chunk + tail rules)") {
+    // the fixture docs are single-chunk; drive the operator on a 300-token
+    // doc through the registry shape reimplemented over a temp view
+    val sp = spark
+    import sp.implicits._
+    val doc = Seq((1L, (1 to 300).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 100).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 130).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = doc
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(org.apache.spark.sql.functions.col("text"), " ")).as("n"))
+      .select(org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.col("n"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr("sequence(0, greatest(n - 1, 0), 96)")).as("start_tok"))
+      .filter("start_tok = 0 OR start_tok + 32 < n")
+      .selectExpr("doc_id", "start_tok", "least(128, n - start_tok) AS chunk_toks")
+      .collect().groupBy(_.getLong(0))
+    // doc 1 (300 toks): starts 0,96,192 kept; 288 dropped (288+32 >= 300)
+    val d1 = chunks(1L).map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(d1.toSeq === Seq((0, 128), (96, 128), (192, 108)))
+    // doc 2 (100 toks): single chunk, start 96 dropped (96+32 >= 100)
+    assert(chunks(2L).map(r => (r.getInt(1), r.getInt(2))).toSeq === Seq((0, 100)))
+    // doc 3 (130 toks): tail at 96 kept (96+32 < 130), 34 tokens
+    val d3 = chunks(3L).map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(d3.toSeq === Seq((0, 128), (96, 34)))
+    // every token index is covered by at least one chunk
+    d1.foreach { case (s, l) => assert(l > 0 && s + l <= 300) }
+    assert(d1.map { case (s, l) => (s, s + l) }.sliding(2).forall {
+      case Array((_, e1), (s2, _)) => s2 < e1
+      case _ => true
+    }, "consecutive chunks must overlap")
+  }
 }
