@@ -105,6 +105,19 @@ object GraftApi {
     * basis points) — needs (doc_id, text, n_chars). */
   def qualityScore(docs: DataFrame): DataFrame = TextAnalysis.qualityScoreOf(docs)
 
+  /** Min-frequency vocabulary induction + per-doc OOV rate: (doc_id,
+    * n_toks, n_oov, oov_bp). The vocab is one hash agg (freq ≥ minFreq
+    * bounds it, so the OOV probe broadcasts at scale). */
+  def vocabOov(docs: DataFrame, minFreq: Long = 5L): DataFrame =
+    TextAnalysis.vocabOovOf(docs, minFreq)
+
+  /** Sliding-window chunk assignments (doc_id, chunk_idx, start_tok,
+    * chunk_toks) with `window − stride` tokens of overlap; a tail chunk
+    * is kept only when it adds content beyond the overlap. Map-side
+    * (integer sequence, no join). */
+  def slidingChunks(docs: DataFrame, window: Int = 128, stride: Int = 96): DataFrame =
+    TextAnalysis.slidingChunksOf(docs, window, stride)
+
   /** Token-count estimators (whitespace, BPE-ish regex, chars/4) — needs
     * (doc_id, text, n_chars). */
   def tokenCounts(docs: DataFrame): DataFrame = TextAnalysis.tokenCountsOf(docs)

@@ -342,12 +342,12 @@ object TextAnalysis {
     * side by construction — a frequency cutoff bounds it — so the probe
     * broadcasts and the token stream never shuffles twice). Integer
     * basis-point rates. */
-  val voc1: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
+  private[graft] def vocabOovOf(docs: DataFrame, minFreq: Long): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= 5)
+      .filter(col("freq") >= minFreq)
       .select(col("tok"), lit(1).as("in_vocab"))
     toks.join(vocab, Seq("tok"), "left")
       .groupBy("doc_id")
@@ -355,8 +355,10 @@ object TextAnalysis {
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("n_toks"), col("n_oov"),
         expr("n_oov * 10000 div n_toks").as("oov_bp"))
-      .orderBy("doc_id")
   }
+
+  val voc1: Q = (s, d) =>
+    vocabOovOf(Tables.documents(s, d), minFreq = 5).orderBy("doc_id")
   val voc1Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
@@ -377,15 +379,20 @@ object TextAnalysis {
     * chunk is kept only if it adds content beyond the overlap
     * (start = 0 or start + 32 < n). Emits (doc_id, chunk_idx, start_tok,
     * chunk_toks). */
-  val chunk1: Q = (s, d) =>
-    Tables.documents(s, d)
+  private[graft] def slidingChunksOf(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    val overlap = window - stride
+    docs
       .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
       .select(col("doc_id"), col("n"),
-        explode(expr("sequence(0, greatest(n - 1, 0), 96)")).as("start_tok"))
-      .filter(col("start_tok") === 0 || col("start_tok") + 32 < col("n"))
-      .withColumn("chunk_idx", expr("start_tok div 96"))
+        explode(expr(s"sequence(0, greatest(n - 1, 0), $stride)")).as("start_tok"))
+      .filter(col("start_tok") === 0 || col("start_tok") + overlap < col("n"))
+      .withColumn("chunk_idx", expr(s"start_tok div $stride"))
       .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
-        least(lit(128), col("n") - col("start_tok")).as("chunk_toks"))
+        least(lit(window), col("n") - col("start_tok")).as("chunk_toks"))
+  }
+
+  val chunk1: Q = (s, d) =>
+    slidingChunksOf(Tables.documents(s, d), window = 128, stride = 96)
       .orderBy("doc_id", "chunk_idx")
   val chunk1Sql: String =
     """WITH n AS (SELECT doc_id, len(str_split(text, ' ')) AS n FROM documents),
