@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.GraftFunctions
-import graft.ops.{AsOf, Dedup, Events, ScaleOps, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Events, Retrieval, ScaleOps, TextAnalysis}
 import graft.plans.TopKPerGroup
 import graft.text.TextOps
 
@@ -224,6 +224,16 @@ object GraftApi {
   def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       pcts: Seq[Double]): DataFrame =
     ScaleOps.exactPercentilesOf(df, groupCol, valueCol, pcts)
+
+  /** BM25 top-k document retrieval: ranks `docs` (doc_id, text) against
+    * each query in `queries` (query_id, term) — k1 = 1.2, b = 0.75,
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)). The inverted index is two hash
+    * aggregates over one token explode; the query set broadcasts against
+    * the postings, so the corpus is never scanned per query. Scores are
+    * ranked as exact integer micro-units (doc_id breaks ties). Returns
+    * (query_id, rnk, doc_id, score_e6). */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
+    Retrieval.bm25TopKOf(docs, queries, k)
 
   // ---- ordering / top-k ----
 

@@ -36,7 +36,7 @@ object Dedup {
 
   // ---- corpus with injected duplicates ----
 
-  private def corpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     base
       .unionAll(base.filter(col("doc_id") % 7 === 0)
