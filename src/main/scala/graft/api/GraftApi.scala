@@ -85,6 +85,14 @@ object GraftApi {
     * standard web-crawl pre-tokenization cleanup; map-side regex chain. */
   def stripHtml(c: Column): Column = TextAnalysis.stripHtml(c)
 
+  /** Unicode NFC normalization (UAX #15) via the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression — decomposed accent
+    * sequences recompose so hashing/dedup sees one canonical byte form.
+    * Map-side, no shuffle. Requires [[registerFunctions]] (or the
+    * `graft.GraftExtensions` session extension) on the session first. */
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_nfc", c)
+
   /** Per-doc PII counts + redaction md5 —
     * (doc_id, n_emails, n_phones, n_ips, redacted_md5). */
   def piiStats(docs: DataFrame, textCol: String = "text"): DataFrame =

@@ -33,6 +33,7 @@ object GraftFunctions {
     "graft_clean_nb" -> { args => cleanNbExpr(args.head) },
     "graft_clean_svm" -> { args => cleanSvmExpr(args.head) },
     "graft_hamming" -> { args => HammingDistance(args(0), args(1)) },
+    "graft_nfc" -> { args => NfcNormalize(args.head) },
     "graft_dot" -> { args => DotProductLong(args(0), args(1)) },
     // Spark's runtime-filter Bloom expressions (BloomFilterAggregate /
     // BloomFilterMightContain) are not in the public FunctionRegistry;

@@ -405,7 +405,42 @@ object TextAnalysis {
       |WHERE start_tok = 0 OR start_tok + 32 < n
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---- T13: Unicode NFC normalization (native expression) ----
+
+  /** T13: Unicode normalization as a pipeline step — the fixture corpus is
+    * ASCII, so a deterministic decomposition (every 'a' → 'a' + combining
+    * grave U+0300) plants real multi-codepoint sequences, then the native
+    * [[graft.functions.NfcNormalize]] expression recomposes them ('à',
+    * U+00E0). Emits per-doc codepoint counts before/after (strictly fewer
+    * after ⟺ composition happened), an md5 witness of the normalized
+    * bytes, and an idempotence check (NFC∘NFC = NFC). Map-side, fully
+    * codegen'd; the oracle is DuckDB's utf8proc `nfc_normalize` — two
+    * independent UAX #15 implementations agreeing byte-for-byte. */
+  val t13: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("replace(text, 'a', 'à')").as("deco"))
+      .select(col("doc_id"), expr("graft_nfc(deco)").as("nfc"), col("deco"))
+      .select(col("doc_id"),
+        length(col("deco")).cast("long").as("n_deco"),
+        length(col("nfc")).cast("long").as("n_nfc"),
+        substring(md5(col("nfc")), 1, 16).as("digest"),
+        (expr("graft_nfc(nfc)") === col("nfc")).as("stable"))
+      .orderBy("doc_id")
+  }
+  val t13Sql: String =
+    """WITH deco AS (
+      |  SELECT doc_id, replace(text, 'a', 'a' || chr(768)) AS deco FROM documents),
+      |n AS (SELECT doc_id, deco, nfc_normalize(deco) AS nfc FROM deco)
+      |SELECT doc_id,
+      |       CAST(length(deco) AS BIGINT) AS n_deco,
+      |       CAST(length(nfc) AS BIGINT) AS n_nfc,
+      |       substr(md5(nfc), 1, 16) AS digest,
+      |       nfc_normalize(nfc) = nfc AS stable
+      |FROM n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t13_nfc_normalize" -> t13,
     "voc1_vocab_oov" -> voc1,
     "chunk1_sliding_chunks" -> chunk1,
     "t11_html_strip" -> t11,
@@ -418,6 +453,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t13_nfc_normalize" -> t13Sql,
     "voc1_vocab_oov" -> voc1Sql,
     "chunk1_sliding_chunks" -> chunk1Sql,
     "t11_html_strip" -> t11Sql,

@@ -247,6 +247,16 @@ class ApiSpec extends SparkSpec {
       "entities decode exactly once (&amp;amp; must NOT double-decode)")
   }
 
+  test("nfcNormalize recomposes decomposed accents through the registered function") {
+    GraftApi.registerFunctions(spark)
+    val sp = spark
+    import sp.implicits._
+    // "a" + combining grave (U+0300) must become precomposed U+00E0
+    val out = Seq("café à").toDF("t")
+      .select(GraftApi.nfcNormalize(col("t"))).head().getString(0)
+    assert(out === "café à")
+  }
+
   test("cmsHeavyHitters surfaces the planted heavy key with exact count beside it") {
     val sp = spark
     import sp.implicits._

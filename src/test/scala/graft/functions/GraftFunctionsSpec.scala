@@ -36,6 +36,29 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(e.eval(null) === 2L)
   }
 
+  test("graft_nfc composes decomposed sequences, is idempotent, and propagates nulls") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val deco = "à é ô" // à é ô decomposed
+    val rows = Seq((deco, Option("à é ô")), (" plain ascii ", Option(" plain ascii ")))
+      .toDF("s", "want")
+      .select(expr("graft_nfc(s)").as("got"), col("want"),
+        expr("graft_nfc(graft_nfc(s)) = graft_nfc(s)").as("stable"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) === r.getString(1))
+      assert(r.getBoolean(2))
+    }
+    val n = Seq(Option.empty[String]).toDF("s").select(expr("graft_nfc(s)")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("graft_nfc interpreted eval matches the codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = NfcNormalize(Literal("ñ à"))
+    assert(e.eval(null).toString === "ñ à")
+  }
+
   test("graft_dot: codegen result equals the interpreted higher-order formulation") {
     GraftFunctions.register(spark)
     import spark.implicits._
