@@ -225,6 +225,14 @@ object GraftApi {
   def profile(df: DataFrame, groupCol: String): DataFrame =
     ScaleOps.profileOf(df, groupCol)
 
+  /** Data-quality expectations report: each (name, violation-predicate)
+    * pair becomes a CASE-sum inside ONE partial+final aggregate over a
+    * single scan — returns (check_name, n_rows, n_violations), |checks|
+    * rows regardless of input size. Write predicates so NULL evaluates
+    * TRUE where a null should count as a violation. */
+  def expectations(df: DataFrame, checks: Seq[(String, Column)]): DataFrame =
+    ScaleOps.expectationsOf(df, checks)
+
   /** EXACT per-group percentiles via (value, freq) + cumulative-rank pick
     * — one shuffle on the group, no global sort, bit-deterministic (the
     * audit path beside `approx_percentile`). Returns

@@ -873,7 +873,84 @@ object ScaleOps {
        |       CAST(sum(${Money.centsSql("o_totalprice")}) AS BIGINT) AS sum_c
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- DQ1: data-quality expectations report ----
+
+  /** Single-scan expectations report over any frame: each (name,
+    * violation-predicate) pair becomes a CASE-sum inside ONE partial+final
+    * aggregate, then the 1-row aggregate explodes into the (check_name,
+    * n_rows, n_violations) report — the library entry point
+    * ([[graft.api.GraftApi.expectations]]). Report size = |checks|,
+    * independent of input size; map-side partials mean the only exchange
+    * is the final 1-row merge. */
+  private[graft] def expectationsOf(df: DataFrame,
+      checks: Seq[(String, Column)]): DataFrame = {
+    val agg = df.agg(count(lit(1)).as("n_rows"),
+      checks.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(n) }: _*)
+    agg.select(explode(array(checks.map { case (n, _) =>
+        struct(lit(n).as("check_name"), col("n_rows"), col(n).as("n_violations"))
+      }: _*)).as("e"))
+      .select(col("e.check_name").as("check_name"), col("e.n_rows").as("n_rows"),
+        col("e.n_violations").as("n_violations"))
+  }
+
+  /** DQ1: the declarative data-quality gate a pipeline runs before
+    * training-data ingestion — null / range / domain / referential
+    * expectations with violation COUNTS, not failures. Row-level checks
+    * (NULL counts as a violation of every value expectation) ride one
+    * scan via [[expectationsOf]]; the referential check counts orphan
+    * fact keys with a LEFT ANTI join aggregated to one row, never
+    * materializing violations. The price expectation is deliberately
+    * tighter than the data (26 k violations at sf0.01) so the report
+    * proves it counts, not just zero-fills. */
+  val dq1: Q = (s, d) => {
+    val li = Tables.load(s, d, "lineitem")
+    val checks: Seq[(String, Column)] = Seq(
+      "c1_orderkey_not_null" -> col("l_orderkey").isNull,
+      "c2_quantity_in_1_50" ->
+        (col("l_quantity").isNull || col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+      "c3_discount_in_0_010" ->
+        (col("l_discount").isNull || col("l_discount") < 0.0 || col("l_discount") > 0.1),
+      "c4_returnflag_domain" ->
+        (col("l_returnflag").isNull || !col("l_returnflag").isin("A", "N", "R")),
+      "c5_linestatus_domain" ->
+        (col("l_linestatus").isNull || !col("l_linestatus").isin("O", "F")),
+      "c6_price_under_60000" ->
+        (col("l_extendedprice").isNull || col("l_extendedprice") > 60000.0))
+    val rowLevel = expectationsOf(li, checks)
+    val orphans = li
+      .join(Tables.load(s, d, "orders").select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(li.agg(count(lit(1)).as("n_rows")))
+      .select(lit("c7_orderkey_in_orders").as("check_name"), col("n_rows"),
+        col("n_violations"))
+    rowLevel.unionAll(orphans).orderBy("check_name")
+  }
+  val dq1Sql: String =
+    """WITH agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |         CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+      |         CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+      |         CAST(sum(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+      |         CAST(sum(CASE WHEN l_linestatus IS NULL OR l_linestatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+      |         CAST(sum(CASE WHEN l_extendedprice IS NULL OR l_extendedprice > 60000.0 THEN 1 ELSE 0 END) AS BIGINT) AS c6
+      |  FROM lineitem),
+      |orph AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem li
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey))
+      |SELECT 'c1_orderkey_not_null' AS check_name, n_rows, c1 AS n_violations FROM agg
+      |UNION ALL SELECT 'c2_quantity_in_1_50', n_rows, c2 FROM agg
+      |UNION ALL SELECT 'c3_discount_in_0_010', n_rows, c3 FROM agg
+      |UNION ALL SELECT 'c4_returnflag_domain', n_rows, c4 FROM agg
+      |UNION ALL SELECT 'c5_linestatus_domain', n_rows, c5 FROM agg
+      |UNION ALL SELECT 'c6_price_under_60000', n_rows, c6 FROM agg
+      |UNION ALL SELECT 'c7_orderkey_in_orders', (SELECT n_rows FROM agg), n FROM orph
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dq1_expectations" -> dq1,
     "s15_zstd_codec" -> s15,
     "t12_robust_cast" -> t12,
     "apx5_hll_mergeable" -> apx5,
@@ -900,6 +977,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq1_expectations" -> dq1Sql,
     "s15_zstd_codec" -> s15Sql,
     "t12_robust_cast" -> t12Sql,
     "src1_custom_dsv2_source" -> src1Sql,

@@ -232,6 +232,33 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("dq1 expectations count planted null/range/domain violations exactly") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.0, "A"), (2L, -3.0, "A"), (null, 5.0, "N"),
+      (4L, 200.0, "X"), (5L, 7.5, null))
+      .toDF("id", "qty", "flag")
+    val rep = graft.api.GraftApi.expectations(df, Seq(
+      "id_not_null" -> col("id").isNull,
+      "qty_in_0_100" -> (col("qty").isNull || col("qty") < 0.0 || col("qty") > 100.0),
+      "flag_domain" -> (col("flag").isNull || !col("flag").isin("A", "N"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("id_not_null") === (5L, 1L))
+    assert(rep("qty_in_0_100") === (5L, 2L))
+    assert(rep("flag_domain") === (5L, 2L))
+  }
+
+  test("dq1 registry report is one aggregate scan plus the anti-join row") {
+    val rows = ScaleOps.dq1(spark, sfDir).collect()
+    assert(rows.length === 7)
+    val byName = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byName("c1_orderkey_not_null") === 0L)
+    assert(byName("c7_orderkey_in_orders") === 0L, "fixture is referentially consistent")
+    assert(byName("c6_price_under_60000") > 0L, "the tight price expectation must find violations")
+  }
+
   test("apx4 CMS estimates bound exact counts: est >= exact, est <= exact + eps*N") {
     val rows = ScaleOps.apx4(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
