@@ -259,6 +259,17 @@ object GraftApi {
   def deterministicShuffle(df: DataFrame, idCol: String, salt: String = "shuf:"): DataFrame =
     ScaleOps.deterministicShuffleOf(df, idCol, salt)
 
+  /** Deterministic uniform k-sample per group: rows ordered by md5(id,
+    * salt) — a fixed pseudo-random total order — with the first k per
+    * group kept by the custom partial/final top-k operator (exchange
+    * carries ≤ k rows per group per partition, never the table). Same
+    * salt + ids ⇒ same sample every rerun. Bounded group domains only
+    * (see `TopKPerGroup.scala`'s capacity contract). Adds an `hkey`
+    * column (the sample order witness). */
+  def groupSample(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, salt: String = ":sample"): DataFrame =
+    ScaleOps.groupSampleOf(df, groupCol, idCol, k, salt)
+
   /** Top-k rows per group through the custom partial/final strategy whose
     * exchange carries ≤ k rows per (group, partition). `orderBy` pairs are
     * (column, descending?). Bounded group domains only — see the operator

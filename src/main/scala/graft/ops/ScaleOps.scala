@@ -873,6 +873,45 @@ object ScaleOps {
        |       CAST(sum(${Money.centsSql("o_totalprice")}) AS BIGINT) AS sum_c
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- SAMP3: deterministic k-per-group sample via the custom top-k operator ----
+
+  /** Deterministic uniform k-sample per group: order rows by the md5 of
+    * (id, salt) — a fixed pseudo-random total order — and keep the first
+    * k per group through [[graft.plans.TopKPerGroup]], whose exchange
+    * carries ≤ k rows per (group, partition) instead of the full table.
+    * Same salt + same ids ⇒ the same sample on every rerun and engine —
+    * the audit-friendly alternative to `sample()` (engine RNG) that also
+    * never scans twice. Bounded group domains only (the operator's
+    * capacity contract) — the library entry point
+    * ([[graft.api.GraftApi.groupSample]]). */
+  private[graft] def groupSampleOf(df: DataFrame, groupCol: String,
+      idCol: String, k: Int, salt: String): DataFrame = {
+    val keyed = df.withColumn("hkey",
+      substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 16))
+    graft.plans.TopKPerGroup(keyed, Seq(groupCol),
+      Seq("hkey" -> false, idCol -> false), k)
+  }
+
+  /** SAMP3: 10 uniformly-hash-sampled documents per language — the
+    * "eyeball a stratified sample at 100 TB" query. The custom partial/
+    * final top-k operator keeps ≤ 10 rows per (lang, partition) on the
+    * map side, so the exchange is k·|langs| rows, not the corpus. */
+  val samp3: Q = (s, d) =>
+    groupSampleOf(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      "lang", "doc_id", 10, ":samp3")
+      .orderBy("lang", "hkey")
+  val samp3Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |         substr(md5(doc_id::VARCHAR || ':samp3'), 1, 16) AS hkey
+      |  FROM documents)
+      |SELECT doc_id, lang, hkey FROM (
+      |  SELECT doc_id, lang, hkey,
+      |         row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rk
+      |  FROM h)
+      |WHERE rk <= 10 ORDER BY lang, hkey""".stripMargin
+
   // ---- DQ1: data-quality expectations report ----
 
   /** Single-scan expectations report over any frame: each (name,
@@ -951,6 +990,7 @@ object ScaleOps {
 
   val queries: Map[String, Q] = Map(
     "dq1_expectations" -> dq1,
+    "samp3_group_sample_topk" -> samp3,
     "s15_zstd_codec" -> s15,
     "t12_robust_cast" -> t12,
     "apx5_hll_mergeable" -> apx5,
@@ -978,6 +1018,7 @@ object ScaleOps {
 
   val oracle: Map[String, String] = Map(
     "dq1_expectations" -> dq1Sql,
+    "samp3_group_sample_topk" -> samp3Sql,
     "s15_zstd_codec" -> s15Sql,
     "t12_robust_cast" -> t12Sql,
     "src1_custom_dsv2_source" -> src1Sql,

@@ -232,6 +232,23 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("samp3 groupSample: k per group, rerun-stable, plan uses the custom top-k operator") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "g")
+    val s1 = graft.api.GraftApi.groupSample(df, "g", "id", 5)
+    assert(s1.queryExecution.executedPlan.toString.contains("TopKFinal"),
+      "sampling must run through the custom partial/final operator")
+    val r1 = s1.collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(r1.groupBy(_._1).forall(_._2.length == 5), "exactly k per group")
+    val r2 = graft.api.GraftApi.groupSample(df, "g", "id", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(r1.toSet == r2.toSet, "same salt + ids => same sample")
+    val r3 = graft.api.GraftApi.groupSample(df, "g", "id", 5, ":other")
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(r1.toSet != r3.toSet, "different salt => different sample (w.h.p.)")
+  }
+
   test("dq1 expectations count planted null/range/domain violations exactly") {
     val sp = spark
     import sp.implicits._
