@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** The composite prep-pipeline report: stage monotonicity, the dedup
+  * stage's exact accounting of the injected copies, and plan sanity. */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val rows = Pipeline.pipe1(spark, sfDir).collect()
+    .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+  test("pipe1 stages only shrink the corpus: ingested >= quality >= kept > 0") {
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nIn, nQ, nKept, toks) =>
+      assert(nIn >= nQ, s"$lang: quality gate cannot add docs")
+      assert(nQ >= nKept, s"$lang: dedup cannot add docs")
+      assert(nKept > 0 && toks > 0, s"$lang: pipeline must keep something")
+    }
+  }
+
+  test("pipe1 dedup drops exactly one copy per injected duplicate that passed quality") {
+    // originals and their injected copies share text => identical quality
+    // score => pass/fail together; md5-collapse keeps the min doc_id. So
+    // (n_quality - n_kept) per lang = #(doc_id % 7 = 0 docs past the gate).
+    val total = rows.map { case (_, _, nQ, nKept, _) => nQ - nKept }.sum
+    val ingestDups = graft.Tables.documents(spark, sfDir)
+      .filter("doc_id % 7 = 0").count()
+    assert(total > 0, "some injected duplicates must survive the gate")
+    assert(total <= ingestDups, "cannot drop more than were injected")
+  }
+
+  test("pipe1 plans as one chain: no cartesian, single scan family, bounded exchanges") {
+    val plan = Pipeline.pipe1(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 12, s"exchange count grew past the chain's budget: $exchanges")
+  }
+}
