@@ -241,6 +241,14 @@ object GraftApi {
       pcts: Seq[Double]): DataFrame =
     ScaleOps.exactPercentilesOf(df, groupCol, valueCol, pcts)
 
+  /** Word co-occurrence + PMI over `docs` (doc_id, text): document-level
+    * pair counts (presence, not frequency) with support ≥ `minSupport`,
+    * PMI in exact integer micro-units. Pair fanout is bounded per doc by
+    * its distinct-token count — linear in corpus size. Returns
+    * (wa, wb, c_xy, pmi_e6). */
+  def pmiCooccurrence(docs: DataFrame, minSupport: Long = 20L): DataFrame =
+    TextAnalysis.pmiCooccurrenceOf(docs, minSupport)
+
   /** BM25 top-k document retrieval: ranks `docs` (doc_id, text) against
     * each query in `queries` (query_id, term) — k1 = 1.2, b = 0.75,
     * idf = ln(1 + (N−df+0.5)/(df+0.5)). The inverted index is two hash

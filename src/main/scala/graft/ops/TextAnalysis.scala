@@ -439,7 +439,65 @@ object TextAnalysis {
       |       nfc_normalize(nfc) = nfc AS stable
       |FROM n ORDER BY doc_id""".stripMargin
 
+  // ---- T14: word co-occurrence + PMI ----
+
+  /** T14: corpus-level word association — document co-occurrence counts
+    * and pointwise mutual information for every within-doc word pair with
+    * support ≥ 20 docs. The pair space is bounded PER DOCUMENT by the
+    * distinct-token count (the self-join is on doc_id, so fanout is
+    * |tokens|² per doc, a constant for bounded-length docs — linear in
+    * corpus size, never corpus×corpus), then one hash aggregate on the
+    * pair key. Unigram doc-counts are a vocabulary-sized frame
+    * (broadcast); PMI = ln(N·c_xy/(c_x·c_y)) is computed from identical
+    * integer counts with an identical expression in both engines and
+    * rounded to micro-units; output ordered by the pair key, so ranking
+    * never depends on float comparison. */
+  private[graft] def pmiCooccurrenceOf(docs: DataFrame, minSupport: Long): DataFrame = {
+    val toksD = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val cx = toksD.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val pairs = toksD.as("a")
+      .join(toksD.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("wa"), col("b.w").as("wb"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minSupport)
+    pairs
+      .join(broadcast(cx.select(col("w").as("wa"), col("c").as("c_x"))), Seq("wa"))
+      .join(broadcast(cx.select(col("w").as("wb"), col("c").as("c_y"))), Seq("wb"))
+      .crossJoin(broadcast(n))
+      .select(col("wa"), col("wb"), col("c_xy"),
+        expr("CAST(round(ln((CAST(c_xy AS DOUBLE) * CAST(n_docs AS DOUBLE)) / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))) * 1000000) AS BIGINT)")
+          .as("pmi_e6"))
+  }
+
+  val t14: Q = (s, d) =>
+    pmiCooccurrenceOf(Tables.documents(s, d), minSupport = 20L)
+      .orderBy("wa", "wb")
+  val t14Sql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, w FROM (
+      |    SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0),
+      |cx AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |pairs AS (
+      |  SELECT a.w AS wa, b.w AS wb, CAST(count(*) AS BIGINT) AS c_xy
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w < b.w
+      |  GROUP BY a.w, b.w HAVING count(*) >= 20)
+      |SELECT wa, wb, c_xy,
+      |       CAST(round(ln((CAST(c_xy AS DOUBLE) * CAST(n_docs AS DOUBLE)) / (CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE))) * 1000000) AS BIGINT) AS pmi_e6
+      |FROM pairs
+      |JOIN cx x ON x.w = wa
+      |JOIN cx y ON y.w = wb
+      |CROSS JOIN n
+      |ORDER BY wa, wb""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t14_pmi_cooccurrence" -> t14,
     "t13_nfc_normalize" -> t13,
     "voc1_vocab_oov" -> voc1,
     "chunk1_sliding_chunks" -> chunk1,
@@ -453,6 +511,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t14_pmi_cooccurrence" -> t14Sql,
     "t13_nfc_normalize" -> t13Sql,
     "voc1_vocab_oov" -> voc1Sql,
     "chunk1_sliding_chunks" -> chunk1Sql,

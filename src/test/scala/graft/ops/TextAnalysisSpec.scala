@@ -73,4 +73,21 @@ class TextAnalysisSpec extends SparkSpec {
       case _ => true
     }, "consecutive chunks must overlap")
   }
+
+  test("t14 PMI: always-together words score ln(N/c) > 0, anti-correlated pairs never appear") {
+    val sp = spark
+    import sp.implicits._
+    // 'x y' always co-occur (10 docs of 40); 'p' and 'q' never do
+    val docs = ((1 to 10).map(i => (i.toLong, "x y filler")) ++
+      (11 to 25).map(i => (i.toLong, "p filler")) ++
+      (26 to 40).map(i => (i.toLong, "q filler")))
+      .toDF("doc_id", "text")
+    val out = graft.api.GraftApi.pmiCooccurrence(docs, minSupport = 5L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val (cxy, pmi) = out(("x", "y"))
+    assert(cxy === 10L)
+    // PMI(x,y) = ln(40*10/(10*10)) = ln 4
+    assert(pmi === math.round(math.log(4.0) * 1e6))
+    assert(!out.contains(("p", "q")) && !out.contains(("q", "p")))
+  }
 }
