@@ -241,6 +241,15 @@ object GraftApi {
       pcts: Seq[Double]): DataFrame =
     ScaleOps.exactPercentilesOf(df, groupCol, valueCol, pcts)
 
+  /** Integer PageRank over an edge frame (src, dst): damping 0.85 in
+    * exact thousandths, contributions `rank div degree` — every
+    * iteration is deterministic integer math (cross-engine bit-exact,
+    * unlike float PR). One shuffle per iteration; the driver loop holds
+    * only the iteration count. Provide both directions for an undirected
+    * walk; every node needs out-degree ≥ 1. Returns (node, rank_e6). */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame =
+    graft.ops.Graph.pageRankOf(edges, iters)
+
   /** Word co-occurrence + PMI over `docs` (doc_id, text): document-level
     * pair counts (presence, not frequency) with support ≥ `minSupport`,
     * PMI in exact integer micro-units. Pair fanout is bounded per doc by

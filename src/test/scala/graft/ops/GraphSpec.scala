@@ -1,0 +1,30 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Integer PageRank: hand-computed star-graph fixpoint steps and the
+  * registry query's shape. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank on a 3-leaf star matches the hand-computed integer iterates") {
+    // undirected star: center c — leaves l1 l2 l3
+    val e0 = Seq(("c", "l1"), ("c", "l2"), ("c", "l3")).toDF("src", "dst")
+    val und = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
+    val r = graft.api.GraftApi.pageRank(und, iters = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // r1(c)=150000+850*3000000/1000=2700000 ; r1(l)=150000+850*(10^6 div 3)/1000=433333
+    // r2(l)=150000+850*(2700000 div 3)/1000=915000 ; r2(c)=150000+850*(3*433333)/1000=1254999
+    // r3(l)=150000+850*(1254999 div 3)/1000=505583 ; r3(c)=150000+850*(3*915000)/1000=2483250
+    assert(r("c") === 2483250L)
+    assert(r("l1") === 505583L && r("l2") === 505583L && r("l3") === 505583L)
+  }
+
+  test("pr1 ranks every supplier, center-heavy suppliers above the floor") {
+    val rows = Graph.pr1(spark, sfDir).collect()
+    val nSupp = graft.Tables.supplier(spark, sfDir).count()
+    assert(rows.length === nSupp, "every supplier node gets a rank")
+    assert(rows.forall(_.getLong(1) >= 150000L), "rank never falls below the teleport floor")
+    assert(rows.map(_.getLong(1)).distinct.length > 1, "ranks must differentiate suppliers")
+  }
+}
