@@ -241,6 +241,15 @@ object GraftApi {
       pcts: Seq[Double]): DataFrame =
     ScaleOps.exactPercentilesOf(df, groupCol, valueCol, pcts)
 
+  /** Time-series resample + gap fill: buckets `tsCol` into exact integer
+    * `bucketUs` intervals per `keyCol`, densifies each key's span with
+    * `sequence()`, and fills missing buckets by last-observation-carried-
+    * forward. `valueCents` must be an exact-integer value column. Returns
+    * (keyCol, h, n_events, sum_c_locf, is_gap). */
+  def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
+      valueCents: Column, bucketUs: Long = 3600L * 1000000L): DataFrame =
+    Events.resampleLocfOf(events, keyCol, tsCol, valueCents, bucketUs)
+
   /** Integer PageRank over an edge frame (src, dst): damping 0.85 in
     * exact thousandths, contributions `rank div degree` — every
     * iteration is deterministic integer math (cross-engine bit-exact,

@@ -250,7 +250,60 @@ object Events {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** E10: time-series resample + gap fill — the feature-engineering step
+    * that turns an irregular event stream into a dense per-type hourly
+    * series. Hour buckets are exact integers (`unix_micros div 3600e6`);
+    * each type's grid comes from `sequence(min_h, max_h)` exploded off a
+    * 5-row span aggregate (never a driver loop); missing hours join NULL
+    * and fill by last-observation-carried-forward (`last(..., ignoreNulls)`
+    * over an unbounded-preceding window — per-type partitions, so the
+    * sort is shard-local). Money is summed in exact cents; the leading
+    * grid point always has data (the span STARTS at an observed hour), so
+    * LOCF never emits NULL. */
+  private[graft] def resampleLocfOf(events: DataFrame, keyCol: String,
+      tsCol: String, valueCentsCol: org.apache.spark.sql.Column,
+      bucketUs: Long): DataFrame = {
+    val agg = events
+      .select(col(keyCol), expr(s"unix_micros($tsCol) div $bucketUs").as("h"),
+        valueCentsCol.as("vc"))
+      .groupBy(keyCol, "h")
+      .agg(count(lit(1)).as("n"), sum("vc").as("sum_c"))
+    val grid = agg.groupBy(keyCol).agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col(keyCol), explode(expr("sequence(h0, h1)")).as("h"))
+    val w = Window.partitionBy(keyCol).orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq(keyCol, "h"), "left")
+      .select(col(keyCol), col("h"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("sum_c"), ignoreNulls = true).over(w).as("sum_c_locf"),
+        col("n").isNull.as("is_gap"))
+  }
+
+  val e10: Q = (s, d) =>
+    resampleLocfOf(ev(s, d), "event_type", "ts", cents(col("value")),
+      3600L * 1000000L)
+      .orderBy("event_type", "h")
+  val e10Sql: String =
+    s"""WITH agg AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+       |         CAST(count(*) AS BIGINT) AS n, CAST(sum($centsSql) AS BIGINT) AS sum_c
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT event_type, unnest(range(h0, h1 + 1)) AS h
+       |  FROM (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM agg GROUP BY 1)),
+       |j AS (
+       |  SELECT g.event_type, g.h, a.n, a.sum_c
+       |  FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.h = a.h)
+       |SELECT event_type, h, CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+       |       CAST(last_value(sum_c IGNORE NULLS) OVER (
+       |         PARTITION BY event_type ORDER BY h
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |         AS sum_c_locf,
+       |       n IS NULL AS is_gap
+       |FROM j ORDER BY event_type, h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e10_resample_locf" -> e10,
     "e1_tumbling_window" -> e1,
     "e2_sliding_window" -> e2,
     "e3_session_windows" -> e3,
@@ -263,6 +316,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e10_resample_locf" -> e10Sql,
     "e1_tumbling_window" -> e1Sql,
     "e2_sliding_window" -> e2Sql,
     "e3_session_windows" -> e3Sql,

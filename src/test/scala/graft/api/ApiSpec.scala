@@ -247,6 +247,24 @@ class ApiSpec extends SparkSpec {
       "entities decode exactly once (&amp;amp; must NOT double-decode)")
   }
 
+  test("resampleLocf densifies the grid, flags gaps, and carries the last sum forward") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // hours 0, 1, 3 observed; hour 2 missing
+    val ev = Seq(
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 100L),
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 01:20:00"), 250L),
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 03:05:00"), 40L))
+      .toDF("k", "ts", "vc")
+    val out = GraftApi.resampleLocf(ev, "k", "ts", col("vc"))
+      .orderBy("h").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.length === 4, "grid densifies hours 0..3")
+    assert(out(2) === ((0L, 250L, true)), "gap hour carries hour-1's sum forward")
+    assert(out(0) === ((1L, 100L, false)) && out(3) === ((1L, 40L, false)))
+  }
+
   test("nfcNormalize recomposes decomposed accents through the registered function") {
     GraftApi.registerFunctions(spark)
     val sp = spark
