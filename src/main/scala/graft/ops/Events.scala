@@ -302,7 +302,36 @@ object Events {
        |       n IS NULL AS is_gap
        |FROM j ORDER BY event_type, h""".stripMargin
 
+  /** W6: cumulative distinct users per day — the growth-accounting window
+    * every analytics stack needs, written WITHOUT a quadratic
+    * distinct-over-growing-frame: a user counts on their FIRST day only
+    * (min(day) per user — one hash aggregate), days roll up new-user
+    * counts, and a running sum over the ~day-count-sized aggregate gives
+    * the cumulative curve. The only per-row shuffle keys on user_id; the
+    * ordered window runs over day rows, never events. */
+  val w6: Q = (s, d) => {
+    val firstDay = ev(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new_users"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay
+      .withColumn("cum_users", sum("n_new_users").over(w))
+      .orderBy("day")
+  }
+  val w6Sql: String =
+    """WITH fd AS (
+      |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+      |  FROM events GROUP BY user_id),
+      |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new_users FROM fd GROUP BY day)
+      |SELECT day, n_new_users,
+      |       CAST(sum(n_new_users) OVER (ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM daily ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "w6_cumulative_distinct" -> w6,
     "e10_resample_locf" -> e10,
     "e1_tumbling_window" -> e1,
     "e2_sliding_window" -> e2,
@@ -316,6 +345,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "w6_cumulative_distinct" -> w6Sql,
     "e10_resample_locf" -> e10Sql,
     "e1_tumbling_window" -> e1Sql,
     "e2_sliding_window" -> e2Sql,
