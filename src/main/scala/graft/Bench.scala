@@ -26,7 +26,8 @@ object Bench {
     "d6_ngram_jaccard_blocked", "d7_embedding_neardup", "sim1_ann_bruteforce_topk",
     "sim3_lsh_ann_topk", "t1_explode_tokens", "t2_tokenize_ws_runs",
     "set1_intersect_except", "st4_stream_dedup", "x1_topk_custom_strategy",
-    "q21_waiting_suppliers", "sim5_int8_quantized_topk", "d10_deduped_corpus")
+    "q21_waiting_suppliers", "sim5_int8_quantized_topk", "d10_deduped_corpus",
+    "ret1_bm25_topk", "pipe1_pretrain_report", "pr1_pagerank_suppliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
