@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.GraftFunctions
-import graft.ops.{AsOf, Dedup, Events, Retrieval, ScaleOps, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Events, Retrieval, ScaleOps, Similarity, TextAnalysis}
 import graft.plans.TopKPerGroup
 import graft.text.TextOps
 
@@ -240,6 +240,15 @@ object GraftApi {
   def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       pcts: Seq[Double]): DataFrame =
     ScaleOps.exactPercentilesOf(df, groupCol, valueCol, pcts)
+
+  /** Two-stage ANN: a cheap int8-quantized pass selects `k1` candidates
+    * per query, then exact full-precision cosine reranks only those —
+    * the expensive pass touches k1·|queries| rows, never the corpus.
+    * Both frames (vec_id, embedding); returns (q_id, cand_id, rk,
+    * cos_r). */
+  def rerankTopK(vectors: DataFrame, queries: DataFrame,
+      k1: Int = 32, k: Int = 5): DataFrame =
+    Similarity.rerankTopKOf(vectors, queries, k1, k)
 
   /** Time-series resample + gap fill: buckets `tsCol` into exact integer
     * `bucketUs` intervals per `keyCol`, densifies each key's span with

@@ -324,6 +324,75 @@ object Similarity {
        |SELECT q_id, cand_id, rk, round(cos, 6) AS cos_r
        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  // ---- SIM7: two-stage retrieval (quantized prefilter → exact rerank) ----
+
+  /** SIM7: the production ANN shape — a CHEAP int8 pass over the whole
+    * corpus selects 32 candidates per query, then the EXPENSIVE
+    * full-precision cosine runs only on those 32 (stage-2 touches
+    * k1·|Q| rows, never the corpus). At 100 TB the first pass scans the
+    * 8×-smaller quantized structure and the full-precision vectors are
+    * fetched by candidate id — bandwidth goes to the cheap
+    * representation, precision to a bounded rerank. Both stages rank
+    * deterministically (integer dots, one double division, cand_id
+    * tie-break), so the composition is oracle-exact end to end. */
+  private[graft] def rerankTopKOf(vectors: DataFrame, queries: DataFrame,
+      k1: Int, k: Int): DataFrame = {
+    val stage1 = quantizedCosineTopKOf(vectors, queries, k1)
+      .select(col("q_id"), col("cand_id"))
+    val qn = qnormOf(vectors)
+    val qs = qnormOf(queries)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nrm").as("q_nrm"))
+    val pairs = stage1
+      .join(qn, stage1("cand_id") === qn("vec_id"))
+      .join(broadcast(qs), Seq("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        expr("graft_dot(qq, q)").as("dot"), col("q_nrm"), col("nrm"))
+      .withColumn("cos", col("dot") / sqrt(col("q_nrm").cast("double") * col("nrm").cast("double")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("cand_id"), col("rk"), round(col("cos"), 6).as("cos_r"))
+  }
+
+  val sim7: Q = (s, d) =>
+    rerankTopKOf(Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0), k1 = 32, k = 5)
+      .orderBy("q_id", "rk")
+  val sim7Sql: String =
+    s"""WITH $q8Cte,
+       |d8s AS (
+       |  SELECT q_id, cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot, q_n8, c_n8 FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS cand_id, a.n8 AS q_n8, b.n8 AS c_n8,
+       |           unnest(a.q8) AS xa, unnest(b.q8) AS xb
+       |    FROM q8n a JOIN q8n b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+       |  GROUP BY q_id, cand_id, q_n8, c_n8),
+       |stage1 AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q_id, cand_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY dot / sqrt(CAST(q_n8 AS DOUBLE) * CAST(c_n8 AS DOUBLE)) DESC, cand_id)
+       |             AS rk
+       |    FROM d8s)
+       |  WHERE rk <= 32),
+       |exact AS (
+       |  SELECT s.q_id, s.cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot,
+       |         qa.nrm AS q_nrm, qb.nrm AS c_nrm FROM (
+       |    SELECT s1.q_id, s1.cand_id, unnest(a.q) AS xa, unnest(b.q) AS xb
+       |    FROM stage1 s1
+       |    JOIN qn a ON a.vec_id = s1.q_id
+       |    JOIN qn b ON b.vec_id = s1.cand_id) s
+       |  JOIN qn qa ON qa.vec_id = s.q_id
+       |  JOIN qn qb ON qb.vec_id = s.cand_id
+       |  GROUP BY s.q_id, s.cand_id, qa.nrm, qb.nrm),
+       |ranked AS (
+       |  SELECT q_id, cand_id,
+       |         dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) AS cos,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) DESC, cand_id)
+       |           AS INTEGER) AS rk
+       |  FROM exact)
+       |SELECT q_id, cand_id, rk, round(cos, 6) AS cos_r
+       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   // ---- SIM6: IVF with nprobe = 2 (the recall knob) ----
 
   /** sim4's IVF search with the query probing its TOP-2 centroid cells
@@ -399,6 +468,7 @@ object Similarity {
     "sim3_lsh_ann_topk" -> sim3,
     "sim4_ivf_topk" -> sim4,
     "sim5_int8_quantized_topk" -> sim5,
+    "sim7_rerank_topk" -> sim7,
   )
 
   val oracle: Map[String, String] = Map(
@@ -407,6 +477,7 @@ object Similarity {
     "sim3_lsh_ann_topk" -> sim3Sql,
     "sim4_ivf_topk" -> sim4Sql,
     "sim5_int8_quantized_topk" -> sim5Sql,
+    "sim7_rerank_topk" -> sim7Sql,
     "sim6_ivf_nprobe2_topk" -> sim6Sql,
   )
 }

@@ -164,6 +164,21 @@ class DedupSimSpec extends SparkSpec {
       "nprobe=2 must return at least as many results as probe-1")
   }
 
+  test("SIM7 rerank recall@5 vs exact >= SIM5's (rerank can only help)") {
+    val exact = Similarity.sim1(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val quant = Similarity.sim5(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rerank = Similarity.sim7(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(rerank.keySet === exact.keySet)
+    def meanRecall(m: Map[Long, Set[Long]]) =
+      exact.map { case (q, e) => (m(q) & e).size.toDouble / e.size }.sum / exact.size
+    val (r5, r7) = (meanRecall(quant), meanRecall(rerank))
+    assert(r7 >= r5, s"rerank recall $r7 must be >= quantized-only recall $r5")
+    assert(r7 >= 0.9, s"32-candidate rerank should be near-exact, got $r7")
+  }
+
   test("SIM5 int8 quantization: values fit int8, recall@5 vs exact >= 0.8") {
     val q8 = Similarity.quantizeInt8Of(graft.Tables.embeddings(spark, sfDir))
     q8.selectExpr("explode(q8) AS v").collect().foreach { r =>
