@@ -196,7 +196,44 @@ object Multimodal {
        |       height * CAST(least(224000 // width, 224000 // height) AS BIGINT) // 1000 AS out_h
        |FROM dims WHERE modality = 'image' ORDER BY doc_id""".stripMargin
 
+  /** MM6: cross-asset duplicate-frame detection — the multimodal dedup
+    * crossover: sample frames (mm4's every-5th plumbing), fingerprint
+    * each frame's bytes (stub: md5 of the 8-byte window at the frame
+    * offset — a real pipeline hashes the decoded frame), and group BY
+    * FINGERPRINT to find frames shared across different videos. The
+    * shuffle carries (hash, doc_id) pairs — never frame bytes; the
+    * report is one hash aggregate + a distinct-video count, the d1
+    * exact-dedup shape applied to the frame grain. */
+  val mm6: Q = (s, d) =>
+    media(s, d)
+      .filter(col("modality") === "video")
+      .select(col("doc_id"), col("bytes"), col("n_bytes"),
+        explode(sequence(lit(0), (col("n_bytes") % 30).cast("int"))).as("frame_idx"))
+      .filter(col("frame_idx") % 5 === 0)
+      .select(col("doc_id"),
+        expr("md5(substr(decode(bytes, 'UTF-8'), frame_idx + 1, 8))").as("frame_hash"))
+      .groupBy("frame_hash")
+      .agg(countDistinct(col("doc_id")).as("n_videos"),
+        count(lit(1)).as("n_frames"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_videos") > 1)
+      .orderBy("frame_hash")
+  val mm6Sql: String =
+    s"""WITH $mediaCte,
+       |frames AS (
+       |  SELECT doc_id, bytes::VARCHAR AS t,
+       |         unnest(range(0, CAST(n_bytes % 30 AS INTEGER) + 1)) AS f
+       |  FROM media WHERE modality = 'video'),
+       |fh AS (
+       |  SELECT doc_id, md5(substr(t, CAST(f AS INTEGER) + 1, 8)) AS frame_hash
+       |  FROM frames WHERE f % 5 = 0)
+       |SELECT frame_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+       |       CAST(count(*) AS BIGINT) AS n_frames, min(doc_id) AS first_doc
+       |FROM fh GROUP BY frame_hash HAVING count(DISTINCT doc_id) > 1
+       |ORDER BY frame_hash""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm6_dup_frames" -> mm6,
     "mm1_binary_metadata" -> mm1,
     "mm5_resize_planning" -> mm5,
     "mm2_modality_stats" -> mm2,
@@ -205,6 +242,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm6_dup_frames" -> mm6Sql,
     "mm1_binary_metadata" -> mm1Sql,
     "mm5_resize_planning" -> mm5Sql,
     "mm2_modality_stats" -> mm2Sql,

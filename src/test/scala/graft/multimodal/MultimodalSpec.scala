@@ -40,4 +40,16 @@ class MultimodalSpec extends SparkSpec {
       assert(n === last / 5 + 1)
     }
   }
+
+  test("MM6 dup frames: every reported hash spans >1 video, frames >= videos") {
+    val rows = Multimodal.mm6(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) > 1L, "only cross-video duplicates are reported")
+      assert(r.getLong(2) >= r.getLong(1), "frame count >= distinct video count")
+    }
+    // the shuffle moves hashes, not payloads: no binary column survives
+    // past the projection that computes frame_hash
+    val plan = Multimodal.mm6(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
