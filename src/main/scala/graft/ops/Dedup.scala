@@ -475,6 +475,7 @@ object Dedup {
     * via DuckDB's recursive CTE. */
   val d8: Q = (s, d) =>
     dedupClustersOf(d3Verified(s, d).select(col("id_a"), col("id_b")))
+      .orderBy("doc_id")
 
   /** Connected components over a near-dup pair list (id_a, id_b) — every
     * document reachable through dup edges gets cluster_id = the minimum
@@ -525,10 +526,12 @@ object Dedup {
       // returned frame is LAZY, so an eager unpersist here would force a
       // full d3 recompute on eviction; the harness clears the session
       // cache between queries (Verify/Bench), which is the owning scope
+      // UNSORTED: the presentation sort lives in the d8 registry entry
+      // only — d10's anti-join consumer was paying a useless global sort
+      // on the cluster frame (measured ~15 s → ~10 s at sf0.1)
       labels
         .join(labels.groupBy("lbl").agg(count(lit(1)).as("n_members")), "lbl")
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
-        .orderBy("doc_id")
     }
   }
   val d8Sql: String = {

@@ -526,7 +526,83 @@ object Streams {
       |       concat('doc ', CAST(i AS VARCHAR), ' ', md5(CAST(i AS VARCHAR))) AS text
       |FROM range(0, 2000) t(i) ORDER BY 1""".stripMargin
 
+  /** ST11: streaming data-quality counters — the streaming face of batch
+    * `dq1`: each micro-batch computes its delta of expectation-violation
+    * CASE-sums (one map-side aggregate over the batch), and foreachBatch
+    * merges them additively into the stored counters with st10's
+    * generation-dir idempotence (retried batches overwrite their own
+    * output — exactly-once counts without a transactional sink). Counter
+    * merge is a commutative monoid, so the final report equals the batch
+    * aggregate REGARDLESS of batch boundaries — which the batch oracle
+    * proves. The value expectation (≤ 90.00) is deliberately tight so
+    * violations are nonzero. */
+  val st11: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream_src_st11_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    if (!Files.isDirectory(srcDir) ||
+        !new java.io.File(srcDir.toString).listFiles().exists(_.getName.endsWith(".parquet"))) {
+      s.read.parquet(s"$d/events.parquet")
+        .repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(srcDir.toString)
+    }
+    val physical = s.read.parquet(s"$d/events.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .select(col("user_id"), col("event_type"), cents(col("value")).as("v_c"))
+    val root = Files.createTempDirectory("graft_st11_dq").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st11").toString
+    val checks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "c1_user_not_null" -> col("user_id").isNull,
+      "c2_type_domain" -> (col("event_type").isNull ||
+        !col("event_type").isin("click", "view", "error", "purchase", "signup")),
+      "c3_value_le_90" -> (col("v_c").isNull || col("v_c") > 9000L))
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val delta = graft.ops.ScaleOps.expectationsOf(batch, checks)
+        val prior = gens().filter(_._1 < batchId)
+        val merged = prior.sortBy(-_._1).headOption match {
+          case None => delta
+          case Some((_, path)) =>
+            sess.read.parquet(path)
+              .select(col("check_name"), col("n_rows").as("p_rows"),
+                col("n_violations").as("p_viol"))
+              .join(delta, Seq("check_name"), "full_outer")
+              .select(col("check_name"),
+                (coalesce(col("p_rows"), lit(0L)) + coalesce(col("n_rows"), lit(0L))).as("n_rows"),
+                (coalesce(col("p_viol"), lit(0L)) + coalesce(col("n_violations"), lit(0L))).as("n_violations"))
+        }
+        merged.write.mode("overwrite").parquet(s"$root/gen_$batchId")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    s.read.parquet(latest._2).orderBy("check_name")
+  }
+  val st11Sql: String =
+    s"""WITH agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |         CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+       |           ('click', 'view', 'error', 'purchase', 'signup') THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+       |         CAST(sum(CASE WHEN value IS NULL OR ${graft.ops.Money.centsSql("value")} > 9000
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS c3
+       |  FROM events)
+       |SELECT 'c1_user_not_null' AS check_name, n_rows, c1 AS n_violations FROM agg
+       |UNION ALL SELECT 'c2_type_domain', n_rows, c2 FROM agg
+       |UNION ALL SELECT 'c3_value_le_90', n_rows, c3 FROM agg
+       |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st11_stream_expectations" -> st11,
     "src2_custom_source_stream" -> src2,
     "st10_stream_mv_merge" -> st10,
     "st1_stream_tumbling" -> st1,
@@ -542,6 +618,7 @@ object Streams {
 
   /** Streaming results must equal the batch windowing oracles. */
   val oracle: Map[String, String] = Map(
+    "st11_stream_expectations" -> st11Sql,
     "st1_stream_tumbling" -> graft.ops.Events.e1Sql,
     "st2_stream_sliding" -> {
       // e2 oracle without the event_type column: reuse its shape

@@ -288,4 +288,14 @@ class StreamsSpec extends SparkSpec {
   }
 
   private def minuteUs(m: Int): Long = m * 60L * 1000000L
+
+  test("st11 streaming expectation counters equal the batch aggregate regardless of batch cuts") {
+    val rows = Streams.st11(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = graft.Tables.events(spark, sfDir).count()
+    assert(rows.keySet === Set("c1_user_not_null", "c2_type_domain", "c3_value_le_90"))
+    rows.values.foreach { case (n, _) => assert(n === total, "every batch's rows counted once") }
+    assert(rows("c1_user_not_null")._2 === 0L)
+    assert(rows("c3_value_le_90")._2 > 0L, "the tight value expectation must find violations")
+  }
 }
