@@ -1140,11 +1140,36 @@ object Relational {
        |    GROUP BY p_brand, p_partkey))
        |WHERE rk <= 3 ORDER BY p_brand, p_partkey""".stripMargin
 
+  /** X2: the SAME top-3-per-brand query as x1, written as the STOCK
+    * window idiom (`row_number().over(...) <= 3`, rank dropped) with the
+    * [[graft.plans.RewriteRankFilterToTopK]] optimizer rule enabled —
+    * the planner swaps in the bounded-exchange custom operator while the
+    * user keeps the declarative formulation (plan asserted in TopKSpec).
+    * Same oracle as x1: the rewrite must be result-invisible. NOTE: the
+    * opt-in conf stays on for the session; every rank-filter in this
+    * suite orders by a total order, so the rewrite is semantics-
+    * preserving wherever it fires. */
+  val x2: Q = (s, d) => {
+    graft.plans.RewriteRankFilterToTopK.ensure(s)
+    s.conf.set("spark.graft.rewriteRankFilter", "true")
+    val p = Tables.part(s, d).select("p_partkey", "p_brand")
+    val rev = li(s, d).groupBy("l_partkey")
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("revenue_e4"))
+    val joined = rev.join(p, col("l_partkey") === col("p_partkey"))
+      .select("p_brand", "p_partkey", "revenue_e4")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_brand").orderBy(col("revenue_e4").desc, col("p_partkey"))
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).drop("rk")
+      .orderBy("p_brand", "p_partkey")
+  }
+
   // =====================================================================
   //  registry
   // =====================================================================
 
   val queries: Map[String, Q] = Map(
+    "x2_topk_rank_rewrite" -> x2,
     "s1_scan_pruned" -> s1,
     "s2_partitioned_scan" -> s2,
     "s3_union_scan" -> s3,
@@ -1246,6 +1271,7 @@ object Relational {
     "w3_lag_event_gaps" -> w3Sql,
     "w4_ntile_quartiles" -> w4Sql,
     "x1_topk_custom_strategy" -> x1Sql,
+    "x2_topk_rank_rewrite" -> x1Sql,
     "sk2_salted_skew_join" -> sk2Sql,
     "apx2_exact_percentiles" -> apx2Sql,
     "s8_csv_source" -> s8Sql,

@@ -13,16 +13,21 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 /** Whole-operator Catalyst extension (SURVEY §7.2 path (c)): top-k rows per
   * group as a custom `LogicalPlan` + `SparkStrategy` + physical operators.
   *
-  * WHY a custom operator: the stock formulation
+  * WHY a custom operator: the naive reading of the stock formulation
   * (`row_number().over(partitionBy(g).orderBy(o)) <= k`, see Relational.w2)
-  * shuffles EVERY row to its group's reducer and sorts there — at 100 TB
-  * the exchange carries the full fact table. This operator keeps a bounded
-  * heap of k rows per group on the MAP side ([[TopKPartialExec]]), so the
-  * exchange carries at most k·|groups| rows per input partition, then
-  * merges heaps on the reduce side ([[TopKFinalExec]]) — the same
-  * partial/final split Spark uses for aggregates, applied to a rank filter.
-  * The planner inserts the hash exchange between the two because the final
-  * node declares `ClusteredDistribution` over the group keys.
+  * shuffles every row; Spark ≥3.5 mitigates this itself with
+  * `InferWindowGroupLimit`, whose partial `WindowGroupLimit` prunes to k
+  * per (partition, group) pre-exchange — but it does so by SORTING each
+  * partition, then sorts again and re-runs the rank post-shuffle. This
+  * operator replaces both sorted passes with bounded HEAPS (O(n log k)
+  * scan, no partition sort, no rank columns materialized): the exchange
+  * carries the same ≤ k·|groups| rows per partition, and the reduce side
+  * merges heaps instead of sorting ([[TopKFinalExec]]) — the partial/final
+  * split Spark uses for aggregates, applied to a rank filter. The planner
+  * inserts the hash exchange between the two because the final node
+  * declares `ClusteredDistribution` over the group keys.
+  * [[RewriteRankFilterToTopK]] (opt-in) routes the stock idiom here
+  * automatically, unwrapping any WindowGroupLimit Spark already inferred.
   *
   * Determinism contract: callers must make `order` a total order (e.g. add
   * a unique tiebreak column); the kept set is then exactly the first k
@@ -155,4 +160,64 @@ object TopKPerGroup {
       df.queryExecution.analyzed)
     org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark, plan)
   }
+}
+
+/** Optimizer rule: auto-route the stock window-top-k idiom
+  * (`row_number().over(partitionBy g orderBy o) <= k`, rank projected
+  * away afterwards) into [[TopKPerGroupPlan]] — users keep writing the
+  * declarative window formulation and the planner swaps in the
+  * bounded-exchange operator. OPT-IN via
+  * `spark.graft.rewriteRankFilter=true` because the rewrite trades the
+  * window's spill-safe external sort for the unmanaged per-partition
+  * heap map (see the capacity contract above): correct only where
+  * k·|groups| per partition fits in memory, which the USER must assert —
+  * exactly like choosing the facade directly. Matches only the exact
+  * 3-node shape Catalyst leaves after optimization (Project that drops
+  * the rank attr → Filter(rank ≤ int literal) → single-row_number
+  * Window), so partial matches fall through untouched. */
+object RewriteRankFilterToTopK
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, WindowExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window, WindowGroupLimit}
+
+  private def enabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.rewriteRankFilter", "false") == "true"
+
+  /** Registers the rule + strategy once per session (idempotent). */
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
+    TopKPerGroup.ensureStrategy(spark)
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transform {
+      case Project(pl, Filter(cond,
+          Window(Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)),
+            parts, orders, child, _)))
+          if rankBound(cond, al.exprId).exists(_ > 0) &&
+            pl.forall(_.references.subsetOf(child.outputSet)) &&
+            orders.nonEmpty =>
+        // Spark's own InferWindowGroupLimit may already have inserted a
+        // sort-based rank-limit prune below the Window — unwrap it, or the
+        // plan pays BOTH prunes (and the WindowGroupLimit's extra sorts)
+        val base = child match {
+          case WindowGroupLimit(_, _, _, _, grandchild) => grandchild
+          case other => other
+        }
+        Project(pl, TopKPerGroupPlan(parts, orders,
+          rankBound(cond, al.exprId).get, base))
+    }
+
+  /** k such that cond ⟺ rank ≤ k, if cond is that shape. */
+  private def rankBound(cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      rankId: org.apache.spark.sql.catalyst.expressions.ExprId): Option[Int] =
+    cond match {
+      case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.exprId == rankId => Some(k)
+      case LessThan(a: Attribute, IntegerLiteral(k)) if a.exprId == rankId => Some(k - 1)
+      case _ => None
+    }
 }

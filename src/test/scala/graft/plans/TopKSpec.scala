@@ -100,4 +100,36 @@ class TopKSpec extends SparkSpec {
       .collect().map(_.getLong(2)).sorted.toSeq
     assert(kept === Seq(1L, 2L), "equal values must keep the lowest tiebreak ids")
   }
+
+  test("RewriteRankFilterToTopK swaps the window idiom for the custom operator, opt-in only") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    RewriteRankFilterToTopK.ensure(spark)
+    val df = (1L to 100L).map(i => (s"g${i % 4}", i * 7 % 31, i)).toDF("g", "v", "id")
+    def q() = df.withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+      .filter(col("rk") <= 3).drop("rk")
+    spark.conf.set("spark.graft.rewriteRankFilter", "false")
+    val off = q()
+    assert(!off.queryExecution.executedPlan.toString.contains("TopKFinal"),
+      "rule must be inert without the opt-in conf")
+    val expected = off.collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.rewriteRankFilter", "true")
+    try {
+      val on = q()
+      val plan = on.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKFinal") && plan.contains("TopKPartial"),
+        s"rewrite must fire on the window idiom:\n${plan.take(800)}")
+      assert(!plan.contains("Window"),
+        "the Window operator AND Spark's WindowGroupLimit prune must both be gone")
+      assert(on.collect().map(_.toSeq).toSet === expected, "rewrite must be result-invisible")
+      // a query that KEEPS the rank column must fall through untouched
+      val keeps = df.withColumn("rk", row_number().over(
+          Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+        .filter(col("rk") <= 3)
+      assert(!keeps.queryExecution.executedPlan.toString.contains("TopKFinal"),
+        "rank column still referenced => no rewrite")
+    } finally spark.conf.set("spark.graft.rewriteRankFilter", "false")
+  }
 }
