@@ -873,6 +873,39 @@ object ScaleOps {
        |       CAST(sum(${Money.centsSql("o_totalprice")}) AS BIGINT) AS sum_c
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- OBS1: observed metrics (accumulator metrics on the main pass) ----
+
+  /** OBS1: `df.observe` — ETL observability the Spark-native way: metric
+    * expressions ride the SAME job as the real work as accumulators, so
+    * row counts / control totals cost ZERO extra scans (vs the naive
+    * "run the pipeline, then re-aggregate to audit it", which doubles
+    * the 100 TB read). Here the "real work" is a per-flag aggregate the
+    * query returns; the observed control totals are harvested via
+    * `Observation` after that action and surfaced as columns — matching
+    * them against the oracle proves the accumulator path saw every row
+    * exactly once. */
+  val obs1: Q = (s, d) => {
+    val obs = org.apache.spark.sql.Observation()
+    val work = Tables.lineitem(s, d)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val perFlag = work.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val m = obs.get
+    val sp = s
+    import sp.implicits._
+    perFlag.toSeq.toDF("l_returnflag", "n")
+      .withColumn("obs_n_rows", lit(m("n_rows").asInstanceOf[Long]))
+      .withColumn("obs_sum_price_c", lit(m("sum_price_c").asInstanceOf[Long]))
+      .orderBy("l_returnflag")
+  }
+  val obs1Sql: String =
+    s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS obs_n_rows,
+       |       (SELECT CAST(sum(${Money.centsSql("l_extendedprice")}) AS BIGINT)
+       |        FROM lineitem) AS obs_sum_price_c
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- SAMP3: deterministic k-per-group sample via the custom top-k operator ----
 
   /** Deterministic uniform k-sample per group: order rows by the md5 of
@@ -991,6 +1024,7 @@ object ScaleOps {
   val queries: Map[String, Q] = Map(
     "dq1_expectations" -> dq1,
     "samp3_group_sample_topk" -> samp3,
+    "obs1_observed_metrics" -> obs1,
     "s15_zstd_codec" -> s15,
     "t12_robust_cast" -> t12,
     "apx5_hll_mergeable" -> apx5,
@@ -1019,6 +1053,7 @@ object ScaleOps {
   val oracle: Map[String, String] = Map(
     "dq1_expectations" -> dq1Sql,
     "samp3_group_sample_topk" -> samp3Sql,
+    "obs1_observed_metrics" -> obs1Sql,
     "s15_zstd_codec" -> s15Sql,
     "t12_robust_cast" -> t12Sql,
     "src1_custom_dsv2_source" -> src1Sql,
