@@ -111,9 +111,9 @@ object Dedup {
     * of 32-char strings. P > 2^28 is prime, so h never wraps and each map
     * is a bijection on the h-universe; A_k·h + B_k ≤ 2^59 — no overflow
     * under ANSI mode. */
-  private val MhP = 536870909L // prime, > 2^28
-  private val MhA = Seq(1103515245L, 1299709L, 15485863L, 32452843L)
-  private val MhB = Seq(12345L, 67890L, 424243L, 9999991L)
+  private[graft] val MhP = 536870909L // prime, > 2^28
+  private[graft] val MhA = Seq(1103515245L, 1299709L, 15485863L, 32452843L)
+  private[graft] val MhB = Seq(12345L, 67890L, 424243L, 9999991L)
 
   /** MinHash signatures of any (doc_id, text) frame — the library entry
     * point ([[graft.api.GraftApi.minhashSignatures]]). */
@@ -130,7 +130,7 @@ object Dedup {
   private def minhash(s: SparkSession, d: String): DataFrame =
     minhashOf(corpus(s, d))
 
-  private val minhashCte: String =
+  private[graft] val minhashCte: String =
     s"""$shinglesCte,
        |hs AS (
        |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
@@ -139,6 +139,20 @@ object Dedup {
        |  SELECT doc_id,
        |         ${(0 until 4).map(k => s"min((h * ${MhA(k)} + ${MhB(k)}) % $MhP) AS mh$k").mkString(",\n         ")}
        |  FROM hs GROUP BY doc_id)""".stripMargin
+
+  /** The band-join candidate pairs (pre-verify, distinct) as SQL — the
+    * batch equivalence oracle for the STREAMING detector
+    * (graft.streaming.Streams.st12). */
+  private[graft] val bandCandidatePairsSql: String =
+    s"""WITH $minhashCte,
+       |bands AS (
+       |  SELECT doc_id, mh0 * $MhP + mh1 AS band, 0 AS bi FROM minhash
+       |  UNION ALL
+       |  SELECT doc_id, mh2 * $MhP + mh3 AS band, 1 AS bi FROM minhash)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bi = b.bi AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
 
   val d2: Q = (s, d) => minhash(s, d).orderBy("doc_id")
   val d2Sql: String =

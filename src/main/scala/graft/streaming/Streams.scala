@@ -601,7 +601,75 @@ object Streams {
        |UNION ALL SELECT 'c3_value_le_90', n_rows, c3 FROM agg
        |ORDER BY check_name""".stripMargin
 
+  case class BandRow(doc_id: Long, bucket: String)
+  case class PairOut(id_a: Long, id_b: Long)
+
+  /** ST12: STREAMING near-dup candidate detection — the dedup family's
+    * incremental face: as documents arrive, each row's MinHash band keys
+    * are computed MAP-SIDE (the per-row `array_min` over universal-hash
+    * shingle transforms — no aggregation needed, so the stream stays
+    * stateless until the bucket grouping), and `flatMapGroupsWithState`
+    * keyed by (band, key) holds the doc_ids seen per bucket, emitting a
+    * candidate pair the moment a new arrival lands in a non-empty
+    * bucket. Emission is order-independent (every same-bucket pair
+    * appears exactly once per bucket, whichever element arrives later),
+    * so the drained output equals the BATCH band join — the oracle.
+    * State per bucket is the doc_id list; banding keeps buckets small by
+    * construction (the same property the batch join relies on) — a
+    * production deployment adds d5's bucket cap + a watermark-based
+    * state TTL, both omitted here to keep the batch equivalence exact. */
+  val st12: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val srcDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream_src_st12_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    if (!Files.isDirectory(srcDir) ||
+        !new java.io.File(srcDir.toString).listFiles().exists(_.getName.endsWith(".parquet"))) {
+      graft.ops.Dedup.corpus(s, d)
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(srcDir.toString)
+    }
+    val schema = s.read.parquet(srcDir.toString).schema
+    val shArr = "CASE WHEN size(split(text, ' ')) >= 3 " +
+      "THEN transform(sequence(0, size(split(text, ' ')) - 3), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) " +
+      "ELSE array(text) END"
+    val hArr = s"transform($shArr, sh -> CAST(conv(substr(md5(sh), 1, 7), 16, 10) AS BIGINT))"
+    def mh(k: Int): String =
+      s"array_min(transform($hArr, x -> (x * ${graft.ops.Dedup.MhA(k)}L + ${graft.ops.Dedup.MhB(k)}L) % ${graft.ops.Dedup.MhP}L))"
+    val banded = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .select(col("doc_id"),
+        explode(array(
+          concat_ws(":", lit(0), expr(s"${mh(0)} * ${graft.ops.Dedup.MhP}L + ${mh(1)}")),
+          concat_ws(":", lit(1), expr(s"${mh(2)} * ${graft.ops.Dedup.MhP}L + ${mh(3)}"))))
+          .as("bucket"))
+      .as[BandRow]
+    val pairs = banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[Seq[Long], PairOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[BandRow], state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val incoming = it.map(_.doc_id).toSeq.distinct.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+          var acc = seen
+          incoming.foreach { id =>
+            if (!acc.contains(id)) {
+              acc.foreach(o => out += PairOut(math.min(o, id), math.max(o, id)))
+              acc = acc :+ id
+            }
+          }
+          state.update(acc)
+          out.iterator
+      }
+    drain(s, pairs.toDF(), "st12_out", OutputMode.Append())
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+  val st12Sql: String = graft.ops.Dedup.bandCandidatePairsSql
+
   val queries: Map[String, Q] = Map(
+    "st12_stream_neardup_candidates" -> st12,
     "st11_stream_expectations" -> st11,
     "src2_custom_source_stream" -> src2,
     "st10_stream_mv_merge" -> st10,
@@ -618,6 +686,7 @@ object Streams {
 
   /** Streaming results must equal the batch windowing oracles. */
   val oracle: Map[String, String] = Map(
+    "st12_stream_neardup_candidates" -> st12Sql,
     "st11_stream_expectations" -> st11Sql,
     "st1_stream_tumbling" -> graft.ops.Events.e1Sql,
     "st2_stream_sliding" -> {

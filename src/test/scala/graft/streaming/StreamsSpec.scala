@@ -289,6 +289,19 @@ class StreamsSpec extends SparkSpec {
 
   private def minuteUs(m: Int): Long = m * 60L * 1000000L
 
+  test("st12 finds cross-batch near-dup candidates through bucket state") {
+    val pairs = Streams.st12(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // injected exact copies live at id + 1_000_000: the copy arrives in a
+    // LATER micro-batch than its original (range-partitioned staging), so
+    // finding the pair requires bucket state to survive batch boundaries
+    assert(pairs.exists { case (a, b) => b - a >= 1000000L },
+      "cross-batch pairs prove state carried between micro-batches")
+    assert(pairs.forall { case (a, b) => a < b }, "pairs are canonical (id_a < id_b)")
+    assert(pairs.distinct.length === pairs.length, "no duplicate emissions survive")
+  }
+
   test("st11 streaming expectation counters equal the batch aggregate regardless of batch cuts") {
     val rows = Streams.st11(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
