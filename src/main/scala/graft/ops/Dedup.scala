@@ -186,17 +186,25 @@ object Dedup {
     // shingle text, and both engines derive the key from the same md5 —
     // an h60 collision (≈2^-60 per distinct pair) would be counted
     // identically on both sides, so bit-exactness is preserved
-    val sh = shinglesOf(docs).select(col("doc_id"), h60(col("shingle")).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // verify via per-doc shingle-hash SETS: one aggregate builds each
+    // doc's h60 array, the candidate pair joins fetch TWO arrays by id,
+    // and the intersection is a map-side array_intersect — versus the
+    // round-≤5 shingle×shingle equi-join, the exchange carries one
+    // ~30-element long array per candidate side instead of re-shuffling
+    // the whole exploded shingle frame twice (h60 is injective per doc
+    // up to a ≈2⁻⁶⁰ collision, the same assumption the join form made)
+    val shSets = shinglesOf(docs)
+      .groupBy("doc_id")
+      .agg(collect_list(h60(col("shingle"))).as("hs"))
     val inter = cand
-      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(shSets.select(col("doc_id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
+      .join(shSets.select(col("doc_id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("size(array_intersect(ha, hb))").cast("long").as("inter"),
+        (size(col("ha")) + size(col("hb"))).cast("long").as("sz"))
     inter
-      .join(sizes.as("na"), col("id_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("id_b") === col("nb.doc_id"))
       .select(col("id_a"), col("id_b"), col("inter"),
-        (col("na.n") + col("nb.n") - col("inter")).as("uni"))
+        (col("sz") - col("inter")).as("uni"))
       .filter(col("inter") * 10000 >= col("uni") * minJacBp)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         expr("inter * 10000 div uni").as("jac_bp"))
