@@ -32,14 +32,15 @@ object Graph {
     * directed graph where every node has out-degree ≥ 1). */
   private[graft] def pageRankOf(edges: DataFrame, iters: Int = Iters): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+    // degree folded into the cached edge list ONCE — each iteration then
+    // pays a single join (ranks) instead of re-joining degrees every round
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    var r = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
-      r = e
-        .join(deg, Seq("src"))
-        .join(r, e("src") === r("node"))
+      r = ed
+        .join(r, ed("src") === r("node"))
         .select(col("dst"), expr("r div d").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("s"))
         .select(col("dst").as("node"),
