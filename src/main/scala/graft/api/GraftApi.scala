@@ -57,6 +57,15 @@ object GraftApi {
   def nearDupPairs(docs: DataFrame, minJaccardBp: Int = 8000): DataFrame =
     Dedup.nearDupPairsOf(docs, minJaccardBp)
 
+  /** MinHash LSH band keys of `docs` (doc_id, text) as a PER-ROW
+    * projection — `array_min` over universal-hash shingle transforms, no
+    * aggregation, no shuffle — so the same expression drives batch band
+    * joins and STATELESS streaming band assignment (see
+    * `Streams.st12`). Returns (doc_id, bucket) with two rows per doc
+    * ("bandIndex:bandKey"). */
+  def minhashBandKeys(docs: DataFrame): DataFrame =
+    Dedup.minhashBandKeysOf(docs)
+
   /** Duplicate clusters: connected components over [[nearDupPairs]] —
     * (doc_id, cluster_id = min reachable doc_id, n_members). Keep
     * `doc_id == cluster_id`, drop the rest. */

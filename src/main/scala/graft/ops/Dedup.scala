@@ -140,6 +140,28 @@ object Dedup {
        |         ${(0 until 4).map(k => s"min((h * ${MhA(k)} + ${MhB(k)}) % $MhP) AS mh$k").mkString(",\n         ")}
        |  FROM hs GROUP BY doc_id)""".stripMargin
 
+  /** Per-row MinHash band keys — a pure map-side projection (`array_min`
+    * over the universal-hash shingle transforms; duplicate shingles
+    * cannot change a min, so the array form equals [[minhashOf]]'s
+    * aggregate exactly). Two rows per doc: (doc_id, "bi:bandKey").
+    * Because no aggregation is involved, the same expression drives
+    * batch band joins and STATELESS streaming band assignment
+    * (graft.streaming.Streams.st12); the library entry point is
+    * [[graft.api.GraftApi.minhashBandKeys]]. */
+  private[graft] def minhashBandKeysOf(docs: DataFrame): DataFrame = {
+    val shArr = "CASE WHEN size(split(text, ' ')) >= 3 " +
+      "THEN transform(sequence(0, size(split(text, ' ')) - 3), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) " +
+      "ELSE array(text) END"
+    val hArr = s"transform($shArr, sh -> CAST(conv(substr(md5(sh), 1, 7), 16, 10) AS BIGINT))"
+    def mh(k: Int): String =
+      s"array_min(transform($hArr, x -> (x * ${MhA(k)}L + ${MhB(k)}L) % ${MhP}L))"
+    docs.select(col("doc_id"),
+      explode(array(
+        concat_ws(":", lit(0), expr(s"${mh(0)} * ${MhP}L + ${mh(1)}")),
+        concat_ws(":", lit(1), expr(s"${mh(2)} * ${MhP}L + ${mh(3)}")))).as("bucket"))
+  }
+
   /** The band-join candidate pairs (pre-verify, distinct) as SQL — the
     * batch equivalence oracle for the STREAMING detector
     * (graft.streaming.Streams.st12). */

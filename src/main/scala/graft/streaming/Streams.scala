@@ -630,20 +630,9 @@ object Streams {
         .write.mode("overwrite").parquet(srcDir.toString)
     }
     val schema = s.read.parquet(srcDir.toString).schema
-    val shArr = "CASE WHEN size(split(text, ' ')) >= 3 " +
-      "THEN transform(sequence(0, size(split(text, ' ')) - 3), " +
-      "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) " +
-      "ELSE array(text) END"
-    val hArr = s"transform($shArr, sh -> CAST(conv(substr(md5(sh), 1, 7), 16, 10) AS BIGINT))"
-    def mh(k: Int): String =
-      s"array_min(transform($hArr, x -> (x * ${graft.ops.Dedup.MhA(k)}L + ${graft.ops.Dedup.MhB(k)}L) % ${graft.ops.Dedup.MhP}L))"
-    val banded = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-      .parquet(srcDir.toString)
-      .select(col("doc_id"),
-        explode(array(
-          concat_ws(":", lit(0), expr(s"${mh(0)} * ${graft.ops.Dedup.MhP}L + ${mh(1)}")),
-          concat_ws(":", lit(1), expr(s"${mh(2)} * ${graft.ops.Dedup.MhP}L + ${mh(3)}"))))
-          .as("bucket"))
+    val banded = graft.ops.Dedup.minhashBandKeysOf(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString))
       .as[BandRow]
     val pairs = banded.groupByKey(_.bucket)
       .flatMapGroupsWithState[Seq[Long], PairOut](

@@ -247,6 +247,19 @@ class ApiSpec extends SparkSpec {
       "entities decode exactly once (&amp;amp; must NOT double-decode)")
   }
 
+  test("minhashBandKeys: identical texts share both band keys, map-side only") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val keys = GraftApi.minhashBandKeys(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(keys(1L) === keys(2L), "equal text => equal band keys")
+    assert((keys(1L) & keys(3L)).isEmpty, "unrelated text should share no band")
+    val plan = GraftApi.minhashBandKeys(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "band assignment must be a pure map-side projection")
+  }
+
   test("resampleLocf densifies the grid, flags gaps, and carries the last sum forward") {
     val sp = spark
     import sp.implicits._
