@@ -873,6 +873,76 @@ object ScaleOps {
        |       CAST(sum(${Money.centsSql("o_totalprice")}) AS BIGINT) AS sum_c
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- STAT1: single-pass exact correlation matrix ----
+
+  /** STAT1: the pairwise Pearson correlation matrix of lineitem's four
+    * numeric measures from ONE aggregate scan — Σx, Σx², Σxy for every
+    * pair as EXACT integer/decimal sums (cents / basis points per row;
+    * DECIMAL(38,0) accumulators never round), then each correlation is
+    * pure arithmetic on the 1-row aggregate: identical IEEE ops over
+    * identical exact operands in both engines ⇒ bit-exact micro-unit
+    * output. The usual `Statistics.corr` / `df.stat.corr` path re-scans
+    * per pair and sums DOUBLES (order-dependent); this shape is one
+    * partial+final aggregate at any scale and deterministic by
+    * construction. */
+  val stat1: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val vars: Seq[(String, Column)] = Seq(
+      "qty_c" -> cents(col("l_quantity")),
+      "price_c" -> cents(col("l_extendedprice")),
+      "disc_e4" -> expr("CAST(round(l_discount * 10000) AS BIGINT)"),
+      "tax_e4" -> expr("CAST(round(l_tax * 10000) AS BIGINT)"))
+    val base = li.select(vars.map { case (n, c) =>
+      c.cast("decimal(20,0)").as(n) }: _*)
+    val pairs = vars.map(_._1).combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val aggs =
+      Seq(count(lit(1)).cast("decimal(20,0)").as("n")) ++
+        vars.map { case (n, _) => sum(col(n)).as(s"s_$n") } ++
+        vars.map { case (n, _) => sum(col(n) * col(n)).as(s"ss_$n") } ++
+        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    val g = base.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("var_a"), lit(b).as("var_b"),
+        expr(s"""CAST(round(
+          CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) /
+          (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) *
+           sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))) * 1000000) AS BIGINT)""")
+          .as("corr_e6"))
+    }
+    g.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.var_a").as("var_a"), col("r.var_b").as("var_b"),
+        col("r.corr_e6").as("corr_e6"))
+      .orderBy("var_a", "var_b")
+  }
+  val stat1Sql: String = {
+    val exprs = Map(
+      "qty_c" -> Money.centsSql("l_quantity"),
+      "price_c" -> Money.centsSql("l_extendedprice"),
+      "disc_e4" -> "CAST(round(l_discount * 10000) AS BIGINT)",
+      "tax_e4" -> "CAST(round(l_tax * 10000) AS BIGINT)")
+    val names = Seq("qty_c", "price_c", "disc_e4", "tax_e4")
+    val pairs = names.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val sums =
+      Seq("CAST(count(*) AS HUGEINT) AS n") ++
+        names.map(n => s"CAST(sum(v_$n) AS HUGEINT) AS s_$n") ++
+        names.map(n => s"CAST(sum(v_$n * v_$n) AS HUGEINT) AS ss_$n") ++
+        pairs.map { case (a, b) => s"CAST(sum(v_$a * v_$b) AS HUGEINT) AS sp_${a}_$b" }
+    val selects = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS var_a, '$b' AS var_b,
+         |  CAST(round(
+         |    CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) /
+         |    (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) *
+         |     sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))) * 1000000) AS BIGINT)
+         |    AS corr_e6 FROM agg""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT ${names.map(n => s"CAST(${exprs(n)} AS HUGEINT) AS v_$n").mkString(", ")}
+       |  FROM lineitem),
+       |agg AS (SELECT ${sums.mkString(",\n       ")} FROM base)
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY var_a, var_b""".stripMargin
+  }
+
   // ---- OBS1: observed metrics (accumulator metrics on the main pass) ----
 
   /** OBS1: `df.observe` — ETL observability the Spark-native way: metric
@@ -1025,6 +1095,7 @@ object ScaleOps {
     "dq1_expectations" -> dq1,
     "samp3_group_sample_topk" -> samp3,
     "obs1_observed_metrics" -> obs1,
+    "stat1_correlation_matrix" -> stat1,
     "s15_zstd_codec" -> s15,
     "t12_robust_cast" -> t12,
     "apx5_hll_mergeable" -> apx5,
@@ -1054,6 +1125,7 @@ object ScaleOps {
     "dq1_expectations" -> dq1Sql,
     "samp3_group_sample_topk" -> samp3Sql,
     "obs1_observed_metrics" -> obs1Sql,
+    "stat1_correlation_matrix" -> stat1Sql,
     "s15_zstd_codec" -> s15Sql,
     "t12_robust_cast" -> t12Sql,
     "src1_custom_dsv2_source" -> src1Sql,

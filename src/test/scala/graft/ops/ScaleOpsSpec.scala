@@ -232,6 +232,16 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("stat1 correlations agree with Spark's own df.stat.corr to 1e-4") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val ours = ScaleOps.stat1(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2) / 1e6).toMap
+    val ref = li.stat.corr("l_quantity", "l_extendedprice")
+    assert(math.abs(ours(("qty_c", "price_c")) - ref) < 1e-4,
+      s"exact-sum corr ${ours(("qty_c", "price_c"))} vs Spark double-sum $ref")
+    ours.values.foreach(c => assert(c >= -1.0 && c <= 1.0))
+  }
+
   test("samp3 groupSample: k per group, rerun-stable, plan uses the custom top-k operator") {
     val sp = spark
     import sp.implicits._
