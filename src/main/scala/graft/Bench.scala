@@ -2,12 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Benchmark main. Each registry query runs TWICE — cold then warm — with
-  * `spark.catalog.clearCache()` between runs and between queries, so (a) a
-  * query's own persists never pollute a later query's timing and (b) the
-  * warm number isolates JIT/page-cache effects from real plan cost. Queries
-  * execute in sorted-name order (stable across rounds; the old Map-hash
-  * order changed whenever a query was added, confounding round-over-round
+/** Benchmark main. Each registry query runs once cold, then 2-3 warm
+  * samples (min-of-2 when they agree within 20%, median-of-3 otherwise),
+  * with `spark.catalog.clearCache()` between runs and between queries, so
+  * (a) a query's own persists never pollute a later query's timing, (b) the
+  * warm number isolates JIT/page-cache effects from real plan cost, and
+  * (c) a single ambient-load spike on the host cannot set a query's warm
+  * time (it contaminated the round-5 and round-6 sweeps). Queries execute
+  * in sorted-name order (stable across rounds; the old Map-hash order
+  * changed whenever a query was added, confounding round-over-round
   * comparison).
   *
   * Output: the FULL per-query JSON (cold + warm, all queries) goes to
@@ -52,17 +55,42 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
+      // Load-robust sampling (rounds 5 and 6 both shipped contaminated
+      // sweeps — e.g. st12 charged 52.4 s warm vs 10.8 s isolated, purely
+      // ambient host load on ONE sample). Cold is inherently a one-shot
+      // (first execution carries codegen + JIT and cannot be re-achieved
+      // in-JVM), so it stays a single sample. Warm takes 2 samples and, if
+      // they disagree by >20%, a tie-breaking 3rd: the reported warm is
+      // then min(2) when they agree (both clean) or median(3) otherwise —
+      // one ambient spike can no longer set the number. `spread` (max-min
+      // over the warm samples) is emitted per query so contamination is
+      // visible in the artifact instead of silently shaping it.
       val cold = once()
       spark.catalog.clearCache()
-      val warm = once()
-      spark.catalog.clearCache()
-      name -> (cold, warm)
+      val warmSamples = {
+        val w1 = once(); spark.catalog.clearCache()
+        if (w1 < 0) Seq(w1)
+        else {
+          val w2 = once(); spark.catalog.clearCache()
+          if (w2 < 0) Seq(w2)
+          else if (math.abs(w1 - w2) <= 0.2 * math.min(w1, w2)) Seq(w1, w2)
+          else { val w3 = once(); spark.catalog.clearCache(); Seq(w1, w2, w3) }
+        }
+      }
+      val warm =
+        if (warmSamples.exists(_ < 0)) -1.0
+        else if (warmSamples.size == 3) warmSamples.sorted.apply(1)
+        else warmSamples.min
+      val spread =
+        if (warm < 0) 0.0 else warmSamples.max - warmSamples.min
+      name -> (cold, warm, spread)
     }
-    val totalWarm = timings.map { case (_, (_, w)) => math.max(w, 0.0) }.sum
-    val totalCold = timings.map { case (_, (c, _)) => math.max(c, 0.0) }.sum
+    val totalWarm = timings.map { case (_, (_, w, _)) => math.max(w, 0.0) }.sum
+    val totalCold = timings.map { case (_, (c, _, _)) => math.max(c, 0.0) }.sum
 
     val fullJson = timings
-      .map { case (n, (c, w)) => s"""    "$n": {"cold": ${f(c)}, "warm": ${f(w)}}""" }
+      .map { case (n, (c, w, sp)) =>
+        s"""    "$n": {"cold": ${f(c)}, "warm": ${f(w)}, "spread": ${f(sp)}}""" }
       .mkString(
         s"""{\n  "sf": "$sfDir",\n  "unit": "sec",\n  "total_cold": ${f(totalCold)},\n  "total_warm": ${f(totalWarm)},\n  "queries": {\n""",
         ",\n",
@@ -80,12 +108,12 @@ object Bench {
       .getOrElse(repoRoot.resolve("BENCH_FULL.json"))
     Files.writeString(fullPath, fullJson)
 
-    val warmByName = timings.toMap
+    val warmByName = timings.map { case (n, (c, w, _)) => n -> ((c, w)) }.toMap
     val qs = Headline.flatMap(n => warmByName.get(n).map { case (_, w) => s"\"$n\":${f(w)}" })
       .mkString("{", ",", "}")
     // crashed queries are clamped OUT of the totals (a crash must not read
     // as a speedup), so they have to be loud on the stdout line instead
-    val failed = timings.collect { case (n, (c, w)) if c < 0 || w < 0 => s"\"$n\"" }
+    val failed = timings.collect { case (n, (c, w, _)) if c < 0 || w < 0 => s"\"$n\"" }
       .mkString("[", ",", "]")
     // Stop Spark BEFORE printing the metric line so no executor/streaming
     // thread can log after it — the JSON line must be the last output.

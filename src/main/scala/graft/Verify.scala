@@ -23,7 +23,13 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // full cause chain, not just the top message — "Task not
+        // serializable" alone cost a round of diagnosis (round 7)
+        val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(c => s"${c.getClass.getSimpleName}: ${String.valueOf(c.getMessage).linesIterator.take(40).mkString(" | ")}")
+          .take(5).mkString(" <- ")
+        System.err.println(s"[verify] $name failed: $causes")
+        e.getStackTrace.take(12).foreach(f => System.err.println(s"[verify]   at $f"))
       }
       // queries return lazy frames, so they cannot unpersist their own
       // caches (the caller's action materializes them); drop them here so

@@ -59,30 +59,81 @@ object MlLsh {
         r.getAs[org.apache.spark.ml.linalg.Vector]("features").numNonzeros > 0)
   }
 
-  /** LSH1: MinHashLSH self-join — Jaccard-distance near-dup candidates.
-    * Rows-only (MinHash perms are seeded but engine-defined). Sampled input
-    * + tight threshold: on this shared-vocabulary corpus a full self-join at
-    * 0.5 degenerates to near-all-pairs (the same skew the hand-built d5
-    * guards with bucket caps — MLlib's join has no such cap, so bound the
-    * input instead). */
-  val lsh1: Q = (s, d) => {
-    // persist: the vectors feed the fit AND both sides of the self-join —
-    // without the cache the tokenize+vectorize pipeline runs three times
-    val vecs = tokenVectors(s, d).filter(col("doc_id") % 5 === 0)
+  // LSH1 banding/skew parameters: 12 stock MinHash tables re-read as
+  // 3 bands × 4 rows (AND within a band, OR across bands), and any band
+  // bucket wider than MaxBucket rows is SKIPPED — same pattern as the
+  // hand-built d5 (ops/Dedup.scala MaxBucket). Giant buckets on this
+  // shared-vocabulary corpus are identical-token-set super-clusters; those
+  // are exact dedup's job (d1), and joining inside them recreates the
+  // O(n²) pair space LSH exists to avoid. The cap makes the candidate
+  // count provably ≤ NumBands · n · (MaxBucket-1) / 2 — linear in n.
+  private[ml] val Lsh1NumTables = 12
+  private[ml] val Lsh1BandRows = 4
+  private[ml] val Lsh1NumBands = Lsh1NumTables / Lsh1BandRows
+  private[ml] val Lsh1MaxBucket = 50
+
+  /** LSH1 candidate pairs with exact Jaccard distance: stock
+    * `ml.feature.MinHashLSH` for the hash family, hand-banded candidate
+    * join with the degenerate-bucket cap above instead of MLlib's uncapped
+    * `approxSimilarityJoin` (which, OR-amplified over single-hash buckets,
+    * degenerates to a near-cartesian self-join on this corpus — round ≤6
+    * bounded the INPUT by 1/5 sampling, a crutch this replaces; the full
+    * corpus now flows through). Distance is the same measure MLlib's
+    * `keyDistance` computes: 1 - |A∩B| / |A∪B| over non-zero indices. */
+  private[ml] def lsh1Pairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.linalg.{Vector => MlVector}
+    // persist: the vectors feed the fit, the band projection, AND the
+    // two feature lookups of the pair join — uncached, the
+    // tokenize+vectorize pipeline reruns per consumer
+    val vecs = tokenVectors(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mh = new MinHashLSH().setNumHashTables(4).setInputCol("features")
-      .setOutputCol("hashes").setSeed(Seed)
+    val mh = new MinHashLSH().setNumHashTables(Lsh1NumTables)
+      .setInputCol("features").setOutputCol("hashes").setSeed(Seed)
     val model = mh.fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, 0.3, "jaccard_dist")
-      .select(col("datasetA.doc_id").as("id_a"), col("datasetB.doc_id").as("id_b"),
-        col("jaccard_dist"))
-      .filter(col("id_a") < col("id_b"))
-      // token SETS on this shared-vocab corpus are nearly identical, so the
-      // pair space is dense — emit the distance histogram, not raw pairs
+    // pack each band's 4 hash values into one equi-join key
+    val bandKey = udf((hs: Seq[MlVector], b: Int) =>
+      (0 until Lsh1BandRows).map(i => hs(b * Lsh1BandRows + i)(0).toLong).mkString(":"))
+    val hashed = model.transform(vecs).select(col("doc_id"), col("hashes"))
+    val bands = (0 until Lsh1NumBands).map(b =>
+        hashed.select(col("doc_id"), lit(b).as("band"), bandKey(col("hashes"), lit(b)).as("bk")))
+      .reduce(_ unionAll _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = bands.groupBy("band", "bk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= Lsh1MaxBucket).select("band", "bk")
+    val bounded = bands.join(ok, Seq("band", "bk"))
+    val cand = bounded.as("a").join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact Jaccard distance over the binary token vectors (two-pointer
+    // over sorted sparse indices; ml Vector type ⇒ UDF is the only option)
+    val jaccardDist = udf((a: MlVector, b: MlVector) => {
+      val ia = a.toSparse.indices; val ib = b.toSparse.indices
+      var i = 0; var j = 0; var inter = 0
+      while (i < ia.length && j < ib.length) {
+        if (ia(i) == ib(j)) { inter += 1; i += 1; j += 1 }
+        else if (ia(i) < ib(j)) i += 1
+        else j += 1
+      }
+      1.0 - inter.toDouble / (ia.length + ib.length - inter)
+    })
+    cand
+      .join(vecs.select(col("doc_id").as("id_a"), col("features").as("fa")), Seq("id_a"))
+      .join(vecs.select(col("doc_id").as("id_b"), col("features").as("fb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccardDist(col("fa"), col("fb")).as("jaccard_dist"))
+  }
+
+  /** LSH1: MinHashLSH near-dup candidates at Jaccard distance ≤ 0.3 —
+    * rows-only (MinHash perms are seeded but engine-defined). The pair
+    * space on this shared-vocab corpus is dense, so emit the distance
+    * histogram, not raw pairs. */
+  val lsh1: Q = (s, d) =>
+    lsh1Pairs(s, d)
+      .filter(col("jaccard_dist") <= 0.3)
       .groupBy(round(col("jaccard_dist"), 1).as("dist_bucket"))
       .agg(count(lit(1)).as("n_pairs"), min(col("id_a")).as("sample_id_a"))
       .orderBy("dist_bucket")
-  }
 
   /** LSH2: BucketedRandomProjectionLSH kNN over L2-normalized embeddings —
     * Euclidean distance on the unit sphere is monotone in cosine, so this

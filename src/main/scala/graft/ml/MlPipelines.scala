@@ -54,7 +54,9 @@ object MlPipelines {
       round((col("tp") + col("tn")) / nullif(col("tp") + col("fp") + col("tn") + col("fn"), lit(0L)), 6).as("accuracy"),
       round((lit(2L) * col("tp")) / nullif(lit(2L) * col("tp") + col("fp") + col("fn"), lit(0L)), 6).as("f1"))
 
-  private def fitScore(s: SparkSession, d: String, estimator: org.apache.spark.ml.PipelineStage): DataFrame = {
+  private def fitScore[M <: org.apache.spark.ml.Model[M]](
+      s: SparkSession, d: String,
+      estimator: org.apache.spark.ml.Estimator[M]): DataFrame = {
     val (tok, tf, idf) = featurize
     val data = corpus(s, d)
     // DELIBERATE reference parity: IDF is fitted on the FULL corpus and
@@ -70,7 +72,16 @@ object MlPipelines {
     val prepared = pipe.fit(data).transform(data).select("label", "features")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val Array(train, test) = prepared.randomSplit(Array(0.75, 0.25), seed = Seed)
-    val model = new Pipeline().setStages(Array(estimator)).fit(train)
+    // transform with a summary-FREE copy of the model: classifier training
+    // summaries (e.g. LinearSVCTrainingSummaryImpl) hold a SparkSession, and
+    // the prediction UDF captures the model, so the summary would ride into
+    // every task closure. Spark 4.1's classic SparkSession happens to pass
+    // task serialization only while its lazy observationManager field is
+    // still null — the first `Dataset.observe` anywhere in the JVM (obs1)
+    // initializes it, after which an un-copied LinearSVCModel.transform
+    // dies with "Task not serializable". `copy` transfers params and
+    // coefficients but never the summary.
+    val model = estimator.fit(train).copy(org.apache.spark.ml.param.ParamMap.empty)
     binaryMetricsDf(model.transform(test).select("prediction", "label"))
   }
 

@@ -528,17 +528,23 @@ object Dedup {
     * propagation, rounds ≈ graph diameter. */
   private[graft] def dedupClustersOf(pairs: DataFrame): DataFrame = {
     // symmetrize via explode, NOT a self-union: a union would embed the
-    // whole (uncached) d3 pipeline twice in the plan and evaluate it twice
+    // whole (uncached) d3 pipeline twice in the plan and evaluate it twice.
+    // localCheckpoint (eager), NOT persist: the loop below re-reads edges
+    // once per round, and under a plain persist an EVICTED partition
+    // re-derives the entire upstream pair pipeline (for d8 that is the
+    // whole d3 minhash→band→verify chain) once per round — checkpointing
+    // TRUNCATES the lineage so the loop can never reach upstream of here.
+    // MEMORY_AND_DISK blocks make eviction-driven recompute a non-issue;
+    // the cost is losing recompute-on-executor-loss, acceptable for an
+    // iterative driver loop that would restart anyway.
     val edges = pairs.select(explode(array(
         struct(col("id_a"), col("id_b")),
         struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("e"))
       .select(col("e.id_a"), col("e.id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize BEFORE the loop so every round reads the cache, never d3
+      .localCheckpoint() // eager: materializes and cuts lineage before the loop
     if (edges.count() == 0) {
       // no near-dup pairs at all: the recursive-CTE oracle yields an empty
       // result; mirror it (the loop below would NPE on a NULL sum(lbl))
-      edges.unpersist()
       edges.select(col("id_a").as("doc_id"), col("id_b").as("cluster_id"),
         lit(0L).as("n_members")).limit(0)
     } else {
@@ -673,33 +679,53 @@ object Dedup {
        |WHERE c.doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
        |ORDER BY c.doc_id""".stripMargin
 
-  // ---- D11: edit-distance near-dup pairs (suffix-blocked) ----
+  // ---- D11: edit-distance near-dup pairs (suffix+prefix-blocked) ----
 
   /** D11: character-level near-dup pairs by Levenshtein distance — the
     * string-similarity-join shape (PPJoin-family blocking): candidates
-    * come from an EQUI-join on a 24-char suffix block key (never
-    * all-pairs; shared suffix is the signature the planted edits — exact
-    * copies and first-word drops — preserve), then the expensive verify
-    * runs only within blocks, using Spark's THRESHOLDED levenshtein
-    * (banded DP, early exit at >20; the oracle's plain levenshtein ≤ 20
-    * proves the threshold form exact on survivors). */
-  val d11: Q = (s, d) => {
-    val c = corpus(s, d).select(col("doc_id"), col("text"),
-      expr("right(text, 24)").as("blk"))
-    c.as("a").join(c.as("b"),
+    * come from EQUI-joins on TWO block keys, a 24-char suffix and a
+    * 24-char prefix (never all-pairs). An edit localized near either end
+    * of the string preserves the other end's key, so a leading edit is
+    * caught by the suffix block and a TRAILING edit by the prefix block
+    * (suffix-only blocking — rounds ≤ 6 — was blind to edits in the last
+    * 24 chars). Candidate pairs are deduped as bare (id, id) rows BEFORE
+    * the expensive verify, so the block exchange never carries document
+    * text; texts are joined back by id and checked with Spark's
+    * THRESHOLDED levenshtein (banded DP, early exit at >20; the oracle's
+    * plain levenshtein ≤ 20 proves the threshold form exact on
+    * survivors). */
+  private[graft] def editDistancePairsOf(docs: DataFrame, maxDist: Int = 20): DataFrame = {
+    // "s:"/"p:" tags keep a suffix from ever equi-matching a prefix
+    val keyed = docs.select(col("doc_id"), explode(array(
+        concat(lit("s:"), expr("right(text, 24)")),
+        concat(lit("p:"), expr("left(text, 24)")))).as("blk"))
+    val cand = keyed.as("a").join(keyed.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        levenshtein(col("a.text"), col("b.text"), 20).as("dist"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct() // a pair found by both keys must verify once, not twice
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb"), maxDist).as("dist"))
       .filter(col("dist") >= 0)
-      .orderBy("id_a", "id_b")
   }
+
+  val d11: Q = (s, d) =>
+    editDistancePairsOf(corpus(s, d)).orderBy("id_a", "id_b")
   val d11Sql: String =
     s"""WITH $corpusCte,
-       |blk AS (SELECT doc_id, text, right(text, 24) AS blk FROM corpus)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |       CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
-       |FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
-       |WHERE levenshtein(a.text, b.text) <= 20
+       |blk AS (SELECT doc_id, 's:' || right(text, 24) AS blk FROM corpus
+       |        UNION ALL
+       |        SELECT doc_id, 'p:' || left(text, 24) AS blk FROM corpus),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+       |SELECT c.id_a, c.id_b,
+       |       CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS dist
+       |FROM cand c
+       |JOIN corpus ta ON ta.doc_id = c.id_a
+       |JOIN corpus tb ON tb.doc_id = c.id_b
+       |WHERE levenshtein(ta.text, tb.text) <= 20
        |ORDER BY id_a, id_b""".stripMargin
 
   val queries: Map[String, Q] = Map(

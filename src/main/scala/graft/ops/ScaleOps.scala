@@ -892,6 +892,11 @@ object ScaleOps {
       "price_c" -> cents(col("l_extendedprice")),
       "disc_e4" -> expr("CAST(round(l_discount * 10000) AS BIGINT)"),
       "tax_e4" -> expr("CAST(round(l_tax * 10000) AS BIGINT)"))
+    // Headroom: per-row values are ≤ ~1e9 micro-units, so each pairwise
+    // product is ≤ ~1e18; Spark widens decimal(20,0)×decimal(20,0) to the
+    // DECIMAL(38,0) cap, whose 1e38 range absorbs ~1e20 such rows — far
+    // beyond the ~6e11 lineitem rows of a 100 TB run. ANSI mode would
+    // turn a genuine overflow into a loud error, never a silent wrap.
     val base = li.select(vars.map { case (n, c) =>
       c.cast("decimal(20,0)").as(n) }: _*)
     val pairs = vars.map(_._1).combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
@@ -901,12 +906,16 @@ object ScaleOps {
         vars.map { case (n, _) => sum(col(n) * col(n)).as(s"ss_$n") } ++
         pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
     val g = base.agg(aggs.head, aggs.tail: _*)
+    // nullif guard: a zero-variance column makes the denominator 0 —
+    // Pearson is undefined there, so emit NULL (identical guard in the
+    // DuckDB oracle) instead of an IEEE Infinity/NaN that ANSI's
+    // round→BIGINT cast would turn into a runtime error
     val rows = pairs.map { case (a, b) =>
       struct(lit(a).as("var_a"), lit(b).as("var_b"),
         expr(s"""CAST(round(
           CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) /
-          (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) *
-           sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))) * 1000000) AS BIGINT)""")
+          nullif(sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) *
+                 sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)), 0D) * 1000000) AS BIGINT)""")
           .as("corr_e6"))
     }
     g.select(explode(array(rows: _*)).as("r"))
@@ -931,8 +940,8 @@ object ScaleOps {
       s"""SELECT '$a' AS var_a, '$b' AS var_b,
          |  CAST(round(
          |    CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) /
-         |    (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) *
-         |     sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))) * 1000000) AS BIGINT)
+         |    nullif(sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) *
+         |           sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)), 0) * 1000000) AS BIGINT)
          |    AS corr_e6 FROM agg""".stripMargin
     }
     s"""WITH base AS (

@@ -90,9 +90,14 @@ object RefPipeline {
     val prep = new Pipeline().setStages(Array(tok, tf, idf)).fit(data).transform(data)
       .select("label", "features")
     val Array(train, test) = prep.randomSplit(Array(0.75, 0.25), seed = 1234L)
-    val est = if (svm) new LinearSVC().setMaxIter(10).setRegParam(0.1)
-      else new NaiveBayes()
-    val model = new Pipeline().setStages(Array(est)).fit(train.cache())
+    // summary-free copy for the same reason as MlPipelines.fitScore: the
+    // LinearSVC training summary holds a SparkSession, which stops
+    // serializing once anything in the JVM has used Dataset.observe
+    val model: org.apache.spark.ml.Model[_] =
+      if (svm) new LinearSVC().setMaxIter(10).setRegParam(0.1).fit(train.cache())
+        .copy(org.apache.spark.ml.param.ParamMap.empty)
+      else new NaiveBayes().fit(train.cache())
+        .copy(org.apache.spark.ml.param.ParamMap.empty)
     metricsOf(model.transform(test).select("prediction", "label"))
   }
 

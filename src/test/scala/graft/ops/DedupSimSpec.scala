@@ -112,6 +112,26 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("D11 blocking catches leading AND trailing edits (planted)") {
+    // Suffix-only blocking (rounds <= 6) was structurally blind to any edit
+    // in the last 24 chars; the prefix block closes that hole. Plant one
+    // pair of each kind and require both in the output.
+    val s2 = spark
+    import s2.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      1L -> base,
+      2L -> ("XYZ " + base),            // leading edit: suffix key matches
+      3L -> (base + " TAIL EDIT"),      // trailing edit: prefix key matches
+      4L -> "a completely different document about spark catalyst optimizer rules"
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "leading-edit pair must surface via the suffix block")
+    assert(pairs.contains((1L, 3L)), "trailing-edit pair must surface via the prefix block")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc stays unpaired")
+  }
+
   test("D8 clusters are canonical: min-id labels, closed under dup edges") {
     val rows = Dedup.queries("d8_dedup_clusters")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

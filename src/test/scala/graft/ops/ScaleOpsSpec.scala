@@ -232,14 +232,42 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
-  test("stat1 correlations agree with Spark's own df.stat.corr to 1e-4") {
+  test("stat1: all six correlations agree with Spark's own df.stat.corr to 1e-4") {
     val li = graft.Tables.lineitem(spark, sfDir)
     val ours = ScaleOps.stat1(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2) / 1e6).toMap
-    val ref = li.stat.corr("l_quantity", "l_extendedprice")
-    assert(math.abs(ours(("qty_c", "price_c")) - ref) < 1e-4,
-      s"exact-sum corr ${ours(("qty_c", "price_c"))} vs Spark double-sum $ref")
-    ours.values.foreach(c => assert(c >= -1.0 && c <= 1.0))
+    assert(ours.size === 6, "4 measures => C(4,2) = 6 pairs")
+    // micro-unit column behind each stat1 name, for df.stat.corr parity
+    // (corr is scale-invariant, so cents/bp scaling cannot shift it)
+    val sourceCol = Map(
+      "qty_c" -> "l_quantity", "price_c" -> "l_extendedprice",
+      "disc_e4" -> "l_discount", "tax_e4" -> "l_tax")
+    ours.foreach { case ((a, b), got) =>
+      val ref = li.stat.corr(sourceCol(a), sourceCol(b))
+      assert(math.abs(got - ref) < 1e-4,
+        s"($a,$b): exact-sum corr $got vs Spark double-sum $ref")
+      assert(got >= -1.0 && got <= 1.0)
+    }
+  }
+
+  test("stat1 zero-variance guard: constant column yields NULL, not a crash") {
+    // same correlation arithmetic as stat1, on a frame with one constant
+    // column — the nullif(denominator, 0) guard must surface SQL NULL
+    val sp = spark
+    import sp.implicits._
+    Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "konst")
+      .createOrReplaceTempView("stat1_zero_var_fixture")
+    val r = spark.sql(
+      """SELECT CAST(round(
+        |  CAST(n * sp - sx * sk AS DOUBLE) /
+        |  nullif(sqrt(CAST(n * ssx - sx * sx AS DOUBLE)) *
+        |         sqrt(CAST(n * ssk - sk * sk AS DOUBLE)), 0D) * 1000000) AS BIGINT) AS corr_e6
+        |FROM (SELECT CAST(count(*) AS DECIMAL(20,0)) AS n,
+        |             sum(x) AS sx, sum(konst) AS sk,
+        |             sum(x*x) AS ssx, sum(konst*konst) AS ssk,
+        |             sum(x*konst) AS sp
+        |      FROM stat1_zero_var_fixture)""".stripMargin).head()
+    assert(r.isNullAt(0), "zero-variance pair must be NULL")
   }
 
   test("samp3 groupSample: k per group, rerun-stable, plan uses the custom top-k operator") {
