@@ -217,6 +217,62 @@ object Relational {
     s"""SELECT doc_id, ${TextOps.stripUrlSvmSql("'see https://s' || (doc_id % 10)::VARCHAR || '.com/x ok ' || text")} AS t
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** P4b: the NB-dialect URL strip (`NB.java:67`) against a COMMITTED
+    * golden — the 4-alternative pattern carries a `(?!www)` negative
+    * lookahead that Java regex (Spark) runs and RE2 (DuckDB) cannot, so
+    * the oracle is not a re-derivation: it is the replaceAll output of
+    * the reference's own engine (java.lang.String.replaceAll with the
+    * verbatim `NB.java:67` pattern) over a planted corpus that exercises
+    * every alternative, the lookahead (case 4 must SURVIVE), (?i) case
+    * folding, greedy `[^\s]{2,}` tails, and multiple URLs per line —
+    * frozen below as VALUES literals. Any drift in
+    * [[graft.text.TextOps.NbUrlRe]] breaks the hash match loudly. */
+  private val P4bCases: Seq[(Long, String)] = Seq(
+    1L -> "check https://example.com/page now",
+    2L -> "go to http://www.foo-bar.com/x quickly",
+    3L -> "see www.example.org/path here",
+    4L -> "https://wwwx.com/abc survives the lookahead",
+    5L -> "HTTPS://WWW.EXAMPLE.COM/PAGE case folded",
+    6L -> "WWW.TEST.COM leading caps",
+    7L -> "visit https://ab.co short host",
+    8L -> "https://a.co single-char host",
+    9L -> "link https://t.co/abc123! trailing punct eaten",
+    10L -> "plain text without links",
+    11L -> "www alone is kept",
+    12L -> "http://example.com bare scheme no www",
+    13L -> "double www.first.com and www.second.org strip twice",
+    14L -> "tab\tthen www.x9.io/path end")
+  /** Golden `String.replaceAll(NbUrlRe, "")` outputs for [[P4bCases]]. */
+  private val P4bGolden: Seq[(Long, String)] = Seq(
+    1L -> "check  now",
+    2L -> "go to  quickly",
+    3L -> "see  here",
+    4L -> "https://wwwx.com/abc survives the lookahead",
+    5L -> " case folded",
+    6L -> " leading caps",
+    7L -> "visit  short host",
+    8L -> " single-char host",
+    9L -> "link  trailing punct eaten",
+    10L -> "plain text without links",
+    11L -> "www alone is kept",
+    12L -> " bare scheme no www",
+    13L -> "double  and  strip twice",
+    14L -> "tab\tthen  end")
+  val p4b: Q = (s, _) => {
+    val sp = s
+    import sp.implicits._
+    P4bCases.toDF("id", "raw")
+      .select(col("id"), TextOps.stripUrlNb(col("raw")).as("cleaned"))
+      .orderBy("id")
+  }
+  val p4bSql: String = {
+    val rows = P4bGolden
+      .map { case (i, t) => s"($i, '${t.replace("'", "''")}')" }
+      .mkString(",\n       ")
+    s"""SELECT * FROM (VALUES
+       |$rows) AS t(id, cleaned) ORDER BY id""".stripMargin
+  }
+
   /** P5: mention/hashtag/entity strip `(#|@|&).*?\w+` (`NB.java:68`). */
   val p5: Q = (s, d) =>
     Tables.documents(s, d).select(col("doc_id"),
@@ -1180,6 +1236,7 @@ object Relational {
     "p2_malformed_filter" -> p2,
     "p3_empty_text_guard" -> p3,
     "p4_url_strip" -> p4,
+    "p4b_url_strip_nb" -> p4b,
     "p5_mention_strip" -> p5,
     "p6_digit_strip" -> p6,
     "p7_nonalpha_space" -> p7,
@@ -1238,6 +1295,7 @@ object Relational {
     "p2_malformed_filter" -> p2Sql,
     "p3_empty_text_guard" -> p3Sql,
     "p4_url_strip" -> p4Sql,
+    "p4b_url_strip_nb" -> p4bSql,
     "p5_mention_strip" -> p5Sql,
     "p6_digit_strip" -> p6Sql,
     "p7_nonalpha_space" -> p7Sql,
