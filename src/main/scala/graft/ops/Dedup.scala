@@ -439,18 +439,24 @@ object Dedup {
   private val D7Bands = 4
   private val D7BitsPerBand = 6
 
-  val d7: Q = (s, d) => {
+  /** d7's vector population: the %5 quantized sample plus the injected
+    * near-dup shell (first component nudged by +50 ≈ 0.05) — random
+    * embeddings never reach cos ≥ 0.9 on their own, so the shell gives
+    * the operator true positives to find. Persisted: feeds the band
+    * projection, the norms projection and both back-join sides —
+    * uncached, the parquet scan + quantize runs ~5×. */
+  private def d7Population(s: SparkSession, d: String): DataFrame = {
     val base = qvec(s, d, "vec_id % 5 = 0")
-    // inject near-dup vectors (first component nudged by +50 ≈ 0.05) so the
-    // operator has true positives to find — random embeddings never reach
-    // cos ≥ 0.9 on their own
-    // persist: feeds the band projection, the norms projection and both
-    // back-join sides — uncached, the parquet scan + quantize runs ~5×
-    val qv = base.unionAll(
+    base.unionAll(
       base.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 100000).as("vec_id"),
           expr("concat(array(element_at(q, 1) + 50), slice(q, 2, 63))").as("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Banded cos ≥ 0.9 pairs over a quantized population — the body of d7,
+    * reused unsorted by d12's semantic dedup. */
+  private def d7PairsOf(qv: DataFrame): DataFrame = {
     val norms = qv.select(col("vec_id"),
       expr("graft_dot(q, q)").as("nrm"))
     // map-side band keys from driver-side literal hyperplanes (see
@@ -479,8 +485,10 @@ object Dedup {
         col("dot") * col("dot") * 100 >= lit(81) * col("na.nrm") * col("nb.nrm"))
       .select(col("id_a"), col("id_b"), col("dot"),
         col("na.nrm").as("norm_a"), col("nb.nrm").as("norm_b"))
-      .orderBy("id_a", "id_b")
   }
+
+  val d7: Q = (s, d) =>
+    d7PairsOf(d7Population(s, d)).orderBy("id_a", "id_b")
   val d7Sql: String =
     s"""WITH ${qvecSql("vec_id % 5 = 0").replace("qvec AS (", "qbase AS (")},
        |qvec AS (
@@ -728,7 +736,49 @@ object Dedup {
        |WHERE levenshtein(ta.text, tb.text) <= 20
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- D12: semantic dedup (SemDeDup-style, embedding-space clusters) ----
+
+  /** D12: semantic dedup over EMBEDDING space — the SemDeDup recipe
+    * (Abbas et al. 2023, arXiv:2303.09540): treat cos ≥ 0.9 pairs as
+    * duplicate edges, cluster them, keep one representative (the minimum
+    * id) per semantic cluster, and pass everything else through. Pure
+    * composition of shipped pieces: d7's banded cos-pair generation
+    * (equi-joins on hyperplane sign bands, never all-pairs) feeds d8's
+    * checkpointed label propagation, and the keep-list applies as a LEFT
+    * ANTI join — the same map-side endgame as d10, but keyed on meaning
+    * rather than shingles, so paraphrase-level duplicates that share no
+    * 5-gram still collapse. At 100 TB the anti-probe list holds only
+    * vectors that HAVE a semantic dup — broadcast-sized. */
+  val d12: Q = (s, d) => {
+    val qv = d7Population(s, d)
+    val cl = dedupClustersOf(d7PairsOf(qv).select(col("id_a"), col("id_b")))
+    qv.select(col("vec_id"))
+      .join(cl.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+  val d12Sql: String =
+    s"""WITH RECURSIVE p AS ($d7Sql),
+       |${qvecSql("vec_id % 5 = 0").replace("qvec AS (", "qbase AS (")},
+       |pop AS (
+       |  SELECT vec_id FROM qbase
+       |  UNION ALL
+       |  SELECT vec_id + 100000 FROM qbase WHERE vec_id % 10 = 0),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM p),
+       |reach(id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.lbl = e.a),
+       |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       |SELECT v.vec_id FROM pop v
+       |WHERE v.vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+       |ORDER BY v.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d12_semantic_dedup_corpus" -> d12,
     "d11_edit_distance_pairs" -> d11,
     "d10_deduped_corpus" -> d10,
     "d1_exact_dedup" -> d1,
@@ -743,6 +793,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d12_semantic_dedup_corpus" -> d12Sql,
     "d11_edit_distance_pairs" -> d11Sql,
     "d10_deduped_corpus" -> d10Sql,
     "d1_exact_dedup" -> d1Sql,

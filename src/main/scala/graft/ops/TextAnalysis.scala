@@ -371,6 +371,56 @@ object TextAnalysis {
       |FROM tk LEFT JOIN vocab v USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- T15: unigram-LM negative log-likelihood (CCNet-style quality) ----
+
+  /** T15: per-document average unigram negative log-likelihood — the
+    * CCNet-family quality signal (Wenzek et al. 2020, arXiv:1911.00359,
+    * scores documents with an LM and filters by perplexity band; a
+    * unigram LM is its aggregate-only degenerate case, trainable in ONE
+    * hash aggregate). Add-1 smoothed: p(w) = (c(w)+1) / (N+V). Each
+    * DISTINCT token's surprisal ln(1/p) is rounded to an e6 integer
+    * FIRST, so the per-document sum is exact integer arithmetic —
+    * order-independent and engine-portable (a double Σln over tokens
+    * would be partition-order-dependent, the trap stat1 avoids for
+    * covariances). Plan: one vocab aggregate, a 1-row (N,V) scalar
+    * broadcast onto it, then the token stream re-joins the weighted
+    * vocab on `tok` — at 100 TB the vocab is the (frequency-bounded)
+    * small side and the token stream shuffles once. */
+  private[graft] def unigramNllOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val scal = vocab.agg(sum("c").as("n_total"), count(lit(1)).as("v_size"))
+    val weighted = vocab.crossJoin(broadcast(scal))
+      .select(col("tok"),
+        expr("CAST(round(ln(CAST(n_total + v_size AS DOUBLE) / CAST(c + 1 AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("tok_nll_e6"))
+    toks.join(weighted, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("tok_nll_e6").as("sum_nll_e6"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("sum_nll_e6 div n_toks").as("nll_e6"))
+  }
+
+  val t15: Q = (s, d) =>
+    unigramNllOf(Tables.documents(s, d)).orderBy("doc_id")
+  val t15Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+      |tk AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+      |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+      |scal AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+      |                CAST(count(*) AS BIGINT) AS v_size FROM vocab),
+      |w AS (SELECT tok,
+      |             CAST(round(ln(CAST(n_total + v_size AS DOUBLE) / CAST(c + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+      |               AS tok_nll_e6
+      |      FROM vocab, scal)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |       CAST(sum(tok_nll_e6) AS BIGINT) // CAST(count(*) AS BIGINT) AS nll_e6
+      |FROM tk JOIN w USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- CHUNK1: sliding-window document chunking ----
 
   /** CHUNK1: long-document chunking with overlap (window 128 tokens,
@@ -497,6 +547,7 @@ object TextAnalysis {
       |ORDER BY wa, wb""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "t15_unigram_nll" -> t15,
     "t14_pmi_cooccurrence" -> t14,
     "t13_nfc_normalize" -> t13,
     "voc1_vocab_oov" -> voc1,
@@ -511,6 +562,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t15_unigram_nll" -> t15Sql,
     "t14_pmi_cooccurrence" -> t14Sql,
     "t13_nfc_normalize" -> t13Sql,
     "voc1_vocab_oov" -> voc1Sql,

@@ -132,6 +132,24 @@ class DedupSimSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc stays unpaired")
   }
 
+  test("D12 semantic dedup drops exactly one of each planted embedding near-dup pair") {
+    // d7 plants vec_id+100000 shells at cos ~ 0.999 off every %10 vector;
+    // semantic dedup must keep the min id of each such cluster and drop
+    // the shell, passing every un-duplicated vector through untouched.
+    val kept = Dedup.d12(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.d7(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(!(kept.contains(a) && kept.contains(b)),
+        s"pair ($a,$b) must not survive dedup intact")
+    }
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    val planted = (0L until nVecs).filter(_ % 10 == 0).map(_ + 100000L)
+    planted.foreach(shell =>
+      assert(!kept.contains(shell), s"shell $shell must be the dropped member"))
+  }
+
   test("D8 clusters are canonical: min-id labels, closed under dup edges") {
     val rows = Dedup.queries("d8_dedup_clusters")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -90,4 +90,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pmi === math.round(math.log(4.0) * 1e6))
     assert(!out.contains(("p", "q")) && !out.contains(("q", "p")))
   }
+
+  test("t15 unigram NLL matches hand-computed add-1 smoothed surprisals") {
+    val sp = spark
+    import sp.implicits._
+    // corpus: a a b | a c  =>  c(a)=3, c(b)=c(c)=1, N=5, V=3, N+V=8
+    // surprisal_e6: a -> ln(8/4)=ln2 -> 693147; b,c -> ln(8/2)=ln4 -> 1386294
+    val docs = Seq(1L -> "a a b", 2L -> "a c").toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNllOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ln2e6 = math.round(math.log(2.0) * 1e6) // 693147
+    val ln4e6 = math.round(math.log(4.0) * 1e6) // 1386294
+    assert(out(1L) === ((3L, (2 * ln2e6 + ln4e6) / 3)))
+    assert(out(2L) === ((2L, (ln2e6 + ln4e6) / 2)))
+    // the rare-token doc must read as more surprising than the common one
+    assert(out(2L)._2 > out(1L)._2)
+  }
 }
