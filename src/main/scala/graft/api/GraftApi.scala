@@ -84,6 +84,16 @@ object GraftApi {
   def dedupClustersFromPairs(pairs: DataFrame): DataFrame =
     Dedup.dedupClustersOf(pairs)
 
+  /** Semantic dedup keep-list (the SemDeDup recipe, Abbas et al. 2023):
+    * cos ≥ 0.9 pairs over hyperplane-banded candidates become duplicate
+    * edges; connected components keep the min-id representative per
+    * cluster. Input: (vec_id BIGINT, q ARRAY<BIGINT>) integer-quantized
+    * embeddings (round(e·1000), the [[quantizedCosineTopK]] convention);
+    * returns the surviving vec_ids. Registers the graft SQL functions on
+    * the input's session. */
+  def semanticDedupedIds(vecs: DataFrame): DataFrame =
+    Dedup.semanticDedupedIdsOf(vecs)
+
   // ---- text analysis ----
 
   /** Redact PII in place: email → [EMAIL], phone → [PHONE], IPv4 → [IP]. */
@@ -127,6 +137,12 @@ object GraftApi {
     * bounds it, so the OOV probe broadcasts at scale). */
   def vocabOov(docs: DataFrame, minFreq: Long = 5L): DataFrame =
     TextAnalysis.vocabOovOf(docs, minFreq)
+
+  /** Per-document add-1-smoothed unigram negative log-likelihood, the
+    * CCNet-style LM quality signal: (doc_id, n_toks, nll_e6). Per-token
+    * surprisals are e6 integers BEFORE summation, so scores are exact
+    * integer arithmetic — rerun-stable at any partitioning. */
+  def unigramNll(docs: DataFrame): DataFrame = TextAnalysis.unigramNllOf(docs)
 
   /** Sliding-window chunk assignments (doc_id, chunk_idx, start_tok,
     * chunk_toks) with `window − stride` tokens of overlap; a tail chunk

@@ -749,14 +749,21 @@ object Dedup {
     * rather than shingles, so paraphrase-level duplicates that share no
     * 5-gram still collapse. At 100 TB the anti-probe list holds only
     * vectors that HAVE a semantic dup — broadcast-sized. */
-  val d12: Q = (s, d) => {
-    val qv = d7Population(s, d)
-    val cl = dedupClustersOf(d7PairsOf(qv).select(col("id_a"), col("id_b")))
-    qv.select(col("vec_id"))
+  /** Semantic dedup keep-list over quantized vectors (vec_id BIGINT,
+    * q ARRAY<BIGINT>, the round(e·1000) convention of [[qvec]]) — the
+    * library entry point ([[graft.api.GraftApi.semanticDedupedIds]]).
+    * Returns the vec_ids that survive: one representative (min id) per
+    * cos ≥ 0.9 cluster, everything un-duplicated untouched. */
+  private[graft] def semanticDedupedIdsOf(vecs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val cl = dedupClustersOf(d7PairsOf(vecs).select(col("id_a"), col("id_b")))
+    vecs.select(col("vec_id"))
       .join(cl.filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
-      .orderBy("vec_id")
   }
+
+  val d12: Q = (s, d) =>
+    semanticDedupedIdsOf(d7Population(s, d)).orderBy("vec_id")
   val d12Sql: String =
     s"""WITH RECURSIVE p AS ($d7Sql),
        |${qvecSql("vec_id % 5 = 0").replace("qvec AS (", "qbase AS (")},

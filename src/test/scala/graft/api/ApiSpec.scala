@@ -44,6 +44,26 @@ class ApiSpec extends SparkSpec {
     assert(clusters.forall(_._3 == 3L), "cluster size 3")
   }
 
+  test("semanticDedupedIds keeps one representative per cos >= 0.9 cluster") {
+    val sp = spark
+    import sp.implicits._
+    val q1 = Array.fill(64)(1000L)
+    val q2 = { val a = q1.clone(); a(0) = 1050L; a } // cos ~ 0.9997 vs q1
+    val q3 = Array.tabulate(64)(i => if (i % 2 == 0) 1000L else -1000L) // cos 0 vs q1
+    val vecs = Seq((1L, q1.toSeq), (2L, q2.toSeq), (3L, q3.toSeq)).toDF("vec_id", "q")
+    val kept = GraftApi.semanticDedupedIds(vecs).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L), s"near-identical pair collapses to min id, got $kept")
+  }
+
+  test("unigramNll scores all-hapax docs as more surprising than repeated ones") {
+    val out = GraftApi.unigramNll(userDocs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // docs 1 and 2 are exact duplicates (every token occurs >= 2x); doc 5
+    // is all hapax legomena — it must score strictly higher
+    assert(out(5L) > out(1L))
+    assert(out(1L) === out(2L), "identical docs score identically")
+  }
+
   test("piiStats/redactPii detect and strip the planted PII") {
     val r = GraftApi.piiStats(userDocs).filter(col("doc_id") === 6).head()
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((1L, 1L, 1L)))
