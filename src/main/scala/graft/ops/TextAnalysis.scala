@@ -371,6 +371,48 @@ object TextAnalysis {
       |FROM tk LEFT JOIN vocab v USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- VOC2: vocabulary coverage curve (choose-your-vocab-size tool) ----
+
+  /** VOC2: cumulative corpus coverage by frequency-ranked vocabulary —
+    * "how many tokens does a size-k vocab cover?", the curve every
+    * tokenizer-budget decision reads off. One vocab aggregate, then ONE
+    * window over (freq DESC, tok) — a total order, so rank and the
+    * running sum are deterministic; coverage is exact integer millionths
+    * (cum·1e6 div N). The global sort is over the VOCAB (frequency-
+    * bounded, millions of rows at 100 TB), never the token stream. */
+  private[graft] def vocabCoverageOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("tok"))
+    vocab
+      .select(col("tok"), col("c"),
+        row_number().over(w).as("rank"),
+        sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_c"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_total"))))
+      .select(col("rank"), col("tok"), col("c"),
+        expr("cum_c * 1000000 div n_total").as("coverage_e6"))
+  }
+
+  val voc2: Q = (s, d) =>
+    vocabCoverageOf(Tables.documents(s, d)).orderBy("rank")
+  val voc2Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+      |tk AS (SELECT tok FROM toks WHERE len(tok) > 0),
+      |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+      |ranked AS (
+      |  SELECT tok, c,
+      |         CAST(row_number() OVER (ORDER BY c DESC, tok) AS INTEGER) AS rank,
+      |         CAST(sum(c) OVER (ORDER BY c DESC, tok
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c
+      |  FROM vocab)
+      |SELECT rank, tok, c,
+      |       cum_c * 1000000 // (SELECT CAST(count(*) AS BIGINT) FROM tk) AS coverage_e6
+      |FROM ranked ORDER BY rank""".stripMargin
+
   // ---- T15: unigram-LM negative log-likelihood (CCNet-style quality) ----
 
   /** T15: per-document average unigram negative log-likelihood — the
@@ -547,6 +589,7 @@ object TextAnalysis {
       |ORDER BY wa, wb""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "voc2_vocab_coverage" -> voc2,
     "t15_unigram_nll" -> t15,
     "t14_pmi_cooccurrence" -> t14,
     "t13_nfc_normalize" -> t13,
@@ -562,6 +605,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "voc2_vocab_coverage" -> voc2Sql,
     "t15_unigram_nll" -> t15Sql,
     "t14_pmi_cooccurrence" -> t14Sql,
     "t13_nfc_normalize" -> t13Sql,

@@ -657,7 +657,63 @@ object Streams {
   }
   val st12Sql: String = graft.ops.Dedup.bandCandidatePairsSql
 
+  /** st13's per-bucket state cap — same magnitude as d5's batch skew
+    * guard (`Dedup.MaxBucket`). */
+  private val St13MaxBucket = 50
+
+  /** ST13: st12's PRODUCTION shape — the per-bucket doc list is capped:
+    * once a band bucket holds [[St13MaxBucket]] ids, later arrivals in
+    * that bucket neither emit pairs nor grow state, so a degenerate hot
+    * key (the streaming face of d5's skew guard) has bounded state AND
+    * bounded output forever. The cap makes the result arrival-order-
+    * dependent (the first `cap` arrivals win), so there is no exact batch
+    * oracle — rows-only at the driver, with `StreamsSpec` pinning the
+    * invariants instead: emissions are a SUBSET of the uncapped batch
+    * band pairs, and when no bucket exceeds the cap the capped stream
+    * equals the uncapped one exactly. A real deployment would also set a
+    * watermark state TTL; the fixture documents carry no event time, so
+    * that knob has nothing observable to do here and is omitted. */
+  val st13: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val srcDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream_src_st12_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    if (!Files.isDirectory(srcDir) ||
+        !new java.io.File(srcDir.toString).listFiles().exists(_.getName.endsWith(".parquet"))) {
+      graft.ops.Dedup.corpus(s, d)
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(srcDir.toString)
+    }
+    val schema = s.read.parquet(srcDir.toString).schema
+    val banded = graft.ops.Dedup.minhashBandKeysOf(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString))
+      .as[BandRow]
+    val pairs = banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[Seq[Long], PairOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[BandRow], state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val incoming = it.map(_.doc_id).toSeq.distinct.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+          var acc = seen
+          incoming.foreach { id =>
+            // the cap: a full bucket ignores new members entirely
+            if (!acc.contains(id) && acc.size < St13MaxBucket) {
+              acc.foreach(o => out += PairOut(math.min(o, id), math.max(o, id)))
+              acc = acc :+ id
+            }
+          }
+          state.update(acc)
+          out.iterator
+      }
+    drain(s, pairs.toDF(), "st13_out", OutputMode.Append())
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st13_stream_neardup_capped" -> st13,
     "st12_stream_neardup_candidates" -> st12,
     "st11_stream_expectations" -> st11,
     "src2_custom_source_stream" -> src2,

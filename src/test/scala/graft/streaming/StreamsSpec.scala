@@ -302,6 +302,25 @@ class StreamsSpec extends SparkSpec {
     assert(pairs.distinct.length === pairs.length, "no duplicate emissions survive")
   }
 
+  test("st13 capped stream emits a subset of batch pairs; equals them when no bucket overflows") {
+    import org.apache.spark.sql.functions._
+    val capped = Streams.st13(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val keys = graft.ops.Dedup.minhashBandKeysOf(graft.ops.Dedup.corpus(spark, sfDir))
+    val batch = keys.as("a").join(keys.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.nonEmpty)
+    assert(capped.subsetOf(batch),
+      "the cap may only DROP pairs relative to the uncapped batch join")
+    val maxBucket = keys.groupBy("bucket").count()
+      .agg(max("count")).head().getLong(0)
+    if (maxBucket <= 50)
+      assert(capped === batch,
+        s"no bucket exceeds the cap (max $maxBucket), so capping must be a no-op")
+  }
+
   test("st11 streaming expectation counters equal the batch aggregate regardless of batch cuts") {
     val rows = Streams.st11(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
