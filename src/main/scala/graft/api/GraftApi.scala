@@ -84,6 +84,15 @@ object GraftApi {
   def dedupClustersFromPairs(pairs: DataFrame): DataFrame =
     Dedup.dedupClustersOf(pairs)
 
+  /** Incremental dedup: the new batch minus every row with a verified
+    * near-dup (Jaccard ≥ minJaccardBp bp) in the EXISTING corpus — the
+    * daily-ingest shape. Old×old is never touched; at scale the old
+    * corpus's band keys are the stored dedup index and the new batch is
+    * the probe side. */
+  def incrementalDedupKeep(oldDocs: DataFrame, newDocs: DataFrame,
+      minJaccardBp: Int = 8000): DataFrame =
+    Dedup.incrementalKeepOf(oldDocs, newDocs, minJaccardBp)
+
   /** Semantic dedup keep-list (the SemDeDup recipe, Abbas et al. 2023):
     * cos ≥ 0.9 pairs over hyperplane-banded candidates become duplicate
     * edges; connected components keep the min-id representative per

@@ -736,6 +736,82 @@ object Dedup {
        |WHERE levenshtein(ta.text, tb.text) <= 20
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- D13: incremental dedup (new batch vs existing corpus) ----
+
+  /** D13: INCREMENTAL dedup — dedupe an ARRIVING batch against the
+    * existing corpus without touching old×old: the new batch's MinHash
+    * band keys equi-join the old corpus's band keys (at 100 TB the old
+    * band table is the stored dedup INDEX — append-only, built once per
+    * doc — and the new batch is the small probe side), exact-Jaccard
+    * verify runs only on cross candidates, and a new doc with a verified
+    * old-side match ≥ minJacBp drops. Old-old pairs are already handled
+    * (the old corpus is deduped); new-new dups collapse on the next
+    * increment — this is the daily-ingest shape, not a full re-dedup.
+    * Split-then-hash ≡ hash-then-split (a doc's signature depends only
+    * on its own shingles), which is what makes the exact oracle on the
+    * unified corpus possible. */
+  private[graft] def incrementalKeepOf(oldDocs: DataFrame, newDocs: DataFrame,
+      minJacBp: Int = 8000): DataFrame = {
+    def bandsOf(df: DataFrame) = {
+      val mh = minhashOf(df)
+      mh.select(col("doc_id"), (col("mh0") * MhP + col("mh1")).as("band"), lit(0).as("bi"))
+        .unionAll(mh.select(col("doc_id"), (col("mh2") * MhP + col("mh3")).as("band"), lit(1).as("bi")))
+    }
+    val cand = bandsOf(newDocs).as("n").join(bandsOf(oldDocs).as("o"),
+        col("n.band") === col("o.band") && col("n.bi") === col("o.bi"))
+      .select(col("n.doc_id").as("id_new"), col("o.doc_id").as("id_old"))
+      .distinct()
+    def shSetsOf(df: DataFrame) = shinglesOf(df)
+      .groupBy("doc_id").agg(collect_list(h60(col("shingle"))).as("hs"))
+    val dropped = cand
+      .join(shSetsOf(newDocs).select(col("doc_id").as("id_new"), col("hs").as("hn")), Seq("id_new"))
+      .join(shSetsOf(oldDocs).select(col("doc_id").as("id_old"), col("hs").as("ho")), Seq("id_old"))
+      .select(col("id_new"),
+        expr("size(array_intersect(hn, ho))").cast("long").as("inter"),
+        (size(col("hn")) + size(col("ho"))).cast("long").as("sz"))
+      .filter(col("inter") * 10000 >= (col("sz") - col("inter")) * minJacBp)
+      .select(col("id_new").as("doc_id"))
+      .distinct()
+    newDocs.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** Fixture binding: "old" = doc_id % 3 ≠ 0, "new" = doc_id % 3 = 0 —
+    * the planted dup shells sit at id + 1,000,000/2,000,000 (both ≡ 1 and
+    * ≡ 2 mod 3), so two thirds of the planted pairs cross the split in
+    * one direction or the other and the rest stay out of scope. */
+  val d13: Q = (s, d) => {
+    val c = corpus(s, d)
+    incrementalKeepOf(c.filter(col("doc_id") % 3 =!= 0), c.filter(col("doc_id") % 3 === 0))
+      .select("doc_id").orderBy("doc_id")
+  }
+  val d13Sql: String =
+    s"""WITH $minhashCte,
+       |bands AS (
+       |  SELECT doc_id, mh0 * $MhP + mh1 AS band, 0 AS bi FROM minhash
+       |  UNION ALL
+       |  SELECT doc_id, mh2 * $MhP + mh3 AS band, 1 AS bi FROM minhash),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+       |  FROM bands n JOIN bands o
+       |    ON n.band = o.band AND n.bi = o.bi
+       |   AND n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0),
+       |shh AS (SELECT doc_id, ${h60Sql("shingle")} AS sh FROM shingles),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shh GROUP BY doc_id),
+       |ints AS (
+       |  SELECT c.id_new, c.id_old, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |  JOIN shh sn ON sn.doc_id = c.id_new
+       |  JOIN shh so ON so.doc_id = c.id_old AND sn.sh = so.sh
+       |  GROUP BY c.id_new, c.id_old),
+       |dropped AS (
+       |  SELECT DISTINCT i.id_new FROM ints i
+       |  JOIN sizes nn ON nn.doc_id = i.id_new
+       |  JOIN sizes no ON no.doc_id = i.id_old
+       |  WHERE i.inter * 10000 >= (nn.n + no.n - i.inter) * 8000)
+       |SELECT c.doc_id FROM corpus c
+       |WHERE c.doc_id % 3 = 0 AND c.doc_id NOT IN (SELECT id_new FROM dropped)
+       |ORDER BY c.doc_id""".stripMargin
+
   // ---- D12: semantic dedup (SemDeDup-style, embedding-space clusters) ----
 
   /** D12: semantic dedup over EMBEDDING space — the SemDeDup recipe
@@ -785,6 +861,7 @@ object Dedup {
        |ORDER BY v.vec_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "d13_incremental_dedup" -> d13,
     "d12_semantic_dedup_corpus" -> d12,
     "d11_edit_distance_pairs" -> d11,
     "d10_deduped_corpus" -> d10,
@@ -800,6 +877,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d13_incremental_dedup" -> d13Sql,
     "d12_semantic_dedup_corpus" -> d12Sql,
     "d11_edit_distance_pairs" -> d11Sql,
     "d10_deduped_corpus" -> d10Sql,

@@ -150,6 +150,24 @@ class DedupSimSpec extends SparkSpec {
       assert(!kept.contains(shell), s"shell $shell must be the dropped member"))
   }
 
+  test("D13 incremental dedup drops each new doc whose planted dup sits in the old corpus") {
+    // split: old = doc_id % 3 != 0, new = doc_id % 3 == 0. A planted
+    // exact pair (id, id + 1_000_000) crosses whenever exactly one side
+    // lands in "new" — that side must be dropped; everything else in the
+    // new batch passes through.
+    val kept = Dedup.d13(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    val crossDropped = (0L until nDocs).filter(_ % 7 == 0).flatMap { id =>
+      val shell = id + 1000000L
+      if (id % 3 == 0 && shell % 3 != 0) Some(id)        // new original vs old shell
+      else if (shell % 3 == 0 && id % 3 != 0) Some(shell) // new shell vs old original
+      else None
+    }
+    assert(crossDropped.nonEmpty, "fixture must contain cross-split planted pairs")
+    crossDropped.foreach(id =>
+      assert(!kept.contains(id), s"new doc $id duplicates old content and must drop"))
+  }
+
   test("D8 clusters are canonical: min-id labels, closed under dup edges") {
     val rows = Dedup.queries("d8_dedup_clusters")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
