@@ -44,8 +44,9 @@ object MlLsh {
       |        FROM documents))
       |GROUP BY shingle ORDER BY shingle""".stripMargin
 
-  /** Token-set vectors for MinHashLSH (CountVectorizer binary=true). */
-  private def tokenVectors(s: SparkSession, d: String): DataFrame = {
+  /** Token-set vectors for MinHashLSH (CountVectorizer binary=true).
+    * `private[graft]` so MlLshSpec can band them independently. */
+  private[graft] def tokenVectors(s: SparkSession, d: String): DataFrame = {
     val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
     val docs = tok.transform(Tables.documents(s, d).select(col("doc_id"), col("text")))
     val cv = new CountVectorizer().setInputCol("words").setOutputCol("features")
@@ -72,21 +73,12 @@ object MlLsh {
   private[ml] val Lsh1NumBands = Lsh1NumTables / Lsh1BandRows
   private[ml] val Lsh1MaxBucket = 50
 
-  /** LSH1 candidate pairs with exact Jaccard distance: stock
-    * `ml.feature.MinHashLSH` for the hash family, hand-banded candidate
-    * join with the degenerate-bucket cap above instead of MLlib's uncapped
-    * `approxSimilarityJoin` (which, OR-amplified over single-hash buckets,
-    * degenerates to a near-cartesian self-join on this corpus — round ≤6
-    * bounded the INPUT by 1/5 sampling, a crutch this replaces; the full
-    * corpus now flows through). Distance is the same measure MLlib's
-    * `keyDistance` computes: 1 - |A∩B| / |A∪B| over non-zero indices. */
-  private[ml] def lsh1Pairs(s: SparkSession, d: String): DataFrame = {
+  /** The (doc_id, band, bk) band-key frame lsh1 equi-joins on —
+    * deterministic for a given input (MinHashLSH is seeded), so the spec
+    * recomputes it independently to find which buckets are under the cap
+    * for the planted-recall assertion. */
+  private[graft] def lsh1BandsOf(vecs: DataFrame): DataFrame = {
     import org.apache.spark.ml.linalg.{Vector => MlVector}
-    // persist: the vectors feed the fit, the band projection, AND the
-    // two feature lookups of the pair join — uncached, the
-    // tokenize+vectorize pipeline reruns per consumer
-    val vecs = tokenVectors(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh = new MinHashLSH().setNumHashTables(Lsh1NumTables)
       .setInputCol("features").setOutputCol("hashes").setSeed(Seed)
     val model = mh.fit(vecs)
@@ -94,9 +86,34 @@ object MlLsh {
     val bandKey = udf((hs: Seq[MlVector], b: Int) =>
       (0 until Lsh1BandRows).map(i => hs(b * Lsh1BandRows + i)(0).toLong).mkString(":"))
     val hashed = model.transform(vecs).select(col("doc_id"), col("hashes"))
-    val bands = (0 until Lsh1NumBands).map(b =>
+    (0 until Lsh1NumBands).map(b =>
         hashed.select(col("doc_id"), lit(b).as("band"), bandKey(col("hashes"), lit(b)).as("bk")))
       .reduce(_ unionAll _)
+  }
+
+  /** LSH1 candidate pairs with exact Jaccard distance: stock
+    * `ml.feature.MinHashLSH` for the hash family, hand-banded candidate
+    * join with the degenerate-bucket cap above instead of MLlib's uncapped
+    * `approxSimilarityJoin` (which, OR-amplified over single-hash buckets,
+    * degenerates to a near-cartesian self-join on this corpus — round ≤6
+    * bounded the INPUT by 1/5 sampling, a crutch this replaces; the full
+    * corpus now flows through). Distance is the same measure MLlib's
+    * `keyDistance` computes: 1 - |A∩B| / |A∪B| over non-zero indices.
+    *
+    * CACHE CONTRACT: two intermediate frames (`vecs`, `bands`) are
+    * persisted because each feeds ≥2 consumers of the lazy result; they
+    * cannot be unpersisted here without unpinning them before the caller
+    * materializes. Library callers must `spark.catalog.clearCache()`
+    * when done (the Verify/Bench harnesses already do, per query) — the
+    * same contract as the other persisted query helpers. */
+  private[ml] def lsh1Pairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.linalg.{Vector => MlVector}
+    // persist: the vectors feed the fit, the band projection, AND the
+    // two feature lookups of the pair join — uncached, the
+    // tokenize+vectorize pipeline reruns per consumer
+    val vecs = tokenVectors(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = lsh1BandsOf(vecs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = bands.groupBy("band", "bk").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= Lsh1MaxBucket).select("band", "bk")

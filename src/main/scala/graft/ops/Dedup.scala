@@ -689,28 +689,56 @@ object Dedup {
 
   // ---- D11: edit-distance near-dup pairs (suffix+prefix-blocked) ----
 
+  /** Skew cap for d11's mid-content block key — same magnitude and
+    * rationale as d5's [[MaxBucket]]: a popular (length-band, min-gram)
+    * bucket is shared-boilerplate clustering, exact/near-dup machinery's
+    * job (d1/d3), and joining inside it recreates the O(n²) pair space
+    * blocking exists to avoid. The cap bounds mid-key candidates to
+    * ≤ 2n·(cap−1)/2 — linear in n — and is deterministic, so the oracle
+    * applies it identically. */
+  private[graft] val D11MaxBucket = 50
+
   /** D11: character-level near-dup pairs by Levenshtein distance — the
     * string-similarity-join shape (PPJoin-family blocking): candidates
-    * come from EQUI-joins on TWO block keys, a 24-char suffix and a
-    * 24-char prefix (never all-pairs). An edit localized near either end
-    * of the string preserves the other end's key, so a leading edit is
-    * caught by the suffix block and a TRAILING edit by the prefix block
-    * (suffix-only blocking — rounds ≤ 6 — was blind to edits in the last
-    * 24 chars). Candidate pairs are deduped as bare (id, id) rows BEFORE
-    * the expensive verify, so the block exchange never carries document
-    * text; texts are joined back by id and checked with Spark's
+    * come from EQUI-joins on THREE block keys, never all-pairs. A
+    * 24-char suffix catches leading edits, a 24-char prefix catches
+    * trailing edits (suffix-only blocking — rounds ≤ 6 — was blind to
+    * edits in the last 24 chars), and a round-8 MID key closes the
+    * dual-end blindspot (a pair edited in BOTH the first and last 24
+    * chars shares neither end key): "m:" + length-band(32) + the minimum
+    * 60-bit char-8-gram hash of the MIDDLE region (chars 25..len−24).
+    * The middle 8-gram SET is shift-invariant under end edits (an indel
+    * of ≤ maxDist chars at either end only perturbs grams within
+    * ~maxDist of the region boundary), so the min gram is stable unless
+    * it sits at the very edge, and each doc emits its band and band+1 —
+    * |Δlen| ≤ maxDist < 32 guarantees a true pair shares a band. Mid
+    * buckets wider than [[D11MaxBucket]] are skipped (skew cap, mirrored
+    * in the oracle). Candidate pairs are deduped as bare (id, id) rows
+    * BEFORE the expensive verify, so the block exchange never carries
+    * document text; texts are joined back by id and checked with Spark's
     * THRESHOLDED levenshtein (banded DP, early exit at >20; the oracle's
     * plain levenshtein ≤ 20 proves the threshold form exact on
     * survivors). */
   private[graft] def editDistancePairsOf(docs: DataFrame, maxDist: Int = 20): DataFrame = {
-    // "s:"/"p:" tags keep a suffix from ever equi-matching a prefix
-    val keyed = docs.select(col("doc_id"), explode(array(
+    // "s:"/"p:"/"m:" tags keep the three key families from equi-matching
+    val endKeyed = docs.select(col("doc_id"), explode(array(
         concat(lit("s:"), expr("right(text, 24)")),
         concat(lit("p:"), expr("left(text, 24)")))).as("blk"))
+    val m = "substring(text, 25, greatest(length(text) - 48, 1))"
+    val mg = s"array_min(transform(sequence(0, greatest(length($m) - 8, 0)), " +
+      s"i -> CAST(conv(substr(md5(substring($m, i + 1, 8)), 1, 15), 16, 10) AS BIGINT)))"
+    val midKeyed = docs.select(col("doc_id"), explode(array(
+        concat_ws(":", lit("m"), expr("length(text) div 32"), expr(mg)),
+        concat_ws(":", lit("m"), expr("length(text) div 32 + 1"), expr(mg)))).as("blk"))
+    val okMid = midKeyed.groupBy("blk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= D11MaxBucket).select("blk")
+    // explicit select: the USING join puts blk first, and unionAll is positional
+    val keyed = endKeyed.unionAll(
+      midKeyed.join(okMid, Seq("blk")).select(col("doc_id"), col("blk")))
     val cand = keyed.as("a").join(keyed.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct() // a pair found by both keys must verify once, not twice
+      .distinct() // a pair found by several keys must verify once, not thrice
     cand
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
@@ -726,8 +754,22 @@ object Dedup {
        |blk AS (SELECT doc_id, 's:' || right(text, 24) AS blk FROM corpus
        |        UNION ALL
        |        SELECT doc_id, 'p:' || left(text, 24) AS blk FROM corpus),
+       |mid AS (SELECT doc_id, len(text) AS l,
+       |               substr(text, 25, greatest(len(text) - 48, 1)) AS m
+       |        FROM corpus),
+       |mg AS (SELECT doc_id, l,
+       |              list_min([('0x' || substr(md5(m[i+1:i+8]), 1, 15))::BIGINT
+       |                        for i in range(greatest(len(m) - 7, 1))]) AS g
+       |       FROM mid),
+       |mkeys AS (SELECT doc_id, 'm:' || (l // 32) || ':' || g AS blk FROM mg
+       |          UNION ALL
+       |          SELECT doc_id, 'm:' || (l // 32 + 1) || ':' || g AS blk FROM mg),
+       |mok AS (SELECT blk FROM mkeys GROUP BY blk HAVING count(*) <= $D11MaxBucket),
+       |allk AS (SELECT * FROM blk
+       |         UNION ALL
+       |         SELECT mk.doc_id, mk.blk FROM mkeys mk JOIN mok USING (blk)),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+       |         FROM allk a JOIN allk b ON a.blk = b.blk AND a.doc_id < b.doc_id)
        |SELECT c.id_a, c.id_b,
        |       CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS dist
        |FROM cand c
@@ -761,6 +803,14 @@ object Dedup {
         col("n.band") === col("o.band") && col("n.bi") === col("o.bi"))
       .select(col("n.doc_id").as("id_new"), col("o.doc_id").as("id_old"))
       .distinct()
+    // PRECONDITION: `hs` must be a SET per doc for the verify below —
+    // `array_intersect` has distinct semantics while the d13 oracle
+    // counts shingle-hash join matches with multiplicity, and the two
+    // agree only because (a) shinglesOf is `.distinct()` per doc and
+    // (b) within-doc 60-bit h60 collisions are effectively impossible
+    // (≤ a few hundred shingles/doc vs a 2^60 space). If shinglesOf ever
+    // loses its distinct, add `array_distinct` here AND make the oracle
+    // dedupe — changing one side alone breaks the hash match.
     def shSetsOf(df: DataFrame) = shinglesOf(df)
       .groupBy("doc_id").agg(collect_list(h60(col("shingle"))).as("hs"))
     val dropped = cand

@@ -375,25 +375,55 @@ object TextAnalysis {
 
   /** VOC2: cumulative corpus coverage by frequency-ranked vocabulary —
     * "how many tokens does a size-k vocab cover?", the curve every
-    * tokenizer-budget decision reads off. One vocab aggregate, then ONE
-    * window over (freq DESC, tok) — a total order, so rank and the
-    * running sum are deterministic; coverage is exact integer millionths
-    * (cum·1e6 div N). The global sort is over the VOCAB (frequency-
-    * bounded, millions of rows at 100 TB), never the token stream. */
+    * tokenizer-budget decision reads off. Rank and running sum over the
+    * (freq DESC, tok) total order are computed as a TWO-PASS DISTRIBUTED
+    * PREFIX SUM, not a global window (rounds ≤7 used
+    * `Window.orderBy(...)` with no partition key — a single-task funnel
+    * once the vocab is web-scale: URLs, typos, code tokens reach 10⁸–10⁹
+    * distinct): range-partition by the order key so partition k's rows
+    * all rank before partition k+1's, rank/cumsum LOCALLY per partition
+    * (the window below is partitioned by `spark_partition_id` —
+    * parallel), then the tiny per-partition (rows, Σc) totals — one row
+    * per shuffle partition, a justified small collect — become exclusive
+    * prefix offsets broadcast back and added map-side. The ranged frame
+    * is persisted because range partitioning samples its boundaries with
+    * an RDD-id-derived seed: the offsets pass and the rank pass MUST see
+    * the same physical partitioning, which only the cache guarantees
+    * (the harness's per-query `clearCache()` releases it, like the other
+    * persisted query helpers). Coverage stays exact integer millionths
+    * (cum·1e6 div N), and N falls out of the offset totals for free —
+    * the old plan's second scan of the token stream is gone. */
   private[graft] def vocabCoverageOf(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("c").desc, col("tok"))
-    vocab
-      .select(col("tok"), col("c"),
-        row_number().over(w).as("rank"),
-        sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("cum_c"))
-      .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_total"))))
-      .select(col("rank"), col("tok"), col("c"),
-        expr("cum_c * 1000000 div n_total").as("coverage_e6"))
+    val ranged = vocab.repartitionByRange(col("c").desc, col("tok"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = ranged.groupBy("pid")
+      .agg(count(lit(1)).as("pn"), sum(col("c")).as("pc"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accN = 0L; var accC = 0L
+    val offs = totals.map { case (pid, pn, pc) =>
+      val o = (pid, accN, accC); accN += pn; accC += pc; o
+    }.toSeq
+    val nTotal = math.max(accC, 1L) // 0 rows => divisor never evaluated
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val offDf = offs.toDF("pid", "rank_off", "cum_off")
+    val localW = Window.partitionBy("pid").orderBy(col("c").desc, col("tok"))
+    ranged
+      .select(col("pid"), col("tok"), col("c"),
+        row_number().over(localW).as("lrank"),
+        sum("c").over(localW.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("lcum"))
+      .join(broadcast(offDf), Seq("pid"))
+      .select((col("rank_off") + col("lrank")).cast("int").as("rank"),
+        col("tok"), col("c"),
+        expr(s"(cum_off + lcum) * 1000000 div ${nTotal}L").as("coverage_e6"))
   }
 
   val voc2: Q = (s, d) =>

@@ -604,6 +604,46 @@ object Streams {
   case class BandRow(doc_id: Long, bucket: String)
   case class PairOut(id_a: Long, id_b: Long)
 
+  /** Staged parquet replay source shared by st12/st13, fixed per round-7
+    * advice: the old per-query staging skipped the write whenever ANY
+    * .parquet existed, so a stale or partially-written dir (crashed run,
+    * older corpus definition) was silently replayed. Now (a) the dir name
+    * carries a fixture VERSION — bump it whenever `Dedup.corpus` or this
+    * layout changes and old dirs become unreachable by construction — and
+    * (b) the first use in each JVM OVERWRITES unconditionally; only
+    * later same-JVM calls reuse (st12 and st13 replay the identical
+    * corpus, so one write serves both).
+    *
+    * The write also makes the replay order DETERMINISTIC, which upgrades
+    * st13 from rows-only to exact-oracle: `repartitionByRange(4, doc_id)`
+    * puts the k-th doc_id range in part-file k, and each part file gets a
+    * strictly increasing mod-time in file-name order. FileStreamSource
+    * consumes oldest-first (latestFirst=false), so with
+    * maxFilesPerTrigger=1 the global arrival order is ascending doc_id —
+    * "the first `cap` arrivals per bucket" is then exactly "the `cap`
+    * smallest doc_ids per bucket", a batch-expressible property. */
+  private val stagedOnce = scala.collection.mutable.Set.empty[String]
+  private def stagedNeardupSrc(s: SparkSession, d: String): String = {
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream_src_neardup_v2_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    stagedOnce.synchronized {
+      if (!stagedOnce.contains(dir.toString)) {
+        graft.ops.Dedup.corpus(s, d)
+          .repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(dir.toString)
+        val parts = new java.io.File(dir.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        val t0 = System.currentTimeMillis() - 1000L * (parts.length + 1)
+        parts.zipWithIndex.foreach { case (p, i) =>
+          require(p.setLastModified(t0 + 1000L * i),
+            s"cannot stamp mod-time on $p — replay order would be undefined")
+        }
+        stagedOnce += dir.toString
+      }
+    }
+    dir.toString
+  }
+
   /** ST12: STREAMING near-dup candidate detection — the dedup family's
     * incremental face: as documents arrive, each row's MinHash band keys
     * are computed MAP-SIDE (the per-row `array_min` over universal-hash
@@ -621,18 +661,11 @@ object Streams {
   val st12: Q = (s, d) => {
     val sp = s
     import sp.implicits._
-    val srcDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_stream_src_st12_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    if (!Files.isDirectory(srcDir) ||
-        !new java.io.File(srcDir.toString).listFiles().exists(_.getName.endsWith(".parquet"))) {
-      graft.ops.Dedup.corpus(s, d)
-        .repartitionByRange(4, col("doc_id"))
-        .write.mode("overwrite").parquet(srcDir.toString)
-    }
-    val schema = s.read.parquet(srcDir.toString).schema
+    val srcDir = stagedNeardupSrc(s, d)
+    val schema = s.read.parquet(srcDir).schema
     val banded = graft.ops.Dedup.minhashBandKeysOf(
       s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-        .parquet(srcDir.toString))
+        .parquet(srcDir))
       .as[BandRow]
     val pairs = banded.groupByKey(_.bucket)
       .flatMapGroupsWithState[Seq[Long], PairOut](
@@ -666,28 +699,25 @@ object Streams {
     * that bucket neither emit pairs nor grow state, so a degenerate hot
     * key (the streaming face of d5's skew guard) has bounded state AND
     * bounded output forever. The cap makes the result arrival-order-
-    * dependent (the first `cap` arrivals win), so there is no exact batch
-    * oracle — rows-only at the driver, with `StreamsSpec` pinning the
-    * invariants instead: emissions are a SUBSET of the uncapped batch
-    * band pairs, and when no bucket exceeds the cap the capped stream
-    * equals the uncapped one exactly. A real deployment would also set a
-    * watermark state TTL; the fixture documents carry no event time, so
-    * that knob has nothing observable to do here and is omitted. */
+    * dependent (the first `cap` arrivals win) — but the staged replay's
+    * arrival order is deterministic ascending doc_id (see
+    * [[stagedNeardupSrc]]), so "first `cap` arrivals per bucket" IS
+    * batch-expressible: `row_number() OVER (PARTITION BY bucket ORDER BY
+    * doc_id) <= cap`, then pairs among the kept members — [[st13Sql]],
+    * an exact hash-checked oracle (rows-only in rounds ≤7).
+    * `StreamsSpec` additionally pins the order-free invariants (capped ⊆
+    * uncapped; equality when no bucket overflows). A real deployment
+    * would also set a watermark state TTL; the fixture documents carry
+    * no event time, so that knob has nothing observable to do here and
+    * is omitted. */
   val st13: Q = (s, d) => {
     val sp = s
     import sp.implicits._
-    val srcDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_stream_src_st12_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    if (!Files.isDirectory(srcDir) ||
-        !new java.io.File(srcDir.toString).listFiles().exists(_.getName.endsWith(".parquet"))) {
-      graft.ops.Dedup.corpus(s, d)
-        .repartitionByRange(4, col("doc_id"))
-        .write.mode("overwrite").parquet(srcDir.toString)
-    }
-    val schema = s.read.parquet(srcDir.toString).schema
+    val srcDir = stagedNeardupSrc(s, d)
+    val schema = s.read.parquet(srcDir).schema
     val banded = graft.ops.Dedup.minhashBandKeysOf(
       s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-        .parquet(srcDir.toString))
+        .parquet(srcDir))
       .as[BandRow]
     val pairs = banded.groupByKey(_.bucket)
       .flatMapGroupsWithState[Seq[Long], PairOut](
@@ -712,6 +742,29 @@ object Streams {
       .orderBy("id_a", "id_b")
   }
 
+  /** Batch oracle for the CAPPED stream: arrival order is ascending
+    * doc_id ([[stagedNeardupSrc]]), so the bucket membership the stream
+    * converges to is the `St13MaxBucket` smallest doc_ids per (band, bi)
+    * bucket, and the emitted pairs are all pairs among those members. */
+  val st13Sql: String = {
+    val P = graft.ops.Dedup.MhP
+    s"""WITH ${graft.ops.Dedup.minhashCte},
+       |bands AS (
+       |  SELECT doc_id, mh0 * $P + mh1 AS band, 0 AS bi FROM minhash
+       |  UNION ALL
+       |  SELECT doc_id, mh2 * $P + mh3 AS band, 1 AS bi FROM minhash),
+       |kept AS (
+       |  SELECT doc_id, band, bi FROM (
+       |    SELECT doc_id, band, bi,
+       |           row_number() OVER (PARTITION BY band, bi ORDER BY doc_id) AS rn
+       |    FROM bands)
+       |  WHERE rn <= $St13MaxBucket)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM kept a JOIN kept b
+       |  ON a.band = b.band AND a.bi = b.bi AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "st13_stream_neardup_capped" -> st13,
     "st12_stream_neardup_candidates" -> st12,
@@ -731,6 +784,7 @@ object Streams {
 
   /** Streaming results must equal the batch windowing oracles. */
   val oracle: Map[String, String] = Map(
+    "st13_stream_neardup_capped" -> st13Sql,
     "st12_stream_neardup_candidates" -> st12Sql,
     "st11_stream_expectations" -> st11Sql,
     "st1_stream_tumbling" -> graft.ops.Events.e1Sql,

@@ -49,6 +49,43 @@ class MlLshSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("lsh1 planted recall: identical-token-set pairs in under-cap buckets all surface at distance 0") {
+    import org.apache.spark.sql.functions._
+    // The round-7 rewrite (3x4 hand-banding + bucket cap) deliberately
+    // trades recall near the threshold for linear candidate growth — but
+    // EXACT duplicates (identical binary token vectors, hence identical
+    // hashes in every band) that sit in at least one under-cap bucket
+    // have no excuse: all of them must appear at jaccard_dist 0. A
+    // banding bug that silently drops pairs now fails here instead of
+    // passing the subset/upper-bound tests.
+    val bands = MlLsh.lsh1BandsOf(MlLsh.tokenVectors(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+    val bucketOf = bands.groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).toSet }
+    val bucketSize = bands.groupBy(_._2).map { case (bk, rs) => bk -> rs.length }
+    val tsets = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_sort(array_distinct(
+        filter(split(lower(col("text")), "\\s"), t => length(t) > 0))).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).mkString(" "))
+    val expected = tsets.groupBy(_._2).values.filter(_.length > 1).flatMap { g =>
+      val ids = g.map(_._1).sorted
+      for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        a = ids(i); b = ids(j)
+        // identical vectors share every bucket; the cap drops the pair
+        // only when ALL of its buckets are over — those are exempt
+        if bucketOf.contains(a) && bucketOf.contains(b) &&
+          bucketOf(a).exists(bk => bucketSize(bk) <= MlLsh.Lsh1MaxBucket)
+      } yield (a, b)
+    }.toSet
+    assert(expected.nonEmpty, "fixture must plant identical-token-set pairs in under-cap buckets")
+    val got = MlLsh.lsh1Pairs(spark, sfDir)
+      .filter(col("jaccard_dist") === 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missing = expected -- got
+    assert(missing.isEmpty,
+      s"recall regression: ${missing.size} planted exact-dup pairs absent, e.g. ${missing.take(3)}")
+  }
+
   test("lsh1 zero-distance pairs have identical token sets (independent recompute)") {
     import org.apache.spark.sql.functions._
     // jaccard_dist == 0 claims identical binary token vectors; verify

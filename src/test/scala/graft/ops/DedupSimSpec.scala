@@ -123,12 +123,20 @@ class DedupSimSpec extends SparkSpec {
       1L -> base,
       2L -> ("XYZ " + base),            // leading edit: suffix key matches
       3L -> (base + " TAIL EDIT"),      // trailing edit: prefix key matches
-      4L -> "a completely different document about spark catalyst optimizer rules"
+      4L -> "a completely different document about spark catalyst optimizer rules",
+      // DUAL-END edit (round 8): first AND last 24 chars both touched, so
+      // neither end key matches — only the mid (length-band, min-8-gram)
+      // key can surface it. Substitution-only edits keep the middle
+      // region positionally identical, the case the mid key catches
+      // deterministically (indel end edits shift the region boundary and
+      // are caught unless the min gram sits in the boundary slack).
+      5L -> ("XYZ" + base.drop(3).dropRight(4) + "WXYZ")
     ).toDF("doc_id", "text")
     val pairs = Dedup.editDistancePairsOf(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)), "leading-edit pair must surface via the suffix block")
     assert(pairs.contains((1L, 3L)), "trailing-edit pair must surface via the prefix block")
+    assert(pairs.contains((1L, 5L)), "dual-end-edit pair must surface via the mid block key")
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc stays unpaired")
   }
 

@@ -109,6 +109,23 @@ class PlanShapeSpec extends SparkSpec {
       "the profile must come from a single pass over documents\n" + p.take(600))
   }
 
+  test("VOC2 coverage curve has no single-partition global window") {
+    // Rounds <=7 ranked the vocab with Window.orderBy(...) and no
+    // partition key — one task for the whole curve once the vocab is
+    // web-scale. The two-pass prefix sum must leave every Window
+    // partitioned (by spark_partition_id), so no plan node may carry an
+    // empty partition spec: `Window [...], [pid...]` yes,
+    // `SinglePartition` window exchange no.
+    val p = plan(TextAnalysis.voc2(spark, sfDir))
+    assert(p.contains("Window"), p.take(600))
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, p.take(600))
+    winLines.foreach(l =>
+      assert(l.contains("pid"), s"window must be partitioned by pid, got: $l"))
+    assert(!p.contains("SinglePartition, ENSURE_REQUIREMENTS"),
+      "no exchange may funnel the curve into one partition")
+  }
+
   test("whole-stage codegen covers the text-cleaning chain (no UDFs)") {
     val p = plan(Corpus.tokensNb(spark, sfDir))
     // '*(n)' prefixes mark operators fused into WholeStageCodegen stage n
