@@ -191,6 +191,21 @@ object GraftApi {
   def quantizedCosineTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
     graft.ops.Similarity.quantizedCosineTopKOf(vectors, queries, k)
 
+  /** Batched ANN for a whole QUERY SET: the two-stage path (int8
+    * prefilter over the corpus selects `k1` candidates per query, exact
+    * cosine reranks only those — sim7's shape). Use THIS for multiple
+    * queries, not a per-key kNN loop: MLlib's
+    * `approxNearestNeighbors` (the lsh2 pattern) runs one O(|corpus|)
+    * scan PER query key from the driver, so a 1 000-query set costs
+    * 1 000 jobs, while this broadcasts all the queries into ONE corpus
+    * pass regardless of |Q|. Deterministic (integer dots, cand_id
+    * tie-break) and exact whenever the true top-k survives the `k1`
+    * prefilter — MlLshSpec shows it returning the exact brute-force
+    * neighbors for lsh2's own query keys. */
+  def cosineTopKMany(vectors: DataFrame, queries: DataFrame, k: Int,
+      k1: Int = 32): DataFrame =
+    graft.ops.Similarity.rerankTopKOf(vectors, queries, k1 = k1, k = k)
+
   // ---- temporal ----
 
   /** Inclusive as-of join: for each left row, attach `asof_<tsCol>` /

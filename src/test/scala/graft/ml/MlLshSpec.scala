@@ -128,6 +128,33 @@ class MlLshSpec extends SparkSpec {
     assert(avg >= 0.5, s"mean kNN recall vs exact top-5 must stay >= 0.5, got $avg (${recalls.toSeq})")
   }
 
+  test("batched cosineTopKMany returns the exact neighbors for lsh2's query keys") {
+    import org.apache.spark.sql.functions._
+    // lsh2's per-key approxNearestNeighbors is one O(|corpus|) scan PER
+    // query (fine at k=3, a driver loop at k=1000); the documented route
+    // for query SETS is the batched two-stage path. Show that for lsh2's
+    // own keys the batched path returns exactly the brute-force top-5 —
+    // so switching paths never loses a correct neighbor, whereas lsh2
+    // itself is approximate (recall floor 0.5 above).
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val keys = emb.filter(col("vec_id") % 100 === 0).orderBy("vec_id").limit(3)
+    def byQ(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val batched = byQ(graft.api.GraftApi.cosineTopKMany(emb, keys, k = 5).collect())
+    val exact = byQ(graft.ops.Similarity.cosineTopKOf(emb, keys, 5).collect())
+    assert(batched.keySet === exact.keySet)
+    assert(batched.keySet.nonEmpty)
+    exact.foreach { case (q, ids) =>
+      assert(batched(q) === ids, s"batched top-5 for key $q must equal brute force")
+    }
+    // and every TRUE neighbor the per-key scan did find is in the batched set
+    val approx = MlLsh.lsh2(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    approx.foreach { case (q, got) =>
+      assert((got intersect exact(q)).subsetOf(batched(q)))
+    }
+  }
+
   test("lsh2 seeded runs are deterministic within a session") {
     val a = MlLsh.lsh2(spark, sfDir).collect().toSeq
     val b = MlLsh.lsh2(spark, sfDir).collect().toSeq
