@@ -103,6 +103,14 @@ object GraftApi {
   def semanticDedupedIds(vecs: DataFrame): DataFrame =
     Dedup.semanticDedupedIdsOf(vecs)
 
+  /** Per-doc duplicated-substring stats (hashed fixed-width token
+    * windows, the scalable variant of Lee et al. 2022's exact substring
+    * dedup): docs with ≥ 1 window of `w` tokens whose hash occurs in
+    * ≥ 2 distinct docs, as (doc_id, n_windows, n_dup_windows, dup_bp).
+    * Docs shorter than `w` tokens have no windows and never appear. */
+  def substringDupStats(docs: DataFrame, w: Int = 16): DataFrame =
+    Dedup.substringDupStatsOf(docs, w)
+
   // ---- text analysis ----
 
   /** Redact PII in place: email → [EMAIL], phone → [PHONE], IPv4 → [IP]. */

@@ -910,7 +910,76 @@ object Dedup {
        |WHERE v.vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
        |ORDER BY v.vec_id""".stripMargin
 
+  // ---- D14: exact substring dedup (duplicated token-window detection) ----
+
+  /** D14: EXACT SUBSTRING dedup signal — the hashed-window variant of Lee
+    * et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499): a fixed-width token window (W=16,
+    * stride 1) is "duplicated" when its hash occurs in ≥ 2 DISTINCT
+    * documents, and each doc reports how much of it is covered by such
+    * windows — the per-doc removal signal the paper's suffix-array pass
+    * produces, re-expressed as pure hash aggregation (no suffix array
+    * needed for the fixed-W variant, which is what production pipelines
+    * actually run at scale).
+    *
+    * Scale design: windows are generated MAP-SIDE (one `transform` over
+    * the token array — rows out ≈ tokens in, same order as t1's explode);
+    * the only corpus-wide exchange is the hash groupBy (8-byte keys,
+    * partial-aggregated), and the dup-hash set joins back as a LEFT join
+    * on the same 8-byte key. Nothing is quadratic: a window repeated in
+    * k docs costs k rows, not k² pairs. At 100 TB the window-hash
+    * aggregate is the same shape as d1's exact-hash groupBy — the
+    * cheapest dedup exchange there is. Docs shorter than W tokens have
+    * no windows and are excluded symmetrically in both engines. */
+  private[graft] val D14W = 16
+
+  /** Per-doc duplicated-window stats of any (doc_id, text) frame — the
+    * library entry point ([[graft.api.GraftApi.substringDupStats]]).
+    * Returns docs with ≥ 1 duplicated window: (doc_id, n_windows,
+    * n_dup_windows, dup_bp). */
+  private[graft] def substringDupStatsOf(docs: DataFrame, w: Int = D14W): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $w), i -> " +
+          s"CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, $w))), 1, 15), 16, 10) AS LONG))"))
+        .as("wh"))
+    val dupHashes = wins
+      .groupBy("wh").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("wh"), lit(1).as("isdup"))
+    wins.join(dupHashes, Seq("wh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("isdup").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
+      .filter(col("n_dup_windows") > 0)
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        expr("n_dup_windows * 10000 div n_windows").as("dup_bp"))
+  }
+
+  val d14: Q = (s, d) =>
+    substringDupStatsOf(corpus(s, d)).orderBy("doc_id")
+  val d14Sql: String =
+    s"""WITH $corpusCte,
+       |toks AS (SELECT doc_id, str_split(text, ' ') AS toks FROM corpus),
+       |wins AS (
+       |  SELECT doc_id,
+       |         unnest([('0x' || substr(md5(array_to_string(toks[i+1:i+$D14W], ' ')), 1, 15))::BIGINT
+       |                 for i in range(len(toks) - ${D14W - 1})]) AS wh
+       |  FROM toks WHERE len(toks) >= $D14W),
+       |dh AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+       |agg AS (
+       |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |         CAST(sum(CASE WHEN w.wh IN (SELECT wh FROM dh) THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_dup_windows
+       |  FROM wins w GROUP BY w.doc_id)
+       |SELECT doc_id, n_windows, n_dup_windows,
+       |       n_dup_windows * 10000 // n_windows AS dup_bp
+       |FROM agg WHERE n_dup_windows > 0 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d14_substring_dedup" -> d14,
     "d13_incremental_dedup" -> d13,
     "d12_semantic_dedup_corpus" -> d12,
     "d11_edit_distance_pairs" -> d11,
@@ -927,6 +996,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d14_substring_dedup" -> d14Sql,
     "d13_incremental_dedup" -> d13Sql,
     "d12_semantic_dedup_corpus" -> d12Sql,
     "d11_edit_distance_pairs" -> d11Sql,

@@ -44,6 +44,17 @@ class ApiSpec extends SparkSpec {
     assert(clusters.forall(_._3 == 3L), "cluster size 3")
   }
 
+  test("substringDupStats finds shared token windows and only those") {
+    // w=4: docs 1,2 are exact dups (12 tokens -> 9 windows, all shared);
+    // doc 3 drops the first word (11 tokens -> 8 windows, every one also
+    // in docs 1/2); docs 4-6 share no 4-token window with anything
+    val out = GraftApi.substringDupStats(userDocs, w = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L), s"only the planted family, got ${out.keySet}")
+    assert(out(1L) === ((9L, 9L, 10000L)) && out(2L) === ((9L, 9L, 10000L)))
+    assert(out(3L) === ((8L, 8L, 10000L)))
+  }
+
   test("semanticDedupedIds keeps one representative per cos >= 0.9 cluster") {
     val sp = spark
     import sp.implicits._
