@@ -111,6 +111,13 @@ object GraftApi {
   def substringDupStats(docs: DataFrame, w: Int = 16): DataFrame =
     Dedup.substringDupStatsOf(docs, w)
 
+  /** Excise every token covered by a duplicated `w`-token window (the
+    * removal step of Lee et al. 2022's substring dedup): per changed doc,
+    * (doc_id, n_tokens, n_removed, cleaned_md5). Unchanged docs are not
+    * returned — the caller anti-joins to pass them through untouched. */
+  def substringRemoval(docs: DataFrame, w: Int = 16): DataFrame =
+    Dedup.substringRemovalOf(docs, w)
+
   // ---- text analysis ----
 
   /** Redact PII in place: email → [EMAIL], phone → [PHONE], IPv4 → [IP]. */

@@ -937,18 +937,27 @@ object Dedup {
     * library entry point ([[graft.api.GraftApi.substringDupStats]]).
     * Returns docs with ≥ 1 duplicated window: (doc_id, n_windows,
     * n_dup_windows, dup_bp). */
-  private[graft] def substringDupStatsOf(docs: DataFrame, w: Int = D14W): DataFrame = {
-    val wins = docs
+  /** (doc_id, i, wh): the 60-bit hash of the w-token window starting at
+    * 0-based token position i — map-side (one transform + posexplode per
+    * doc); docs shorter than w tokens emit nothing. Shared by d14/d15. */
+  private def windowHashesOf(docs: DataFrame, w: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= w)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(toks) - $w), i -> " +
           s"CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, $w))), 1, 15), 16, 10) AS LONG))"))
-        .as("wh"))
-    val dupHashes = wins
-      .groupBy("wh").agg(countDistinct(col("doc_id")).as("nd"))
+        .as(Seq("i", "wh")))
+
+  /** Window hashes occurring in ≥ 2 distinct docs — the dup predicate of
+    * d14/d15 (one partial-aggregated groupBy on the 8-byte hash). */
+  private def dupWindowHashesOf(wins: DataFrame): DataFrame =
+    wins.groupBy("wh").agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("wh"), lit(1).as("isdup"))
+
+  private[graft] def substringDupStatsOf(docs: DataFrame, w: Int = D14W): DataFrame = {
+    val wins = windowHashesOf(docs, w)
+    val dupHashes = dupWindowHashesOf(wins).select(col("wh"), lit(1).as("isdup"))
     wins.join(dupHashes, Seq("wh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
@@ -978,7 +987,62 @@ object Dedup {
        |       n_dup_windows * 10000 // n_windows AS dup_bp
        |FROM agg WHERE n_dup_windows > 0 ORDER BY doc_id""".stripMargin
 
+  // ---- D15: exact substring REMOVAL (excise duplicated spans) ----
+
+  /** D15: the removal step Lee et al. 2022 run after detection — every
+    * token covered by a duplicated window (d14's predicate) is excised
+    * and the doc is reassembled from the surviving tokens. Per changed
+    * doc: token counts before/after and the md5 of the cleaned text (the
+    * full text would dwarf the result frame; the hash pins it exactly).
+    *
+    * Scale design: the per-doc duplicated-start list rides ONE
+    * collect_list over the (already tiny) dup-window rows, joins back by
+    * doc_id, and the excision itself is a map-side higher-order `filter`
+    * whose index lambda probes the start list — per-token cost is
+    * O(dup windows in that doc), no shuffle beyond d14's own hash
+    * aggregate. Docs with nothing to remove never enter the join (inner
+    * on the dup-start frame). */
+  private[graft] def substringRemovalOf(docs: DataFrame, w: Int = D14W): DataFrame = {
+    val wins = windowHashesOf(docs, w)
+    val dupStarts = wins
+      .join(dupWindowHashesOf(wins).select("wh"), Seq("wh"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("ds"))
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(dupStarts, Seq("doc_id"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        expr(s"filter(toks, (x, j) -> NOT exists(ds, i -> i <= j AND j < i + $w))")
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
+  }
+
+  val d15: Q = (s, d) =>
+    substringRemovalOf(corpus(s, d)).orderBy("doc_id")
+  val d15Sql: String =
+    s"""WITH $corpusCte,
+       |toks AS (SELECT doc_id, str_split(text, ' ') AS toks FROM corpus),
+       |wins AS (
+       |  SELECT doc_id, unnest(range(len(toks) - ${D14W - 1})) AS i,
+       |         unnest([('0x' || substr(md5(array_to_string(toks[i+1:i+$D14W], ' ')), 1, 15))::BIGINT
+       |                 for i in range(len(toks) - ${D14W - 1})]) AS wh
+       |  FROM toks WHERE len(toks) >= $D14W),
+       |dh AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+       |ds AS (SELECT doc_id, list(i ORDER BY i) AS ds
+       |       FROM wins WHERE wh IN (SELECT wh FROM dh) GROUP BY doc_id),
+       |cut AS (
+       |  SELECT t.doc_id, len(t.toks) AS n_tokens,
+       |         [t.toks[j+1] for j in range(len(t.toks))
+       |          if len(list_filter(d.ds, i -> i <= j and j < i + $D14W)) = 0] AS kept
+       |  FROM toks t JOIN ds d ON t.doc_id = d.doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+       |       md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+       |FROM cut ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d15_substring_removal" -> d15,
     "d14_substring_dedup" -> d14,
     "d13_incremental_dedup" -> d13,
     "d12_semantic_dedup_corpus" -> d12,
@@ -996,6 +1060,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d15_substring_removal" -> d15Sql,
     "d14_substring_dedup" -> d14Sql,
     "d13_incremental_dedup" -> d13Sql,
     "d12_semantic_dedup_corpus" -> d12Sql,

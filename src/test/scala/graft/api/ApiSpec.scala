@@ -55,6 +55,34 @@ class ApiSpec extends SparkSpec {
     assert(out(3L) === ((8L, 8L, 10000L)))
   }
 
+  test("substringRemoval excises exactly the duplicated spans") {
+    // w=4 over userDocs: docs 1,2 are identical -> every window dup ->
+    // every token covered -> cleaned text empty; doc 3's 8 windows are all
+    // dup too (all shared with 1/2), covering all 11 tokens; docs 4-6
+    // share nothing and must not appear
+    val out = GraftApi.substringRemoval(userDocs, w = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L)._1 === 12L && out(1L)._2 === 12L, "doc1 fully excised")
+    assert(out(3L)._1 === 11L && out(3L)._2 === 11L, "doc3 fully excised")
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.emptyByteArray).map(b => f"$b%02x").mkString
+    assert(out(1L)._3 === emptyMd5, "cleaned text is the empty string")
+
+    // a PARTIAL overlap: two long docs sharing only a 4-token run in the
+    // middle lose exactly that run's coverage (4 + 3 trailing window
+    // tokens... the shared window is one start -> 4 tokens each)
+    val sp = spark
+    import sp.implicits._
+    val partial = Seq(
+      (10L, "p q r s SHARED1 SHARED2 SHARED3 SHARED4 t u v w"),
+      (11L, "h i j k SHARED1 SHARED2 SHARED3 SHARED4 l m n o"))
+      .toDF("doc_id", "text")
+    val pr = GraftApi.substringRemoval(partial, w = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pr === Map(10L -> 4L, 11L -> 4L), s"only the shared 4-token span is cut, got $pr")
+  }
+
   test("semanticDedupedIds keeps one representative per cos >= 0.9 cluster") {
     val sp = spark
     import sp.implicits._
