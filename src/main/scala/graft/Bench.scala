@@ -48,7 +48,11 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name prefixes for scoped
+    // sweeps (e.g. the sf1 heavy-family scale smoke); default all.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val timings = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {

@@ -720,23 +720,39 @@ object Dedup {
     * plain levenshtein ≤ 20 proves the threshold form exact on
     * survivors). */
   private[graft] def editDistancePairsOf(docs: DataFrame, maxDist: Int = 20): DataFrame = {
-    // "s:"/"p:"/"m:" tags keep the three key families from equi-matching
-    val endKeyed = docs.select(col("doc_id"), explode(array(
+    // "s:"/"p:"/"m:" tags keep the three key families from equi-matching.
+    // Every key row carries length(text): lev ≤ maxDist implies
+    // |Δlen| ≤ maxDist, so the self-join prunes length-mismatched pairs
+    // AT JOIN TIME (the 10× scale smoke measured 45% of candidates dying
+    // on this 8-byte comparison — pairs that would otherwise ride the
+    // distinct AND both text joins just to fail the verify).
+    val endKeyed = docs.select(col("doc_id"), length(col("text")).as("l"), explode(array(
         concat(lit("s:"), expr("right(text, 24)")),
         concat(lit("p:"), expr("left(text, 24)")))).as("blk"))
     val m = "substring(text, 25, greatest(length(text) - 48, 1))"
     val mg = s"array_min(transform(sequence(0, greatest(length($m) - 8, 0)), " +
       s"i -> CAST(conv(substr(md5(substring($m, i + 1, 8)), 1, 15), 16, 10) AS BIGINT)))"
-    val midKeyed = docs.select(col("doc_id"), explode(array(
-        concat_ws(":", lit("m"), expr("length(text) div 32"), expr(mg)),
-        concat_ws(":", lit("m"), expr("length(text) div 32 + 1"), expr(mg)))).as("blk"))
+    // the min-gram scan is one md5 PER CHARACTER of the middle region —
+    // by far the most expensive expression in this operator. Compute it
+    // exactly once per doc in its own projection (mg referenced twice
+    // below ⇒ CollapseProject won't re-inline it), then localCheckpoint
+    // the small key frame: without the checkpoint the plan recomputes the
+    // md5 scan for the bucket-cap aggregate AND each side of the
+    // self-join — measured 36 s at the 10× scale smoke, ~3 s after.
+    val mgCol = docs.select(col("doc_id"), length(col("text")).as("l"),
+      expr("length(text) div 32").as("lb"), expr(mg).as("g"))
+    val midKeyed = mgCol.select(col("doc_id"), col("l"), explode(array(
+        concat_ws(":", lit("m"), col("lb"), col("g")),
+        concat_ws(":", lit("m"), col("lb") + 1, col("g")))).as("blk"))
+      .localCheckpoint(true)
     val okMid = midKeyed.groupBy("blk").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= D11MaxBucket).select("blk")
     // explicit select: the USING join puts blk first, and unionAll is positional
     val keyed = endKeyed.unionAll(
-      midKeyed.join(okMid, Seq("blk")).select(col("doc_id"), col("blk")))
+      midKeyed.join(okMid, Seq("blk")).select(col("doc_id"), col("l"), col("blk")))
     val cand = keyed.as("a").join(keyed.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.l") - col("b.l")) <= maxDist)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct() // a pair found by several keys must verify once, not thrice
     cand

@@ -663,6 +663,62 @@ object ScaleOps {
       |       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- MIX1: temperature-based source mixture (computed rates) ----
+
+  /** MIX1: temperature sampling over sources — the corpus-mixing rule
+    * multilingual/multi-domain pretraining uses (e.g. mBERT/XLM-R's
+    * p_s ∝ n_s^τ, τ = 0.5): small sources are UP-weighted relative to
+    * their share, large ones down, by sampling source s at a rate
+    * ∝ √n_s / n_s. Unlike samp2 (fixed per-source thresholds) the rates
+    * here are COMPUTED from the corpus itself, so the op is a two-pass
+    * plan: (1) one tiny per-source count aggregate; (2) a map-side
+    * Bernoulli keep against the broadcast rate table. All rate math is
+    * integer: w_s = floor(sqrt(n_s·10^6)) (IEEE sqrt of an exactly-
+    * representable integer — bit-identical in Spark and DuckDB), the
+    * target kept-count is N/2, and rate_bp_s = min(10000,
+    * 10000·T·w_s / (ΣW·n_s)) in BIGINT floor division. Headroom: the
+    * product tops out near 10^4·T·w_max ≈ N^1.5·10^7 — safe in BIGINT to
+    * N ≈ 10^8 docs per mixing batch; at 100 TB the rate table would be
+    * computed once per corpus snapshot anyway, not per job. The keep
+    * draw reuses samp2's salted-md5 idiom (rerun-stable, join-free). */
+  val mix1: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("w_s", floor(sqrt(col("n_s").cast("double") * lit(1000000L))).cast("long"))
+    val totals = counts.agg(sum(col("n_s")).as("n_total"), sum(col("w_s")).as("w_total"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_s"),
+        // div, not `/`: Column./ on BIGINTs is DOUBLE division in Spark
+        expr("least(10000L, 10000L * (n_total div 2) * w_s div (w_total * n_s))")
+          .as("rate_bp"))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("keep", bernoulliKeep(col("doc_id"), "mix1:", col("rate_bp")))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_total"), max(col("rate_bp")).as("rate_bp"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+  val mix1Sql: String =
+    """WITH counts AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+      |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE) * 1000000)) AS BIGINT) AS w_s
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT sum(n_s) AS n_total, sum(w_s) AS w_total FROM counts),
+      |rates AS (
+      |  SELECT source, n_s,
+      |         least(10000, 10000 * (t.n_total // 2) * w_s // (t.w_total * n_s)) AS rate_bp
+      |  FROM counts CROSS JOIN tot t),
+      |k AS (
+      |  SELECT d.source, d.n_chars, r.n_s, r.rate_bp,
+      |         (('0x' || substr(md5('mix1:' || d.doc_id::VARCHAR), 1, 4))::BIGINT % 10000)
+      |           < r.rate_bp AS keep
+      |  FROM documents d JOIN rates r ON d.source = r.source)
+      |SELECT source, max(n_s) AS n_total, max(rate_bp) AS rate_bp,
+      |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   // ---- B1: bucketed co-located join (no shuffle on either join side) ----
 
   /** B1: the pre-partitioning answer to the biggest shuffle in the engine —
@@ -1101,6 +1157,7 @@ object ScaleOps {
       |ORDER BY check_name""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "mix1_temperature_mix" -> mix1,
     "dq1_expectations" -> dq1,
     "samp3_group_sample_topk" -> samp3,
     "obs1_observed_metrics" -> obs1,
@@ -1131,6 +1188,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "mix1_temperature_mix" -> mix1Sql,
     "dq1_expectations" -> dq1Sql,
     "samp3_group_sample_topk" -> samp3Sql,
     "obs1_observed_metrics" -> obs1Sql,

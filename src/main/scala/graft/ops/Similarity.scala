@@ -461,7 +461,63 @@ object Similarity {
        |SELECT q_id, cand_id, rk, round(cos, 6) AS cos_r
        |FROM ranked2 WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
 
+  // ---- SIM8: LSH recall measurement (exact top-k vs single-probe bucket) ----
+
+  /** SIM8: recall INSTRUMENTATION for the ANN path — "measure, don't
+    * guess": for each query, how many of its EXACT cosine top-5 live in
+    * the query's own 8-plane LSH bucket, i.e. the recall ceiling of the
+    * single-probe scan sim3 runs. Per query: (q_id, n_reachable,
+    * recall_bp). The mean of recall_bp over queries is the number a
+    * production deployment tracks before trusting sim3 over sim1; a
+    * quantizer regression (e.g. a broken plane) shows up here as a
+    * recall collapse while sim3 alone still "passes" (it returns
+    * whatever its bucket holds).
+    *
+    * Scale: the exact side is the sim1 brute-force plan (broadcast query
+    * set × corpus — the measurement is run over a SAMPLE of queries, as
+    * here via % 50); the bucket lookups are one corpus-keyed equi-join
+    * on the 5·|queries| result rows plus one broadcast join for the
+    * query buckets. */
+  val sim8: Q = (s, d) => {
+    val bk = buckets(s, d)
+    val exact = cosineTopKOf(Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0), k = 5)
+    exact
+      .join(bk.select(col("vec_id").as("cand_id"), col("bucket").as("c_bucket")), "cand_id")
+      .join(broadcast(bk.select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"))), "q_id")
+      .groupBy("q_id")
+      .agg(sum(when(col("c_bucket") === col("q_bucket"), 1L).otherwise(0L)).as("n_reachable"))
+      .select(col("q_id"), col("n_reachable"),
+        expr("n_reachable * 10000 div 5").as("recall_bp"))
+      .orderBy("q_id")
+  }
+  val sim8Sql: String =
+    s"""WITH $bucketsCte,
+       |dots AS (
+       |  SELECT q_id, cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot, q_nrm, c_nrm FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS cand_id, a.nrm AS q_nrm, b.nrm AS c_nrm,
+       |           unnest(a.q) AS xa, unnest(b.q) AS xb
+       |    FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+       |  GROUP BY q_id, cand_id, q_nrm, c_nrm),
+       |ranked AS (
+       |  SELECT q_id, cand_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) DESC, cand_id)
+       |           AS INTEGER) AS rk
+       |  FROM dots),
+       |hits AS (
+       |  SELECT r.q_id,
+       |         CAST(sum(CASE WHEN bc.bucket = bq.bucket THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_reachable
+       |  FROM ranked r
+       |  JOIN buckets bc ON r.cand_id = bc.vec_id
+       |  JOIN buckets bq ON r.q_id = bq.vec_id
+       |  WHERE r.rk <= 5 GROUP BY r.q_id)
+       |SELECT q_id, n_reachable, n_reachable * 10000 // 5 AS recall_bp
+       |FROM hits ORDER BY q_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim8_lsh_recall" -> sim8,
     "sim6_ivf_nprobe2_topk" -> sim6,
     "sim1_ann_bruteforce_topk" -> sim1,
     "sim2_lsh_buckets" -> sim2,
@@ -472,6 +528,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "sim8_lsh_recall" -> sim8Sql,
     "sim1_ann_bruteforce_topk" -> sim1Sql,
     "sim2_lsh_buckets" -> sim2Sql,
     "sim3_lsh_ann_topk" -> sim3Sql,

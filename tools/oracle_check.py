@@ -47,8 +47,14 @@ def main(sfdir, outdir):
     # Spark side is pinned UTC; pin DuckDB too or timestamp-emitting queries
     # (to_timestamp casts, TIMESTAMPTZ parquet reads) become host-TZ-dependent
     con.execute("SET TimeZone='UTC'")
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata ships single parquet FILES; GenScale-produced
+        # scale dirs are Spark parquet DIRECTORIES — glob those
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
