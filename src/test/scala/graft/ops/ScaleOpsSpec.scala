@@ -314,6 +314,51 @@ class ScaleOpsSpec extends SparkSpec {
     assert(byName("c6_price_under_60000") > 0L, "the tight price expectation must find violations")
   }
 
+  test("mix1 temperature mix: rates and kept counts match a pure-JVM recomputation") {
+    // Planted skew: one big source (400 docs), one mid (100), one small (25).
+    // τ=0.5 mixing must DOWN-weight the big source (rate_bp < 5000-ish share)
+    // and UP-weight the small one, and every emitted number must equal an
+    // independent recomputation done with plain JVM integer math + MessageDigest
+    // — no Spark expressions on the oracle side of the assert.
+    import spark.implicits._
+    val docs = (0 until 400).map(i => (i.toLong, "big", 100L + i)) ++
+      (1000 until 1100).map(i => (i.toLong, "mid", 50L + i)) ++
+      (2000 until 2025).map(i => (i.toLong, "small", 10L + i))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix1").toString
+    docs.toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // Independent model of the op: w_s = floor(sqrt(n_s*1e6)),
+    // rate_bp = min(10000, 10000*(N div 2)*w_s div (w_total*n_s)),
+    // keep = (first-4-hex of md5("mix1:"+id) as int) % 10000 < rate_bp.
+    val bySrc = docs.groupBy(_._2)
+    val nS = bySrc.map { case (s, ds) => s -> ds.size.toLong }
+    val wS = nS.map { case (s, n) => s -> math.floor(math.sqrt(n.toDouble * 1000000L)).toLong }
+    val nTotal = nS.values.sum
+    val wTotal = wS.values.sum
+    val rateBp = nS.map { case (s, n) =>
+      s -> math.min(10000L, 10000L * (nTotal / 2) * wS(s) / (wTotal * n))
+    }
+    def md5KeepDraw(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix1:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map(b => f"$b%02x").mkString, 16) % 10000L
+    }
+    val expected = bySrc.map { case (s, ds) =>
+      val kept = ds.filter { case (id, _, _) => md5KeepDraw(id) < rateBp(s) }
+      s -> (nS(s), rateBp(s), kept.size.toLong, kept.map(_._3).sum)
+    }
+
+    val got = ScaleOps.mix1(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === expected)
+    // Temperature direction: small sources sample at a strictly higher rate.
+    assert(got("small")._2 > got("mid")._2 && got("mid")._2 > got("big")._2)
+    // Big source is genuinely down-sampled, small one kept (near-)fully.
+    assert(got("big")._3 < 400L && got("small")._2 === 10000L)
+  }
+
   test("apx4 CMS estimates bound exact counts: est >= exact, est <= exact + eps*N") {
     val rows = ScaleOps.apx4(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
