@@ -15,10 +15,17 @@ import java.nio.file.{Files, Paths}
   * comparison).
   *
   * Output: the FULL per-query JSON (cold + warm, all queries) goes to
-  * BENCH_FULL.json next to the repo root — a single stdout line was
+  * BENCH_FULL.json next to the repo root (BENCH_SCOPED.json when a
+  * SPARK_GRAFT_BENCH_ONLY prefix filter is active, so a partial sweep can
+  * never masquerade as a full one) — a single stdout line was
   * truncated past 4 KB by capture tooling, silently dropping ~40% of the
   * timings in round 2. Stdout keeps one SHORT line: the total, a headline
-  * subset of per-query warm times, and the path to the full file. */
+  * subset of per-query warm times, and the path to the full file.
+  *
+  * A fixed-work load sentinel runs between entries; entries whose adjacent
+  * sentinel ran >2x the session median are flagged `contaminated` — the
+  * defense against sustained uniform host load, which per-query sample
+  * agreement cannot see (see `sentinelOnce`). */
 object Bench {
   /** Stable cross-round comparison set: the flagship pipelines plus every
     * query that regressed >2x in round 2 (sim3/t1/t2/set1/d1/s7), plus the
@@ -53,8 +60,26 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
+
+    // Load sentinel (round-8 advice): a fixed ~100 ms pure-CPU probe run
+    // before every entry and once after the last. Agreement-of-the-two-
+    // fastest warm samples can only detect load that DISAGREES between
+    // samples — a sustained uniform slowdown (r8's pr1: 14.2 s in the
+    // sweep vs 4.0 s at sf1 on 10x the data) slows every sample equally
+    // and sails through the 20% band. The sentinel's work is constant, so
+    // its time IS the ambient-load signal: an entry whose before- or
+    // after-sentinel exceeds 2x the session median is flagged
+    // `contaminated` even when its own samples agree.
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 192000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id * 2654435761 % 1000003) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelOnce() // JIT/codegen warmup; first probe is not representative
     val timings = names.map { name =>
       val fn = SparkEntry.queries(name)
+      val sentinelBefore = sentinelOnce()
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
@@ -94,21 +119,37 @@ object Bench {
         }
       }
       val warm = if (crashed) -1.0 else samples.min
-      val contaminated = !crashed && !settled
+      val unsettled = !crashed && !settled
       val spread = if (crashed) 0.0 else samples.max - samples.min
       val nWarm = samples.size
-      name -> ((cold, warm, spread, nWarm, contaminated))
+      name -> ((cold, warm, spread, nWarm, unsettled, sentinelBefore))
     }
-    val totalWarm = timings.map { case (_, (_, w, _, _, _)) => math.max(w, 0.0) }.sum
-    val totalCold = timings.map { case (_, (c, _, _, _, _)) => math.max(c, 0.0) }.sum
-    val method = "warm = min over 2-5 samples, sampled until the two fastest " +
-      "agree within 20%; contaminated = agreement never reached (cap hit)"
+    val sentinelAfterLast = sentinelOnce()
+    // session median over every probe (robust to a minority of spikes)
+    val allSentinels =
+      (timings.map(_._2._6) :+ sentinelAfterLast).sorted
+    val sentinelMedian = allSentinels(allSentinels.size / 2)
+    // entry i is load-flagged if the probe before OR after it spiked
+    val sentinelAfter = timings.indices.map(i =>
+      if (i + 1 < timings.size) timings(i + 1)._2._6 else sentinelAfterLast)
+    def loadFlagged(i: Int): Boolean =
+      sentinelMedian > 0 && (
+        timings(i)._2._6 > 2 * sentinelMedian || sentinelAfter(i) > 2 * sentinelMedian)
 
-    val fullJson = timings
-      .map { case (n, (c, w, sp, nw, cont)) =>
-        s"""    "$n": {"cold": ${f(c)}, "warm": ${f(w)}, "spread": ${f(sp)}, "n_warm": $nw, "contaminated": $cont}""" }
+    val totalWarm = timings.map { case (_, (_, w, _, _, _, _)) => math.max(w, 0.0) }.sum
+    val totalCold = timings.map { case (_, (c, _, _, _, _, _)) => math.max(c, 0.0) }.sum
+    val method = "warm = min over 2-5 samples, sampled until the two fastest " +
+      "agree within 20%; contaminated = agreement never reached (cap hit) OR " +
+      "an adjacent fixed-work load sentinel ran >2x the session median"
+    val onlyJson = only.map(_.map(p => s""""$p"""").mkString("[", ",", "]"))
+      .getOrElse("null")
+
+    val fullJson = timings.zipWithIndex
+      .map { case ((n, (c, w, sp, nw, unsettled, sb)), i) =>
+        val cont = unsettled || loadFlagged(i)
+        s"""    "$n": {"cold": ${f(c)}, "warm": ${f(w)}, "spread": ${f(sp)}, "n_warm": $nw, "contaminated": $cont, "unsettled": $unsettled, "sentinel_before": ${f(sb)}}""" }
       .mkString(
-        s"""{\n  "sf": "$sfDir",\n  "unit": "sec",\n  "method": "$method",\n  "total_cold": ${f(totalCold)},\n  "total_warm": ${f(totalWarm)},\n  "queries": {\n""",
+        s"""{\n  "sf": "$sfDir",\n  "unit": "sec",\n  "method": "$method",\n  "only": $onlyJson,\n  "sentinel_median": ${f(sentinelMedian)},\n  "total_cold": ${f(totalCold)},\n  "total_warm": ${f(totalWarm)},\n  "queries": {\n""",
         ",\n",
         "\n  }\n}\n")
     // Anchor next to build.sbt (walking up from the CWD), not at the bare
@@ -119,20 +160,24 @@ object Bench {
       .takeWhile(_ != null)
       .find(p => Files.exists(p.resolve("build.sbt")))
       .getOrElse(Paths.get("").toAbsolutePath)
+    // a prefix-scoped sweep writes to its own file — its 'total' covers
+    // only the subset, and overwriting BENCH_FULL.json made a partial
+    // sweep's artifact indistinguishable from a full one (round-8 advice)
+    val defaultName = if (only.isDefined) "BENCH_SCOPED.json" else "BENCH_FULL.json"
     val fullPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(Paths.get(_).toAbsolutePath)
-      .getOrElse(repoRoot.resolve("BENCH_FULL.json"))
+      .getOrElse(repoRoot.resolve(defaultName))
     Files.writeString(fullPath, fullJson)
 
-    val warmByName = timings.map { case (n, (c, w, _, _, _)) => n -> ((c, w)) }.toMap
+    val warmByName = timings.map { case (n, (c, w, _, _, _, _)) => n -> ((c, w)) }.toMap
     val qs = Headline.flatMap(n => warmByName.get(n).map { case (_, w) => s"\"$n\":${f(w)}" })
       .mkString("{", ",", "}")
     // crashed queries are clamped OUT of the totals (a crash must not read
     // as a speedup), so they have to be loud on the stdout line instead
-    val failed = timings.collect { case (n, (c, w, _, _, _)) if c < 0 || w < 0 => s"\"$n\"" }
+    val failed = timings.collect { case (n, (c, w, _, _, _, _)) if c < 0 || w < 0 => s"\"$n\"" }
       .mkString("[", ",", "]")
-    val contaminatedNames = timings
-      .collect { case (n, (_, _, _, _, true)) => s"\"$n\"" }
+    val contaminatedNames = timings.zipWithIndex
+      .collect { case ((n, (_, _, _, _, unsettled, _)), i) if unsettled || loadFlagged(i) => s"\"$n\"" }
       .mkString("[", ",", "]")
     // Stop Spark BEFORE printing the metric line so no executor/streaming
     // thread can log after it — the JSON line must be the last output.

@@ -100,12 +100,13 @@ object MlLsh {
     * corpus now flows through). Distance is the same measure MLlib's
     * `keyDistance` computes: 1 - |A∩B| / |A∪B| over non-zero indices.
     *
-    * CACHE CONTRACT: two intermediate frames (`vecs`, `bands`) are
-    * persisted because each feeds ≥2 consumers of the lazy result; they
-    * cannot be unpersisted here without unpinning them before the caller
-    * materializes. Library callers must `spark.catalog.clearCache()`
-    * when done (the Verify/Bench harnesses already do, per query) — the
-    * same contract as the other persisted query helpers. */
+    * CACHE HYGIENE (round-8 advice): two intermediate frames (`vecs`,
+    * `bands`) are persisted because each feeds ≥2 consumers. The result
+    * is materialized HERE (localCheckpoint) and both intermediates are
+    * unpersisted before returning, so library callers get a
+    * self-contained frame and owe no clearCache() — the checkpoint
+    * blocks themselves are freed by the ContextCleaner once the returned
+    * frame is unreferenced. */
   private[ml] def lsh1Pairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.linalg.{Vector => MlVector}
     // persist: the vectors feed the fit, the band projection, AND the
@@ -135,10 +136,14 @@ object MlLsh {
       }
       1.0 - inter.toDouble / (ia.length + ib.length - inter)
     })
-    cand
+    val pairs = cand
       .join(vecs.select(col("doc_id").as("id_a"), col("features").as("fa")), Seq("id_a"))
       .join(vecs.select(col("doc_id").as("id_b"), col("features").as("fb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccardDist(col("fa"), col("fb")).as("jaccard_dist"))
+      .localCheckpoint(true) // eager: pins the result so the inputs can unpin
+    vecs.unpersist()
+    bands.unpersist()
+    pairs
   }
 
   /** LSH1: MinHashLSH near-dup candidates at Jaccard distance ≤ 0.3 —

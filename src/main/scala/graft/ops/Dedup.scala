@@ -210,7 +210,9 @@ object Dedup {
     // identically on both sides, so bit-exactness is preserved
     // verify via per-doc shingle-hash SETS: one aggregate builds each
     // doc's h60 array, the candidate pair joins fetch TWO arrays by id,
-    // and the intersection is a map-side array_intersect — versus the
+    // and the intersection is a map-side array_intersect (PRECONDITION:
+    // `hs` must be a set per doc — shinglesOf is `.distinct()`; see the
+    // identical note at the d13 site below) — versus the
     // round-≤5 shingle×shingle equi-join, the exchange carries one
     // ~30-element long array per candidate side instead of re-shuffling
     // the whole exploded shingle frame twice (h60 is injective per doc

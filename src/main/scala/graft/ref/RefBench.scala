@@ -59,8 +59,11 @@ object RefBench {
       s"""{"reps":$reps,"rows":$rows,"nb_sec":${f(nbSec)},"svm_sec":${f(svmSec)},""" +
         s""""nb_acc":${f(nbAcc)},"svm_acc":${f(svmAcc)}}"""
     }.mkString("[", ",", "]")
-    // the 1 M point (reps=40) is the one the report tabulates numerically
-    val headline = points.find(_._1 == 40).orElse(points.lastOption)
+    // the 1 M point (reps=40) is the one the report tabulates numerically;
+    // ratios are emitted ONLY when that exact point ran — dividing a
+    // smaller curve point by the published 1 M-row seconds would compare
+    // mismatched workload sizes (round-8 advice)
+    val headline = points.find(_._1 == 40)
     val ratios = headline.map { case (_, _, nbSec, _, svmSec, _) =>
       s""","baseline_nb_sec":72.05,"baseline_svm_sec":78.78,""" +
         s""""nb_ratio":${f(nbSec / 72.05)},"svm_ratio":${f(svmSec / 78.78)}"""

@@ -459,18 +459,10 @@ object Streams {
     * real multi-batch incremental behavior. */
   val st10: Q = (s, d) => {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // stage the fixture split into 4 files (once per (variant, fixture))
-    val srcDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_stream_src_st10_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    if (!Files.isDirectory(srcDir) ||
-        !new java.io.File(srcDir.toString).listFiles().exists(_.getName.endsWith(".parquet"))) {
-      s.read.parquet(s"$d/events.parquet")
-        .repartitionByRange(4, col("event_id"))
-        .write.mode("overwrite").parquet(srcDir.toString)
-    }
+    val srcDir = stagedEventsSplit(s, d, "st10")
     val physical = s.read.parquet(s"$d/events.parquet").schema
     val src = s.readStream.schema(physical)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .select(col("event_type"), cents(col("value")).as("v_c"))
     val mvRoot = Files.createTempDirectory("graft_st10_mv").toString
     def gens(): Seq[(Long, String)] = {
@@ -538,17 +530,10 @@ object Streams {
     * violations are nonzero. */
   val st11: Q = (s, d) => {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val srcDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_stream_src_st11_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    if (!Files.isDirectory(srcDir) ||
-        !new java.io.File(srcDir.toString).listFiles().exists(_.getName.endsWith(".parquet"))) {
-      s.read.parquet(s"$d/events.parquet")
-        .repartitionByRange(4, col("event_id"))
-        .write.mode("overwrite").parquet(srcDir.toString)
-    }
+    val srcDir = stagedEventsSplit(s, d, "st11")
     val physical = s.read.parquet(s"$d/events.parquet").schema
     val src = s.readStream.schema(physical)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .select(col("user_id"), col("event_type"), cents(col("value")).as("v_c"))
     val root = Files.createTempDirectory("graft_st11_dq").toString
     def gens(): Seq[(Long, String)] = {
@@ -601,6 +586,44 @@ object Streams {
        |UNION ALL SELECT 'c3_value_le_90', n_rows, c3 FROM agg
        |ORDER BY check_name""".stripMargin
 
+  /** Fingerprint of a parquet fixture (single file or directory): md5 over
+    * every member file's (name, length, mtime). Staged replay copies are
+    * reused only when their recorded stamp equals the CURRENT fixture's
+    * fingerprint, so a regenerated fixture restages instead of silently
+    * replaying stale data (round-8 advice: the old reuse gate was
+    * any-parquet-exists, which a crashed or outdated stage also passes). */
+  private def fixtureStamp(path: String): String = {
+    val root = new java.io.File(path)
+    val members = if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
+    val sig = members.map(m => s"${m.getName}:${m.length}:${m.lastModified}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  /** Per-JVM suffix for staged replay dirs: two JVMs sharing
+    * java.io.tmpdir (a bench sweep next to a verify run) must never
+    * overwrite each other's staged files mid-replay (round-8 advice) —
+    * per-process dirs make the race impossible by construction; the
+    * staging cost is charged once per JVM, to the first (cold) use. */
+  private val jvmTag: String = s"pid${ProcessHandle.current().pid()}"
+
+  /** Stage the events fixture split into 4 range-partitioned files — the
+    * multi-batch replay source shared by st10/st11. Reuse (within this
+    * JVM's staging dir) is gated on the source fixture's content stamp. */
+  private def stagedEventsSplit(s: SparkSession, d: String, tag: String): String = {
+    val srcDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_src_${tag}_${jvmTag}_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val stampFile = srcDir.resolve("_stamp_" + fixtureStamp(s"$d/events.parquet"))
+    if (!Files.isDirectory(srcDir) || !Files.exists(stampFile)) {
+      s.read.parquet(s"$d/events.parquet")
+        .repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(srcDir.toString) // wipes old stamps too
+      // leading "_" keeps the stamp invisible to Spark's file listing
+      Files.createFile(stampFile)
+    }
+    srcDir.toString
+  }
+
   case class BandRow(doc_id: Long, bucket: String)
   case class PairOut(id_a: Long, id_b: Long)
 
@@ -624,8 +647,12 @@ object Streams {
     * smallest doc_ids per bucket", a batch-expressible property. */
   private val stagedOnce = scala.collection.mutable.Set.empty[String]
   private def stagedNeardupSrc(s: SparkSession, d: String): String = {
+    // per-JVM dir (see jvmTag): a concurrent bench/verify JVM pair sharing
+    // java.io.tmpdir can no longer overwrite + re-stamp these files while
+    // the other JVM's FileStreamSource is mid-replay (round-8 advice) —
+    // st13's exact arrival-order oracle depends on the stamps staying put
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_stream_src_neardup_v2_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      s"graft_stream_src_neardup_v2_${jvmTag}_" + d.replaceAll("[^A-Za-z0-9]", "_"))
     stagedOnce.synchronized {
       if (!stagedOnce.contains(dir.toString)) {
         graft.ops.Dedup.corpus(s, d)
