@@ -153,13 +153,19 @@ object Dedup {
       "THEN transform(sequence(0, size(split(text, ' ')) - 3), " +
       "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) " +
       "ELSE array(text) END"
+    // Hoist the md5 pass into its own projection: the generator expression
+    // below is NOT subexpression-eliminated by codegen, so inlining hArr
+    // would re-split + re-md5 every shingle once per permutation (4×the
+    // string hashing — the hot loop). After this projection only LONG
+    // arithmetic rides the per-permutation transforms.
     val hArr = s"transform($shArr, sh -> CAST(conv(substr(md5(sh), 1, 7), 16, 10) AS BIGINT))"
     def mh(k: Int): String =
-      s"array_min(transform($hArr, x -> (x * ${MhA(k)}L + ${MhB(k)}L) % ${MhP}L))"
-    docs.select(col("doc_id"),
-      explode(array(
-        concat_ws(":", lit(0), expr(s"${mh(0)} * ${MhP}L + ${mh(1)}")),
-        concat_ws(":", lit(1), expr(s"${mh(2)} * ${MhP}L + ${mh(3)}")))).as("bucket"))
+      s"array_min(transform(h, x -> (x * ${MhA(k)}L + ${MhB(k)}L) % ${MhP}L))"
+    docs.select(col("doc_id"), expr(hArr).as("h"))
+      .select(col("doc_id"),
+        explode(array(
+          concat_ws(":", lit(0), expr(s"${mh(0)} * ${MhP}L + ${mh(1)}")),
+          concat_ws(":", lit(1), expr(s"${mh(2)} * ${MhP}L + ${mh(3)}")))).as("bucket"))
   }
 
   /** The band-join candidate pairs (pre-verify, distinct) as SQL — the

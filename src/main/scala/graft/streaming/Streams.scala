@@ -644,7 +644,21 @@ object Streams {
     * consumes oldest-first (latestFirst=false), so with
     * maxFilesPerTrigger=1 the global arrival order is ascending doc_id —
     * "the first `cap` arrivals per bucket" is then exactly "the `cap`
-    * smallest doc_ids per bucket", a batch-expressible property. */
+    * smallest doc_ids per bucket", a batch-expressible property.
+    *
+    * ROUND-9 SCALING FIX: the replay keeps 4 micro-batches but each range
+    * chunk is now [[NeardupFilesPerBatch]] files instead of 1, consumed
+    * with maxFilesPerTrigger = [[NeardupFilesPerBatch]]. With 1 file per
+    * trigger the expensive band-key projection (split + md5 per shingle)
+    * ran on a SINGLE scan task per batch — profiled at sf1, ~85% of the
+    * 90 s drain was that serial map side, while the 32 state-store tasks'
+    * summed update+commit time amounted to <1 s of wall. Multi-file
+    * chunks give the scan 32-way parallelism with zero semantic change:
+    * batch k still holds a contiguous ascending doc_id range (files are
+    * mod-time-ordered within and across chunks), and the state function
+    * sorts each batch's per-bucket arrivals, so st13's "cap smallest
+    * doc_ids win" oracle is untouched. */
+  private[streaming] val NeardupFilesPerBatch = 32
   private val stagedOnce = scala.collection.mutable.Set.empty[String]
   private def stagedNeardupSrc(s: SparkSession, d: String): String = {
     // per-JVM dir (see jvmTag): a concurrent bench/verify JVM pair sharing
@@ -652,12 +666,16 @@ object Streams {
     // the other JVM's FileStreamSource is mid-replay (round-8 advice) —
     // st13's exact arrival-order oracle depends on the stamps staying put
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_src_neardup_v2_${jvmTag}_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      s"graft_stream_src_neardup_v3_${jvmTag}_" + d.replaceAll("[^A-Za-z0-9]", "_"))
     stagedOnce.synchronized {
       if (!stagedOnce.contains(dir.toString)) {
         graft.ops.Dedup.corpus(s, d)
-          .repartitionByRange(4, col("doc_id"))
+          .repartitionByRange(4 * NeardupFilesPerBatch, col("doc_id"))
           .write.mode("overwrite").parquet(dir.toString)
+        // part-file name order == doc_id range order (repartitionByRange),
+        // so stamping ascending mod-times in name order makes the
+        // FileStreamSource (oldest-first) arrival order ascending doc_id.
+        // Empty range partitions write no file — harmless, order holds.
         val parts = new java.io.File(dir.toString).listFiles()
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
         val t0 = System.currentTimeMillis() - 1000L * (parts.length + 1)
@@ -691,7 +709,8 @@ object Streams {
     val srcDir = stagedNeardupSrc(s, d)
     val schema = s.read.parquet(srcDir).schema
     val banded = graft.ops.Dedup.minhashBandKeysOf(
-      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", NeardupFilesPerBatch.toString)
         .parquet(srcDir))
       .as[BandRow]
     val pairs = banded.groupByKey(_.bucket)
@@ -743,7 +762,8 @@ object Streams {
     val srcDir = stagedNeardupSrc(s, d)
     val schema = s.read.parquet(srcDir).schema
     val banded = graft.ops.Dedup.minhashBandKeysOf(
-      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", NeardupFilesPerBatch.toString)
         .parquet(srcDir))
       .as[BandRow]
     val pairs = banded.groupByKey(_.bucket)
