@@ -118,6 +118,14 @@ object GraftApi {
   def substringRemoval(docs: DataFrame, w: Int = 16): DataFrame =
     Dedup.substringRemovalOf(docs, w)
 
+  /** Fuzzy decontamination (Dodge et al. 2104.08758): per train doc, the
+    * fraction of its distinct word-3-gram shingles occurring anywhere in
+    * the eval frame, in exact basis points — (doc_id, n_shingles, n_hit,
+    * overlap_bp). Both args are (doc_id, text). The eval shingle set
+    * broadcasts; the caller thresholds (registry d16 flags ≥ 500 bp). */
+  def evalOverlapStats(train: DataFrame, eval: DataFrame): DataFrame =
+    Dedup.evalOverlapStatsOf(train, eval)
+
   // ---- text analysis ----
 
   /** Redact PII in place: email → [EMAIL], phone → [PHONE], IPv4 → [IP]. */

@@ -1065,7 +1065,72 @@ object Dedup {
        |       md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
        |FROM cut ORDER BY doc_id""".stripMargin
 
+  // ---- D16: fuzzy decontamination (n-gram overlap RATIO vs the eval set) ----
+
+  /** d16's flag threshold: a train doc is reported when ≥ 5% of its
+    * distinct 3-gram shingles appear in the eval set. Dodge et al.'s C4
+    * analysis (arXiv:2104.08758) shows exact-match-only contamination
+    * checks miss near-verbatim eval leakage; the overlap-RATIO form is
+    * the standard fuzzy tightening (GPT-3 appendix C uses the same
+    * shape over 13-grams). */
+  private[graft] val D16ThresholdBp = 500L
+
+  /** D16: FUZZY decontamination — d9 flags a train doc on ANY shared
+    * shingle with the eval set (the conservative binary rule); d16
+    * reports the per-doc overlap ratio, so a pipeline can rank and
+    * threshold instead of dropping on a single collision: for each
+    * train doc, the fraction (in exact basis points) of its DISTINCT
+    * word-3-gram shingles that occur anywhere in the eval set
+    * (stand-in: doc_id % 97 = 0, as d9).
+    *
+    * Scale design: identical exchange shape to d9 — the eval shingle
+    * set is tiny (the eval suite, not the corpus) so it BROADCASTS and
+    * the train shingle stream never shuffles for the probe (LEFT join
+    * against the broadcast, hit = matched); the only corpus-wide
+    * exchange is the per-doc count aggregate, partial-aggregated on
+    * doc_id. Ratios are exact integer basis points (hits · 10⁴ div
+    * total) — no doubles, so the hash-compare oracle is bit-stable. */
+  /** Per-doc eval-overlap ratio of any (doc_id, text) train frame vs an
+    * eval (doc_id, text) frame — the library entry point
+    * ([[graft.api.GraftApi.evalOverlapStats]]). Unfiltered: every train
+    * doc with ≥ 1 shingle reports (n_shingles, n_hit, overlap_bp). */
+  private[graft] def evalOverlapStatsOf(train: DataFrame, eval: DataFrame): DataFrame = {
+    val benchShingles = shinglesOf(eval).select("shingle").distinct()
+    shinglesOf(train)
+      .join(broadcast(benchShingles.withColumn("hit", lit(1L))),
+        Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("overlap_bp", expr("n_hit * 10000 div n_shingles"))
+  }
+
+  val d16: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    evalOverlapStatsOf(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0))
+      .filter(col("overlap_bp") >= D16ThresholdBp)
+      .orderBy("doc_id")
+  }
+  val d16Sql: String =
+    s"""WITH ${shinglesCteBody("shing", "documents")},
+       |bench AS (SELECT DISTINCT shingle FROM shing WHERE doc_id % 97 = 0),
+       |agg AS (
+       |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |         CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_hit
+       |  FROM shing s LEFT JOIN bench b ON s.shingle = b.shingle
+       |  WHERE s.doc_id % 97 != 0
+       |  GROUP BY s.doc_id)
+       |SELECT doc_id, n_shingles, n_hit,
+       |       n_hit * 10000 // n_shingles AS overlap_bp
+       |FROM agg
+       |WHERE n_hit * 10000 // n_shingles >= $D16ThresholdBp
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d16_fuzzy_decontamination" -> d16,
     "d15_substring_removal" -> d15,
     "d14_substring_dedup" -> d14,
     "d13_incremental_dedup" -> d13,
@@ -1084,6 +1149,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d16_fuzzy_decontamination" -> d16Sql,
     "d15_substring_removal" -> d15Sql,
     "d14_substring_dedup" -> d14Sql,
     "d13_incremental_dedup" -> d13Sql,

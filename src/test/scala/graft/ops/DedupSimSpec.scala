@@ -176,6 +176,37 @@ class DedupSimSpec extends SparkSpec {
       assert(!kept.contains(id), s"new doc $id duplicates old content and must drop"))
   }
 
+  test("D16 overlap ratio is exact on a hand-built planted fixture") {
+    import spark.implicits._
+    // eval doc: tokens a..f → distinct 3-gram shingles "a b c","b c d",
+    // "c d e","d e f" (4). Train docs engineered per-ratio:
+    //   10: a b c d -> shingles {a b c, b c d}: 2/2 hit  = 10000 bp
+    //   11: a b c x y -> {a b c, b c x, c x y}: 1/3 hit  = 3333 bp
+    //   12: p q r s -> {p q r, q r s}: 0/2 hit — absent from the result
+    val eval = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "a b c d"),
+      (11L, "a b c x y"),
+      (12L, "p q r s")).toDF("doc_id", "text")
+    val got = graft.api.GraftApi.evalOverlapStats(train, eval)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(10L) === ((2L, 2L, 10000L)))
+    assert(got(11L) === ((3L, 1L, 3333L)))
+    assert(got(12L) === ((2L, 0L, 0L)))
+    // the registry threshold keeps 10 and 11, drops 12
+    assert(got.filter(_._2._3 >= Dedup.D16ThresholdBp).keySet === Set(10L, 11L))
+  }
+
+  test("D16 registry query flags only train docs and is threshold-consistent") {
+    val rows = Dedup.d16(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fixture must surface >= 1 fuzzy-contaminated doc")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 97 != 0, "eval docs must never appear")
+      assert(r.getLong(3) >= Dedup.D16ThresholdBp)
+      assert(r.getLong(3) === r.getLong(2) * 10000 / r.getLong(1))
+    }
+  }
+
   test("D8 clusters are canonical: min-id labels, closed under dup edges") {
     val rows = Dedup.queries("d8_dedup_clusters")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
