@@ -35,6 +35,7 @@ object GraftFunctions {
     "graft_hamming" -> { args => HammingDistance(args(0), args(1)) },
     "graft_nfc" -> { args => NfcNormalize(args.head) },
     "graft_dot" -> { args => DotProductLong(args(0), args(1)) },
+    "graft_mingram8" -> { args => MinGram8Hash(args.head) },
     // Spark's runtime-filter Bloom expressions (BloomFilterAggregate /
     // BloomFilterMightContain) are not in the public FunctionRegistry;
     // exposing them makes the classic 100 TB semi-join reduction —

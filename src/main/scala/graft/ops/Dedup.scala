@@ -714,10 +714,13 @@ object Dedup {
     * edits in the last 24 chars), and a round-8 MID key closes the
     * dual-end blindspot (a pair edited in BOTH the first and last 24
     * chars shares neither end key): "m:" + length-band(32) + the minimum
-    * 60-bit char-8-gram hash of the MIDDLE region (chars 25..len−24).
+    * 60-bit char-8-gram hash of the MIDDLE region (chars 25..len−24),
+    * sampled at content-anchored positions (first gram char ≡ 0 mod 4 —
+    * round 9; see the cost note in [[editDistancePairsOf]]).
     * The middle 8-gram SET is shift-invariant under end edits (an indel
     * of ≤ maxDist chars at either end only perturbs grams within
-    * ~maxDist of the region boundary), so the min gram is stable unless
+    * ~maxDist of the region boundary; anchors travel WITH the content,
+    * so sparse sampling preserves this), so the min gram is stable unless
     * it sits at the very edge, and each doc emits its band and band+1 —
     * |Δlen| ≤ maxDist < 32 guarantees a true pair shares a band. Mid
     * buckets wider than [[D11MaxBucket]] are skipped (skew cap, mirrored
@@ -734,38 +737,69 @@ object Dedup {
     // AT JOIN TIME (the 10× scale smoke measured 45% of candidates dying
     // on this 8-byte comparison — pairs that would otherwise ride the
     // distinct AND both text joins just to fail the verify).
-    val endKeyed = docs.select(col("doc_id"), length(col("text")).as("l"), explode(array(
-        concat(lit("s:"), expr("right(text, 24)")),
-        concat(lit("p:"), expr("left(text, 24)")))).as("blk"))
-    val m = "substring(text, 25, greatest(length(text) - 48, 1))"
-    val mg = s"array_min(transform(sequence(0, greatest(length($m) - 8, 0)), " +
-      s"i -> CAST(conv(substr(md5(substring($m, i + 1, 8)), 1, 15), 16, 10) AS BIGINT)))"
-    // the min-gram scan is one md5 PER CHARACTER of the middle region —
-    // by far the most expensive expression in this operator. Compute it
-    // exactly once per doc in its own projection (mg referenced twice
-    // below ⇒ CollapseProject won't re-inline it), then localCheckpoint
-    // the small key frame: without the checkpoint the plan recomputes the
-    // md5 scan for the bucket-cap aggregate AND each side of the
-    // self-join — measured 36 s at the 10× scale smoke, ~3 s after.
-    val mgCol = docs.select(col("doc_id"), length(col("text")).as("l"),
-      expr("length(text) div 32").as("lb"), expr(mg).as("g"))
-    val midKeyed = mgCol.select(col("doc_id"), col("l"), explode(array(
+    //
+    // ROUND-9 cost rework, from measured attribution (tools/D11Prof at
+    // sf1: the mid key's per-character SQL machinery was 9.5 s of the
+    // 19 s warm total — and 6.4 s of that was the interpreted
+    // higher-order-function overhead alone, with the md5 body REMOVED,
+    // so no SQL reformulation can win): (a) the min-gram is now the
+    // native [[graft.functions.MinGram8Hash]] expression — one fused
+    // per-row loop over code points, pure 64-bit integer math mirrored
+    // verbatim by explicit ascii()·31^j sums in the DuckDB oracle;
+    // (b) ALL four block keys come out of ONE corpus scan (was two),
+    // localCheckpoint-ed once — the cap aggregate and both self-join
+    // sides read the materialized 4-rows-per-doc key frame, never the
+    // corpus.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val keyed = docs
+      .select(col("doc_id"), length(col("text")).as("l"),
+        expr("length(text) div 32").as("lb"),
+        expr("graft_mingram8(substring(text, 25, greatest(length(text) - 48, 1)))").as("g"),
+        expr("left(text, 24)").as("pfx"), expr("right(text, 24)").as("sfx"))
+      .select(col("doc_id"), col("l"), explode(array(
+        concat(lit("s:"), col("sfx")),
+        concat(lit("p:"), col("pfx")),
         concat_ws(":", lit("m"), col("lb"), col("g")),
         concat_ws(":", lit("m"), col("lb") + 1, col("g")))).as("blk"))
       .localCheckpoint(true)
+    val midKeyed = keyed.filter(col("blk").startsWith("m:"))
     val okMid = midKeyed.groupBy("blk").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= D11MaxBucket).select("blk")
+    // AQE's size-based partition coalescing is blind to per-row CPU: the
+    // key frame is ~15 MB at sf1, so every ENSURE_REQUIREMENTS exchange
+    // below it coalesced to ONE partition and the entire self-join +
+    // levenshtein verify ran as a single 11.5 s task (stage-listener
+    // attribution, round 9). Both hot exchanges are therefore pinned
+    // with USER-SPECIFIED numbered repartitions, which AQE never
+    // coalesces: `usable` by blk (feeds both self-join sides — the SMJ
+    // stage reads the pinned layout directly), and `cand` by id_a ALONE
+    // — hash(id_a) still satisfies the verify aggregate's (id_a, id_b)
+    // clustering so no extra exchange appears, but it is NOT the
+    // distinct's own (id_a, id_b) partitioning, so the optimizer cannot
+    // drop it as redundant (a same-keys repartition was silently
+    // eliminated, re-exposing the coalesce).
+    val shufN = docs.sparkSession.sessionState.conf.numShufflePartitions
     // explicit select: the USING join puts blk first, and unionAll is positional
-    val keyed = endKeyed.unionAll(
-      midKeyed.join(okMid, Seq("blk")).select(col("doc_id"), col("l"), col("blk")))
-    val cand = keyed.as("a").join(keyed.as("b"),
+    val usable = keyed.filter(!col("blk").startsWith("m:")).unionAll(
+        midKeyed.join(okMid, Seq("blk")).select(col("doc_id"), col("l"), col("blk")))
+      .repartition(shufN, col("blk"))
+    val cand = usable.as("a").join(usable.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.l") - col("b.l")) <= maxDist)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct() // a pair found by several keys must verify once, not thrice
+      .repartition(shufN, col("id_a"))
+    // Single-scan verify (was two corpus scans): explode each candidate
+    // pair into its two sides, join the corpus ONCE by doc_id, regroup
+    // to (ta, tb). The text-bearing shuffle is 2 rows per CANDIDATE —
+    // the tiny side — never a corpus-sized exchange.
     cand
-      .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .join(docs, Seq("doc_id"))
+      .groupBy("id_a", "id_b")
+      .agg(max(when(col("doc_id") === col("id_a"), col("text"))).as("ta"),
+        max(when(col("doc_id") === col("id_b"), col("text"))).as("tb"))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("ta"), col("tb"), maxDist).as("dist"))
       .filter(col("dist") >= 0)
@@ -782,8 +816,16 @@ object Dedup {
        |               substr(text, 25, greatest(len(text) - 48, 1)) AS m
        |        FROM corpus),
        |mg AS (SELECT doc_id, l,
-       |              list_min([('0x' || substr(md5(m[i+1:i+8]), 1, 15))::BIGINT
-       |                        for i in range(greatest(len(m) - 7, 1))]) AS g
+       |              coalesce(
+       |                list_min([1::BIGINT*ascii(m[i+1:i+1]) + 31::BIGINT*ascii(m[i+2:i+2])
+       |                          + 961::BIGINT*ascii(m[i+3:i+3]) + 29791::BIGINT*ascii(m[i+4:i+4])
+       |                          + 923521::BIGINT*ascii(m[i+5:i+5]) + 28629151::BIGINT*ascii(m[i+6:i+6])
+       |                          + 887503681::BIGINT*ascii(m[i+7:i+7]) + 27512614111::BIGINT*ascii(m[i+8:i+8])
+       |                          for i in range(greatest(len(m) - 7, 0))]),
+       |                CAST(list_sum([ascii(m[j+1:j+1]) *
+       |                               [1::BIGINT,31,961,29791,923521,28629151,887503681,27512614111][j+1]
+       |                               for j in range(least(len(m), 8))]) AS BIGINT),
+       |                0) AS g
        |       FROM mid),
        |mkeys AS (SELECT doc_id, 'm:' || (l // 32) || ':' || g AS blk FROM mg
        |          UNION ALL
