@@ -24,16 +24,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read as a
-    * timestamp — read nanos as long (legacy flag) and convert to a
-    * microsecond timestamp with exact integer division (`div`, not `/`:
-    * nano epochs exceed double's 53-bit mantissa). The synthetic data is
-    * µs-precision so the conversion is lossless. */
+  /** The fixture's `events.ts` physical type has varied across driver
+    * generations: parquet TIMESTAMP(NANOS) (unreadable as a Spark
+    * timestamp — surfaces as BIGINT nanos under the legacy flag, and
+    * GenScale-written scale dirs preserve that), plain TIMESTAMP_NTZ
+    * (current fixtures), or a plain instant TIMESTAMP. Normalize all
+    * three to a µs-precision `TimestampType` column so every consumer —
+    * windows, watermarks, as-of joins — sees one type. Conversions are
+    * exact: integer `div` for nanos (nano epochs exceed double's 53-bit
+    * mantissa, so no `/`), and the NTZ cast is lossless under the UTC
+    * session timezone Verify/Bench/specs all pin. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -57,16 +57,24 @@ object Streams {
       // with later events gets a fresh sentinel (a stale one would leave
       // the final watermark short and silently drop tail sessions/windows)
       val raw = s.read.parquet(s"$d/events.parquet")
-      val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
-      val farNs = maxNs + 2L * 86400L * 1000000000L // +2 days
-      val sf = srcDir.resolve(s"sentinel_$farNs.parquet")
+      val tsIsLong = raw.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      // max event time in epoch micros, whatever the physical ts type
+      val maxUs = graft.Tables.normalizeEventTs(raw)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val farUs = maxUs + 2L * 86400L * 1000000L // +2 days
+      val sf = srcDir.resolve(s"sentinel_$farUs.parquet")
       if (!Files.exists(sf)) {
         new java.io.File(srcDir.toString).listFiles()
           .filter(f => f.getName.startsWith("sentinel_") && f.getName.endsWith(".parquet"))
           .foreach(_.delete()) // stale sentinels from an older fixture
+        // the sentinel row's ts must carry the fixture's PHYSICAL type or
+        // the file source's fixed schema rejects the staged file
         val one = raw.limit(1)
           .withColumn("user_id", lit(-1L))
-          .withColumn("ts", lit(farNs))
+          .withColumn("ts",
+            if (tsIsLong) lit(farUs * 1000L)
+            else expr(s"cast(timestamp_micros(${farUs}L) as ${raw.schema("ts").dataType.sql})"))
         val tmpOut = Files.createTempDirectory("graft_sentinel").toString
         one.coalesce(1).write.mode("overwrite").parquet(tmpOut)
         val part = new java.io.File(tmpOut).listFiles()
@@ -74,11 +82,11 @@ object Streams {
         Files.copy(part.toPath, sf)
       }
     }
-    // the raw file carries ts as nanos (read as long); file sources need
-    // an explicit schema for streaming reads
+    // file sources need an explicit schema for streaming reads; normalize
+    // the physical ts (nanos-long or NTZ) to TimestampType after the scan
     val physical = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(physical).parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      s.readStream.schema(physical).parquet(srcDir.toString))
   }
 
   /** Start a bounded (AvailableNow) run of a pre-configured writer with

@@ -235,20 +235,22 @@ class StreamsSpec extends SparkSpec {
     // fixture IN FILE ORDER (= streaming arrival order) so a future
     // fixture change fails here loudly instead of flaking the oracle.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsNs = spark.read
-      .option("mergeSchema", "false")
-      .parquet(s"$sfDir/events.parquet")
-      .select("ts").collect().map(_.getLong(0)) // file order, nanos
-    assert(tsNs.nonEmpty)
-    val delayNs = 3600L * 1000000000L
+    val tsUs = graft.Tables.normalizeEventTs(
+        spark.read.option("mergeSchema", "false")
+          .parquet(s"$sfDir/events.parquet"))
+      .select(org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts")))
+      .collect().map(_.getLong(0)) // file order, micros
+    assert(tsUs.nonEmpty)
+    val delayUs = 3600L * 1000000L
     var runMax = Long.MinValue
     var worst = 0L
-    tsNs.foreach { t =>
+    tsUs.foreach { t =>
       if (runMax != Long.MinValue) worst = math.max(worst, runMax - t)
       runMax = math.max(runMax, t)
     }
-    assert(worst <= delayNs,
-      s"max arrival disorder ${worst / 1e9}s exceeds st4's 1-hour watermark delay")
+    assert(worst <= delayUs,
+      s"max arrival disorder ${worst / 1e6}s exceeds st4's 1-hour watermark delay")
   }
 
   test("file-sink checkpoint recovery is exactly-once across restarts") {
