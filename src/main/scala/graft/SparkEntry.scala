@@ -26,7 +26,8 @@ object SparkEntry {
       graft.streaming.Streams.queries ++ graft.multimodal.Multimodal.queries ++
       graft.ml.SvmSgd.queries ++ SqlSurface.queries ++ graft.ml.MlLsh.queries ++
       AsOf.queries ++ ops.ScaleOps.queries ++ ops.TpchFull.queries ++
-      ops.Retrieval.queries ++ ops.Pipeline.queries ++ ops.Graph.queries
+      ops.Retrieval.queries ++ ops.Pipeline.queries ++ ops.Graph.queries ++
+      ops.Clustering.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -36,5 +37,6 @@ object SparkEntry {
       Dedup.oracle ++ TextAnalysis.oracle ++ Similarity.oracle ++
       graft.streaming.Streams.oracle ++ graft.multimodal.Multimodal.oracle ++
       SqlSurface.oracle ++ graft.ml.MlLsh.oracle ++ AsOf.oracle ++ ops.ScaleOps.oracle ++
-      ops.TpchFull.oracle ++ ops.Retrieval.oracle ++ ops.Pipeline.oracle ++ ops.Graph.oracle
+      ops.TpchFull.oracle ++ ops.Retrieval.oracle ++ ops.Pipeline.oracle ++ ops.Graph.oracle ++
+      ops.Clustering.oracle
 }

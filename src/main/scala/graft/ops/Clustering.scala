@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** [EXT] Distributed k-means over the `embeddings` table — the clustering
+  * primitive behind cluster-balanced corpus curation (SemDeDup-style
+  * cluster-then-prune, DoReMi-style domain reweighting both start from
+  * exactly this assignment step). Not derived from the reference.
+  *
+  * Exactness across engines: vectors ride Similarity's integer
+  * quantization (q_i = round(e_i·1000), exact int64); distances are
+  * integer squared-L2; new centroid components are integer means
+  * (`sum div count` — DuckDB `//` and Spark `div` both truncate toward
+  * zero, verified); argmin ties break on the lowest cluster id. Every
+  * number in the output is exact integer math, so the DuckDB oracle
+  * hash-matches bit-for-bit.
+  *
+  * Scale (the MLlib KMeans shape, re-expressed declaratively): the k×dim
+  * centroid set lives in the PLAN as a literal array — each Lloyd
+  * assignment is a zero-join, zero-shuffle whole-stage-codegen projection
+  * (`transform`/`zip_with`/`aggregate` over the broadcast-sized literal).
+  * The recompute is one partial-aggregated exchange of (k·dim·tasks) tiny
+  * rows, collected k·dim to the driver (the same justified-small collect
+  * MLlib's `collectAsMap` does per iteration). Nothing grows with corpus
+  * size except the scan.
+  */
+object Clustering {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 8
+
+  /** Centroid set → a SQL literal `array(array(...), ...)` ordered by
+    * cluster id 1..K (element index = cluster id). */
+  private def centLiteral(cents: Seq[Array[Long]]): String =
+    cents.map(_.mkString("array(", "L, ", "L)")).mkString("array(", ", ", ")")
+
+  /** One Lloyd assignment against literal centroids: per-vector distance
+    * list via zip_with, argmin via array_position(array_min) — first
+    * minimum wins, i.e. ties break on the lowest cluster id. */
+  private def assign(qn: DataFrame, cents: Seq[Array[Long]]): DataFrame =
+    qn.withColumn("dists", expr(
+        s"transform(${centLiteral(cents)}, c -> " +
+          "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v))"))
+      .withColumn("cid", expr("CAST(array_position(dists, array_min(dists)) AS BIGINT)"))
+      .withColumn("dist", expr("array_min(dists)"))
+      .drop("dists")
+
+  /** Recompute integer-mean centroids from an assignment; clusters are
+    * keyed 1..K and a cluster that lost every member keeps its previous
+    * centroid (deterministic, and what production k-means does short of
+    * reseeding). */
+  private def recompute(assigned: DataFrame, prev: Seq[Array[Long]]): Seq[Array[Long]] = {
+    val sums = assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .select(col("cid"), col("pos"), expr("s div n").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byCid = sums.groupBy(_._1)
+    (1 to K).map { cid =>
+      byCid.get(cid.toLong) match {
+        case Some(rows) => rows.sortBy(_._2).map(_._3)
+        case None       => prev(cid - 1)
+      }
+    }
+  }
+
+  /** Two Lloyd iterations from deterministic seeds (the K lowest-id
+    * vectors, ids 1..K), then the per-cluster report: member count,
+    * Σ vec_id (membership witness), inertia (Σ squared-L2 to the final
+    * centroid), and the centroid's L1 norm (centroid witness). */
+  private[graft] def kmeansOf(vectors: DataFrame, iterations: Int = 2): DataFrame = {
+    val qn = Similarity.qnormOf(vectors)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds: Seq[Array[Long]] = qn.filter(col("vec_id").between(1, K))
+      .orderBy("vec_id").select("q").collect()
+      .map(_.getSeq[Long](0).toArray).toSeq
+    require(seeds.length == K, s"need $K seed vectors with vec_id 1..$K")
+    var cents = seeds
+    var it = 0
+    while (it < iterations - 1) {
+      cents = recompute(assign(qn, cents), cents)
+      it += 1
+    }
+    assign(qn, cents)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum("vec_id").as("sum_vec_id"),
+        sum("dist").as("inertia"))
+      .join(broadcast(
+        qn.sparkSession.createDataFrame(
+          cents.zipWithIndex.map { case (c, i) =>
+            (i + 1L, c.map(math.abs).sum)
+          }).toDF("cid", "centroid_l1")), Seq("cid"))
+      .select(col("cid").as("cluster_id"), col("n_members"),
+        col("sum_vec_id"), col("inertia"), col("centroid_l1"))
+  }
+
+  val cl1: Q = (s, d) =>
+    kmeansOf(Tables.embeddings(s, d)).orderBy("cluster_id")
+
+  /** The oracle replays both Lloyd passes in SQL: positional arithmetic
+    * uses 1-based `range(1, 65)` indexing (dim is fixed at 64 in the
+    * fixture), `//` truncation matches Spark's `div`, and the argmin
+    * window orders (dist, cid) — the same first-minimum tie-break. */
+  val cl1Sql: String = {
+    val dim = 64
+    s"""WITH qn AS (
+       |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+       |  FROM (SELECT vec_id,
+       |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |        FROM embeddings)
+       |  WHERE CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) > 0),
+       |cent0 AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS cid, q FROM qn WHERE vec_id BETWEEN 1 AND $K),
+       |d0 AS (
+       |  SELECT v.vec_id, c.cid,
+       |         CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |           j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS BIGINT) AS dist
+       |  FROM qn v CROSS JOIN cent0 c),
+       |a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |    FROM d0) WHERE rk = 1),
+       |cent1m AS (
+       |  SELECT cid, list(c ORDER BY pos) AS q FROM (
+       |    SELECT a0.cid, t.j AS pos, CAST(sum(v.q[t.j]) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+       |    FROM qn v JOIN a0 USING (vec_id) CROSS JOIN range(1, ${dim + 1}) t(j)
+       |    GROUP BY a0.cid, t.j)
+       |  GROUP BY cid),
+       |cent1 AS (
+       |  -- a cluster that lost every member keeps its seed centroid,
+       |  -- mirroring the Spark side's carry-forward
+       |  SELECT cid, q FROM cent1m
+       |  UNION ALL
+       |  SELECT c0.cid, c0.q FROM cent0 c0
+       |  WHERE c0.cid NOT IN (SELECT cid FROM cent1m)),
+       |d1 AS (
+       |  SELECT v.vec_id, c.cid,
+       |         CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |           j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS BIGINT) AS dist
+       |  FROM qn v CROSS JOIN cent1 c),
+       |a1 AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT vec_id, cid, dist,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |    FROM d1) WHERE rk = 1)
+       |SELECT a1.cid AS cluster_id,
+       |       CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(sum(a1.vec_id) AS BIGINT) AS sum_vec_id,
+       |       CAST(sum(a1.dist) AS BIGINT) AS inertia,
+       |       (SELECT CAST(list_sum(list_transform(c1.q, x -> abs(x))) AS BIGINT)
+       |        FROM cent1 c1 WHERE c1.cid = a1.cid) AS centroid_l1
+       |FROM a1
+       |GROUP BY a1.cid
+       |ORDER BY cluster_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map("cl1_kmeans_clusters" -> cl1)
+  val oracle: Map[String, String] = Map("cl1_kmeans_clusters" -> cl1Sql)
+}

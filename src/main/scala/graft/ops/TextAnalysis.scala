@@ -513,6 +513,184 @@ object TextAnalysis {
         least(lit(window), col("n") - col("start_tok")).as("chunk_toks"))
   }
 
+  // ---- T16: Gopher quality-rule battery ----
+
+  /** T16: the Gopher repetition/shape rule battery (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1) as one map-side projection: per document —
+    * word count bounds, mean word length band, symbol-to-word ratio,
+    * bullet-line and ellipsis-line fractions, alphabetic-word fraction,
+    * and a minimum distinct-stopword hit count, conjoined into a keep
+    * flag. The synthetic corpus is single-line `[a-z ]` word soup, so
+    * (like t9's planted PII) the query PLANTS deterministic structure
+    * first: lines of `5 + doc_id % 7` words, a `- ` bullet on line i iff
+    * (doc_id+1+i) % 9 = 0, a ` ...` suffix iff (doc_id+1+i) % 7 = 3 —
+    * the same construction in the oracle SQL, so the rule arithmetic is
+    * hash-checked end-to-end. All integer math (basis points via `div`).
+    *
+    * Scale: zero joins, zero explodes — line/bullet/ellipsis counts come
+    * from closed-form `filter(sequence(...))` lengths, so the whole
+    * battery is one whole-stage-codegen projection over the corpus scan;
+    * at 100 TB it runs at IO speed and the keep flag feeds a pushdown-
+    * friendly `WHERE keep = 1` downstream. */
+  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("k", expr("5 + doc_id % 7"))
+      .withColumn("n", expr("CAST(size(ws) AS BIGINT)"))
+      .withColumn("n_lines", expr("(n + k - 1) div k"))
+      .withColumn("n_bul", expr(
+        "CAST(size(filter(sequence(0L, n_lines - 1), i -> (doc_id + 1 + i) % 9 = 0)) AS BIGINT)"))
+      .withColumn("n_ell", expr(
+        "CAST(size(filter(sequence(0L, n_lines - 1), i -> (doc_id + 1 + i) % 7 = 3)) AS BIGINT)"))
+      .withColumn("n_words", expr("n + n_bul + n_ell"))
+      .select(col("doc_id"),
+        col("n_words"),
+        col("n_lines"),
+        expr("((n_chars - n + 1) + n_bul + 3 * n_ell) * 100 div n_words").as("mean_word_len_x100"),
+        expr("n_ell * 10000 div n_words").as("symbol_bp"),
+        expr("n_bul * 10000 div n_lines").as("bullet_bp"),
+        expr("n_ell * 10000 div n_lines").as("ellipsis_bp"),
+        expr("n * 10000 div n_words").as("alpha_bp"),
+        expr(s"CAST(size(array_intersect(ws, ${StopWords.map(w => s"'$w'").mkString("array(", ", ", ")")})) AS BIGINT)").as("n_stop"))
+      .withColumn("keep", expr(
+        """CAST(n_words BETWEEN 50 AND 100000
+          | AND mean_word_len_x100 BETWEEN 300 AND 1000
+          | AND symbol_bp <= 1000
+          | AND bullet_bp < 9000
+          | AND ellipsis_bp < 3000
+          | AND alpha_bp >= 8000
+          | AND n_stop >= 2 AS INT)""".stripMargin))
+
+  val t16: Q = (s, d) =>
+    gopherRulesOf(Tables.documents(s, d)).orderBy("doc_id")
+  val t16Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, n_chars, str_split(text, ' ') AS ws,
+       |         5 + doc_id % 7 AS k
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_chars, ws, k, CAST(len(ws) AS BIGINT) AS n,
+       |         (CAST(len(ws) AS BIGINT) + k - 1) // k AS n_lines
+       |  FROM b),
+       |e AS (
+       |  SELECT *,
+       |    CAST(len(list_filter(range(0, n_lines), i -> (doc_id + 1 + i) % 9 = 0)) AS BIGINT) AS n_bul,
+       |    CAST(len(list_filter(range(0, n_lines), i -> (doc_id + 1 + i) % 7 = 3)) AS BIGINT) AS n_ell
+       |  FROM c),
+       |m AS (
+       |  SELECT doc_id,
+       |         n + n_bul + n_ell AS n_words,
+       |         n_lines,
+       |         ((n_chars - n + 1) + n_bul + 3 * n_ell) * 100 // (n + n_bul + n_ell) AS mean_word_len_x100,
+       |         n_ell * 10000 // (n + n_bul + n_ell) AS symbol_bp,
+       |         n_bul * 10000 // n_lines AS bullet_bp,
+       |         n_ell * 10000 // n_lines AS ellipsis_bp,
+       |         n * 10000 // (n + n_bul + n_ell) AS alpha_bp,
+       |         CAST(len(list_distinct(list_intersect(ws, [${StopWords.map(w => s"'$w'").mkString(", ")}]))) AS BIGINT) AS n_stop
+       |  FROM e)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |       CAST(n_lines AS BIGINT) AS n_lines,
+       |       CAST(mean_word_len_x100 AS BIGINT) AS mean_word_len_x100,
+       |       CAST(symbol_bp AS BIGINT) AS symbol_bp,
+       |       CAST(bullet_bp AS BIGINT) AS bullet_bp,
+       |       CAST(ellipsis_bp AS BIGINT) AS ellipsis_bp,
+       |       CAST(alpha_bp AS BIGINT) AS alpha_bp,
+       |       n_stop,
+       |       CAST(n_words BETWEEN 50 AND 100000
+       |        AND mean_word_len_x100 BETWEEN 300 AND 1000
+       |        AND symbol_bp <= 1000
+       |        AND bullet_bp < 9000
+       |        AND ellipsis_bp < 3000
+       |        AND alpha_bp >= 8000
+       |        AND n_stop >= 2 AS INTEGER) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---- T17: C4-style line/document filtering ----
+
+  /** T17: the C4 cleaning pass (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2): keep only lines that end in terminal punctuation, have ≥ 5
+    * words, and don't mention javascript; drop whole documents containing
+    * "lorem ipsum" or a curly brace, or with fewer than 3 surviving
+    * lines. The corpus is line-less word soup, so the query plants the
+    * structure it filters (same construction in the oracle): lines of
+    * `4 + doc_id % 5` words, a terminal '.' on line i unless
+    * (doc_id + i) % 3 = 1, ' javascript required' appended to line 0 of
+    * every 17th doc, and trailing 'lorem ipsum' / '{' lines on every
+    * 23rd / 29th doc. The cleaned document's md5 is the hash-checked
+    * witness that the surviving text is byte-identical across engines.
+    *
+    * Scale: like t16 — pure array expressions over one corpus scan, no
+    * explode, no shuffle below the presentation sort. */
+  private[graft] def c4FiltersOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("k", expr("4 + doc_id % 5"))
+      .withColumn("n", expr("CAST(size(ws) AS BIGINT)"))
+      .withColumn("n_lines", expr("(n + k - 1) div k"))
+      .withColumn("lines", expr(
+        """transform(sequence(0L, n_lines - 1), i ->
+          |  concat(array_join(slice(ws, CAST(i * k + 1 AS INT), CAST(k AS INT)), ' '),
+          |         CASE WHEN doc_id % 17 = 0 AND i = 0 THEN ' javascript required' ELSE '' END,
+          |         CASE WHEN (doc_id + i) % 3 = 1 THEN '' ELSE '.' END))""".stripMargin))
+      .withColumn("all_lines", expr(
+        """concat(lines,
+          |  CASE WHEN doc_id % 23 = 0 THEN array('lorem ipsum dolor sit amet.') ELSE array() END,
+          |  CASE WHEN doc_id % 29 = 0 THEN array('var f = function() {') ELSE array() END)""".stripMargin))
+      .withColumn("full", expr("array_join(all_lines, char(10))"))
+      .withColumn("kept", expr(
+        """filter(all_lines, l -> endswith(l, '.')
+          |  AND size(split(l, ' ')) >= 5
+          |  AND NOT contains(l, 'javascript'))""".stripMargin))
+      .select(col("doc_id"),
+        expr("CAST(size(all_lines) AS BIGINT)").as("n_lines_total"),
+        expr("CAST(size(kept) AS BIGINT)").as("n_kept_lines"),
+        expr("aggregate(kept, 0L, (a, l) -> a + size(split(l, ' ')))").as("n_kept_words"),
+        expr("CAST(contains(full, 'lorem ipsum') AS INT)").as("has_lorem"),
+        expr("CAST(contains(full, '{') AS INT)").as("has_brace"),
+        expr("""CAST(NOT contains(full, 'lorem ipsum')
+                |  AND NOT contains(full, '{')
+                |  AND size(kept) >= 3 AS INT)""".stripMargin).as("doc_kept"),
+        expr("md5(array_join(kept, char(10)))").as("clean_md5"))
+
+  val t17: Q = (s, d) =>
+    c4FiltersOf(Tables.documents(s, d)).orderBy("doc_id")
+  val t17Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, str_split(text, ' ') AS ws, 4 + doc_id % 5 AS k
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, ws, k, CAST(len(ws) AS BIGINT) AS n,
+      |         (CAST(len(ws) AS BIGINT) + k - 1) // k AS n_lines
+      |  FROM b),
+      |e AS (
+      |  SELECT doc_id,
+      |    list_concat(list_concat(
+      |      list_transform(range(0, n_lines), i ->
+      |        array_to_string(ws[i * k + 1 : (i + 1) * k], ' ')
+      |        || (CASE WHEN doc_id % 17 = 0 AND i = 0 THEN ' javascript required' ELSE '' END)
+      |        || (CASE WHEN (doc_id + i) % 3 = 1 THEN '' ELSE '.' END)),
+      |      CASE WHEN doc_id % 23 = 0 THEN ['lorem ipsum dolor sit amet.'] ELSE [] END),
+      |      CASE WHEN doc_id % 29 = 0 THEN ['var f = function() {'] ELSE [] END) AS all_lines
+      |  FROM c),
+      |f AS (
+      |  SELECT doc_id, all_lines,
+      |         array_to_string(all_lines, chr(10)) AS full_txt,
+      |         list_filter(all_lines, l -> suffix(l, '.')
+      |           AND len(str_split(l, ' ')) >= 5
+      |           AND NOT contains(l, 'javascript')) AS kept
+      |  FROM e)
+      |SELECT doc_id,
+      |       CAST(len(all_lines) AS BIGINT) AS n_lines_total,
+      |       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+      |       CAST(coalesce(list_sum(list_transform(kept, l -> len(str_split(l, ' ')))), 0) AS BIGINT) AS n_kept_words,
+      |       CAST(contains(full_txt, 'lorem ipsum') AS INTEGER) AS has_lorem,
+      |       CAST(contains(full_txt, '{') AS INTEGER) AS has_brace,
+      |       CAST(NOT contains(full_txt, 'lorem ipsum')
+      |        AND NOT contains(full_txt, '{')
+      |        AND len(kept) >= 3 AS INTEGER) AS doc_kept,
+      |       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val chunk1: Q = (s, d) =>
     slidingChunksOf(Tables.documents(s, d), window = 128, stride = 96)
       .orderBy("doc_id", "chunk_idx")
@@ -618,6 +796,73 @@ object TextAnalysis {
       |CROSS JOIN n
       |ORDER BY wa, wb""".stripMargin
 
+  // ---- PACK1: sequence packing (concat-and-chunk) fragmentation stats ----
+
+  /** PACK1: GPT-style training-example packing — concatenate the corpus
+    * token stream in doc_id order and cut every `window` tokens; report
+    * per context-window chunk how many documents it touches, how many
+    * START inside it, and its token fill (== window everywhere but the
+    * tail). This is the fragmentation profile a pretrain data loader
+    * needs to size attention-masking / document-boundary handling.
+    *
+    * Scale: document start offsets are a DISTRIBUTED PREFIX SUM — the
+    * voc2 idiom (range-partition by doc_id, rank/cumsum locally per
+    * partition, broadcast the tiny per-partition totals back as
+    * exclusive offsets), never a single-task global window. Each doc
+    * then explodes to its (usually 1-2) overlapping chunks and one hash
+    * aggregate keyed on chunk_id finishes — the exchange carries one row
+    * per doc-chunk overlap, nothing quadratic. */
+  private[graft] def packingStatsOf(docs: DataFrame, window: Long): DataFrame = {
+    val lens = docs
+      .select(col("doc_id"), expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n"))
+      .filter(col("n") > 0)
+    val ranged = lens.repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = ranged.groupBy("pid").agg(sum("n").as("pc"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = totals.map { case (pid, pc) => val o = (pid, acc); acc += pc; o }.toSeq
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val offDf = offs.toDF("pid", "cum_off")
+    val localW = Window.partitionBy("pid").orderBy("doc_id")
+    ranged
+      .withColumn("lstart", coalesce(
+        sum("n").over(localW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(offDf), Seq("pid"))
+      .select(col("doc_id"), col("n"), (col("cum_off") + col("lstart")).as("start"))
+      .withColumn("endo", col("start") + col("n"))
+      .select(col("doc_id"), col("start"), col("endo"),
+        explode(expr(s"sequence(start div $window, (endo - 1) div $window)")).as("chunk_id"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr(s"start div $window") === col("chunk_id"), 1L).otherwise(0L)).as("n_starting"),
+        sum(least(col("endo"), (col("chunk_id") + 1L) * window) -
+          greatest(col("start"), col("chunk_id") * window)).as("n_tokens"))
+  }
+
+  val pack1: Q = (s, d) =>
+    packingStatsOf(Tables.documents(s, d), window = 2048L).orderBy("chunk_id")
+  val pack1Sql: String =
+    """WITH lens AS (
+      |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents WHERE len(str_split(text, ' ')) > 0),
+      |s AS (
+      |  SELECT doc_id, n,
+      |         CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |  FROM lens),
+      |x AS (
+      |  SELECT doc_id, start, start + n AS endo,
+      |         unnest(range(start // 2048, (start + n - 1) // 2048 + 1)) AS chunk_id
+      |  FROM s)
+      |SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN start // 2048 = chunk_id THEN 1 ELSE 0 END) AS BIGINT) AS n_starting,
+      |       CAST(sum(least(endo, (chunk_id + 1) * 2048) - greatest(start, chunk_id * 2048)) AS BIGINT) AS n_tokens
+      |FROM x GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "voc2_vocab_coverage" -> voc2,
     "t15_unigram_nll" -> t15,
@@ -632,6 +877,9 @@ object TextAnalysis {
     "t7_fingerprint" -> t7,
     "t9_pii_redact" -> t9,
     "t10_repetition_ratio" -> t10,
+    "t16_gopher_rules" -> t16,
+    "t17_c4_filters" -> t17,
+    "pack1_sequence_packing" -> pack1,
   )
 
   val oracle: Map[String, String] = Map(
@@ -648,5 +896,8 @@ object TextAnalysis {
     "t7_fingerprint" -> t7Sql,
     "t9_pii_redact" -> t9Sql,
     "t10_repetition_ratio" -> t10Sql,
+    "t16_gopher_rules" -> t16Sql,
+    "t17_c4_filters" -> t17Sql,
+    "pack1_sequence_packing" -> pack1Sql,
   )
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Behavioral checks for cl1 beyond the oracle gate: the partition is
+  * exhaustive and disjoint, the report is deterministic, and the
+  * assignment step genuinely minimizes the integer squared-L2 distance. */
+class ClusteringSpec extends SparkSpec {
+
+  test("cl1 partitions every nonzero vector exactly once, deterministically") {
+    val out = Clustering.cl1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty && out.length <= 8, s"got ${out.length} clusters")
+    out.foreach { case (cid, n, _, inertia, l1) =>
+      assert(cid >= 1 && cid <= 8)
+      assert(n > 0, s"cluster $cid reported empty")
+      assert(inertia >= 0 && l1 > 0)
+    }
+    val qn = Similarity.qnormOf(graft.Tables.embeddings(spark, sfDir))
+    val nVec = qn.count()
+    val idSum = qn.selectExpr("CAST(sum(vec_id) AS BIGINT)").head().getLong(0)
+    assert(out.map(_._2).sum === nVec, "members must cover every nonzero vector once")
+    assert(out.map(_._3).sum === idSum, "sum_vec_id must partition the id space")
+    val again = Clustering.cl1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSeq === out.toSeq, "cl1 must be deterministic")
+  }
+
+  test("cl1 separates a planted two-blob geometry into distinct clusters") {
+    val sp = spark
+    import sp.implicits._
+    // 8 seed ids; ids 1-4 near (+1,0,...), ids 5-8 near (0,+1,...); 40 more
+    // points split between the blobs — k-means must keep the blobs apart
+    val dim = 8
+    def vec(hot: Int, eps: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      a(hot) = 1.0f + eps * 0.001f
+      a(1 - hot) = eps * 0.002f
+      a
+    }
+    val rows = (1L to 4L).map(id => (id, vec(0, id.toInt))) ++
+      (5L to 8L).map(id => (id, vec(1, id.toInt))) ++
+      (9L to 28L).map(id => (id, vec(0, (id % 7).toInt))) ++
+      (29L to 48L).map(id => (id, vec(1, (id % 7).toInt)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Clustering.kmeansOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._2).sum === 48L)
+    // blob A has 24 members total (ids 1-4 + 9-28), blob B the other 24;
+    // every member of a blob must land in a seed cluster of the same blob
+    val byCluster = Clustering.kmeansOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap // cid -> sum_vec_id
+    val blobASum = (1L to 4L).sum + (9L to 28L).sum
+    val blobBSum = (5L to 8L).sum + (29L to 48L).sum
+    val aClusters = byCluster.filter { case (cid, _) => cid <= 4 }.values.sum
+    val bClusters = byCluster.filter { case (cid, _) => cid >= 5 }.values.sum
+    assert(aClusters === blobASum, s"blob A ids leaked: $byCluster")
+    assert(bClusters === blobBSum, s"blob B ids leaked: $byCluster")
+  }
+}

@@ -91,6 +91,109 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(("p", "q")) && !out.contains(("q", "p")))
   }
 
+  test("t16 Gopher rule battery matches a pure-JVM recomputation on the fixture") {
+    val stop = Seq("the", "a", "data", "value", "row")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val expected = docs.map { case (id, text, nChars) =>
+      val ws = text.split(" ", -1)
+      val k = 5 + id % 7
+      val n = ws.length.toLong
+      val nLines = (n + k - 1) / k
+      val nBul = (0L until nLines).count(i => (id + 1 + i) % 9 == 0).toLong
+      val nEll = (0L until nLines).count(i => (id + 1 + i) % 7 == 3).toLong
+      val nWords = n + nBul + nEll
+      val meanLen = ((nChars - n + 1) + nBul + 3 * nEll) * 100 / nWords
+      val symbolBp = nEll * 10000 / nWords
+      val bulletBp = nBul * 10000 / nLines
+      val ellipsisBp = nEll * 10000 / nLines
+      val alphaBp = n * 10000 / nWords
+      val nStop = ws.distinct.count(stop.contains).toLong
+      val keep = if (nWords >= 50 && nWords <= 100000 &&
+        meanLen >= 300 && meanLen <= 1000 && symbolBp <= 1000 &&
+        bulletBp < 9000 && ellipsisBp < 3000 && alphaBp >= 8000 && nStop >= 2) 1 else 0
+      id -> ((nWords, nLines, meanLen, symbolBp, bulletBp, ellipsisBp, alphaBp, nStop, keep))
+    }.toMap
+    val got = TextAnalysis.t16(spark, sfDir).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getInt(9)))
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, row) => assert(row === expected(id), s"doc $id") }
+    // the battery must be a live filter on this corpus, not all-pass/all-fail
+    val keeps = got.values.map(_._9).toSet
+    assert(keeps === Set(0, 1), s"keep flag must vary across the fixture, saw $keeps")
+  }
+
+  test("t17 C4 filter matches a pure-JVM recomputation incl. the cleaned-doc md5") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val k = (4 + id % 5).toInt
+      val n = ws.length.toLong
+      val nLines = ((n + k - 1) / k).toInt
+      val base = (0 until nLines).map { i =>
+        ws.slice(i * k, i * k + k).mkString(" ") +
+          (if (id % 17 == 0 && i == 0) " javascript required" else "") +
+          (if ((id + i) % 3 == 1) "" else ".")
+      }
+      val all = base ++
+        (if (id % 23 == 0) Seq("lorem ipsum dolor sit amet.") else Nil) ++
+        (if (id % 29 == 0) Seq("var f = function() {") else Nil)
+      val full = all.mkString("\n")
+      val kept = all.filter(l => l.endsWith(".") &&
+        l.split(" ", -1).length >= 5 && !l.contains("javascript"))
+      val keptWords = kept.map(_.split(" ", -1).length.toLong).sum
+      val hasLorem = if (full.contains("lorem ipsum")) 1 else 0
+      val hasBrace = if (full.contains("{")) 1 else 0
+      val docKept = if (hasLorem == 0 && hasBrace == 0 && kept.length >= 3) 1 else 0
+      id -> ((all.length.toLong, kept.length.toLong, keptWords,
+        hasLorem, hasBrace, docKept, md5hex(kept.mkString("\n"))))
+    }.toMap
+    val got = TextAnalysis.t17(spark, sfDir).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, row) => assert(row === expected(id), s"doc $id") }
+    // the planted trigger classes must all fire somewhere
+    assert(got.exists(_._2._4 == 1), "no lorem plant fired")
+    assert(got.exists(_._2._5 == 1), "no brace plant fired")
+    assert(got.values.map(_._6).toSet === Set(0, 1), "doc_kept must vary")
+  }
+
+  test("pack1 concat-and-chunk packing on a hand-computed fixture + corpus invariants") {
+    val sp = spark
+    import sp.implicits._
+    // lengths 1000,1500,600,2000,100 -> starts 0,1000,2500,3100,5100 (window 2048)
+    val doc = Seq(
+      (1L, (1 to 1000).map(_ => "w").mkString(" ")),
+      (2L, (1 to 1500).map(_ => "w").mkString(" ")),
+      (3L, (1 to 600).map(_ => "w").mkString(" ")),
+      (4L, (1 to 2000).map(_ => "w").mkString(" ")),
+      (5L, (1 to 100).map(_ => "w").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.packingStatsOf(doc, 2048L).orderBy("chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((0L, 2L, 2L, 2048L), (1L, 3L, 2L, 2048L), (2L, 2L, 1L, 1104L)))
+    // corpus invariants: fill == window everywhere but the tail, totals add up
+    val corpus = TextAnalysis.pack1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val nTotal = graft.Tables.documents(spark, sfDir)
+      .selectExpr("CAST(sum(size(split(text, ' '))) AS BIGINT)").head().getLong(0)
+    assert(corpus.map(_._4).sum === nTotal, "chunk fills must sum to the token stream")
+    corpus.init.foreach { case (cid, _, _, fill) =>
+      assert(fill === 2048L, s"non-tail chunk $cid fill $fill != 2048") }
+    assert(corpus.map(_._1) === corpus.indices.map(_.toLong), "chunk ids must be contiguous from 0")
+    assert(corpus.map(_._3).sum === graft.Tables.documents(spark, sfDir).count(),
+      "every doc starts in exactly one chunk")
+  }
+
   test("t15 unigram NLL matches hand-computed add-1 smoothed surprisals") {
     val sp = spark
     import sp.implicits._
