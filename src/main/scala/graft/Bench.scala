@@ -46,6 +46,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the events fixture's TIMESTAMP_NTZ ts normalizes through a
+      // session-timezone-dependent cast (Tables.normalizeEventTs) — pin
+      // UTC like Verify/SparkSpec so timings time the same plan
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: streaming micro-batches emit per-batch WARN lines

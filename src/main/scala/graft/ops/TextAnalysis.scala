@@ -798,7 +798,10 @@ object TextAnalysis {
 
   // ---- PACK1: sequence packing (concat-and-chunk) fragmentation stats ----
 
-  /** PACK1: GPT-style training-example packing — concatenate the corpus
+  /** PACK2: GPT-style training-example packing over the GLOBAL corpus
+    * stream (ScaleOps.pack1 is the per-language-shard variant; this one
+    * has no shard key, which is exactly what makes its prefix sum the
+    * interesting part) — concatenate the corpus
     * token stream in doc_id order and cut every `window` tokens; report
     * per context-window chunk how many documents it touches, how many
     * START inside it, and its token fill (== window everywhere but the
@@ -842,9 +845,9 @@ object TextAnalysis {
           greatest(col("start"), col("chunk_id") * window)).as("n_tokens"))
   }
 
-  val pack1: Q = (s, d) =>
+  val pack2: Q = (s, d) =>
     packingStatsOf(Tables.documents(s, d), window = 2048L).orderBy("chunk_id")
-  val pack1Sql: String =
+  val pack2Sql: String =
     """WITH lens AS (
       |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n
       |  FROM documents WHERE len(str_split(text, ' ')) > 0),
@@ -879,7 +882,7 @@ object TextAnalysis {
     "t10_repetition_ratio" -> t10,
     "t16_gopher_rules" -> t16,
     "t17_c4_filters" -> t17,
-    "pack1_sequence_packing" -> pack1,
+    "pack2_packing_fragmentation" -> pack2,
   )
 
   val oracle: Map[String, String] = Map(
@@ -898,6 +901,6 @@ object TextAnalysis {
     "t10_repetition_ratio" -> t10Sql,
     "t16_gopher_rules" -> t16Sql,
     "t17_c4_filters" -> t17Sql,
-    "pack1_sequence_packing" -> pack1Sql,
+    "pack2_packing_fragmentation" -> pack2Sql,
   )
 }

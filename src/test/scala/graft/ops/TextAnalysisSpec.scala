@@ -168,7 +168,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.map(_._6).toSet === Set(0, 1), "doc_kept must vary")
   }
 
-  test("pack1 concat-and-chunk packing on a hand-computed fixture + corpus invariants") {
+  test("pack2 global concat-and-chunk packing on a hand-computed fixture + corpus invariants") {
     val sp = spark
     import sp.implicits._
     // lengths 1000,1500,600,2000,100 -> starts 0,1000,2500,3100,5100 (window 2048)
@@ -182,7 +182,7 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got === Seq((0L, 2L, 2L, 2048L), (1L, 3L, 2L, 2048L), (2L, 2L, 1L, 1104L)))
     // corpus invariants: fill == window everywhere but the tail, totals add up
-    val corpus = TextAnalysis.pack1(spark, sfDir).collect()
+    val corpus = TextAnalysis.pack2(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     val nTotal = graft.Tables.documents(spark, sfDir)
       .selectExpr("CAST(sum(size(split(text, ' '))) AS BIGINT)").head().getLong(0)
