@@ -87,7 +87,24 @@ object Bench {
     // load slows BOTH probes (the signal we want); a one-off GC hiccup
     // slows only the first (noise the min discards).
     def sentinelOnce(): Double = math.min(sentinelProbe(), sentinelProbe())
-    sentinelOnce() // JIT/codegen warmup; first probe is not representative
+    // Warm until the probe is JIT-STABLE, not just once: the first
+    // entry (alphabetically chunk1) was false-flagged `contaminated` in
+    // two exclusive-host sf1 sweeps because its before-sentinel still
+    // carried codegen/JIT startup — both probes of the min-of-two are
+    // uniformly slow while the JIT settles, which is exactly the
+    // signature the flag looks for. Stop when two consecutive probes
+    // agree within 20% (cap 10).
+    locally {
+      var prev = sentinelProbe()
+      var tries = 0
+      var stable = false
+      while (!stable && tries < 10) {
+        val cur = sentinelProbe()
+        stable = math.abs(cur - prev) / math.max(cur, prev) < 0.2
+        prev = cur
+        tries += 1
+      }
+    }
     val timings = names.map { name =>
       val fn = SparkEntry.queries(name)
       val sentinelBefore = sentinelOnce()
