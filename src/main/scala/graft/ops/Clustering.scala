@@ -69,11 +69,12 @@ object Clustering {
     }
   }
 
-  /** Two Lloyd iterations from deterministic seeds (the K lowest-id
-    * vectors, ids 1..K), then the per-cluster report: member count,
-    * Σ vec_id (membership witness), inertia (Σ squared-L2 to the final
-    * centroid), and the centroid's L1 norm (centroid witness). */
-  private[graft] def kmeansOf(vectors: DataFrame, iterations: Int = 2): DataFrame = {
+  /** Lloyd loop: final-iteration assignment frame (vec_id, q, nrm, cid,
+    * dist) plus the centroid set the members were assigned against —
+    * shared by the cl1 report and the cl2 cluster-balanced sample. Seeds
+    * are the K lowest-id vectors (ids 1..K). */
+  private[graft] def kmeansAssignments(
+      vectors: DataFrame, iterations: Int = 2): (DataFrame, Seq[Array[Long]]) = {
     val qn = Similarity.qnormOf(vectors)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds: Seq[Array[Long]] = qn.filter(col("vec_id").between(1, K))
@@ -86,13 +87,21 @@ object Clustering {
       cents = recompute(assign(qn, cents), cents)
       it += 1
     }
-    assign(qn, cents)
+    (assign(qn, cents), cents)
+  }
+
+  /** Per-cluster report: member count, Σ vec_id (membership witness),
+    * inertia (Σ squared-L2 to the final centroid), and the centroid's L1
+    * norm (centroid witness). */
+  private[graft] def kmeansOf(vectors: DataFrame, iterations: Int = 2): DataFrame = {
+    val (assigned, cents) = kmeansAssignments(vectors, iterations)
+    assigned
       .groupBy("cid")
       .agg(count(lit(1)).as("n_members"),
         sum("vec_id").as("sum_vec_id"),
         sum("dist").as("inertia"))
       .join(broadcast(
-        qn.sparkSession.createDataFrame(
+        vectors.sparkSession.createDataFrame(
           cents.zipWithIndex.map { case (c, i) =>
             (i + 1L, c.map(math.abs).sum)
           }).toDF("cid", "centroid_l1")), Seq("cid"))
@@ -102,6 +111,34 @@ object Clustering {
 
   val cl1: Q = (s, d) =>
     kmeansOf(Tables.embeddings(s, d)).orderBy("cluster_id")
+
+  /** CL2: cluster-balanced sampling — the diversity-preserving prune
+    * (SemDeDup-style cluster-then-cut): keep at most `quota` members per
+    * final cluster, picked by md5(vec_id) (deterministic pseudo-random,
+    * no RNG). Dominant clusters get truncated, rare clusters survive
+    * whole — the opposite failure mode of uniform sampling, which
+    * under-represents the tail.
+    *
+    * Scale: the per-cluster cut runs through the custom
+    * [[graft.plans.TopKPerGroup]] operator, NOT a window — a
+    * k-partition window is a skew funnel when k is 8 and the corpus is
+    * 100 TB; TopKPartial caps every map task at quota rows per cluster
+    * before the exchange, so the shuffle carries ≤ k·quota rows per
+    * task regardless of corpus size. */
+  private[graft] def clusterBalancedSample(vectors: DataFrame, quota: Int): DataFrame = {
+    val (assigned, _) = kmeansAssignments(vectors)
+    val keyed = assigned.select(
+      col("vec_id"), col("cid").as("cluster_id"),
+      expr("md5(CAST(vec_id AS STRING))").as("pick_key"))
+    graft.plans.TopKPerGroup(keyed,
+      groupBy = Seq("cluster_id"),
+      orderBy = Seq(("pick_key", false), ("vec_id", false)),
+      k = quota)
+  }
+
+  val cl2: Q = (s, d) =>
+    clusterBalancedSample(Tables.embeddings(s, d), quota = 40)
+      .orderBy("cluster_id", "vec_id")
 
   /** The oracle replays both Lloyd passes in SQL: positional arithmetic
     * uses 1-based `range(1, 65)` indexing (dim is fixed at 64 in the
@@ -160,6 +197,27 @@ object Clustering {
        |ORDER BY cluster_id""".stripMargin
   }
 
-  val queries: Map[String, Q] = Map("cl1_kmeans_clusters" -> cl1)
-  val oracle: Map[String, String] = Map("cl1_kmeans_clusters" -> cl1Sql)
+  /** cl2's oracle: the same two Lloyd passes, then the stock window
+    * formulation of the per-cluster cut (the custom TopKPerGroup operator
+    * must agree with the declarative rank-filter bit-for-bit). */
+  val cl2Sql: String = {
+    // reuse cl1Sql's CTE chain up to a1 by truncating at the final SELECT
+    val ctes = cl1Sql.substring(0, cl1Sql.lastIndexOf("SELECT a1.cid"))
+    ctes +
+      """SELECT cluster_id, vec_id, pick_key FROM (
+        |  SELECT a1.cid AS cluster_id, a1.vec_id,
+        |         md5(CAST(a1.vec_id AS VARCHAR)) AS pick_key,
+        |         row_number() OVER (PARTITION BY a1.cid
+        |           ORDER BY md5(CAST(a1.vec_id AS VARCHAR)), a1.vec_id) AS rk
+        |  FROM a1)
+        |WHERE rk <= 40
+        |ORDER BY cluster_id, vec_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "cl1_kmeans_clusters" -> cl1,
+    "cl2_cluster_balanced_sample" -> cl2)
+  val oracle: Map[String, String] = Map(
+    "cl1_kmeans_clusters" -> cl1Sql,
+    "cl2_cluster_balanced_sample" -> cl2Sql)
 }

@@ -26,6 +26,25 @@ class ClusteringSpec extends SparkSpec {
     assert(again.toSeq === out.toSeq, "cl1 must be deterministic")
   }
 
+  test("cl2 respects the per-cluster quota and keeps small clusters whole") {
+    val quota = 40
+    val sample = Clustering.cl2(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(0))) // (cluster_id, vec_id)
+    val sizes = Clustering.cl1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val kept = sample.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    kept.foreach { case (cid, n) =>
+      assert(n === math.min(quota.toLong, sizes(cid)),
+        s"cluster $cid kept $n of ${sizes(cid)} (quota $quota)")
+    }
+    // sampled ids must be actual members (subset of the partition)
+    assert(sample.map(_._2).distinct.length === sample.length, "no id kept twice")
+    // deterministic across runs
+    val again = Clustering.cl2(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(0)))
+    assert(again.toSeq === sample.toSeq)
+  }
+
   test("cl1 separates a planted two-blob geometry into distinct clusters") {
     val sp = spark
     import sp.implicits._
