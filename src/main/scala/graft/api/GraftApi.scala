@@ -187,6 +187,29 @@ object GraftApi {
     * (doc_id, text, n_chars). */
   def tokenCounts(docs: DataFrame): DataFrame = TextAnalysis.tokenCountsOf(docs)
 
+  /** Gopher quality-rule battery (Rae et al. 2112.11446 §A1.1): per-doc
+    * word-count / mean-word-length / symbol / bullet / ellipsis /
+    * alpha-word / stopword rules in integer basis points plus a conjoined
+    * `keep` flag — one codegen projection, needs (doc_id, text, n_chars).
+    * Line structure is derived arithmetically from doc_id (the fixture is
+    * line-less); feed real multi-line text through your own line split
+    * upstream if you have one. */
+  def gopherRules(docs: DataFrame): DataFrame = TextAnalysis.gopherRulesOf(docs)
+
+  /** C4 cleaning pass (Raffel et al. 1910.10683 §2.2): line-level
+    * terminal-punctuation / ≥5-words / javascript rules, doc-level
+    * lorem-ipsum / brace / ≥3-kept-lines drop, cleaned-doc md5 witness —
+    * (doc_id, n_lines_total, n_kept_lines, n_kept_words, has_lorem,
+    * has_brace, doc_kept, clean_md5). */
+  def c4Filters(docs: DataFrame): DataFrame = TextAnalysis.c4FiltersOf(docs)
+
+  /** Global concat-and-chunk packing fragmentation: cut the corpus token
+    * stream (doc_id order) every `window` tokens — per chunk: docs
+    * touching it, docs starting in it, token fill. Distributed prefix
+    * sum; never a single-task window. */
+  def packingStats(docs: DataFrame, window: Long = 2048L): DataFrame =
+    TextAnalysis.packingStatsOf(docs, window)
+
   /** Order-sensitive rolling-hash document fingerprints —
     * (doc_id, fingerprint). */
   def fingerprints(docs: DataFrame): DataFrame = TextAnalysis.fingerprintsOf(docs)
@@ -228,6 +251,25 @@ object GraftApi {
   def cosineTopKMany(vectors: DataFrame, queries: DataFrame, k: Int,
       k1: Int = 32): DataFrame =
     graft.ops.Similarity.rerankTopKOf(vectors, queries, k1 = k1, k = k)
+
+  // ---- clustering ----
+
+  /** Distributed k-means (2 Lloyd passes, deterministic lowest-id seeds,
+    * exact integer L2 over quantized components) — per-cluster report
+    * (cluster_id, n_members, sum_vec_id, inertia, centroid_l1). Needs
+    * (vec_id BIGINT, embedding ARRAY<FLOAT>) with vec_ids 1..8 present.
+    * Centroids ride the plan as literals: assignment is a zero-shuffle
+    * projection, recompute one tiny partial-agg exchange. */
+  def kmeansReport(vectors: DataFrame, iterations: Int = 2): DataFrame =
+    graft.ops.Clustering.kmeansOf(vectors, iterations)
+
+  /** Cluster-balanced sample: ≤ `quota` members per final k-means
+    * cluster, picked by md5(vec_id) — the diversity-preserving prune
+    * (dominant clusters truncate, rare clusters survive whole). The cut
+    * runs through the bounded-exchange TopKPerGroup operator, not a
+    * k-partition window. Returns (vec_id, cluster_id, pick_key). */
+  def clusterBalancedSample(vectors: DataFrame, quota: Int = 40): DataFrame =
+    graft.ops.Clustering.clusterBalancedSample(vectors, quota)
 
   // ---- temporal ----
 

@@ -356,4 +356,45 @@ class ApiSpec extends SparkSpec {
     assert(hh.head.getLong(1) === 500L, "exact count")
     assert(hh.head.getLong(2) >= 500L, "CMS never underestimates")
   }
+
+  test("gopherRules / c4Filters run on a user frame and the word-count rule bites") {
+    val sp = spark
+    import sp.implicits._
+    val short = "tiny doc"
+    val long = (1 to 80).map(i => if (i % 9 == 0) "the" else if (i % 7 == 0) "data" else s"w$i").mkString(" ")
+    val docs = Seq((1L, short, short.length.toLong), (2L, long, long.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val g = GraftApi.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(9)).toMap
+    assert(g(1L) === 0, "2-word doc must fail the 50-word rule")
+    assert(g(2L) === 1, "80-word stopword-bearing doc must pass")
+    val c = GraftApi.c4Filters(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(6))).toMap
+    assert(c(1L)._2 === 0, "a 1-line doc can never keep 3 lines")
+    assert(c(2L)._1 > 0, "long doc must keep some terminal-punctuated lines")
+  }
+
+  test("packingStats conserves tokens over a user frame") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 9L).map(i => (i, (1 to 700).map(_ => "w").mkString(" "))).toDF("doc_id", "text")
+    val chunks = GraftApi.packingStats(docs, window = 1000L).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    assert(chunks.map(_._2).sum === 9L * 700L)
+    chunks.init.foreach { case (_, fill) => assert(fill === 1000L) }
+  }
+
+  test("kmeansReport + clusterBalancedSample partition and prune a user frame") {
+    val sp = spark
+    import sp.implicits._
+    val vecs = (1L to 60L).map { id =>
+      (id, Array.tabulate(4)(j => if (j == (id % 2).toInt) 1.0f + (id % 5) * 0.01f else 0.02f * (id % 3)))
+    }.toDF("vec_id", "embedding")
+    val rep = GraftApi.kmeansReport(vecs).collect()
+    assert(rep.map(_.getLong(1)).sum === 60L, "every vector assigned once")
+    val sample = GraftApi.clusterBalancedSample(vecs, quota = 5).collect()
+    val perCluster = sample.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    perCluster.values.foreach(n => assert(n <= 5, "quota respected"))
+    assert(sample.map(_.getLong(0)).distinct.length === sample.length)
+  }
 }
