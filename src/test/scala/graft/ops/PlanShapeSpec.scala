@@ -133,4 +133,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
       "clean/tokenize chain must stay pure-Catalyst")
   }
+
+  test("T16/T17 quality filters never leave the scan: no joins, no explode, no pre-sort exchange") {
+    // the rule batteries are one codegen projection over the corpus scan;
+    // a join, generator, or aggregate appearing here means someone broke
+    // the closed-form line arithmetic and the op stopped being free at
+    // 100 TB (the presentation sort's range exchange is the only allowed
+    // exchange)
+    Seq(TextAnalysis.t16(spark, sfDir), TextAnalysis.t17(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Join"), "quality filter must not join\n" + p.take(600))
+      assert(!p.contains("Generate"), "quality filter must not explode\n" + p.take(600))
+      assert(!p.contains("HashAggregate"), "quality filter must not aggregate\n" + p.take(600))
+      assert(!p.contains("ScalaUDF"), "must stay pure-Catalyst")
+      assert("Exchange".r.findAllIn(p).length <= 1,
+        "only the presentation sort may exchange\n" + p.take(800))
+    }
+  }
+
+  test("CL1 Lloyd assignment is join-free; the report exchange carries cluster rows only") {
+    val p = plan(Clustering.cl1(spark, sfDir))
+    // centroids are plan literals: the only joins allowed are the final
+    // k-row centroid_l1 BROADCAST attach — never a shuffled join, never a
+    // cartesian against the corpus
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      "corpus-side join leaked into the assignment\n" + p.take(800))
+    assert(p.contains("partial_"), "per-cluster report must combine map-side")
+  }
+
+  test("CL2 balanced sample routes through TopKPerGroup, not a k-partition window") {
+    val p = plan(Clustering.cl2(spark, sfDir))
+    assert(p.contains("TopKPartial") && p.contains("TopKFinal"),
+      "quota cut must use the bounded-exchange custom operator\n" + p.take(800))
+    assert(!p.linesIterator.exists(l => l.contains("Window [")),
+      "no window funnel on 8 cluster partitions\n" + p.take(800))
+  }
 }
