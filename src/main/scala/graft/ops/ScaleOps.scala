@@ -719,6 +719,84 @@ object ScaleOps {
       |       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- MIX2: DoReMi-style loss-driven domain reweighting ----
+
+  /** MIX2: exponentiated-gradient domain reweighting (the DoReMi rule,
+    * Xie et al. 2023, arXiv:2305.10429): domains whose loss EXCEEDS the
+    * corpus baseline get up-weighted — train where the model is worst —
+    * via w_s ∝ n_s · exp(η · excess_s). The per-domain loss here is the
+    * engine's own unigram-NLL quality signal (t15, already e6-integer
+    * exact), so the whole op composes from verified parts: per-doc NLL →
+    * per-source integer mean → integer excess vs the doc-weighted global
+    * mean → ONE double exp() rounded straight to an e6 integer (the
+    * t14/t15 pattern: round-then-integer keeps cross-engine ulp noise
+    * out of everything downstream) → integer basis-point weights.
+    * η = 0.1 (excess_e6/10^7 inside the exp).
+    *
+    * Scale: the NLL pass is t15's plan (vocab agg + one token-stream
+    * join); everything after is a |sources|-row aggregate with a 1-row
+    * broadcast scalar — free. Headroom: score_s = n_s · exp_e6 with
+    * exp_e6 ≤ e·10^6, so BIGINT holds to n_s ≈ 10^{12} docs per domain
+    * and Σ over ~100 domains to ~10^{16} total — at real corpus scale
+    * weights would be computed per snapshot, not per job. */
+  val mix2: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val nll = TextAnalysis.unigramNllOf(docs.select("doc_id", "text"))
+    val bySrc = docs.select("doc_id", "source").join(nll, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nll_e6").as("sum_nll"))
+    val glob = bySrc.agg(sum("sum_nll").as("g_sum"), sum("n_docs").as("g_n"))
+    val scored = bySrc.crossJoin(broadcast(glob))
+      .select(col("source"), col("n_docs"),
+        expr("sum_nll div n_docs").as("mean_nll_e6"),
+        expr("greatest(0L, sum_nll div n_docs - g_sum div g_n)").as("excess_e6"))
+      .withColumn("exp_e6", expr(
+        "CAST(round(exp(CAST(excess_e6 AS DOUBLE) / 10000000.0) * 1000000) AS BIGINT)"))
+      .withColumn("score", expr("n_docs * exp_e6"))
+    val total = scored.agg(sum("score").as("t_score"))
+    scored.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("mean_nll_e6"),
+        col("excess_e6"), col("exp_e6"),
+        expr("score * 10000 div t_score").as("weight_bp"))
+      .orderBy("source")
+  }
+  val mix2Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+      |tk AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+      |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+      |scal AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+      |                CAST(count(*) AS BIGINT) AS v_size FROM vocab),
+      |w AS (SELECT tok,
+      |             CAST(round(ln(CAST(n_total + v_size AS DOUBLE) / CAST(c + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+      |               AS tok_nll_e6
+      |      FROM vocab, scal),
+      |nll AS (
+      |  SELECT doc_id,
+      |         CAST(sum(tok_nll_e6) AS BIGINT) // CAST(count(*) AS BIGINT) AS nll_e6
+      |  FROM tk JOIN w USING (tok) GROUP BY doc_id),
+      |by_src AS (
+      |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(nll.nll_e6) AS BIGINT) AS sum_nll
+      |  FROM documents d JOIN nll ON d.doc_id = nll.doc_id
+      |  GROUP BY d.source),
+      |gl AS (SELECT CAST(sum(sum_nll) AS BIGINT) AS g_sum,
+      |               CAST(sum(n_docs) AS BIGINT) AS g_n FROM by_src),
+      |scored AS (
+      |  SELECT source, n_docs,
+      |         sum_nll // n_docs AS mean_nll_e6,
+      |         greatest(0, sum_nll // n_docs - g.g_sum // g.g_n) AS excess_e6,
+      |         CAST(round(exp(CAST(greatest(0, sum_nll // n_docs - g.g_sum // g.g_n) AS DOUBLE)
+      |           / 10000000.0) * 1000000) AS BIGINT) AS exp_e6
+      |  FROM by_src CROSS JOIN gl g),
+      |sc2 AS (SELECT *, n_docs * exp_e6 AS score FROM scored),
+      |tot AS (SELECT CAST(sum(score) AS BIGINT) AS t_score FROM sc2)
+      |SELECT source, n_docs, CAST(mean_nll_e6 AS BIGINT) AS mean_nll_e6,
+      |       CAST(excess_e6 AS BIGINT) AS excess_e6, exp_e6,
+      |       CAST(score * 10000 // t.t_score AS BIGINT) AS weight_bp
+      |FROM sc2 CROSS JOIN tot t
+      |ORDER BY source""".stripMargin
+
   // ---- B1: bucketed co-located join (no shuffle on either join side) ----
 
   /** B1: the pre-partitioning answer to the biggest shuffle in the engine —
@@ -1158,6 +1236,7 @@ object ScaleOps {
 
   val queries: Map[String, Q] = Map(
     "mix1_temperature_mix" -> mix1,
+    "mix2_doremi_reweight" -> mix2,
     "dq1_expectations" -> dq1,
     "samp3_group_sample_topk" -> samp3,
     "obs1_observed_metrics" -> obs1,
@@ -1189,6 +1268,7 @@ object ScaleOps {
 
   val oracle: Map[String, String] = Map(
     "mix1_temperature_mix" -> mix1Sql,
+    "mix2_doremi_reweight" -> mix2Sql,
     "dq1_expectations" -> dq1Sql,
     "samp3_group_sample_topk" -> samp3Sql,
     "obs1_observed_metrics" -> obs1Sql,

@@ -359,6 +359,48 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got("big")._3 < 400L && got("small")._2 === 10000L)
   }
 
+  test("mix2 DoReMi reweighting matches a full pure-JVM recomputation on the fixture") {
+    // Independent model: add-1-smoothed unigram NLL per doc (t15's exact
+    // integer scheme recomputed with plain JVM math), per-source integer
+    // means, excess vs the doc-weighted global mean, exp rounded to e6,
+    // then integer basis-point weights. Every emitted number must match.
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val toks = docs.map { case (id, t, s) =>
+      (id, s, t.split(" ").filter(_.nonEmpty).toSeq) }
+    val vocab = toks.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = vocab.values.sum
+    val vSize = vocab.size.toLong
+    val tokNll: Map[String, Long] = vocab.map { case (w, c) =>
+      w -> math.round(math.log((nTotal + vSize).toDouble / (c + 1).toDouble) * 1e6)
+    }
+    val docNll = toks.map { case (id, s, ws) =>
+      (id, s, ws.map(tokNll).sum / ws.length) }
+    val bySrc = docNll.groupBy(_._2).map { case (s, ds) =>
+      s -> (ds.size.toLong, ds.map(_._3).sum) }
+    val gSum = bySrc.values.map(_._2).sum
+    val gN = bySrc.values.map(_._1).sum
+    val scored = bySrc.map { case (s, (n, sumNll)) =>
+      val mean = sumNll / n
+      val excess = math.max(0L, mean - gSum / gN)
+      val expE6 = math.round(math.exp(excess.toDouble / 1e7) * 1e6)
+      s -> (n, mean, excess, expE6, n * expE6)
+    }
+    val tScore = scored.values.map(_._5).sum
+    val expected = scored.map { case (s, (n, mean, excess, expE6, score)) =>
+      s -> ((n, mean, excess, expE6, score * 10000 / tScore)) }
+    val got = ScaleOps.mix2(spark, sfDir).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+    // the rule must be live: at least one domain strictly above baseline
+    assert(got.values.exists(_._3 > 0L), "no domain has positive excess — signal dead")
+    // weights are a (floor-divided) distribution over basis points
+    val wSum = got.values.map(_._5).sum
+    assert(wSum > 9900L && wSum <= 10000L, s"weight_bp sum $wSum out of band")
+  }
+
   test("apx4 CMS estimates bound exact counts: est >= exact, est <= exact + eps*N") {
     val rows = ScaleOps.apx4(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
