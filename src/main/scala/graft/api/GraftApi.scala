@@ -299,6 +299,14 @@ object GraftApi {
   def bernoulliKeep(id: Column, salt: String, keepBp: Column): Column =
     ScaleOps.bernoulliKeep(id, salt, keepBp)
 
+  /** DoReMi-style domain reweighting over (doc_id, text, source): per
+    * domain, w ∝ n·exp(η·excess-NLL-vs-baseline) as integer basis
+    * points — (source, n_docs, mean_nll_e6, excess_e6, exp_e6,
+    * weight_bp). Feed `weight_bp` into [[bernoulliKeep]] (or a sampler)
+    * to realize the mixture. */
+  def doremiWeights(docs: DataFrame): DataFrame =
+    ScaleOps.doremiWeightsOf(docs)
+
   // ---- batch/layout planning ----
 
   /** Concat-and-chunk packing assignment: adds `win` (the pretraining

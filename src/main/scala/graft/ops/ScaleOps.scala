@@ -739,8 +739,9 @@ object ScaleOps {
     * exp_e6 ≤ e·10^6, so BIGINT holds to n_s ≈ 10^{12} docs per domain
     * and Σ over ~100 domains to ~10^{16} total — at real corpus scale
     * weights would be computed per snapshot, not per job. */
-  val mix2: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  /** DoReMi weights over any (doc_id, text, source) frame — the library
+    * entry point ([[graft.api.GraftApi.doremiWeights]]). */
+  private[graft] def doremiWeightsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val nll = TextAnalysis.unigramNllOf(docs.select("doc_id", "text"))
     val bySrc = docs.select("doc_id", "source").join(nll, Seq("doc_id"))
       .groupBy("source")
@@ -758,8 +759,10 @@ object ScaleOps {
       .select(col("source"), col("n_docs"), col("mean_nll_e6"),
         col("excess_e6"), col("exp_e6"),
         expr("score * 10000 div t_score").as("weight_bp"))
-      .orderBy("source")
   }
+
+  val mix2: Q = (s, d) =>
+    doremiWeightsOf(Tables.documents(s, d)).orderBy("source")
   val mix2Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
