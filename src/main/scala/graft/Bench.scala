@@ -105,38 +105,36 @@ object Bench {
         tries += 1
       }
     }
-    val timings = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val sentinelBefore = sentinelOnce()
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      // Load-robust sampling (rounds 5-7 all showed driver sweeps with
-      // ambient host load poisoning individual samples — e.g. r7's d6
-      // charged 27.8 s warm with spread 121.9 s vs 2.4 s isolated). Cold
-      // is inherently a one-shot (first execution carries codegen + JIT
-      // and cannot be re-achieved in-JVM), so it stays a single sample.
-      // Warm samples until the two FASTEST samples agree within 20%
-      // (min 2, cap 5 samples): under purely additive load noise the
-      // minimum is the defensible estimator — a spike can only slow a
-      // run down, never speed it up — so warm = min(samples) always, and
-      // agreement-of-the-two-fastest is the evidence the min itself is
-      // clean. If the cap is hit without agreement the entry is flagged
-      // `contaminated` so the artifact carries the verdict instead of a
-      // silently-shaped number. `spread` (max-min) and `n_warm` make the
-      // sampling visible per entry; the top-level `method` field names
-      // the estimator so cross-round totals aren't compared blindly
-      // (rounds ≤6 used a single warm sample, round 7 min-of-2/median-3).
-      val cold = once()
-      spark.catalog.clearCache()
-      val MaxWarmSamples = 5
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Load-robust sampling (rounds 5-7 all showed driver sweeps with
+    // ambient host load poisoning individual samples — e.g. r7's d6
+    // charged 27.8 s warm with spread 121.9 s vs 2.4 s isolated). Cold
+    // is inherently a one-shot (first execution carries codegen + JIT
+    // and cannot be re-achieved in-JVM), so it stays a single sample.
+    // Warm samples until the two FASTEST samples agree within 20%
+    // (min 2, cap 5 samples): under purely additive load noise the
+    // minimum is the defensible estimator — a spike can only slow a
+    // run down, never speed it up — so warm = min(samples) always, and
+    // agreement-of-the-two-fastest is the evidence the min itself is
+    // clean. If the cap is hit without agreement the entry is flagged
+    // `contaminated` so the artifact carries the verdict instead of a
+    // silently-shaped number. `spread` (max-min) and `n_warm` make the
+    // sampling visible per entry; the top-level `method` field names
+    // the estimator so cross-round totals aren't compared blindly
+    // (rounds ≤6 used a single warm sample, round 7 min-of-2/median-3).
+    val MaxWarmSamples = 5
+    // returns (warm, spread, nWarm, unsettled); warm = -1.0 on crash
+    def sampleWarm(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Int, Boolean) = {
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var crashed = false
       var settled = false
       while (!crashed && !settled && samples.size < MaxWarmSamples) {
-        val w = once(); spark.catalog.clearCache()
+        val w = runOnce(fn); spark.catalog.clearCache()
         if (w < 0) crashed = true
         else {
           samples += w
@@ -149,34 +147,71 @@ object Bench {
       val warm = if (crashed) -1.0 else samples.min
       val unsettled = !crashed && !settled
       val spread = if (crashed) 0.0 else samples.max - samples.min
-      val nWarm = samples.size
-      name -> ((cold, warm, spread, nWarm, unsettled, sentinelBefore))
+      (warm, spread, samples.size, unsettled)
+    }
+    case class Entry(cold: Double, warm: Double, spread: Double, nWarm: Int,
+      unsettled: Boolean, sentinelBefore: Double, retried: Boolean = false)
+
+    val timings = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val sentinelBefore = sentinelOnce()
+      val cold = runOnce(fn)
+      spark.catalog.clearCache()
+      val (warm, spread, nWarm, unsettled) = sampleWarm(fn)
+      name -> Entry(cold, warm, spread, nWarm, unsettled, sentinelBefore)
     }
     val sentinelAfterLast = sentinelOnce()
     // session median over every probe (robust to a minority of spikes)
     val allSentinels =
-      (timings.map(_._2._6) :+ sentinelAfterLast).sorted
+      (timings.map(_._2.sentinelBefore) :+ sentinelAfterLast).sorted
     val sentinelMedian = allSentinels(allSentinels.size / 2)
     // entry i is load-flagged if the probe before OR after it spiked
     val sentinelAfter = timings.indices.map(i =>
-      if (i + 1 < timings.size) timings(i + 1)._2._6 else sentinelAfterLast)
+      if (i + 1 < timings.size) timings(i + 1)._2.sentinelBefore else sentinelAfterLast)
     def loadFlagged(i: Int): Boolean =
       sentinelMedian > 0 && (
-        timings(i)._2._6 > 2 * sentinelMedian || sentinelAfter(i) > 2 * sentinelMedian)
+        timings(i)._2.sentinelBefore > 2 * sentinelMedian ||
+          sentinelAfter(i) > 2 * sentinelMedian)
 
-    val totalWarm = timings.map { case (_, (_, w, _, _, _, _)) => math.max(w, 0.0) }.sum
-    val totalCold = timings.map { case (_, (c, _, _, _, _, _)) => math.max(c, 0.0) }.sum
+    // Retry pass (round-9 verdict): ambient driver-host load is transient —
+    // the r9 driver sweep flagged 30/196 entries it could likely have
+    // recovered minutes later. ONE retry per flagged entry at sweep end,
+    // bracketed by its own sentinel probes judged against the ORIGINAL
+    // session median (the cleanest load reference available): if the retry
+    // settles AND both brackets are quiet, its warm/spread/n_warm replace
+    // the first pass's and the flag clears, with "retried": true recording
+    // the provenance. Otherwise the original flagged numbers stand — same
+    // honesty guarantees, cold is never retried (one-shot by nature).
+    val finalEntries = timings.zipWithIndex.map { case ((name, e), i) =>
+      val flagged = e.unsettled || loadFlagged(i)
+      if (!flagged || e.warm < 0) (name, e, flagged)
+      else {
+        val sb = sentinelOnce()
+        val (w2, sp2, n2, uns2) = sampleWarm(SparkEntry.queries(name))
+        val sa = sentinelOnce()
+        val quiet = sentinelMedian > 0 &&
+          sb <= 2 * sentinelMedian && sa <= 2 * sentinelMedian
+        if (w2 >= 0 && !uns2 && quiet)
+          (name, e.copy(warm = w2, spread = sp2, nWarm = n2, unsettled = false,
+            sentinelBefore = sb, retried = true), false)
+        else (name, e, true)
+      }
+    }
+
+    val totalWarm = finalEntries.map { case (_, e, _) => math.max(e.warm, 0.0) }.sum
+    val totalCold = finalEntries.map { case (_, e, _) => math.max(e.cold, 0.0) }.sum
     val method = "warm = min over 2-5 samples, sampled until the two fastest " +
       "agree within 20%; contaminated = agreement never reached (cap hit) OR " +
       "an adjacent fixed-work load sentinel (min of 2 probes, so one-off GC " +
-      "aftermath is discarded) ran >2x the session median"
+      "aftermath is discarded) ran >2x the session median; flagged entries " +
+      "get ONE end-of-sweep retry (retried=true) that clears the flag only " +
+      "if it settles between quiet sentinel brackets"
     val onlyJson = only.map(_.map(p => s""""$p"""").mkString("[", ",", "]"))
       .getOrElse("null")
 
-    val fullJson = timings.zipWithIndex
-      .map { case ((n, (c, w, sp, nw, unsettled, sb)), i) =>
-        val cont = unsettled || loadFlagged(i)
-        s"""    "$n": {"cold": ${f(c)}, "warm": ${f(w)}, "spread": ${f(sp)}, "n_warm": $nw, "contaminated": $cont, "unsettled": $unsettled, "sentinel_before": ${f(sb)}}""" }
+    val fullJson = finalEntries
+      .map { case (n, e, cont) =>
+        s"""    "$n": {"cold": ${f(e.cold)}, "warm": ${f(e.warm)}, "spread": ${f(e.spread)}, "n_warm": ${e.nWarm}, "contaminated": $cont, "unsettled": ${e.unsettled}, "retried": ${e.retried}, "sentinel_before": ${f(e.sentinelBefore)}}""" }
       .mkString(
         s"""{\n  "sf": "$sfDir",\n  "unit": "sec",\n  "method": "$method",\n  "only": $onlyJson,\n  "sentinel_median": ${f(sentinelMedian)},\n  "total_cold": ${f(totalCold)},\n  "total_warm": ${f(totalWarm)},\n  "queries": {\n""",
         ",\n",
@@ -198,15 +233,16 @@ object Bench {
       .getOrElse(repoRoot.resolve(defaultName))
     Files.writeString(fullPath, fullJson)
 
-    val warmByName = timings.map { case (n, (c, w, _, _, _, _)) => n -> ((c, w)) }.toMap
-    val qs = Headline.flatMap(n => warmByName.get(n).map { case (_, w) => s"\"$n\":${f(w)}" })
+    val warmByName = finalEntries.map { case (n, e, _) => n -> e.warm }.toMap
+    val qs = Headline.flatMap(n => warmByName.get(n).map(w => s"\"$n\":${f(w)}"))
       .mkString("{", ",", "}")
     // crashed queries are clamped OUT of the totals (a crash must not read
     // as a speedup), so they have to be loud on the stdout line instead
-    val failed = timings.collect { case (n, (c, w, _, _, _, _)) if c < 0 || w < 0 => s"\"$n\"" }
+    val failed = finalEntries
+      .collect { case (n, e, _) if e.cold < 0 || e.warm < 0 => s"\"$n\"" }
       .mkString("[", ",", "]")
-    val contaminatedNames = timings.zipWithIndex
-      .collect { case ((n, (_, _, _, _, unsettled, _)), i) if unsettled || loadFlagged(i) => s"\"$n\"" }
+    val contaminatedNames = finalEntries
+      .collect { case (n, _, cont) if cont => s"\"$n\"" }
       .mkString("[", ",", "]")
     // Stop Spark BEFORE printing the metric line so no executor/streaming
     // thread can log after it — the JSON line must be the last output.

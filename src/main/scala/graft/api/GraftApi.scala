@@ -408,6 +408,15 @@ object GraftApi {
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
     Retrieval.bm25TopKOf(docs, queries, k)
 
+  /** Hybrid-retrieval fusion: reciprocal-rank fusion (Cormack et al.,
+    * SIGIR 2009; K = 60) of a sparse ranking (`bm25TopK`'s shape:
+    * query_id, rnk, doc_id) and a dense ranking (`cosineTopK`'s shape:
+    * q_id, cand_id, rk). Integer micro-unit rank math — engine-exact.
+    * Returns (query_id, rnk, doc_id, rrf_e6, rnk_sparse, rnk_dense),
+    * top `kOut` per query. */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, kOut: Int = 10): DataFrame =
+    Retrieval.rrfFuseOf(sparse, dense, kOut)
+
   // ---- ordering / top-k ----
 
   /** Reproducible pseudo-random total order: adds `pos` (dense 1..N over

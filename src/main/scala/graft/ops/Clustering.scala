@@ -87,7 +87,13 @@ object Clustering {
       cents = recompute(assign(qn, cents), cents)
       it += 1
     }
-    (assign(qn, cents), cents)
+    // MlLsh convention: materialize the result eagerly (localCheckpoint) so
+    // the loop cache can unpin before returning — library callers must not
+    // inherit a session-lifetime MEMORY_AND_DISK frame (checkpoint blocks
+    // are GC-managed by the ContextCleaner once the frame is unreachable).
+    val finalAssign = assign(qn, cents).localCheckpoint(true)
+    qn.unpersist()
+    (finalAssign, cents)
   }
 
   /** Per-cluster report: member count, Σ vec_id (membership witness),
@@ -140,11 +146,14 @@ object Clustering {
     clusterBalancedSample(Tables.embeddings(s, d), quota = 40)
       .orderBy("cluster_id", "vec_id")
 
-  /** The oracle replays both Lloyd passes in SQL: positional arithmetic
-    * uses 1-based `range(1, 65)` indexing (dim is fixed at 64 in the
-    * fixture), `//` truncation matches Spark's `div`, and the argmin
-    * window orders (dist, cid) — the same first-minimum tie-break. */
-  val cl1Sql: String = {
+  /** The shared Lloyd CTE chain (qn → cent0 → d0 → a0 → cent1 → d1 → a1)
+    * replaying both passes — cl1Sql and cl2Sql each append their own final
+    * SELECT, so an edit to either query's tail cannot corrupt the other
+    * (previously cl2Sql was substring-sliced out of cl1Sql). Positional
+    * arithmetic uses 1-based `range(1, 65)` indexing (dim is fixed at 64
+    * in the fixture), `//` truncation matches Spark's `div`, and the
+    * argmin window orders (dist, cid) — the same first-minimum tie-break. */
+  private val lloydCtes: String = {
     val dim = 64
     s"""WITH qn AS (
        |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
@@ -186,7 +195,11 @@ object Clustering {
        |    SELECT vec_id, cid, dist,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
        |    FROM d1) WHERE rk = 1)
-       |SELECT a1.cid AS cluster_id,
+       |""".stripMargin
+  }
+
+  val cl1Sql: String = lloydCtes +
+    """SELECT a1.cid AS cluster_id,
        |       CAST(count(*) AS BIGINT) AS n_members,
        |       CAST(sum(a1.vec_id) AS BIGINT) AS sum_vec_id,
        |       CAST(sum(a1.dist) AS BIGINT) AS inertia,
@@ -195,16 +208,13 @@ object Clustering {
        |FROM a1
        |GROUP BY a1.cid
        |ORDER BY cluster_id""".stripMargin
-  }
 
-  /** cl2's oracle: the same two Lloyd passes, then the stock window
-    * formulation of the per-cluster cut (the custom TopKPerGroup operator
-    * must agree with the declarative rank-filter bit-for-bit). */
-  val cl2Sql: String = {
-    // reuse cl1Sql's CTE chain up to a1 by truncating at the final SELECT
-    val ctes = cl1Sql.substring(0, cl1Sql.lastIndexOf("SELECT a1.cid"))
-    ctes +
-      """SELECT cluster_id, vec_id, pick_key FROM (
+  /** cl2's oracle: the same two Lloyd passes ([[lloydCtes]]), then the
+    * stock window formulation of the per-cluster cut (the custom
+    * TopKPerGroup operator must agree with the declarative rank-filter
+    * bit-for-bit). */
+  val cl2Sql: String = lloydCtes +
+    """SELECT cluster_id, vec_id, pick_key FROM (
         |  SELECT a1.cid AS cluster_id, a1.vec_id,
         |         md5(CAST(a1.vec_id AS VARCHAR)) AS pick_key,
         |         row_number() OVER (PARTITION BY a1.cid
@@ -212,7 +222,6 @@ object Clustering {
         |  FROM a1)
         |WHERE rk <= 40
         |ORDER BY cluster_id, vec_id""".stripMargin
-  }
 
   val queries: Map[String, Q] = Map(
     "cl1_kmeans_clusters" -> cl1,

@@ -193,6 +193,17 @@ object Dedup {
     * exact Jaccard ≥ `minJacBp` basis points (integer cross-multiplication,
     * no float tolerance) — the library entry point behind d3/d8 and
     * [[graft.api.GraftApi.nearDupPairs]]. Unsorted. */
+  /** Skew cap for the MinHash band join — same magnitude and rationale as
+    * d5's [[MaxBucket]] and d11's [[D11MaxBucket]]: at web scale one hot
+    * band (boilerplate docs sharing a minhash) otherwise produces O(bn²)
+    * candidate pairs inside the self-join. Buckets wider than the cap are
+    * dropped BEFORE the join, bounding candidates per band to
+    * cap·(cap−1)/2 — linear in n overall. A true near-dup set that wide
+    * is exact-dup territory (d1's job) or a super-cluster handled by a
+    * separate pass, standard LSH practice. Deterministic, so the oracle
+    * mirrors it verbatim. */
+  private[graft] val D3MaxBand = 50
+
   private[graft] def nearDupPairsOf(docs: DataFrame, minJacBp: Int = 8000): DataFrame = {
     // NOT cached: measured at sf0.1, materializing the wide shingle/signature
     // frames costs more than the recompute it saves — uncached, Catalyst
@@ -205,7 +216,11 @@ object Dedup {
     // the equi-join shuffles 8 bytes per row where an md5 key shuffled 32
     val bands = mh.select(col("doc_id"), (col("mh0") * MhP + col("mh1")).as("band"), lit(0).as("bi"))
       .unionAll(mh.select(col("doc_id"), (col("mh2") * MhP + col("mh3")).as("band"), lit(1).as("bi")))
-    val cand = bands.as("a").join(bands.as("b"),
+    // scale guard: see D3MaxBand — hot bands out before the self-join
+    val okBands = bands.groupBy("band", "bi").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= D3MaxBand).select("band", "bi")
+    val bounded = bands.join(okBands, Seq("band", "bi"))
+    val cand = bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.bi") === col("b.bi") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
@@ -252,9 +267,11 @@ object Dedup {
        |  SELECT doc_id, mh0 * $MhP + mh1 AS band, 0 AS bi FROM minhash
        |  UNION ALL
        |  SELECT doc_id, mh2 * $MhP + mh3 AS band, 1 AS bi FROM minhash),
+       |bok AS (SELECT band, bi FROM bands GROUP BY band, bi HAVING count(*) <= $D3MaxBand),
+       |bb AS (SELECT b.doc_id, b.band, b.bi FROM bands b JOIN bok USING (band, bi)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
+       |  FROM bb a JOIN bb b
        |    ON a.band = b.band AND a.bi = b.bi AND a.doc_id < b.doc_id),
        |shh AS (SELECT doc_id, ${h60Sql("shingle")} AS sh FROM shingles),
        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shh GROUP BY doc_id),
@@ -366,20 +383,38 @@ object Dedup {
 
   // ---- D6: blocked n-gram Jaccard (pairwise within (lang, source) blocks) ----
 
-  val d6: Q = (s, d) => {
+  /** Document-frequency cap for d6's shingle-equality self-join: a
+    * stop-phrase shingle appearing in millions of docs makes one bucket
+    * quadratic at 100 TB (the join is "quadratic only per shingle
+    * bucket"). Shingles whose DF within a (lang, source) block exceeds
+    * the cap are dropped from the REPRESENTATION before the join — they
+    * carry no discriminative signal (the standard stop-shingle fix), so
+    * both the intersection and the per-doc set sizes use the filtered
+    * space, keeping Jaccard internally consistent (identical docs still
+    * score 10000). Deterministic; mirrored in the oracle. */
+  private[graft] val D6MaxDf = 50
+
+  /** d6's body over ANY (doc_id, text, lang, source) frame — split out so
+    * the planted stop-shingle spec can drive it directly. */
+  private[graft] def ngramJaccardBlockedOf(docs: DataFrame): DataFrame = {
     // the ONE shared shingle definition (shinglesOf — same as d2/d3/d9, so
     // the <3-word fallback cannot drift), with the (lang, source) block key
     // joined back on doc_id (constant per doc ⇒ per-doc distinct unchanged)
-    val sh = shinglesOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    val sh = shinglesOf(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), h60(col("shingle")).as("sh")) // 8-byte join key (see d3)
-      .join(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")), "doc_id")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+    // scale guard: see D6MaxDf — stop-shingles out before sizes AND the join
+    val dfok = sh.groupBy("lang", "source", "sh").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= D6MaxDf).select("lang", "source", "sh")
+    val bounded = sh.join(dfok, Seq("lang", "source", "sh"))
+    val sizes = bounded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // intersection counts straight off a shingle-equality self-join within
     // the block: only pairs that actually SHARE a shingle are materialized,
     // instead of enumerating every intra-block doc pair first — at scale the
     // all-pairs frame is quadratic per block while this is quadratic only
-    // per shingle bucket (inner joins ⇒ same result set)
-    val inter = sh.as("sa").join(sh.as("sb"),
+    // per shingle bucket (inner joins ⇒ same result set), and the D6MaxDf
+    // guard bounds every bucket
+    val inter = bounded.as("sa").join(bounded.as("sb"),
         col("sa.lang") === col("sb.lang") && col("sa.source") === col("sb.source") &&
           col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
       .groupBy(col("sa.doc_id").as("id_a"), col("sb.doc_id").as("id_b"))
@@ -392,9 +427,17 @@ object Dedup {
       .filter(col("jac_bp") >= 500)
       .orderBy("id_a", "id_b")
   }
+
+  val d6: Q = (s, d) => ngramJaccardBlockedOf(Tables.documents(s, d))
+
   val d6Sql: String =
     s"""WITH ${shinglesCteBody("shing", "documents")},
-      |shh AS (SELECT doc_id, ${h60Sql("shingle")} AS sh FROM shing),
+      |shh0 AS (SELECT doc_id, ${h60Sql("shingle")} AS sh FROM shing),
+      |shj AS (SELECT s.doc_id, s.sh, d.lang, d.source
+      |        FROM shh0 s JOIN documents d USING (doc_id)),
+      |dfok AS (SELECT lang, source, sh FROM shj
+      |         GROUP BY lang, source, sh HAVING count(*) <= $D6MaxDf),
+      |shh AS (SELECT j.doc_id, j.sh FROM shj j JOIN dfok USING (lang, source, sh)),
       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -865,7 +908,16 @@ object Dedup {
       mh.select(col("doc_id"), (col("mh0") * MhP + col("mh1")).as("band"), lit(0).as("bi"))
         .unionAll(mh.select(col("doc_id"), (col("mh2") * MhP + col("mh3")).as("band"), lit(1).as("bi")))
     }
-    val cand = bandsOf(newDocs).as("n").join(bandsOf(oldDocs).as("o"),
+    // scale guard on the STORED-INDEX side (see D3MaxBand): a hot band in
+    // the old corpus otherwise multiplies every probing new doc by the
+    // full bucket width; capping the index side bounds cross candidates
+    // to cap·|new bands| regardless of corpus size. (In the append-only
+    // index deployment the bucket width check is maintained at append
+    // time for free.)
+    val oldBands = bandsOf(oldDocs)
+    val okOld = oldBands.groupBy("band", "bi").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= D3MaxBand).select("band", "bi")
+    val cand = bandsOf(newDocs).as("n").join(oldBands.join(okOld, Seq("band", "bi")).as("o"),
         col("n.band") === col("o.band") && col("n.bi") === col("o.bi"))
       .select(col("n.doc_id").as("id_new"), col("o.doc_id").as("id_old"))
       .distinct()
@@ -906,11 +958,14 @@ object Dedup {
        |  SELECT doc_id, mh0 * $MhP + mh1 AS band, 0 AS bi FROM minhash
        |  UNION ALL
        |  SELECT doc_id, mh2 * $MhP + mh3 AS band, 1 AS bi FROM minhash),
+       |ob AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+       |obok AS (SELECT band, bi FROM ob GROUP BY band, bi HAVING count(*) <= $D3MaxBand),
+       |obb AS (SELECT o.* FROM ob o JOIN obok USING (band, bi)),
        |cand AS (
        |  SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
-       |  FROM bands n JOIN bands o
+       |  FROM bands n JOIN obb o
        |    ON n.band = o.band AND n.bi = o.bi
-       |   AND n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0),
+       |   AND n.doc_id % 3 = 0),
        |shh AS (SELECT doc_id, ${h60Sql("shingle")} AS sh FROM shingles),
        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shh GROUP BY doc_id),
        |ints AS (

@@ -83,8 +83,10 @@ object Retrieval {
   val ret1: Q = (s, d) =>
     bm25TopKOf(Tables.documents(s, d), queryDf(s), k = 5)
       .orderBy("query_id", "rnk")
-  val ret1Sql: String =
-    s"""WITH toks AS (
+  /** The BM25 CTE chain through `ranked` — shared by ret1Sql and ret2Sql
+    * (each appends its own final SELECT / fusion tail). */
+  private val bm25Ctes: String =
+    s"""toks AS (
        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
        |tf AS (
        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -113,16 +115,104 @@ object Retrieval {
        |  SELECT query_id, doc_id, score_e6,
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY score_e6 DESC, doc_id) AS rnk
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  val ret1Sql: String =
+    s"""WITH $bm25Ctes
        |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score_e6
        |FROM ranked WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
+  // ---- RET2: hybrid retrieval — reciprocal-rank fusion (BM25 ⊕ dense) ----
+
+  /** RRF constant K = 60 — the value from Cormack, Clarke & Buettcher
+    * (SIGIR 2009), where rrf(d) = Σ_signals 1/(K + rank_s(d)). */
+  private val RrfK = 60
+
+  /** Fuse a sparse ranking (query_id, rnk, doc_id — bm25TopKOf's shape)
+    * with a dense ranking (q_id, cand_id, rk — cosineTopKOf's shape) by
+    * reciprocal-rank fusion. Rank math is INTEGER micro-units
+    * (1000000 div (K + rank)), so the fused ordering is engine-exact
+    * even though each signal's internal scoring is double; a doc absent
+    * from one signal contributes 0 from it (the standard convention).
+    *
+    * Scale: both inputs are already top-k-bounded per query (the
+    * inverted-index probe; the ANN scan), so fusion is a full-outer
+    * equi-join of two k·|queries|-row frames plus one windowed cut —
+    * negligible at any corpus size. At 100 TB the dense side swaps to
+    * the IVF/bucketed path (sim3/sim6) with the same output shape; the
+    * fusion stage is unchanged. */
+  private[graft] def rrfFuseOf(sparse: DataFrame, dense: DataFrame, kOut: Int): DataFrame = {
+    val sp = sparse.select(col("query_id").cast("long").as("query_id"),
+      col("doc_id"), col("rnk").cast("long").as("rnk_sparse"))
+    val dn = dense.select(col("q_id").cast("long").as("query_id"),
+      col("cand_id").as("doc_id"), col("rk").cast("long").as("rnk_dense"))
+    val fused = sp.join(dn, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_e6",
+        coalesce(expr(s"1000000L div (${RrfK}L + rnk_sparse)"), lit(0L)) +
+          coalesce(expr(s"1000000L div (${RrfK}L + rnk_dense)"), lit(0L)))
+    fused
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf_e6").desc, col("doc_id"))))
+      .filter(col("rnk") <= kOut)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf_e6"),
+        col("rnk_sparse"), col("rnk_dense"))
+  }
+
+  /** RET2: the standard RAG retrieval shape — BM25 top-20 and dense
+    * cosine top-20 per query, RRF-fused to a top-10. Query binding:
+    * sparse query_id q ↔ dense query vector vec_id = q (ids 1..3). */
+  val ret2: Q = (s, d) => {
+    val sparse = bm25TopKOf(Tables.documents(s, d), queryDf(s), k = 20)
+    val dense = Similarity.cosineTopKOf(Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id").isin(1L, 2L, 3L)), k = 20)
+    rrfFuseOf(sparse, dense, kOut = 10).orderBy("query_id", "rnk")
+  }
+  val ret2Sql: String =
+    s"""WITH $bm25Ctes,
+       |${Similarity.qnormCte},
+       |ddots AS (
+       |  SELECT q_id, cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot, q_nrm, c_nrm FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS cand_id, a.nrm AS q_nrm, b.nrm AS c_nrm,
+       |           unnest(a.q) AS xa, unnest(b.q) AS xb
+       |    FROM qn a JOIN qn b ON a.vec_id IN (1, 2, 3) AND b.vec_id <> a.vec_id)
+       |  GROUP BY q_id, cand_id, q_nrm, c_nrm),
+       |dranked AS (
+       |  SELECT q_id, cand_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) DESC, cand_id)
+       |           AS INTEGER) AS rk
+       |  FROM ddots),
+       |sp AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |              CAST(rnk AS BIGINT) AS rnk_sparse
+       |       FROM ranked WHERE rnk <= 20),
+       |dn AS (SELECT CAST(q_id AS BIGINT) AS query_id, cand_id AS doc_id,
+       |              CAST(rk AS BIGINT) AS rnk_dense
+       |       FROM dranked WHERE rk <= 20),
+       |fused AS (
+       |  SELECT coalesce(sp.query_id, dn.query_id) AS query_id,
+       |         coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+       |         sp.rnk_sparse, dn.rnk_dense,
+       |         CAST(coalesce(1000000 // ($RrfK + sp.rnk_sparse), 0) +
+       |              coalesce(1000000 // ($RrfK + dn.rnk_dense), 0) AS BIGINT) AS rrf_e6
+       |  FROM sp FULL OUTER JOIN dn
+       |    ON sp.query_id = dn.query_id AND sp.doc_id = dn.doc_id),
+       |fout AS (
+       |  SELECT query_id, doc_id, rrf_e6, rnk_sparse, rnk_dense,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY rrf_e6 DESC, doc_id) AS rnk
+       |  FROM fused)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, rrf_e6,
+       |       rnk_sparse, rnk_dense
+       |FROM fout WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ret1_bm25_topk" -> ret1,
+    "ret2_hybrid_rrf_topk" -> ret2,
   )
 
   val oracle: Map[String, String] = Map(
     "ret1_bm25_topk" -> ret1Sql,
+    "ret2_hybrid_rrf_topk" -> ret2Sql,
   )
 }

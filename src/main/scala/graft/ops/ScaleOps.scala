@@ -681,16 +681,25 @@ object ScaleOps {
     * N ≈ 10^8 docs per mixing batch; at 100 TB the rate table would be
     * computed once per corpus snapshot anyway, not per job. The keep
     * draw reuses samp2's salted-md5 idiom (rerun-stable, join-free). */
-  val mix1: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  /** mix1's per-source rate table with every intermediate (n_s, w_s, the
+    * corpus totals, rate_bp) — shared by [[mix1]] and dumped verbatim by
+    * the `mix1_debug` registry query so a future oracle red localizes to
+    * either the rate math (this frame mismatches) or the keep draw (this
+    * frame matches, mix1 doesn't). */
+  private def mix1RateTable(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
       .withColumn("w_s", floor(sqrt(col("n_s").cast("double") * lit(1000000L))).cast("long"))
     val totals = counts.agg(sum(col("n_s")).as("n_total"), sum(col("w_s")).as("w_total"))
-    val rates = counts.crossJoin(broadcast(totals))
-      .select(col("source"), col("n_s"),
+    counts.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_s"), col("w_s"), col("n_total"), col("w_total"),
         // div, not `/`: Column./ on BIGINTs is DOUBLE division in Spark
         expr("least(10000L, 10000L * (n_total div 2) * w_s div (w_total * n_s))")
           .as("rate_bp"))
+  }
+
+  val mix1: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val rates = mix1RateTable(docs).select("source", "n_s", "rate_bp")
     docs.join(broadcast(rates), Seq("source"))
       .withColumn("keep", bernoulliKeep(col("doc_id"), "mix1:", col("rate_bp")))
       .groupBy("source")
@@ -706,8 +715,13 @@ object ScaleOps {
       |  FROM documents GROUP BY source),
       |tot AS (SELECT sum(n_s) AS n_total, sum(w_s) AS w_total FROM counts),
       |rates AS (
+      |  -- CAST: DuckDB types sum(BIGINT) as HUGEINT, which infects this whole
+      |  -- expression; a HUGEINT column surviving to the final SELECT renders as
+      |  -- float ("5000.0") through pandas/arrow fetch paths and hash-mismatches
+      |  -- vs Spark's "5000" even though fetchall-based checkers pass. Root cause
+      |  -- of the r08/r09 driver-gate red on this query.
       |  SELECT source, n_s,
-      |         least(10000, 10000 * (t.n_total // 2) * w_s // (t.w_total * n_s)) AS rate_bp
+      |         CAST(least(10000, 10000 * (t.n_total // 2) * w_s // (t.w_total * n_s)) AS BIGINT) AS rate_bp
       |  FROM counts CROSS JOIN tot t),
       |k AS (
       |  SELECT d.source, d.n_chars, r.n_s, r.rate_bp,
@@ -718,6 +732,21 @@ object ScaleOps {
       |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       |       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
       |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  /** MIX1-DEBUG: the rate table itself, with intermediates — pure
+    * diagnostic surface for the mix1 oracle (see [[mix1RateTable]]). */
+  val mix1Debug: Q = (s, d) =>
+    mix1RateTable(Tables.documents(s, d)).orderBy("source")
+  val mix1DebugSql: String =
+    """WITH counts AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+      |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE) * 1000000)) AS BIGINT) AS w_s
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+      |               CAST(sum(w_s) AS BIGINT) AS w_total FROM counts)
+      |SELECT source, n_s, w_s, t.n_total, t.w_total,
+      |       CAST(least(10000, 10000 * (t.n_total // 2) * w_s // (t.w_total * n_s)) AS BIGINT) AS rate_bp
+      |FROM counts CROSS JOIN tot t ORDER BY source""".stripMargin
 
   // ---- MIX2: DoReMi-style loss-driven domain reweighting ----
 
@@ -763,6 +792,15 @@ object ScaleOps {
 
   val mix2: Q = (s, d) =>
     doremiWeightsOf(Tables.documents(s, d)).orderBy("source")
+  /** ACCEPTED FLAKE RISK (quantified): unlike the ln-based t14/t15 pattern,
+    * exp_e6 rounds ONE raw double exp() per domain to an e6 integer in both
+    * engines. java.lang.Math.exp (≤1 ulp) and DuckDB's libm exp (≤0.5 ulp)
+    * may disagree by 1 ulp ≈ 2.4e-10 absolute at the e6 scale in play; the
+    * rounding flips only if the true value sits within that distance of an
+    * exact .5e-6 boundary — probability ≈ 5e-10 per source per fixture
+    * regeneration (~1e-8 per round at 20 sources). An integer-safe exp
+    * (fixed-point table / (1+x/n)^n) would overflow BIGINT or change the
+    * DoReMi semantics, so the ulp risk is accepted and documented here. */
   val mix2Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
@@ -1239,6 +1277,7 @@ object ScaleOps {
 
   val queries: Map[String, Q] = Map(
     "mix1_temperature_mix" -> mix1,
+    "mix1_debug" -> mix1Debug,
     "mix2_doremi_reweight" -> mix2,
     "dq1_expectations" -> dq1,
     "samp3_group_sample_topk" -> samp3,
@@ -1271,6 +1310,7 @@ object ScaleOps {
 
   val oracle: Map[String, String] = Map(
     "mix1_temperature_mix" -> mix1Sql,
+    "mix1_debug" -> mix1DebugSql,
     "mix2_doremi_reweight" -> mix2Sql,
     "dq1_expectations" -> dq1Sql,
     "samp3_group_sample_topk" -> samp3Sql,

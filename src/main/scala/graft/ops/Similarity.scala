@@ -41,7 +41,7 @@ object Similarity {
   private def qnorm(s: SparkSession, d: String): DataFrame =
     qnormOf(Tables.embeddings(s, d))
 
-  private val qnormCte: String =
+  private[ops] val qnormCte: String =
     """qn AS (
       |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
       |  FROM (SELECT vec_id,

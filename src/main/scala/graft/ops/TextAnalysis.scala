@@ -386,11 +386,12 @@ object TextAnalysis {
     * parallel), then the tiny per-partition (rows, Σc) totals — one row
     * per shuffle partition, a justified small collect — become exclusive
     * prefix offsets broadcast back and added map-side. The ranged frame
-    * is persisted because range partitioning samples its boundaries with
-    * an RDD-id-derived seed: the offsets pass and the rank pass MUST see
-    * the same physical partitioning, which only the cache guarantees
-    * (the harness's per-query `clearCache()` releases it, like the other
-    * persisted query helpers). Coverage stays exact integer millionths
+    * is eagerly localCheckpoint-ed because range partitioning samples
+    * its boundaries with an RDD-id-derived seed: the offsets pass and
+    * the rank pass MUST see the same physical partitioning, which only
+    * a materialized snapshot guarantees (checkpoint blocks are freed by
+    * the ContextCleaner on GC — no session-lifetime cache leak for
+    * library callers). Coverage stays exact integer millionths
     * (cum·1e6 div N), and N falls out of the offset totals for free —
     * the old plan's second scan of the token stream is gone. */
   private[graft] def vocabCoverageOf(docs: DataFrame): DataFrame = {
@@ -398,9 +399,11 @@ object TextAnalysis {
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // localCheckpoint, not persist — same rationale as packingStatsOf below:
+    // frozen partitioning across both passes, GC-managed block lifetime.
     val ranged = vocab.repartitionByRange(col("c").desc, col("tok"))
       .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val totals = ranged.groupBy("pid")
       .agg(count(lit(1)).as("pn"), sum(col("c")).as("pc"))
       .collect()
@@ -819,9 +822,14 @@ object TextAnalysis {
     val lens = docs
       .select(col("doc_id"), expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n"))
       .filter(col("n") > 0)
+    // localCheckpoint, not persist: the offsets pass and the rank pass must
+    // see the SAME physical range partitioning (boundary sampling is seeded
+    // off the RDD id), and an explicit persist would leak for the session in
+    // library callers — eager checkpoint freezes the partitioning AND hands
+    // block lifetime to the ContextCleaner (freed on GC, no unpersist duty).
     val ranged = lens.repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val totals = ranged.groupBy("pid").agg(sum("n").as("pc"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L

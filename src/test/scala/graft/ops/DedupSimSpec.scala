@@ -289,4 +289,72 @@ class DedupSimSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"mean recall@5 of int8 path = $mean (must be >= 0.8)")
   }
+
+  test("D3 band cap: a planted hot band (200 identical docs) yields ZERO pairs, " +
+    "normal near-dups still found — candidate count stays linear") {
+    import spark.implicits._
+    // 200 identical docs share BOTH band buckets (width 200 > D3MaxBand=50);
+    // uncapped they would emit 200·199/2 = 19900 candidate pairs. Two rare
+    // near-dups (6-shingle vs 5-shingle overlap, jaccard 8333bp) sit in
+    // their own width-2 buckets and must survive the cap.
+    val hot = (1L to 200L).map(i => (i, "the same boilerplate footer text appears everywhere"))
+    val rare = Seq(
+      (1001L, "xq yq zq wq qq rq sq tq"),
+      (1002L, "yq zq wq qq rq sq tq"))
+    val docs = (hot ++ rare).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (a, b) => a <= 200 && b <= 200 },
+      "hot-band members must produce no pairs (bucket dropped before the join)")
+    assert(pairs.contains((1001L, 1002L)),
+      "near-dup pair outside the hot band must still be found")
+    assert(pairs.size === 1, s"exactly the planted pair survives, got ${pairs.size}")
+  }
+
+  test("D6 DF cap: a planted stop-shingle (120 docs) yields ZERO pairs from it, " +
+    "genuine near-dups in the same block still found") {
+    import spark.implicits._
+    // 120 docs share exactly one shingle ("terms of service", DF=120 >
+    // D6MaxDf=50); their other shingles are unique. Uncapped, every pair
+    // shares that one shingle: jac = 1/(4+4-1) = 1428bp >= 500 -> 7140
+    // pairs. With the cap the stop-shingle is dropped from the
+    // representation and the count must be zero.
+    val stop = (1L to 120L).map(i =>
+      (i, s"terms of service u$i v$i w$i", "en", "web"))
+    val near = Seq(
+      (9001L, "red green blue cyan magenta yellow", "en", "web"),
+      (9002L, "red green blue cyan magenta pink", "en", "web"))
+    val docs = (stop ++ near).toDF("doc_id", "text", "lang", "source")
+    val pairs = Dedup.ngramJaccardBlockedOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (a, b) => a <= 120 && b <= 120 },
+      "stop-shingle docs must produce no pairs once the hot shingle is dropped")
+    // 9001/9002: shingles {rgb,gbc,bcm,cmy} vs {rgb,gbc,bcm,cmp} (all DF<=2):
+    // inter 3, union 5 -> 6000bp >= 500
+    assert(pairs.contains((9001L, 9002L)), "rare-shingle near-dup pair survives")
+    assert(pairs.size === 1, s"exactly the planted pair survives, got ${pairs.size}")
+  }
+
+  test("D13 index cap: a hot band in the OLD corpus does not flood the probe; " +
+    "a genuine cross near-dup still drops") {
+    import spark.implicits._
+    // old side: 150 identical docs (hot index bucket, width > D3MaxBand) at
+    // ids 1..150 (none % 3 == 0 semantics irrelevant here — incrementalKeepOf
+    // takes the frames directly). new side: one doc identical to the hot
+    // text (would match all 150 uncapped) and one genuine near-dup of a rare
+    // old doc, plus one novel doc.
+    val oldDocs = ((1L to 150L).map(i => (i, "common header row repeated across the corpus")) :+
+      (500L, "aq bq cq dq eq fq gq hq")).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (1000L, "common header row repeated across the corpus"), // hot: bucket dropped -> kept
+      (1001L, "bq cq dq eq fq gq hq"),                         // near-dup of 500 -> dropped
+      (1002L, "totally novel content nothing shares this")     // novel -> kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalKeepOf(oldDocs, newDocs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1000L),
+      "doc matching only a hot (capped) index bucket generates no candidates and is kept")
+    assert(!kept.contains(1001L), "rare-bucket near-dup must still drop")
+    assert(kept.contains(1002L), "novel doc kept")
+  }
 }

@@ -56,4 +56,38 @@ class RetrievalSpec extends SparkSpec {
       .orderBy("query_id", "rnk").collect().map(_.toSeq)
     assert(reg.toSeq == lib.toSeq)
   }
+
+  test("rrfFuse: a doc mid-ranked in BOTH signals outranks a doc top-ranked in ONE") {
+    // hand-built rank frames: doc 100 is rank 1 sparse only (rrf =
+    // 1e6/61 = 16393); doc 200 is rank 2 sparse + rank 1 dense (rrf =
+    // 1e6/62 + 1e6/61 = 16129 + 16393 = 32522) -> 200 must fuse above 100.
+    val sparse = Seq((1, 1, 100L), (1, 2, 200L)).toDF("query_id", "rnk", "doc_id")
+    val dense = Seq((1L, 200L, 1), (1L, 300L, 2)).toDF("q_id", "cand_id", "rk")
+    val out = GraftApi.rrfFuse(sparse, dense, kOut = 10)
+      .orderBy("query_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._3).toSeq == Seq(200L, 100L, 300L),
+      s"fused order must be two-signal doc first, got ${out.toSeq}")
+    assert(out.head._4 == 1000000L / 62 + 1000000L / 61, "exact integer RRF math")
+    assert(out(1)._4 == 1000000L / 61)
+    // dense-only doc 300: rank 2 dense -> 1e6/62
+    assert(out(2)._4 == 1000000L / 62)
+  }
+
+  test("ret2 registry query returns fused top-10 rows and exact per-signal provenance") {
+    val rows = Retrieval.ret2(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every row's rrf_e6 equals the recomputation from its own rank columns
+    rows.foreach { r =>
+      val sparseC = if (r.isNullAt(4)) 0L else 1000000L / (60 + r.getLong(4))
+      val denseC = if (r.isNullAt(5)) 0L else 1000000L / (60 + r.getLong(5))
+      assert(r.getLong(3) == sparseC + denseC,
+        s"rrf_e6 mismatch for row $r")
+    }
+    // per query, at most 10 rows and ranks are 1..n contiguous
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val rks = g.map(_.getInt(1)).sorted
+      assert(rks.length <= 10 && rks.toSeq == (1 to rks.length))
+    }
+  }
 }

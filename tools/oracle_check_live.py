@@ -1,48 +1,19 @@
 #!/usr/bin/env python3
 """oracle_check with per-query wall-time printing (line-buffered) — for
 long scale-dir runs where knowing WHICH oracle SQL is slow matters.
+Comparison semantics (canon/table_digest/connect) are imported from
+oracle_check.py so the two gates can never silently disagree.
 Usage: oracle_check_live.py <sfdir> <verify_outdir> [threads]"""
-import json, sys, time, os, math, hashlib
-import duckdb
+import json, sys, time, os
 
-
-def canon(v):
-    if v is None:
-        return "NULL"
-    if hasattr(v, "tzinfo") and getattr(v, "tzinfo", None) is not None:
-        import datetime
-        v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(v).lower()
-    return str(v)
-
-
-def digest(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256()
-    for ln in lines:
-        h.update(ln.encode())
-        h.update(b"\n")
-    return h.hexdigest()
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from oracle_check import canon, table_digest, connect  # noqa: E402
 
 
 def main(sfdir, outdir, threads=None):
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
+    con = connect(sfdir)
     if threads:
         con.execute(f"SET threads={threads}")
-    tables = ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings"]
-    for t in tables:
-        path = f"{sfdir}/{t}.parquet"
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     np = nf = 0
     for name, sql in sorted(oracle.items()):
@@ -61,7 +32,7 @@ def main(sfdir, outdir, threads=None):
             nf += 1
             continue
         ok = (sorted(gcols) == sorted(wcols) and len(grows) == len(wrows)
-              and digest(gcols, grows) == digest(wcols, wrows))
+              and table_digest(gcols, grows) == table_digest(wcols, wrows))
         print(f"{'PASS' if ok else 'FAIL'} {name} ({len(grows)} rows) "
               f"[{time.time() - t0:.1f}s]", flush=True)
         np += 1 if ok else 0
