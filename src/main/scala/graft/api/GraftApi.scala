@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.GraftFunctions
-import graft.ops.{AsOf, Dedup, Events, Retrieval, ScaleOps, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Events, Retrieval, ScaleOps, Selection, Similarity, TextAnalysis}
 import graft.plans.TopKPerGroup
 import graft.text.TextOps
 
@@ -443,4 +443,60 @@ object GraftApi {
   def topKPerGroup(df: DataFrame, groupBy: Seq[String],
       orderBy: Seq[(String, Boolean)], k: Int): DataFrame =
     TopKPerGroup(df, groupBy, orderBy, k)
+
+  // ---- data selection & tokenizer induction ----
+
+  /** UniMax epoch-capped budget allocation (Chung et al. 2023): water-
+    * fills a one-epoch corpus budget across sources with no source
+    * exceeding `epochCap` passes over its own tokens. One corpus scan
+    * (map-side-combined per-source counts); the fill itself is a window
+    * over |sources| rows. Emits (source, n_toks, cap, alloc, epochs_bp),
+    * all exact integers. */
+  def unimaxAllocation(docs: DataFrame, epochCap: Long = 2L): DataFrame =
+    Selection.unimaxAllocationOf(docs, epochCap)
+
+  /** DSIR unigram importance top-k (Xie et al. 2023): ranks raw docs by
+    * Σ_tokens [ln p_target − ln p_raw] (add-1 smoothed, each ln in e6
+    * micro-nats so the ranking is engine-exact). `targetSources` defines
+    * the target slice. Global top-k plans as TakeOrderedAndProject. */
+  def dsirTopK(docs: DataFrame, targetSources: Seq[String], k: Int = 50): DataFrame =
+    Selection.dsirTopKOf(docs, targetSources, k)
+
+  /** Per-document Shannon character entropy (a–z+space alphabet, e6
+    * micro-nats) with a keep flag — the cheap repeated-char/noise spam
+    * filter. Histogram is 27 replace length-diffs per doc: a projection
+    * off the scan, never a per-character explode. */
+  def charEntropy(docs: DataFrame): DataFrame =
+    Selection.charEntropyOf(docs)
+
+  /** Adjacent-pair statistics over the distinct-token vocabulary weighted
+    * by corpus term frequency — the first-iteration BPE trainer statistic
+    * (vocab-sized after one corpus scan). */
+  def bpePairStats(docs: DataFrame, k: Int = 20): DataFrame =
+    Selection.bpePairStatsOf(docs, k)
+
+  /** k BPE merge iterations (Sennrich et al. 2016) over the distributed
+    * vocabulary: per iteration one vocab-sized pair aggregate, a 1-row
+    * argmax collect, and one merge projection. Emits (iter, left_sym,
+    * right_sym, pair_count). */
+  def bpeMerges(docs: DataFrame, k: Int = 4): DataFrame =
+    Selection.bpeMergesOf(docs, k)
+
+  /** Per-document mean bigram NLL under an add-1-smoothed corpus bigram
+    * LM (e6 micro-nats) — the perplexity-filter refinement of t15's
+    * unigram score. */
+  def bigramNll(docs: DataFrame): DataFrame =
+    Selection.bigramNllOf(docs)
+
+  /** Fill-in-the-middle PSM transform (Bavarian et al. 2022): two
+    * salted-md5 split points per doc, `<PRE>p<SUF>s<MID>m` output.
+    * Map-side projection, no shuffle. */
+  def fimSplit(docs: DataFrame): DataFrame =
+    Selection.fimSplitOf(docs)
+
+  /** Collapse runs of consecutive repeated tokens (cleaned-text
+    * counterpart of the t10 repetition stats). One codegen'd array
+    * lambda — no explode, no shuffle. */
+  def adjacentDedup(docs: DataFrame): DataFrame =
+    Selection.adjacentDedupOf(docs)
 }

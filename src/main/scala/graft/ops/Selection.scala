@@ -1,0 +1,538 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** [EXT] Data-selection operators for LLM training pipelines — corpus
+  * budget allocation, importance-weighted selection, entropy filtering,
+  * and tokenizer (BPE) induction. Not derived from the reference; these
+  * extend the mix1/mix2 family (ScaleOps) with the remaining standard
+  * selection shapes.
+  *
+  * All scoring is integer fixed-point (each `ln` rounded to e6 micro-nats
+  * BEFORE any further arithmetic — the t14/t15 convention), so every
+  * ranking and keep decision compares exact BIGINTs and the DuckDB
+  * oracles are engine-exact.
+  *
+  * 100 TB shapes:
+  *   - mix3: one map-side-combined per-source token count (S rows), then
+  *     a single-partition window over those S rows — the water-filling
+  *     never touches the corpus again.
+  *   - sel1: vocab aggregate (one explode + groupBy), equi-join of token
+  *     instances against per-token deltas, per-doc sum, global top-k via
+  *     `TakeOrderedAndProject` (never a full sort).
+  *   - t18: alphabet histogram by 27 `replace` length-diffs per doc — a
+  *     pure projection off the scan (no per-character explode, which
+  *     would multiply the shuffle by average doc length).
+  *   - bpe1/bpe2: statistics over the DISTINCT-token vocabulary, not the
+  *     corpus — the classic BPE trainer decomposition. The corpus is
+  *     scanned once for term frequencies; every later pass is vocab-sized.
+  */
+object Selection {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
+    .filter(length(col("tok")) > 0)
+
+  // ---- MIX3: UniMax epoch-capped budget allocation ----
+
+  /** Epoch cap E: no source may contribute more than E passes over its
+    * own tokens (UniMax, Chung et al. 2023, arXiv:2304.09151). */
+  private val UnimaxEpochCap = 2L
+
+  /** MIX3: UniMax water-filling. Given per-source token counts n_s, a
+    * budget B = Σ n_s and caps c_s = E·n_s, allocate B as uniformly as
+    * possible subject to alloc_s ≤ c_s:
+    *
+    * sort sources ascending by (c_s, source); a source takes its FULL
+    * cap iff c_s·(S−i+1) ≤ B − prefix_i (exact integer test — since caps
+    * are ascending, the full set is a prefix of the order); the remaining
+    * R sources share B − Σ_full c_s as evenly as integers allow (each
+    * gets q = (B−T) div R, the first (B−T) mod R of them in sort order
+    * get q+1). Every step is integer, so the oracle is engine-exact.
+    *
+    * Scale: the corpus is touched once (map-side-combined count per
+    * source); the water-fill is a window over S rows on one partition.
+    * Emits (source, n_toks, cap, alloc, epochs_bp) — epochs_bp is the
+    * realized epoch count in basis points (alloc·10⁴ div n_toks). */
+  private[graft] def unimaxAllocationOf(docs: DataFrame, epochCap: Long): DataFrame = {
+    val perSrc = toks(docs).groupBy("source").agg(count(lit(1)).as("n_toks"))
+      .select(col("source"), col("n_toks"), (col("n_toks") * epochCap).as("cap"))
+    // S sources is tiny (one row per corpus source) — a global window on
+    // one partition is the right plan; coalesce(1) makes that explicit.
+    val ord = Window.orderBy(col("cap"), col("source"))
+    val ranked = perSrc.coalesce(1)
+      .withColumn("i", row_number().over(ord))
+      .withColumn("prefix", coalesce(sum("cap").over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("s_cnt", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("b_tot", sum("n_toks").over(Window.partitionBy()))
+      .withColumn("full", col("cap") * (col("s_cnt") - col("i") + 1) <= col("b_tot") - col("prefix"))
+    val w = Window.partitionBy()
+    val withRem = ranked
+      .withColumn("t_full", coalesce(sum(when(col("full"), col("cap"))).over(w), lit(0L)))
+      .withColumn("n_full", coalesce(sum(when(col("full"), 1L)).over(w), lit(0L)))
+      .withColumn("r_cnt", col("s_cnt") - col("n_full"))
+      .withColumn("rem", col("b_tot") - col("t_full"))
+    withRem.select(
+      col("source"), col("n_toks"), col("cap"),
+      when(col("full"), col("cap"))
+        .otherwise(expr("rem div r_cnt") +
+          when(col("i") - col("n_full") <= expr("rem % r_cnt"), 1L).otherwise(0L))
+        .as("alloc"))
+      .withColumn("epochs_bp", expr("alloc * 10000 div n_toks"))
+  }
+
+  val mix3: Q = (s, d) =>
+    unimaxAllocationOf(Tables.documents(s, d), UnimaxEpochCap).orderBy("source")
+  val mix3Sql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(str_split(text, ' ')) AS tok FROM documents),
+       |per_src AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_toks,
+       |         CAST(count(*) AS BIGINT) * $UnimaxEpochCap AS cap
+       |  FROM toks WHERE len(tok) > 0 GROUP BY source),
+       |ranked AS (
+       |  SELECT source, n_toks, cap,
+       |         CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+       |         CAST(coalesce(sum(cap) OVER (ORDER BY cap, source
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+       |         CAST(count(*) OVER () AS BIGINT) AS s_cnt,
+       |         CAST(sum(n_toks) OVER () AS BIGINT) AS b_tot
+       |  FROM per_src),
+       |flagged AS (
+       |  SELECT *, cap * (s_cnt - i + 1) <= b_tot - prefix AS is_full FROM ranked),
+       |scal AS (
+       |  SELECT *,
+       |         CAST(coalesce(sum(CASE WHEN is_full THEN cap END) OVER (), 0) AS BIGINT) AS t_full,
+       |         CAST(coalesce(sum(CASE WHEN is_full THEN 1 END) OVER (), 0) AS BIGINT) AS n_full
+       |  FROM flagged)
+       |SELECT source, n_toks, cap,
+       |       CAST(CASE WHEN is_full THEN cap
+       |            ELSE (b_tot - t_full) // (s_cnt - n_full) +
+       |                 (CASE WHEN i - n_full <= (b_tot - t_full) % (s_cnt - n_full)
+       |                       THEN 1 ELSE 0 END)
+       |       END AS BIGINT) AS alloc,
+       |       CAST(CASE WHEN is_full THEN cap
+       |            ELSE (b_tot - t_full) // (s_cnt - n_full) +
+       |                 (CASE WHEN i - n_full <= (b_tot - t_full) % (s_cnt - n_full)
+       |                       THEN 1 ELSE 0 END)
+       |       END * 10000 // n_toks AS BIGINT) AS epochs_bp
+       |FROM scal ORDER BY source""".stripMargin
+
+  // ---- SEL1: DSIR importance-weighted selection ----
+
+  /** The "target distribution" slice — the high-quality subset whose
+    * unigram statistics define what raw documents should look like.
+    * Mirrored as a literal IN-list in the oracle. */
+  private val DsirTargetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+  private val DsirTopK = 50
+
+  /** SEL1: Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169), unigram variant. Importance weight of a doc is
+    * Σ_tokens [ln p_target(t) − ln p_raw(t)] with add-1 smoothing over
+    * the raw vocabulary; each ln is rounded to e6 micro-nats before the
+    * subtraction, so per-token deltas (and hence per-doc sums and the
+    * top-k cut) are exact integers in both engines.
+    *
+    * Scale: one vocab aggregate over the corpus, a target-side count
+    * over the (much smaller) target slice, per-token deltas joined back
+    * to token instances by term equi-join, per-doc sum, then a global
+    * top-k that Spark plans as `TakeOrderedAndProject` (no full sort).
+    * Emits the top-50 raw docs by importance: (rnk, doc_id, source,
+    * n_toks, logw_e6). */
+  private[graft] def dsirTopKOf(docs: DataFrame, targetSources: Seq[String], k: Int): DataFrame = {
+    val t = toks(docs)
+    val rawV = t.groupBy("tok").agg(count(lit(1)).as("cr"))
+    val tgtV = t.filter(col("source").isin(targetSources: _*))
+      .groupBy("tok").agg(count(lit(1)).as("ct_raw"))
+    val joint = rawV.join(tgtV, Seq("tok"), "left")
+      .select(col("tok"), col("cr"), coalesce(col("ct_raw"), lit(0L)).as("ct"))
+    val scal = joint.agg(sum("cr").as("n_raw"), sum("ct").as("n_tgt"), count(lit(1)).as("v_size"))
+    val deltas = joint.crossJoin(broadcast(scal))
+      .select(col("tok"),
+        (expr("CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(n_tgt + v_size AS DOUBLE)) * 1000000) AS BIGINT)") -
+          expr("CAST(round(ln(CAST(cr + 1 AS DOUBLE) / CAST(n_raw + v_size AS DOUBLE)) * 1000000) AS BIGINT)"))
+          .as("delta_e6"))
+    val perDoc = t.join(deltas, Seq("tok"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_toks"), sum("delta_e6").as("logw_e6"))
+    perDoc
+      .orderBy(col("logw_e6").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(Window.orderBy(col("logw_e6").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("source"), col("n_toks"), col("logw_e6"))
+  }
+
+  val sel1: Q = (s, d) =>
+    dsirTopKOf(Tables.documents(s, d), DsirTargetSources, DsirTopK).orderBy("rnk")
+  val sel1Sql: String = {
+    val inList = DsirTargetSources.map(x => s"'$x'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, unnest(str_split(text, ' ')) AS tok FROM documents),
+       |tk AS (SELECT doc_id, source, tok FROM toks WHERE len(tok) > 0),
+       |rawv AS (SELECT tok, CAST(count(*) AS BIGINT) AS cr FROM tk GROUP BY tok),
+       |tgtv AS (SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM tk
+       |         WHERE source IN ($inList) GROUP BY tok),
+       |joint AS (
+       |  SELECT rawv.tok, cr, CAST(coalesce(ct, 0) AS BIGINT) AS ct
+       |  FROM rawv LEFT JOIN tgtv ON rawv.tok = tgtv.tok),
+       |scal AS (SELECT CAST(sum(cr) AS BIGINT) AS n_raw,
+       |                CAST(sum(ct) AS BIGINT) AS n_tgt,
+       |                CAST(count(*) AS BIGINT) AS v_size FROM joint),
+       |deltas AS (
+       |  SELECT tok,
+       |         CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(n_tgt + v_size AS DOUBLE)) * 1000000) AS BIGINT) -
+       |         CAST(round(ln(CAST(cr + 1 AS DOUBLE) / CAST(n_raw + v_size AS DOUBLE)) * 1000000) AS BIGINT)
+       |           AS delta_e6
+       |  FROM joint CROSS JOIN scal),
+       |per_doc AS (
+       |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_toks,
+       |         CAST(sum(delta_e6) AS BIGINT) AS logw_e6
+       |  FROM tk JOIN deltas USING (tok) GROUP BY doc_id, source),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY logw_e6 DESC, doc_id) AS rnk
+       |  FROM per_doc)
+       |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, source, n_toks, logw_e6
+       |FROM ranked WHERE rnk <= $DsirTopK ORDER BY rnk""".stripMargin
+  }
+
+  // ---- T18: character-entropy filter ----
+
+  /** 27-symbol alphabet: a–z plus space. Characters outside it are
+    * ignored (not counted toward n). */
+  private val Alphabet = "abcdefghijklmnopqrstuvwxyz "
+  private val EntropyKeepLoE6 = 1500000L // 1.5 nats
+  private val EntropyKeepHiE6 = 3300000L // ln 27 ≈ 3.2958 nats is the max
+
+  /** T18: per-document Shannon character entropy over the a–z+space
+    * alphabet, in micro-nats: H_e6 = Σ_c count_c · round(ln(n/count_c)·10⁶)
+    * div n — each ln rounded before the weighted sum, so the result and
+    * the keep decision (1.5 ≤ H ≤ 3.3 nats; degenerate repeated-char spam
+    * sits far below, uniform noise at the top) are engine-exact integers.
+    *
+    * Scale: the histogram is 27 `replace` length-diffs per document — a
+    * pure projection alongside the scan (the alternative, exploding each
+    * character, would multiply the shuffle by the average document
+    * length). The only exchange is the per-doc aggregate of 27 rows. */
+  private[graft] def charEntropyOf(docs: DataFrame): DataFrame = {
+    val counted = docs
+      .select(col("doc_id"), col("text"), explode(sequence(lit(0), lit(Alphabet.length - 1))).as("idx"))
+      .select(col("doc_id"), col("text"), expr(s"substring('$Alphabet', idx + 1, 1)").as("ch"))
+      .select(col("doc_id"),
+        (length(col("text")) - length(expr("replace(text, ch, '')"))).cast("long").as("c"))
+      .filter(col("c") > 0)
+    val n = Window.partitionBy("doc_id")
+    counted
+      .withColumn("n", sum("c").over(n))
+      .withColumn("t_e6", expr("CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_counted"), expr("sum(c * t_e6) div max(n)").as("ent_e6"))
+      .select(col("doc_id"), col("n_counted"), col("ent_e6"),
+        (col("ent_e6").between(EntropyKeepLoE6, EntropyKeepHiE6)).cast("int").as("keep"))
+  }
+
+  val t18: Q = (s, d) =>
+    charEntropyOf(Tables.documents(s, d)).orderBy("doc_id")
+  val t18Sql: String =
+    s"""WITH alpha AS (
+       |  SELECT substr('$Alphabet', CAST(i AS INTEGER) + 1, 1) AS ch FROM range(${Alphabet.length}) t(i)),
+       |counted AS (
+       |  SELECT doc_id,
+       |         CAST(len(text) - len(replace(text, ch, '')) AS BIGINT) AS c
+       |  FROM documents CROSS JOIN alpha),
+       |nz AS (SELECT * FROM counted WHERE c > 0),
+       |wn AS (
+       |  SELECT doc_id, c,
+       |         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+       |  FROM nz),
+       |terms AS (
+       |  SELECT doc_id, c, n,
+       |         CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS t_e6
+       |  FROM wn),
+       |ent AS (
+       |  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_counted,
+       |         CAST(sum(c * t_e6) AS BIGINT) // CAST(max(n) AS BIGINT) AS ent_e6
+       |  FROM terms GROUP BY doc_id)
+       |SELECT doc_id, n_counted, ent_e6,
+       |       CAST(ent_e6 BETWEEN $EntropyKeepLoE6 AND $EntropyKeepHiE6 AS INTEGER) AS keep
+       |FROM ent ORDER BY doc_id""".stripMargin
+
+  // ---- BPE1: adjacent-pair statistics over the vocabulary ----
+
+  private val BpeTopPairs = 20
+
+  /** BPE1: the first-iteration statistic of a BPE trainer — adjacent
+    * character-pair counts over the DISTINCT-token vocabulary, weighted
+    * by corpus term frequency (Sennrich et al. 2016, arXiv:1508.07909).
+    * The corpus is scanned once for term frequencies; pair generation
+    * runs over vocab rows only (the classic trainer decomposition — at
+    * 100 TB the vocab aggregate is the only corpus-sized stage).
+    * Emits the top-20 pairs: (rnk, left_sym, right_sym, pair_count). */
+  private[graft] def bpePairStatsOf(docs: DataFrame, k: Int): DataFrame = {
+    val vocab = toks(docs).groupBy("tok").agg(count(lit(1)).as("f"))
+    vocab
+      .filter(length(col("tok")) >= 2)
+      .select(col("tok"), col("f"), explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+      .select(expr("substring(tok, i, 1)").as("left_sym"),
+        expr("substring(tok, i + 1, 1)").as("right_sym"), col("f"))
+      .groupBy("left_sym", "right_sym")
+      .agg(sum("f").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))))
+      .select(col("rnk"), col("left_sym"), col("right_sym"), col("pair_count"))
+  }
+
+  val bpe1: Q = (s, d) =>
+    bpePairStatsOf(Tables.documents(s, d), BpeTopPairs).orderBy("rnk")
+  val bpe1Sql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+       |vocab AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks
+       |  WHERE len(tok) > 0 GROUP BY tok),
+       |pairs AS (
+       |  SELECT substr(tok, CAST(i AS INTEGER), 1) AS left_sym,
+       |         substr(tok, CAST(i AS INTEGER) + 1, 1) AS right_sym, f
+       |  FROM vocab CROSS JOIN range(1, 64) t(i)
+       |  WHERE len(tok) >= 2 AND i <= len(tok) - 1),
+       |agg AS (
+       |  SELECT left_sym, right_sym, CAST(sum(f) AS BIGINT) AS pair_count
+       |  FROM pairs GROUP BY left_sym, right_sym),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY pair_count DESC, left_sym, right_sym) AS rnk
+       |  FROM agg)
+       |SELECT CAST(rnk AS INTEGER) AS rnk, left_sym, right_sym, pair_count
+       |FROM ranked WHERE rnk <= $BpeTopPairs ORDER BY rnk""".stripMargin
+
+  // ---- BPE2: iterative merge induction (driver loop) ----
+
+  private val BpeMerges = 4
+
+  /** BPE2: k = 4 merge iterations of the trainer loop. Each iteration is
+    * (a) one vocab-sized aggregate for adjacent-pair counts, (b) a ONE-row
+    * bounded collect of the argmax pair (count DESC, then lexicographic),
+    * (c) one vocab-sized projection applying the merge. Words are held as
+    * space-separated symbol strings (" l o w "); the merge is a
+    * single-separator `replace(" l r ", " lr ")` applied to fixpoint
+    * (8 passes — each pass at least halves the unmerged occurrences of a
+    * repeated-symbol run, so 8 covers words up to 2⁸ symbols; fixture
+    * tokens are ≤ ~16 chars).
+    *
+    * NOTE on repeated-run semantics: for words like "aaaa" the fixpoint
+    * replace merges greedily but may pick different positions than the
+    * textbook left-to-right scan ("[aa,a,aa]" vs "[aa,aa,a]" on a 5-run).
+    * The rule here is deterministic and documented; `SelectionSpec` pins
+    * the classic no-run example where both rules coincide. No DuckDB
+    * oracle (iterative driver loop, like the m1/m3 MLlib fits) —
+    * compensating spec in `SelectionSpec`.
+    *
+    * Emits one row per merge: (iter, left_sym, right_sym, pair_count). */
+  private[graft] def bpeMergesOf(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab0 = toks(docs).groupBy("tok").agg(count(lit(1)).as("f"))
+      .select(concat(lit(" "), array_join(split(col("tok"), ""), " "), lit(" ")).as("repr"), col("f"))
+    // The vocab is small relative to the corpus but need not fit on the
+    // driver — it stays distributed; only the 1-row argmax is collected.
+    var vocab = vocab0.localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (it <- 1 to k) {
+      val pairs = vocab
+        .select(split(trim(col("repr")), " ").as("syms"), col("f"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("syms"), col("f"), explode(sequence(lit(0), size(col("syms")) - 2)).as("i"))
+        .select(element_at(col("syms"), col("i") + 1).as("l"),
+          element_at(col("syms"), col("i") + 2).as("r"), col("f"))
+        .groupBy("l", "r").agg(sum("f").as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1)
+      val top = pairs.as[(String, String, Long)].collect()
+      if (top.nonEmpty) {
+        val (l, r, pc) = top.head
+        merges += ((it, l, r, pc))
+        val pat = s" $l $r "
+        val rep = s" $l$r "
+        // literal (non-regex) replace, applied to fixpoint in 8 passes
+        val mergedCol = (1 to 8).foldLeft(col("repr")) { (c, _) =>
+          org.apache.spark.sql.functions.replace(c, lit(pat), lit(rep))
+        }
+        vocab = vocab.select(mergedCol.as("repr"), col("f")).localCheckpoint()
+      }
+    }
+    merges.result().toDF("iter", "left_sym", "right_sym", "pair_count")
+      .select(col("iter").cast("int").as("iter"), col("left_sym"), col("right_sym"),
+        col("pair_count").cast("long").as("pair_count"))
+  }
+
+  val bpe2: Q = (s, d) =>
+    bpeMergesOf(Tables.documents(s, d), BpeMerges).orderBy("iter")
+
+  // ---- T19: bigram-LM negative log-likelihood ----
+
+  /** T19: per-document mean bigram NLL under an add-1-smoothed corpus
+    * bigram LM — the next-order refinement of t15's unigram NLL (the
+    * KenLM-style perplexity filter shape): NLL(d) = mean over bigram
+    * instances (w1,w2) of −ln P(w2|w1), P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V).
+    * Each ln is rounded to e6 micro-nats before the per-doc integer mean.
+    *
+    * Scale: bigram instances come from the token array (one `sequence`
+    * explode per doc, map-side); counts are two hash aggregates; scoring
+    * is one equi-join on (w1, w2). The model tables are vocab-sized, the
+    * corpus is scanned once. Emits (doc_id, n_bigrams, nll_e6). */
+  private[graft] def bigramNllOf(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), explode(sequence(lit(0), greatest(size(col("ws")) - 2, lit(0)))).as("i"))
+      .filter(col("i") <= size(col("ws")) - 2)
+      .select(col("doc_id"),
+        element_at(col("ws"), col("i") + 1).as("w1"),
+        element_at(col("ws"), col("i") + 2).as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val uni = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vSize = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .agg(countDistinct("tok").as("v_size"))
+    val scored = big.join(uni, Seq("w1")).crossJoin(broadcast(vSize))
+      .select(col("w1"), col("w2"),
+        expr("CAST(round(ln(CAST(c1 + v_size AS DOUBLE) / CAST(c12 + 1 AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("nll_e6_tok"))
+    bi.join(scored, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), expr("sum(nll_e6_tok) div count(1)").as("nll_e6"))
+      .select("doc_id", "n_bigrams", "nll_e6")
+  }
+
+  val t19: Q = (s, d) =>
+    bigramNllOf(Tables.documents(s, d)).orderBy("doc_id")
+  val t19Sql: String =
+    """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+      |pr AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |           i -> {'w1': ws[CAST(i AS INTEGER)], 'w2': ws[CAST(i AS INTEGER) + 1]})) AS p
+      |  FROM w WHERE len(ws) >= 2),
+      |bi AS (
+      |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pr
+      |  WHERE len(p.w1) > 0 AND len(p.w2) > 0),
+      |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+      |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v_size FROM (
+      |        SELECT unnest(str_split(text, ' ')) AS tok FROM documents) WHERE len(tok) > 0),
+      |scored AS (
+      |  SELECT w1, w2,
+      |         CAST(round(ln(CAST(c1 + v_size AS DOUBLE) / CAST(c12 + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+      |           AS nll_e6_tok
+      |  FROM big JOIN uni USING (w1) CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(nll_e6_tok) AS BIGINT) // CAST(count(*) AS BIGINT) AS nll_e6
+      |FROM bi JOIN scored USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- FIM1: fill-in-the-middle transformation ----
+
+  /** FIM1: the fill-in-the-middle pretraining transform (Bavarian et al.
+    * 2022, arXiv:2207.14255): split each document's character range at
+    * two deterministic pseudo-random points (salted-md5 draws — the
+    * engine's portable RNG convention, mix1/shuf1) and emit the PSM
+    * reordering `prefix ⧸ suffix ⧸ middle` with sentinel markers. Pure
+    * per-row projection (map-side, no shuffle at any scale). Emits
+    * (doc_id, n, s1, s2, fim_text). */
+  private[graft] def fimSplitOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+    .withColumn("h1", expr("CAST(conv(substring(md5(concat('fim1:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)"))
+    .withColumn("h2", expr("CAST(conv(substring(md5(concat('fim2:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)"))
+    .withColumn("a", expr("h1 % (n + 1)"))
+    .withColumn("b", expr("h2 % (n + 1)"))
+    .withColumn("s1", least(col("a"), col("b")))
+    .withColumn("s2", greatest(col("a"), col("b")))
+    .select(col("doc_id"), col("n"), col("s1"), col("s2"),
+      concat(lit("<PRE>"), expr("substring(text, 1, CAST(s1 AS INT))"),
+        lit("<SUF>"), expr("substring(text, CAST(s2 AS INT) + 1, CAST(n - s2 AS INT))"),
+        lit("<MID>"), expr("substring(text, CAST(s1 AS INT) + 1, CAST(s2 - s1 AS INT))"))
+        .as("fim_text"))
+
+  val fim1: Q = (s, d) =>
+    fimSplitOf(Tables.documents(s, d)).orderBy("doc_id")
+  val fim1Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n,
+      |         ('0x' || substr(md5('fim1:' || doc_id::VARCHAR), 1, 4))::BIGINT AS h1,
+      |         ('0x' || substr(md5('fim2:' || doc_id::VARCHAR), 1, 4))::BIGINT AS h2
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, text, n,
+      |         least(h1 % (n + 1), h2 % (n + 1)) AS s1,
+      |         greatest(h1 % (n + 1), h2 % (n + 1)) AS s2
+      |  FROM b)
+      |SELECT doc_id, n, s1, s2,
+      |       '<PRE>' || substr(text, 1, CAST(s1 AS INTEGER)) ||
+      |       '<SUF>' || substr(text, CAST(s2 AS INTEGER) + 1, CAST(n - s2 AS INTEGER)) ||
+      |       '<MID>' || substr(text, CAST(s1 AS INTEGER) + 1, CAST(s2 - s1 AS INTEGER)) AS fim_text
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---- REP1: adjacent-duplicate-word removal ----
+
+  /** REP1: collapse runs of consecutive repeated tokens (the cheap
+    * intra-document repetition scrub that complements t10's repetition
+    * STATS — this one produces the cleaned text). Array lambda with the
+    * 1-offset index trick (`filter`'s 0-based index i addresses the
+    * PREVIOUS element in 1-based `element_at`), so the whole op is one
+    * codegen'd projection — no explode, no shuffle. Emits (doc_id,
+    * n_tokens, n_kept, removed_bp, clean_text). */
+  private[graft] def adjacentDedupOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // try_element_at: OR is not guaranteed to short-circuit, and ANSI
+    // element_at(ws, 0) would throw on the first element's probe
+    .withColumn("kept", expr("filter(ws, (x, i) -> i = 0 OR x != try_element_at(ws, i))"))
+    .select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_tokens"),
+      size(col("kept")).cast("long").as("n_kept"),
+      expr("(CAST(size(ws) - size(kept) AS BIGINT) * 10000) div CAST(size(ws) AS BIGINT)").as("removed_bp"),
+      array_join(col("kept"), " ").as("clean_text"))
+
+  val rep1: Q = (s, d) =>
+    adjacentDedupOf(Tables.documents(s, d)).orderBy("doc_id")
+  val rep1Sql: String =
+    """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+      |k AS (
+      |  SELECT doc_id, ws,
+      |         list_filter(ws, (x, i) -> i = 1 OR x != ws[i - 1]) AS kept
+      |  FROM w)
+      |SELECT doc_id,
+      |       CAST(len(ws) AS BIGINT) AS n_tokens,
+      |       CAST(len(kept) AS BIGINT) AS n_kept,
+      |       CAST((len(ws) - len(kept)) * 10000 // len(ws) AS BIGINT) AS removed_bp,
+      |       array_to_string(kept, ' ') AS clean_text
+      |FROM k ORDER BY doc_id""".stripMargin
+
+  // ---- registry ----
+
+  val queries: Map[String, Q] = Map(
+    "mix3_unimax_alloc" -> mix3,
+    "sel1_dsir_topk" -> sel1,
+    "t18_char_entropy" -> t18,
+    "bpe1_pair_stats" -> bpe1,
+    "bpe2_merge_induction" -> bpe2,
+    "t19_bigram_nll" -> t19,
+    "fim1_split" -> fim1,
+    "rep1_adjacent_dedup" -> rep1,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mix3_unimax_alloc" -> mix3Sql,
+    "sel1_dsir_topk" -> sel1Sql,
+    "t18_char_entropy" -> t18Sql,
+    "bpe1_pair_stats" -> bpe1Sql,
+    // bpe2: iterative driver loop — no SQL oracle; SelectionSpec pins it.
+    "t19_bigram_nll" -> t19Sql,
+    "fim1_split" -> fim1Sql,
+    "rep1_adjacent_dedup" -> rep1Sql,
+  )
+}

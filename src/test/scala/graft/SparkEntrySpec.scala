@@ -31,7 +31,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "Retrieval" -> ops.Retrieval.queries,
     "Pipeline" -> ops.Pipeline.queries,
     "Graph" -> ops.Graph.queries,
-    "Clustering" -> ops.Clustering.queries)
+    "Clustering" -> ops.Clustering.queries,
+    "Selection" -> ops.Selection.queries)
 
   test("no query key is claimed by two family maps") {
     val all = families.flatMap { case (fam, m) => m.keys.map(_ -> fam) }

@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the Selection family's math on planted frames: UniMax's capped
+  * branch (the fixture's uniform sources never trigger it), DSIR's
+  * importance ordering, exact character entropies, BPE pair counts, and
+  * the textbook BPE merge sequence (bpe2 has no DuckDB oracle — this
+  * suite is its compensating check). */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String)*) =
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+
+  // ---- mix3: UniMax water-filling ----
+
+  test("mix3: a low-resource source is capped at E epochs; the rest share the water level") {
+    // caps (E=2): tiny=8, a=40, b=60; B = 4+20+30 = 54
+    // ascending by cap: tiny(8): 8*3 <= 54 → full; a(40): 40*2 <= 46? no;
+    // b uncapped. rem = 46 over 2 → q=23, r=0 → a=23, b=23.
+    val d = docs(
+      (1L, "x y z w", "en", "tiny"), // 4 tokens
+      (2L, (1 to 20).map(_ => "t").mkString(" "), "en", "a"), // 20
+      (3L, (1 to 30).map(_ => "u").mkString(" "), "en", "b")) // 30
+    val out = Selection.unimaxAllocationOf(d, 2L).orderBy("source")
+      .select("source", "n_toks", "cap", "alloc", "epochs_bp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("a", 20L, 40L, 23L, 11500L),
+      ("b", 30L, 60L, 23L, 7666L),
+      ("tiny", 4L, 8L, 8L, 20000L)))
+    // allocations exhaust the budget exactly
+    assert(out.map(_._4).sum === 54L)
+  }
+
+  test("mix3: integer remainder goes to the first sources in cap order") {
+    // two equal sources, odd budget: caps 20/20, B=10 → q=5 each... make
+    // B odd: sources of 5 and 6 tokens, E=2 → caps 10/12, B=11; ascending:
+    // s1(10): 10*2 <= 11? no → both uncapped; q=5, r=1 → s1 gets 6, s2 5.
+    val d = docs(
+      (1L, "a a a a a", "en", "s1"),
+      (2L, "b b b b b b", "en", "s2"))
+    val out = Selection.unimaxAllocationOf(d, 2L).orderBy("source")
+      .select("source", "alloc").as[(String, Long)].collect().toSeq
+    assert(out === Seq(("s1", 6L), ("s2", 5L)))
+  }
+
+  // ---- sel1: DSIR importance ordering ----
+
+  test("sel1: docs made of target-enriched tokens outrank raw-typical docs") {
+    // target slice (srcT) is all "good"; raw background is all "bad".
+    // A raw doc of "good good good" must rank above one of "bad bad bad".
+    val d = docs(
+      (1L, "good good good good", "en", "srcT"),
+      (2L, "good good good", "en", "raw1"),
+      (3L, "bad bad bad", "en", "raw2"),
+      (4L, "good bad", "en", "raw3"))
+    val out = Selection.dsirTopKOf(d, Seq("srcT"), 10)
+      .select("rnk", "doc_id").as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    val order = out.map(_._2)
+    assert(order.indexOf(2L) < order.indexOf(4L))
+    assert(order.indexOf(4L) < order.indexOf(3L))
+  }
+
+  // ---- t18: exact character entropy ----
+
+  test("t18: uniform two-char doc scores ln2 micro-nats; repeated-char doc scores 0 and is dropped") {
+    val d = docs(
+      (1L, "ab", "en", "s"),      // H = ln 2 = 0.693147... → 693147
+      (2L, "aaaaaaaa", "en", "s") // H = 0 → keep = 0
+    )
+    val out = Selection.charEntropyOf(d).orderBy("doc_id")
+      .select("doc_id", "n_counted", "ent_e6", "keep")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out === Seq((1L, 2L, 693147L, 0), (2L, 8L, 0L, 0)))
+  }
+
+  test("t18: characters outside a-z+space are ignored") {
+    val d = docs((1L, "a1b2!", "en", "s")) // counted: a, b → n=2, H=ln2
+    val out = Selection.charEntropyOf(d)
+      .select("n_counted", "ent_e6").as[(Long, Long)].collect().head
+    assert(out === ((2L, 693147L)))
+  }
+
+  // ---- bpe1: pair statistics ----
+
+  test("bpe1: pair counts are term-frequency weighted over the distinct vocab") {
+    // "ab" ×3, "abc" ×1 → pairs: (a,b) 3+1=4, (b,c) 1
+    val d = docs(
+      (1L, "ab ab abc", "en", "s"),
+      (2L, "ab", "en", "s"))
+    val out = Selection.bpePairStatsOf(d, 10)
+      .select("rnk", "left_sym", "right_sym", "pair_count")
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(out === Seq((1, "a", "b", 4L), (2, "b", "c", 1L)))
+  }
+
+  // ---- bpe2: textbook merge sequence (compensating check — no oracle) ----
+
+  test("bpe2: classic low/lower/newest/widest corpus yields the textbook merges") {
+    // freqs: low×5, lower×2, newest×6, widest×3
+    // iter1: es=9 ties st=9 → lex (e,s); iter2: (es,t)=9;
+    // iter3: lo=7 ties ow=7 → lex (l,o); iter4: (lo,w)=7.
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val d = docs((1L, words.mkString(" "), "en", "s"))
+    val out = Selection.bpeMergesOf(d, 4).orderBy("iter")
+      .select("iter", "left_sym", "right_sym", "pair_count")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (1, "e", "s", 9L),
+      (2, "es", "t", 9L),
+      (3, "l", "o", 7L),
+      (4, "lo", "w", 7L)))
+  }
+
+  // ---- t19: exact bigram NLL ----
+
+  test("t19: deterministic corpus pins the smoothed bigram math") {
+    // corpus: "a b" ×2, "a c" ×1 (three docs). V = 3 (a, b, c).
+    // c1(a)=3; c12(a,b)=2, c12(a,c)=1.
+    // nll(a,b) = round(ln((3+3)/(2+1))*1e6) = round(ln 2 *1e6) = 693147
+    // nll(a,c) = round(ln((3+3)/(1+1))*1e6) = round(ln 3 *1e6) = 1098612
+    val d = docs(
+      (1L, "a b", "en", "s"),
+      (2L, "a b", "en", "s"),
+      (3L, "a c", "en", "s"))
+    val out = Selection.bigramNllOf(d).orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "nll_e6")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L, 693147L), (2L, 1L, 693147L), (3L, 1L, 1098612L)))
+  }
+
+  // ---- fim1: reassembly invariant ----
+
+  test("fim1: PSM pieces are a permutation of the original text, splits are in range") {
+    val d = docs((7L, "hello world of spark", "en", "s"), (8L, "x", "en", "s"))
+    val out = Selection.fimSplitOf(d).orderBy("doc_id")
+      .select("doc_id", "n", "s1", "s2", "fim_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    out.foreach { case (_, n, s1, s2, fim) =>
+      assert(0 <= s1 && s1 <= s2 && s2 <= n)
+      val body = fim.stripPrefix("<PRE>")
+      val pre = body.substring(0, body.indexOf("<SUF>"))
+      val rest = body.substring(body.indexOf("<SUF>") + 5)
+      val suf = rest.substring(0, rest.indexOf("<MID>"))
+      val mid = rest.substring(rest.indexOf("<MID>") + 5)
+      assert(pre.length === s1)
+      assert(mid.length === s2 - s1)
+      assert(suf.length === n - s2)
+    }
+    val orig = Map(7L -> "hello world of spark", 8L -> "x")
+    out.foreach { case (id, _, s1, s2, fim) =>
+      val t = orig(id)
+      assert(fim === s"<PRE>${t.substring(0, s1.toInt)}<SUF>${t.substring(s2.toInt)}<MID>${t.substring(s1.toInt, s2.toInt)}")
+    }
+  }
+
+  // ---- rep1: adjacent-run collapse ----
+
+  test("rep1: collapses runs, keeps non-adjacent repeats, preserves order") {
+    val d = docs((1L, "a a a b b a c c c c", "en", "s"))
+    val out = Selection.adjacentDedupOf(d)
+      .select("n_tokens", "n_kept", "removed_bp", "clean_text")
+      .as[(Long, Long, Long, String)].collect().head
+    assert(out === ((10L, 4L, 6000L, "a b a c")))
+  }
+
+  test("bpe2: repeated-symbol runs merge deterministically to fixpoint") {
+    // vocab: "aaaa" f=2 → iter1 (a,a) = 3 adjacent pairs × f = 6; the
+    // fixpoint replace turns " a a a a " into " aa aa ", so iter2's top
+    // pair is (aa,aa) = 1 × f = 2.
+    val d = docs((1L, "aaaa aaaa", "en", "s"))
+    val out = Selection.bpeMergesOf(d, 2).orderBy("iter")
+      .select("iter", "left_sym", "right_sym", "pair_count")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(out.head === ((1, "a", "a", 6L)))
+    assert(out(1) === ((2, "aa", "aa", 2L)))
+  }
+}
