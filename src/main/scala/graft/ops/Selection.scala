@@ -214,26 +214,34 @@ object Selection {
     * the keep decision (1.5 ≤ H ≤ 3.3 nats; degenerate repeated-char spam
     * sits far below, uniform noise at the top) are engine-exact integers.
     *
-    * Scale: the histogram is 27 `replace` length-diffs per document — a
-    * pure projection alongside the scan (the alternative, exploding each
-    * character, would multiply the shuffle by the average document
-    * length). The only exchange is the per-doc aggregate of 27 rows. */
-  private[graft] def charEntropyOf(docs: DataFrame): DataFrame = {
-    val counted = docs
-      .select(col("doc_id"), col("text"), explode(sequence(lit(0), lit(Alphabet.length - 1))).as("idx"))
-      .select(col("doc_id"), col("text"), expr(s"substring('$Alphabet', idx + 1, 1)").as("ch"))
-      .select(col("doc_id"),
-        (length(col("text")) - length(expr("replace(text, ch, '')"))).cast("long").as("c"))
-      .filter(col("c") > 0)
-    val n = Window.partitionBy("doc_id")
-    counted
-      .withColumn("n", sum("c").over(n))
-      .withColumn("t_e6", expr("CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"))
-      .groupBy("doc_id")
-      .agg(max("n").as("n_counted"), expr("sum(c * t_e6) div max(n)").as("ent_e6"))
-      .select(col("doc_id"), col("n_counted"), col("ent_e6"),
-        (col("ent_e6").between(EntropyKeepLoE6, EntropyKeepHiE6)).cast("int").as("keep"))
-  }
+    * Scale: ZERO-shuffle — the 27-bin histogram (one `replace`
+    * length-diff per alphabet symbol) and both entropy folds are array
+    * HOFs inside one projection, so the whole op rides the scan (the
+    * naive shapes either explode per character — multiplying the
+    * exchange by average doc length — or exchange 27 rows per doc for a
+    * windowed sum; this exchanges nothing). The HOF lambdas are
+    * interpreted rather than codegen'd, but they touch 27-element
+    * arrays — the per-row cost is the 27 `replace` scans either way,
+    * and at 100 TB no-exchange beats codegen on a shuffle. Docs with no
+    * counted characters are dropped (matching the SQL oracle's
+    * zero-histogram semantics). */
+  private[graft] def charEntropyOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("text"))
+    // n_counted > 0 ⟺ text contains an alphabet char; the rlike form keeps
+    // Catalyst's projection-collapse from recomputing the histogram in the
+    // pushed-down filter
+    .filter(col("text").rlike("[a-z ]"))
+    .withColumn("cs", expr(
+      s"""filter(transform(sequence(0, ${Alphabet.length - 1}),
+         |  i -> CAST(length(text) - length(replace(text, substring('$Alphabet', i + 1, 1), '')) AS BIGINT)),
+         |  c -> c > 0)""".stripMargin))
+    .withColumn("n_counted", expr("aggregate(cs, 0L, (a, c) -> a + c)"))
+    .withColumn("ent_e6", expr(
+      """aggregate(cs, 0L, (a, c) ->
+        |  a + c * CAST(round(ln(CAST(n_counted AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+        |div n_counted""".stripMargin))
+    .select(col("doc_id"), col("n_counted"), col("ent_e6"),
+      (col("ent_e6").between(EntropyKeepLoE6, EntropyKeepHiE6)).cast("int").as("keep"))
 
   val t18: Q = (s, d) =>
     charEntropyOf(Tables.documents(s, d)).orderBy("doc_id")
