@@ -499,4 +499,12 @@ object GraftApi {
     * lambda — no explode, no shuffle. */
   def adjacentDedup(docs: DataFrame): DataFrame =
     Selection.adjacentDedupOf(docs)
+
+  /** Length-bucket padding-waste audit: per width-`bucketWidth` token
+    * bucket, docs / real tokens / padding waste (bp) / microbatch count
+    * at `microBatch` — the number that arbitrates length-bucketed
+    * batching vs concat-and-chunk packing. One map-side projection +
+    * one tiny aggregate. */
+  def lengthBuckets(docs: DataFrame, bucketWidth: Long = 64L, microBatch: Long = 8L): DataFrame =
+    Selection.lengthBucketsOf(docs, bucketWidth, microBatch)
 }

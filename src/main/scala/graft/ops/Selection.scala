@@ -520,6 +520,57 @@ object Selection {
       |       array_to_string(kept, ' ') AS clean_text
       |FROM k ORDER BY doc_id""".stripMargin
 
+  // ---- BATCH1: length-bucket padding-waste accounting ----
+
+  private val BucketWidth = 64L
+  private val MicroBatch = 8L
+
+  /** BATCH1: the padding-efficiency audit for fixed-shape training
+    * batches — bucket documents by token length into width-64 buckets
+    * (every doc in bucket b pads to b·64 tokens) and account, per
+    * bucket, the docs, real tokens, padding waste, waste in basis
+    * points, and the microbatch count at batch size 8 (+ tail slots).
+    * This is the number that decides whether length-bucketed batching
+    * is worth it vs pack1/pack2's concat-and-chunk (which trades
+    * padding for cross-doc attention).
+    *
+    * Scale: token count is a map-side `size(split(...))` projection;
+    * the rest is ONE hash aggregate on ≤ ~dozens of bucket keys.
+    * Emits (bucket, cap_toks, n_docs, sum_toks, sum_waste, waste_bp,
+    * n_microbatches, tail_slots). */
+  private[graft] def lengthBucketsOf(docs: DataFrame, width: Long, mb: Long): DataFrame = docs
+    .select(size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long").as("n_toks"))
+    .filter(col("n_toks") > 0)
+    .select(expr(s"(n_toks + $width - 1) div $width").as("bucket"), col("n_toks"))
+    .groupBy("bucket")
+    .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sum_toks"))
+    .select(col("bucket"), (col("bucket") * width).as("cap_toks"), col("n_docs"), col("sum_toks"),
+      (col("bucket") * width * col("n_docs") - col("sum_toks")).as("sum_waste"))
+    .withColumn("waste_bp", expr("sum_waste * 10000 div (bucket * " + BucketWidth + " * n_docs)"))
+    .withColumn("n_microbatches", expr(s"(n_docs + $mb - 1) div $mb"))
+    .withColumn("tail_slots", expr(s"(n_docs + $mb - 1) div $mb * $mb - n_docs"))
+
+  val batch1: Q = (s, d) =>
+    lengthBucketsOf(Tables.documents(s, d), BucketWidth, MicroBatch).orderBy("bucket")
+  val batch1Sql: String =
+    s"""WITH n AS (
+       |  SELECT CAST(len(list_filter(str_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |b AS (
+       |  SELECT (n_toks + $BucketWidth - 1) // $BucketWidth AS bucket, n_toks
+       |  FROM n WHERE n_toks > 0),
+       |agg AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_toks) AS BIGINT) AS sum_toks
+       |  FROM b GROUP BY bucket)
+       |SELECT bucket, CAST(bucket * $BucketWidth AS BIGINT) AS cap_toks, n_docs, sum_toks,
+       |       CAST(bucket * $BucketWidth * n_docs - sum_toks AS BIGINT) AS sum_waste,
+       |       CAST((bucket * $BucketWidth * n_docs - sum_toks) * 10000
+       |            // (bucket * $BucketWidth * n_docs) AS BIGINT) AS waste_bp,
+       |       CAST((n_docs + $MicroBatch - 1) // $MicroBatch AS BIGINT) AS n_microbatches,
+       |       CAST((n_docs + $MicroBatch - 1) // $MicroBatch * $MicroBatch - n_docs AS BIGINT) AS tail_slots
+       |FROM agg ORDER BY bucket""".stripMargin
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -531,6 +582,7 @@ object Selection {
     "t19_bigram_nll" -> t19,
     "fim1_split" -> fim1,
     "rep1_adjacent_dedup" -> rep1,
+    "batch1_length_buckets" -> batch1,
   )
 
   val oracle: Map[String, String] = Map(
@@ -542,5 +594,6 @@ object Selection {
     "t19_bigram_nll" -> t19Sql,
     "fim1_split" -> fim1Sql,
     "rep1_adjacent_dedup" -> rep1Sql,
+    "batch1_length_buckets" -> batch1Sql,
   )
 }

@@ -171,6 +171,26 @@ class SelectionSpec extends SparkSpec {
     assert(out === ((10L, 4L, 6000L, "a b a c")))
   }
 
+  // ---- batch1: padding-waste accounting ----
+
+  test("batch1: bucket math — caps, waste, microbatches, tails") {
+    // doc lengths (tokens): 3, 64, 65, 70 → buckets 1, 1, 2, 2
+    // bucket 1: n=2, sum=67, cap=64, waste=2*64-67=61, waste_bp=61*10000 div 128=4765
+    //           microbatches=ceil(2/8)=1, tail=6
+    // bucket 2: n=2, sum=135, waste=2*128-135=121, bp=121*10000 div 256=4726
+    val d = docs(
+      (1L, "a b c", "en", "s"),
+      (2L, (1 to 64).map(_ => "w").mkString(" "), "en", "s"),
+      (3L, (1 to 65).map(_ => "w").mkString(" "), "en", "s"),
+      (4L, (1 to 70).map(_ => "w").mkString(" "), "en", "s"))
+    val out = Selection.lengthBucketsOf(d, 64L, 8L).orderBy("bucket")
+      .select("bucket", "cap_toks", "n_docs", "sum_toks", "sum_waste", "waste_bp", "n_microbatches", "tail_slots")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 64L, 2L, 67L, 61L, 4765L, 1L, 6L),
+      (2L, 128L, 2L, 135L, 121L, 4726L, 1L, 6L)))
+  }
+
   test("bpe2: repeated-symbol runs merge deterministically to fixpoint") {
     // vocab: "aaaa" f=2 → iter1 (a,a) = 3 adjacent pairs × f = 6; the
     // fixpoint replace turns " a a a a " into " aa aa ", so iter2's top
