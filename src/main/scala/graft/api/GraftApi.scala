@@ -500,6 +500,13 @@ object GraftApi {
   def adjacentDedup(docs: DataFrame): DataFrame =
     Selection.adjacentDedupOf(docs)
 
+  /** Encode the corpus with a learned BPE merge list (bpeMerges order)
+    * and account per-doc symbol counts before/after + compression bp.
+    * Merges apply over the distinct-token vocabulary; the corpus is
+    * scanned once. */
+  def bpeEncodeStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    Selection.bpeEncodeStatsOf(docs, merges)
+
   /** Length-bucket padding-waste audit: per width-`bucketWidth` token
     * bucket, docs / real tokens / padding waste (bp) / microbatch count
     * at `microBatch` — the number that arbitrates length-bucketed

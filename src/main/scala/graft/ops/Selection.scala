@@ -520,6 +520,55 @@ object Selection {
       |       array_to_string(kept, ' ') AS clean_text
       |FROM k ORDER BY doc_id""".stripMargin
 
+  // ---- TOK2: BPE encoding with learned merges ----
+
+  /** TOK2: apply a learned merge list (bpe2's output order) to the
+    * corpus and account the tokenization: per doc, word count, symbol
+    * count before (characters) and after encoding, and the compression
+    * in basis points. The merges are applied on the DISTINCT-token
+    * vocabulary (each merge is one fixpoint `replace` projection over
+    * vocab rows — the same trainer decomposition as bpe2), then the
+    * per-token symbol counts join back to the token instances and sum
+    * per doc: the corpus is scanned once and never rewritten.
+    *
+    * No DuckDB oracle (merges come from the bpe2 driver loop);
+    * `SelectionSpec` pins the classic-corpus encoding exactly. Emits
+    * (doc_id, n_words, n_sym_before, n_sym_after, compression_bp). */
+  private[graft] def bpeEncodeStatsOf(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val t = toks(docs)
+    val vocab0 = t.groupBy("tok").agg(count(lit(1)).as("f"))
+      .select(col("tok"), concat(lit(" "), array_join(split(col("tok"), ""), " "), lit(" ")).as("repr"))
+    val encoded = merges.foldLeft(vocab0) { case (v, (l, r)) =>
+      val pat = s" $l $r "
+      val rep = s" $l$r "
+      val mergedCol = (1 to 8).foldLeft(col("repr")) { (c, _) =>
+        org.apache.spark.sql.functions.replace(c, lit(pat), lit(rep))
+      }
+      v.select(col("tok"), mergedCol.as("repr"))
+    }
+    val symCounts = encoded.select(col("tok"),
+      length(col("tok")).cast("long").as("n_before"),
+      size(split(trim(col("repr")), " ")).cast("long").as("n_after"))
+    t.join(symCounts, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_before").as("n_sym_before"),
+        sum("n_after").as("n_sym_after"))
+      .withColumn("compression_bp", expr("n_sym_after * 10000 div n_sym_before"))
+  }
+
+  /** Registry variant: self-contained — learns 4 merges from the corpus
+    * (bpe2), then encodes the same corpus with them. */
+  val tok2: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val spark = s
+    import spark.implicits._
+    val merges = bpeMergesOf(docs, BpeMerges)
+      .orderBy("iter").select("left_sym", "right_sym")
+      .as[(String, String)].collect().toSeq
+    bpeEncodeStatsOf(docs, merges).orderBy("doc_id")
+  }
+
   // ---- BATCH1: length-bucket padding-waste accounting ----
 
   private val BucketWidth = 64L
@@ -583,6 +632,7 @@ object Selection {
     "fim1_split" -> fim1,
     "rep1_adjacent_dedup" -> rep1,
     "batch1_length_buckets" -> batch1,
+    "tok2_bpe_encode" -> tok2,
   )
 
   val oracle: Map[String, String] = Map(

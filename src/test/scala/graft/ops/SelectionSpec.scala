@@ -171,6 +171,28 @@ class SelectionSpec extends SparkSpec {
     assert(out === ((10L, 4L, 6000L, "a b a c")))
   }
 
+  // ---- tok2: BPE encode with learned merges (compensating check — no oracle) ----
+
+  test("tok2: classic corpus encodes exactly under its own learned merges") {
+    // merges from the classic corpus (see bpe2 test): es, es+t, lo, lo+w.
+    // Encodings: low=[low] 1, lower=[low,e,r] 3, newest=[n,e,w,est] 4,
+    // widest=[w,i,d,est] 4.
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val d = docs(
+      (1L, words.mkString(" "), "en", "s"),
+      (2L, "low lower newest widest", "en", "s"))
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val out = Selection.bpeEncodeStatsOf(d, merges).orderBy("doc_id")
+      .select("doc_id", "n_words", "n_sym_before", "n_sym_after", "compression_bp")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc2: before = 3+5+6+6 = 20 chars; after = 1+3+4+4 = 12 → 6000 bp
+    assert(out(1) === ((2L, 4L, 20L, 12L, 6000L)))
+    // doc1: before = 5*3+2*5+6*6+3*6 = 79; after = 5*1+2*3+6*4+3*4 = 47
+    assert(out.head === ((1L, 16L, 79L, 47L, 5949L)))
+  }
+
   // ---- batch1: padding-waste accounting ----
 
   test("batch1: bucket math — caps, waste, microbatches, tails") {
