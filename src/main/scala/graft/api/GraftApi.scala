@@ -500,6 +500,14 @@ object GraftApi {
   def adjacentDedup(docs: DataFrame): DataFrame =
     Selection.adjacentDedupOf(docs)
 
+  /** EXACT set-similarity self-join by PPJoin-style prefix filtering:
+    * all document pairs with shingle-Jaccard ≥ tauBp/10⁴, joining only
+    * on each doc's rarest-first prefix (no DF cap, no loss — the
+    * principled scale path where hot-shingle buckets would otherwise
+    * blow up). Emits (id_a, id_b, jac_bp). */
+  def ppjoinPairs(docs: DataFrame, tauBp: Long = 6000L): DataFrame =
+    Dedup.ppjoinPairsOf(docs, tauBp)
+
   /** Encode the corpus with a learned BPE merge list (bpeMerges order)
     * and account per-doc symbol counts before/after + compression bp.
     * Merges apply over the distinct-token vocabulary; the corpus is

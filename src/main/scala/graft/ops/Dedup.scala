@@ -1226,7 +1226,121 @@ object Dedup {
        |WHERE n_hit * 10000 // n_shingles >= $D16ThresholdBp
        |ORDER BY doc_id""".stripMargin
 
+  // ---- D17: PPJoin-style prefix-filtered exact Jaccard join ----
+
+  /** D17: exact set-similarity self-join by PREFIX FILTERING (Chaudhuri
+    * et al. ICDE 2006 / Bayardo et al. WWW 2007 / Xiao et al. PPJoin) —
+    * the principled scale answer where d6 uses a document-frequency cap:
+    * instead of dropping hot shingles (lossy), order every doc's shingle
+    * set rarest-first by global (df, sh) and join only on each doc's
+    * PREFIX of length n − ⌈τ·n⌉ + 1. The prefix lemma guarantees every
+    * pair with Jaccard ≥ τ shares a prefix shingle (α = ⌈τ·max(n_a,n_b)⌉
+    * common elements are required, and both prefixes used here are at
+    * least n − α + 1 long), so the result is EXACT — the DuckDB oracle is
+    * the brute-force all-shared-shingle-pairs join, which this must
+    * reproduce bit-for-bit. Candidates are additionally pruned by the
+    * length filter (10⁴·n_b ≥ τ_bp·n_a when n_a ≥ n_b — a pair failing
+    * it cannot reach τ).
+    *
+    * Scale: the join key space is the RAREST shingles by construction —
+    * prefix tokens have the lowest df in the corpus, so bucket sizes are
+    * minimal exactly where d6-style self-joins blow up on stop-shingles;
+    * no cap, no loss. One df aggregate + one per-doc sort of its own
+    * shingle list (map-side within groupBy) + prefix-key equi-join +
+    * verify join carrying integer arrays. τ = 0.6 (6000 bp).
+    *
+    * SHINGLE WIDTH IS THE DE-SATURATION KNOB: prefix filtering needs a
+    * key space that does not saturate — once every shingle is frequent,
+    * even the rarest prefix keys carry wide buckets and candidate
+    * generation degenerates toward all-pairs (measured here: the
+    * fixture's ~30-word vocabulary saturates the 3-gram space by sf3 —
+    * mean shingle df ≈ 500 — and d17-on-3-grams went superlinear, while
+    * d6 hides the same saturation behind its lossy DF cap). d17
+    * therefore shingles at w = 5 (vocab^5 key space; at web scale the
+    * same rule picks w so that |corpus shingles| ≪ vocab^w), which keeps
+    * prefix-bucket df near 1 on permuted text and candidates linear in
+    * the true pair count. */
+  private val D17W = 5
+
+  /** w-gram shingles for d17 (wider than the shared 3-gram shinglesOf —
+    * see the de-saturation note above); <w-word docs fall back to the
+    * whole text, like shinglesOf. */
+  private def wideShinglesOf(docs: DataFrame, w: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(
+        when(size(split(col("text"), " ")) >= w,
+          expr(s"transform(sequence(0, size(split(text, ' ')) - $w)," +
+            s" i -> concat_ws(' ', slice(split(text, ' '), i + 1, $w)))"))
+          .otherwise(array(col("text")))).as("shingle"))
+      .distinct()
+
+  private def wideShinglesCte(cteName: String, src: String, w: Int): String =
+    s"""$cteName AS (
+       |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(str_split(text, ' ')) >= $w
+       |    THEN [array_to_string((str_split(text, ' '))[i+1:i+$w], ' ')
+       |          for i in range(len(str_split(text, ' ')) - ${w - 1})]
+       |    ELSE [text] END) AS shingle
+       |  FROM $src)""".stripMargin
+
+  private[graft] def ppjoinPairsOf(docs: DataFrame, tauBp: Long): DataFrame = {
+    val sh = wideShinglesOf(docs.select(col("doc_id"), col("text")), D17W)
+      .select(col("doc_id"), h60(col("shingle")).as("sh"))
+    val dfAgg = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // perDoc feeds the prefix explode AND both sides of the verify join —
+    // localCheckpoint so the shingle explode + df join + per-doc sort run
+    // once, not three times (the cl1/MlLsh convention; blocks are freed by
+    // the ContextCleaner)
+    val perDoc = sh.join(dfAgg, "sh")
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, sh))), x -> x.sh)").as("arr"))
+      .withColumn("n", size(col("arr")).cast("long"))
+      .withColumn("p", expr(s"n - (($tauBp * n + 9999) div 10000) + 1"))
+      .localCheckpoint()
+    val pref = perDoc.select(col("doc_id"), col("n"),
+      explode(expr("slice(arr, 1, CAST(p AS INT))")).as("psh"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.psh") === col("b.psh") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * 10000 >= col("a.n") * tauBp &&
+          col("a.n") * 10000 >= col("b.n") * tauBp)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    cand
+      .join(perDoc.select(col("doc_id").as("id_a"), col("arr").as("arr_a"), col("n").as("na")), "id_a")
+      .join(perDoc.select(col("doc_id").as("id_b"), col("arr").as("arr_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("inter"),
+        col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"),
+        expr("inter * 10000 div (na + nb - inter)").as("jac_bp"))
+      .filter(col("jac_bp") >= tauBp)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val D17TauBp = 6000L
+
+  val d17: Q = (s, d) => ppjoinPairsOf(corpus(s, d), D17TauBp)
+
+  /** Brute-force ground truth: ALL pairs sharing any shingle, exact
+    * Jaccard, ≥ τ — no prefix machinery. The engine's filtered join must
+    * reproduce this exactly (that is the point of the oracle). */
+  val d17Sql: String =
+    s"""WITH $corpusCte,
+       |${wideShinglesCte("shing", "corpus", D17W)},
+       |shh AS (SELECT doc_id, ${h60Sql("shingle")} AS sh FROM shing),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shh GROUP BY doc_id),
+       |ints AS (
+       |  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM shh sa JOIN shh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+       |  GROUP BY sa.doc_id, sb.doc_id)
+       |SELECT i.id_a, i.id_b,
+       |       i.inter * 10000 // (na.n + nb.n - i.inter) AS jac_bp
+       |FROM ints i
+       |JOIN sizes na ON na.doc_id = i.id_a
+       |JOIN sizes nb ON nb.doc_id = i.id_b
+       |WHERE i.inter * 10000 // (na.n + nb.n - i.inter) >= $D17TauBp
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d17_ppjoin_pairs" -> d17,
     "d16_fuzzy_decontamination" -> d16,
     "d15_substring_removal" -> d15,
     "d14_substring_dedup" -> d14,
@@ -1246,6 +1360,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d17_ppjoin_pairs" -> d17Sql,
     "d16_fuzzy_decontamination" -> d16Sql,
     "d15_substring_removal" -> d15Sql,
     "d14_substring_dedup" -> d14Sql,

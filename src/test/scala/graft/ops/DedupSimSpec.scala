@@ -357,4 +357,28 @@ class DedupSimSpec extends SparkSpec {
     assert(!kept.contains(1001L), "rare-bucket near-dup must still drop")
     assert(kept.contains(1002L), "novel doc kept")
   }
+
+  test("D17 prefix filtering is exact: finds boundary-tau pairs, excludes below-tau, no cap loss on hot shingles") {
+    import spark.implicits._
+    // d17 shingles at w = 5. A/B: 8-word docs differing in the last word
+    // → 4 shingles each, 3 shared → J = 3/5 = 0.6 exactly (boundary-kept).
+    // C/D: 7-word docs differing in the last word → J = 2/4 = 0.5 (dropped).
+    // E/F: identical 9-word docs → J = 10000.
+    // The hot-shingle block: 80 docs all SHARING their first five words
+    // "z1..z5" (one hot shingle, df = 80) but pairwise-distinct elsewhere
+    // (J = 1/11, far below tau) — a DF-cap design (d6-style) would drop
+    // the hot shingle; prefix filtering must keep EXACTNESS while never
+    // joining on it: it is the most frequent, so it sits at the END of
+    // every ordering — outside every doc's rarest-first prefix.
+    val hot = (100L until 180L).map(i => (i, s"z1 z2 z3 z4 z5 a$i b$i c$i d$i e$i"))
+    val planted = Seq(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8", 2L -> "w1 w2 w3 w4 w5 w6 w7 x8",
+      3L -> "v1 v2 v3 v4 v5 v6 v7", 4L -> "v1 v2 v3 v4 v5 v6 y7",
+      5L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9", 6L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9")
+    val docs = (planted ++ hot).toDF("doc_id", "text")
+    val out = Dedup.ppjoinPairsOf(docs, 6000L)
+      .select("id_a", "id_b", "jac_bp").as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 6000L), (5L, 6L, 10000L)),
+      s"exactly the boundary pair and the identical pair: $out")
+  }
 }
