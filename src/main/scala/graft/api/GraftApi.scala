@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.GraftFunctions
-import graft.ops.{AsOf, Dedup, Events, Retrieval, ScaleOps, Selection, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Curation, Dedup, Events, Graph, Retrieval, ScaleOps, Selection, Similarity, TextAnalysis}
 import graft.plans.TopKPerGroup
 import graft.text.TextOps
 
@@ -522,4 +522,37 @@ object GraftApi {
     * one tiny aggregate. */
   def lengthBuckets(docs: DataFrame, bucketWidth: Long = 64L, microBatch: Long = 8L): DataFrame =
     Selection.lengthBucketsOf(docs, bucketWidth, microBatch)
+
+  /** Curriculum epoch order: stage 1..4 by quality quartile (stage 1 =
+    * cleanest quartile first), salted-md5 shuffle within stage, global
+    * stage-major position via distributed prefix-sum — no single-reducer
+    * window. Emits (doc_id, quality, stage, pos). */
+  def curriculumOrder(docs: DataFrame): DataFrame =
+    Curation.curriculumOrderOf(docs)
+
+  /** Pairwise source-preference counts per lang block (Mann–Whitney
+    * rank-sum over quality grades — document pairs are never
+    * materialized). Emits (lang, src_a, src_b, wins_a, wins_b, ties,
+    * winrate_a_bp). */
+  def pairwiseWins(docs: DataFrame): DataFrame =
+    Curation.pairwiseWinsOf(docs)
+
+  /** Bradley–Terry source strengths from pairwiseWins output: `iters`
+    * MM iterations in exact integer micro-units on the tiny
+    * sources×sources matrix. Emits (source, beta_e6). */
+  def bradleyTerry(wins: DataFrame, iters: Int = 3): DataFrame =
+    Curation.bradleyTerryOf(wins, iters)
+
+  /** Per-node triangle counts over an undirected (a, b) edge frame with
+    * a < b — degree-oriented wedge join (arboricity-bounded fan-out,
+    * never a naive hub-quadratic enumeration). */
+  def triangleCounts(edges: DataFrame): DataFrame =
+    Graph.triangleCountsOf(edges)
+
+  /** MMR-diversified top-k (λ = 0.7, exact integer scores) over each
+    * query's nCand exact-cosine candidates. Emits (q_id, cand_id, rk,
+    * score_e7). */
+  def mmrDiverseTopK(vectors: DataFrame, queries: DataFrame,
+      nCand: Int = 20, k: Int = 5): DataFrame =
+    Similarity.mmrDiverseTopKOf(vectors, queries, nCand, k)
 }

@@ -1,0 +1,302 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** [EXT] Post-training data-curation operators: curriculum ordering,
+  * pairwise source-preference aggregation, Bradley–Terry source
+  * strengths, and privacy audits (k-anonymity / l-diversity). Not
+  * derived from the reference — these are the operations an RLHF /
+  * fine-tuning data pipeline runs between raw-corpus cleaning and
+  * batch assembly.
+  *
+  * Exactness across engines: every score is bounded-integer (t5's
+  * quality), every division is integer `div`/`//` with guarded
+  * denominators, every shuffle key is a salted-md5 hex string — so
+  * each query hash-matches its DuckDB oracle bit-for-bit.
+  *
+  * Scale notes per op are on the member Scaladocs; the common theme is
+  * that everything heavier than one corpus scan is computed on
+  * VALUE-DOMAIN-bounded aggregates (quality histograms, source pairs),
+  * never on document pairs.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- CUR1: curriculum ordering (quality quartiles, easy->hard) ----
+
+  /** Curriculum epoch order over any documents frame: stage 1..4 by
+    * quality quartile (stage 1 = top quartile — train on clean text
+    * first), deterministic salted-md5 shuffle WITHIN each stage, and a
+    * global stage-major position — the library entry point
+    * ([[graft.api.GraftApi.curriculumOrder]]).
+    *
+    * Scale: quartile boundaries come from a VALUE histogram of the
+    * bounded-integer quality score (≤ 10001 distinct values — a tiny,
+    * corpus-size-independent frame; the two driver actions on it are
+    * justified-small collects, the same contract as Clustering's k·dim
+    * centroid fetch). The global position uses voc2's distributed
+    * prefix-sum: range-partition by (stage, shuffle-key), rank locally
+    * per partition, add broadcast per-partition offsets — NO
+    * single-reducer global window anywhere. The ranged frame is
+    * localCheckpoint-ed because range partitioning samples boundaries
+    * nondeterministically: the offsets pass and the rank pass must see
+    * the same physical partitioning. */
+  private[graft] def curriculumOrderOf(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScoreOf(docs).select("doc_id", "quality")
+    // Bounded value histogram -> exact quartile boundaries (percentile_disc
+    // semantics: smallest value v with cum(v) >= ceil(k*n/4), i.e. 4*cum >= k*n).
+    val hist = q.groupBy("quality").agg(count(lit(1)).as("c"))
+      .coalesce(1).localCheckpoint(true)
+    val n = hist.agg(coalesce(sum("c"), lit(0L))).first().getLong(0)
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bs = (1 to 3).map { k =>
+      cum.filter(col("cum") * 4 >= lit(k.toLong) * n)
+        .agg(min("quality")).first().getLong(0)
+    }
+    val staged = q.withColumn("stage", expr(
+        s"CAST(4 - ((CASE WHEN quality > ${bs(0)} THEN 1 ELSE 0 END)" +
+          s" + (CASE WHEN quality > ${bs(1)} THEN 1 ELSE 0 END)" +
+          s" + (CASE WHEN quality > ${bs(2)} THEN 1 ELSE 0 END)) AS BIGINT)"))
+      .withColumn("skey",
+        substring(md5(concat(lit("cur1:"), col("doc_id").cast("string"))), 1, 8))
+    // Distributed prefix-sum rank (the voc2/pack2 pattern): global order is
+    // (stage, skey, doc_id); partitions are range-cut on that order.
+    val ranged = staged.repartitionByRange(col("stage"), col("skey"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = ranged.groupBy("pid").agg(count(lit(1)).as("pn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = totals.map { case (pid, pn) => val o = (pid, acc); acc += pn; o }.toSeq
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val offDf = offs.toDF("pid", "off")
+    val localW = Window.partitionBy("pid").orderBy(col("stage"), col("skey"), col("doc_id"))
+    ranged
+      .withColumn("lrank", row_number().over(localW))
+      .join(broadcast(offDf), Seq("pid"))
+      .select(col("doc_id"), col("quality"), col("stage"),
+        (col("off") + col("lrank")).cast("long").as("pos"))
+  }
+
+  val cur1: Q = (s, d) =>
+    curriculumOrderOf(Tables.documents(s, d)).orderBy("pos")
+  val cur1Sql: String =
+    s"""WITH ${TextAnalysis.qualityCte},
+       |hist AS (SELECT quality, CAST(count(*) AS BIGINT) AS c FROM qual GROUP BY quality),
+       |cum AS (SELECT quality, CAST(sum(c) OVER (ORDER BY quality) AS BIGINT) AS cum FROM hist),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+       |b AS (SELECT
+       |  (SELECT min(quality) FROM cum, n WHERE cum * 4 >= 1 * n) AS b1,
+       |  (SELECT min(quality) FROM cum, n WHERE cum * 4 >= 2 * n) AS b2,
+       |  (SELECT min(quality) FROM cum, n WHERE cum * 4 >= 3 * n) AS b3),
+       |staged AS (
+       |  SELECT doc_id, quality,
+       |         CAST(4 - ((CASE WHEN quality > b1 THEN 1 ELSE 0 END)
+       |                 + (CASE WHEN quality > b2 THEN 1 ELSE 0 END)
+       |                 + (CASE WHEN quality > b3 THEN 1 ELSE 0 END)) AS BIGINT) AS stage,
+       |         substr(md5('cur1:' || doc_id::VARCHAR), 1, 8) AS skey
+       |  FROM qual, b)
+       |SELECT doc_id, quality, stage,
+       |       CAST(row_number() OVER (ORDER BY stage, skey, doc_id) AS BIGINT) AS pos
+       |FROM staged ORDER BY pos""".stripMargin
+
+  // ---- PREF1: pairwise source preference win-rates (rank-sum, no pairs) ----
+
+  /** Pairwise quality-preference counts between sources within each lang
+    * block: for sources a < b, how many (doc-from-a, doc-from-b) pairs
+    * prefer a (higher quality grade), prefer b, or tie — the
+    * Mann–Whitney rank-sum shape, and the input statistic Bradley–Terry
+    * needs. The library entry point ([[graft.api.GraftApi.pairwiseWins]]).
+    *
+    * Scale: document PAIRS are never materialized. Quality is bucketed
+    * to 101 grades (quality div 100) and aggregated to a per-(lang,
+    * source, grade) histogram first — one corpus scan + one small
+    * aggregate; win counts are then Σ c_a(g)·c_b(g') over the tiny
+    * histogram join (bounded by langs · sourcePairs · 101², independent
+    * of corpus size). */
+  private[graft] def pairwiseWinsOf(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScoreOf(docs).select("doc_id", "quality")
+    val g = docs.select("doc_id", "lang", "source").join(q, Seq("doc_id"))
+      .select(col("lang"), col("source"), expr("quality div 100").as("grade"))
+      .groupBy("lang", "source", "grade").agg(count(lit(1)).as("c"))
+    val a = g.select(col("lang"), col("source").as("src_a"), col("grade").as("ga"), col("c").as("ca"))
+    val b = g.select(col("lang").as("lang_b"), col("source").as("src_b"), col("grade").as("gb"), col("c").as("cb"))
+    a.join(b, col("lang") === col("lang_b") && col("src_a") < col("src_b"))
+      .groupBy("lang", "src_a", "src_b")
+      .agg(
+        sum(when(col("ga") > col("gb"), col("ca") * col("cb")).otherwise(0L)).as("wins_a"),
+        sum(when(col("ga") < col("gb"), col("ca") * col("cb")).otherwise(0L)).as("wins_b"),
+        sum(when(col("ga") === col("gb"), col("ca") * col("cb")).otherwise(0L)).as("ties"))
+      .withColumn("winrate_a_bp",
+        expr("wins_a * 10000 div greatest(wins_a + wins_b, 1)"))
+  }
+
+  val pref1: Q = (s, d) =>
+    pairwiseWinsOf(Tables.documents(s, d)).orderBy("lang", "src_a", "src_b")
+  private val pref1Ctes: String =
+    s"""${TextAnalysis.qualityCte},
+       |g AS (
+       |  SELECT d.lang, d.source, q.quality // 100 AS grade, CAST(count(*) AS BIGINT) AS c
+       |  FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+       |  GROUP BY d.lang, d.source, q.quality // 100),
+       |wins AS (
+       |  SELECT a.lang, a.source AS src_a, b.source AS src_b,
+       |         CAST(sum(CASE WHEN a.grade > b.grade THEN a.c * b.c ELSE 0 END) AS BIGINT) AS wins_a,
+       |         CAST(sum(CASE WHEN a.grade < b.grade THEN a.c * b.c ELSE 0 END) AS BIGINT) AS wins_b,
+       |         CAST(sum(CASE WHEN a.grade = b.grade THEN a.c * b.c ELSE 0 END) AS BIGINT) AS ties
+       |  FROM g a JOIN g b ON a.lang = b.lang AND a.source < b.source
+       |  GROUP BY a.lang, a.source, b.source)""".stripMargin
+  val pref1Sql: String =
+    s"""WITH $pref1Ctes
+       |SELECT lang, src_a, src_b, wins_a, wins_b, ties,
+       |       wins_a * 10000 // greatest(wins_a + wins_b, 1) AS winrate_a_bp
+       |FROM wins ORDER BY lang, src_a, src_b""".stripMargin
+
+  // ---- PREF2: Bradley-Terry source strengths (3 MM iterations, integer) ----
+
+  /** Bradley–Terry strength per source from pref1's pairwise wins pooled
+    * over langs, via 3 fixed iterations of Hunter's MM update
+    * β'_s = W_s / Σ_t n_st/(β_s+β_t), all in exact integer micro-units —
+    * the library entry point ([[graft.api.GraftApi.bradleyTerry]]).
+    *
+    * Determinism/overflow contract: counts are first normalized to
+    * parts-per-million of the total pair count (BT is invariant under
+    * common scaling), β is clamped to ≥ 1000 (strength 0.001) so every
+    * denominator is ≥ 2000 and every intermediate stays far below int64
+    * range — both engines run the identical truncating-div recurrence.
+    *
+    * Scale: the iteration runs on the sources×sources matrix (pref1's
+    * output, corpus-size-independent); the corpus is scanned exactly
+    * once, inside pref1. */
+  private[graft] def bradleyTerryOf(wins: DataFrame, iters: Int = 3): DataFrame = {
+    // pooled directed matrix in ppm of total decisive pairs
+    val pooled = wins.groupBy("src_a", "src_b")
+      .agg(sum("wins_a").as("wa"), sum("wins_b").as("wb"))
+    val dir = pooled.select(col("src_a").as("s"), col("src_b").as("t"),
+        col("wa").as("w"), (col("wa") + col("wb")).as("n"))
+      .unionAll(pooled.select(col("src_b").as("s"), col("src_a").as("t"),
+        col("wb").as("w"), (col("wa") + col("wb")).as("n")))
+    val total = math.max(
+      pooled.agg(coalesce(sum(col("wa") + col("wb")), lit(0L))).first().getLong(0), 1L)
+    val m = dir.select(col("s"), col("t"),
+        expr(s"w * 1000000 div ${total}L").as("w_pm"),
+        expr(s"n * 1000000 div ${total}L").as("n_pm"))
+      .localCheckpoint(true) // tiny matrix; iterated over `iters` times
+    var beta = m.select(col("s").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("b"))
+    for (_ <- 1 to iters) {
+      val bs = beta.select(col("node").as("s"), col("b").as("b_s"))
+      val bt = beta.select(col("node").as("t"), col("b").as("b_t"))
+      beta = m.join(bs, Seq("s")).join(bt, Seq("t"))
+        .groupBy(col("s").as("node"))
+        .agg(
+          sum("w_pm").as("w_tot"),
+          sum(expr("n_pm * 1000000000000 div greatest(b_s + b_t, 2000)")).as("den"))
+        .select(col("node"),
+          expr("greatest(w_tot * 1000000000000 div greatest(den, 1), 1000)").as("b"))
+    }
+    beta.select(col("node").as("source"), col("b").as("beta_e6"))
+  }
+
+  val pref2: Q = (s, d) =>
+    bradleyTerryOf(pairwiseWinsOf(Tables.documents(s, d))).orderBy("source")
+  val pref2Sql: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT m.s AS node,
+         |         greatest(CAST(sum(m.w_pm) AS BIGINT) * 1000000000000
+         |           // greatest(CAST(sum(m.n_pm * 1000000000000
+         |                // greatest(ps.b + pt.b, 2000)) AS BIGINT), 1), 1000) AS b
+         |  FROM m JOIN $prev ps ON ps.node = m.s JOIN $prev pt ON pt.node = m.t
+         |  GROUP BY m.s)""".stripMargin
+    s"""WITH $pref1Ctes,
+       |pooled AS (
+       |  SELECT src_a, src_b, CAST(sum(wins_a) AS BIGINT) AS wa, CAST(sum(wins_b) AS BIGINT) AS wb
+       |  FROM wins GROUP BY src_a, src_b),
+       |total AS (SELECT greatest(CAST(coalesce(sum(wa + wb), 0) AS BIGINT), 1) AS tot FROM pooled),
+       |dir AS (
+       |  SELECT src_a AS s, src_b AS t, wa AS w, wa + wb AS n FROM pooled
+       |  UNION ALL
+       |  SELECT src_b AS s, src_a AS t, wb AS w, wa + wb AS n FROM pooled),
+       |m AS (
+       |  SELECT s, t, w * 1000000 // tot AS w_pm, n * 1000000 // tot AS n_pm
+       |  FROM dir, total),
+       |b0 AS (SELECT DISTINCT s AS node, CAST(1000000 AS BIGINT) AS b FROM m),
+       |${iter("b0", "b1")},
+       |${iter("b1", "b2")},
+       |${iter("b2", "b3")}
+       |SELECT node AS source, CAST(b AS BIGINT) AS beta_e6 FROM b3 ORDER BY source""".stripMargin
+  }
+
+  // ---- PRIV1/PRIV2: k-anonymity and l-diversity audits ----
+
+  /** k-anonymity audit over a quasi-identifier grouping: group sizes per
+    * QI tuple plus a k≥5 flag — the pre-release privacy check a training
+    * corpus with user-derived records runs. Output cardinality is the
+    * QI-domain size (bounded), never the row count; the plan is ONE
+    * map-side-combined aggregate over the scan. */
+  val priv1: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_k"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_k")
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("k_ge5", expr("CAST(CASE WHEN group_n >= 5 THEN 1 ELSE 0 END AS BIGINT)"))
+      .orderBy("c_nationkey", "c_mktsegment", "bal_k")
+  val priv1Sql: String =
+    """SELECT c_nationkey, c_mktsegment,
+      |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+      |       CAST(count(*) AS BIGINT) AS group_n,
+      |       CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS k_ge5
+      |FROM customer
+      |GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT)
+      |ORDER BY c_nationkey, c_mktsegment, bal_k""".stripMargin
+
+  /** l-diversity audit: distinct sensitive values (market segment) per
+    * QI group (nation, balance bucket) with an l≥3 flag. Same one-
+    * aggregate plan as priv1; `count(DISTINCT)` partial-aggregates
+    * map-side (Spark expands it to a two-phase exact distinct). */
+  val priv2: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_nationkey"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_k"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "bal_k")
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct("c_mktsegment").as("l_div"))
+      .withColumn("l_ge3", expr("CAST(CASE WHEN l_div >= 3 THEN 1 ELSE 0 END AS BIGINT)"))
+      .orderBy("c_nationkey", "bal_k")
+  val priv2Sql: String =
+    """SELECT c_nationkey,
+      |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+      |       CAST(count(*) AS BIGINT) AS group_n,
+      |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div,
+      |       CAST(CASE WHEN count(DISTINCT c_mktsegment) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS l_ge3
+      |FROM customer
+      |GROUP BY c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT)
+      |ORDER BY c_nationkey, bal_k""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "cur1_curriculum_order" -> cur1,
+    "pref1_pairwise_winrate" -> pref1,
+    "pref2_bradley_terry" -> pref2,
+    "priv1_k_anonymity" -> priv1,
+    "priv2_l_diversity" -> priv2,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "cur1_curriculum_order" -> cur1Sql,
+    "pref1_pairwise_winrate" -> pref1Sql,
+    "pref2_bradley_terry" -> pref2Sql,
+    "priv1_k_anonymity" -> priv1Sql,
+    "priv2_l_diversity" -> priv2Sql,
+  )
+}

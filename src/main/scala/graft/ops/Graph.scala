@@ -90,11 +90,88 @@ object Graph {
       |WHERE node LIKE 's%'
       |ORDER BY node""".stripMargin
 
+  // ---- TC1: triangle counting (degree-oriented wedge join) ----
+
+  /** Per-node triangle counts over an undirected (a, b) edge frame with
+    * a < b — the library entry point ([[graft.api.GraftApi.triangleCounts]]).
+    *
+    * Scale: the classic degree-oriented enumeration (Schank–Wagner;
+    * MapReduce form in Suri–Vassilvitskii WWW'11): orient every edge
+    * from its lower-(degree, id) endpoint to the higher one, enumerate
+    * wedges only at each edge's LOW-degree apex, then close them with
+    * one equi-join against the undirected edge set. Wedge count is
+    * Σ d⁺(v)² with d⁺ bounded by O(√m) on any graph (arboricity bound)
+    * — hub nodes never explode the join the way a naive a<b wedge
+    * enumeration would. Three shuffles total (degree agg, wedge join,
+    * closing join), all on integer keys. */
+  private[graft] def triangleCountsOf(und0: DataFrame): DataFrame = {
+    val und = und0.select(col("a"), col("b"))
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), Seq("b"))
+    // orient: u = endpoint with smaller (degree, id); v = the other
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("a")).otherwise(col("b")).as("u"),
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("b")).otherwise(col("a")).as("v"))
+    val e1 = oriented.select(col("u"), col("v").as("v1"))
+    val e2 = oriented.select(col("u"), col("v").as("v2"))
+    val wedges = e1.join(e2, Seq("u")).filter(col("v1") < col("v2"))
+    val tris = wedges.join(und, wedges("v1") === und("a") && wedges("v2") === und("b"))
+      .select(col("u"), col("v1"), col("v2"))
+    tris.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** TC1: triangles in the supplier co-purchase graph — an edge joins two
+    * suppliers that co-appear in ≥ 2 distinct orders (the ≥2 threshold
+    * drops one-off co-occurrence noise, the same reason co-citation
+    * networks threshold). Per-order pair generation is bounded by
+    * (items per order)², a schema constant, never by corpus size. */
+  val tc1: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val x = li.select(col("ok"), col("sk").as("a"))
+    val y = li.select(col("ok").as("ok2"), col("sk").as("b"))
+    val und = x.join(y, col("ok") === col("ok2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select("a", "b")
+    triangleCountsOf(und).orderBy("node")
+  }
+  val tc1Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+      |und AS (
+      |  SELECT x.sk AS a, y.sk AS b FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
+      |  GROUP BY x.sk, y.sk HAVING count(*) >= 2),
+      |deg AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+      |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+      |oriented AS (
+      |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+      |              THEN u.a ELSE u.b END AS u,
+      |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+      |              THEN u.b ELSE u.a END AS v
+      |  FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+      |tris AS (
+      |  SELECT e1.u, e1.v AS v1, e2.v AS v2
+      |  FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+      |  JOIN und ON und.a = e1.v AND und.b = e2.v)
+      |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+      |  SELECT u AS node FROM tris
+      |  UNION ALL SELECT v1 AS node FROM tris
+      |  UNION ALL SELECT v2 AS node FROM tris)
+      |GROUP BY node ORDER BY node""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pr1_pagerank_suppliers" -> pr1,
+    "tc1_triangle_count" -> tc1,
   )
 
   val oracle: Map[String, String] = Map(
     "pr1_pagerank_suppliers" -> pr1Sql,
+    "tc1_triangle_count" -> tc1Sql,
   )
 }

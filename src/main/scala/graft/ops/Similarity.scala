@@ -516,7 +516,134 @@ object Similarity {
        |SELECT q_id, n_reachable, n_reachable * 10000 // 5 AS recall_bp
        |FROM hits ORDER BY q_id""".stripMargin
 
+  // ---- MMR1: maximal-marginal-relevance diversified top-k ----
+
+  /** MMR-diversified top-5 (Carbonell–Goldstein SIGIR'98) over each
+    * query's exact top-20 cosine candidates, λ = 0.7 — the RAG retrieval
+    * step that trades relevance against redundancy. The library entry
+    * point ([[graft.api.GraftApi.mmrDiverseTopK]]).
+    *
+    * Exactness: relevance and pairwise similarity are rounded to integer
+    * micro-cosines first, so every greedy score is exact int64
+    * (score_e7 = 7·rel_e6 − 3·max-sim_e6; λ in exact tenths) and the
+    * argmax ordering matches DuckDB bit-for-bit (ties break on cand_id).
+    *
+    * Scale: after the sim1-shaped candidate stage (query side broadcast,
+    * one window rank), EVERYTHING is per-query-bounded: the pairwise
+    * frame is |Q|·20·19 rows, and the 4 unrolled greedy steps join
+    * frames of ≤ |Q|·20 rows each. The candidate and pair frames are
+    * localCheckpoint-ed because five steps re-read them — without the
+    * snapshot the brute-force scan would replay per step. */
+  private[graft] def mmrDiverseTopKOf(vectors: DataFrame, queries: DataFrame,
+      nCand: Int = 20, k: Int = 5): DataFrame = {
+    val qn = qnormOf(vectors)
+    val qs = qnormOf(queries)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    val cand = qn.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        expr("graft_dot(qq, q)").as("dot"), col("q_nrm"), col("nrm"))
+      .withColumn("cos", col("dot") / sqrt(col("q_nrm").cast("double") * col("nrm").cast("double")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= nCand)
+      .select(col("q_id"), col("cand_id"),
+        expr("CAST(round(cos * 1000000) AS BIGINT)").as("rel_e6"))
+      .localCheckpoint(true)
+    val cv = cand.join(qn, cand("cand_id") === qn("vec_id"))
+      .select(col("q_id"), col("cand_id"), col("q"), col("nrm"))
+    val pi = cv.select(col("q_id"), col("cand_id").as("pa"), col("q").as("qa"), col("nrm").as("na"))
+    val pj = cv.select(col("q_id").as("q_id2"), col("cand_id").as("pb"), col("q").as("qb"), col("nrm").as("nb"))
+    val pairs = pi.join(pj, col("q_id") === col("q_id2") && col("pa") =!= col("pb"))
+      .select(col("q_id"), col("pa"), col("pb"),
+        expr("CAST(round(graft_dot(qa, qb) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("sim_e6"))
+      .localCheckpoint(true)
+    val w1 = Window.partitionBy("q_id").orderBy(col("rel_e6").desc, col("cand_id"))
+    var sel = cand.withColumn("r", row_number().over(w1)).filter(col("r") === 1)
+      .select(col("q_id"), col("cand_id"), lit(1L).as("rk"),
+        expr("CAST(7 * rel_e6 AS BIGINT)").as("score_e7"))
+    for (step <- 2 to k) {
+      val selIds = sel.select(col("q_id"), col("cand_id"))
+      val pen = pairs
+        .join(selIds.select(col("q_id").as("pq"), col("cand_id").as("sid")),
+          col("q_id") === col("pq") && col("pb") === col("sid"))
+        .groupBy(col("q_id").as("gq"), col("pa")).agg(max("sim_e6").as("pen"))
+      val ws = Window.partitionBy("q_id").orderBy(col("score_e7").desc, col("cand_id"))
+      val pick = cand.join(selIds, Seq("q_id", "cand_id"), "left_anti")
+        .join(pen, col("q_id") === col("gq") && col("cand_id") === col("pa"))
+        .select(col("q_id"), col("cand_id"),
+          expr("CAST(7 * rel_e6 - 3 * pen AS BIGINT)").as("score_e7"))
+        .withColumn("r", row_number().over(ws)).filter(col("r") === 1)
+        .select(col("q_id"), col("cand_id"), lit(step.toLong).as("rk"), col("score_e7"))
+      sel = sel.unionAll(pick)
+    }
+    sel
+  }
+
+  val mmr1: Q = (s, d) =>
+    mmrDiverseTopKOf(Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0))
+      .orderBy("q_id", "rk")
+  val mmr1Sql: String = {
+    // one unrolled greedy step: pick argmax of 7·rel − 3·max-sim-to-selected
+    def step(selPrev: String, k: Int, out: String): String =
+      s"""scored$k AS (
+         |  SELECT c.q_id, c.cand_id,
+         |         CAST(7 * c.rel_e6 - 3 * max(p.sim_e6) AS BIGINT) AS score_e7
+         |  FROM cand c
+         |  JOIN pr p ON p.q_id = c.q_id AND p.pa = c.cand_id
+         |  JOIN $selPrev s ON s.q_id = p.q_id AND s.cand_id = p.pb
+         |  WHERE NOT EXISTS (SELECT 1 FROM $selPrev x
+         |                    WHERE x.q_id = c.q_id AND x.cand_id = c.cand_id)
+         |  GROUP BY c.q_id, c.cand_id, c.rel_e6),
+         |pick$k AS (
+         |  SELECT q_id, cand_id, CAST($k AS BIGINT) AS rk, score_e7 FROM (
+         |    SELECT q_id, cand_id, score_e7,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY score_e7 DESC, cand_id) AS r
+         |    FROM scored$k) WHERE r = 1),
+         |$out AS (SELECT q_id, cand_id, rk, score_e7 FROM $selPrev
+         |         UNION ALL SELECT q_id, cand_id, rk, score_e7 FROM pick$k)""".stripMargin
+    s"""WITH $qnormCte,
+       |dots AS (
+       |  SELECT q_id, cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot, q_nrm, c_nrm FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS cand_id, a.nrm AS q_nrm, b.nrm AS c_nrm,
+       |           unnest(a.q) AS xa, unnest(b.q) AS xb
+       |    FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+       |  GROUP BY q_id, cand_id, q_nrm, c_nrm),
+       |cand AS (
+       |  SELECT q_id, cand_id,
+       |         CAST(round(dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) * 1000000)
+       |           AS BIGINT) AS rel_e6
+       |  FROM (SELECT q_id, cand_id, dot, q_nrm, c_nrm,
+       |          row_number() OVER (PARTITION BY q_id
+       |            ORDER BY dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) DESC, cand_id) AS rk
+       |        FROM dots) WHERE rk <= 20),
+       |pr AS (
+       |  SELECT i.q_id, i.cand_id AS pa, j.cand_id AS pb,
+       |         CAST(round(CAST(pd.dot AS DOUBLE)
+       |           / sqrt(CAST(pd.na AS DOUBLE) * CAST(pd.nb AS DOUBLE)) * 1000000) AS BIGINT) AS sim_e6
+       |  FROM cand i JOIN cand j ON i.q_id = j.q_id AND i.cand_id <> j.cand_id
+       |  JOIN (
+       |    SELECT va, vb, CAST(sum(xa * xb) AS BIGINT) AS dot, any_value(nna) AS na, any_value(nnb) AS nb
+       |    FROM (SELECT a.vec_id AS va, b.vec_id AS vb, a.nrm AS nna, b.nrm AS nnb,
+       |                 unnest(a.q) AS xa, unnest(b.q) AS xb
+       |          FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+       |          WHERE a.vec_id IN (SELECT cand_id FROM cand)
+       |            AND b.vec_id IN (SELECT cand_id FROM cand))
+       |    GROUP BY va, vb) pd ON pd.va = i.cand_id AND pd.vb = j.cand_id),
+       |sel1 AS (
+       |  SELECT q_id, cand_id, CAST(1 AS BIGINT) AS rk, CAST(7 * rel_e6 AS BIGINT) AS score_e7 FROM (
+       |    SELECT q_id, cand_id, rel_e6,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY rel_e6 DESC, cand_id) AS r
+       |    FROM cand) WHERE r = 1),
+       |${step("sel1", 2, "sel2")},
+       |${step("sel2", 3, "sel3")},
+       |${step("sel3", 4, "sel4")},
+       |${step("sel4", 5, "sel5")}
+       |SELECT q_id, cand_id, rk, score_e7 FROM sel5 ORDER BY q_id, rk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "mmr1_diverse_topk" -> mmr1,
     "sim8_lsh_recall" -> sim8,
     "sim6_ivf_nprobe2_topk" -> sim6,
     "sim1_ann_bruteforce_topk" -> sim1,
@@ -528,6 +655,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "mmr1_diverse_topk" -> mmr1Sql,
     "sim8_lsh_recall" -> sim8Sql,
     "sim1_ann_bruteforce_topk" -> sim1Sql,
     "sim2_lsh_buckets" -> sim2Sql,

@@ -139,6 +139,35 @@ object TextAnalysis {
        |       + (CASE WHEN mean_tok_len_x100 BETWEEN 300 AND 800 THEN 2500 ELSE 0 END) AS quality
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** t5's quality computation as a reusable CTE chain ending in
+    * `qual(doc_id, quality)` — consumed by the Curation oracles (cur1,
+    * pref1, pref2) so curriculum/preference SQL stays textually in sync
+    * with the one quality definition. */
+  private[ops] val qualityCte: String =
+    s"""qbase AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |         CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS sum_tok_len
+       |  FROM documents),
+       |qstops AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop FROM (
+       |    SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+       |  WHERE word IN $stopListSql GROUP BY doc_id),
+       |qm AS (
+       |  SELECT b.doc_id, b.n_tokens,
+       |         b.sum_tok_len * 100 // b.n_tokens AS mean_tok_len_x100,
+       |         b.n_alpha * 10000 // greatest(b.n_chars, 1) AS alpha_bp,
+       |         coalesce(s.n_stop, 0) * 10000 // b.n_tokens AS stop_bp
+       |  FROM qbase b LEFT JOIN qstops s ON b.doc_id = s.doc_id),
+       |qual AS (
+       |  SELECT doc_id,
+       |         CAST((CASE WHEN n_tokens >= 20 THEN 2500 ELSE n_tokens * 125 END)
+       |         + alpha_bp // 4 + stop_bp // 4
+       |         + (CASE WHEN mean_tok_len_x100 BETWEEN 300 AND 800 THEN 2500 ELSE 0 END)
+       |         AS BIGINT) AS quality
+       |  FROM qm)""".stripMargin
+
   // ---- T6: token counting (whitespace, BPE-ish regex, chars/4 heuristic) ----
 
   private val BpeRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"

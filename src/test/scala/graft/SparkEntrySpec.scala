@@ -32,7 +32,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "Pipeline" -> ops.Pipeline.queries,
     "Graph" -> ops.Graph.queries,
     "Clustering" -> ops.Clustering.queries,
-    "Selection" -> ops.Selection.queries)
+    "Selection" -> ops.Selection.queries,
+    "Curation" -> ops.Curation.queries)
 
   test("no query key is claimed by two family maps") {
     val all = families.flatMap { case (fam, m) => m.keys.map(_ -> fam) }

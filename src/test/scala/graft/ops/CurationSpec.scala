@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Behavioral checks for the curation family beyond the oracle gate:
+  * curriculum positions are a stage-monotone permutation, preference
+  * counts satisfy the rank-sum identity, Bradley–Terry recovers a
+  * planted dominance order, privacy audits partition the population,
+  * triangle counts are exact on planted graphs, and MMR genuinely
+  * prefers a diverse pick over a redundant one. */
+class CurationSpec extends SparkSpec {
+
+  test("cur1 emits a stage-monotone permutation of all documents") {
+    val out = Curation.cur1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(out.length.toLong === n, "every document gets a position")
+    assert(out.map(_._4).sorted.toSeq === (1L to n).toSeq, "pos is a permutation of 1..n")
+    assert(out.map(_._1).distinct.length === out.length, "each doc appears once")
+    // stage-major: positions of stage k all precede positions of stage k+1
+    val byStage = out.groupBy(_._3)
+    assert(byStage.keySet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    for (k <- 1L to 3L if byStage.contains(k) && byStage.contains(k + 1)) {
+      assert(byStage(k).map(_._4).max < byStage(k + 1).map(_._4).min,
+        s"stage $k must fully precede stage ${k + 1}")
+      // curriculum direction: earlier stages are strictly higher quality
+      assert(byStage(k).map(_._2).min > byStage(k + 1).map(_._2).max,
+        s"stage $k quality must dominate stage ${k + 1}")
+    }
+    val again = Curation.cur1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === out.toSeq, "cur1 must be deterministic")
+  }
+
+  test("pref1 satisfies the rank-sum identity wins_a + wins_b + ties = n_a * n_b") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val counts = docs.groupBy("lang", "source").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val out = Curation.pref1(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (lang, sa, sb) = (r.getString(0), r.getString(1), r.getString(2))
+      val (wa, wb, t) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(wa + wb + t === counts((lang, sa)) * counts((lang, sb)),
+        s"($lang, $sa, $sb): decisive+ties must count every cross pair")
+      val bp = r.getLong(6)
+      assert(bp === wa * 10000 / math.max(wa + wb, 1L))
+    }
+  }
+
+  test("pref2 recovers a planted dominance order") {
+    val sp = spark
+    import sp.implicits._
+    // A beats B 9:1, B beats C 9:1, A beats C 9:1 -> beta(A) > beta(B) > beta(C)
+    val wins = Seq(
+      ("en", "A", "B", 90L, 10L, 0L),
+      ("en", "B", "C", 90L, 10L, 0L),
+      ("en", "A", "C", 90L, 10L, 0L))
+      .toDF("lang", "src_a", "src_b", "wins_a", "wins_b", "ties")
+    val beta = Curation.bradleyTerryOf(wins).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(beta("A") > beta("B"), s"A must outrank B: $beta")
+    assert(beta("B") > beta("C"), s"B must outrank C: $beta")
+    assert(beta.values.forall(_ >= 1000L), "beta floor holds")
+  }
+
+  test("priv1/priv2 groups partition the customer population") {
+    val nCust = graft.Tables.customer(spark, sfDir).count()
+    val p1 = Curation.priv1(spark, sfDir).collect()
+    assert(p1.map(_.getLong(3)).sum === nCust, "priv1 group sizes must sum to |customer|")
+    p1.foreach(r => assert((r.getLong(3) >= 5) === (r.getLong(4) == 1L)))
+    val p2 = Curation.priv2(spark, sfDir).collect()
+    assert(p2.map(_.getLong(2)).sum === nCust, "priv2 group sizes must sum to |customer|")
+    p2.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= math.min(5L, r.getLong(2)),
+        "l-diversity is bounded by segment domain and group size")
+      assert((r.getLong(3) >= 3) === (r.getLong(4) == 1L))
+    }
+  }
+
+  test("tc1 counts planted triangles exactly and ignores triangle-free structure") {
+    val sp = spark
+    import sp.implicits._
+    // K4 on 1-4 (4 triangles, 3 per node) + a 5-6-7 path + a 10-leaf star
+    // at hub 100 (0 triangles each)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val path = Seq((5L, 6L), (6L, 7L))
+    val star = (101L to 110L).map(leaf => (100L, leaf))
+    val und = (k4 ++ path ++ star).toDF("a", "b")
+    val out = Graph.triangleCountsOf(und).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 gives each node 3 triangles and nothing else: $out")
+  }
+
+  test("mmr1 prefers a diverse pick over a redundant near-duplicate") {
+    val sp = spark
+    import sp.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val vecs = Seq(
+      (1L, v(1.0, 0.0, 0.0, 0.0)),   // the query itself
+      (2L, v(0.6, 0.8, 0.0, 0.0)),   // A: rel 0.6
+      (3L, v(0.6, 0.8, 0.01, 0.0)),  // A': near-duplicate of A
+      (4L, v(0.6, -0.8, 0.0, 0.0)),  // B: rel 0.6, anti-correlated with A
+      (5L, v(0.0, 0.0, 1.0, 0.0)),   // fillers: rel 0
+      (6L, v(0.0, 0.0, 0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter("vec_id = 1")
+    val out = Similarity.mmrDiverseTopKOf(vecs, queries).collect()
+      .map(r => (r.getLong(2), r.getLong(1))).toMap // rk -> cand_id
+    assert(out(1L) === 2L, s"rank 1 is the most relevant (tie to lowest id): $out")
+    assert(out(2L) === 4L, s"rank 2 must be the DIVERSE doc, not the near-dup: $out")
+    assert(out(3L) === 3L, s"the near-dup only enters once diversity is exhausted: $out")
+    assert(out.size === 5, "k picks per query")
+  }
+
+  test("mmr1 on the fixture returns 5 diversified picks per query, rank-1 = top cosine") {
+    val out = Similarity.mmr1(spark, sfDir).collect()
+    val perQ = out.groupBy(_.getLong(0))
+    assert(perQ.nonEmpty)
+    perQ.foreach { case (q, rows) =>
+      assert(rows.length === 5, s"query $q: expected 5 picks")
+      assert(rows.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      // scores are non-increasing only within the greedy's own ordering
+      // guarantee for rank 1: it maximizes pure relevance
+      val r1 = rows.find(_.getLong(2) == 1L).get
+      assert(r1.getLong(3) % 7 === 0, "rank-1 score is 7*rel_e6 (no penalty)")
+    }
+  }
+}
