@@ -142,11 +142,11 @@ object Curation {
     pairwiseWinsOf(Tables.documents(s, d)).orderBy("lang", "src_a", "src_b")
   private val pref1Ctes: String =
     s"""${TextAnalysis.qualityCte},
-       |g AS (
+       |g AS MATERIALIZED (
        |  SELECT d.lang, d.source, q.quality // 100 AS grade, CAST(count(*) AS BIGINT) AS c
        |  FROM documents d JOIN qual q ON q.doc_id = d.doc_id
        |  GROUP BY d.lang, d.source, q.quality // 100),
-       |wins AS (
+       |wins AS MATERIALIZED (
        |  SELECT a.lang, a.source AS src_a, b.source AS src_b,
        |         CAST(sum(CASE WHEN a.grade > b.grade THEN a.c * b.c ELSE 0 END) AS BIGINT) AS wins_a,
        |         CAST(sum(CASE WHEN a.grade < b.grade THEN a.c * b.c ELSE 0 END) AS BIGINT) AS wins_b,
@@ -209,7 +209,7 @@ object Curation {
     bradleyTerryOf(pairwiseWinsOf(Tables.documents(s, d))).orderBy("source")
   val pref2Sql: String = {
     def iter(prev: String, out: String): String =
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
          |  SELECT m.s AS node,
          |         greatest(CAST(sum(m.w_pm) AS BIGINT) * 1000000000000
          |           // greatest(CAST(sum(m.n_pm * 1000000000000
@@ -217,7 +217,7 @@ object Curation {
          |  FROM m JOIN $prev ps ON ps.node = m.s JOIN $prev pt ON pt.node = m.t
          |  GROUP BY m.s)""".stripMargin
     s"""WITH $pref1Ctes,
-       |pooled AS (
+       |pooled AS MATERIALIZED (
        |  SELECT src_a, src_b, CAST(sum(wins_a) AS BIGINT) AS wa, CAST(sum(wins_b) AS BIGINT) AS wb
        |  FROM wins GROUP BY src_a, src_b),
        |total AS (SELECT greatest(CAST(coalesce(sum(wa + wb), 0) AS BIGINT), 1) AS tot FROM pooled),
@@ -225,10 +225,10 @@ object Curation {
        |  SELECT src_a AS s, src_b AS t, wa AS w, wa + wb AS n FROM pooled
        |  UNION ALL
        |  SELECT src_b AS s, src_a AS t, wb AS w, wa + wb AS n FROM pooled),
-       |m AS (
+       |m AS MATERIALIZED (
        |  SELECT s, t, w * 1000000 // tot AS w_pm, n * 1000000 // tot AS n_pm
        |  FROM dir, total),
-       |b0 AS (SELECT DISTINCT s AS node, CAST(1000000 AS BIGINT) AS b FROM m),
+       |b0 AS MATERIALIZED (SELECT DISTINCT s AS node, CAST(1000000 AS BIGINT) AS b FROM m),
        |${iter("b0", "b1")},
        |${iter("b1", "b2")},
        |${iter("b2", "b3")}

@@ -584,9 +584,13 @@ object Similarity {
       Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0))
       .orderBy("q_id", "rk")
   val mmr1Sql: String = {
+    // DuckDB inlines plain CTEs per reference; the recursive selK chain
+    // references each predecessor 3x, which would re-inline (and re-run)
+    // the pairwise-dot pipeline ~3^4 times at scale — AS MATERIALIZED
+    // pins every multiply-referenced CTE to one execution.
     // one unrolled greedy step: pick argmax of 7·rel − 3·max-sim-to-selected
     def step(selPrev: String, k: Int, out: String): String =
-      s"""scored$k AS (
+      s"""scored$k AS MATERIALIZED (
          |  SELECT c.q_id, c.cand_id,
          |         CAST(7 * c.rel_e6 - 3 * max(p.sim_e6) AS BIGINT) AS score_e7
          |  FROM cand c
@@ -595,12 +599,12 @@ object Similarity {
          |  WHERE NOT EXISTS (SELECT 1 FROM $selPrev x
          |                    WHERE x.q_id = c.q_id AND x.cand_id = c.cand_id)
          |  GROUP BY c.q_id, c.cand_id, c.rel_e6),
-         |pick$k AS (
+         |pick$k AS MATERIALIZED (
          |  SELECT q_id, cand_id, CAST($k AS BIGINT) AS rk, score_e7 FROM (
          |    SELECT q_id, cand_id, score_e7,
          |           row_number() OVER (PARTITION BY q_id ORDER BY score_e7 DESC, cand_id) AS r
          |    FROM scored$k) WHERE r = 1),
-         |$out AS (SELECT q_id, cand_id, rk, score_e7 FROM $selPrev
+         |$out AS MATERIALIZED (SELECT q_id, cand_id, rk, score_e7 FROM $selPrev
          |         UNION ALL SELECT q_id, cand_id, rk, score_e7 FROM pick$k)""".stripMargin
     s"""WITH $qnormCte,
        |dots AS (
@@ -609,7 +613,7 @@ object Similarity {
        |           unnest(a.q) AS xa, unnest(b.q) AS xb
        |    FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
        |  GROUP BY q_id, cand_id, q_nrm, c_nrm),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT q_id, cand_id,
        |         CAST(round(dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) * 1000000)
        |           AS BIGINT) AS rel_e6
@@ -617,7 +621,7 @@ object Similarity {
        |          row_number() OVER (PARTITION BY q_id
        |            ORDER BY dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) DESC, cand_id) AS rk
        |        FROM dots) WHERE rk <= 20),
-       |pr AS (
+       |pr AS MATERIALIZED (
        |  SELECT i.q_id, i.cand_id AS pa, j.cand_id AS pb,
        |         CAST(round(CAST(pd.dot AS DOUBLE)
        |           / sqrt(CAST(pd.na AS DOUBLE) * CAST(pd.nb AS DOUBLE)) * 1000000) AS BIGINT) AS sim_e6
@@ -630,7 +634,7 @@ object Similarity {
        |          WHERE a.vec_id IN (SELECT cand_id FROM cand)
        |            AND b.vec_id IN (SELECT cand_id FROM cand))
        |    GROUP BY va, vb) pd ON pd.va = i.cand_id AND pd.vb = j.cand_id),
-       |sel1 AS (
+       |sel1 AS MATERIALIZED (
        |  SELECT q_id, cand_id, CAST(1 AS BIGINT) AS rk, CAST(7 * rel_e6 AS BIGINT) AS score_e7 FROM (
        |    SELECT q_id, cand_id, rel_e6,
        |           row_number() OVER (PARTITION BY q_id ORDER BY rel_e6 DESC, cand_id) AS r
