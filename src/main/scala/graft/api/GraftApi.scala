@@ -555,4 +555,29 @@ object GraftApi {
   def mmrDiverseTopK(vectors: DataFrame, queries: DataFrame,
       nCand: Int = 20, k: Int = 5): DataFrame =
     Similarity.mmrDiverseTopKOf(vectors, queries, nCand, k)
+
+  /** Warner randomized response over a categorical column (deterministic
+    * salted-md5 draws — replayable local-DP) plus the exact integer
+    * unbiased frequency estimator. Emits (category, true_n, reported_n,
+    * est_n). Needs ≥ 2 categories. */
+  def randomizedResponse(cust: DataFrame, pBp: Long = 6000L): DataFrame =
+    Curation.randomizedResponseOf(cust, pBp)
+
+  /** Assemble per-user session trajectories (10-min buckets, turns in
+    * (ts, event_id) order) into training-sample rows: (user_id, bkt,
+    * n_turns, first_type, last_type, path_md5). One shuffle; in-group
+    * sort is map-side per session. */
+  def sessionPaths(events: DataFrame): DataFrame =
+    Curation.sessionPathsOf(events)
+
+  /** Median/MAD robust outlier audit of an integer (grp, v) frame:
+    * (grp, med_c, mad_c, n, n_out, out_bp) with |v − median| > 3·MAD
+    * flagged — exact integer percentile picks, never a global sort. */
+  def madOutliers(df: DataFrame): DataFrame =
+    Curation.madOutliersOf(df)
+
+  /** `rounds` k-core peeling passes over an undirected (a, b) edge
+    * frame; emits surviving (node, deg_core). */
+  def kcorePeel(edges: DataFrame, k: Int = 3, rounds: Int = 3): DataFrame =
+    Graph.kcorePeelOf(edges, k, rounds)
 }

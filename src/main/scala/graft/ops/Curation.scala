@@ -284,12 +284,187 @@ object Curation {
       |GROUP BY c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT)
       |ORDER BY c_nationkey, bal_k""".stripMargin
 
+  // ---- PRIV3: randomized response (deterministic local-DP mechanism) ----
+
+  /** Warner-style randomized response over the market-segment column:
+    * each customer reports their true segment with probability
+    * p = 0.60, otherwise a uniformly-drawn OTHER segment — then the
+    * exact unbiased frequency estimator inverts the mechanism. Both
+    * draws are salted-md5 (the bernoulliKeep convention): RNG-free,
+    * rerun-stable, map-side, and bit-identical in both engines — the
+    * noise is real (no row's report is predictable from the aggregate)
+    * but the pipeline stays replayable, which is what a training-data
+    * release pipeline needs from its DP step.
+    *
+    * Estimator (k = #segments): E[reported_s] = p·n_s + (1−p)(N−n_s)/(k−1),
+    * inverted in exact integer basis points:
+    * est = (reported·10⁴·(k−1) − (10⁴−p_bp)·N) div (p_bp·(k−1) − (10⁴−p_bp)).
+    *
+    * Scale: one scan + two tiny broadcast joins against the k-row
+    * segment table; output is k rows. */
+  private[graft] def randomizedResponseOf(cust: DataFrame, pBp: Long = 6000L): DataFrame = {
+    val segs = cust.select(col("c_mktsegment").as("seg")).distinct()
+      .coalesce(1)
+      .withColumn("idx", row_number().over(Window.orderBy("seg")).cast("long") - 1)
+      .localCheckpoint(true)
+    val k = segs.count()
+    require(k >= 2, s"randomized response needs >= 2 categories, got $k")
+    val drawn = cust.select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .join(broadcast(segs), Seq("seg"))
+      .withColumn("keep", expr(
+        "(CAST(conv(substring(md5(concat('priv3a:', CAST(c_custkey AS STRING))), 1, 4), 16, 10) AS BIGINT)" +
+          s" % 10000) < $pBp"))
+      .withColumn("alt", expr(
+        "CAST(conv(substring(md5(concat('priv3b:', CAST(c_custkey AS STRING))), 1, 4), 16, 10) AS BIGINT)" +
+          s" % ${k - 1}L"))
+      .withColumn("ridx", expr(s"CASE WHEN keep THEN idx ELSE (idx + 1 + alt) % ${k}L END"))
+    val trueN = drawn.groupBy("seg").agg(count(lit(1)).as("true_n"))
+    val repN = drawn
+      .join(broadcast(segs.select(col("idx").as("ridx"), col("seg").as("rseg"))), Seq("ridx"))
+      .groupBy(col("rseg").as("seg")).agg(count(lit(1)).as("reported_n"))
+    val total = cust.agg(count(lit(1)).as("n_total"))
+    trueN.join(repN, Seq("seg")).crossJoin(broadcast(total))
+      .select(col("seg").as("c_mktsegment"), col("true_n"), col("reported_n"),
+        expr(s"(reported_n * 10000 * ${k - 1}L - (10000 - $pBp) * n_total)" +
+          s" div (${pBp}L * ${k - 1}L - (10000 - $pBp))").as("est_n"))
+  }
+
+  val priv3: Q = (s, d) =>
+    randomizedResponseOf(Tables.customer(s, d)).orderBy("c_mktsegment")
+  val priv3Sql: String =
+    """WITH segs AS MATERIALIZED (
+      |  SELECT seg, CAST(row_number() OVER (ORDER BY seg) AS BIGINT) - 1 AS idx
+      |  FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer)),
+      |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM segs),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM customer),
+      |drawn AS MATERIALIZED (
+      |  SELECT c.c_custkey, c.c_mktsegment AS seg, s.idx,
+      |         (('0x' || substr(md5('priv3a:' || c.c_custkey::VARCHAR), 1, 4))::BIGINT % 10000) < 6000 AS keep,
+      |         ('0x' || substr(md5('priv3b:' || c.c_custkey::VARCHAR), 1, 4))::BIGINT % (kk.k - 1) AS alt
+      |  FROM customer c JOIN segs s ON s.seg = c.c_mktsegment CROSS JOIN kk),
+      |rep AS (
+      |  SELECT d.seg, CASE WHEN d.keep THEN d.idx ELSE (d.idx + 1 + d.alt) % kk.k END AS ridx
+      |  FROM drawn d CROSS JOIN kk),
+      |tn AS (SELECT seg, CAST(count(*) AS BIGINT) AS true_n FROM drawn GROUP BY seg),
+      |rn AS (SELECT s.seg, CAST(count(*) AS BIGINT) AS reported_n
+      |       FROM rep r JOIN segs s ON s.idx = r.ridx GROUP BY s.seg)
+      |SELECT tn.seg AS c_mktsegment, tn.true_n, rn.reported_n,
+      |       (rn.reported_n * 10000 * (kk.k - 1) - (10000 - 6000) * tot.n_total)
+      |         // (6000 * (kk.k - 1) - (10000 - 6000)) AS est_n
+      |FROM tn JOIN rn ON rn.seg = tn.seg CROSS JOIN kk CROSS JOIN tot
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---- TRAJ1: session trajectory assembly (events -> training samples) ----
+
+  /** Assemble per-user event trajectories into training samples: 10-min
+    * tumbling session buckets (exact epoch-µs integer division), turns
+    * ordered by (ts, event_id), the turn sequence joined into one path
+    * string — the step that turns a raw event log into sequence training
+    * data. Emits (user_id, bkt, n_turns, first_type, last_type,
+    * path_md5) — the md5 stands in for the sample payload so rows stay
+    * narrow while still pinning the exact assembled sequence.
+    *
+    * Scale: ONE shuffle on (user_id, bkt); the in-group sort is
+    * map-side inside the aggregate (array_sort over each session's own
+    * turn list, bounded by per-session activity), never a global sort. */
+  private[graft] def sessionPathsOf(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), expr("unix_micros(ts) div 600000000").as("bkt"),
+        col("ts"), col("event_id"), col("event_type"))
+      .groupBy("user_id", "bkt")
+      .agg(count(lit(1)).as("n_turns"),
+        expr("array_join(transform(array_sort(collect_list(struct(ts, event_id, event_type)))," +
+          " x -> x.event_type), '>')").as("path"))
+      .select(col("user_id"), col("bkt"), col("n_turns"),
+        expr("element_at(split(path, '>'), 1)").as("first_type"),
+        expr("element_at(split(path, '>'), -1)").as("last_type"),
+        md5(col("path")).as("path_md5"))
+
+  val traj1: Q = (s, d) =>
+    sessionPathsOf(Tables.events(s, d)).orderBy("user_id", "bkt")
+  val traj1Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) // 600000000 AS bkt,
+      |         CAST(count(*) AS BIGINT) AS n_turns,
+      |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM events GROUP BY user_id, epoch_us(ts) // 600000000)
+      |SELECT user_id, bkt, n_turns,
+      |       str_split(path, '>')[1] AS first_type,
+      |       str_split(path, '>')[-1] AS last_type,
+      |       md5(path) AS path_md5
+      |FROM p ORDER BY user_id, bkt""".stripMargin
+
+  // ---- DQ2: robust outlier audit (median / MAD, exact integer) ----
+
+  /** Robust per-group outlier audit: median and MAD (median absolute
+    * deviation) of line-item price in exact integer cents via the apx3
+    * value-histogram percentile pick, then the |dev| > 3·MAD count — the
+    * distribution-drift check a data pipeline runs per partition before
+    * accepting a batch. Two bounded percentile passes (each one shuffle
+    * on the group + per-group windows over DISTINCT values, never a
+    * global sort) + one final aggregate. */
+  /** Median/MAD outlier audit of any integer (grp, v) frame — the
+    * library entry point ([[graft.api.GraftApi.madOutliers]]). */
+  private[graft] def madOutliersOf(li: DataFrame): DataFrame = {
+    val med = ScaleOps.exactPercentilesOf(li, "grp", "v", Seq(0.5))
+      .select(col("grp"), col("exact_pct").as("med"))
+    val dev = li.join(broadcast(med), Seq("grp"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = ScaleOps.exactPercentilesOf(
+        dev.select(col("grp"), col("dev").as("v")), "grp", "v", Seq(0.5))
+      .select(col("grp"), col("exact_pct").as("mad"))
+    dev.join(broadcast(mad), Seq("grp"))
+      .groupBy(col("grp"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_out"))
+      .select(col("grp"), col("med").as("med_c"),
+        col("mad").as("mad_c"), col("n"), col("n_out"),
+        expr("n_out * 10000 div greatest(n, 1)").as("out_bp"))
+  }
+
+  val dq2: Q = (s, d) =>
+    madOutliersOf(Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"), Money.cents(col("l_extendedprice")).as("v")))
+      .withColumnRenamed("grp", "l_returnflag")
+      .orderBy("l_returnflag")
+  val dq2Sql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |  FROM lineitem),
+      |freq AS MATERIALIZED (SELECT grp, v, count(*) AS f FROM li GROUP BY grp, v),
+      |cum AS (
+      |  SELECT grp, v, CAST(sum(f) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cf,
+      |         CAST(sum(f) OVER (PARTITION BY grp) AS BIGINT) AS n
+      |  FROM freq),
+      |med AS MATERIALIZED (
+      |  SELECT grp, min(v) AS med FROM cum WHERE cf >= ceil(0.5 * n) GROUP BY grp),
+      |dev AS MATERIALIZED (
+      |  SELECT li.grp, abs(li.v - med.med) AS dv, med.med AS med
+      |  FROM li JOIN med ON med.grp = li.grp),
+      |dfreq AS (SELECT grp, dv, count(*) AS f FROM dev GROUP BY grp, dv),
+      |dcum AS (
+      |  SELECT grp, dv, CAST(sum(f) OVER (PARTITION BY grp ORDER BY dv) AS BIGINT) AS cf,
+      |         CAST(sum(f) OVER (PARTITION BY grp) AS BIGINT) AS n
+      |  FROM dfreq),
+      |mad AS MATERIALIZED (
+      |  SELECT grp, min(dv) AS mad FROM dcum WHERE cf >= ceil(0.5 * n) GROUP BY grp)
+      |SELECT d.grp AS l_returnflag, any_value(d.med) AS med_c, any_value(m.mad) AS mad_c,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN d.dv > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+      |       CAST(sum(CASE WHEN d.dv > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) * 10000
+      |         // greatest(CAST(count(*) AS BIGINT), 1) AS out_bp
+      |FROM dev d JOIN mad m ON m.grp = d.grp
+      |GROUP BY d.grp ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cur1_curriculum_order" -> cur1,
     "pref1_pairwise_winrate" -> pref1,
     "pref2_bradley_terry" -> pref2,
     "priv1_k_anonymity" -> priv1,
     "priv2_l_diversity" -> priv2,
+    "priv3_randomized_response" -> priv3,
+    "traj1_session_paths" -> traj1,
+    "dq2_mad_outliers" -> dq2,
   )
 
   val oracle: Map[String, String] = Map(
@@ -298,5 +473,8 @@ object Curation {
     "pref2_bradley_terry" -> pref2Sql,
     "priv1_k_anonymity" -> priv1Sql,
     "priv2_l_diversity" -> priv2Sql,
+    "priv3_randomized_response" -> priv3Sql,
+    "traj1_session_paths" -> traj1Sql,
+    "dq2_mad_outliers" -> dq2Sql,
   )
 }

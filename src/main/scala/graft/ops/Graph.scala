@@ -139,14 +139,27 @@ object Graph {
     * degenerates toward a clique with corpus growth — Θ(n³) triangles —
     * while union-of-top-8 bounds degree ≤ 16 and wedge work at n·k².
     * Measured: the w≥2-only variant took 18.6 s at sf0.1; this one 1 s. */
-  val tc1: Q = (s, d) => {
+  /** Weighted supplier co-purchase edges: (a < b, w = co-order count),
+    * thresholded at w ≥ 2 — shared by tc1 and kcore1. Per-order pair
+    * generation is bounded by (items per order)², a schema constant. */
+  private def coPurchaseW2(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
     val x = li.select(col("ok"), col("sk").as("a"))
     val y = li.select(col("ok").as("ok2"), col("sk").as("b"))
-    val w2 = x.join(y, col("ok") === col("ok2") && col("a") < col("b"))
+    x.join(y, col("ok") === col("ok2") && col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
+  }
+  private val coPurchaseW2Sql: String =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+      |w2 AS MATERIALIZED (
+      |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
+      |  GROUP BY x.sk, y.sk HAVING count(*) >= 2)""".stripMargin
+
+  val tc1: Q = (s, d) => {
+    val w2 = coPurchaseW2(s, d)
     val dir = w2.select(col("a").as("n"), col("b").as("nb"), col("w"))
       .unionAll(w2.select(col("b").as("n"), col("a").as("nb"), col("w")))
     val topw = Window.partitionBy("n").orderBy(col("w").desc, col("nb"))
@@ -156,11 +169,7 @@ object Graph {
     triangleCountsOf(und).orderBy("node")
   }
   val tc1Sql: String =
-    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-      |w2 AS MATERIALIZED (
-      |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
-      |  FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
-      |  GROUP BY x.sk, y.sk HAVING count(*) >= 2),
+    s"""WITH $coPurchaseW2Sql,
       |dir AS (
       |  SELECT a AS n, b AS nb, w FROM w2 UNION ALL SELECT b AS n, a AS nb, w FROM w2),
       |und AS MATERIALIZED (
@@ -186,13 +195,67 @@ object Graph {
       |  UNION ALL SELECT v2 AS node FROM tris)
       |GROUP BY node ORDER BY node""".stripMargin
 
+  // ---- KCORE1: bounded-round k-core peeling ----
+
+  /** `rounds` peeling passes toward the k-core of an undirected (a, b)
+    * edge frame: drop nodes with degree < k, restrict edges to
+    * survivors, repeat — the library entry point
+    * ([[graft.api.GraftApi.kcorePeel]]). Fixed round count (the pr1 /
+    * d8-cap convention: the driver loop holds iteration COUNT, never
+    * data); most real graphs' peeling converges in a handful of rounds,
+    * and a caller needing the exact fixpoint raises `rounds`. Each round
+    * is one degree aggregate + two semi-joins, all on integer keys; the
+    * edge frame is localCheckpoint-ed per round so lineage stays flat.
+    * Emits surviving (node, deg_core). */
+  private[graft] def kcorePeelOf(und0: DataFrame, k: Int = 3, rounds: Int = 3): DataFrame = {
+    var und = und0.select(col("a"), col("b")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= k).select("v")
+      und = und
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")).localCheckpoint(true)
+    }
+    und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg_core"))
+  }
+
+  /** KCORE1: the 3-core of the supplier co-purchase graph after 3
+    * peeling rounds — the "stable trading cluster" cut of the same w ≥ 2
+    * edge set tc1 sparsifies. */
+  val kcore1: Q = (s, d) =>
+    kcorePeelOf(coPurchaseW2(s, d)).orderBy("node")
+  val kcore1Sql: String = {
+    def round(prev: String, out: String): String =
+      s"""keep$out AS MATERIALIZED (
+         |  SELECT v FROM (
+         |    SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+         |      SELECT a AS v FROM $prev UNION ALL SELECT b AS v FROM $prev) GROUP BY v)
+         |  WHERE dg >= 3),
+         |$out AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $prev e
+         |  JOIN keep$out ka ON ka.v = e.a JOIN keep$out kb ON kb.v = e.b)""".stripMargin
+    s"""WITH $coPurchaseW2Sql,
+       |e0 AS (SELECT a, b FROM w2),
+       |${round("e0", "e1")},
+       |${round("e1", "e2")},
+       |${round("e2", "e3")}
+       |SELECT node, CAST(count(*) AS BIGINT) AS deg_core FROM (
+       |  SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3)
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "pr1_pagerank_suppliers" -> pr1,
     "tc1_triangle_count" -> tc1,
+    "kcore1_supplier_core" -> kcore1,
   )
 
   val oracle: Map[String, String] = Map(
     "pr1_pagerank_suppliers" -> pr1Sql,
     "tc1_triangle_count" -> tc1Sql,
+    "kcore1_supplier_core" -> kcore1Sql,
   )
 }

@@ -114,6 +114,80 @@ class CurationSpec extends SparkSpec {
     assert(out.size === 5, "k picks per query")
   }
 
+  test("priv3 conserves mass and its estimator inverts the mechanism exactly") {
+    val out = Curation.priv3(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = graft.Tables.customer(spark, sfDir).count()
+    val k = out.length.toLong
+    assert(k === 5, "segment universe")
+    assert(out.map(_._2).sum === n, "true counts partition the population")
+    assert(out.map(_._3).sum === n, "every customer reports exactly one segment")
+    out.foreach { case (seg, _, rep, est) =>
+      val expected = (rep * 10000 * (k - 1) - 4000 * n) / (6000 * (k - 1) - 4000)
+      assert(est === expected, s"$seg estimator must match the closed form")
+    }
+    // the mechanism genuinely flips: reported != true for a nontrivial share
+    assert(out.exists { case (_, t, rep, _) => t != rep },
+      "randomized response must perturb at least one segment count")
+  }
+
+  test("traj1 assembles planted trajectories in (ts, event_id) order") {
+    val sp = spark
+    import sp.implicits._
+    val base = 1700000000000000L // epoch micros
+    val ev = Seq(
+      // user 1, one 10-min bucket: out-of-insertion-order rows
+      (3L, base + 2000000L, 1L, "purchase"),
+      (1L, base, 1L, "view"),
+      (2L, base + 1000000L, 1L, "click"),
+      // same ts tie -> event_id breaks it
+      (5L, base + 3000000L, 1L, "error"),
+      (4L, base + 3000000L, 1L, "signup"),
+      // user 2, different bucket
+      (6L, base + 700000000L, 2L, "view"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id", "event_type")
+    val out = Curation.sessionPathsOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getString(4)))
+      .sortBy(x => (x._1, x._2))
+    assert(out.length === 2)
+    val u1 = out.head
+    assert(u1 === ((1L, 5L, "view", "error")),
+      s"user 1: 5 turns, view first, error last (tie broken by event_id): $u1")
+    assert(out(1) === ((2L, 1L, "view", "view")))
+    // n_turns across sessions covers every event
+    val full = Curation.sessionPathsOf(ev).collect().map(_.getLong(2)).sum
+    assert(full === 6L)
+  }
+
+  test("dq2 flags a planted outlier and leaves a tight distribution unflagged") {
+    val sp = spark
+    import sp.implicits._
+    val tight = (1L to 100L).map(i => ("a", 50L + (i % 3)))      // values 50..52
+    val spread = (1L to 100L).map(i => ("b", i)) :+ (("b", 100000L)) // one far outlier
+    val df = (tight ++ spread).toDF("grp", "v")
+    val out = Curation.madOutliersOf(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val a = out.head; val b = out(1)
+    assert(a._1 === "a" && a._5 === 0L, s"tight group has no outliers: $a")
+    assert(b._1 === "b" && b._5 === 1L, s"spread group flags exactly the planted outlier: $b")
+    assert(b._2 === 51L, "median of 1..100 + outlier is 51 (disc pick)")
+    assert(a._3 === 1L, "MAD of the tight group is 1")
+  }
+
+  test("kcore1 peeling keeps a K4 core and sheds pendants") {
+    val sp = spark
+    import sp.implicits._
+    // K4 on 1-4 (every node degree 3) + pendant chain 4-5-6 (degree < 3)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((4L, 5L), (5L, 6L))
+    val out = Graph.kcorePeelOf((k4 ++ chain).toDF("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core is exactly the K4 with degree 3 each: $out")
+  }
+
   test("mmr1 on the fixture returns 5 diversified picks per query, rank-1 = top cosine") {
     val out = Similarity.mmr1(spark, sfDir).collect()
     val perQ = out.groupBy(_.getLong(0))
