@@ -580,4 +580,16 @@ object GraftApi {
     * frame; emits surviving (node, deg_core). */
   def kcorePeel(edges: DataFrame, k: Int = 3, rounds: Int = 3): DataFrame =
     Graph.kcorePeelOf(edges, k, rounds)
+
+  /** Per-label embedding audit: integer-mean centroid cohesion
+    * (mean squared-L2 to own centroid) and separation (nearest foreign
+    * centroid + distance) over a (vec_id, embedding, label) frame. */
+  def labelCentroidAudit(vecs: DataFrame): DataFrame =
+    graft.ops.Clustering.labelCentroidAuditOf(vecs)
+
+  /** Weighted-term BM25 top-k: queries carry (query_id, term, wt_bp);
+    * each term's contribution scales by wt_bp/10⁴ — the primitive under
+    * PMI query expansion (ret3). */
+  def bm25WeightedTopK(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
+    Retrieval.bm25WeightedTopKOf(docs, queries, k)
 }

@@ -223,10 +223,115 @@ object Clustering {
         |WHERE rk <= 40
         |ORDER BY cluster_id, vec_id""".stripMargin
 
+  // ---- EMB1: label-centroid embedding audit ----
+
+  /** Supervised embedding-quality audit over a labeled vector frame
+    * (vec_id, embedding, label): per label, the integer-mean centroid,
+    * the mean squared-L2 distance of members to their own centroid
+    * (cohesion), and the nearest FOREIGN centroid with its distance
+    * (separation) — the per-class compactness/margin report run before
+    * trusting an embedding column for similarity search or clustering.
+    * The library entry point ([[graft.api.GraftApi.labelCentroidAudit]]).
+    *
+    * Exactness: cl1's integer conventions throughout — quantized
+    * vectors, `sum div count` centroids, integer squared-L2, ties on
+    * the lower label.
+    *
+    * Scale: the centroid aggregate is one partial-agg exchange of
+    * labels·dim tiny rows with a labels·dim driver collect (the MLlib
+    * recompute shape); member distances are then a ZERO-shuffle codegen
+    * projection against plan-literal centroids, and the centroid×
+    * centroid nearest-neighbor table is driver-side integer math over
+    * ≤ labels² pairs. */
+  private[graft] def labelCentroidAuditOf(vecs: DataFrame): DataFrame = {
+    val qn = graft.ops.Similarity.qnormOf(vecs.select(col("vec_id"), col("embedding")))
+      .join(vecs.select(col("vec_id"), col("label").cast("long").as("label")), Seq("vec_id"))
+    val centRows = qn
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(expr("sum(x) div count(1)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val labels = centRows.map(_._1).distinct.sorted
+    val cents: Map[Long, Array[Long]] = labels.map { l =>
+      l -> centRows.filter(_._1 == l).sortBy(_._2).map(_._3)
+    }.toMap
+    // nearest foreign centroid per label: exact integer pair distances,
+    // ties on the lower label — pure driver math over labels² pairs
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val nn: Map[Long, (Long, Long)] = labels.map { l =>
+      val (bl, bd) = labels.filter(_ != l)
+        .map(o => (o, d2(cents(l), cents(o))))
+        .minBy { case (o, dd) => (dd, o) }
+      l -> (bl, bd)
+    }.toMap
+    val centLit = centLiteral(labels.map(cents))
+    val idxExpr = labels.zipWithIndex
+      .map { case (l, i) => s"WHEN label = $l THEN ${i + 1}" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val nnDf = {
+      val sp = vecs.sparkSession
+      import sp.implicits._
+      labels.toSeq.map(l => (l, nn(l)._1, nn(l)._2)).toDF("label", "nn_label", "nn_cdist")
+    }
+    qn
+      .withColumn("own", expr(
+        s"element_at(transform($centLit, c -> " +
+          s"aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)), $idxExpr)"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), expr("sum(own) div count(1)").as("mean_own_dist"))
+      .join(broadcast(nnDf), Seq("label"))
+  }
+
+  val emb1: Q = (s, d) =>
+    labelCentroidAuditOf(graft.Tables.embeddings(s, d)).orderBy("label")
+  val emb1Sql: String = {
+    val dim = 64
+    s"""WITH qn AS (
+       |  SELECT vec_id, q FROM (
+       |    SELECT vec_id,
+       |           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |    FROM embeddings)
+       |  WHERE CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) > 0),
+       |lv AS MATERIALIZED (
+       |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, qn.q
+       |  FROM embeddings e JOIN qn ON qn.vec_id = e.vec_id),
+       |cent AS MATERIALIZED (
+       |  SELECT label, list(c ORDER BY pos) AS cq FROM (
+       |    SELECT lv.label, t.j AS pos,
+       |           CAST(sum(lv.q[t.j]) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+       |    FROM lv CROSS JOIN range(1, ${dim + 1}) t(j)
+       |    GROUP BY lv.label, t.j)
+       |  GROUP BY label),
+       |own AS (
+       |  SELECT lv.label,
+       |         CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |           j -> (lv.q[j] - c.cq[j]) * (lv.q[j] - c.cq[j]))) AS BIGINT) AS d
+       |  FROM lv JOIN cent c ON c.label = lv.label),
+       |stats AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(d) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_own_dist
+       |  FROM own GROUP BY label),
+       |cd AS (
+       |  SELECT a.label AS la, b.label AS lb,
+       |         CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |           j -> (a.cq[j] - b.cq[j]) * (a.cq[j] - b.cq[j]))) AS BIGINT) AS cdist
+       |  FROM cent a JOIN cent b ON a.label <> b.label),
+       |nn AS (
+       |  SELECT la AS label, lb AS nn_label, cdist AS nn_cdist FROM (
+       |    SELECT la, lb, cdist,
+       |           row_number() OVER (PARTITION BY la ORDER BY cdist, lb) AS rk
+       |    FROM cd) WHERE rk = 1)
+       |SELECT s.label, s.n, s.mean_own_dist, nn.nn_label, nn.nn_cdist
+       |FROM stats s JOIN nn USING (label) ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "cl1_kmeans_clusters" -> cl1,
-    "cl2_cluster_balanced_sample" -> cl2)
+    "cl2_cluster_balanced_sample" -> cl2,
+    "emb1_label_centroid_audit" -> emb1)
   val oracle: Map[String, String] = Map(
     "cl1_kmeans_clusters" -> cl1Sql,
-    "cl2_cluster_balanced_sample" -> cl2Sql)
+    "cl2_cluster_balanced_sample" -> cl2Sql,
+    "emb1_label_centroid_audit" -> emb1Sql)
 }

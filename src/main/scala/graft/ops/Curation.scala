@@ -456,7 +456,46 @@ object Curation {
       |FROM dev d JOIN mad m ON m.grp = d.grp
       |GROUP BY d.grp ORDER BY l_returnflag""".stripMargin
 
+  // ---- STAT2: G-test of lang × source independence ----
+
+  /** Per-cell G-test (likelihood-ratio) contributions for the lang ×
+    * source contingency table: g = 2·o·ln(o·T/(r·c)) in rounded
+    * micro-units — the corpus-balance audit that quantifies how far the
+    * source mix skews per language (a balanced corpus has cells near 0).
+    * Observed-only cells (o ≥ 1), so the ln argument is always positive;
+    * the ln runs over identical integer operands in both engines and is
+    * rounded once (the t14 PMI convention). Plan: one contingency
+    * aggregate + two broadcast margin joins — a single scan at any
+    * scale. */
+  val stat2: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val o = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val r = docs.groupBy("lang").agg(count(lit(1)).as("r"))
+    val c = docs.groupBy("source").agg(count(lit(1)).as("c"))
+    val t = docs.agg(count(lit(1)).as("t"))
+    o.join(broadcast(r), Seq("lang")).join(broadcast(c), Seq("source"))
+      .crossJoin(broadcast(t))
+      .select(col("lang"), col("source"), col("o"),
+        expr("r * c div t").as("expected_floor"),
+        expr("CAST(round(2.0 * CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE) * CAST(t AS DOUBLE)" +
+          " / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) * 1000000) AS BIGINT)").as("g_e6"))
+      .orderBy("lang", "source")
+  }
+  val stat2Sql: String =
+    """WITH o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      |           FROM documents GROUP BY lang, source),
+      |r AS (SELECT lang, CAST(count(*) AS BIGINT) AS r FROM documents GROUP BY lang),
+      |c AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM documents)
+      |SELECT o.lang, o.source, o.o,
+      |       r.r * c.c // t.t AS expected_floor,
+      |       CAST(round(2.0 * CAST(o.o AS DOUBLE) * ln(CAST(o.o AS DOUBLE) * CAST(t.t AS DOUBLE)
+      |         / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE))) * 1000000) AS BIGINT) AS g_e6
+      |FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stat2_gtest_independence" -> stat2,
     "cur1_curriculum_order" -> cur1,
     "pref1_pairwise_winrate" -> pref1,
     "pref2_bradley_terry" -> pref2,
@@ -468,6 +507,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "stat2_gtest_independence" -> stat2Sql,
     "cur1_curriculum_order" -> cur1Sql,
     "pref1_pairwise_winrate" -> pref1Sql,
     "pref2_bradley_terry" -> pref2Sql,

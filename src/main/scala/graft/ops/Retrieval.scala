@@ -42,7 +42,15 @@ object Retrieval {
     * query frame — the library entry point
     * ([[graft.api.GraftApi.bm25TopK]]). Emits one row per (query_id,
     * rank ≤ k): (query_id, rnk, doc_id, score_e6). */
-  private[graft] def bm25TopKOf(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  private[graft] def bm25TopKOf(docs: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bm25WeightedTopKOf(docs, queries.withColumn("wt_bp", lit(10000L)), k)
+
+  /** Weighted-term BM25 top-k: `queries` carries (query_id, term, wt_bp)
+    * and each term's contribution is scaled by wt_bp/10⁴ — the shape
+    * query-expansion retrieval needs (expansion terms down-weighted vs
+    * the user's own terms). wt_bp = 10000 multiplies by exactly 1.0, so
+    * [[bm25TopKOf]] delegates here without perturbing a single bit. */
+  private[graft] def bm25WeightedTopKOf(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
@@ -60,7 +68,8 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
         (expr("ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))") *
-          expr("(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"))
+          expr("(CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))") *
+          expr("CAST(wt_bp AS DOUBLE) / 10000.0"))
           .as("w"))
     val scored = perTerm.groupBy("query_id", "doc_id")
       .agg(expr("CAST(round(sum(w) * 1000000) AS BIGINT)").as("score_e6"))
@@ -206,13 +215,109 @@ object Retrieval {
        |FROM fout WHERE rnk <= 10
        |ORDER BY query_id, rnk""".stripMargin
 
+  // ---- RET3: PMI query expansion + weighted BM25 ----
+
+  /** RET3: classic corpus-statistics query expansion — each query term
+    * pulls its top-2 positively-associated partners from the t14 PMI
+    * co-occurrence table (support ≥ 20 docs, PMI > 0; ties on partner),
+    * expansion terms enter at half weight (5000 bp vs 10000 bp), a term
+    * reached both ways keeps its max weight, then weighted BM25 top-5.
+    *
+    * Scale: the PMI table is vocabulary-pair-bounded (t14's per-doc
+    * blocked self-join — at 100 TB it is the stored association index,
+    * built once); expansion itself joins the ≤|query terms| frame
+    * against it, so the query-side work stays broadcast-sized, and the
+    * probe inherits ret1's index-only plan. */
+  val ret3: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val q0 = queryDf(s)
+    val pmi = TextAnalysis.pmiCooccurrenceOf(docs, minSupport = 20L)
+      .filter(col("pmi_e6") > 0)
+    val dirp = pmi.select(col("wa").as("term"), col("wb").as("partner"), col("pmi_e6"))
+      .unionAll(pmi.select(col("wb").as("term"), col("wa").as("partner"), col("pmi_e6")))
+    val exp = q0.join(dirp, Seq("term"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id", "term").orderBy(col("pmi_e6").desc, col("partner"))))
+      .filter(col("rk") <= 2)
+      .select(col("query_id"), col("partner").as("term"), lit(5000L).as("wt_bp"))
+    val qx = q0.withColumn("wt_bp", lit(10000L)).unionAll(exp)
+      .groupBy("query_id", "term").agg(max("wt_bp").as("wt_bp"))
+    bm25WeightedTopKOf(docs, qx, k = 5).orderBy("query_id", "rnk")
+  }
+  val ret3Sql: String =
+    s"""WITH toksd AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, w FROM (
+       |    SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |cx AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toksd GROUP BY w),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs0 FROM documents),
+       |ppairs AS MATERIALIZED (
+       |  SELECT a.w AS wa, b.w AS wb, CAST(count(*) AS BIGINT) AS c_xy
+       |  FROM toksd a JOIN toksd b ON a.doc_id = b.doc_id AND a.w < b.w
+       |  GROUP BY a.w, b.w HAVING count(*) >= 20),
+       |pmi AS MATERIALIZED (
+       |  SELECT wa, wb,
+       |         CAST(round(ln((CAST(c_xy AS DOUBLE) * CAST(n_docs0 AS DOUBLE)) /
+       |           (CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE))) * 1000000) AS BIGINT) AS pmi_e6
+       |  FROM ppairs JOIN cx x ON x.w = wa JOIN cx y ON y.w = wb CROSS JOIN nd),
+       |q0 AS (SELECT * FROM $querySql),
+       |dirp AS (
+       |  SELECT wa AS term, wb AS partner, pmi_e6 FROM pmi WHERE pmi_e6 > 0
+       |  UNION ALL
+       |  SELECT wb AS term, wa AS partner, pmi_e6 FROM pmi WHERE pmi_e6 > 0),
+       |expd AS (
+       |  SELECT query_id, partner AS term, CAST(5000 AS BIGINT) AS wt_bp FROM (
+       |    SELECT q0.query_id, q0.term, d.partner, d.pmi_e6,
+       |           row_number() OVER (PARTITION BY q0.query_id, q0.term
+       |                              ORDER BY d.pmi_e6 DESC, d.partner) AS rk
+       |    FROM q0 JOIN dirp d ON d.term = q0.term) WHERE rk <= 2),
+       |qx AS MATERIALIZED (
+       |  SELECT query_id, term, CAST(max(wt_bp) AS BIGINT) AS wt_bp FROM (
+       |    SELECT query_id, term, CAST(10000 AS BIGINT) AS wt_bp FROM q0
+       |    UNION ALL SELECT query_id, term, wt_bp FROM expd)
+       |  GROUP BY query_id, term),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)
+       |  WHERE len(term) > 0 GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |dft AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+       |  WHERE term IN (SELECT term FROM qx) GROUP BY term),
+       |per_term AS (
+       |  SELECT qx.query_id, tf.doc_id,
+       |         ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |         ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) *
+       |         (CAST(qx.wt_bp AS DOUBLE) / 10000.0) AS w
+       |  FROM tf
+       |  JOIN qx ON qx.term = tf.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  JOIN dft ON dft.term = tf.term
+       |  CROSS JOIN stats),
+       |scored AS (
+       |  SELECT query_id, doc_id,
+       |         CAST(round(sum(w) * 1000000) AS BIGINT) AS score_e6
+       |  FROM per_term GROUP BY query_id, doc_id),
+       |rranked AS (
+       |  SELECT query_id, doc_id, score_e6,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score_e6 DESC, doc_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score_e6
+       |FROM rranked WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ret1_bm25_topk" -> ret1,
     "ret2_hybrid_rrf_topk" -> ret2,
+    "ret3_expanded_bm25" -> ret3,
   )
 
   val oracle: Map[String, String] = Map(
     "ret1_bm25_topk" -> ret1Sql,
     "ret2_hybrid_rrf_topk" -> ret2Sql,
+    "ret3_expanded_bm25" -> ret3Sql,
   )
 }

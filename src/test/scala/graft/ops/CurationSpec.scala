@@ -188,6 +188,69 @@ class CurationSpec extends SparkSpec {
       s"3-core is exactly the K4 with degree 3 each: $out")
   }
 
+  test("stat2 G-test cells: observed counts partition the corpus and total G >= 0") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val out = Curation.stat2(spark, sfDir).collect()
+    assert(out.map(_.getLong(2)).sum === n, "cells cover every document")
+    val totalG = out.map(_.getLong(4)).sum
+    assert(totalG >= 0L, s"likelihood-ratio statistic is nonnegative in total: $totalG")
+    // recompute one cell by hand from the marginals
+    val r = docs.groupBy("lang").count().collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    val c = docs.groupBy("source").count().collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    val cell = out.head
+    val (lang, src, o) = (cell.getString(0), cell.getString(1), cell.getLong(2))
+    val expected = math.round(2.0 * o * math.log(o.toDouble * n / (r(lang).toDouble * c(src))) * 1e6)
+    assert(cell.getLong(4) === expected, "g_e6 matches the closed form")
+  }
+
+  test("emb1 separates planted labeled blobs with the right nearest-foreign centroid") {
+    val sp = spark
+    import sp.implicits._
+    def v(hot: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(hot) = 1.0f + eps; a
+    }
+    val rows =
+      (1L to 20L).map(i => (i, v(0, i * 0.001f), 1)) ++
+        (21L to 40L).map(i => (i, v(1, i * 0.001f), 2)) ++
+        (41L to 60L).map(i => (i, v(2, i * 0.001f), 3))
+    val out = Clustering.labelCentroidAuditOf(
+        rows.toDF("vec_id", "embedding", "label")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    out.foreach { case (l, n, meanOwn, nnL, nnD) =>
+      assert(n === 20L)
+      assert(meanOwn < 1000L, s"label $l cohesion: members hug their centroid ($meanOwn)")
+      assert(nnL != l && nnD > 1000000L,
+        s"label $l separation: foreign centroids are far ($nnL at $nnD)")
+    }
+  }
+
+  test("ret3 expansion genuinely adds weighted terms and preserves ret1 as the wt=10000 case") {
+    // identity: the weighted path with full weight is bit-identical to ret1
+    val docs = graft.Tables.documents(spark, sfDir)
+    val sp = spark
+    import sp.implicits._
+    val q = Seq((1, "the"), (1, "data")).toDF("query_id", "term")
+    val plain = Retrieval.bm25TopKOf(docs, q, 5).collect().map(_.toSeq)
+    val weighted = Retrieval.bm25WeightedTopKOf(
+      docs, q.withColumn("wt_bp", org.apache.spark.sql.functions.lit(10000L)), 5)
+      .collect().map(_.toSeq)
+    assert(plain.toSeq === weighted.toSeq, "wt_bp=10000 multiplies by exactly 1.0")
+    // down-weighting strictly lowers a single-term score
+    val q1 = Seq((1, "the")).toDF("query_id", "term")
+    val full = Retrieval.bm25WeightedTopKOf(
+      docs, q1.withColumn("wt_bp", org.apache.spark.sql.functions.lit(10000L)), 1)
+      .collect().head.getLong(3)
+    val half = Retrieval.bm25WeightedTopKOf(
+      docs, q1.withColumn("wt_bp", org.apache.spark.sql.functions.lit(5000L)), 1)
+      .collect().head.getLong(3)
+    assert(half < full && half > 0, s"half-weight score $half must sit below $full")
+  }
+
   test("mmr1 on the fixture returns 5 diversified picks per query, rank-1 = top cosine") {
     val out = Similarity.mmr1(spark, sfDir).collect()
     val perQ = out.groupBy(_.getLong(0))
