@@ -820,7 +820,37 @@ object Streams {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- ST14: streaming trajectory assembly (traj1's contract) ----
+
+  /** ST14: Curation.traj1's session-trajectory assembly as a watermarked
+    * APPEND-mode streaming aggregation — 10-minute tumbling buckets per
+    * user collect their turn structs in state; the path is assembled
+    * AFTER emission by `array_sort` over (ts, event_id, type), so the
+    * drained result is arrival-order-INDEPENDENT and hash-matches the
+    * batch traj1 oracle bit-for-bit. The watermark bounds state (a
+    * bucket's turn list lives only until the watermark passes its window
+    * end; the flush sentinel closes the tail buckets) — the production
+    * shape for turning a live event feed into training trajectories. */
+  val st14: Q = (s, d) => {
+    val agg = eventStream(s, d, variant = "st14_", flushSentinel = true)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(collect_list(struct(col("ts"), col("event_id"), col("event_type"))).as("turns"))
+    drain(s, agg, "st14_out", OutputMode.Append())
+      .filter(col("user_id") >= 0) // drop the watermark-flush sentinel user
+      .select(col("user_id"),
+        expr("unix_micros(window.start) div 600000000").as("bkt"),
+        expr("CAST(size(turns) AS BIGINT)").as("n_turns"),
+        expr("array_join(transform(array_sort(turns), x -> x.event_type), '>')").as("path"))
+      .select(col("user_id"), col("bkt"), col("n_turns"),
+        expr("element_at(split(path, '>'), 1)").as("first_type"),
+        expr("element_at(split(path, '>'), -1)").as("last_type"),
+        md5(col("path")).as("path_md5"))
+      .orderBy("user_id", "bkt")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st14_stream_trajectories" -> st14,
     "st13_stream_neardup_capped" -> st13,
     "st12_stream_neardup_candidates" -> st12,
     "st11_stream_expectations" -> st11,
@@ -839,6 +869,7 @@ object Streams {
 
   /** Streaming results must equal the batch windowing oracles. */
   val oracle: Map[String, String] = Map(
+    "st14_stream_trajectories" -> graft.ops.Curation.traj1Sql,
     "st13_stream_neardup_capped" -> st13Sql,
     "st12_stream_neardup_candidates" -> st12Sql,
     "st11_stream_expectations" -> st11Sql,

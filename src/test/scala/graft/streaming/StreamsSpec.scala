@@ -323,6 +323,16 @@ class StreamsSpec extends SparkSpec {
         s"no bucket exceeds the cap (max $maxBucket), so capping must be a no-op")
   }
 
+  test("st14 streaming trajectories equal the batch traj1 assembly bit-for-bit") {
+    val streamed = Streams.st14(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4), r.getString(5)))
+    val batch = graft.ops.Curation.traj1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4), r.getString(5)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "append-mode drain must assemble exactly the batch trajectories")
+  }
+
   test("st11 streaming expectation counters equal the batch aggregate regardless of batch cuts") {
     val rows = Streams.st11(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
