@@ -27,7 +27,8 @@ object SparkEntry {
       graft.ml.SvmSgd.queries ++ SqlSurface.queries ++ graft.ml.MlLsh.queries ++
       AsOf.queries ++ ops.ScaleOps.queries ++ ops.TpchFull.queries ++
       ops.Retrieval.queries ++ ops.Pipeline.queries ++ ops.Graph.queries ++
-      ops.Clustering.queries ++ ops.Selection.queries ++ ops.Curation.queries
+      ops.Clustering.queries ++ ops.Selection.queries ++ ops.Curation.queries ++
+      ops.Evaluation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.streaming.Streams.oracle ++ graft.multimodal.Multimodal.oracle ++
       SqlSurface.oracle ++ graft.ml.MlLsh.oracle ++ AsOf.oracle ++ ops.ScaleOps.oracle ++
       ops.TpchFull.oracle ++ ops.Retrieval.oracle ++ ops.Pipeline.oracle ++ ops.Graph.oracle ++
-      ops.Clustering.oracle ++ ops.Selection.oracle ++ ops.Curation.oracle
+      ops.Clustering.oracle ++ ops.Selection.oracle ++ ops.Curation.oracle ++
+      ops.Evaluation.oracle
 }

@@ -592,4 +592,33 @@ object GraftApi {
     * PMI query expansion (ret3). */
   def bm25WeightedTopK(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
     Retrieval.bm25WeightedTopKOf(docs, queries, k)
+
+  /** IR-quality metrics of a ranked candidate list: `ranked` is
+    * (q_id, cand_id, rk), `labels` is (vec_id, label); per query emits
+    * MRR/DCG@k/nDCG (e6/bp integers), precision@k and corpus recall@k
+    * under label-match relevance. */
+  def irMetrics(ranked: DataFrame, labels: DataFrame, k: Int = 10): DataFrame =
+    graft.ops.Evaluation.irMetricsOf(ranked, labels, k)
+
+  /** Population Stability Index of each source's n_chars distribution
+    * vs `refSource` (11 fixed-width bins, Laplace-smoothed, e6 integer);
+    * `drifted` flags PSI > 0.2. */
+  def psiDrift(docs: DataFrame, refSource: String): DataFrame =
+    graft.ops.Evaluation.psiDriftOf(docs, refSource)
+
+  /** Exact two-sample Kolmogorov–Smirnov distance of each source's
+    * n_chars distribution vs `refSource` — integer cross-multiplied
+    * CDFs, one e6 rounding at the end. */
+  def ksDistance(docs: DataFrame, refSource: String): DataFrame =
+    graft.ops.Evaluation.ksDistanceOf(docs, refSource)
+
+  /** Deterministic 80/10/10 train/val/test split report per (lang,
+    * split): salted-md5 draw, map-side, rerun-stable. */
+  def hashSplit(docs: DataFrame): DataFrame =
+    graft.ops.Evaluation.hashSplitOf(docs)
+
+  /** Token-boundary blocklist filter stats per source: flagged docs,
+    * flag rate (bp), and total whole-token hits. */
+  def blocklistStats(docs: DataFrame, blocklist: Seq[String]): DataFrame =
+    graft.ops.Evaluation.blocklistStatsOf(docs, blocklist)
 }

@@ -1,0 +1,328 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** [EXT] Measurement & audit operators: retrieval-quality evaluation
+  * (MRR / DCG / nDCG / precision / recall over a ranked list), two
+  * distribution-drift audits (PSI and the Kolmogorov–Smirnov distance),
+  * the deterministic train/val/test hash split, and a token-blocklist
+  * content filter. These are the ops a training-data pipeline runs to
+  * JUDGE its retrieval index, its incoming batches, and its split
+  * hygiene — the measurement half that the selection/curation families
+  * act on.
+  *
+  * Exactness across engines: ranks, counts and bin ids are exact
+  * integers; every transcendental (the nDCG log-discount, the PSI
+  * log-ratio) follows the t14/stat2 convention — ONE double expression
+  * over identical exact-integer operands, rounded ONCE to an e6/bp
+  * integer — so every query hash-matches its DuckDB oracle.
+  */
+object Evaluation {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- EVAL1: IR metrics of the ANN ranking vs label relevance ----
+
+  /** Retrieval evaluation of a ranked candidate list against binary
+    * relevance labels — per query: MRR, DCG@k / ideal DCG / nDCG,
+    * precision@k and corpus recall@k. `ranked` is (q_id, cand_id, rk)
+    * (rk 1-based, ≤ k rows per query), `labels` is (vec_id, label);
+    * a candidate is relevant iff it shares the query's label.
+    *
+    * The log2 position discount gain(r) = round(10^6·ln 2 / ln(r+1)) is
+    * rounded PER POSITION to an e6 integer before summing (both DCG and
+    * ideal DCG), so the ratio ndcg_bp is pure integer division —
+    * engine-exact. Ideal DCG sums the first min(n_rel, k) discounts via
+    * a closed-form `aggregate(sequence(...))` fold, no extra join.
+    *
+    * Scale: the ranked frame is |Q|·k rows by construction — everything
+    * here after the (broadcast) label joins is bounded by the query set,
+    * not the corpus; the one corpus-sized touch is the label-frequency
+    * aggregate (one map-side-combined scan). The library entry point is
+    * [[graft.api.GraftApi.irMetrics]]. */
+  private[graft] def irMetricsOf(ranked: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    // corpus relevant count per label, query itself excluded; the label
+    // table joins against the |Q|·k ranked frame — Spark broadcasts the
+    // SMALL (ranked) side on its own, so no hint that would pin the
+    // corpus-sized labels into executor memory at scale
+    val labFreq = labels.groupBy("label").agg(count(lit(1)).as("n_label"))
+    val rel = ranked
+      .join(labels.select(col("vec_id").as("cand_id"), col("label").as("c_label")), Seq("cand_id"))
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")), Seq("q_id"))
+      .join(broadcast(labFreq), col("q_label") === col("label"))
+      .withColumn("n_rel_corpus", col("n_label") - 1L)
+      .withColumn("rel", (col("c_label") === col("q_label")).cast("long"))
+      .withColumn("gain_e6", when(col("rel") === 1L,
+        expr("CAST(round(1000000 * ln(2.0) / ln(CAST(rk AS DOUBLE) + 1.0)) AS BIGINT)"))
+        .otherwise(lit(0L)))
+    rel.groupBy("q_id", "q_label", "n_rel_corpus")
+      .agg(sum("rel").as("n_rel_at_k"),
+        min(when(col("rel") === 1L, col("rk"))).as("first_rel_rank"),
+        sum("gain_e6").as("dcg_e6"))
+      .withColumn("mrr_e6", coalesce(expr("1000000L div first_rel_rank"), lit(0L)))
+      .withColumn("first_rel_rank", coalesce(col("first_rel_rank"), lit(0)))
+      .withColumn("idcg_e6", expr(
+        s"""aggregate(sequence(1L, least(n_rel_corpus, ${k}L)), 0L,
+           |  (acc, r) -> acc + CAST(round(1000000 * ln(2.0) / ln(CAST(r AS DOUBLE) + 1.0)) AS BIGINT))""".stripMargin))
+      .withColumn("ndcg_bp", expr("dcg_e6 * 10000 div greatest(idcg_e6, 1)"))
+      .withColumn("p_at_k_bp", expr(s"n_rel_at_k * 10000 div ${k}L"))
+      .withColumn("r_at_k_bp", expr("n_rel_at_k * 10000 div greatest(n_rel_corpus, 1)"))
+      .select("q_id", "q_label", "n_rel_corpus", "n_rel_at_k", "first_rel_rank",
+        "mrr_e6", "dcg_e6", "idcg_e6", "ndcg_bp", "p_at_k_bp", "r_at_k_bp")
+  }
+
+  val eval1: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val ranked = Similarity.cosineTopKOf(emb, emb.filter(col("vec_id") % 50 === 0), k = 10)
+      .select("q_id", "cand_id", "rk")
+    irMetricsOf(ranked, emb.select("vec_id", "label"), k = 10).orderBy("q_id")
+  }
+  val eval1Sql: String =
+    s"""WITH ${Similarity.qnormCte},
+       |dots AS (
+       |  SELECT q_id, cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot, q_nrm, c_nrm FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS cand_id, a.nrm AS q_nrm, b.nrm AS c_nrm,
+       |           unnest(a.q) AS xa, unnest(b.q) AS xb
+       |    FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+       |  GROUP BY q_id, cand_id, q_nrm, c_nrm),
+       |ranked AS MATERIALIZED (
+       |  SELECT q_id, cand_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) DESC, cand_id)
+       |           AS INTEGER) AS rk
+       |  FROM dots),
+       |topk AS (SELECT * FROM ranked WHERE rk <= 10),
+       |lfreq AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM embeddings GROUP BY label),
+       |rel AS (
+       |  SELECT t.q_id, ql.label AS q_label, lf.n_label - 1 AS n_rel_corpus, t.rk,
+       |         CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END AS rel,
+       |         CASE WHEN cl.label = ql.label
+       |              THEN CAST(round(1000000 * ln(2.0) / ln(CAST(t.rk AS DOUBLE) + 1.0)) AS BIGINT)
+       |              ELSE 0 END AS gain_e6
+       |  FROM topk t
+       |  JOIN embeddings ql ON ql.vec_id = t.q_id
+       |  JOIN embeddings cl ON cl.vec_id = t.cand_id
+       |  JOIN lfreq lf ON lf.label = ql.label),
+       |agg AS (
+       |  SELECT q_id, q_label, n_rel_corpus,
+       |         CAST(count(*) AS BIGINT) AS n_ranked,
+       |         CAST(sum(rel) AS BIGINT) AS n_rel_at_k,
+       |         min(CASE WHEN rel = 1 THEN rk END) AS frr,
+       |         CAST(sum(gain_e6) AS BIGINT) AS dcg_e6
+       |  FROM rel GROUP BY q_id, q_label, n_rel_corpus)
+       |SELECT q_id, q_label, n_rel_corpus, n_rel_at_k,
+       |       CAST(coalesce(frr, 0) AS INTEGER) AS first_rel_rank,
+       |       CAST(coalesce(1000000 // frr, 0) AS BIGINT) AS mrr_e6,
+       |       dcg_e6,
+       |       CAST(list_sum(list_transform(range(1, CAST(least(n_rel_corpus, 10) AS INTEGER) + 1),
+       |         r -> CAST(round(1000000 * ln(2.0) / ln(CAST(r AS DOUBLE) + 1.0)) AS BIGINT))) AS BIGINT) AS idcg_e6,
+       |       CAST(dcg_e6 * 10000 // greatest(CAST(list_sum(list_transform(range(1, CAST(least(n_rel_corpus, 10) AS INTEGER) + 1),
+       |         r -> CAST(round(1000000 * ln(2.0) / ln(CAST(r AS DOUBLE) + 1.0)) AS BIGINT))) AS BIGINT), 1) AS BIGINT) AS ndcg_bp,
+       |       n_rel_at_k * 10000 // 10 AS p_at_k_bp,
+       |       n_rel_at_k * 10000 // greatest(n_rel_corpus, 1) AS r_at_k_bp
+       |FROM agg ORDER BY q_id""".stripMargin
+
+  // ---- DQ3: PSI drift audit (per-source vs reference, binned) ----
+
+  /** Population Stability Index of each source's length distribution
+    * against a reference source — THE model-monitoring drift score
+    * (PSI = Σ_b (p_b − q_b)·ln(p_b/q_b), Laplace-smoothed so empty bins
+    * are defined). Bins are fixed-width on n_chars (floor(v/50) capped
+    * at bin 10 → 11 bins), so the bin histogram is value-domain-bounded:
+    * after ONE corpus scan everything runs on |sources|·11 rows. Each
+    * bin's contribution is rounded once to an e6 integer (ln over a
+    * ratio of exact-integer products — the stat2 convention), then
+    * integer-summed: engine-exact, and a drift threshold (classically
+    * PSI > 0.2 ⇒ investigate) becomes an exact integer comparison. */
+  private[graft] def psiDriftOf(docs: DataFrame, refSource: String): DataFrame = {
+    val nBins = 11
+    val binned = docs.select(col("source"),
+      expr("least(n_chars div 50, 10L)").as("bin"))
+    val counts = binned.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val totals = binned.groupBy("source").agg(count(lit(1)).as("n"))
+    val grid = totals.select(col("source"), col("n"),
+        explode(expr(s"sequence(0L, ${nBins - 1}L)")).as("bin"))
+      .join(counts, Seq("source", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val ref = grid.filter(col("source") === refSource)
+      .select(col("bin"), col("c").as("rc"), col("n").as("rn"))
+    grid.join(broadcast(ref), Seq("bin"))
+      .withColumn("contrib_e6", expr(
+        s"""CAST(round((((c + 1) / CAST(n + $nBins AS DOUBLE)) - ((rc + 1) / CAST(rn + $nBins AS DOUBLE)))
+           | * ln(((c + 1) * CAST(rn + $nBins AS DOUBLE)) / ((rc + 1) * CAST(n + $nBins AS DOUBLE)))
+           | * 1000000) AS BIGINT)""".stripMargin))
+      .groupBy("source")
+      .agg(max("n").as("n_docs"), sum("contrib_e6").as("psi_e6"))
+      .withColumn("drifted", col("psi_e6") > 200000L)
+  }
+
+  val dq3: Q = (s, d) =>
+    psiDriftOf(Tables.documents(s, d), "src0").orderBy("source")
+  val dq3Sql: String =
+    """WITH b AS (
+      |  SELECT source, least(n_chars // 50, 10) AS bin FROM documents),
+      |counts AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY source, bin),
+      |totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY source),
+      |grid AS MATERIALIZED (
+      |  SELECT t.source, t.n, g.bin, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+      |  FROM totals t
+      |  CROSS JOIN (SELECT unnest(range(0, 11)) AS bin) g
+      |  LEFT JOIN counts c ON c.source = t.source AND c.bin = g.bin),
+      |ref AS (SELECT bin, c AS rc, n AS rn FROM grid WHERE source = 'src0'),
+      |contrib AS (
+      |  SELECT g.source, g.n,
+      |         CAST(round((((g.c + 1) / CAST(g.n + 11 AS DOUBLE)) - ((r.rc + 1) / CAST(r.rn + 11 AS DOUBLE)))
+      |           * ln(((g.c + 1) * CAST(r.rn + 11 AS DOUBLE)) / ((r.rc + 1) * CAST(g.n + 11 AS DOUBLE)))
+      |           * 1000000) AS BIGINT) AS contrib_e6
+      |  FROM grid g JOIN ref r ON r.bin = g.bin)
+      |SELECT source, max(n) AS n_docs, CAST(sum(contrib_e6) AS BIGINT) AS psi_e6,
+      |       CAST(sum(contrib_e6) AS BIGINT) > 200000 AS drifted
+      |FROM contrib GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- DQ4: two-sample Kolmogorov–Smirnov distance ----
+
+  /** Exact two-sample KS distance of each source's n_chars distribution
+    * vs the reference: D = max_v |F_s(v) − F_ref(v)|, computed in PURE
+    * integers as max |cf_s·n_ref − cf_ref·n_s| (cross-multiplied CDFs —
+    * no division until the single final e6 rounding). The CDF alignment
+    * runs on the VALUE GRID (distinct n_chars × sources — value-domain
+    * bounded, like dq2's percentile histograms), with one windowed
+    * cumsum per source over the shared value axis; never a global sort
+    * of the corpus. Integer headroom: cf·n ≤ n_s·n_ref — exact in int64
+    * to ~3·10⁹ rows per side. KS (unlike PSI) is binning-free and
+    * sensitive to ANY CDF gap, so the two audits are complementary. */
+  private[graft] def ksDistanceOf(docs: DataFrame, refSource: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs.groupBy(col("source"), col("n_chars").as("v")).agg(count(lit(1)).as("f"))
+    val totals = freq.groupBy("source").agg(sum("f").as("n"))
+    val values = freq.select("v").distinct()
+    val grid = totals.crossJoin(values)
+      .join(freq, Seq("source", "v"), "left")
+      .withColumn("f", coalesce(col("f"), lit(0L)))
+      .withColumn("cf", sum("f").over(
+        Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ref = grid.filter(col("source") === refSource)
+      .select(col("v"), col("cf").as("rcf"), col("n").as("rn"))
+    grid.join(broadcast(ref), Seq("v"))
+      .withColumn("xdiff", abs(col("cf") * col("rn") - col("rcf") * col("n")))
+      .groupBy("source")
+      .agg(max("n").as("n_docs"), max("rn").as("n_ref"), max("xdiff").as("d_num"))
+      .withColumn("d_e6", expr(
+        "CAST(round(1000000 * CAST(d_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_ref AS DOUBLE))) AS BIGINT)"))
+  }
+
+  val dq4: Q = (s, d) =>
+    ksDistanceOf(Tables.documents(s, d), "src0").orderBy("source")
+  val dq4Sql: String =
+    """WITH freq AS (
+      |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS f
+      |  FROM documents GROUP BY source, n_chars),
+      |totals AS (SELECT source, CAST(sum(f) AS BIGINT) AS n FROM freq GROUP BY source),
+      |vals AS (SELECT DISTINCT v FROM freq),
+      |grid AS MATERIALIZED (
+      |  SELECT t.source, t.n, va.v,
+      |         CAST(sum(coalesce(fr.f, 0)) OVER (PARTITION BY t.source ORDER BY va.v) AS BIGINT) AS cf
+      |  FROM totals t CROSS JOIN vals va
+      |  LEFT JOIN freq fr ON fr.source = t.source AND fr.v = va.v),
+      |ref AS (SELECT v, cf AS rcf, n AS rn FROM grid WHERE source = 'src0')
+      |SELECT g.source, max(g.n) AS n_docs, max(r.rn) AS n_ref,
+      |       CAST(max(abs(g.cf * r.rn - r.rcf * g.n)) AS BIGINT) AS d_num,
+      |       CAST(round(1000000 * CAST(max(abs(g.cf * r.rn - r.rcf * g.n)) AS DOUBLE)
+      |         / (CAST(max(g.n) AS DOUBLE) * CAST(max(r.rn) AS DOUBLE))) AS BIGINT) AS d_e6
+      |FROM grid g JOIN ref r ON r.v = g.v
+      |GROUP BY g.source ORDER BY g.source""".stripMargin
+
+  // ---- SPLIT1: deterministic train/val/test hash split ----
+
+  /** Deterministic 80/10/10 train/val/test assignment by salted-md5
+    * draw — the split a 100 TB pipeline actually uses: map-side,
+    * RNG-free, rerun-stable (a document's split never changes when the
+    * corpus around it grows — the property `randomSplit` lacks), and
+    * auditable per stratum. Output: per (lang, split) counts, char
+    * volume, and the within-stratum share in basis points. One scan +
+    * one tiny aggregate; the draw reuses [[ScaleOps.bernoulliKeep]]'s
+    * hex-prefix idiom. */
+  private[graft] def hashSplitOf(docs: DataFrame): DataFrame = {
+    val draw = conv(substring(md5(concat(lit("split1:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 10000
+    val tagged = docs.withColumn("split",
+      when(draw < 8000, "train").when(draw < 9000, "val").otherwise("test"))
+    val strata = tagged.groupBy("lang").agg(count(lit(1)).as("n_stratum"))
+    tagged.groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_sum"))
+      .join(broadcast(strata), Seq("lang"))
+      .withColumn("share_bp", expr("n_docs * 10000 div n_stratum"))
+  }
+
+  val split1: Q = (s, d) =>
+    hashSplitOf(Tables.documents(s, d)).orderBy("lang", "split")
+  val split1Sql: String =
+    """WITH tagged AS (
+      |  SELECT lang, n_chars,
+      |         CASE WHEN d < 8000 THEN 'train' WHEN d < 9000 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT lang, n_chars,
+      |          (('0x' || substr(md5('split1:' || doc_id::VARCHAR), 1, 4))::BIGINT % 10000) AS d
+      |        FROM documents)),
+      |strata AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum FROM tagged GROUP BY lang)
+      |SELECT t.lang, t.split, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+      |       any_value(s.n_stratum) AS n_stratum,
+      |       CAST(count(*) AS BIGINT) * 10000 // any_value(s.n_stratum) AS share_bp
+      |FROM tagged t JOIN strata s ON s.lang = t.lang
+      |GROUP BY t.lang, t.split ORDER BY t.lang, t.split""".stripMargin
+
+  // ---- TOX1: token-blocklist content filter ----
+
+  /** Token-boundary blocklist filter (the C4/refined-web "bad words"
+    * pass): per-source flagged-document counts, flag rate, and total
+    * hit volume. Matching is EXACT whole-token membership — an array
+    * lambda over the whitespace tokens, not a substring regex (so
+    * "assess" never matches a blocked "ass"). Map-side projection +
+    * one aggregate; the blocklist is a plan-time literal (at 100 TB, a
+    * broadcast join against a blocklist table — same shape). The
+    * library entry point takes any list ([[graft.api.GraftApi]]). */
+  private[graft] def blocklistStatsOf(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
+    val listSql = blocklist.map(w => s"'$w'").mkString("array(", ", ", ")")
+    docs
+      .withColumn("hits", expr(
+        s"size(filter(split(text, ' '), w -> array_contains($listSql, w)))").cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum("hits").as("total_hits"))
+      .withColumn("flag_bp", expr("n_flagged * 10000 div n_docs"))
+  }
+
+  val tox1: Q = (s, d) =>
+    blocklistStatsOf(Tables.documents(s, d), Seq("dup", "slow")).orderBy("source")
+  val tox1Sql: String =
+    """WITH h AS (
+      |  SELECT source,
+      |         CAST(len(list_filter(str_split(text, ' '), w -> w IN ('dup', 'slow'))) AS BIGINT) AS hits
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |       CAST(sum(hits) AS BIGINT) AS total_hits,
+      |       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+      |         // CAST(count(*) AS BIGINT) AS flag_bp
+      |FROM h GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "eval1_ir_metrics" -> eval1,
+    "dq3_psi_drift" -> dq3,
+    "dq4_ks_distance" -> dq4,
+    "split1_hash_split" -> split1,
+    "tox1_blocklist_filter" -> tox1,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "eval1_ir_metrics" -> eval1Sql,
+    "dq3_psi_drift" -> dq3Sql,
+    "dq4_ks_distance" -> dq4Sql,
+    "split1_hash_split" -> split1Sql,
+    "tox1_blocklist_filter" -> tox1Sql,
+  )
+}

@@ -33,7 +33,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "Graph" -> ops.Graph.queries,
     "Clustering" -> ops.Clustering.queries,
     "Selection" -> ops.Selection.queries,
-    "Curation" -> ops.Curation.queries)
+    "Curation" -> ops.Curation.queries,
+    "Evaluation" -> ops.Evaluation.queries)
 
   test("no query key is claimed by two family maps") {
     val all = families.flatMap { case (fam, m) => m.keys.map(_ -> fam) }

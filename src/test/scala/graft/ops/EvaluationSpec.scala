@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavioral checks for the measurement/audit family beyond the oracle
+  * gate: IR metrics match a hand-built relevance scenario (including the
+  * e6 log-discount rounding), PSI is zero for an identical distribution
+  * and positive for a shifted one, KS is exactly 0 / exactly 10^6 at the
+  * identical / disjoint extremes, the hash split is a deterministic
+  * partition of the corpus, and the blocklist matches whole tokens only.
+  */
+class EvaluationSpec extends SparkSpec {
+
+  private def gainE6(r: Int): Long =
+    math.round(1000000 * math.log(2.0) / math.log(r + 1.0))
+
+  test("eval1 irMetrics matches a hand-built ranking (MRR, DCG, nDCG, P@k, R@k)") {
+    import spark.implicits._
+    // query 100 has label 7; corpus holds two other label-7 vectors (2, 4)
+    val labels = Seq((100L, 7), (2L, 7), (3L, 1), (4L, 7), (5L, 1), (6L, 1))
+      .toDF("vec_id", "label")
+    // ranked list for q=100: relevant docs land at ranks 2 and 4
+    val ranked = Seq((100L, 3L, 1), (100L, 2L, 2), (100L, 5L, 3), (100L, 4L, 4), (100L, 6L, 5))
+      .toDF("q_id", "cand_id", "rk")
+    val out = Evaluation.irMetricsOf(ranked, labels, k = 5).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_rel_corpus") === 2L)
+    assert(r.getAs[Long]("n_rel_at_k") === 2L)
+    assert(r.getAs[Int]("first_rel_rank") === 2)
+    assert(r.getAs[Long]("mrr_e6") === 500000L)
+    val dcg = gainE6(2) + gainE6(4)
+    val idcg = gainE6(1) + gainE6(2)
+    assert(r.getAs[Long]("dcg_e6") === dcg)
+    assert(r.getAs[Long]("idcg_e6") === idcg)
+    assert(r.getAs[Long]("ndcg_bp") === dcg * 10000 / idcg)
+    assert(r.getAs[Long]("p_at_k_bp") === 4000L)
+    assert(r.getAs[Long]("r_at_k_bp") === 10000L)
+  }
+
+  test("eval1 with zero relevant retrieved yields zero MRR/DCG/nDCG") {
+    import spark.implicits._
+    val labels = Seq((100L, 7), (2L, 7), (3L, 1)).toDF("vec_id", "label")
+    val ranked = Seq((100L, 3L, 1)).toDF("q_id", "cand_id", "rk")
+    val r = Evaluation.irMetricsOf(ranked, labels, k = 5).collect().head
+    assert(r.getAs[Int]("first_rel_rank") === 0)
+    assert(r.getAs[Long]("mrr_e6") === 0L)
+    assert(r.getAs[Long]("dcg_e6") === 0L)
+    assert(r.getAs[Long]("ndcg_bp") === 0L)
+    // idcg still reflects what a perfect ranking would have scored
+    assert(r.getAs[Long]("idcg_e6") === gainE6(1))
+  }
+
+  test("dq3 PSI is exactly zero for an identical distribution, positive for a shift") {
+    import spark.implicits._
+    val ref = (1 to 40).map(i => ("ref", 30L + (i % 4) * 60))     // bins 0..3
+    val same = ref.map { case (_, v) => ("same", v) }
+    val shifted = (1 to 40).map(i => ("shifted", 400L + (i % 3) * 50)) // bins 8..10
+    val docs = (ref ++ same ++ shifted).toDF("source", "n_chars")
+    val out = Evaluation.psiDriftOf(docs, "ref").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("psi_e6"), r.getAs[Boolean]("drifted"))).toMap
+    assert(out("ref") === ((0L, false)))
+    assert(out("same") === ((0L, false)), "identical multiset must score PSI 0")
+    assert(out("shifted")._1 > 200000L, "disjoint bins must exceed the 0.2 threshold")
+    assert(out("shifted")._2)
+  }
+
+  test("dq4 KS is 0 on identical samples and 10^6 on disjoint ranges") {
+    import spark.implicits._
+    val ref = (1 to 30).map(i => ("ref", 100L + i))
+    val same = ref.map { case (_, v) => ("same", v) }
+    val above = (1 to 25).map(i => ("above", 1000L + i)) // entirely to the right
+    val docs = (ref ++ same ++ above).toDF("source", "n_chars")
+    val out = Evaluation.ksDistanceOf(docs, "ref").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("d_num"), r.getAs[Long]("d_e6"))).toMap
+    assert(out("same") === ((0L, 0L)))
+    assert(out("above")._2 === 1000000L, "disjoint supports have KS distance exactly 1")
+  }
+
+  test("split1 is a deterministic partition with ~80/10/10 shares") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = Evaluation.hashSplitOf(docs).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    assert(total === docs.count(), "splits must partition the corpus")
+    assert(out.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+    // stratum shares sum to ~10000 bp (integer floor loses < 3 bp)
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val bp = rows.map(_.getAs[Long]("share_bp")).sum
+      assert(bp >= 9997L && bp <= 10000L)
+    }
+    val train = out.filter(_.getAs[String]("split") == "train")
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(math.abs(train.toDouble / total - 0.8) < 0.08, "train share near 80%")
+    val again = Evaluation.hashSplitOf(docs).collect()
+    assert(again.map(_.toString).sorted.toSeq === out.map(_.toString).sorted.toSeq,
+      "hash split must be rerun-stable")
+  }
+
+  test("tox1 blocklist matches whole tokens only, counts every occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "dup text dup again"),   // 2 hits
+      ("s1", "duplicate is clean"),   // substring must NOT match
+      ("s2", "slow query"),           // 1 hit
+      ("s2", "all clean here"))
+      .toDF("source", "text")
+    val out = Evaluation.blocklistStatsOf(docs, Seq("dup", "slow")).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_flagged"), r.getAs[Long]("total_hits"), r.getAs[Long]("flag_bp"))).toMap
+    assert(out("s1") === ((1L, 2L, 5000L)))
+    assert(out("s2") === ((1L, 1L, 5000L)))
+  }
+}
