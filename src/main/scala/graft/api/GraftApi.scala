@@ -621,4 +621,10 @@ object GraftApi {
     * flag rate (bp), and total whole-token hits. */
   def blocklistStats(docs: DataFrame, blocklist: Seq[String]): DataFrame =
     graft.ops.Evaluation.blocklistStatsOf(docs, blocklist)
+
+  /** Weighted random sampling without replacement (Efraimidis–Spirakis
+    * A-ES): k docs keyed by ln(u)/n_chars with a salted-md5 u —
+    * deterministic, map-side, global top-k via TakeOrderedAndProject. */
+  def weightedSample(docs: DataFrame, k: Int, salt: String = "samp4:"): DataFrame =
+    graft.ops.Selection.weightedSampleOf(docs, k, salt)
 }

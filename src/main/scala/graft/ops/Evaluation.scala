@@ -137,11 +137,18 @@ object Evaluation {
     * integer-summed: engine-exact, and a drift threshold (classically
     * PSI > 0.2 ⇒ investigate) becomes an exact integer comparison. */
   private[graft] def psiDriftOf(docs: DataFrame, refSource: String): DataFrame = {
-    val nBins = 11
     val binned = docs.select(col("source"),
       expr("least(n_chars div 50, 10L)").as("bin"))
-    val counts = binned.groupBy("source", "bin").agg(count(lit(1)).as("c"))
-    val totals = binned.groupBy("source").agg(count(lit(1)).as("n"))
+    psiFromBinCounts(binned.groupBy("source", "bin").agg(count(lit(1)).as("c")), refSource)
+  }
+
+  /** PSI from a pre-aggregated (source, bin, c) bin-count frame — the
+    * shared tail of [[psiDriftOf]] and the streaming st15 variant (whose
+    * foreachBatch maintains exactly these counts incrementally); one
+    * code path means the streaming answer is bit-identical to dq3's. */
+  private[graft] def psiFromBinCounts(counts: DataFrame, refSource: String): DataFrame = {
+    val nBins = 11
+    val totals = counts.groupBy("source").agg(sum("c").as("n"))
     val grid = totals.select(col("source"), col("n"),
         explode(expr(s"sequence(0L, ${nBins - 1}L)")).as("bin"))
       .join(counts, Seq("source", "bin"), "left")

@@ -620,6 +620,52 @@ object Selection {
        |       CAST((n_docs + $MicroBatch - 1) // $MicroBatch * $MicroBatch - n_docs AS BIGINT) AS tail_slots
        |FROM agg ORDER BY bucket""".stripMargin
 
+  // ---- SAMP4: weighted sampling without replacement (A-ES top-k) ----
+
+  /** Weighted random sampling without replacement — the Efraimidis–
+    * Spirakis A-ES scheme (IPL 2006): each row draws u ∈ (0,1] from a
+    * salted md5 (8 hex chars → (h+1)/2³²) and keys on ln(u)/w; the k
+    * LARGEST keys are a weighted sample without replacement, P(doc in
+    * sample) increasing in w. Weight here is n_chars ("sample
+    * proportionally to content volume" — the corpus-mixing primitive
+    * when quotas must land on documents, not Bernoulli rates like
+    * mix1's). Deterministic, rerun-stable, join-free.
+    *
+    * Scale: the key is one map-side projection; the global top-k cut is
+    * `TakeOrderedAndProject` (per-partition heap of k + driver merge,
+    * never a full sort). The rank ordering compares raw doubles built
+    * from identical exact-integer operands with the identical op
+    * sequence in both engines; key_e9 is rounded ONCE for display (the
+    * mix2 exp convention — same accepted ulp-boundary risk class). */
+  private[graft] def weightedSampleOf(docs: DataFrame, k: Int, salt: String): DataFrame = {
+    val keyed = docs
+      .withColumn("h", conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long"))
+      .withColumn("key", expr("ln((h + 1) / 4294967296.0) / n_chars"))
+      .select("doc_id", "source", "n_chars", "key")
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+    keyed
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("key").desc, col("doc_id"))))
+      .select(col("rk"), col("doc_id"), col("source"), col("n_chars"),
+        expr("CAST(round(key * 1000000000) AS BIGINT)").as("key_e9"))
+  }
+
+  val samp4: Q = (s, d) =>
+    weightedSampleOf(Tables.documents(s, d), k = 20, salt = "samp4:").orderBy("rk")
+  val samp4Sql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, source, n_chars,
+      |         ln((('0x' || substr(md5('samp4:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+      |            / 4294967296.0) / n_chars AS key
+      |  FROM documents),
+      |topk AS (SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 20)
+      |SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INTEGER) AS rk,
+      |       doc_id, source, n_chars,
+      |       CAST(round(key * 1000000000) AS BIGINT) AS key_e9
+      |FROM topk ORDER BY rk""".stripMargin
+
   // ---- registry ----
 
   val queries: Map[String, Q] = Map(
@@ -633,6 +679,7 @@ object Selection {
     "rep1_adjacent_dedup" -> rep1,
     "batch1_length_buckets" -> batch1,
     "tok2_bpe_encode" -> tok2,
+    "samp4_weighted_topk" -> samp4,
   )
 
   val oracle: Map[String, String] = Map(
@@ -645,5 +692,6 @@ object Selection {
     "fim1_split" -> fim1Sql,
     "rep1_adjacent_dedup" -> rep1Sql,
     "batch1_length_buckets" -> batch1Sql,
+    "samp4_weighted_topk" -> samp4Sql,
   )
 }

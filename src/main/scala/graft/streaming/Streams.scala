@@ -618,13 +618,17 @@ object Streams {
   /** Stage the events fixture split into 4 range-partitioned files — the
     * multi-batch replay source shared by st10/st11. Reuse (within this
     * JVM's staging dir) is gated on the source fixture's content stamp. */
-  private def stagedEventsSplit(s: SparkSession, d: String, tag: String): String = {
+  private def stagedEventsSplit(s: SparkSession, d: String, tag: String): String =
+    stagedTableSplit(s, d, tag, table = "events", key = "event_id")
+
+  private def stagedTableSplit(s: SparkSession, d: String, tag: String,
+      table: String, key: String): String = {
     val srcDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_stream_src_${tag}_${jvmTag}_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-    val stampFile = srcDir.resolve("_stamp_" + fixtureStamp(s"$d/events.parquet"))
+    val stampFile = srcDir.resolve("_stamp_" + fixtureStamp(s"$d/$table.parquet"))
     if (!Files.isDirectory(srcDir) || !Files.exists(stampFile)) {
-      s.read.parquet(s"$d/events.parquet")
-        .repartitionByRange(4, col("event_id"))
+      s.read.parquet(s"$d/$table.parquet")
+        .repartitionByRange(4, col(key))
         .write.mode("overwrite").parquet(srcDir.toString) // wipes old stamps too
       // leading "_" keeps the stamp invisible to Spark's file listing
       Files.createFile(stampFile)
@@ -849,7 +853,56 @@ object Streams {
       .orderBy("user_id", "bkt")
   }
 
+  /** ST15: streaming distribution-drift monitor — the streaming face of
+    * batch `dq3`: each micro-batch aggregates ONLY its delta of
+    * (source, length-bin) counts and foreachBatch merges them additively
+    * into the stored bin histogram with st10's generation-dir idempotence
+    * (count merge is a commutative monoid, so the final histogram equals
+    * the batch one regardless of batch boundaries). The PSI itself is
+    * then computed from the stored counts through the SAME code path as
+    * dq3 ([[graft.ops.Evaluation.psiFromBinCounts]]) — the streaming
+    * answer is bit-identical to batch, which the shared DuckDB oracle
+    * proves. At 100 TB/day this is the shape of a live drift monitor:
+    * per-batch state is |sources|·11 integers, reading it is O(1), and
+    * the alert threshold (PSI > 0.2) is an exact integer comparison. */
+  val st15: Q = (s, d) => {
+    val srcDir = stagedTableSplit(s, d, "st15", table = "documents", key = "doc_id")
+    val physical = s.read.parquet(s"$d/documents.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .select(col("source"), expr("least(n_chars div 50, 10L)").as("bin"))
+    val histRoot = Files.createTempDirectory("graft_st15_hist").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(histRoot).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st15").toString
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val delta = batch.groupBy("source", "bin").agg(count(lit(1)).as("d_c"))
+        val prior = gens().filter(_._1 < batchId)
+        val merged = prior.sortBy(-_._1).headOption match {
+          case None => delta.select(col("source"), col("bin"), col("d_c").as("c"))
+          case Some((_, path)) =>
+            sess.read.parquet(path).join(delta, Seq("source", "bin"), "full_outer")
+              .select(col("source"), col("bin"),
+                (coalesce(col("c"), lit(0L)) + coalesce(col("d_c"), lit(0L))).as("c"))
+        }
+        merged.write.mode("overwrite").parquet(s"$histRoot/gen_$batchId")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    graft.ops.Evaluation.psiFromBinCounts(s.read.parquet(latest._2), "src0")
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st15_stream_psi_drift" -> st15,
     "st14_stream_trajectories" -> st14,
     "st13_stream_neardup_capped" -> st13,
     "st12_stream_neardup_candidates" -> st12,
@@ -869,6 +922,7 @@ object Streams {
 
   /** Streaming results must equal the batch windowing oracles. */
   val oracle: Map[String, String] = Map(
+    "st15_stream_psi_drift" -> graft.ops.Evaluation.dq3Sql,
     "st14_stream_trajectories" -> graft.ops.Curation.traj1Sql,
     "st13_stream_neardup_capped" -> st13Sql,
     "st12_stream_neardup_candidates" -> st12Sql,

@@ -224,4 +224,24 @@ class SelectionSpec extends SparkSpec {
     assert(out.head === ((1, "a", "a", 6L)))
     assert(out(1) === ((2, "aa", "aa", 2L)))
   }
+
+  test("samp4: A-ES sample has k rows, keys <= 0, and a dominant weight always wins") {
+    // 100 light docs (w=10) + one doc whose weight dwarfs them (w=10^6):
+    // its key ln(u)/w is ~5 orders of magnitude closer to 0 than any
+    // light doc's, so it must appear in the sample — the defining A-ES
+    // property (P(selected) increasing in w).
+    val light = (1L to 100L).map(i => (i, "x" * 10, "en", "s"))
+    val heavy = Seq((999L, "irrelevant", "en", "s"))
+    val d = docs(light ++ heavy: _*)
+      .withColumn("n_chars", when(col("doc_id") === 999L, 1000000L).otherwise(10L))
+    val out = Selection.weightedSampleOf(d, k = 5, salt = "samp4:").collect()
+    assert(out.length === 5)
+    assert(out.map(_.getAs[Int]("rk")).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+    assert(out.forall(_.getAs[Long]("key_e9") <= 0L), "ln(u)/w keys are non-positive")
+    assert(out.exists(_.getAs[Long]("doc_id") === 999L), "dominant weight must be sampled")
+    val again = Selection.weightedSampleOf(d, k = 5, salt = "samp4:").collect()
+    assert(again.map(_.toString).toSeq === out.map(_.toString).toSeq, "rerun-stable")
+    // heavier docs sort earlier in expectation: the top-1 key belongs to 999
+    assert(out.minBy(_.getAs[Int]("rk")).getAs[Long]("doc_id") === 999L)
+  }
 }

@@ -333,6 +333,16 @@ class StreamsSpec extends SparkSpec {
       "append-mode drain must assemble exactly the batch trajectories")
   }
 
+  test("st15 streaming PSI monitor equals the batch dq3 audit bit-for-bit") {
+    val streamed = Streams.st15(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val batch = graft.ops.Evaluation.dq3(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq,
+      "incrementally merged bin counts must yield exactly the batch PSI")
+  }
+
   test("st11 streaming expectation counters equal the batch aggregate regardless of batch cuts") {
     val rows = Streams.st11(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
