@@ -627,4 +627,10 @@ object GraftApi {
     * deterministic, map-side, global top-k via TakeOrderedAndProject. */
   def weightedSample(docs: DataFrame, k: Int, salt: String = "samp4:"): DataFrame =
     graft.ops.Selection.weightedSampleOf(docs, k, salt)
+
+  /** fastText-shape hashed-feature linear scoring per source (unigram +
+    * bigram buckets, zero-shuffle map-side fold); deterministic md5
+    * stand-in weights — swap in learned weights for production. */
+  def hashedLinearScore(docs: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.hashedLinearScoreOf(docs)
 }

@@ -903,7 +903,63 @@ object TextAnalysis {
       |       CAST(sum(least(endo, (chunk_id + 1) * 2048) - greatest(start, chunk_id * 2048)) AS BIGINT) AS n_tokens
       |FROM x GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
 
+  // ---- T20: hashed-feature linear quality classifier (inference) ----
+
+  /** T20: classifier-based quality filtering in the fastText shape —
+    * per-doc score = Σ w[h(unigram)] + Σ w[h(bigram)] over hashed
+    * feature buckets, keep iff score > 0. The weight table here is a
+    * DETERMINISTIC stand-in (w(f) = md5-bucket % 2001 − 1000 ∈
+    * [−1000, 1000]); a production deployment broadcasts its learned
+    * weight vector into exactly this plan — the point of the op is the
+    * SCORING shape, which is the expensive part at 100 TB.
+    *
+    * Scale: scoring is a ZERO-SHUFFLE projection riding the scan — the
+    * token array is folded map-side (`aggregate(transform(...))`), no
+    * explode, no join, and the hash-trick means no vocabulary state at
+    * all (the classic reason fastText inference scales). The only
+    * exchange is the final per-source aggregate. All math is integer
+    * (md5 buckets, integer weights, integer sums) — engine-exact. */
+  private[graft] def hashedLinearScoreOf(docs: DataFrame): DataFrame = {
+    val uniW = "CAST(conv(substring(md5(concat('t20:', w)), 1, 4), 16, 10) AS BIGINT) % 2001 - 1000"
+    val biW = "CAST(conv(substring(md5(concat('t20b:', element_at(ws, i), '_', element_at(ws, i + 1))), 1, 4), 16, 10) AS BIGINT) % 2001 - 1000"
+    docs
+      .withColumn("ws", expr("filter(split(text, ' '), w -> length(w) > 0)"))
+      .withColumn("uni_score", expr(
+        s"aggregate(transform(ws, w -> $uniW), 0L, (acc, x) -> acc + x)"))
+      .withColumn("bi_score", expr(
+        // filter-not-CASE keeps the index array well-typed when size(ws)=1
+        s"""aggregate(transform(
+           |  filter(sequence(1, size(ws)), i -> i < size(ws)),
+           |  i -> $biW), 0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("score", col("uni_score") + col("bi_score"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_keep"),
+        sum("score").as("sum_score"))
+      .withColumn("keep_bp", expr("n_keep * 10000 div n_docs"))
+  }
+
+  val t20: Q = (s, d) =>
+    hashedLinearScoreOf(Tables.documents(s, d)).orderBy("source")
+  val t20Sql: String =
+    """WITH s AS (
+      |  SELECT source,
+      |         coalesce(list_sum(list_transform(ws,
+      |           w -> (('0x' || substr(md5('t20:' || w), 1, 4))::BIGINT % 2001 - 1000))), 0)
+      |         + coalesce(list_sum(list_transform(range(1, greatest(len(ws), 1)),
+      |           i -> (('0x' || substr(md5('t20b:' || ws[i] || '_' || ws[i + 1]), 1, 4))::BIGINT % 2001 - 1000))), 0)
+      |           AS score
+      |  FROM (SELECT source, list_filter(str_split(text, ' '), w -> len(w) > 0) AS ws
+      |        FROM documents))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |       CAST(sum(score) AS BIGINT) AS sum_score,
+      |       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+      |         // CAST(count(*) AS BIGINT) AS keep_bp
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t20_hashed_linear_filter" -> t20,
     "voc2_vocab_coverage" -> voc2,
     "t15_unigram_nll" -> t15,
     "t14_pmi_cooccurrence" -> t14,
@@ -923,6 +979,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t20_hashed_linear_filter" -> t20Sql,
     "voc2_vocab_coverage" -> voc2Sql,
     "t15_unigram_nll" -> t15Sql,
     "t14_pmi_cooccurrence" -> t14Sql,

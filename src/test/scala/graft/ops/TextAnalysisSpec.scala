@@ -209,4 +209,22 @@ class TextAnalysisSpec extends SparkSpec {
     // the rare-token doc must read as more surprising than the common one
     assert(out(2L)._2 > out(1L)._2)
   }
+
+  test("t20 hashed linear score matches a JVM recomputation of the md5 weights") {
+    import spark.implicits._
+    def w(salt: String, feat: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + feat).getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(4)
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    val docs = Seq((1L, "alpha beta gamma", "sA"), (2L, "solo", "sB"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.hashedLinearScoreOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_score"))).toMap
+    val s1 = w("t20:", "alpha") + w("t20:", "beta") + w("t20:", "gamma") +
+      w("t20b:", "alpha_beta") + w("t20b:", "beta_gamma")
+    val s2 = w("t20:", "solo") // single token: bigram sum must be 0
+    assert(out("sA") === ((1L, s1)))
+    assert(out("sB") === ((1L, s2)))
+  }
 }
