@@ -641,7 +641,11 @@ object Selection {
     val keyed = docs
       .withColumn("h", conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8), 16, 10)
         .cast("long"))
-      .withColumn("key", expr("ln((h + 1) / 4294967296.0) / n_chars"))
+      // explicit DOUBLE casts: a bare 4294967296.0 literal is DECIMAL in
+      // both engines' parsers, and decimal-division scale rules differ —
+      // double-division of exact integers is the IEEE-identical form
+      .withColumn("key", expr(
+        "ln(CAST(h + 1 AS DOUBLE) / CAST(4294967296 AS DOUBLE)) / CAST(n_chars AS DOUBLE)"))
       .select("doc_id", "source", "n_chars", "key")
       .orderBy(col("key").desc, col("doc_id"))
       .limit(k)
@@ -657,8 +661,8 @@ object Selection {
   val samp4Sql: String =
     """WITH keyed AS (
       |  SELECT doc_id, source, n_chars,
-      |         ln((('0x' || substr(md5('samp4:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
-      |            / 4294967296.0) / n_chars AS key
+      |         ln(CAST(('0x' || substr(md5('samp4:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1 AS DOUBLE)
+      |            / CAST(4294967296 AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS key
       |  FROM documents),
       |topk AS (SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 20)
       |SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INTEGER) AS rk,
