@@ -633,4 +633,13 @@ object GraftApi {
     * stand-in weights — swap in learned weights for production. */
   def hashedLinearScore(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.hashedLinearScoreOf(docs)
+
+  /** Bucketed interval join: every (point, interval) pair with
+    * s ≤ pt < e, planned as an EQUI-join on fixed-width time buckets
+    * (intervals explode to covered buckets) instead of the nested-loop
+    * theta join Spark would otherwise pick. `bucketW` should be ≥ the
+    * typical interval length so each interval covers ≤ 2 buckets. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      ptCol: String, sCol: String, eCol: String, bucketW: Long): DataFrame =
+    graft.ops.AsOf.rangeJoinOf(points, intervals, ptCol, sCol, eCol, bucketW)
 }

@@ -86,6 +86,75 @@ object AsOf {
       |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.t_us >= c.t_us
       |ORDER BY p.purchase_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("af1_asof_join" -> af1)
-  val oracle: Map[String, String] = Map("af1_asof_join" -> af1Sql)
+  // ---- RJ1: interval (range) join via time-bucket blocking ----
+
+  /** Generic bucketed range join: each left row (with integer point
+    * column `ptCol`) joins every interval row with s ≤ pt < e. Naively
+    * this is a theta join Spark can only plan as a nested-loop; blocking
+    * on fixed-width buckets turns it into an EQUI-join: intervals
+    * explode to the buckets they cover (⌈len/W⌉ + 1 rows), points map to
+    * exactly one bucket, and the range predicate refines inside the join
+    * condition. With interval length ≲ W each interval lands in ≤ 2
+    * buckets, so the join input is ~2·|intervals| build rows — the
+    * shape that keeps a MILLION-interval table joinable at 100 TB
+    * (bucket equi-keys shuffle/broadcast like any other key; no
+    * nested-loop, no cartesian). The library entry point
+    * ([[graft.api.GraftApi.rangeJoin]]). */
+  private[graft] def rangeJoinOf(points: DataFrame, intervals: DataFrame,
+      ptCol: String, sCol: String, eCol: String, bucketW: Long): DataFrame = {
+    val iv = intervals.withColumn("__b",
+      explode(expr(s"sequence($sCol div ${bucketW}L, ($eCol - 1) div ${bucketW}L)")))
+    points.withColumn("__b", expr(s"$ptCol div ${bucketW}L"))
+      .join(iv, Seq("__b"))
+      .filter(col(ptCol) >= col(sCol) && col(ptCol) < col(eCol))
+      .drop("__b")
+  }
+
+  /** RJ1: events × overlapping promo windows. Ten deterministic
+    * 1.5·W-long windows tile the event span (W = span/10), so every
+    * window overlaps its successor and an event can match 1–2 windows —
+    * a genuine interval join, not a partition. The span bounds come from
+    * ONE 1-row aggregate collect (the cl1 centroid-literal contract), so
+    * the interval table and bucket width are plan-time literals; the
+    * oracle recomputes identical integers from the same parquet. */
+  val rj1: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"),
+      cents(col("value")).as("v_c"))
+    val Array(tmin, tmax) = ev.agg(min("t_us"), max("t_us")).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val w = math.max((tmax - tmin) / 10L, 1L)
+    val iv = s.range(0, 10).toDF("interval_id")
+      .select(col("interval_id"),
+        (lit(tmin) + col("interval_id") * w).as("s_us"),
+        (lit(tmin) + col("interval_id") * w + lit(3L * w / 2L)).as("e_us"))
+    rangeJoinOf(ev, broadcast(iv), "t_us", "s_us", "e_us", bucketW = w)
+      .groupBy("interval_id", "s_us", "e_us")
+      .agg(count(lit(1)).as("n_events"), sum("v_c").as("sum_value_c"))
+      .orderBy("interval_id")
+  }
+  val rj1Sql: String =
+    """WITH b AS (
+      |  SELECT min(epoch_us(ts)) AS tmin,
+      |         greatest((max(epoch_us(ts)) - min(epoch_us(ts))) // 10, 1) AS w
+      |  FROM events),
+      |iv AS (
+      |  SELECT k AS interval_id, tmin + k * w AS s_us,
+      |         tmin + k * w + (3 * w // 2) AS e_us
+      |  FROM (SELECT unnest(range(0, 10)) AS k) CROSS JOIN b)
+      |SELECT iv.interval_id, iv.s_us, iv.e_us,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+      |FROM events e JOIN iv
+      |  ON epoch_us(e.ts) >= iv.s_us AND epoch_us(e.ts) < iv.e_us
+      |GROUP BY iv.interval_id, iv.s_us, iv.e_us
+      |ORDER BY iv.interval_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "af1_asof_join" -> af1,
+    "rj1_range_join_bucketed" -> rj1)
+  val oracle: Map[String, String] = Map(
+    "af1_asof_join" -> af1Sql,
+    "rj1_range_join_bucketed" -> rj1Sql)
 }

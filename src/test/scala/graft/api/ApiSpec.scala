@@ -182,6 +182,27 @@ class ApiSpec extends SparkSpec {
     assert(out("nokey") === -1L, "unmatched key stays NULL")
   }
 
+  test("rangeJoin equals the brute-force theta join, including overlap multiplicity") {
+    val sp = spark
+    import sp.implicits._
+    val points = Seq((1L, 5L), (2L, 95L), (3L, 150L), (4L, 999L)).toDF("pid", "pt")
+    // [0,100) and [90,200) overlap in [90,100): point 95 matches BOTH;
+    // point 999 matches neither
+    val iv = Seq((10L, 0L, 100L), (20L, 90L, 200L)).toDF("iid", "s", "e")
+    val got = graft.ops.AsOf.rangeJoinOf(points, iv, "pt", "s", "e", bucketW = 64L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.crossJoin(iv)
+      .filter(col("pt") >= col("s") && col("pt") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got === Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)))
+    // boundary semantics: pt = s matches, pt = e does not
+    val edge = Seq((9L, 90L), (8L, 200L)).toDF("pid", "pt")
+    val eg = graft.ops.AsOf.rangeJoinOf(edge, iv, "pt", "s", "e", 64L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(eg === Set((9L, 10L), (9L, 20L)), "inclusive start, exclusive end")
+  }
+
   test("sessionize splits on gap > gapUs and numbers sessions per key") {
     val sp = spark
     import sp.implicits._
