@@ -136,7 +136,8 @@ object SentimentNb {
       .join(perDoc, Seq("doc_id"), "left")
       .crossJoin(broadcast(corpusStats(s, d)))
       .select(col("doc_id"), col("label").cast("double").as("label"), col("clean"),
-        when(round(margin, 6) > 0, 1.0).otherwise(0.0).as("prediction"))
+        when(round(margin, 6) > 0, 1.0).otherwise(0.0).as("prediction"),
+        round(margin, 6).as("margin_r6"))
   }
 
   /** CTE chain ending in `scored(doc_id, label, clean, prediction)`. */
@@ -155,7 +156,10 @@ object SentimentNb {
        |         CAST(CASE WHEN round(
        |           (coalesce(p.sp, 0.0) - coalesce(p.n, 0) * ln(nullif(s.pos_words + s.features, 0)) + ln(nullif(s.pos_tweets, 0) / s.tweets))
        |           - (coalesce(p.sn, 0.0) - coalesce(p.n, 0) * ln(nullif(s.neg_words + s.features, 0)) + ln(nullif(s.neg_tweets, 0) / s.tweets)), 6) > 0
-       |         THEN 1.0 ELSE 0.0 END AS DOUBLE) AS prediction
+       |         THEN 1.0 ELSE 0.0 END AS DOUBLE) AS prediction,
+       |         round(
+       |           (coalesce(p.sp, 0.0) - coalesce(p.n, 0) * ln(nullif(s.pos_words + s.features, 0)) + ln(nullif(s.pos_tweets, 0) / s.tweets))
+       |           - (coalesce(p.sn, 0.0) - coalesce(p.n, 0) * ln(nullif(s.neg_words + s.features, 0)) + ln(nullif(s.neg_tweets, 0) / s.tweets)), 6) AS margin_r6
        |  FROM cleaned c LEFT JOIN perdoc p USING (doc_id) CROSS JOIN stats s
        |  WHERE NOT c.is_train)""".stripMargin
 
@@ -214,10 +218,49 @@ object SentimentNb {
        |FROM cm""".stripMargin
 
   // =====================================================================
+  //  [EXT] CAL1 — classifier calibration audit over the NB margin
+  // =====================================================================
+
+  /** CAL1: reliability bins for the hand-rolled NB classifier — docs
+    * bucketed by unit-width margin bins (floor of the 6-decimal-rounded
+    * log-odds margin, clamped to [−5, 5]), per bin the empirical
+    * positive-label rate and the predicted-positive count. A calibrated
+    * classifier's pos_rate_bp rises monotonically with the bin — the
+    * audit a scoring pipeline runs before trusting scores as sampling
+    * weights (e.g. for t20-style quality filtering). Composes entirely
+    * from the verified m6 scoring frame; binning happens on the SAME
+    * rounded margin both engines already agree on for the prediction
+    * sign, so the whole op stays engine-exact. One aggregate over the
+    * scored frame — no new scan, no new shuffle shape. */
+  val cal1: Q = (s, d) =>
+    scoredDf(s, d)
+      .withColumn("bin",
+        expr("least(greatest(CAST(floor(coalesce(margin_r6, 0.0)) AS BIGINT), -5L), 5L)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("n_pos_label"),
+        sum(when(col("prediction") === 1.0, 1L).otherwise(0L)).as("n_pred_pos"))
+      .withColumn("pos_rate_bp", expr("n_pos_label * 10000 div n"))
+      .orderBy("bin")
+  val cal1Sql: String =
+    s"""WITH $scoredCte,
+       |b AS (
+       |  SELECT least(greatest(CAST(floor(coalesce(margin_r6, 0.0)) AS BIGINT), -5), 5) AS bin,
+       |         label, prediction
+       |  FROM scored)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_label,
+       |       CAST(sum(CASE WHEN prediction = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+       |       CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+       |         // CAST(count(*) AS BIGINT) AS pos_rate_bp
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
+  // =====================================================================
   //  registry
   // =====================================================================
 
   val queries: Map[String, Q] = Map(
+    "cal1_nb_calibration_bins" -> cal1,
     "a1_nb_word_class_counts" -> a1,
     "a2_corpus_scalars" -> a2,
     "j1_broadcast_model_join" -> j1,
@@ -228,6 +271,7 @@ object SentimentNb {
   )
 
   val oracle: Map[String, String] = Map(
+    "cal1_nb_calibration_bins" -> cal1Sql,
     "a1_nb_word_class_counts" -> a1Sql,
     "a2_corpus_scalars" -> a2Sql,
     "j1_broadcast_model_join" -> j1Sql,

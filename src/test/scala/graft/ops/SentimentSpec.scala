@@ -117,4 +117,17 @@ class SentimentSpec extends SparkSpec {
     val f1 = 2.0 * tp / (2 * tp + fp + fn)
     assert(math.abs(m.getDouble(7) - f1) < 1e-6)
   }
+
+  test("cal1 bins partition the test split; prediction is constant off the zero bin") {
+    val rows = SentimentNb.cal1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).sum === docs.count(!_._3).toLong, "bins partition the scored docs")
+    rows.foreach { case (bin, n, _, nPredPos) =>
+      assert(bin >= -5L && bin <= 5L)
+      // prediction = (margin > 0): any bin >= 1 has margin >= 1, any
+      // bin <= -1 has margin < 0 — only bin 0 can mix predictions
+      if (bin >= 1L) assert(nPredPos === n, s"bin $bin must be all predicted-positive")
+      if (bin <= -1L) assert(nPredPos === 0L, s"bin $bin must be all predicted-negative")
+    }
+  }
 }
