@@ -354,6 +354,55 @@ object Curation {
       |FROM tn JOIN rn ON rn.seg = tn.seg CROSS JOIN kk CROSS JOIN tot
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- PRIV4: Laplace-mechanism noisy count release (central DP) ----
+
+  /** Central-DP count release: per-language document counts with Laplace
+    * noise at sensitivity 1 (a document belongs to one language), scale
+    * b = 1/ε, ε = 0.5 → b = 2. The draw is a salted-md5 uniform (the
+    * priv3 convention) inverted through the Laplace CDF:
+    * noise = −b·sign(u−½)·ln(1−2|u−½|), u = (h+½)/2¹⁶ ∈ (0,1) — RNG-free
+    * and rerun-stable, so the released table is replayable while each
+    * group's noise is unpredictable from the aggregate. The ln runs over
+    * identical exact-integer-derived operands in both engines and is
+    * rounded ONCE to an integer noise term (the mix2 convention).
+    * true_n rides along as the AUDIT column — a production release
+    * publishes only (lang, released_n, eps_bp).
+    *
+    * Scale: one map-side-combined count per group, then noise as a
+    * projection over |groups| rows — corpus-size-independent after the
+    * scan, any number of groups. */
+  private[graft] def laplaceCountsOf(docs: DataFrame, grpCol: String,
+      salt: String, bX2: Long = 4L): DataFrame =
+    docs.groupBy(grpCol).agg(count(lit(1)).as("true_n"))
+      .withColumn("u_h", expr(
+        s"CAST(conv(substring(md5(concat('$salt', $grpCol)), 1, 4), 16, 10) AS BIGINT)"))
+      .withColumn("noise_i", expr(
+        // u = (u_h + 0.5)/65536; |2u−1| = |2·u_h + 1 − 65536|/65536 — the
+        // numerator stays integer until ONE double division inside ln
+        s"""CAST(round(-(CAST($bX2 AS DOUBLE) / 2.0)
+           |  * CAST(sign(2 * u_h + 1 - 65536) AS DOUBLE)
+           |  * ln(1.0 - CAST(abs(2 * u_h + 1 - 65536) AS DOUBLE) / 65536.0)) AS BIGINT)""".stripMargin))
+      .select(col(grpCol), col("true_n"),
+        (col("true_n") + col("noise_i")).as("released_n"),
+        col("noise_i"), lit(5000L).as("eps_bp"))
+
+  val priv4: Q = (s, d) =>
+    laplaceCountsOf(Tables.documents(s, d), "lang", "priv4:").orderBy("lang")
+  val priv4Sql: String =
+    """WITH g AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS true_n,
+      |         ('0x' || substr(md5('priv4:' || lang), 1, 4))::BIGINT AS u_h
+      |  FROM documents GROUP BY lang),
+      |n AS (
+      |  SELECT lang, true_n,
+      |         CAST(round(-(CAST(4 AS DOUBLE) / 2.0)
+      |           * CAST(sign(2 * u_h + 1 - 65536) AS DOUBLE)
+      |           * ln(1.0 - CAST(abs(2 * u_h + 1 - 65536) AS DOUBLE) / 65536.0)) AS BIGINT) AS noise_i
+      |  FROM g)
+      |SELECT lang, true_n, true_n + noise_i AS released_n, noise_i,
+      |       CAST(5000 AS BIGINT) AS eps_bp
+      |FROM n ORDER BY lang""".stripMargin
+
   // ---- TRAJ1: session trajectory assembly (events -> training samples) ----
 
   /** Assemble per-user event trajectories into training samples: 10-min
@@ -502,6 +551,7 @@ object Curation {
     "priv1_k_anonymity" -> priv1,
     "priv2_l_diversity" -> priv2,
     "priv3_randomized_response" -> priv3,
+    "priv4_laplace_counts" -> priv4,
     "traj1_session_paths" -> traj1,
     "dq2_mad_outliers" -> dq2,
   )
@@ -514,6 +564,7 @@ object Curation {
     "priv1_k_anonymity" -> priv1Sql,
     "priv2_l_diversity" -> priv2Sql,
     "priv3_randomized_response" -> priv3Sql,
+    "priv4_laplace_counts" -> priv4Sql,
     "traj1_session_paths" -> traj1Sql,
     "dq2_mad_outliers" -> dq2Sql,
   )

@@ -10,6 +10,20 @@ import graft.SparkSpec
   * prefers a diverse pick over a redundant one. */
 class CurationSpec extends SparkSpec {
 
+  test("priv4 releases true_n + bounded Laplace noise, deterministically") {
+    val out = Curation.priv4(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, t, rel, noise) =>
+      assert(rel === t + noise, "released = true + noise")
+      // 4-hex-digit u bounds the inverse-CDF tail: |noise| <= 2*ln(65536) ~ 22.2
+      assert(math.abs(noise) <= 23L, s"noise $noise outside the u-granularity bound")
+    }
+    val again = Curation.priv4(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === out.toSeq, "salted draw must be rerun-stable")
+  }
+
   test("cur1 emits a stage-monotone permutation of all documents") {
     val out = Curation.cur1(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
