@@ -662,6 +662,103 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- D18: connected components via large-star / small-star ----
+
+  /** D18: the same cluster frame as d8, computed with the alternating
+    * large-star / small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014). d8's min-label
+    * propagation needs one round per unit of graph DIAMETER — fine for
+    * near-dup clusters (near-cliques, diameter 2-3), but a worst-case
+    * chain of pairwise-similar documents (version histories, boilerplate
+    * gradients) makes the diameter unbounded and d8's 20-round cap a
+    * correctness cliff. Large-star links every node's larger neighbors
+    * directly to its neighborhood minimum; small-star then collapses the
+    * smaller neighbors — each pair of rounds roughly HALVES every
+    * root-path, so the edge list converges to one star per component in
+    * O(log n) rounds regardless of diameter. Per round the cost shape is
+    * the same as d8 (groupBy-min on the edge key + an explode-relink,
+    * both map-side-combinable equi-shuffles on a frame holding only
+    * documents that HAVE a duplicate), so at 100 TB this is the CC
+    * engine of choice when cluster topology is adversarial; the
+    * convergence test (is the edge list a star forest?) is two cheap
+    * aggregates on the shrinking edge frame. Output is identical to d8
+    * (min-reachable-id labels are algorithm-independent), so the oracle
+    * is d8's recursive CTE verbatim, and `CcSpec` pins the one case d8
+    * cannot do: a 64-node path converges here in ≤ 12 rounds. */
+  val d18: Q = (s, d) =>
+    ccLargeStarSmallStar(d3Verified(s, d).select(col("id_a"), col("id_b")))
+      .orderBy("doc_id")
+
+  /** Connected components over a pair list (id_a, id_b) via alternating
+    * large-star / small-star rounds; returns (doc_id, cluster_id,
+    * n_members) exactly like [[dedupClustersOf]], in O(log n) rounds
+    * independent of component diameter. */
+  private[graft] def ccLargeStarSmallStar(pairs: DataFrame): DataFrame = {
+    // directed-downward invariant: every stored edge is (u, v) with u > v.
+    // localCheckpoint per round: the loop reassigns `edges` ~2·log n
+    // times; without truncation the distinct/join lineage stacks and a
+    // late-round task replays every earlier round.
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    if (edges.head(1).isEmpty) {
+      edges.select(col("u").as("doc_id"), col("v").as("cluster_id"),
+        lit(0L).as("n_members")).limit(0)
+    } else {
+      var star = false
+      var rounds = 0
+      while (!star && rounds < 16) {
+        // large-star: on the SYMMETRIC adjacency, each node u relinks its
+        // strictly-larger neighbors to m = min(N(u) ∪ {u}); every edge is
+        // emitted exactly once (by its smaller endpoint), so connectivity
+        // is preserved and targets only ever DECREASE.
+        val adj = edges.select(col("u"), col("v"))
+          .union(edges.select(col("v").as("u"), col("u").as("v")))
+        val mins = adj.groupBy("u")
+          .agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        val large = adj.filter(col("v") > col("u"))
+          .join(mins, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .distinct()
+        // small-star: each node u relinks itself AND its (all smaller)
+        // neighbors to m = min of its out-neighborhood — the hop-halving
+        // step that gives the logarithmic bound.
+        val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
+        edges = large.join(mins2, "u")
+          .select(explode(array(
+            struct(col("u").as("a"), col("m").as("b")),
+            struct(col("v").as("a"), col("m").as("b")))).as("e"))
+          .select(col("e.a").as("u"), col("e.b").as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+          .localCheckpoint()
+        // fixpoint ⟺ the edge list is a star forest: every source has ONE
+        // target, and no target is itself a source. Both checks run on
+        // the dup-only edge frame, not the corpus.
+        val singleTarget = edges.groupBy("u")
+          .agg(countDistinct(col("v")).as("nd"))
+          .filter(col("nd") > 1).head(1).isEmpty
+        star = singleTarget && edges.select(col("v"))
+          .join(edges.select(col("u").as("v")), Seq("v"), "left_semi")
+          .head(1).isEmpty
+        rounds += 1
+      }
+      require(star, s"large-star/small-star did not converge in $rounds rounds")
+      val labels = edges.select(col("u").as("id"), col("v").as("lbl"))
+        .union(edges.select(col("v").as("id"), col("v").as("lbl")).distinct())
+      labels
+        .join(labels.groupBy("lbl").agg(count(lit(1)).as("n_members")), "lbl")
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
+    }
+  }
+
+  /** d18 computes the identical frame to d8 by a different algorithm, so
+    * the oracle is d8's recursive-CTE text verbatim — the SQL ground
+    * truth is algorithm-independent. */
+  val d18Sql: String = d8Sql
+
   // ---- D9: benchmark decontamination ----
 
   /** D9: the pre-training contamination check — training documents that
@@ -1356,6 +1453,7 @@ object Dedup {
     "d6_ngram_jaccard_blocked" -> d6,
     "d7_embedding_neardup" -> d7,
     "d8_dedup_clusters" -> d8,
+    "d18_cc_largestar" -> d18,
     "d9_decontamination" -> d9,
   )
 
@@ -1376,6 +1474,7 @@ object Dedup {
     "d6_ngram_jaccard_blocked" -> d6Sql,
     "d7_embedding_neardup" -> d7Sql,
     "d8_dedup_clusters" -> d8Sql,
+    "d18_cc_largestar" -> d18Sql,
     "d9_decontamination" -> d9Sql,
   )
 }

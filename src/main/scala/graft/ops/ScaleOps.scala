@@ -325,6 +325,82 @@ object ScaleOps {
     perType.unionAll(global).orderBy("event_type")
   }
 
+  // ---- APX6: KMV (k-minimum-values) distinct sketch, exact-oracle ----
+
+  /** Bottom-k sketch rows for a `(grp, v)` frame: each group's k smallest
+    * 60-bit salted-md5 hashes over DISTINCT values — the KMV/theta sketch
+    * state (one row per retained hash). Mergeable by construction: the
+    * sketch of a union is the k smallest of the concatenated sketches
+    * (`ScaleOpsSpec` proves it by recomputation). */
+  private[graft] def kmvSketchOf(values: DataFrame, k: Int): DataFrame = {
+    val hs = values
+      .select(col("grp"),
+        conv(substring(md5(concat(lit("kmv:"), col("v"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val w = Window.partitionBy("grp").orderBy("h")
+    hs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("grp"), col("h"))
+  }
+
+  /** APX6: the distinct-count sketch the ORACLE can hash-verify. hll1 /
+    * apx4 / apx5 exercise the sketch plumbing but their estimates are
+    * engine-defined binaries (rows-only at the gate); the KMV / theta
+    * construction (Bar-Yossef et al. RANDOM 2002; Beyer et al. SIGMOD
+    * 2007) is pure order statistics over a deterministic hash, so Spark
+    * and DuckDB build the SAME sketch bit-for-bit and the driver gate
+    * checks an approximate-distinct operator end-to-end. Per lang over
+    * the distinct token vocabulary: hash each token to 60 salted-md5
+    * bits, keep the k=256 smallest, estimate D ≈ (k−1)·2⁶⁰ / h₍ₖ₎ —
+    * computed as ONE integral division in DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB, result cast to BIGINT before the final SELECT —
+    * the mix1 lesson), so no float touches the output; the exact count
+    * and err_bp ride along as the accuracy audit. Scale: one map-side-
+    * combined distinct aggregate is the only corpus-sized op; the
+    * k-smallest cut and estimate run on the vocab-sized frame, and
+    * mergeability (union = re-cut of concatenated sketches, proven in
+    * `ScaleOpsSpec`) is what a 100 TB deployment stores per shard so
+    * global distincts never rescan data. */
+  val apx6: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("lang").as("grp"), explode(split(col("text"), " ")).as("v"))
+      .filter(length(col("v")) > 0)
+    val sk = kmvSketchOf(toks, k = 256)
+    val agg = sk.groupBy("grp").agg(max("h").as("hk"), count(lit(1)).as("n_sk"))
+    val exact = toks.select(col("grp"),
+        conv(substring(md5(concat(lit("kmv:"), col("v"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+      .groupBy("grp").agg(count(lit(1)).as("n_exact"))
+    agg.join(exact, "grp")
+      .withColumn("est", when(col("n_sk") < 256, col("n_exact"))
+        .otherwise(expr(
+          "CAST(CAST(255 AS DECIMAL(38,0)) * CAST(1152921504606846976 AS DECIMAL(38,0)) div hk AS BIGINT)")))
+      .withColumn("err_bp", expr("abs(est - n_exact) * 10000 div n_exact"))
+      .select(col("grp").as("lang"), col("n_exact"), col("n_sk"), col("hk"),
+        col("est"), col("err_bp"))
+      .orderBy("lang")
+  }
+  val apx6Sql: String =
+    """WITH toks AS (
+      |  SELECT lang AS grp, unnest(str_split(text, ' ')) AS v FROM documents),
+      |hs AS (
+      |  SELECT DISTINCT grp, ('0x' || substr(md5('kmv:' || v), 1, 15))::BIGINT AS h
+      |  FROM toks WHERE len(v) > 0),
+      |rk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM hs),
+      |sk AS (SELECT grp, max(h) AS hk, count(*) AS n_sk FROM rk WHERE rk <= 256 GROUP BY grp),
+      |ex AS (SELECT grp, count(*) AS n_exact FROM hs GROUP BY grp),
+      |fin AS (
+      |  SELECT s.grp, CAST(ex.n_exact AS BIGINT) AS n_exact,
+      |         CAST(s.n_sk AS BIGINT) AS n_sk, CAST(s.hk AS BIGINT) AS hk,
+      |         CAST(CASE WHEN s.n_sk < 256 THEN ex.n_exact::HUGEINT
+      |              ELSE (255::HUGEINT * 1152921504606846976::HUGEINT) // s.hk
+      |              END AS BIGINT) AS est
+      |  FROM sk s JOIN ex USING (grp))
+      |SELECT grp AS lang, n_exact, n_sk, hk, est,
+      |       CAST(abs(est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+      |FROM fin ORDER BY lang""".stripMargin
+
   // ---- SRC1: custom DataSource V2 with pushdown ----
 
   /** SRC1 binds [[graft.sources.GraftDocsSource]] — the custom DSv2
@@ -1286,6 +1362,7 @@ object ScaleOps {
     "s15_zstd_codec" -> s15,
     "t12_robust_cast" -> t12,
     "apx5_hll_mergeable" -> apx5,
+    "apx6_kmv_distinct" -> apx6,
     "src1_custom_dsv2_source" -> src1,
     "dpp1_dynamic_partition_pruning" -> dpp1,
     "bin1_binaryfile_source" -> bin1,
@@ -1318,6 +1395,7 @@ object ScaleOps {
     "stat1_correlation_matrix" -> stat1Sql,
     "s15_zstd_codec" -> s15Sql,
     "t12_robust_cast" -> t12Sql,
+    "apx6_kmv_distinct" -> apx6Sql,
     "src1_custom_dsv2_source" -> src1Sql,
     "dpp1_dynamic_partition_pruning" -> dpp1Sql,
     "bin1_binaryfile_source" -> bin1Sql,

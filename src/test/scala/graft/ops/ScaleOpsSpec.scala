@@ -413,4 +413,39 @@ class ScaleOpsSpec extends SparkSpec {
         s"CMS overestimate beyond eps*N bound ($tok: $est vs $exact, N=$n)")
     }
   }
+
+  test("apx6 KMV estimate lands within the k=256 error band on every group") {
+    // σ/D for KMV at k=256 is ~1/√(k−2) ≈ 6.3%; 4σ ≈ 2520 bp. A fixture
+    // group failing this bound means the hash/order-statistics math broke,
+    // not bad luck.
+    val rows = ScaleOps.apx6(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, exact, est, errBp) =
+        (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5))
+      assert(errBp == math.abs(est - exact) * 10000 / exact)
+      assert(errBp <= 2520, s"$lang: est $est vs exact $exact (err $errBp bp)")
+    }
+  }
+
+  test("apx6 KMV sketches are mergeable: re-cut of unioned sketches = direct sketch") {
+    import spark.implicits._
+    // split the same value stream into two halves, sketch each, merge by
+    // taking the k smallest of the concatenation — must equal the sketch
+    // built over the whole stream in one pass (the per-shard deployment).
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(col("lang").as("grp"), explode(split(col("text"), " ")).as("v"))
+      .filter(length(col("v")) > 0)
+    val k = 64
+    val whole = ScaleOps.kmvSketchOf(toks, k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val halfA = ScaleOps.kmvSketchOf(toks.filter(crc32(col("v")) % 2 === 0), k)
+    val halfB = ScaleOps.kmvSketchOf(toks.filter(crc32(col("v")) % 2 === 1), k)
+    val mergedRaw = halfA.union(halfB).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("h")
+    val merged = mergedRaw.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("grp", "h")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged === whole, "union sketch must equal the one-pass sketch")
+  }
 }
