@@ -646,7 +646,77 @@ object Similarity {
        |SELECT q_id, cand_id, rk, score_e7 FROM sel5 ORDER BY q_id, rk""".stripMargin
   }
 
+  // ---- EMB2: hard-negative mining for contrastive training ----
+
+  /** EMB2: the batch op that feeds contrastive / triplet training — for
+    * each anchor (the sim1 query set, vec_id % 50 = 0), the top-5
+    * DIFFERENT-label candidates by cosine ("hard negatives"), with the
+    * anchor's hardest SAME-label cosine riding along and a `viol` flag
+    * marking semi-hard violations (negative scores above the best
+    * positive — the pairs a triplet loss actually learns from, Schroff
+    * et al. FaceNet CVPR 2015). Exactness: integer-quantized dots (the
+    * sim1 contract), ONE double division per pair of identical operands
+    * in both engines, and `viol` compares those identical doubles — so
+    * even the flag is engine-exact. Scale: anchors broadcast (the query
+    * set is the small side); the corpus is scanned once, and both the
+    * negative top-5 cut and the positive max are per-anchor aggregates
+    * over that one pass — at 100 TB the brute-force pass swaps for the
+    * IVF-celled candidate stream (sim4/sim6) with the same downstream
+    * shape. */
+  val emb2: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val qn = qnormOf(emb).join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val anchors = qn.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+        col("nrm").as("q_nrm"), col("label").as("q_lbl"))
+    val pairs = qn.join(broadcast(anchors), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_lbl"), col("vec_id").as("cand_id"), col("label"),
+        expr("graft_dot(qq, q)").as("dot"), col("q_nrm"), col("nrm"))
+      .withColumn("cos", col("dot") / sqrt(col("q_nrm").cast("double") * col("nrm").cast("double")))
+    val posBest = pairs.filter(col("label") === col("q_lbl"))
+      .groupBy("q_id").agg(max(col("cos")).as("pos_cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    pairs.filter(col("label") =!= col("q_lbl"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .join(posBest, Seq("q_id"), "left")
+      .select(col("q_id"), col("cand_id"), col("rk"),
+        round(col("cos"), 6).as("neg_cos_r"),
+        round(col("pos_cos"), 6).as("pos_cos_r"),
+        when(col("cos") > col("pos_cos"), 1).otherwise(0).as("viol"))
+      .orderBy("q_id", "rk")
+  }
+  val emb2Sql: String =
+    s"""WITH $qnormCte,
+       |qnl AS (
+       |  SELECT q.vec_id, q.q, q.nrm, e.label
+       |  FROM qn q JOIN embeddings e USING (vec_id)),
+       |dots AS (
+       |  SELECT q_id, q_lbl, cand_id, label,
+       |         CAST(sum(xa * xb) AS BIGINT) AS dot, q_nrm, c_nrm FROM (
+       |    SELECT a.vec_id AS q_id, a.label AS q_lbl, b.vec_id AS cand_id,
+       |           b.label AS label, a.nrm AS q_nrm, b.nrm AS c_nrm,
+       |           unnest(a.q) AS xa, unnest(b.q) AS xb
+       |    FROM qnl a JOIN qnl b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+       |  GROUP BY q_id, q_lbl, cand_id, label, q_nrm, c_nrm),
+       |scored AS (
+       |  SELECT q_id, q_lbl, cand_id, label,
+       |         dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) AS cos
+       |  FROM dots),
+       |pos AS (SELECT q_id, max(cos) AS pos_cos FROM scored
+       |        WHERE label = q_lbl GROUP BY q_id),
+       |neg AS (
+       |  SELECT q_id, cand_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |           ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
+       |  FROM scored WHERE label <> q_lbl)
+       |SELECT n.q_id, n.cand_id, n.rk, round(n.cos, 6) AS neg_cos_r,
+       |       round(p.pos_cos, 6) AS pos_cos_r,
+       |       CASE WHEN n.cos > p.pos_cos THEN 1 ELSE 0 END AS viol
+       |FROM neg n LEFT JOIN pos p USING (q_id)
+       |WHERE n.rk <= 5 ORDER BY n.q_id, n.rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "emb2_hard_negatives" -> emb2,
     "mmr1_diverse_topk" -> mmr1,
     "sim8_lsh_recall" -> sim8,
     "sim6_ivf_nprobe2_topk" -> sim6,
@@ -659,6 +729,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "emb2_hard_negatives" -> emb2Sql,
     "mmr1_diverse_topk" -> mmr1Sql,
     "sim8_lsh_recall" -> sim8Sql,
     "sim1_ann_bruteforce_topk" -> sim1Sql,

@@ -381,4 +381,31 @@ class DedupSimSpec extends SparkSpec {
     assert(out === Set((1L, 2L, 6000L), (5L, 6L, 10000L)),
       s"exactly the boundary pair and the identical pair: $out")
   }
+
+  test("emb2 hard negatives and viol flags match a pure-Scala recompute") {
+    val raw = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val qs = raw.map { case (id, v, l) =>
+      val qv = v.map(x => math.round(x.toDouble * 1000))
+      (id, qv, qv.map(x => x * x).sum, l)
+    }.filter(_._3 > 0L)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.iterator.map(i => a(i) * b(i)).sum
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Int)]()
+    for ((qid, qv, qn, ql) <- qs if qid % 50 == 0) {
+      val cands = qs.filter(_._1 != qid).map { case (cid, cv, cn, cl) =>
+        (cid, dot(qv, cv) / math.sqrt(qn.toDouble * cn.toDouble), cl)
+      }
+      val posCos = cands.filter(_._3 == ql).map(_._2).maxOption
+      val negs = cands.filter(_._3 != ql)
+        .sortBy { case (cid, c, _) => (-c, cid) }.take(5)
+      negs.zipWithIndex.foreach { case ((cid, c, _), i) =>
+        expected += ((qid, cid, i + 1, if (posCos.exists(c > _)) 1 else 0))
+      }
+    }
+    val got = Similarity.emb2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(5)))
+    assert(got.sorted.toSeq === expected.sorted.toSeq)
+    assert(expected.nonEmpty)
+  }
 }
