@@ -958,7 +958,79 @@ object TextAnalysis {
       |         // CAST(count(*) AS BIGINT) AS keep_bp
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- T21: winnowing fingerprints (local, guaranteed-overlap) ----
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003 — the MOSS algorithm) over any (doc_id, text) frame: hash every
+    * word k-gram, slide a window of `w` hashes, keep the MINIMUM of each
+    * window (rightmost on ties). Unlike t7's single whole-document hash,
+    * the selected set is LOCAL — any shared run of ≥ w+k−1 tokens between
+    * two documents is guaranteed to share a fingerprint (the winnowing
+    * guarantee, pinned in `TextAnalysisSpec`), which is what makes it the
+    * standard primitive for partial-overlap contamination and clone
+    * detection. Entirely array HOFs riding the scan — ZERO exchanges
+    * except the presentation sort (the t18 shape); the k-gram hash is
+    * salted-md5 so both engines build identical sketches. Per doc:
+    * n_grams, n_sel (distinct selected (pos, hash) pairs — the density
+    * audit, expected ≈ 2·n_grams/(w+1)), and the sorted distinct selected
+    * hash set. */
+  private[graft] def winnowingOf(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    docs
+      .withColumn("toks", expr("filter(split(text, ' '), x -> length(x) > 0)"))
+      .withColumn("gidx", expr(
+        s"CASE WHEN size(toks) >= $k THEN sequence(1, size(toks) - ${k - 1}) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END"))
+      .withColumn("grams", expr(
+        s"transform(gidx, i -> CAST(conv(substr(md5(array_join(slice(toks, i, $k), ' ')), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("widx", expr(
+        s"CASE WHEN size(grams) >= $w THEN sequence(1, size(grams) - ${w - 1}) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END"))
+      .withColumn("selp", expr(
+        // (pos, fp) pairs as 'pos:fp' strings — DuckDB's list_distinct
+        // cannot histogram struct elements, so both engines dedupe strings
+        s"""transform(widx, j -> concat(
+           |  CAST(array_max(filter(sequence(j, j + ${w - 1}),
+           |         p -> element_at(grams, p) = array_min(slice(grams, j, $w)))) AS STRING),
+           |  ':', CAST(array_min(slice(grams, j, $w)) AS STRING)))""".stripMargin))
+      .withColumn("self", expr(s"transform(widx, j -> array_min(slice(grams, j, $w)))"))
+      .select(col("doc_id"),
+        expr("CAST(size(grams) AS BIGINT)").as("n_grams"),
+        expr("CAST(size(array_distinct(selp)) AS BIGINT)").as("n_sel"),
+        expr("array_sort(array_distinct(self))").as("fps"))
+
+  val t21: Q = (s, d) =>
+    winnowingOf(Tables.documents(s, d)).orderBy("doc_id")
+  val t21Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(str_split(text, ' '), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 3
+      |              THEN list_transform(generate_series(1, len(toks) - 2),
+      |                i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15))::BIGINT)
+      |              ELSE [] END AS grams
+      |  FROM base),
+      |s AS (
+      |  SELECT doc_id, grams,
+      |         CASE WHEN len(grams) >= 4
+      |              THEN list_transform(generate_series(1, len(grams) - 3),
+      |                j -> CAST(list_max(list_filter(generate_series(j, j + 3),
+      |                       p -> grams[p] = list_min(list_slice(grams, j, j + 3)))) AS VARCHAR)
+      |                     || ':' || CAST(list_min(list_slice(grams, j, j + 3)) AS VARCHAR))
+      |              ELSE [] END AS selp,
+      |         CASE WHEN len(grams) >= 4
+      |              THEN list_transform(generate_series(1, len(grams) - 3),
+      |                j -> list_min(list_slice(grams, j, j + 3)))
+      |              ELSE [] END AS self
+      |  FROM g)
+      |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+      |       CAST(len(list_distinct(selp)) AS BIGINT) AS n_sel,
+      |       list_sort(list_distinct(self)) AS fps
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t21_winnowing" -> t21,
     "t20_hashed_linear_filter" -> t20,
     "voc2_vocab_coverage" -> voc2,
     "t15_unigram_nll" -> t15,
@@ -979,6 +1051,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t21_winnowing" -> t21Sql,
     "t20_hashed_linear_filter" -> t20Sql,
     "voc2_vocab_coverage" -> voc2Sql,
     "t15_unigram_nll" -> t15Sql,

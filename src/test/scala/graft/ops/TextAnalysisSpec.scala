@@ -227,4 +227,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("sA") === ((1L, s1)))
     assert(out("sB") === ((1L, s2)))
   }
+
+  test("t21 winnowing guarantee: docs sharing an 8-token run share a fingerprint") {
+    val sp = spark; import sp.implicits._
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $shared b1 b2 b3"),
+      (2L, s"c1 c2 $shared d1 d2 d3 d4 d5")).toDF("doc_id", "text")
+    val out = TextAnalysis.winnowingOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](3).toSet).toMap
+    assert((out(1L) intersect out(2L)).nonEmpty,
+      "a >= w+k-1 token overlap must share at least one selected fingerprint")
+  }
+
+  test("t21 tie-break is rightmost: constant doc selects every window's last slot") {
+    val sp = spark; import sp.implicits._
+    // 12 identical tokens -> 10 identical gram hashes -> 7 windows, every
+    // min ties across all 4 slots; rightmost-wins selects positions 4..10
+    val docs = Seq((1L, ("x " * 12).trim)).toDF("doc_id", "text")
+    val r = TextAnalysis.winnowingOf(docs).collect().head
+    assert(r.getLong(1) === 10L, "n_grams")
+    assert(r.getLong(2) === 7L, "n_sel = one distinct (pos, fp) per window")
+    assert(r.getSeq[Long](3).size === 1, "one distinct hash value")
+  }
+
+  test("t21 density and bounds hold on every fixture document") {
+    val rows = TextAnalysis.t21(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var withSel = 0
+    rows.foreach { r =>
+      val (m, nsel) = (r.getLong(1), r.getLong(2))
+      val fps = r.getSeq[Long](3)
+      if (m >= 4) {
+        assert(nsel >= 1 && nsel <= m - 3, s"n_sel $nsel out of [1, ${m - 3}]")
+        withSel += 1
+      } else assert(nsel === 0 && fps.isEmpty)
+      assert(fps.size <= nsel, "distinct hashes cannot exceed selected pairs")
+      assert(fps.toSeq === fps.toSeq.sorted)
+    }
+    assert(withSel > 0)
+  }
 }
