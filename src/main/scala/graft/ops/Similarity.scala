@@ -715,7 +715,167 @@ object Similarity {
        |FROM neg n LEFT JOIN pos p USING (q_id)
        |WHERE n.rk <= 5 ORDER BY n.q_id, n.rk""".stripMargin
 
+  // ---- SIM9: product quantization + ADC (asymmetric distance) scan ----
+
+  /** PQ geometry: 64 dims → 8 subspaces × 8 dims, 16 codewords each
+    * (Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011). A corpus vector compresses to 4 small code
+    * ids — the representation that makes billion-vector search fit in
+    * memory. */
+  private[ops] val PqM = 8
+  private[ops] val PqD = 8
+  private[ops] val PqK = 16
+
+  /** 3-level SQL literal `cb[j][cid][dim]` — codebooks ride the PLAN, so
+    * assignment/encoding/table-build are zero-join codegen projections
+    * (the cl1 literal-centroid convention). */
+  private def cbLiteral(cb: Seq[Seq[Array[Long]]]): String =
+    cb.map(_.map(_.mkString("array(", "L, ", "L)")).mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+
+  /** (vec_id, j, sq): each vector split into its PqM quantized
+    * subvectors — one corpus scan feeds every per-subspace step. */
+  private def pqSubs(qn: DataFrame): DataFrame =
+    qn.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> named_struct('j', j, 'sq', slice(q, j * $PqD + 1, $PqD)))")).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sq").as("sq"))
+
+  /** Nearest codeword per (vec_id, j) against literal codebooks: integer
+    * squared-L2, first-minimum (= lowest cid) on ties. */
+  private def pqAssign(subs: DataFrame, cb: Seq[Seq[Array[Long]]]): DataFrame =
+    subs.withColumn("dists", expr(
+        s"transform(element_at(${cbLiteral(cb)}, j + 1), c -> " +
+          "aggregate(zip_with(sq, c, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v))"))
+      .withColumn("cid", expr("CAST(array_position(dists, array_min(dists)) AS BIGINT)"))
+      .drop("dists")
+
+  /** Per-subspace Lloyd training (iterations = 2, seeds = subvectors of
+    * vec_id 1..PqK — the cl1 seeding convention); ALL subspaces train in
+    * the same scans via the exploded subs frame, and the recompute
+    * collect is PqM·PqK·PqD = 512 integers. Empty clusters keep their
+    * seed codeword. */
+  private[graft] def pqCodebooks(qn: DataFrame): Seq[Seq[Array[Long]]] = {
+    val subs = pqSubs(qn).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seedRows = subs.filter(col("vec_id").between(1, PqK))
+      .orderBy("vec_id", "j").collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getSeq[Long](2).toArray)).toMap
+    val seeds: Seq[Seq[Array[Long]]] = (0 until PqM).map { j =>
+      (1 to PqK).map { cid =>
+        seedRows.getOrElse((cid.toLong, j),
+          sys.error(s"need seed vectors with vec_id 1..$PqK"))
+      }
+    }
+    val sums = pqAssign(subs, seeds)
+      .select(col("j"), col("cid"), posexplode(col("sq")).as(Seq("pos", "x")))
+      .groupBy("j", "cid", "pos").agg(expr("sum(x) div count(1)").as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val bySub = sums.groupBy(t => (t._1, t._2))
+    val cb1 = (0 until PqM).map { j =>
+      (1 to PqK).map { cid =>
+        bySub.get((j, cid.toLong)) match {
+          case Some(rows) => rows.sortBy(_._3).map(_._4)
+          case None       => seeds(j)(cid - 1)
+        }
+      }
+    }
+    subs.unpersist()
+    cb1
+  }
+
+  /** SIM9: product-quantization ANN with an ADC scan — the compression
+    * path sim5's int8 scalar quantization cannot reach (4 code ids per
+    * vector vs 64 bytes). Corpus vectors encode once against trained
+    * codebooks; each query precomputes its PqM×PqK distance TABLE, and a
+    * candidate's approximate distance is four table lookups summed —
+    * never a full-dimension dot at scan time. Exactness: cl1's integer
+    * discipline end-to-end (quantized subvectors, integer squared-L2,
+    * `sum div count` codewords, lowest-cid ties), so codebooks, codes,
+    * tables, and the final ranking are all engine-exact and the oracle
+    * replays the whole train→encode→scan pipeline in SQL. Scale: codes
+    * are a one-pass projection against plan-literal codebooks; the ADC
+    * join sends the broadcast |Q|·PqM·PqK table to the code stream
+    * (corpus-sized but 4 ints wide — the point of PQ) and the per-query
+    * cut is the standard top-k window (TopKPerGroup caps it at extreme
+    * query counts). `PqSpec` pins a pure-Scala recompute and the
+    * recall floor vs sim1's exact top-5. */
+  val sim9: Q = (s, d) => {
+    val qn = qnormOf(Tables.embeddings(s, d))
+    val cb = pqCodebooks(qn)
+    val codes = pqAssign(pqSubs(qn), cb).select(col("vec_id"), col("j"), col("cid"))
+    val dtab = pqSubs(qn.filter(col("vec_id") % 50 === 0))
+      .select(col("vec_id").as("q_id"), col("j"), posexplode(expr(
+        s"transform(element_at(${cbLiteral(cb)}, j + 1), c -> " +
+          "aggregate(zip_with(sq, c, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v))"))
+        .as(Seq("cpos", "dist")))
+      .select(col("q_id"), col("j"), (col("cpos") + 1).cast("long").as("cid"), col("dist"))
+    val pairs = codes.join(broadcast(dtab), Seq("j", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("cand_id"))
+      .agg(sum("dist").as("adist"))
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("cand_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("cand_id"), col("rk"), col("adist"))
+      .orderBy("q_id", "rk")
+  }
+  val sim9Sql: String =
+    s"""WITH $qnormCte,
+       |subs AS MATERIALIZED (
+       |  SELECT vec_id, t.j, list_slice(q, t.j * $PqD + 1, t.j * $PqD + $PqD) AS sq
+       |  FROM qn CROSS JOIN range(0, $PqM) t(j)),
+       |cb0 AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS BIGINT) AS cid, j, sq AS cq
+       |  FROM subs WHERE vec_id BETWEEN 1 AND $PqK),
+       |d0 AS (
+       |  SELECT v.vec_id, v.j, c.cid,
+       |         CAST(list_sum(list_transform(range(1, ${PqD + 1}),
+       |           p -> (v.sq[p] - c.cq[p]) * (v.sq[p] - c.cq[p]))) AS BIGINT) AS dist
+       |  FROM subs v JOIN cb0 c ON v.j = c.j),
+       |a0 AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT vec_id, j, cid,
+       |           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rk
+       |    FROM d0) WHERE rk = 1),
+       |cb1m AS (
+       |  SELECT j, cid, list(c ORDER BY pos) AS cq FROM (
+       |    SELECT v.j, a0.cid, t.p AS pos,
+       |           CAST(sum(v.sq[t.p]) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+       |    FROM subs v JOIN a0 ON a0.vec_id = v.vec_id AND a0.j = v.j
+       |    CROSS JOIN range(1, ${PqD + 1}) t(p)
+       |    GROUP BY v.j, a0.cid, t.p)
+       |  GROUP BY j, cid),
+       |cb1 AS MATERIALIZED (
+       |  SELECT j, cid, cq FROM cb1m
+       |  UNION ALL
+       |  SELECT c0.j, c0.cid, c0.cq FROM cb0 c0
+       |  WHERE NOT EXISTS (SELECT 1 FROM cb1m m WHERE m.j = c0.j AND m.cid = c0.cid)),
+       |dcode AS (
+       |  SELECT v.vec_id, v.j, c.cid,
+       |         CAST(list_sum(list_transform(range(1, ${PqD + 1}),
+       |           p -> (v.sq[p] - c.cq[p]) * (v.sq[p] - c.cq[p]))) AS BIGINT) AS dist
+       |  FROM subs v JOIN cb1 c ON v.j = c.j),
+       |codes AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT vec_id, j, cid,
+       |           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rk
+       |    FROM dcode) WHERE rk = 1),
+       |dtab AS (
+       |  SELECT v.vec_id AS q_id, v.j, c.cid,
+       |         CAST(list_sum(list_transform(range(1, ${PqD + 1}),
+       |           p -> (v.sq[p] - c.cq[p]) * (v.sq[p] - c.cq[p]))) AS BIGINT) AS dist
+       |  FROM subs v JOIN cb1 c ON v.j = c.j
+       |  WHERE v.vec_id % 50 = 0),
+       |pairs AS (
+       |  SELECT d.q_id, co.vec_id AS cand_id, CAST(sum(d.dist) AS BIGINT) AS adist
+       |  FROM codes co JOIN dtab d ON d.j = co.j AND d.cid = co.cid
+       |  WHERE co.vec_id <> d.q_id
+       |  GROUP BY d.q_id, co.vec_id)
+       |SELECT q_id, cand_id, rk, adist FROM (
+       |  SELECT q_id, cand_id, adist,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, cand_id) AS INTEGER) AS rk
+       |  FROM pairs) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim9_pq_adc_topk" -> sim9,
     "emb2_hard_negatives" -> emb2,
     "mmr1_diverse_topk" -> mmr1,
     "sim8_lsh_recall" -> sim8,
@@ -729,6 +889,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "sim9_pq_adc_topk" -> sim9Sql,
     "emb2_hard_negatives" -> emb2Sql,
     "mmr1_diverse_topk" -> mmr1Sql,
     "sim8_lsh_recall" -> sim8Sql,
