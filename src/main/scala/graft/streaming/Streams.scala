@@ -901,7 +901,77 @@ object Streams {
       .orderBy("source")
   }
 
+  /** ST16: live distinct-vocabulary monitor — the streaming face of
+    * apx6's KMV sketch, and the payoff of its PROVEN mergeability: each
+    * micro-batch contributes its own bottom-k sketch, the stored state is
+    * re-cut to the k smallest of (prior ∪ delta), and because min-k of
+    * unioned min-k sets equals min-k of the union (`ScaleOpsSpec`), the
+    * final stored sketch — hence hk and the estimate — is BIT-IDENTICAL
+    * to the batch apx6 sketch regardless of batch boundaries, which the
+    * shared-construction DuckDB oracle proves. State is |langs|·256
+    * longs no matter how much text streams past; this is the shape of a
+    * live cardinality monitor at 100 TB/day (estimate reads are O(k),
+    * no rescan ever). Generation dirs follow st10's idempotent-overwrite
+    * contract, so foreachBatch replays are safe. */
+  val st16: Q = (s, d) => {
+    val srcDir = stagedTableSplit(s, d, "st16", table = "documents", key = "doc_id")
+    val physical = s.read.parquet(s"$d/documents.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .select(col("lang").as("grp"), explode(split(col("text"), " ")).as("v"))
+      .filter(length(col("v")) > 0)
+    val skRoot = Files.createTempDirectory("graft_st16_sk").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(skRoot).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st16").toString
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val delta = graft.ops.ScaleOps.kmvSketchOf(batch.toDF(), 256)
+        val prior = gens().filter(_._1 < batchId)
+        val unioned = prior.sortBy(-_._1).headOption match {
+          case None            => delta
+          case Some((_, path)) => sess.read.parquet(path).union(delta).distinct()
+        }
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("h")
+        unioned.withColumn("rk", row_number().over(w)).filter(col("rk") <= 256)
+          .select("grp", "h")
+          .write.mode("overwrite").parquet(s"$skRoot/gen_$batchId")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    // n_sk < k means the sketch IS the exhaustive hash set, so the
+    // estimate is exact — the same convention as apx6's est column
+    s.read.parquet(latest._2)
+      .groupBy("grp").agg(max("h").as("hk"), count(lit(1)).as("n_sk"))
+      .withColumn("est", when(col("n_sk") < 256, col("n_sk"))
+        .otherwise(expr(
+          "CAST(CAST(255 AS DECIMAL(38,0)) * CAST(1152921504606846976 AS DECIMAL(38,0)) div hk AS BIGINT)")))
+      .select(col("grp").as("lang"), col("n_sk"), col("hk"), col("est"))
+      .orderBy("lang")
+  }
+  val st16Sql: String =
+    """WITH toks AS (
+      |  SELECT lang AS grp, unnest(str_split(text, ' ')) AS v FROM documents),
+      |hs AS (
+      |  SELECT DISTINCT grp, ('0x' || substr(md5('kmv:' || v), 1, 15))::BIGINT AS h
+      |  FROM toks WHERE len(v) > 0),
+      |rk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM hs),
+      |sk AS (SELECT grp, max(h) AS hk, count(*) AS n_sk FROM rk WHERE rk <= 256 GROUP BY grp)
+      |SELECT grp AS lang, CAST(n_sk AS BIGINT) AS n_sk, CAST(hk AS BIGINT) AS hk,
+      |       CAST(CASE WHEN n_sk < 256 THEN n_sk::HUGEINT
+      |            ELSE (255::HUGEINT * 1152921504606846976::HUGEINT) // hk
+      |            END AS BIGINT) AS est
+      |FROM sk ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st16_stream_kmv_distinct" -> st16,
     "st15_stream_psi_drift" -> st15,
     "st14_stream_trajectories" -> st14,
     "st13_stream_neardup_capped" -> st13,
@@ -922,6 +992,7 @@ object Streams {
 
   /** Streaming results must equal the batch windowing oracles. */
   val oracle: Map[String, String] = Map(
+    "st16_stream_kmv_distinct" -> st16Sql,
     "st15_stream_psi_drift" -> graft.ops.Evaluation.dq3Sql,
     "st14_stream_trajectories" -> graft.ops.Curation.traj1Sql,
     "st13_stream_neardup_capped" -> st13Sql,
