@@ -642,4 +642,31 @@ object GraftApi {
   def rangeJoin(points: DataFrame, intervals: DataFrame,
       ptCol: String, sCol: String, eCol: String, bucketW: Long): DataFrame =
     graft.ops.AsOf.rangeJoinOf(points, intervals, ptCol, sCol, eCol, bucketW)
+
+  /** Connected components over a pair list via large-star/small-star
+    * (Kiveris et al. 2014): same output as [[dedupClustersFromPairs]] in
+    * O(log n) rounds independent of component diameter — the CC engine
+    * for adversarial (long-chain) dup topologies. */
+  def ccLargeStar(pairs: DataFrame): DataFrame =
+    Dedup.ccLargeStarSmallStar(pairs)
+
+  /** Bottom-k (KMV/theta) distinct sketch rows for a (grp, v) frame —
+    * deterministic salted-md5 order statistics, mergeable by re-cutting
+    * the k smallest of a sketch union (the per-shard state for global
+    * distinct counts that never rescan data). */
+  def kmvSketch(values: DataFrame, k: Int = 256): DataFrame =
+    ScaleOps.kmvSketchOf(values, k)
+
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS sketch) per
+    * document: local minima of windowed k-gram hashes, guaranteeing any
+    * shared run of ≥ w+k−1 tokens shares a fingerprint. Zero-exchange
+    * array-HOF projection. */
+  def winnowing(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    TextAnalysis.winnowingOf(docs, k, w)
+
+  /** Per-subspace PQ codebooks (Jégou et al. 2011) trained with cl1's
+    * integer-exact Lloyd conventions over a [[Similarity.qnormOf]]
+    * frame; feed to an ADC scan for compressed-domain ANN. */
+  def pqCodebooks(quantized: DataFrame): Seq[Seq[Array[Long]]] =
+    Similarity.pqCodebooks(quantized)
 }

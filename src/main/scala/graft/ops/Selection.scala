@@ -443,6 +443,86 @@ object Selection {
       |FROM bi JOIN scored USING (w1, w2)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- T22: interpolated Kneser–Ney bigram LM perplexity filter ----
+
+  /** keep ⟺ mean KN NLL below this (e6 micro-nats) — the CCNet-style
+    * "head/tail" cut point; a fixture-median-ish constant so the flag is
+    * non-degenerate at every SF. */
+  private[graft] val KnKeepNllE6 = 3386000L
+
+  /** T22: the production perplexity filter — interpolated Kneser–Ney
+    * bigram LM (Kneser/Ney ICASSP 1995; the smoothing CCNet's KenLM
+    * filter uses, Wenzek et al. 2020) scored over the corpus, vs t19's
+    * add-1 baseline. With discount d = 3/4 the probability is an EXACT
+    * rational: p(w2|w1) = [max(4·c12−3, 0)·Nb + 3·T1·C2] / (4·c1·Nb),
+    * where T1 = |{w: c(w1,w) > 0}| (continuation fan-out of w1), C2 =
+    * |{w: c(w,w2) > 0}| (left-context fan-in of w2 — the "novel
+    * continuation" count that makes KN rank 'Francisco' low despite
+    * high frequency), Nb = distinct bigram types. Both engines compute
+    * numerator and denominator in exact int64 and take ONE ln of ONE
+    * double division of identical operands (the t15/t19 convention), so
+    * nll_e6 is engine-exact. Scale: all four model tables are
+    * vocab-sized aggregates off one bigram scan (map-side combined);
+    * scoring is one (w1,w2) equi-join against the instance stream; the
+    * keep flag is an integer comparison. */
+  private[graft] def knBigramNllOf(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), explode(sequence(lit(0), greatest(size(col("ws")) - 2, lit(0)))).as("i"))
+      .filter(col("i") <= size(col("ws")) - 2)
+      .select(col("doc_id"),
+        element_at(col("ws"), col("i") + 1).as("w1"),
+        element_at(col("ws"), col("i") + 2).as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val uni = bi.groupBy("w1")
+      .agg(count(lit(1)).as("c1"), countDistinct("w2").as("t1"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cont = bi.groupBy("w2").agg(countDistinct("w1").as("c2"))
+    val nb = big.agg(count(lit(1)).as("nb"))
+    val scored = big.join(uni, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"),
+        expr("CAST(round(ln(CAST(4 * c1 * nb AS DOUBLE) / " +
+          "CAST(greatest(4 * c12 - 3, 0L) * nb + 3 * t1 * c2 AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("nll_e6_tok"))
+    bi.join(scored, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(nll_e6_tok) div count(1)").as("nll_e6"))
+      .withColumn("keep", when(col("nll_e6") < KnKeepNllE6, 1).otherwise(0))
+      .select("doc_id", "n_bigrams", "nll_e6", "keep")
+  }
+
+  val t22: Q = (s, d) =>
+    knBigramNllOf(Tables.documents(s, d)).orderBy("doc_id")
+  val t22Sql: String =
+    s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+       |pr AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |           i -> {'w1': ws[CAST(i AS INTEGER)], 'w2': ws[CAST(i AS INTEGER) + 1]})) AS p
+       |  FROM w WHERE len(ws) >= 2),
+       |bi AS MATERIALIZED (
+       |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pr
+       |  WHERE len(p.w1) > 0 AND len(p.w2) > 0),
+       |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1,
+       |               CAST(count(DISTINCT w2) AS BIGINT) AS t1 FROM bi GROUP BY w1),
+       |big AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
+       |cont AS (SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS c2 FROM bi GROUP BY w2),
+       |nbt AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM big),
+       |scored AS (
+       |  SELECT w1, w2,
+       |         CAST(round(ln(CAST(4 * c1 * nb AS DOUBLE) /
+       |           CAST(greatest(4 * c12 - 3, 0) * nb + 3 * t1 * c2 AS DOUBLE)) * 1000000) AS BIGINT)
+       |           AS nll_e6_tok
+       |  FROM big JOIN uni USING (w1) JOIN cont USING (w2) CROSS JOIN nbt)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(nll_e6_tok) AS BIGINT) // CAST(count(*) AS BIGINT) AS nll_e6,
+       |       CASE WHEN CAST(sum(nll_e6_tok) AS BIGINT) // CAST(count(*) AS BIGINT) < $KnKeepNllE6
+       |            THEN 1 ELSE 0 END AS keep
+       |FROM bi JOIN scored USING (w1, w2)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- FIM1: fill-in-the-middle transformation ----
 
   /** FIM1: the fill-in-the-middle pretraining transform (Bavarian et al.
@@ -679,6 +759,7 @@ object Selection {
     "bpe1_pair_stats" -> bpe1,
     "bpe2_merge_induction" -> bpe2,
     "t19_bigram_nll" -> t19,
+    "t22_kneser_ney" -> t22,
     "fim1_split" -> fim1,
     "rep1_adjacent_dedup" -> rep1,
     "batch1_length_buckets" -> batch1,
@@ -693,6 +774,7 @@ object Selection {
     "bpe1_pair_stats" -> bpe1Sql,
     // bpe2: iterative driver loop — no SQL oracle; SelectionSpec pins it.
     "t19_bigram_nll" -> t19Sql,
+    "t22_kneser_ney" -> t22Sql,
     "fim1_split" -> fim1Sql,
     "rep1_adjacent_dedup" -> rep1Sql,
     "batch1_length_buckets" -> batch1Sql,

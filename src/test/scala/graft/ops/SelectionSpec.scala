@@ -244,4 +244,47 @@ class SelectionSpec extends SparkSpec {
     // heavier docs sort earlier in expectation: the top-1 key belongs to 999
     assert(out.minBy(_.getAs[Int]("rk")).getAs[Long]("doc_id") === 999L)
   }
+
+  test("t22 Kneser-Ney NLL matches a pure-Scala recompute on a planted corpus") {
+    // 'san francisco' appears often but 'francisco' follows ONLY 'san' —
+    // KN's continuation count must rank it less predictable as a unigram
+    // continuation than its raw frequency suggests
+    val docs = Seq(
+      (1L, "san francisco is big"), (2L, "san francisco is old"),
+      (3L, "san francisco was cold"), (4L, "the city is big"),
+      (5L, "the city is old"), (6L, "a city was big")).toDF("doc_id", "text")
+    val bi = docs.collect().flatMap { r =>
+      val ws = r.getString(1).split(" ").filter(_.nonEmpty)
+      ws.init.zip(ws.tail).map { case (a, b) => (r.getLong(0), a, b) }
+    }
+    val c1 = bi.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val t1 = bi.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).distinct.length.toLong }
+    val c12 = bi.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.length.toLong }
+    val c2 = bi.groupBy(_._3).map { case (k, v) => k -> v.map(_._2).distinct.length.toLong }
+    val nb = c12.size.toLong
+    def nllE6(w1: String, w2: String): Long = {
+      val num = math.max(4 * c12((w1, w2)) - 3, 0L) * nb + 3 * t1(w1) * c2(w2)
+      math.round(math.log((4.0 * c1(w1) * nb) / num.toDouble) * 1000000)
+    }
+    val expected = bi.groupBy(_._1).map { case (id, rows) =>
+      val s = rows.map(t => nllE6(t._2, t._3)).sum
+      (id, rows.length.toLong, s / rows.length)
+    }.toSet
+    val got = Selection.knBigramNllOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // the KN signature: p(francisco | san) uses C2(francisco)=1 despite
+    // c12(san,francisco)=3 being the most frequent bigram; verify the
+    // continuation term actually bites (nll higher than the naive MLE -ln(3/3))
+    assert(nllE6("san", "francisco") > 0L)
+  }
+
+  test("t22 registry keep flag is an exact threshold on nll_e6") {
+    val rows = Selection.t22(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = if (r.getLong(2) < Selection.KnKeepNllE6) 1 else 0
+      assert(r.getInt(3) === expect)
+    }
+  }
 }
