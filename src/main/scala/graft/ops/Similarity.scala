@@ -817,7 +817,11 @@ object Similarity {
       .select(col("q_id"), col("cand_id"), col("rk"), col("adist"))
       .orderBy("q_id", "rk")
   }
-  val sim9Sql: String =
+  /** The shared PQ oracle pipeline (train → encode → query tables),
+    * ending at the `codes` and `dtab` CTEs — sim9 and sim10 both append
+    * their own candidate/pairs tail (a shared constant, NOT string
+    * surgery on a sibling query — the cl2Sql lesson). */
+  private val pqCtes: String =
     s"""WITH $qnormCte,
        |subs AS MATERIALIZED (
        |  SELECT vec_id, t.j, list_slice(q, t.j * $PqD + 1, t.j * $PqD + $PqD) AS sq
@@ -863,7 +867,10 @@ object Similarity {
        |         CAST(list_sum(list_transform(range(1, ${PqD + 1}),
        |           p -> (v.sq[p] - c.cq[p]) * (v.sq[p] - c.cq[p]))) AS BIGINT) AS dist
        |  FROM subs v JOIN cb1 c ON v.j = c.j
-       |  WHERE v.vec_id % 50 = 0),
+       |  WHERE v.vec_id % 50 = 0)""".stripMargin
+
+  val sim9Sql: String = pqCtes +
+    s""",
        |pairs AS (
        |  SELECT d.q_id, co.vec_id AS cand_id, CAST(sum(d.dist) AS BIGINT) AS adist
        |  FROM codes co JOIN dtab d ON d.j = co.j AND d.cid = co.cid
@@ -874,7 +881,88 @@ object Similarity {
        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, cand_id) AS INTEGER) AS rk
        |  FROM pairs) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  // ---- SIM10: IVF + PQ (the FAISS billion-scale serving shape) ----
+
+  /** 2-level centroid literal for the coarse quantizer. */
+  private def cellLit(cs: Seq[Array[Long]]): String =
+    cs.map(_.mkString("array(", "L, ", "L)")).mkString("array(", ", ", ")")
+
+  /** SIM10: the composition production actually deploys (FAISS IVF-PQ):
+    * a coarse quantizer restricts each query to ONE inverted-file cell
+    * (nprobe=1), and candidates inside the cell are scored in the
+    * compressed domain by sim9's ADC tables — so a query touches ~1/8 of
+    * the corpus AND never reads a full vector. Cell assignment is a
+    * ZERO-shuffle codegen projection against plan-literal centroids
+    * (integer squared-L2, lowest-cid ties — metric-consistent with the
+    * PQ scoring, unlike sim4's cosine cells), improving on sim4's
+    * crossJoin+window assignment shape. Everything downstream of the
+    * scans is integer-exact, so the oracle replays cells + the shared
+    * [[pqCtes]] pipeline. At 100 TB the codes+cell frame is the stored
+    * index (partitioned by cell, 8 code ids + 1 cell id per vector);
+    * queries broadcast their (cell, ADC-table) rows and the scan prunes
+    * to matching cell partitions. */
+  val sim10: Q = (s, d) => {
+    val qn = qnormOf(Tables.embeddings(s, d))
+    val cents = qn.filter(col("vec_id").between(1, 8)).orderBy("vec_id")
+      .select("q").collect().map(_.getSeq[Long](0).toArray).toSeq
+    require(cents.length == 8, "need coarse seeds vec_id 1..8")
+    val cl = cellLit(cents)
+    def withCell(df: DataFrame): DataFrame = df
+      .withColumn("cds", expr(s"transform($cl, c -> " +
+        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v))"))
+      .withColumn("cell", expr("CAST(array_position(cds, array_min(cds)) AS BIGINT)"))
+      .drop("cds")
+    val cb = pqCodebooks(qn)
+    val codes = pqAssign(pqSubs(qn), cb).select(col("vec_id"), col("j"), col("cid"))
+    val cells = withCell(qn).select(col("vec_id"), col("cell"))
+    val qcells = withCell(qn.filter(col("vec_id") % 50 === 0))
+      .select(col("vec_id").as("q_id"), col("cell").as("q_cell"))
+    val dtab = pqSubs(qn.filter(col("vec_id") % 50 === 0))
+      .select(col("vec_id").as("q_id"), col("j"), posexplode(expr(
+        s"transform(element_at(${cbLiteral(cb)}, j + 1), c -> " +
+          "aggregate(zip_with(sq, c, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v))"))
+        .as(Seq("cpos", "dist")))
+      .select(col("q_id"), col("j"), (col("cpos") + 1).cast("long").as("cid"), col("dist"))
+    val cand = codes.join(cells, "vec_id")
+      .join(broadcast(qcells), col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+    val scored = cand.join(broadcast(dtab), Seq("q_id", "j", "cid"))
+      .groupBy(col("q_id"), col("vec_id").as("cand_id"))
+      .agg(sum("dist").as("adist"))
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("q_id"), col("cand_id"), col("rk"), col("adist"))
+      .orderBy("q_id", "rk")
+  }
+  val sim10Sql: String = pqCtes +
+    s""",
+       |cent AS (SELECT CAST(vec_id AS BIGINT) AS ccid, q AS cq
+       |         FROM qn WHERE vec_id BETWEEN 1 AND 8),
+       |cd AS (
+       |  SELECT v.vec_id, c.ccid,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |           p -> (v.q[p] - c.cq[p]) * (v.q[p] - c.cq[p]))) AS BIGINT) AS dist
+       |  FROM qn v CROSS JOIN cent c),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, ccid AS cell FROM (
+       |    SELECT vec_id, ccid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccid) AS rk
+       |    FROM cd) WHERE rk = 1),
+       |qcells AS (SELECT vec_id AS q_id, cell AS q_cell FROM cells WHERE vec_id % 50 = 0),
+       |pairs AS (
+       |  SELECT d.q_id, co.vec_id AS cand_id, CAST(sum(d.dist) AS BIGINT) AS adist
+       |  FROM codes co
+       |  JOIN cells ce ON ce.vec_id = co.vec_id
+       |  JOIN dtab d ON d.j = co.j AND d.cid = co.cid
+       |  JOIN qcells qc ON qc.q_id = d.q_id AND qc.q_cell = ce.cell
+       |  WHERE co.vec_id <> d.q_id
+       |  GROUP BY d.q_id, co.vec_id)
+       |SELECT q_id, cand_id, rk, adist FROM (
+       |  SELECT q_id, cand_id, adist,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, cand_id) AS INTEGER) AS rk
+       |  FROM pairs) WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim10_ivfpq_topk" -> sim10,
     "sim9_pq_adc_topk" -> sim9,
     "emb2_hard_negatives" -> emb2,
     "mmr1_diverse_topk" -> mmr1,
@@ -889,6 +977,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "sim10_ivfpq_topk" -> sim10Sql,
     "sim9_pq_adc_topk" -> sim9Sql,
     "emb2_hard_negatives" -> emb2Sql,
     "mmr1_diverse_topk" -> mmr1Sql,

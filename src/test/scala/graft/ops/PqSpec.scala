@@ -68,6 +68,37 @@ class PqSpec extends SparkSpec {
     got.foreach { case (q, rows) => assert(rows === expected(q), s"query $q") }
   }
 
+  test("sim10 = sim9's ADC ranking restricted to the query's coarse cell") {
+    val raw = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qs = raw.map { case (id, v) => (id, v.map(x => math.round(x.toDouble * 1000))) }
+      .filter { case (_, q) => q.iterator.map(x => x * x).sum > 0L }
+    val cents = (1 to 8).map(i => qs.find(_._1 == i.toLong).get._2)
+    def cell(q: Array[Long]): Int =
+      cents.zipWithIndex.minBy { case (c, i) => (sq(c, q), i) }._2 + 1
+    val cellOf = qs.map { case (id, q) => id -> cell(q) }.toMap
+    val (adc, _) = recompute() // full-corpus ADC top-5 per anchor... need raw pairs
+    // recompute the full scored list (not just top-5) for the restriction
+    val got = Similarity.sim10(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // every returned candidate must share its query's cell
+    got.foreach { case (q, c, _, _) =>
+      assert(cellOf(c) === cellOf(q), s"cand $c not in query $q's cell")
+    }
+    // and where sim9's global top-5 already lies in the query's cell, the
+    // in-cell ranking must preserve that order as a prefix-subsequence
+    val byQ = got.groupBy(_._1)
+    adc.foreach { case (q, top5) =>
+      val inCell = top5.collect { case (cid, a) if cellOf(cid) == cellOf(q) => (cid, a) }
+      val sim10Rows = byQ.get(q).map(_.sortBy(_._3).map(t => (t._2, t._4)).toSeq).getOrElse(Seq.empty)
+      inCell.take(3).zipWithIndex.foreach { case ((cid, a), i) =>
+        assert(i < sim10Rows.length && sim10Rows(i) === ((cid, a)),
+          s"query $q: in-cell prefix of sim9 must head sim10's ranking")
+      }
+    }
+  }
+
   test("sim9 recall@5 vs exact integer L2 top-5 clears the PQ floor") {
     val (approx, exact) = recompute()
     val recalls = approx.keys.toSeq.map { q =>
