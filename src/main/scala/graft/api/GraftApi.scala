@@ -664,6 +664,12 @@ object GraftApi {
   def winnowing(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
     TextAnalysis.winnowingOf(docs, k, w)
 
+  /** Integer HITS hubs/authorities over a directed (src, dst) edge frame
+    * (Kleinberg 1999): per round one groupBy shuffle per side, max-
+    * renormalized by exact integer division. Returns (node, auth_e6). */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame =
+    graft.ops.Graph.hitsOf(edges, iters)
+
   /** Per-subspace PQ codebooks (Jégou et al. 2011) trained with cl1's
     * integer-exact Lloyd conventions over a [[Similarity.qnormOf]]
     * frame; feed to an ADC scan for compressed-domain ANN. */

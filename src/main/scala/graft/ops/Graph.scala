@@ -247,13 +247,80 @@ object Graph {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  // ---- PR2: HITS hubs/authorities over the directed purchase graph ----
+
+  /** Integer HITS (Kleinberg JACM 1999) over a DIRECTED bipartite edge
+    * frame (src = hub side, dst = authority side): per round, authority
+    * = Σ incoming hub scores, hub = Σ outgoing authority scores, each
+    * side renormalized to max = 10⁶ by ONE integer division (`s·10⁶ div
+    * max(s)` — exact in both engines, unlike L2 normalization which
+    * could never be cross-engine bit-stable). The library entry point
+    * ([[graft.api.GraftApi.hits]]).
+    *
+    * Scale: pr1's loop shape — each half-step is one map-side-combined
+    * groupBy shuffle on the cached edge list plus a 1-row max broadcast;
+    * the driver holds the iteration count, never data. */
+  private[graft] def hitsOf(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var h = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("hs"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e.join(h, e("src") === h("node"))
+        .groupBy("dst").agg(sum("hs").as("s"))
+      a = araw.crossJoin(broadcast(araw.agg(max("s").as("m"))))
+        .select(col("dst").as("node"), expr("s * 1000000 div m").as("as_"))
+      val hraw = e.join(a, e("dst") === a("node"))
+        .groupBy("src").agg(sum("as_").as("s"))
+      h = hraw.crossJoin(broadcast(hraw.agg(max("s").as("m"))))
+        .select(col("src").as("node"), expr("s * 1000000 div m").as("hs"))
+    }
+    a.select(col("node"), col("as_").as("auth_e6"))
+  }
+
+  /** PR2: supplier authority under HITS — customers are hubs (they
+    * "cite" the suppliers they buy from), suppliers are authorities; a
+    * supplier scores high when HIGH-HUB customers (broad buyers) buy
+    * from it, which is a different signal than pr1's random-walk mass.
+    * Two exact-integer rounds over the distinct (customer → supplier)
+    * purchase edges. */
+  val pr2: Q = (s, d) => {
+    val e0 = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    hitsOf(e0).orderBy("node")
+  }
+  val pr2Sql: String =
+    """WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS hs FROM e0),
+      |a1r AS (SELECT e.dst, CAST(sum(h0.hs) AS BIGINT) AS s
+      |        FROM e0 e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+      |a1 AS MATERIALIZED (SELECT dst AS node,
+      |        CAST(s * 1000000 // (SELECT max(s) FROM a1r) AS BIGINT) AS as_ FROM a1r),
+      |h1r AS (SELECT e.src, CAST(sum(a1.as_) AS BIGINT) AS s
+      |        FROM e0 e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+      |h1 AS MATERIALIZED (SELECT src AS node,
+      |        CAST(s * 1000000 // (SELECT max(s) FROM h1r) AS BIGINT) AS hs FROM h1r),
+      |a2r AS (SELECT e.dst, CAST(sum(h1.hs) AS BIGINT) AS s
+      |        FROM e0 e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+      |a2 AS (SELECT dst AS node,
+      |        CAST(s * 1000000 // (SELECT max(s) FROM a2r) AS BIGINT) AS as_ FROM a2r)
+      |SELECT node, as_ AS auth_e6 FROM a2 ORDER BY node""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "pr2_hits_authorities" -> pr2,
     "pr1_pagerank_suppliers" -> pr1,
     "tc1_triangle_count" -> tc1,
     "kcore1_supplier_core" -> kcore1,
   )
 
   val oracle: Map[String, String] = Map(
+    "pr2_hits_authorities" -> pr2Sql,
     "pr1_pagerank_suppliers" -> pr1Sql,
     "tc1_triangle_count" -> tc1Sql,
     "kcore1_supplier_core" -> kcore1Sql,

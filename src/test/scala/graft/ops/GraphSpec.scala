@@ -27,4 +27,21 @@ class GraphSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) >= 150000L), "rank never falls below the teleport floor")
     assert(rows.map(_.getLong(1)).distinct.length > 1, "ranks must differentiate suppliers")
   }
+
+  test("pr2 HITS matches a hand-computed bipartite case and normalizes to 1e6") {
+    // c1 -> {s1, s2}, c2 -> {s1}: round 1 gives a(s1)=2e6->1e6,
+    // a(s2)=1e6->500000; hubs h(c1)=1.5e6->1e6, h(c2)=1e6->666666;
+    // round 2: a(s1)=1e6+666666->1e6, a(s2)=1e6->600000
+    val e = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1")).toDF("src", "dst")
+    val out = Graph.hitsOf(e).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out === Map("s1" -> 1000000L, "s2" -> 600000L))
+  }
+
+  test("pr2 on the fixture: every supplier scored, max authority = 1e6") {
+    val rows = Graph.pr2(spark, sfDir).collect()
+    val nSupp = graft.Tables.supplier(spark, sfDir).count()
+    assert(rows.length === nSupp)
+    assert(rows.map(_.getLong(1)).max === 1000000L, "normalization pins the max")
+    assert(rows.map(_.getLong(1)).distinct.length > 1, "authorities differentiate")
+  }
 }
