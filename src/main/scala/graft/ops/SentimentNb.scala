@@ -232,6 +232,55 @@ object SentimentNb {
     * rounded margin both engines already agree on for the prediction
     * sign, so the whole op stays engine-exact. One aggregate over the
     * scored frame — no new scan, no new shuffle shape. */
+  /** Tie-aware Mann–Whitney AUC over any (labelCol ∈ {0,1} as double,
+    * scoreCol) frame, in EXACT integers: 2·AUC·np·nn = 2·#{(p,n): s_p >
+    * s_n} + #{score ties} is computed from per-distinct-score (p, q)
+    * counts and a cumulative negative count — never a pairwise join.
+    * The window runs on the distinct-score frame (value-domain-bounded,
+    * `coalesce(1)` explicit — the mix3/dq2 idiom), so the corpus is
+    * touched once by the counting aggregate. */
+  private[graft] def aucFromScores(scores: DataFrame,
+      labelCol: String, scoreCol: String): DataFrame = {
+    val per = scores.groupBy(col(scoreCol).as("m"))
+      .agg(sum(when(col(labelCol) === 1.0, 1L).otherwise(0L)).as("p"),
+        sum(when(col(labelCol) =!= 1.0, 1L).otherwise(0L)).as("q"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("m")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    per.coalesce(1).withColumn("qb", coalesce(sum("q").over(w), lit(0L)))
+      .agg(sum("p").as("n_pos"), sum("q").as("n_neg"),
+        sum(expr("2 * p * qb + p * q")).as("auc2"))
+      .withColumn("auc_bp", expr("auc2 * 10000 div (2 * n_pos * n_neg)"))
+      .select("n_pos", "n_neg", "auc2", "auc_bp")
+  }
+
+  /** EVAL2: ROC-AUC of the NB classifier — the threshold-free companion
+    * to a4/a6 (accuracy at one cut) and cal1 (calibration): the exact
+    * probability a random positive outscores a random negative, ties at
+    * half credit. Scores are the 6-decimal-rounded margins both engines
+    * already agree on bit-for-bit (the m6/cal1 exposure), and the AUC
+    * numerator is pure integer, so the oracle hash-matches. */
+  val eval2: Q = (s, d) =>
+    aucFromScores(
+      scoredDf(s, d).select(col("label"),
+        expr("coalesce(margin_r6, 0.0)").as("m")),
+      "label", "m")
+  val eval2Sql: String =
+    s"""WITH $scoredCte,
+       |vals AS (
+       |  SELECT coalesce(margin_r6, 0.0) AS m,
+       |         CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |         CAST(sum(CASE WHEN label <> 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS q
+       |  FROM scored GROUP BY 1),
+       |cum AS (
+       |  SELECT m, p, q,
+       |         CAST(coalesce(sum(q) OVER (ORDER BY m
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS qb
+       |  FROM vals)
+       |SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(q) AS BIGINT) AS n_neg,
+       |       CAST(sum(2 * p * qb + p * q) AS BIGINT) AS auc2,
+       |       CAST(sum(2 * p * qb + p * q) * 10000 // (2 * sum(p) * sum(q)) AS BIGINT) AS auc_bp
+       |FROM cum""".stripMargin
+
   val cal1: Q = (s, d) =>
     scoredDf(s, d)
       .withColumn("bin",
@@ -261,6 +310,7 @@ object SentimentNb {
 
   val queries: Map[String, Q] = Map(
     "cal1_nb_calibration_bins" -> cal1,
+    "eval2_nb_auc" -> eval2,
     "a1_nb_word_class_counts" -> a1,
     "a2_corpus_scalars" -> a2,
     "j1_broadcast_model_join" -> j1,
@@ -272,6 +322,7 @@ object SentimentNb {
 
   val oracle: Map[String, String] = Map(
     "cal1_nb_calibration_bins" -> cal1Sql,
+    "eval2_nb_auc" -> eval2Sql,
     "a1_nb_word_class_counts" -> a1Sql,
     "a2_corpus_scalars" -> a2Sql,
     "j1_broadcast_model_join" -> j1Sql,

@@ -130,4 +130,30 @@ class SentimentSpec extends SparkSpec {
       if (bin <= -1L) assert(nPredPos === 0L, s"bin $bin must be all predicted-negative")
     }
   }
+
+  test("eval2 AUC machinery: separation=10000, reversal=0, all-ties=5000 exactly") {
+    val sp = spark; import sp.implicits._
+    def auc(rows: Seq[(Double, Double)]): Long =
+      SentimentNb.aucFromScores(rows.toDF("label", "m"), "label", "m")
+        .collect().head.getLong(3)
+    // perfect separation: every positive above every negative
+    assert(auc(Seq((1.0, 5.0), (1.0, 4.0), (0.0, 3.0), (0.0, 2.0))) === 10000L)
+    // perfect reversal
+    assert(auc(Seq((0.0, 5.0), (0.0, 4.0), (1.0, 3.0), (1.0, 2.0))) === 0L)
+    // every score tied: exactly half credit, no float drift
+    assert(auc(Seq((1.0, 1.0), (1.0, 1.0), (0.0, 1.0), (0.0, 1.0))) === 5000L)
+    // mixed hand case: pos {3, 1}, neg {2, 2} -> pairs: (3>2)x2 + (1<2)x2
+    // -> 2 wins of 4 -> 5000
+    assert(auc(Seq((1.0, 3.0), (1.0, 1.0), (0.0, 2.0), (0.0, 2.0))) === 5000L)
+  }
+
+  test("eval2 on the fixture: exact integer identities hold") {
+    // no chance-floor assertion: the sf0.001 test split is ~13 docs, so
+    // the AUC point estimate is noise-dominated there (0.58 at sf0.01)
+    val r = SentimentNb.eval2(spark, sfDir).collect().head
+    val (np, nn, auc2, aucBp) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(np > 0 && nn > 0)
+    assert(aucBp === auc2 * 10000 / (2 * np * nn), "bp is the exact integer quotient")
+    assert(auc2 >= 0 && auc2 <= 2 * np * nn, "numerator bounded by pair count")
+  }
 }
