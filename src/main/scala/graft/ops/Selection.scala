@@ -525,6 +525,94 @@ object Selection {
 
   // ---- FIM1: fill-in-the-middle transformation ----
 
+  // ---- FIM2: T5 span corruption ----
+
+  /** FIM2: T5-style span corruption (Raffel et al. JMLR 2020) — the
+    * third canonical pretraining objective transform next to pack1
+    * (causal) and fim1 (infilling). Spans are chosen BLOCK-
+    * DETERMINISTICALLY: tokens partition into fixed blocks of 20, each
+    * block masks one 3-token span at offset md5(doc_id, block) % 18 —
+    * 15% corruption with T5's mean span 3, non-overlapping BY
+    * CONSTRUCTION (greedy overlap resolution is sequential and would
+    * not mirror in SQL; fixed blocks make the per-token mask rule a
+    * pure function both engines evaluate identically). Emits the
+    * sentinel-rewritten input (`<X_b>` replaces each span) and the
+    * target sequence (each sentinel followed by its span tokens), plus
+    * span/token accounting. Entirely array HOFs riding the scan — the
+    * t18/t21 zero-exchange shape. */
+  private[graft] def spanCorruptionOf(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", expr("filter(split(text, ' '), x -> length(x) > 0)"))
+    .withColumn("nb", expr("CAST((size(toks) + 19) div 20 AS INT)"))
+    .withColumn("offs", expr(
+      "CASE WHEN nb > 0 THEN transform(sequence(0, nb - 1), b -> " +
+        "CAST(conv(substr(md5(concat('fim2:', CAST(doc_id AS STRING), ':', CAST(b AS STRING))), 1, 4), 16, 10) AS BIGINT) % 18) " +
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
+    .withColumn("input_text", expr(
+      """array_join(filter(transform(sequence(1, size(toks)), i ->
+        |  CASE WHEN size(toks) = 0 THEN NULL
+        |       WHEN (i - 1) % 20 = element_at(offs, CAST((i - 1) div 20 + 1 AS INT))
+        |         THEN concat('<X_', CAST((i - 1) div 20 AS STRING), '>')
+        |       WHEN (i - 1) % 20 > element_at(offs, CAST((i - 1) div 20 + 1 AS INT))
+        |         AND (i - 1) % 20 < element_at(offs, CAST((i - 1) div 20 + 1 AS INT)) + 3
+        |         THEN CAST(NULL AS STRING)
+        |       ELSE element_at(toks, i) END),
+        |  x -> x IS NOT NULL), ' ')""".stripMargin))
+    .withColumn("target_text", expr(
+      """array_join(filter(transform(sequence(1, size(toks)), i ->
+        |  CASE WHEN (i - 1) % 20 = element_at(offs, CAST((i - 1) div 20 + 1 AS INT))
+        |         THEN concat('<X_', CAST((i - 1) div 20 AS STRING), '> ', element_at(toks, i))
+        |       WHEN (i - 1) % 20 > element_at(offs, CAST((i - 1) div 20 + 1 AS INT))
+        |         AND (i - 1) % 20 < element_at(offs, CAST((i - 1) div 20 + 1 AS INT)) + 3
+        |         THEN element_at(toks, i)
+        |       ELSE CAST(NULL AS STRING) END),
+        |  x -> x IS NOT NULL), ' ')""".stripMargin))
+    .withColumn("n_masked", expr(
+      """CAST(size(filter(sequence(1, size(toks)), i ->
+        |  (i - 1) % 20 >= element_at(offs, CAST((i - 1) div 20 + 1 AS INT))
+        |  AND (i - 1) % 20 < element_at(offs, CAST((i - 1) div 20 + 1 AS INT)) + 3)) AS BIGINT)""".stripMargin))
+    .withColumn("n_spans", expr(
+      "CAST(size(filter(sequence(0, nb - 1), b -> " +
+        "b * 20 + element_at(offs, b + 1) < size(toks))) AS BIGINT)"))
+    .select(col("doc_id"), expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
+      col("n_spans"), col("n_masked"), col("input_text"), col("target_text"))
+
+  val fim2: Q = (s, d) =>
+    spanCorruptionOf(Tables.documents(s, d)).orderBy("doc_id")
+  val fim2Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(str_split(text, ' '), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |wof AS (
+      |  SELECT doc_id, toks, CAST((len(toks) + 19) // 20 AS INTEGER) AS nb,
+      |         CASE WHEN len(toks) > 0
+      |              THEN list_transform(range(0, CAST((len(toks) + 19) // 20 AS INTEGER)),
+      |                b -> ('0x' || substr(md5('fim2:' || doc_id::VARCHAR || ':' || b::VARCHAR), 1, 4))::BIGINT % 18)
+      |              ELSE [] END AS offs
+      |  FROM base)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+      |       CAST(len(list_filter(range(0, nb), b ->
+      |         b * 20 + offs[b + 1] < len(toks))) AS BIGINT) AS n_spans,
+      |       CAST(len(list_filter(range(1, len(toks) + 1), i ->
+      |         (i - 1) % 20 >= offs[CAST((i - 1) // 20 AS INTEGER) + 1]
+      |         AND (i - 1) % 20 < offs[CAST((i - 1) // 20 AS INTEGER) + 1] + 3)) AS BIGINT) AS n_masked,
+      |       coalesce(array_to_string(list_filter(list_transform(range(1, len(toks) + 1), i ->
+      |         CASE WHEN (i - 1) % 20 = offs[CAST((i - 1) // 20 AS INTEGER) + 1]
+      |                THEN '<X_' || CAST((i - 1) // 20 AS VARCHAR) || '>'
+      |              WHEN (i - 1) % 20 > offs[CAST((i - 1) // 20 AS INTEGER) + 1]
+      |                AND (i - 1) % 20 < offs[CAST((i - 1) // 20 AS INTEGER) + 1] + 3
+      |                THEN NULL
+      |              ELSE toks[CAST(i AS INTEGER)] END),
+      |         x -> x IS NOT NULL), ' '), '') AS input_text,
+      |       coalesce(array_to_string(list_filter(list_transform(range(1, len(toks) + 1), i ->
+      |         CASE WHEN (i - 1) % 20 = offs[CAST((i - 1) // 20 AS INTEGER) + 1]
+      |                THEN '<X_' || CAST((i - 1) // 20 AS VARCHAR) || '> ' || toks[CAST(i AS INTEGER)]
+      |              WHEN (i - 1) % 20 > offs[CAST((i - 1) // 20 AS INTEGER) + 1]
+      |                AND (i - 1) % 20 < offs[CAST((i - 1) // 20 AS INTEGER) + 1] + 3
+      |                THEN toks[CAST(i AS INTEGER)]
+      |              ELSE NULL END),
+      |         x -> x IS NOT NULL), ' '), '') AS target_text
+      |FROM wof ORDER BY doc_id""".stripMargin
+
   /** FIM1: the fill-in-the-middle pretraining transform (Bavarian et al.
     * 2022, arXiv:2207.14255): split each document's character range at
     * two deterministic pseudo-random points (salted-md5 draws — the
@@ -761,6 +849,7 @@ object Selection {
     "t19_bigram_nll" -> t19,
     "t22_kneser_ney" -> t22,
     "fim1_split" -> fim1,
+    "fim2_span_corruption" -> fim2,
     "rep1_adjacent_dedup" -> rep1,
     "batch1_length_buckets" -> batch1,
     "tok2_bpe_encode" -> tok2,
@@ -776,6 +865,7 @@ object Selection {
     "t19_bigram_nll" -> t19Sql,
     "t22_kneser_ney" -> t22Sql,
     "fim1_split" -> fim1Sql,
+    "fim2_span_corruption" -> fim2Sql,
     "rep1_adjacent_dedup" -> rep1Sql,
     "batch1_length_buckets" -> batch1Sql,
     "samp4_weighted_topk" -> samp4Sql,

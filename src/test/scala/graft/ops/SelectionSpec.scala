@@ -245,6 +245,34 @@ class SelectionSpec extends SparkSpec {
     assert(out.minBy(_.getAs[Int]("rk")).getAs[Long]("doc_id") === 999L)
   }
 
+  test("fim2 span corruption is lossless: sentinel substitution restores every doc") {
+    val rows = Selection.fim2(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val orig = graft.Tables.documents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
+    val sentinel = "<X_(\\d+)>".r
+    rows.foreach { r =>
+      val (id, nSpans, nMasked) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val input = r.getString(4).split(" ").filter(_.nonEmpty).toSeq
+      val target = r.getString(5)
+      // parse target: "<X_a> t t t <X_b> t ..." -> span map
+      val spans = scala.collection.mutable.Map[String, Vector[String]]()
+      var cur: String = null
+      target.split(" ").filter(_.nonEmpty).foreach {
+        case s @ sentinel(_) => cur = s; spans(cur) = Vector.empty
+        case t               => assert(cur != null, s"doc $id: target starts without sentinel"); spans(cur) :+= t
+      }
+      assert(spans.size === nSpans, s"doc $id sentinel count")
+      assert(spans.values.map(_.size).sum === nMasked, s"doc $id masked count")
+      assert(spans.values.forall(v => v.nonEmpty && v.size <= 3), s"doc $id span lengths")
+      val restored = input.flatMap {
+        case s @ sentinel(_) => spans(s)
+        case t               => Seq(t)
+      }
+      assert(restored === orig(id), s"doc $id does not round-trip")
+    }
+  }
+
   test("t22 Kneser-Ney NLL matches a pure-Scala recompute on a planted corpus") {
     // 'san francisco' appears often but 'francisco' follows ONLY 'san' —
     // KN's continuation count must rank it less predictable as a unigram
