@@ -1000,7 +1000,10 @@ object TextAnalysis {
 
   val t21: Q = (s, d) =>
     winnowingOf(Tables.documents(s, d)).orderBy("doc_id")
-  val t21Sql: String =
+
+  /** Winnowing CTE chain ending in `s(doc_id, grams, selp, self)` —
+    * shared by t21Sql and d19Sql (a constant, not string surgery). */
+  private val winnowCtes: String =
     """WITH base AS (
       |  SELECT doc_id, list_filter(str_split(text, ' '), x -> len(x) > 0) AS toks
       |  FROM documents),
@@ -1023,14 +1026,58 @@ object TextAnalysis {
       |              THEN list_transform(generate_series(1, len(grams) - 3),
       |                j -> list_min(list_slice(grams, j, j + 3)))
       |              ELSE [] END AS self
-      |  FROM g)
+      |  FROM g)""".stripMargin
+
+  val t21Sql: String = winnowCtes +
+    """
       |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
       |       CAST(len(list_distinct(selp)) AS BIGINT) AS n_sel,
       |       list_sort(list_distinct(self)) AS fps
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---- D19: winnowing-sketch decontamination ----
+
+  /** D19: decontamination by FINGERPRINT SKETCH — d9 semi-joins every
+    * train 3-gram against the eval set (exact, but the probe side is
+    * every shingle); d19 probes only the winnowing-SELECTED fingerprints
+    * (≈ 2/(w+1) of the grams), inheriting t21's guarantee: any train/eval
+    * overlap of ≥ w+k−1 tokens still shares a selected fingerprint, so a
+    * contiguous-plagiarism contamination cannot slip through while the
+    * index is ~2.5× smaller — the sketch-vs-exact trade the MOSS design
+    * exists for. The eval slice (doc_id % 97 = 0, the d9 convention) is
+    * tiny, so its distinct fingerprint set broadcasts at 100 TB and the
+    * train scan never shuffles for the probe; per-doc accounting rides
+    * the one explode. */
+  val d19: Q = (s, d) => {
+    val fps = winnowingOf(Tables.documents(s, d))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val evalFps = fps.filter(col("doc_id") % 97 === 0)
+      .select(col("fp")).distinct()
+    fps.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalFps.withColumn("hit", lit(1))), Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("flagged", when(col("n_hits") > 0, 1).otherwise(0))
+      .select("doc_id", "n_fps", "n_hits", "flagged")
+      .orderBy("doc_id")
+  }
+  val d19Sql: String = winnowCtes +
+    """,
+      |fps AS MATERIALIZED (
+      |  SELECT doc_id, unnest(list_distinct(self)) AS fp FROM s),
+      |evalfps AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0)
+      |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+      |       CAST(sum(CASE WHEN e.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |       CASE WHEN sum(CASE WHEN e.fp IS NOT NULL THEN 1 ELSE 0 END) > 0
+      |            THEN 1 ELSE 0 END AS flagged
+      |FROM fps f LEFT JOIN evalfps e USING (fp)
+      |WHERE f.doc_id % 97 <> 0
+      |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "t21_winnowing" -> t21,
+    "d19_winnowing_decontamination" -> d19,
     "t20_hashed_linear_filter" -> t20,
     "voc2_vocab_coverage" -> voc2,
     "t15_unigram_nll" -> t15,
@@ -1052,6 +1099,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "t21_winnowing" -> t21Sql,
+    "d19_winnowing_decontamination" -> d19Sql,
     "t20_hashed_linear_filter" -> t20Sql,
     "voc2_vocab_coverage" -> voc2Sql,
     "t15_unigram_nll" -> t15Sql,

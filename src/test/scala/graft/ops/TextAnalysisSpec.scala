@@ -251,6 +251,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getSeq[Long](3).size === 1, "one distinct hash value")
   }
 
+  test("d19 flags exactly the train docs sharing a winnowing fingerprint with eval") {
+    val fps = TextAnalysis.t21(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](3).toSet)).toMap
+    val evalF = fps.collect { case (id, f) if id % 97 == 0 => f }
+      .foldLeft(Set.empty[Long])(_ ++ _)
+    val got = TextAnalysis.d19(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val trainWithFps = fps.filter { case (id, f) => id % 97 != 0 && f.nonEmpty }
+    assert(got.map(_._1).toSet === trainWithFps.keySet)
+    got.foreach { case (id, nf, nh, fl) =>
+      assert(nf === fps(id).size.toLong, s"doc $id n_fps")
+      assert(nh === (fps(id) intersect evalF).size.toLong, s"doc $id n_hits")
+      assert(fl === (if (nh > 0) 1 else 0), s"doc $id flag")
+    }
+  }
+
   test("t21 density and bounds hold on every fixture document") {
     val rows = TextAnalysis.t21(spark, sfDir).collect()
     assert(rows.nonEmpty)
