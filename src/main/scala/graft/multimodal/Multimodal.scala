@@ -232,7 +232,64 @@ object Multimodal {
        |FROM fh GROUP BY frame_hash HAVING count(DISTINCT doc_id) > 1
        |ORDER BY frame_hash""".stripMargin
 
+  // ---- MM7: multimodal-aware sequence packing ----
+
+  /** Fixed per-modality token budgets (the LLaVA-style convention: an
+    * image enters the sequence as a fixed patch-token block; audio/video
+    * cost their frame/codec budgets). Index order matches [[media]]'s
+    * modality assignment (image, audio, video). */
+  private val ModalityToks = Seq(576L, 1500L, 2304L)
+  private val MmPackBudget = 8192L
+
+  /** MM7: sequence packing where a document's cost is text tokens PLUS
+    * its media placeholder budget — the packing shape multimodal
+    * training actually needs (a pure text-token cumsum under-fills every
+    * window that carries an image by 576 tokens). Reuses pack1's
+    * windowed per-shard prefix-sum verbatim with the combined cost
+    * column, so the scale story is identical: one shuffle per (lang)
+    * shard, no global sort. Per window: doc count, text vs media token
+    * split, total cost, straddlers. */
+  val mm7: Q = (s, d) => {
+    val costs = graft.Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("text_toks"),
+        expr(s"element_at(array(${ModalityToks.mkString("L, ")}L), CAST(doc_id % 3 + 1 AS INT))")
+          .as("media_toks"))
+      .withColumn("cost", col("text_toks") + col("media_toks"))
+    graft.ops.ScaleOps.packWindowsOf(costs, "lang", "doc_id", "cost", MmPackBudget)
+      .groupBy("lang", "win")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("text_toks").as("sum_text_toks"),
+        sum("media_toks").as("sum_media_toks"),
+        sum("cost").as("sum_cost"),
+        sum(when(col("last_win") =!= col("win"), 1L).otherwise(0L)).as("n_straddlers"))
+      .orderBy("lang", "win")
+  }
+  val mm7Sql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |         CAST(len(str_split(text, ' ')) AS BIGINT) AS text_toks,
+       |         ([${ModalityToks.mkString(", ")}])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_toks,
+       |         CAST(len(str_split(text, ' ')) AS BIGINT)
+       |           + ([${ModalityToks.mkString(", ")}])[CAST(doc_id % 3 + 1 AS INTEGER)] AS cost,
+       |         CAST(coalesce(sum(CAST(len(str_split(text, ' ')) AS BIGINT)
+       |             + ([${ModalityToks.mkString(", ")}])[CAST(doc_id % 3 + 1 AS INTEGER)])
+       |           OVER (PARTITION BY lang ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS cum_before
+       |  FROM documents)
+       |SELECT lang, cum_before // $MmPackBudget AS win,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(text_toks) AS BIGINT) AS sum_text_toks,
+       |       CAST(sum(media_toks) AS BIGINT) AS sum_media_toks,
+       |       CAST(sum(cost) AS BIGINT) AS sum_cost,
+       |       CAST(sum(CASE WHEN (cum_before + cost - 1) // $MmPackBudget
+       |                          != cum_before // $MmPackBudget
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+       |FROM t GROUP BY lang, win ORDER BY lang, win""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm7_multimodal_pack" -> mm7,
     "mm6_dup_frames" -> mm6,
     "mm1_binary_metadata" -> mm1,
     "mm5_resize_planning" -> mm5,
@@ -242,6 +299,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm7_multimodal_pack" -> mm7Sql,
     "mm6_dup_frames" -> mm6Sql,
     "mm1_binary_metadata" -> mm1Sql,
     "mm5_resize_planning" -> mm5Sql,

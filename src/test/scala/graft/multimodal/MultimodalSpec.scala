@@ -52,4 +52,21 @@ class MultimodalSpec extends SparkSpec {
     val plan = Multimodal.mm6(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("mm7 packing conserves docs and costs, and media budgets follow modality") {
+    val rows = Multimodal.mm7(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(1).split(" ").length.toLong))
+    val budgetOf = Seq(576L, 1500L, 2304L)
+    val expCost = docs.map { case (id, _, t) => t + budgetOf(((id % 3)).toInt) }.sum
+    assert(rows.map(_._1).distinct.sorted.toSeq === docs.map(_._2).distinct.sorted.toSeq)
+    assert(rows.map(_._3).sum === docs.length.toLong, "every doc packed exactly once")
+    assert(rows.map(_._6).sum === expCost, "total cost conserved")
+    rows.foreach { case (_, _, nDocs, _, _, _, nStraddle) =>
+      assert(nStraddle <= nDocs)
+    }
+  }
 }
