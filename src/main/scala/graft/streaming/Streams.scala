@@ -970,7 +970,53 @@ object Streams {
       |            END AS BIGINT) AS est
       |FROM sk ORDER BY lang""".stripMargin
 
+  /** ST17: live decontamination gate — the streaming face of d19. The
+    * eval set is OFFLINE (fixed benchmark suite), so its winnowing
+    * fingerprint set is computed once from the static table and
+    * localCheckpointed; each micro-batch of incoming documents probes it
+    * with d19's exact construction (winnow → explode → broadcast join →
+    * per-doc hit counts) and appends its flagged rows to a generation
+    * dir (st10's idempotence contract). The probe is STATELESS — every
+    * doc arrives in exactly one batch — so the union of batch outputs
+    * is bit-identical to batch d19, which the shared oracle proves.
+    * This is the admission-control shape at 100 TB/day: per-batch cost
+    * is the batch's own winnowing projection plus one broadcast join;
+    * nothing accumulates. */
+  val st17: Q = (s, d) => {
+    val srcDir = stagedTableSplit(s, d, "st17", table = "documents", key = "doc_id")
+    val physical = s.read.parquet(s"$d/documents.parquet").schema
+    val evalFps = graft.ops.TextAnalysis.winnowingOf(
+        s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") % 97 === 0))
+      .select(explode(col("fps")).as("fp")).distinct()
+      .withColumn("hit", lit(1))
+      .localCheckpoint(true)
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val outRoot = Files.createTempDirectory("graft_st17_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_st17").toString
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.TextAnalysis.winnowingOf(batch.filter(col("doc_id") % 97 =!= 0).toDF())
+          .select(col("doc_id"), explode(col("fps")).as("fp"))
+          .join(broadcast(evalFps), Seq("fp"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fps"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+          .withColumn("flagged", when(col("n_hits") > 0, 1).otherwise(0))
+          .select("doc_id", "n_fps", "n_hits", "flagged")
+          .write.mode("overwrite").parquet(s"$outRoot/gen_$batchId")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val gens = Option(new java.io.File(outRoot).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("gen_")).map(_.getAbsolutePath)
+    require(gens.length >= 4, s"expected >=4 micro-batches, saw ${gens.length}")
+    s.read.parquet(gens.toIndexedSeq: _*).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st17_stream_decontamination" -> st17,
     "st16_stream_kmv_distinct" -> st16,
     "st15_stream_psi_drift" -> st15,
     "st14_stream_trajectories" -> st14,
@@ -992,6 +1038,7 @@ object Streams {
 
   /** Streaming results must equal the batch windowing oracles. */
   val oracle: Map[String, String] = Map(
+    "st17_stream_decontamination" -> graft.ops.TextAnalysis.oracle("d19_winnowing_decontamination"),
     "st16_stream_kmv_distinct" -> st16Sql,
     "st15_stream_psi_drift" -> graft.ops.Evaluation.dq3Sql,
     "st14_stream_trajectories" -> graft.ops.Curation.traj1Sql,
