@@ -1048,9 +1048,23 @@ object TextAnalysis {
     * tiny, so its distinct fingerprint set broadcasts at 100 TB and the
     * train scan never shuffles for the probe; per-doc accounting rides
     * the one explode. */
-  val d19: Q = (s, d) => {
-    val fps = winnowingOf(Tables.documents(s, d))
+  /** (doc_id, fp) exploded fingerprint rows, with the winnowing frame
+    * MATERIALIZED first (eager localCheckpoint). The barrier is load-
+    * bearing: when a consumer prunes to `fps` alone, CollapseProject
+    * inlines toks→grams→windows into ONE nested expression whose
+    * evaluation re-derives the whole gram array per window — measured
+    * at sf10 as a 25+ min scan vs seconds with the barrier (t21 itself
+    * is safe only because its 3-column output keeps `grams` multi-
+    * referenced, which blocks the collapse). Materializing the per-doc
+    * fingerprint frame is also the production shape — a fingerprint
+    * INDEX is stored once and probed many times, never recomputed per
+    * probe. */
+  private[graft] def fingerprintRowsOf(docs: DataFrame): DataFrame =
+    winnowingOf(docs).select(col("doc_id"), col("fps")).localCheckpoint(true)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  val d19: Q = (s, d) => {
+    val fps = fingerprintRowsOf(Tables.documents(s, d))
     val evalFps = fps.filter(col("doc_id") % 97 === 0)
       .select(col("fp")).distinct()
     fps.filter(col("doc_id") % 97 =!= 0)

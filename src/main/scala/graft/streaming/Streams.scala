@@ -985,9 +985,9 @@ object Streams {
   val st17: Q = (s, d) => {
     val srcDir = stagedTableSplit(s, d, "st17", table = "documents", key = "doc_id")
     val physical = s.read.parquet(s"$d/documents.parquet").schema
-    val evalFps = graft.ops.TextAnalysis.winnowingOf(
+    val evalFps = graft.ops.TextAnalysis.fingerprintRowsOf(
         s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") % 97 === 0))
-      .select(explode(col("fps")).as("fp")).distinct()
+      .select(col("fp")).distinct()
       .withColumn("hit", lit(1))
       .localCheckpoint(true)
     val src = s.readStream.schema(physical)
@@ -997,8 +997,8 @@ object Streams {
     val writer = src.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        graft.ops.TextAnalysis.winnowingOf(batch.filter(col("doc_id") % 97 =!= 0).toDF())
-          .select(col("doc_id"), explode(col("fps")).as("fp"))
+        graft.ops.TextAnalysis
+          .fingerprintRowsOf(batch.filter(col("doc_id") % 97 =!= 0).toDF())
           .join(broadcast(evalFps), Seq("fp"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_fps"),
