@@ -162,9 +162,15 @@ object Dedup {
     * (graft.streaming.Streams.st12); the library entry point is
     * [[graft.api.GraftApi.minhashBandKeys]]. */
   private[graft] def minhashBandKeysOf(docs: DataFrame): DataFrame = {
+    // zip-of-shifted-slices, not transform(sequence, i -> slice(split…)):
+    // a lambda mentioning split(text) re-splits per element (see
+    // [[shinglesOf]] — same fix, measured there)
     val shArr = "CASE WHEN size(split(text, ' ')) >= 3 " +
-      "THEN transform(sequence(0, size(split(text, ' ')) - 3), " +
-      "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) " +
+      "THEN transform(arrays_zip(" +
+      "slice(split(text, ' '), 1, size(split(text, ' ')) - 2), " +
+      "slice(split(text, ' '), 2, size(split(text, ' ')) - 2), " +
+      "slice(split(text, ' '), 3, size(split(text, ' ')) - 2)), " +
+      "s -> concat(s['0'], ' ', s['1'], ' ', s['2'])) " +
       "ELSE array(text) END"
     // Hoist the md5 pass into its own projection: the generator expression
     // below is NOT subexpression-eliminated by codegen, so inlining hArr
@@ -1375,14 +1381,18 @@ object Dedup {
   /** w-gram shingles for d17 (wider than the shared 3-gram shinglesOf —
     * see the de-saturation note above); <w-word docs fall back to the
     * whole text, like shinglesOf. */
-  private def wideShinglesOf(docs: DataFrame, w: Int): DataFrame =
+  private def wideShinglesOf(docs: DataFrame, w: Int): DataFrame = {
+    // zip-of-shifted-slices (constant splits per row) — see [[shinglesOf]]
+    val n = s"size(split(text, ' ')) - ${w - 1}"
+    val zips = (1 to w).map(k => s"slice(split(text, ' '), $k, $n)").mkString(", ")
+    val fields = (0 until w).map(i => s"s['$i']").mkString(", ")
     docs
       .select(col("doc_id"), explode(
         when(size(split(col("text"), " ")) >= w,
-          expr(s"transform(sequence(0, size(split(text, ' ')) - $w)," +
-            s" i -> concat_ws(' ', slice(split(text, ' '), i + 1, $w)))"))
+          expr(s"transform(arrays_zip($zips), s -> concat_ws(' ', $fields))"))
           .otherwise(array(col("text")))).as("shingle"))
       .distinct()
+  }
 
   private def wideShinglesCte(cteName: String, src: String, w: Int): String =
     s"""$cteName AS (
