@@ -244,9 +244,33 @@ object SentimentNb {
     val per = scores.groupBy(col(scoreCol).as("m"))
       .agg(sum(when(col(labelCol) === 1.0, 1L).otherwise(0L)).as("p"),
         sum(when(col(labelCol) =!= 1.0, 1L).otherwise(0L)).as("q"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("m")
+    // distributed exclusive prefix of q over ascending score — the voc2
+    // range-partition + local-window + broadcast-offsets idiom. Margins
+    // are NEAR-UNIQUE per doc (6-decimal doubles), so the per-distinct-
+    // score frame is CORPUS-sized: a coalesce(1) cumulative window here
+    // would funnel every scored doc through one task at 100 TB (the
+    // original shape). At the tested SFs the wall time is dominated by
+    // the upstream NB scoring pipeline either way (eval2 ≈ cal1 ≈ 9 s at
+    // sf1), so this is a scale-shape fix, not a measured sf1 win.
+    // localCheckpoint freezes the sampled range boundaries so the
+    // offsets pass and the rank pass see the same physical partitioning.
+    val ranged = per.repartitionByRange(col("m"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = ranged.groupBy("pid").agg(sum("q").as("pq")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = totals.map { case (pid, pq) => val o = (pid, acc); acc += pq; o }.toSeq
+    val sp = scores.sparkSession
+    import sp.implicits._
+    val offDf = offs.toDF("pid", "q_off")
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy("m")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    per.coalesce(1).withColumn("qb", coalesce(sum("q").over(w), lit(0L)))
+    ranged
+      .withColumn("lqb", coalesce(sum("q").over(localW), lit(0L)))
+      .join(broadcast(offDf), Seq("pid"))
+      .withColumn("qb", col("q_off") + col("lqb"))
       .agg(sum("p").as("n_pos"), sum("q").as("n_neg"),
         sum(expr("2 * p * qb + p * q")).as("auc2"))
       .withColumn("auc_bp", expr("auc2 * 10000 div (2 * n_pos * n_neg)"))
