@@ -266,15 +266,26 @@ object Graph {
     var h = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("hs"))
     var a: DataFrame = null
+    // each half-step is localCheckpointed (eager) before its max is read:
+    // the raw frame is referenced twice (max aggregate + normalization),
+    // so without the barrier the lineage re-derives each half-step twice
+    // per downstream reference — 2^(2·iters) plan copies of the first
+    // join. With the edge list cached the recompute is a broadcast-join
+    // replay (wall-time modest at test SF — the query's cost is the
+    // edge-list build itself), but at 100 TB a re-derived half-step is a
+    // full shuffle replay; the checkpointed frames are node-cardinality
+    // and the max crosses the driver as ONE long per half-step.
     for (_ <- 1 to iters) {
       val araw = e.join(h, e("src") === h("node"))
         .groupBy("dst").agg(sum("hs").as("s"))
-      a = araw.crossJoin(broadcast(araw.agg(max("s").as("m"))))
-        .select(col("dst").as("node"), expr("s * 1000000 div m").as("as_"))
+        .localCheckpoint(true)
+      val amax = araw.agg(max("s")).head().getLong(0)
+      a = araw.select(col("dst").as("node"), expr(s"s * 1000000 div ${amax}L").as("as_"))
       val hraw = e.join(a, e("dst") === a("node"))
         .groupBy("src").agg(sum("as_").as("s"))
-      h = hraw.crossJoin(broadcast(hraw.agg(max("s").as("m"))))
-        .select(col("src").as("node"), expr("s * 1000000 div m").as("hs"))
+        .localCheckpoint(true)
+      val hmax = hraw.agg(max("s")).head().getLong(0)
+      h = hraw.select(col("src").as("node"), expr(s"s * 1000000 div ${hmax}L").as("hs"))
     }
     a.select(col("node"), col("as_").as("auth_e6"))
   }
