@@ -401,6 +401,92 @@ object ScaleOps {
       |       CAST(abs(est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
       |FROM fin ORDER BY lang""".stripMargin
 
+  // ---- APX7: KMV set operations (theta-sketch intersections) ----
+
+  /** APX7: the estimator HLL cannot give you — INTERSECTION cardinality
+    * between corpus slices, from sketches alone (the Datasketches theta
+    * idiom, exact-oracled because KMV is deterministic order statistics).
+    * Per source pair: merge the two bottom-k token sketches, re-cut to
+    * the k smallest of the union (mergeability again), count how many
+    * survivors live in BOTH input sketches — jaccard ≈ m/k_eff, union
+    * from the KMV estimate on the merged kth value, intersection =
+    * jaccard·union. Every number is integer (the apx6 integral-division
+    * convention). Scale: sketches are built once per source (ONE corpus
+    * scan); everything pairwise runs on |sources|²·k sketch rows — at
+    * 100 TB this is how you audit vocabulary overlap between crawl
+    * snapshots without ever co-scanning them. */
+  val apx7: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source").as("grp"), explode(split(col("text"), " ")).as("v"))
+      .filter(length(col("v")) > 0)
+    // tiny (|sources|·k rows) but referenced three times — materialize
+    val sk = kmvSketchOf(toks, k = 256).localCheckpoint(true)
+    val srcs = sk.select(col("grp")).distinct()
+    val prs = srcs.select(col("grp").as("src_a"))
+      .crossJoin(srcs.select(col("grp").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val sides = sk.join(prs, sk("grp") === prs("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"), lit(1).as("ia"), lit(0).as("ib"))
+      .unionAll(sk.join(prs, sk("grp") === prs("src_b"))
+        .select(col("src_a"), col("src_b"), col("h"), lit(0).as("ia"), lit(1).as("ib")))
+    val perH = sides.groupBy("src_a", "src_b", "h")
+      .agg(max("ia").as("in_a"), max("ib").as("in_b"))
+    val w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    val cut = perH.withColumn("rk", row_number().over(w)).filter(col("rk") <= 256)
+    cut.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("k_eff"), max("h").as("hk"),
+        sum(expr("in_a * in_b")).as("m_both"))
+      .withColumn("union_est", when(col("k_eff") < 256, col("k_eff"))
+        .otherwise(expr(
+          "CAST(CAST(255 AS DECIMAL(38,0)) * CAST(1152921504606846976 AS DECIMAL(38,0)) div hk AS BIGINT)")))
+      .withColumn("jacc_bp", expr("m_both * 10000 div k_eff"))
+      .withColumn("inter_est", expr("jacc_bp * union_est div 10000"))
+      .select("src_a", "src_b", "k_eff", "m_both", "union_est", "jacc_bp", "inter_est")
+      .orderBy("src_a", "src_b")
+  }
+  val apx7Sql: String =
+    """WITH toks AS (
+      |  SELECT source AS grp, unnest(str_split(text, ' ')) AS v FROM documents),
+      |hs AS (
+      |  SELECT DISTINCT grp, ('0x' || substr(md5('kmv:' || v), 1, 15))::BIGINT AS h
+      |  FROM toks WHERE len(v) > 0),
+      |sk AS MATERIALIZED (
+      |  SELECT grp, h FROM (
+      |    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM hs)
+      |  WHERE rk <= 256),
+      |srcs AS (SELECT DISTINCT grp FROM sk),
+      |prs AS (SELECT a.grp AS src_a, b.grp AS src_b
+      |        FROM srcs a CROSS JOIN srcs b WHERE a.grp < b.grp),
+      |sides AS (
+      |  SELECT p.src_a, p.src_b, s.h, 1 AS ia, 0 AS ib
+      |  FROM sk s JOIN prs p ON s.grp = p.src_a
+      |  UNION ALL
+      |  SELECT p.src_a, p.src_b, s.h, 0, 1
+      |  FROM sk s JOIN prs p ON s.grp = p.src_b),
+      |perh AS (
+      |  SELECT src_a, src_b, h, max(ia) AS in_a, max(ib) AS in_b
+      |  FROM sides GROUP BY src_a, src_b, h),
+      |cut AS (
+      |  SELECT * FROM (
+      |    SELECT src_a, src_b, h, in_a, in_b,
+      |           row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+      |    FROM perh) WHERE rk <= 256),
+      |agg AS (
+      |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS k_eff,
+      |         CAST(max(h) AS BIGINT) AS hk,
+      |         CAST(sum(in_a * in_b) AS BIGINT) AS m_both
+      |  FROM cut GROUP BY src_a, src_b),
+      |fin AS (
+      |  SELECT src_a, src_b, k_eff, m_both,
+      |         CAST(CASE WHEN k_eff < 256 THEN k_eff::HUGEINT
+      |              ELSE (255::HUGEINT * 1152921504606846976::HUGEINT) // hk
+      |              END AS BIGINT) AS union_est
+      |  FROM agg)
+      |SELECT src_a, src_b, k_eff, m_both, union_est,
+      |       CAST(m_both * 10000 // k_eff AS BIGINT) AS jacc_bp,
+      |       CAST(m_both * 10000 // k_eff * union_est // 10000 AS BIGINT) AS inter_est
+      |FROM fin ORDER BY src_a, src_b""".stripMargin
+
   // ---- SRC1: custom DataSource V2 with pushdown ----
 
   /** SRC1 binds [[graft.sources.GraftDocsSource]] — the custom DSv2
@@ -1363,6 +1449,7 @@ object ScaleOps {
     "t12_robust_cast" -> t12,
     "apx5_hll_mergeable" -> apx5,
     "apx6_kmv_distinct" -> apx6,
+    "apx7_kmv_set_ops" -> apx7,
     "src1_custom_dsv2_source" -> src1,
     "dpp1_dynamic_partition_pruning" -> dpp1,
     "bin1_binaryfile_source" -> bin1,
@@ -1396,6 +1483,7 @@ object ScaleOps {
     "s15_zstd_codec" -> s15Sql,
     "t12_robust_cast" -> t12Sql,
     "apx6_kmv_distinct" -> apx6Sql,
+    "apx7_kmv_set_ops" -> apx7Sql,
     "src1_custom_dsv2_source" -> src1Sql,
     "dpp1_dynamic_partition_pruning" -> dpp1Sql,
     "bin1_binaryfile_source" -> bin1Sql,
