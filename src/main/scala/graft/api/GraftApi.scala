@@ -551,10 +551,13 @@ object GraftApi {
 
   /** MMR-diversified top-k (λ = 0.7, exact integer scores) over each
     * query's nCand exact-cosine candidates. Emits (q_id, cand_id, rk,
-    * score_e7). */
+    * score_e7). `bucketed = true` feeds the greedy re-rank from the
+    * LSH-bucketed candidate stage instead of the brute-force scan — the
+    * 100 TB shape (per-query work is bucket-sized), at a measured recall
+    * cost. */
   def mmrDiverseTopK(vectors: DataFrame, queries: DataFrame,
-      nCand: Int = 20, k: Int = 5): DataFrame =
-    Similarity.mmrDiverseTopKOf(vectors, queries, nCand, k)
+      nCand: Int = 20, k: Int = 5, bucketed: Boolean = false): DataFrame =
+    Similarity.mmrDiverseTopKOf(vectors, queries, nCand, k, bucketed)
 
   /** Warner randomized response over a categorical column (deterministic
     * salted-md5 draws — replayable local-DP) plus the exact integer

@@ -535,12 +535,25 @@ object Similarity {
     * localCheckpoint-ed because five steps re-read them — without the
     * snapshot the brute-force scan would replay per step. */
   private[graft] def mmrDiverseTopKOf(vectors: DataFrame, queries: DataFrame,
-      nCand: Int = 20, k: Int = 5): DataFrame = {
-    val qn = qnormOf(vectors)
-    val qs = qnormOf(queries)
+      nCand: Int = 20, k: Int = 5, bucketed: Boolean = false): DataFrame = {
+    // bucketed=true swaps the brute-force candidate scan for the sim3 LSH
+    // path: both sides get an 8-plane sign-bit bucket and the broadcast
+    // join adds bucket equality, so each query's candidate stage touches
+    // ~1/2^8 of the corpus instead of all of it. The greedy re-rank
+    // downstream is UNCHANGED (same exact integer scores) — only candidate
+    // recall changes, which the mmr2-vs-mmr1 overlap spec quantifies (the
+    // sim8 discipline). A query whose bucket holds < k neighbours simply
+    // emits fewer ranks — identical semantics in the DuckDB oracle.
+    val qn0 = qnormOf(vectors)
+    val qs0 = qnormOf(queries)
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nrm").as("q_nrm"))
+    val (qn, qs, joinCond) =
+      if (!bucketed) (qn0, qs0, col("vec_id") =!= col("q_id"))
+      else (qn0.withColumn("bucket", signBits("q", planeWeights(8))),
+        qs0.withColumn("q_bucket", signBits("qq", planeWeights(8))),
+        col("vec_id") =!= col("q_id") && col("bucket") === col("q_bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-    val cand = qn.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+    val cand = qn.join(broadcast(qs), joinCond)
       .select(col("q_id"), col("vec_id").as("cand_id"),
         expr("graft_dot(qq, q)").as("dot"), col("q_nrm"), col("nrm"))
       .withColumn("cos", col("dot") / sqrt(col("q_nrm").cast("double") * col("nrm").cast("double")))
@@ -583,7 +596,13 @@ object Similarity {
     mmrDiverseTopKOf(Tables.embeddings(s, d),
       Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0))
       .orderBy("q_id", "rk")
-  val mmr1Sql: String = {
+  /** Shared greedy-MMR oracle tail: `prologue` must open the WITH chain
+    * (including a `qn` CTE) and end with a
+    * `dots(q_id, cand_id, dot, q_nrm, c_nrm)` CTE — the candidate stage
+    * is the ONLY thing mmr1 (brute force) and mmr2 (LSH-bucketed)
+    * disagree on; the ranked-candidate cut, pairwise sims and the four
+    * unrolled greedy steps are one definition (no string surgery). */
+  private def mmrGreedySql(prologue: String): String = {
     // DuckDB inlines plain CTEs per reference; the recursive selK chain
     // references each predecessor 3x, which would re-inline (and re-run)
     // the pairwise-dot pipeline ~3^4 times at scale — AS MATERIALIZED
@@ -606,13 +625,7 @@ object Similarity {
          |    FROM scored$k) WHERE r = 1),
          |$out AS MATERIALIZED (SELECT q_id, cand_id, rk, score_e7 FROM $selPrev
          |         UNION ALL SELECT q_id, cand_id, rk, score_e7 FROM pick$k)""".stripMargin
-    s"""WITH $qnormCte,
-       |dots AS (
-       |  SELECT q_id, cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot, q_nrm, c_nrm FROM (
-       |    SELECT a.vec_id AS q_id, b.vec_id AS cand_id, a.nrm AS q_nrm, b.nrm AS c_nrm,
-       |           unnest(a.q) AS xa, unnest(b.q) AS xb
-       |    FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
-       |  GROUP BY q_id, cand_id, q_nrm, c_nrm),
+    s"""$prologue,
        |cand AS MATERIALIZED (
        |  SELECT q_id, cand_id,
        |         CAST(round(dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) * 1000000)
@@ -645,6 +658,40 @@ object Similarity {
        |${step("sel4", 5, "sel5")}
        |SELECT q_id, cand_id, rk, score_e7 FROM sel5 ORDER BY q_id, rk""".stripMargin
   }
+
+  val mmr1Sql: String = mmrGreedySql(
+    s"""WITH $qnormCte,
+       |dots AS (
+       |  SELECT q_id, cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot, q_nrm, c_nrm FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS cand_id, a.nrm AS q_nrm, b.nrm AS c_nrm,
+       |           unnest(a.q) AS xa, unnest(b.q) AS xb
+       |    FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+       |  GROUP BY q_id, cand_id, q_nrm, c_nrm)""".stripMargin)
+
+  // ---- MMR2: MMR over the LSH-bucketed candidate stage ----
+
+  /** MMR2 = the VERDICT-r10 scale fix for mmr1: identical greedy
+    * diversification, but the candidate stage rides the sim3 LSH-bucket
+    * path instead of the brute-force corpus scan — the shape that
+    * survives 100 TB (per-query work is bucket-sized, not corpus-sized).
+    * mmr1 stays as the exact baseline; the recall cost of the swap is
+    * pinned by the overlap case in `CurationSpec`. */
+  val mmr2: Q = (s, d) =>
+    mmrDiverseTopKOf(Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0),
+      bucketed = true)
+      .orderBy("q_id", "rk")
+  val mmr2Sql: String = mmrGreedySql(
+    s"""WITH $bucketsCte,
+       |qb AS (SELECT qn.vec_id, qn.q, qn.nrm, bk.bucket
+       |       FROM qn JOIN buckets bk ON qn.vec_id = bk.vec_id),
+       |dots AS (
+       |  SELECT q_id, cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot, q_nrm, c_nrm FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS cand_id, a.nrm AS q_nrm, b.nrm AS c_nrm,
+       |           unnest(a.q) AS xa, unnest(b.q) AS xb
+       |    FROM qb a JOIN qb b
+       |      ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id AND a.bucket = b.bucket)
+       |  GROUP BY q_id, cand_id, q_nrm, c_nrm)""".stripMargin)
 
   // ---- EMB2: hard-negative mining for contrastive training ----
 
@@ -966,6 +1013,7 @@ object Similarity {
     "sim9_pq_adc_topk" -> sim9,
     "emb2_hard_negatives" -> emb2,
     "mmr1_diverse_topk" -> mmr1,
+    "mmr2_diverse_topk_bucketed" -> mmr2,
     "sim8_lsh_recall" -> sim8,
     "sim6_ivf_nprobe2_topk" -> sim6,
     "sim1_ann_bruteforce_topk" -> sim1,
@@ -981,6 +1029,7 @@ object Similarity {
     "sim9_pq_adc_topk" -> sim9Sql,
     "emb2_hard_negatives" -> emb2Sql,
     "mmr1_diverse_topk" -> mmr1Sql,
+    "mmr2_diverse_topk_bucketed" -> mmr2Sql,
     "sim8_lsh_recall" -> sim8Sql,
     "sim1_ann_bruteforce_topk" -> sim1Sql,
     "sim2_lsh_buckets" -> sim2Sql,

@@ -999,7 +999,11 @@ object TextAnalysis {
         expr("array_sort(array_distinct(self))").as("fps"))
 
   val t21: Q = (s, d) =>
-    winnowingOf(Tables.documents(s, d)).orderBy("doc_id")
+    // fps stringified (not a raw array column) so the driver's pandas-based
+    // oracle harness can sort/hash the frame; d19 keeps the array form.
+    winnowingOf(Tables.documents(s, d))
+      .withColumn("fps", expr("array_join(fps, ',')"))
+      .orderBy("doc_id")
 
   /** Winnowing CTE chain ending in `s(doc_id, grams, selp, self)` —
     * shared by t21Sql and d19Sql (a constant, not string surgery). */
@@ -1032,7 +1036,7 @@ object TextAnalysis {
     """
       |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
       |       CAST(len(list_distinct(selp)) AS BIGINT) AS n_sel,
-      |       list_sort(list_distinct(self)) AS fps
+      |       array_to_string(list_sort(list_distinct(self)), ',') AS fps
       |FROM s ORDER BY doc_id""".stripMargin
 
   // ---- D19: winnowing-sketch decontamination ----

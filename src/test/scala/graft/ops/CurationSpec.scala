@@ -278,4 +278,34 @@ class CurationSpec extends SparkSpec {
       assert(r1.getLong(3) % 7 === 0, "rank-1 score is 7*rel_e6 (no penalty)")
     }
   }
+
+  test("mmr2 (bucketed candidates) picks only same-bucket neighbours; recall vs mmr1 reported") {
+    import org.apache.spark.sql.functions.col
+    val bucketed = Similarity.mmr2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bucketed.nonEmpty, "bucketed MMR must select something")
+    // legality: every pick must live in its query's LSH bucket (that IS
+    // the candidate-stage contract mmr2 adds over mmr1)
+    val bk = Similarity.qnormOf(graft.Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"),
+        Similarity.signBits("q", Similarity.planeWeights(8)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    bucketed.foreach { case (q, c, _) =>
+      assert(bk(q) === bk(c), s"pick $c not in query $q's bucket")
+    }
+    // ranks are contiguous 1..n per query (a short bucket just stops early)
+    bucketed.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"query $q ranks not contiguous")
+    }
+    // sim8-style instrumentation: how much of the exact greedy's choice
+    // survives the LSH candidate swap. At tiny SF the 8-plane buckets are
+    // near-singleton so this is LOW by construction — the number is the
+    // evidence, not a gate (the gate is the legality check above).
+    val exact = Similarity.mmr1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = bucketed.count { case (q, c, _) => exact.contains((q, c)) }
+    info(s"mmr2 picks=${bucketed.length} overlap_with_mmr1=$hit " +
+      s"recall_bp=${hit * 10000L / bucketed.length}")
+  }
 }
