@@ -65,24 +65,11 @@ object Curation {
           s" + (CASE WHEN quality > ${bs(2)} THEN 1 ELSE 0 END)) AS BIGINT)"))
       .withColumn("skey",
         substring(md5(concat(lit("cur1:"), col("doc_id").cast("string"))), 1, 8))
-    // Distributed prefix-sum rank (the voc2/pack2 pattern): global order is
-    // (stage, skey, doc_id); partitions are range-cut on that order.
-    val ranged = staged.repartitionByRange(col("stage"), col("skey"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
-    val totals = ranged.groupBy("pid").agg(count(lit(1)).as("pn"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offs = totals.map { case (pid, pn) => val o = (pid, acc); acc += pn; o }.toSeq
-    val sp = docs.sparkSession
-    import sp.implicits._
-    val offDf = offs.toDF("pid", "off")
-    val localW = Window.partitionBy("pid").orderBy(col("stage"), col("skey"), col("doc_id"))
-    ranged
-      .withColumn("lrank", row_number().over(localW))
-      .join(broadcast(offDf), Seq("pid"))
+    // Distributed prefix-sum rank (PrefixSum.prefixRank — the shared
+    // voc2/pack2/eval2 idiom): global order is (stage, skey, doc_id).
+    PrefixSum.prefixRank(staged, Seq(col("stage"), col("skey"), col("doc_id"))).df
       .select(col("doc_id"), col("quality"), col("stage"),
-        (col("off") + col("lrank")).cast("long").as("pos"))
+        col("g_rank").as("pos"))
   }
 
   val cur1: Q = (s, d) =>

@@ -261,6 +261,8 @@ object Graph {
     * groupBy shuffle on the cached edge list plus a 1-row max broadcast;
     * the driver holds the iteration count, never data. */
   private[graft] def hitsOf(edges: DataFrame, iters: Int = 2): DataFrame = {
+    // iters = 0 would return before the authority frame exists
+    require(iters >= 1, s"hits needs at least one iteration, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var h = e.select(col("src").as("node")).distinct()
@@ -275,18 +277,25 @@ object Graph {
     // edge-list build itself), but at 100 TB a re-derived half-step is a
     // full shuffle replay; the checkpointed frames are node-cardinality
     // and the max crosses the driver as ONE long per half-step.
+    // renormalization in DECIMAL(38,0): s ≤ degree·10⁶, so s·10⁶ wraps
+    // int64 once a node's in-degree passes ~9.2e6 — real at 100 TB; the
+    // integral divide lands back in [0, 10⁶] so the stored score stays
+    // a plain long
     for (_ <- 1 to iters) {
       val araw = e.join(h, e("src") === h("node"))
         .groupBy("dst").agg(sum("hs").as("s"))
         .localCheckpoint(true)
       val amax = araw.agg(max("s")).head().getLong(0)
-      a = araw.select(col("dst").as("node"), expr(s"s * 1000000 div ${amax}L").as("as_"))
+      a = araw.select(col("dst").as("node"),
+        expr(s"CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div ${amax}L AS BIGINT)").as("as_"))
       val hraw = e.join(a, e("dst") === a("node"))
         .groupBy("src").agg(sum("as_").as("s"))
         .localCheckpoint(true)
       val hmax = hraw.agg(max("s")).head().getLong(0)
-      h = hraw.select(col("src").as("node"), expr(s"s * 1000000 div ${hmax}L").as("hs"))
+      h = hraw.select(col("src").as("node"),
+        expr(s"CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div ${hmax}L AS BIGINT)").as("hs"))
     }
+    e.unpersist()
     a.select(col("node"), col("as_").as("auth_e6"))
   }
 
@@ -312,15 +321,15 @@ object Graph {
       |a1r AS (SELECT e.dst, CAST(sum(h0.hs) AS BIGINT) AS s
       |        FROM e0 e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
       |a1 AS MATERIALIZED (SELECT dst AS node,
-      |        CAST(s * 1000000 // (SELECT max(s) FROM a1r) AS BIGINT) AS as_ FROM a1r),
+      |        CAST(CAST(s AS HUGEINT) * 1000000 // (SELECT max(s) FROM a1r) AS BIGINT) AS as_ FROM a1r),
       |h1r AS (SELECT e.src, CAST(sum(a1.as_) AS BIGINT) AS s
       |        FROM e0 e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
       |h1 AS MATERIALIZED (SELECT src AS node,
-      |        CAST(s * 1000000 // (SELECT max(s) FROM h1r) AS BIGINT) AS hs FROM h1r),
+      |        CAST(CAST(s AS HUGEINT) * 1000000 // (SELECT max(s) FROM h1r) AS BIGINT) AS hs FROM h1r),
       |a2r AS (SELECT e.dst, CAST(sum(h1.hs) AS BIGINT) AS s
       |        FROM e0 e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
       |a2 AS (SELECT dst AS node,
-      |        CAST(s * 1000000 // (SELECT max(s) FROM a2r) AS BIGINT) AS as_ FROM a2r)
+      |        CAST(CAST(s AS HUGEINT) * 1000000 // (SELECT max(s) FROM a2r) AS BIGINT) AS as_ FROM a2r)
       |SELECT node, as_ AS auth_e6 FROM a2 ORDER BY node""".stripMargin
 
   val queries: Map[String, Q] = Map(

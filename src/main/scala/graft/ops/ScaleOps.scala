@@ -930,6 +930,26 @@ object ScaleOps {
     * exp_e6 ≤ e·10^6, so BIGINT holds to n_s ≈ 10^{12} docs per domain
     * and Σ over ~100 domains to ~10^{16} total — at real corpus scale
     * weights would be computed per snapshot, not per job. */
+  /** Fixed-point exp for mix2: 10⁶·exp(e/10⁷) evaluated as a 12-term
+    * Horner chain in PURE int64 — `acc_k = 10⁶ + e·acc_{k+1} div (10⁷·k)`
+    * with truncating division at every step, so both engines compute the
+    * identical integer by construction (this replaces the former raw
+    * double `exp()` whose 1-ulp .5e-6-boundary flake was an accepted,
+    * documented risk through round 10). `e` is clamped to 3·10⁷ (x ≤ 3,
+    * exp ≤ ~20·10⁶): every intermediate stays ≤ ~6·10¹⁴, and a domain
+    * whose excess exceeds 3 η-nats is already getting the max upweight
+    * DoReMi can usefully express. Truncation error vs true exp is
+    * < 2·10⁻⁷ relative at x ≤ 1 (the operating range) — an occasional
+    * −1 e6-unit vs the old rounding, deterministically in BOTH engines.
+    * `divOp` is "div" for Spark, "//" for DuckDB — one definition, two
+    * dialects, no drift. */
+  private def expE6Horner(eCol: String, divOp: String): String = {
+    val e = s"least($eCol, 30000000)"
+    (12 to 1 by -1).foldLeft("1000000") { (acc, k) =>
+      s"(1000000 + ($e * $acc) $divOp ${10000000L * k})"
+    }
+  }
+
   /** DoReMi weights over any (doc_id, text, source) frame — the library
     * entry point ([[graft.api.GraftApi.doremiWeights]]). */
   private[graft] def doremiWeightsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -943,7 +963,7 @@ object ScaleOps {
         expr("sum_nll div n_docs").as("mean_nll_e6"),
         expr("greatest(0L, sum_nll div n_docs - g_sum div g_n)").as("excess_e6"))
       .withColumn("exp_e6", expr(
-        "CAST(round(exp(CAST(excess_e6 AS DOUBLE) / 10000000.0) * 1000000) AS BIGINT)"))
+        s"CAST(${expE6Horner("excess_e6", "div")} AS BIGINT)"))
       .withColumn("score", expr("n_docs * exp_e6"))
     val total = scored.agg(sum("score").as("t_score"))
     scored.crossJoin(broadcast(total))
@@ -954,17 +974,8 @@ object ScaleOps {
 
   val mix2: Q = (s, d) =>
     doremiWeightsOf(Tables.documents(s, d)).orderBy("source")
-  /** ACCEPTED FLAKE RISK (quantified): unlike the ln-based t14/t15 pattern,
-    * exp_e6 rounds ONE raw double exp() per domain to an e6 integer in both
-    * engines. java.lang.Math.exp (≤1 ulp) and DuckDB's libm exp (≤0.5 ulp)
-    * may disagree by 1 ulp ≈ 2.4e-10 absolute at the e6 scale in play; the
-    * rounding flips only if the true value sits within that distance of an
-    * exact .5e-6 boundary — probability ≈ 5e-10 per source per fixture
-    * regeneration (~1e-8 per round at 20 sources). An integer-safe exp
-    * (fixed-point table / (1+x/n)^n) would overflow BIGINT or change the
-    * DoReMi semantics, so the ulp risk is accepted and documented here. */
   val mix2Sql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
       |tk AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
       |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
@@ -985,13 +996,15 @@ object ScaleOps {
       |  GROUP BY d.source),
       |gl AS (SELECT CAST(sum(sum_nll) AS BIGINT) AS g_sum,
       |               CAST(sum(n_docs) AS BIGINT) AS g_n FROM by_src),
-      |scored AS (
+      |exc AS (
       |  SELECT source, n_docs,
       |         sum_nll // n_docs AS mean_nll_e6,
-      |         greatest(0, sum_nll // n_docs - g.g_sum // g.g_n) AS excess_e6,
-      |         CAST(round(exp(CAST(greatest(0, sum_nll // n_docs - g.g_sum // g.g_n) AS DOUBLE)
-      |           / 10000000.0) * 1000000) AS BIGINT) AS exp_e6
+      |         greatest(0, sum_nll // n_docs - g.g_sum // g.g_n) AS excess_e6
       |  FROM by_src CROSS JOIN gl g),
+      |scored AS (
+      |  SELECT source, n_docs, mean_nll_e6, excess_e6,
+      |         CAST(${expE6Horner("excess_e6", "//")} AS BIGINT) AS exp_e6
+      |  FROM exc),
       |sc2 AS (SELECT *, n_docs * exp_e6 AS score FROM scored),
       |tot AS (SELECT CAST(sum(score) AS BIGINT) AS t_score FROM sc2)
       |SELECT source, n_docs, CAST(mean_nll_e6 AS BIGINT) AS mean_nll_e6,

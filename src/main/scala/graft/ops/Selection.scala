@@ -482,8 +482,15 @@ object Selection {
     val scored = big.join(uni, Seq("w1")).join(cont, Seq("w2"))
       .crossJoin(broadcast(nb))
       .select(col("w1"), col("w2"),
-        expr("CAST(round(ln(CAST(4 * c1 * nb AS DOUBLE) / " +
-          "CAST(greatest(4 * c12 - 3, 0L) * nb + 3 * t1 * c2 AS DOUBLE)) * 1000000) AS BIGINT)")
+        // DECIMAL(38,0) intermediates: c1·nb and c12·nb multiply two
+        // corpus-scale counts (bigram tokens × bigram types) and wrap
+        // int64 well below 100 TB in non-ANSI Spark (DuckDB would error);
+        // the exact-rational terms stay exact in decimal and only the
+        // final single division goes through double — identical operands
+        // in both engines, so nll_e6 stays engine-exact at every scale.
+        expr("CAST(round(ln(CAST(4 * CAST(c1 AS DECIMAL(38,0)) * nb AS DOUBLE) / " +
+          "CAST(CAST(greatest(4 * c12 - 3, 0L) AS DECIMAL(38,0)) * nb " +
+          "+ 3 * CAST(t1 AS DECIMAL(38,0)) * c2 AS DOUBLE)) * 1000000) AS BIGINT)")
           .as("nll_e6_tok"))
     bi.join(scored, Seq("w1", "w2"))
       .groupBy("doc_id")
@@ -512,8 +519,9 @@ object Selection {
        |nbt AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM big),
        |scored AS (
        |  SELECT w1, w2,
-       |         CAST(round(ln(CAST(4 * c1 * nb AS DOUBLE) /
-       |           CAST(greatest(4 * c12 - 3, 0) * nb + 3 * t1 * c2 AS DOUBLE)) * 1000000) AS BIGINT)
+       |         CAST(round(ln(CAST(4 * CAST(c1 AS HUGEINT) * nb AS DOUBLE) /
+       |           CAST(CAST(greatest(4 * c12 - 3, 0) AS HUGEINT) * nb
+       |             + 3 * CAST(t1 AS HUGEINT) * c2 AS DOUBLE)) * 1000000) AS BIGINT)
        |           AS nll_e6_tok
        |  FROM big JOIN uni USING (w1) JOIN cont USING (w2) CROSS JOIN nbt)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
@@ -803,8 +811,11 @@ object Selection {
     * `TakeOrderedAndProject` (per-partition heap of k + driver merge,
     * never a full sort). The rank ordering compares raw doubles built
     * from identical exact-integer operands with the identical op
-    * sequence in both engines; key_e9 is rounded ONCE for display (the
-    * mix2 exp convention — same accepted ulp-boundary risk class). */
+    * sequence in both engines; key_e9 is rounded ONCE for display —
+    * accepted 1-ulp .5-boundary risk, quantified at ~1e-8 per round
+    * (mix2 carried the same risk class until its exp moved to the
+    * integer Horner form; ln here has no bounded-range fixed-point
+    * equivalent, so the documented risk stays). */
   private[graft] def weightedSampleOf(docs: DataFrame, k: Int, salt: String): DataFrame = {
     val keyed = docs
       .withColumn("h", conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8), 16, 10)

@@ -244,37 +244,31 @@ object SentimentNb {
     val per = scores.groupBy(col(scoreCol).as("m"))
       .agg(sum(when(col(labelCol) === 1.0, 1L).otherwise(0L)).as("p"),
         sum(when(col(labelCol) =!= 1.0, 1L).otherwise(0L)).as("q"))
-    // distributed exclusive prefix of q over ascending score — the voc2
-    // range-partition + local-window + broadcast-offsets idiom. Margins
+    // distributed exclusive prefix of q over ascending score
+    // (PrefixSum.prefixRank — the shared voc2/pack2/cur1 idiom). Margins
     // are NEAR-UNIQUE per doc (6-decimal doubles), so the per-distinct-
     // score frame is CORPUS-sized: a coalesce(1) cumulative window here
     // would funnel every scored doc through one task at 100 TB (the
     // original shape). At the tested SFs the wall time is dominated by
     // the upstream NB scoring pipeline either way (eval2 ≈ cal1 ≈ 9 s at
     // sf1), so this is a scale-shape fix, not a measured sf1 win.
-    // localCheckpoint freezes the sampled range boundaries so the
-    // offsets pass and the rank pass see the same physical partitioning.
-    val ranged = per.repartitionByRange(col("m"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
-    val totals = ranged.groupBy("pid").agg(sum("q").as("pq")).collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offs = totals.map { case (pid, pq) => val o = (pid, acc); acc += pq; o }.toSeq
-    val sp = scores.sparkSession
-    import sp.implicits._
-    val offDf = offs.toDF("pid", "q_off")
-    val localW = org.apache.spark.sql.expressions.Window
-      .partitionBy("pid").orderBy("m")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    ranged
-      .withColumn("lqb", coalesce(sum("q").over(localW), lit(0L)))
-      .join(broadcast(offDf), Seq("pid"))
-      .withColumn("qb", col("q_off") + col("lqb"))
+    PrefixSum.prefixRank(per, Seq(col("m")), Some("q")).df
+      .withColumn("qb", col("g_cum_excl"))
+      // DECIMAL(38,0) accumulation: auc2 ≈ 2·n_pos·n_neg exceeds int64
+      // once each class passes ~2e9 docs (well under the 100 TB target),
+      // and non-ANSI Spark would wrap silently while DuckDB's HUGEINT sum
+      // stays exact — so both the per-row product and the sum run in
+      // decimal, and auc2 is emitted as a STRING (a DECIMAL/HUGEINT output
+      // column would degrade through the driver's pandas fetch path — the
+      // FRAGILE_TYPES lesson from the r08 mix1 red). auc_bp divides the
+      // decimals integrally, so the headline number is exact at any scale.
       .agg(sum("p").as("n_pos"), sum("q").as("n_neg"),
-        sum(expr("2 * p * qb + p * q")).as("auc2"))
-      .withColumn("auc_bp", expr("auc2 * 10000 div (2 * n_pos * n_neg)"))
-      .select("n_pos", "n_neg", "auc2", "auc_bp")
+        sum(expr("2 * CAST(p AS DECIMAL(38,0)) * qb + CAST(p AS DECIMAL(38,0)) * q"))
+          .as("auc2d"))
+      .withColumn("auc_bp", expr(
+        "CAST(auc2d * 10000 div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("CAST(auc2d AS STRING)").as("auc2"), col("auc_bp"))
   }
 
   /** EVAL2: ROC-AUC of the NB classifier — the threshold-free companion
@@ -301,8 +295,9 @@ object SentimentNb {
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS qb
        |  FROM vals)
        |SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(q) AS BIGINT) AS n_neg,
-       |       CAST(sum(2 * p * qb + p * q) AS BIGINT) AS auc2,
-       |       CAST(sum(2 * p * qb + p * q) * 10000 // (2 * sum(p) * sum(q)) AS BIGINT) AS auc_bp
+       |       CAST(sum(2 * CAST(p AS HUGEINT) * qb + CAST(p AS HUGEINT) * q) AS VARCHAR) AS auc2,
+       |       CAST(sum(2 * CAST(p AS HUGEINT) * qb + CAST(p AS HUGEINT) * q) * 10000
+       |         // (2 * CAST(sum(p) AS HUGEINT) * sum(q)) AS BIGINT) AS auc_bp
        |FROM cum""".stripMargin
 
   val cal1: Q = (s, d) =>

@@ -428,34 +428,16 @@ object TextAnalysis {
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    // localCheckpoint, not persist — same rationale as packingStatsOf below:
-    // frozen partitioning across both passes, GC-managed block lifetime.
-    val ranged = vocab.repartitionByRange(col("c").desc, col("tok"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
-    val totals = ranged.groupBy("pid")
-      .agg(count(lit(1)).as("pn"), sum(col("c")).as("pc"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    var accN = 0L; var accC = 0L
-    val offs = totals.map { case (pid, pn, pc) =>
-      val o = (pid, accN, accC); accN += pn; accC += pc; o
-    }.toSeq
-    val nTotal = math.max(accC, 1L) // 0 rows => divisor never evaluated
-    val sp = docs.sparkSession
-    import sp.implicits._
-    val offDf = offs.toDF("pid", "rank_off", "cum_off")
-    val localW = Window.partitionBy("pid").orderBy(col("c").desc, col("tok"))
-    ranged
-      .select(col("pid"), col("tok"), col("c"),
-        row_number().over(localW).as("lrank"),
-        sum("c").over(localW.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("lcum"))
-      .join(broadcast(offDf), Seq("pid"))
-      .select((col("rank_off") + col("lrank")).cast("int").as("rank"),
-        col("tok"), col("c"),
-        expr(s"(cum_off + lcum) * 1000000 div ${nTotal}L").as("coverage_e6"))
+    // PrefixSum.prefixRank — the shared distributed prefix-sum idiom
+    // (range partition, frozen by localCheckpoint; per-partition totals
+    // broadcast back as exclusive offsets; every window pid-partitioned).
+    // sumTotal (= Σc = N) falls out of the offsets pass for free.
+    val ranked = PrefixSum.prefixRank(
+      vocab, Seq(col("c").desc, col("tok")), Some("c"))
+    val nTotal = math.max(ranked.sumTotal, 1L) // 0 rows => divisor never evaluated
+    ranked.df.select(col("g_rank").cast("int").as("rank"),
+      col("tok"), col("c"),
+      expr(s"(g_cum_excl + c) * 1000000 div ${nTotal}L").as("coverage_e6"))
   }
 
   val voc2: Q = (s, d) =>
@@ -851,27 +833,10 @@ object TextAnalysis {
     val lens = docs
       .select(col("doc_id"), expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n"))
       .filter(col("n") > 0)
-    // localCheckpoint, not persist: the offsets pass and the rank pass must
-    // see the SAME physical range partitioning (boundary sampling is seeded
-    // off the RDD id), and an explicit persist would leak for the session in
-    // library callers — eager checkpoint freezes the partitioning AND hands
-    // block lifetime to the ContextCleaner (freed on GC, no unpersist duty).
-    val ranged = lens.repartitionByRange(col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
-    val totals = ranged.groupBy("pid").agg(sum("n").as("pc"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offs = totals.map { case (pid, pc) => val o = (pid, acc); acc += pc; o }.toSeq
-    val sp = docs.sparkSession
-    import sp.implicits._
-    val offDf = offs.toDF("pid", "cum_off")
-    val localW = Window.partitionBy("pid").orderBy("doc_id")
-    ranged
-      .withColumn("lstart", coalesce(
-        sum("n").over(localW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .join(broadcast(offDf), Seq("pid"))
-      .select(col("doc_id"), col("n"), (col("cum_off") + col("lstart")).as("start"))
+    // PrefixSum.prefixRank — the shared distributed prefix-sum idiom;
+    // g_cum_excl of n over ascending doc_id IS the document start offset.
+    PrefixSum.prefixRank(lens, Seq(col("doc_id")), Some("n")).df
+      .select(col("doc_id"), col("n"), col("g_cum_excl").as("start"))
       .withColumn("endo", col("start") + col("n"))
       .select(col("doc_id"), col("start"), col("endo"),
         explode(expr(s"sequence(start div $window, (endo - 1) div $window)")).as("chunk_id"))

@@ -116,14 +116,34 @@ class PlanShapeSpec extends SparkSpec {
     // partitioned (by spark_partition_id), so no plan node may carry an
     // empty partition spec: `Window [...], [pid...]` yes,
     // `SinglePartition` window exchange no.
-    val p = plan(TextAnalysis.voc2(spark, sfDir))
+    assertPrefixSumShape(plan(TextAnalysis.voc2(spark, sfDir)))
+  }
+
+  test("every PrefixSum.prefixRank consumer keeps a pid-partitioned rank window (cur1, pack2, eval2)") {
+    // the four former hand-rolled prefix-sum sites now share one
+    // definition (PrefixSum.prefixRank) — this pins that the factoring
+    // kept the corpus-sized rank window partitioned by spark_partition_id
+    // for the other three consumers. (Unlike voc2's strict check, these
+    // plans legitimately contain OTHER unpartitioned pieces: cur1's
+    // quartile boundaries window a value-domain-bounded histogram, and
+    // eval2's final scalar aggregate funnels 1 row — both by design.)
+    Seq(Curation.cur1(spark, sfDir), TextAnalysis.pack2(spark, sfDir),
+      SentimentNb.eval2(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(winLines.exists(_.contains("pid")),
+        "the prefix-sum rank window must be pid-partitioned\n" + winLines.mkString("\n"))
+    }
+  }
+
+  private def assertPrefixSumShape(p: String): Unit = {
     assert(p.contains("Window"), p.take(600))
     val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
     assert(winLines.nonEmpty, p.take(600))
     winLines.foreach(l =>
       assert(l.contains("pid"), s"window must be partitioned by pid, got: $l"))
     assert(!p.contains("SinglePartition, ENSURE_REQUIREMENTS"),
-      "no exchange may funnel the curve into one partition")
+      "no exchange may funnel the frame into one partition")
   }
 
   test("whole-stage codegen covers the text-cleaning chain (no UDFs)") {

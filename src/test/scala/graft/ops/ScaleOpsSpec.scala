@@ -384,7 +384,12 @@ class ScaleOpsSpec extends SparkSpec {
     val scored = bySrc.map { case (s, (n, sumNll)) =>
       val mean = sumNll / n
       val excess = math.max(0L, mean - gSum / gN)
-      val expE6 = math.round(math.exp(excess.toDouble / 1e7) * 1e6)
+      // mirror ScaleOps.expE6Horner: 12-term integer Horner fixed-point
+      // exp (NOT math.exp — the engine dropped the raw-double form)
+      val e = math.min(excess, 30000000L)
+      val expE6 = (12 to 1 by -1).foldLeft(1000000L) { (acc, k) =>
+        1000000L + e * acc / (10000000L * k)
+      }
       s -> (n, mean, excess, expE6, n * expE6)
     }
     val tScore = scored.values.map(_._5).sum
