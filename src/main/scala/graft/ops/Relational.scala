@@ -783,21 +783,32 @@ object Relational {
       countDistinct(col("l_orderkey")).as("exact_orders"))
 
   /** APX1: approximate percentiles (Greenwald-Khanna sketch via
-    * `approx_percentile`) beside their exact counterparts — the
-    * single-pass mergeable-sketch path a 100 TB profile job uses instead
-    * of an exact full sort. Engine-defined digest ⇒ rows-only; ≤1%
-    * relative error asserted in ScalePathSpec. One SCALAR row per
-    * percentile (pct, apx, exact) — array columns are unsortable by the
-    * harness's rows-only compare. */
-  val apx1: Q = (s, d) =>
-    li(s, d)
-      .agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)").as("apx_a"),
-        expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("exact_a"))
-      .select(posexplode(expr("array(0.5D, 0.95D, 0.99D)")).as(Seq("i", "pct")),
-        col("apx_a"), col("exact_a"))
-      .select(col("pct"), expr("apx_a[i]").as("apx"), expr("exact_a[i]").as("exact"))
+    * `approx_percentile`) audited against the EXACT distributed
+    * percentiles (apx2's path) — the single-pass mergeable-sketch path a
+    * 100 TB profile job uses instead of an exact full sort. The sketch
+    * value itself is engine-defined, so it stays OUT of the hashed
+    * output; instead the TOLERANCE is the oracle: per percentile, the
+    * exact cents value plus `within_100bp` = 1 iff the sketch lands
+    * within 1% relative error. The DuckDB side asserts the literal 1 —
+    * a sketch drifting past the bound flips the Spark flag to 0 and the
+    * gate hash goes red (tolerance checking under an exact-hash
+    * harness). ScalePathSpec keeps the raw-error assertion. */
+  val apx1: Q = (s, d) => {
+    val apx = li(s, d)
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)").as("apx_a"))
+      .select(posexplode(expr("array(0.5D, 0.95D, 0.99D)")).as(Seq("i", "pct")), col("apx_a"))
+      .select(col("pct"), cents(expr("apx_a[i]")).as("apx_c"))
+    apx2(s, d).join(broadcast(apx), Seq("pct"))
+      .select(col("pct"), col("exact_pct_c"),
+        when(abs(col("apx_c") - col("exact_pct_c")) * 10000 <= lit(100L) * col("exact_pct_c"), 1)
+          .otherwise(0).as("within_100bp"))
       .orderBy("pct")
+  }
+  // lazy: apx2Sql is declared further down this object; a strict val here
+  // would interpolate null during object init
+  lazy val apx1Sql: String =
+    s"""SELECT pct, exact_pct_c, CAST(1 AS INTEGER) AS within_100bp
+       |FROM ($apx2Sql) ORDER BY pct""".stripMargin
 
   /** APX2: EXACT distributed percentiles, oracle-checked — aggregate to
     * (value, frequency) pairs first (one hash-agg shuffle; the heavy
@@ -1331,6 +1342,7 @@ object Relational {
     "x1_topk_custom_strategy" -> x1Sql,
     "x2_topk_rank_rewrite" -> x1Sql,
     "sk2_salted_skew_join" -> sk2Sql,
+    "apx1_quantile_sketch" -> apx1Sql,
     "apx2_exact_percentiles" -> apx2Sql,
     "s8_csv_source" -> s8Sql,
     "s9_json_source" -> s9Sql,

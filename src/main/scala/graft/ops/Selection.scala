@@ -336,9 +336,9 @@ object Selection {
     * replace merges greedily but may pick different positions than the
     * textbook left-to-right scan ("[aa,a,aa]" vs "[aa,aa,a]" on a 5-run).
     * The rule here is deterministic and documented; `SelectionSpec` pins
-    * the classic no-run example where both rules coincide. No DuckDB
-    * oracle (iterative driver loop, like the m1/m3 MLlib fits) —
-    * compensating spec in `SelectionSpec`.
+    * the classic no-run example where both rules coincide. The fixed-k
+    * driver loop unrolls into a DuckDB oracle ([[bpeMergeCtes]]), so the
+    * gate hash-checks the learned merges since round 11.
     *
     * Emits one row per merge: (iter, left_sym, right_sym, pair_count). */
   private[graft] def bpeMergesOf(docs: DataFrame, k: Int): DataFrame = {
@@ -380,6 +380,51 @@ object Selection {
 
   val bpe2: Q = (s, d) =>
     bpeMergesOf(Tables.documents(s, d), BpeMerges).orderBy("iter")
+
+  /** DuckDB CTE chain replaying the k-iteration BPE trainer loop —
+    * the driver loop is FIXED-k, so it unrolls exactly: per iteration,
+    * pair counts over the current vocab (`p$n`), the 1-row argmax
+    * (`m$n`, count DESC then lexicographic — the trainer's tiebreak),
+    * and the merge applied via the same 8-pass fixpoint `replace`
+    * (string replace is all-occurrence left-to-right in BOTH engines,
+    * so even the repeated-run quirk mirrors). Shared by bpe2Sql (emit
+    * the merges) and tok2Sql (apply them to encode). Ends with CTEs
+    * `toksb`, `v0..v$k`, `m1..m$k`. */
+  private def bpeMergeCtes(k: Int): String = {
+    def rep8(base: String): String = (1 to 8).foldLeft(base)((c, _) =>
+      s"replace($c, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')")
+    val head =
+      """toksb AS (
+        |  SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+        |v0 AS MATERIALIZED (
+        |  SELECT ' ' || array_to_string(list_transform(generate_series(1, len(tok)),
+        |           i -> substr(tok, CAST(i AS INTEGER), 1)), ' ') || ' ' AS repr,
+        |         CAST(count(*) AS BIGINT) AS f
+        |  FROM toksb WHERE len(tok) > 0 GROUP BY tok)""".stripMargin
+    val iters = (1 to k).map { n =>
+      s"""p$n AS (
+         |  SELECT ss.s[CAST(t.i AS INTEGER)] AS l, ss.s[CAST(t.i AS INTEGER) + 1] AS r,
+         |         CAST(sum(ss.f) AS BIGINT) AS pc
+         |  FROM (SELECT str_split(trim(repr), ' ') AS s, f FROM v${n - 1}) ss
+         |  CROSS JOIN range(1, 64) t(i)
+         |  WHERE t.i <= len(ss.s) - 1
+         |  GROUP BY l, r),
+         |m$n AS MATERIALIZED (SELECT l, r, pc FROM p$n ORDER BY pc DESC, l, r LIMIT 1),
+         |v$n AS MATERIALIZED (
+         |  SELECT ${rep8("v.repr")} AS repr, v.f
+         |  FROM v${n - 1} v CROSS JOIN m$n m)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  val bpe2Sql: String =
+    s"""WITH ${bpeMergeCtes(BpeMerges)}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS INTEGER) AS iter, l AS left_sym, r AS right_sym, pc AS pair_count FROM m1
+       |  UNION ALL SELECT CAST(2 AS INTEGER), l, r, pc FROM m2
+       |  UNION ALL SELECT CAST(3 AS INTEGER), l, r, pc FROM m3
+       |  UNION ALL SELECT CAST(4 AS INTEGER), l, r, pc FROM m4)
+       |ORDER BY iter""".stripMargin
 
   // ---- T19: bigram-LM negative log-likelihood ----
 
@@ -707,8 +752,9 @@ object Selection {
     * per-token symbol counts join back to the token instances and sum
     * per doc: the corpus is scanned once and never rewritten.
     *
-    * No DuckDB oracle (merges come from the bpe2 driver loop);
-    * `SelectionSpec` pins the classic-corpus encoding exactly. Emits
+    * Oracled since round 11: [[tok2Sql]] replays the trainer CTEs and
+    * the encode chain in DuckDB; `SelectionSpec` additionally pins the
+    * classic-corpus encoding exactly. Emits
     * (doc_id, n_words, n_sym_before, n_sym_after, compression_bp). */
   private[graft] def bpeEncodeStatsOf(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val t = toks(docs)
@@ -743,6 +789,40 @@ object Selection {
       .orderBy("iter").select("left_sym", "right_sym")
       .as[(String, String)].collect().toSeq
     bpeEncodeStatsOf(docs, merges).orderBy("doc_id")
+  }
+
+  /** tok2's oracle: replay the trainer ([[bpeMergeCtes]]) to get m1..m4,
+    * apply them to the distinct-token vocabulary (`e0..e4` — the encode
+    * side keeps the `tok` key so symbol counts join back to instances),
+    * then the per-doc accounting. */
+  val tok2Sql: String = {
+    def rep8(base: String): String = (1 to 8).foldLeft(base)((c, _) =>
+      s"replace($c, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')")
+    val enc = (1 to BpeMerges).map { n =>
+      s"""e$n AS MATERIALIZED (
+         |  SELECT e.tok, ${rep8("e.repr")} AS repr
+         |  FROM e${n - 1} e CROSS JOIN m$n m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeMergeCtes(BpeMerges)},
+       |e0 AS (
+       |  SELECT tok, ' ' || array_to_string(list_transform(generate_series(1, len(tok)),
+       |           i -> substr(tok, CAST(i AS INTEGER), 1)), ' ') || ' ' AS repr
+       |  FROM (SELECT DISTINCT tok FROM toksb WHERE len(tok) > 0)),
+       |$enc,
+       |sc AS (
+       |  SELECT tok, CAST(len(tok) AS BIGINT) AS n_before,
+       |         CAST(len(str_split(trim(repr), ' ')) AS BIGINT) AS n_after
+       |  FROM e$BpeMerges),
+       |tk AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+       |  WHERE len(tok) > 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_before) AS BIGINT) AS n_sym_before,
+       |       CAST(sum(n_after) AS BIGINT) AS n_sym_after,
+       |       CAST(sum(n_after) * 10000 // sum(n_before) AS BIGINT) AS compression_bp
+       |FROM tk JOIN sc USING (tok)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // ---- BATCH1: length-bucket padding-waste accounting ----
@@ -872,7 +952,8 @@ object Selection {
     "sel1_dsir_topk" -> sel1Sql,
     "t18_char_entropy" -> t18Sql,
     "bpe1_pair_stats" -> bpe1Sql,
-    // bpe2: iterative driver loop — no SQL oracle; SelectionSpec pins it.
+    "bpe2_merge_induction" -> bpe2Sql,
+    "tok2_bpe_encode" -> tok2Sql,
     "t19_bigram_nll" -> t19Sql,
     "t22_kneser_ney" -> t22Sql,
     "fim1_split" -> fim1Sql,

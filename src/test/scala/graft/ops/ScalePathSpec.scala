@@ -88,11 +88,15 @@ class ScalePathSpec extends SparkSpec {
   }
 
   test("approx_percentile sketch is within 1% of exact percentiles") {
+    // apx1 now emits (pct, exact_pct_c, within_100bp): the raw sketch
+    // value is engine-defined so the TOLERANCE flag is the deliverable
+    // (its DuckDB oracle asserts the literal 1)
     val rows = Relational.apx1(spark, sfDir).collect()
     assert(rows.length === 3)
     rows.foreach { r =>
-      val (a, e) = (r.getDouble(1), r.getDouble(2))
-      assert(math.abs(a - e) / e < 0.01, s"pct ${r.getDouble(0)}: approx $a vs exact $e")
+      assert(r.getLong(1) > 0L, s"pct ${r.getDouble(0)}: exact cents must be positive")
+      assert(r.getInt(2) === 1,
+        s"pct ${r.getDouble(0)}: sketch outside the 100 bp tolerance")
     }
   }
 
