@@ -676,6 +676,15 @@ object GraftApi {
   /** Per-subspace PQ codebooks (Jégou et al. 2011) trained with cl1's
     * integer-exact Lloyd conventions over a [[Similarity.qnormOf]]
     * frame; feed to an ADC scan for compressed-domain ANN. */
+  /** IVF-PQ top-k (the FAISS billion-scale serving shape): a coarse
+    * quantizer (8 cells from the lowest-id vectors) restricts each query
+    * to ONE inverted-file cell, and in-cell candidates are scored in the
+    * compressed domain via PQ ADC tables — a query touches ~1/8 of the
+    * corpus and never reads a full vector. Emits (q_id, cand_id, rk,
+    * adist). Registry twin: `sim10_ivfpq_topk` (oracle-checked). */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, k: Int = 3): DataFrame =
+    Similarity.ivfPqTopKOf(vectors, queries, k)
+
   def pqCodebooks(quantized: DataFrame): Seq[Seq[Array[Long]]] =
     Similarity.pqCodebooks(quantized)
 }

@@ -948,11 +948,18 @@ object Similarity {
     * index (partitioned by cell, 8 code ids + 1 cell id per vector);
     * queries broadcast their (cell, ADC-table) rows and the scan prunes
     * to matching cell partitions. */
-  val sim10: Q = (s, d) => {
-    val qn = qnormOf(Tables.embeddings(s, d))
-    val cents = qn.filter(col("vec_id").between(1, 8)).orderBy("vec_id")
+  /** Parameterized IVF-PQ over any (vectors, queries) pair — the library
+    * entry point ([[graft.api.GraftApi.ivfPqTopK]]). Coarse seeds are
+    * the 8 LOWEST-vec_id vectors (= the registry's vec_id 1..8 on the
+    * fixture, so sim10's oracle is untouched); codebooks train on
+    * `vectors` and score `queries`' ADC tables against them. Emits
+    * (q_id, cand_id, rk, adist). */
+  private[graft] def ivfPqTopKOf(vectors: DataFrame, queries: DataFrame,
+      k: Int = 3): DataFrame = {
+    val qn = qnormOf(vectors)
+    val cents = qn.orderBy("vec_id").limit(8)
       .select("q").collect().map(_.getSeq[Long](0).toArray).toSeq
-    require(cents.length == 8, "need coarse seeds vec_id 1..8")
+    require(cents.length == 8, "need >= 8 vectors for the coarse quantizer")
     val cl = cellLit(cents)
     def withCell(df: DataFrame): DataFrame = df
       .withColumn("cds", expr(s"transform($cl, c -> " +
@@ -962,9 +969,10 @@ object Similarity {
     val cb = pqCodebooks(qn)
     val codes = pqAssign(pqSubs(qn), cb).select(col("vec_id"), col("j"), col("cid"))
     val cells = withCell(qn).select(col("vec_id"), col("cell"))
-    val qcells = withCell(qn.filter(col("vec_id") % 50 === 0))
+    val qs = qnormOf(queries)
+    val qcells = withCell(qs)
       .select(col("vec_id").as("q_id"), col("cell").as("q_cell"))
-    val dtab = pqSubs(qn.filter(col("vec_id") % 50 === 0))
+    val dtab = pqSubs(qs)
       .select(col("vec_id").as("q_id"), col("j"), posexplode(expr(
         s"transform(element_at(${cbLiteral(cb)}, j + 1), c -> " +
           "aggregate(zip_with(sq, c, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v))"))
@@ -976,14 +984,18 @@ object Similarity {
       .groupBy(col("q_id"), col("vec_id").as("cand_id"))
       .agg(sum("dist").as("adist"))
     val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("cand_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("cand_id"), col("rk"), col("adist"))
-      .orderBy("q_id", "rk")
   }
+
+  val sim10: Q = (s, d) =>
+    ivfPqTopKOf(Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0))
+      .orderBy("q_id", "rk")
   val sim10Sql: String = pqCtes +
     s""",
-       |cent AS (SELECT CAST(vec_id AS BIGINT) AS ccid, q AS cq
-       |         FROM qn WHERE vec_id BETWEEN 1 AND 8),
+       |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS ccid, q AS cq
+       |         FROM (SELECT vec_id, q FROM qn ORDER BY vec_id LIMIT 8)),
        |cd AS (
        |  SELECT v.vec_id, c.ccid,
        |         CAST(list_sum(list_transform(range(1, 65),

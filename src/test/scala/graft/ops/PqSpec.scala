@@ -73,7 +73,9 @@ class PqSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qs = raw.map { case (id, v) => (id, v.map(x => math.round(x.toDouble * 1000))) }
       .filter { case (_, q) => q.iterator.map(x => x * x).sum > 0L }
-    val cents = (1 to 8).map(i => qs.find(_._1 == i.toLong).get._2)
+    // seeds = the 8 LOWEST nonzero vec_ids (the library semantic since
+    // ivfPqTopKOf was parameterized — on this fixture that is 0..7)
+    val cents = qs.sortBy(_._1).take(8).map(_._2).toIndexedSeq
     def cell(q: Array[Long]): Int =
       cents.zipWithIndex.minBy { case (c, i) => (sq(c, q), i) }._2 + 1
     val cellOf = qs.map { case (id, q) => id -> cell(q) }.toMap
