@@ -107,7 +107,16 @@ object Curation {
     * source, grade) histogram first — one corpus scan + one small
     * aggregate; win counts are then Σ c_a(g)·c_b(g') over the tiny
     * histogram join (bounded by langs · sourcePairs · 101², independent
-    * of corpus size). */
+    * of corpus size).
+    *
+    * INT64 BOUND (documented, not yet decimalized): c_a·c_b multiplies
+    * two per-(lang, source) histogram counts, so wins wrap int64 once a
+    * single (lang, source) cell passes ~3e9 docs — the eval2/t22 class
+    * of bound. The fix is the same DECIMAL(38,0) accumulation, but wins
+    * feed pref2's Bradley–Terry pooling as BIGINT columns, so the
+    * upgrade must move both ops together; until then the bound is the
+    * contract (a 100 TB corpus split over realistic lang×source cells
+    * stays under it unless one cell dominates). */
   private[graft] def pairwiseWinsOf(docs: DataFrame): DataFrame = {
     val q = TextAnalysis.qualityScoreOf(docs).select("doc_id", "quality")
     val g = docs.select("doc_id", "lang", "source").join(q, Seq("doc_id"))

@@ -1030,9 +1030,14 @@ object Relational {
           .otherwise(0L)).as("promo_e4"),
         sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("total_e4"))
       .select(col("promo_e4"), col("total_e4"),
-        expr("promo_e4 * 10000 div total_e4").as("promo_share_bp"))
+        // DECIMAL ratio: a month of e4-unit revenue at TPC-H sf100k is
+        // ~2.7e18 — the SUM fits int64 but promo_e4 * 10000 wraps; the
+        // bp share is the deliverable, so it divides in decimal
+        expr("CAST(CAST(promo_e4 AS DECIMAL(38,0)) * 10000 div total_e4 AS BIGINT)")
+          .as("promo_share_bp"))
   val q14Sql: String =
-    s"""SELECT promo_e4, total_e4, promo_e4 * 10000 // total_e4 AS promo_share_bp FROM (
+    s"""SELECT promo_e4, total_e4,
+       |       CAST(CAST(promo_e4 AS HUGEINT) * 10000 // total_e4 AS BIGINT) AS promo_share_bp FROM (
        |  SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
        |               THEN ${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
        |               ELSE 0 END) AS BIGINT) AS promo_e4,

@@ -435,9 +435,13 @@ object TextAnalysis {
     val ranked = PrefixSum.prefixRank(
       vocab, Seq(col("c").desc, col("tok")), Some("c"))
     val nTotal = math.max(ranked.sumTotal, 1L) // 0 rows => divisor never evaluated
+    // DECIMAL ratio: cum·10⁶ wraps int64 past ~9e12 tokens (a 100 TB
+    // corpus holds ~2.5e13) — the cumulative count stays int64, only the
+    // e6 scaling divides in decimal
     ranked.df.select(col("g_rank").cast("int").as("rank"),
       col("tok"), col("c"),
-      expr(s"(g_cum_excl + c) * 1000000 div ${nTotal}L").as("coverage_e6"))
+      expr(s"CAST(CAST(g_cum_excl + c AS DECIMAL(38,0)) * 1000000 div ${nTotal}L AS BIGINT)")
+        .as("coverage_e6"))
   }
 
   val voc2: Q = (s, d) =>
@@ -454,7 +458,8 @@ object TextAnalysis {
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c
       |  FROM vocab)
       |SELECT rank, tok, c,
-      |       cum_c * 1000000 // (SELECT CAST(count(*) AS BIGINT) FROM tk) AS coverage_e6
+      |       CAST(CAST(cum_c AS HUGEINT) * 1000000
+      |         // (SELECT CAST(count(*) AS BIGINT) FROM tk) AS BIGINT) AS coverage_e6
       |FROM ranked ORDER BY rank""".stripMargin
 
   // ---- T15: unigram-LM negative log-likelihood (CCNet-style quality) ----

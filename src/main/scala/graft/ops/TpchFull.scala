@@ -71,11 +71,16 @@ object TpchFull {
         sum(when(col("supp_nation") === "NATION_7", rev()).otherwise(0L)).as("nation_e4"),
         sum(rev()).as("total_e4"))
       .select(col("o_year"), col("nation_e4"), col("total_e4"),
-        expr("nation_e4 * 10000 div total_e4").as("mkt_share_bp"))
+        // DECIMAL ratio: the e4-unit revenue sums fit int64 at any
+        // realistic scale but `* 10000` wraps — divide in decimal (q14's
+        // round-11 convention)
+        expr("CAST(CAST(nation_e4 AS DECIMAL(38,0)) * 10000 div total_e4 AS BIGINT)")
+          .as("mkt_share_bp"))
       .orderBy("o_year")
   }
   val q8Sql: String =
-    s"""SELECT o_year, nation_e4, total_e4, nation_e4 * 10000 // total_e4 AS mkt_share_bp FROM (
+    s"""SELECT o_year, nation_e4, total_e4,
+       |       CAST(CAST(nation_e4 AS HUGEINT) * 10000 // total_e4 AS BIGINT) AS mkt_share_bp FROM (
        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
        |    CAST(sum(CASE WHEN sn.n_name = 'NATION_7' THEN $revSql ELSE 0 END) AS BIGINT) AS nation_e4,
        |    CAST(sum($revSql) AS BIGINT) AS total_e4
