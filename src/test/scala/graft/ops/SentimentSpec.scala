@@ -151,7 +151,9 @@ class SentimentSpec extends SparkSpec {
     // no chance-floor assertion: the sf0.001 test split is ~13 docs, so
     // the AUC point estimate is noise-dominated there (0.58 at sf0.01)
     val r = SentimentNb.eval2(spark, sfDir).collect().head
-    val (np, nn, auc2, aucBp) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // auc2 is emitted as a STRING (decimal accumulation, fragile-type-safe
+    // output) — parse for the identity checks
+    val (np, nn, auc2, aucBp) = (r.getLong(0), r.getLong(1), r.getString(2).toLong, r.getLong(3))
     assert(np > 0 && nn > 0)
     assert(aucBp === auc2 * 10000 / (2 * np * nn), "bp is the exact integer quotient")
     assert(auc2 >= 0 && auc2 <= 2 * np * nn, "numerator bounded by pair count")

@@ -252,8 +252,11 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("d19 flags exactly the train docs sharing a winnowing fingerprint with eval") {
+    // t21's registry output stringifies fps (driver-harness hashability);
+    // parse it back for the set arithmetic
     val fps = TextAnalysis.t21(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](3).toSet)).toMap
+      .map(r => (r.getLong(0),
+        r.getString(3).split(',').filter(_.nonEmpty).map(_.toLong).toSet)).toMap
     val evalF = fps.collect { case (id, f) if id % 97 == 0 => f }
       .foldLeft(Set.empty[Long])(_ ++ _)
     val got = TextAnalysis.d19(spark, sfDir).collect()
@@ -273,13 +276,13 @@ class TextAnalysisSpec extends SparkSpec {
     var withSel = 0
     rows.foreach { r =>
       val (m, nsel) = (r.getLong(1), r.getLong(2))
-      val fps = r.getSeq[Long](3)
+      val fps = r.getString(3).split(',').filter(_.nonEmpty).map(_.toLong).toSeq
       if (m >= 4) {
         assert(nsel >= 1 && nsel <= m - 3, s"n_sel $nsel out of [1, ${m - 3}]")
         withSel += 1
       } else assert(nsel === 0 && fps.isEmpty)
       assert(fps.size <= nsel, "distinct hashes cannot exceed selected pairs")
-      assert(fps.toSeq === fps.toSeq.sorted)
+      assert(fps === fps.sorted)
     }
     assert(withSel > 0)
   }
