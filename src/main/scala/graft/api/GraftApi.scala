@@ -606,6 +606,29 @@ object GraftApi {
   /** Population Stability Index of each source's n_chars distribution
     * vs `refSource` (11 fixed-width bins, Laplace-smoothed, e6 integer);
     * `drifted` flags PSI > 0.2. */
+  /** Cohen's kappa between two binary raters over an (a, b) frame of
+    * 0/1 columns — agreement beyond chance, the audit before swapping an
+    * expensive rater for a cheap one. Emits one row
+    * (n, n11, n10, n01, n00, po_e6, pe_e6, kappa_e6), all exact-integer
+    * (DECIMAL-safe at corpus² scale). */
+  def cohensKappa(rated: DataFrame): DataFrame =
+    graft.ops.Evaluation.cohensKappaOf(rated)
+
+  /** Benford first-digit audit over a positive integer value column —
+    * the fabricated/corrupted-numeric screen. Per digit: observed count,
+    * observed share (e6), the Benford expectation and the absolute
+    * deviation. */
+  def benfordAudit(values: DataFrame, valueCol: String): DataFrame =
+    graft.ops.Evaluation.benfordOf(values, valueCol)
+
+  /** Query-likelihood retrieval with Dirichlet smoothing (μ = 2000) —
+    * the probabilistic alternative to [[bm25TopK]]; same
+    * (query_id, term) query frame, same (query_id, rnk, doc_id,
+    * score_e6) output, per-term ln rounded to e6 BEFORE the integer
+    * per-doc sum (rank order engine-exact by construction). */
+  def queryLikelihoodTopK(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
+    Retrieval.queryLikelihoodTopKOf(docs, queries, k)
+
   def psiDrift(docs: DataFrame, refSource: String): DataFrame =
     graft.ops.Evaluation.psiDriftOf(docs, refSource)
 

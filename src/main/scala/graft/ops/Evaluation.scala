@@ -317,18 +317,156 @@ object Evaluation {
       |         // CAST(count(*) AS BIGINT) AS flag_bp
       |FROM h GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- EVAL3: Cohen's kappa — inter-rater agreement beyond chance ----
+
+  /** EVAL3: Cohen's kappa (Cohen 1960) between two document-quality
+    * raters — the audit run before replacing an expensive rater with a
+    * cheap heuristic (or before trusting LLM-judge labels against human
+    * ones): rater A = the cheap length rule (n_chars ≥ 200), rater B =
+    * the composite t5 quality score (≥ 5000). Raw agreement po is
+    * inflated by chance; kappa subtracts the chance-agreement floor pe
+    * from both sides: κ = (po − pe)/(1 − pe).
+    *
+    * Exactness: the whole statistic is one exact rational —
+    * κ = (n·(n11+n00) − (a1·b1 + a0·b0)) / (n² − (a1·b1 + a0·b0)) —
+    * so both engines compute identical integers; the e6 scaling divides
+    * with EXPLICIT sign-splitting because κ can be negative and Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors — the CASE
+    * makes both truncate. All products run in DECIMAL(38,0)/HUGEINT
+    * (n·agree and n² are corpus² — the eval2 overflow class).
+    *
+    * Scale: one corpus scan into a 4-cell confusion aggregate; the
+    * kappa arithmetic is a 1-row projection. */
+  private[graft] def cohensKappaOf(rated: DataFrame): DataFrame =
+    rated
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN a = 1 AND b = 1 THEN 1L ELSE 0L END")).as("n11"),
+        sum(expr("CASE WHEN a = 1 AND b = 0 THEN 1L ELSE 0L END")).as("n10"),
+        sum(expr("CASE WHEN a = 0 AND b = 1 THEN 1L ELSE 0L END")).as("n01"),
+        sum(expr("CASE WHEN a = 0 AND b = 0 THEN 1L ELSE 0L END")).as("n00"))
+      .withColumn("chance", expr(
+        "(CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01) + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00))"))
+      .withColumn("po_e6", expr(
+        "CAST(CAST(n11 + n00 AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"))
+      .withColumn("pe_e6", expr(
+        "CAST(chance * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+      .withColumn("knum", expr("CAST(n AS DECIMAL(38,0)) * (n11 + n00) - chance"))
+      .withColumn("kden", expr("CAST(n AS DECIMAL(38,0)) * n - chance"))
+      .withColumn("kappa_e6", expr(
+        "CASE WHEN kden = 0 THEN 0L " +
+          "WHEN knum >= 0 THEN CAST(knum * 1000000 div kden AS BIGINT) " +
+          "ELSE -CAST((-knum) * 1000000 div kden AS BIGINT) END"))
+      .select("n", "n11", "n10", "n01", "n00", "po_e6", "pe_e6", "kappa_e6")
+
+  val eval3: Q = (s, d) => {
+    val q = TextAnalysis.qualityScoreOf(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality"))
+    val rated = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .join(q, Seq("doc_id"))
+      .select(
+        when(col("n_chars") >= 200, 1).otherwise(0).as("a"),
+        when(col("quality") >= 5000, 1).otherwise(0).as("b"))
+    cohensKappaOf(rated)
+  }
+  val eval3Sql: String =
+    s"""WITH ${TextAnalysis.qualityCte},
+       |rated AS (
+       |  SELECT CASE WHEN d.n_chars >= 200 THEN 1 ELSE 0 END AS a,
+       |         CASE WHEN q.quality >= 5000 THEN 1 ELSE 0 END AS b
+       |  FROM documents d JOIN qual q ON q.doc_id = d.doc_id),
+       |cm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |         CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |         CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |         CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |  FROM rated),
+       |k AS (
+       |  SELECT *,
+       |         CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+       |           + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS chance
+       |  FROM cm)
+       |SELECT n, n11, n10, n01, n00,
+       |       CAST(CAST(n11 + n00 AS HUGEINT) * 1000000 // n AS BIGINT) AS po_e6,
+       |       CAST(chance * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_e6,
+       |       CASE WHEN CAST(n AS HUGEINT) * n - chance = 0 THEN CAST(0 AS BIGINT)
+       |            WHEN CAST(n AS HUGEINT) * (n11 + n00) - chance >= 0
+       |              THEN CAST((CAST(n AS HUGEINT) * (n11 + n00) - chance) * 1000000
+       |                     // (CAST(n AS HUGEINT) * n - chance) AS BIGINT)
+       |            ELSE -CAST((chance - CAST(n AS HUGEINT) * (n11 + n00)) * 1000000
+       |                     // (CAST(n AS HUGEINT) * n - chance) AS BIGINT) END AS kappa_e6
+       |FROM k""".stripMargin
+
+  // ---- DQ5: Benford first-digit audit ----
+
+  /** Benford expected first-digit shares, log10(1 + 1/d)·10⁶ rounded —
+    * computed ONCE on the JVM and injected as the SAME literals into
+    * both dialects, so no runtime transcendental can diverge. */
+  private[graft] val BenfordE6: Map[Int, Long] =
+    (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6)).toMap
+
+  /** DQ5: Benford's-law first-digit audit over a positive integer value
+    * column — the classic fabricated-/corrupted-numeric-data screen a
+    * pipeline runs over money or count columns before trusting a new
+    * feed. Per digit: observed count, observed share (e6), the Benford
+    * expectation (a JVM-literal constant), and the absolute deviation.
+    * The summary row criterion (max deviation) stays with the caller —
+    * the per-digit frame IS the audit artifact.
+    *
+    * Scale: one scan into a 9-cell aggregate; share math in
+    * DECIMAL(38,0) (count·10⁶ wraps int64 at ~9e12 rows). */
+  private[graft] def benfordOf(values: DataFrame, valueCol: String): DataFrame = {
+    val expCase = BenfordE6.toSeq.sortBy(_._1)
+      .map { case (dg, e) => s"WHEN digit = $dg THEN ${e}L" }
+      .mkString("CASE ", " ", " ELSE 0L END")
+    values
+      .filter(col(valueCol) > 0)
+      .select(expr(s"CAST(substring(CAST($valueCol AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .withColumn("total", sum("n_obs").over(org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))))
+      .withColumn("share_e6", expr(
+        "CAST(CAST(n_obs AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"))
+      .withColumn("benford_e6", expr(expCase))
+      .withColumn("dev_e6", expr("abs(share_e6 - benford_e6)"))
+      .select("digit", "n_obs", "share_e6", "benford_e6", "dev_e6")
+  }
+
+  val dq5: Q = (s, d) =>
+    benfordOf(Tables.lineitem(s, d).select(Money.cents(col("l_extendedprice")).as("v")), "v")
+      .orderBy("digit")
+  val dq5Sql: String = {
+    val expCase = BenfordE6.toSeq.sortBy(_._1)
+      .map { case (dg, e) => s"WHEN digit = $dg THEN $e" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH v AS (
+       |  SELECT CAST(substr(CAST(${Money.centsSql("l_extendedprice")} AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM lineitem WHERE ${Money.centsSql("l_extendedprice")} > 0),
+       |agg AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM v GROUP BY digit),
+       |t AS (SELECT *, CAST(sum(n_obs) OVER () AS BIGINT) AS total FROM agg)
+       |SELECT digit, n_obs,
+       |       CAST(CAST(n_obs AS HUGEINT) * 1000000 // total AS BIGINT) AS share_e6,
+       |       CAST($expCase AS BIGINT) AS benford_e6,
+       |       CAST(abs(CAST(CAST(n_obs AS HUGEINT) * 1000000 // total AS BIGINT) - ($expCase)) AS BIGINT) AS dev_e6
+       |FROM t ORDER BY digit""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "eval1_ir_metrics" -> eval1,
+    "eval3_cohens_kappa" -> eval3,
     "dq3_psi_drift" -> dq3,
     "dq4_ks_distance" -> dq4,
+    "dq5_benford_audit" -> dq5,
     "split1_hash_split" -> split1,
     "tox1_blocklist_filter" -> tox1,
   )
 
   val oracle: Map[String, String] = Map(
     "eval1_ir_metrics" -> eval1Sql,
+    "eval3_cohens_kappa" -> eval3Sql,
     "dq3_psi_drift" -> dq3Sql,
     "dq4_ks_distance" -> dq4Sql,
+    "dq5_benford_audit" -> dq5Sql,
     "split1_hash_split" -> split1Sql,
     "tox1_blocklist_filter" -> tox1Sql,
   )

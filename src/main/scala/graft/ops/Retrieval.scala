@@ -309,15 +309,113 @@ object Retrieval {
        |FROM rranked WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
+  // ---- RET4: query-likelihood retrieval (Dirichlet smoothing) ----
+
+  /** Dirichlet prior μ = 2000 (the Zhai–Lafferty INEX/TREC default). */
+  private val DirichletMu = 2000L
+
+  /** RET4: language-model retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty SIGIR 2001) — the probabilistic alternative to BM25 and
+    * the scoring family KenLM-style data-selection shares its math
+    * with. Rank-equivalent decomposition: score(q, d) =
+    * Σ_{t ∈ q∩d} ln(1 + tf·|C| / (μ·cf_t))  +  |q|·ln(μ / (dl + μ)),
+    * which needs ONLY the present-term postings (absent terms fold into
+    * the per-doc norm — no per-absent-term work, the property that
+    * makes QL indexable exactly like BM25).
+    *
+    * Exactness: tighter than ret1 — each ln rounds to an e6 long BEFORE
+    * summation, so the per-doc score is an INTEGER sum of integers
+    * (double-sum order can never flip a rank); the ln argument is one
+    * double division of DECIMAL-exact products (tf·|C| is corpus-scale —
+    * the t22 overflow class). Candidates = docs sharing ≥ 1 query term
+    * (the inverted-index probe); scale shape identical to ret1. */
+  private[graft] def queryLikelihoodTopKOf(docs: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val ctot = dl.agg(sum("dl").as("c_total"))
+    val qterms = broadcast(queries.select("term").distinct())
+    val cf = tf.join(qterms, Seq("term")).groupBy("term").agg(sum("tf").as("cf"))
+    val nq = queries.groupBy("query_id").agg(count(lit(1)).as("nq"))
+    val present = tf
+      .join(broadcast(queries), Seq("term"))
+      .join(broadcast(cf), Seq("term"))
+      .crossJoin(broadcast(ctot))
+      .select(col("query_id"), col("doc_id"),
+        expr(s"CAST(round(ln(1.0 + CAST(CAST(tf AS DECIMAL(38,0)) * c_total AS DOUBLE)" +
+          s" / CAST($DirichletMu * CAST(cf AS DECIMAL(38,0)) AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("w_e6"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("w_e6").as("sum_w_e6"))
+    present
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(nq), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        expr(s"sum_w_e6 + nq * CAST(round(ln(CAST($DirichletMu AS DOUBLE)" +
+          s" / (CAST(dl AS DOUBLE) + $DirichletMu.0)) * 1000000) AS BIGINT)")
+          .as("score_e6"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score_e6").desc, col("doc_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score_e6"))
+  }
+
+  val ret4: Q = (s, d) =>
+    queryLikelihoodTopKOf(Tables.documents(s, d), queryDf(s), k = 5)
+      .orderBy("query_id", "rnk")
+  val ret4Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks WHERE len(term) > 0 GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |ctot AS (SELECT CAST(sum(dl) AS BIGINT) AS c_total FROM dl),
+       |q AS (SELECT * FROM $querySql),
+       |cf AS (
+       |  SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf
+       |  WHERE term IN (SELECT term FROM q) GROUP BY term),
+       |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nq FROM q GROUP BY query_id),
+       |present AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |         CAST(sum(CAST(round(ln(1.0 + CAST(CAST(tf.tf AS HUGEINT) * c_total AS DOUBLE)
+       |           / CAST($DirichletMu * CAST(cf.cf AS HUGEINT) AS DOUBLE)) * 1000000) AS BIGINT))
+       |           AS BIGINT) AS sum_w_e6
+       |  FROM tf
+       |  JOIN q ON q.term = tf.term
+       |  JOIN cf ON cf.term = tf.term
+       |  CROSS JOIN ctot
+       |  GROUP BY q.query_id, tf.doc_id),
+       |scored AS (
+       |  SELECT p.query_id, p.doc_id,
+       |         p.sum_w_e6 + nq.nq * CAST(round(ln(CAST($DirichletMu AS DOUBLE)
+       |           / (CAST(dl.dl AS DOUBLE) + $DirichletMu.0)) * 1000000) AS BIGINT) AS score_e6
+       |  FROM present p
+       |  JOIN dl ON dl.doc_id = p.doc_id
+       |  JOIN nq ON nq.query_id = p.query_id),
+       |rk AS (
+       |  SELECT query_id, doc_id, score_e6,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score_e6 DESC, doc_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id, score_e6
+       |FROM rk WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ret1_bm25_topk" -> ret1,
     "ret2_hybrid_rrf_topk" -> ret2,
     "ret3_expanded_bm25" -> ret3,
+    "ret4_query_likelihood_topk" -> ret4,
   )
 
   val oracle: Map[String, String] = Map(
     "ret1_bm25_topk" -> ret1Sql,
     "ret2_hybrid_rrf_topk" -> ret2Sql,
     "ret3_expanded_bm25" -> ret3Sql,
+    "ret4_query_likelihood_topk" -> ret4Sql,
   )
 }

@@ -112,4 +112,34 @@ class EvaluationSpec extends SparkSpec {
     assert(out("s1") === ((1L, 2L, 5000L)))
     assert(out("s2") === ((1L, 1L, 5000L)))
   }
+
+  test("eval3 kappa: perfect agreement = 1e6, independent raters ~ 0, disagreement negative") {
+    import spark.implicits._
+    def kappa(rows: Seq[(Int, Int)]): Long =
+      Evaluation.cohensKappaOf(rows.toDF("a", "b")).collect().head.getAs[Long]("kappa_e6")
+    // perfect agreement
+    assert(kappa(Seq((1, 1), (1, 1), (0, 0), (0, 0))) === 1000000L)
+    // perfect DISagreement on a balanced table -> kappa = -1e6
+    assert(kappa(Seq((1, 0), (1, 0), (0, 1), (0, 1))) === -1000000L)
+    // statistically independent raters (all four cells equal) -> kappa = 0
+    assert(kappa(Seq((1, 1), (1, 0), (0, 1), (0, 0))) === 0L)
+    // the textbook 2x2: n11=20 n10=5 n01=10 n00=15 -> po=.7 pe=.5 k=.4
+    val hand = Seq.fill(20)((1, 1)) ++ Seq.fill(5)((1, 0)) ++
+      Seq.fill(10)((0, 1)) ++ Seq.fill(15)((0, 0))
+    assert(kappa(hand) === 400000L)
+  }
+
+  test("dq5 Benford shares sum to ~1e6 and expectations are the canonical constants") {
+    val rows = Evaluation.dq5(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSet.subsetOf((1L to 9L).toSet))
+    // floor-divided shares sum to 1e6 minus at most 8 units of truncation
+    val s = rows.map(_._3).sum
+    assert(s >= 1000000L - 8 && s <= 1000000L, s"share sum $s")
+    // the injected constants ARE log10(1 + 1/d) e6
+    rows.foreach { case (d, _, _, exp, dev) =>
+      assert(exp === math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+      assert(dev >= 0)
+    }
+  }
 }

@@ -90,4 +90,24 @@ class RetrievalSpec extends SparkSpec {
       assert(rks.length <= 10 && rks.toSeq == (1 to rks.length))
     }
   }
+
+  test("ret4 Dirichlet QL: term repetition raises the score, length is penalized") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark engine"),               // 3x the query term, short
+      (2L, "spark engine"),                           // 1x, shortest
+      (3L, "spark " + ("filler " * 50).trim),         // 1x, long -> dl penalty
+      (4L, "nothing relevant here")                   // no query term -> absent
+    ).toDF("doc_id", "text")
+    val qs = Seq((1, "spark")).toDF("query_id", "term")
+    val out = Retrieval.queryLikelihoodTopKOf(docs, qs, k = 4).collect()
+      .map(r => (r.getLong(2), r.getInt(1), r.getLong(3)))
+    // doc 4 shares no term: not a candidate
+    assert(!out.map(_._1).contains(4L))
+    val byDoc = out.map(t => t._1 -> t._3).toMap
+    // tf=3 beats tf=1 at comparable length
+    assert(byDoc(1L) > byDoc(2L), s"$byDoc")
+    // same tf, longer doc scores lower (the Dirichlet norm)
+    assert(byDoc(2L) > byDoc(3L), s"$byDoc")
+  }
 }
