@@ -621,6 +621,14 @@ object GraftApi {
   def benfordAudit(values: DataFrame, valueCol: String): DataFrame =
     graft.ops.Evaluation.benfordOf(values, valueCol)
 
+  /** Unbiased pass@k (Chen et al. 2021) over a (taskCol, passCol ∈
+    * {0,1}) sample frame, for k ∈ {1, 5, 10}: per task,
+    * 1 − C(n−c,k)/C(n,k) as two exact falling factorials in
+    * DECIMAL(38,0) — no doubles, no binomials. Emits
+    * (task_id, k, n, c, pass_at_k_e6); tasks with n < k skip that k. */
+  def passAtK(samples: DataFrame, taskCol: String, passCol: String): DataFrame =
+    graft.ops.Evaluation.passAtKOf(samples, taskCol, passCol)
+
   /** Query-likelihood retrieval with Dirichlet smoothing (μ = 2000) —
     * the probabilistic alternative to [[bm25TopK]]; same
     * (query_id, term) query frame, same (query_id, rnk, doc_id,

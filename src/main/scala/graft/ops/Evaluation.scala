@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -415,14 +415,15 @@ object Evaluation {
     *
     * Scale: one scan into a 9-cell aggregate; share math in
     * DECIMAL(38,0) (count·10⁶ wraps int64 at ~9e12 rows). */
-  private[graft] def benfordOf(values: DataFrame, valueCol: String): DataFrame = {
+  /** The audit tail over an already-aggregated (digit, n_obs) frame —
+    * split out so the streaming monitor (st18) can feed MERGED
+    * micro-batch counts through the identical arithmetic (digit counts
+    * are trivially mergeable, so stream-end == batch bit-for-bit). */
+  private[graft] def benfordFromCounts(counts: DataFrame): DataFrame = {
     val expCase = BenfordE6.toSeq.sortBy(_._1)
       .map { case (dg, e) => s"WHEN digit = $dg THEN ${e}L" }
       .mkString("CASE ", " ", " ELSE 0L END")
-    values
-      .filter(col(valueCol) > 0)
-      .select(expr(s"CAST(substring(CAST($valueCol AS STRING), 1, 1) AS BIGINT)").as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    counts
       .withColumn("total", sum("n_obs").over(org.apache.spark.sql.expressions.Window
         .partitionBy(lit(1))))
       .withColumn("share_e6", expr(
@@ -431,6 +432,19 @@ object Evaluation {
       .withColumn("dev_e6", expr("abs(share_e6 - benford_e6)"))
       .select("digit", "n_obs", "share_e6", "benford_e6", "dev_e6")
   }
+
+  /** First digit of a positive integer value column, BIGINT-typed —
+    * shared by the batch audit and the streaming monitor's per-batch
+    * delta. */
+  private[graft] def firstDigit(valueCol: String): Column =
+    expr(s"CAST(substring(CAST($valueCol AS STRING), 1, 1) AS BIGINT)")
+
+  private[graft] def benfordOf(values: DataFrame, valueCol: String): DataFrame =
+    benfordFromCounts(
+      values
+        .filter(col(valueCol) > 0)
+        .select(firstDigit(valueCol).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs")))
 
   val dq5: Q = (s, d) =>
     benfordOf(Tables.lineitem(s, d).select(Money.cents(col("l_extendedprice")).as("v")), "v")
@@ -451,9 +465,82 @@ object Evaluation {
        |FROM t ORDER BY digit""".stripMargin
   }
 
+  // ---- EVAL4: unbiased pass@k estimator ----
+
+  /** The k values the registry reports (fixed, so the falling-factorial
+    * products unroll into literal expressions in both dialects). */
+  private[graft] val PassAtKs = Seq(1, 5, 10)
+
+  /** Falling factorial `base·(base−1)·…·(base−k+1)` as an unrolled
+    * product string — `castHead` wraps the FIRST factor so the whole
+    * chain runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): with up to
+    * ~1000 samples per task a k=10 product reaches 10³⁰, far past int64
+    * but comfortably inside 38 digits. ONE builder, two dialects. */
+  private def fallingFactorial(base: String, k: Int, castHead: String => String): String =
+    (0 until k).map(i => if (i == 0) castHead(s"($base)") else s"($base - $i)")
+      .mkString(" * ")
+
+  /** EVAL4: the unbiased pass@k estimator (Chen et al. 2021, the
+    * HumanEval/codegen evaluation statistic): given n samples per task
+    * with c passing, pass@k = 1 − C(n−c, k)/C(n, k) — the probability at
+    * least one of k drawn samples passes. The naive "mean over random
+    * k-subsets" is biased and high-variance; this closed form is the
+    * standard.
+    *
+    * Exactness: C(n−c,k)/C(n,k) = Π_{i<k}(n−c−i) / Π_{i<k}(n−i) — two
+    * falling factorials in DECIMAL(38,0)/HUGEINT (no binomials, no
+    * doubles anywhere), one integral division to e6. n−c < k short-
+    * circuits to exactly 10⁶ (every k-subset must contain a pass).
+    * Tasks with n < k emit no row for that k (the estimator is
+    * undefined there).
+    *
+    * Scale: one corpus scan into a per-task (n, c) aggregate; the
+    * estimator is a per-task projection — embarrassingly parallel. */
+  private[graft] def passAtKOf(samples: DataFrame, taskCol: String,
+      passCol: String): DataFrame = {
+    val perTask = samples.groupBy(col(taskCol).as("task_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(passCol) === 1, 1L).otherwise(0L)).as("c"))
+    PassAtKs.map { k =>
+      val num = fallingFactorial("n - c", k, e => s"CAST($e AS DECIMAL(38,0))")
+      val den = fallingFactorial("n", k, e => s"CAST($e AS DECIMAL(38,0))")
+      perTask.filter(col("n") >= k)
+        .select(col("task_id"), lit(k).as("k"), col("n"), col("c"),
+          expr(s"CASE WHEN n - c < $k THEN 1000000L " +
+            s"ELSE 1000000L - CAST(($num) * 1000000 div ($den) AS BIGINT) END")
+            .as("pass_at_k_e6"))
+    }.reduce(_ unionAll _)
+  }
+
+  val eval4: Q = (s, d) => {
+    val q = TextAnalysis.qualityScoreOf(Tables.documents(s, d))
+      .select(col("doc_id"), when(col("quality") >= 5000, 1).otherwise(0).as("pass"))
+    passAtKOf(q.select(expr("doc_id div 100").as("task_id"), col("pass")),
+      "task_id", "pass").orderBy("task_id", "k")
+  }
+  val eval4Sql: String = {
+    def branch(k: Int): String = {
+      val num = fallingFactorial("n - c", k, e => s"CAST($e AS HUGEINT)")
+      val den = fallingFactorial("n", k, e => s"CAST($e AS HUGEINT)")
+      s"""SELECT task_id, CAST($k AS INTEGER) AS k, n, c,
+         |       CASE WHEN n - c < $k THEN CAST(1000000 AS BIGINT)
+         |            ELSE CAST(1000000 AS BIGINT)
+         |              - CAST(($num) * 1000000 // ($den) AS BIGINT) END AS pass_at_k_e6
+         |FROM per_task WHERE n >= $k""".stripMargin
+    }
+    s"""WITH ${TextAnalysis.qualityCte},
+       |per_task AS (
+       |  SELECT doc_id // 100 AS task_id, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN quality >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM qual GROUP BY doc_id // 100)
+       |${PassAtKs.map(branch).mkString("\nUNION ALL\n")}
+       |ORDER BY task_id, k""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "eval1_ir_metrics" -> eval1,
     "eval3_cohens_kappa" -> eval3,
+    "eval4_pass_at_k" -> eval4,
     "dq3_psi_drift" -> dq3,
     "dq4_ks_distance" -> dq4,
     "dq5_benford_audit" -> dq5,
@@ -464,6 +551,7 @@ object Evaluation {
   val oracle: Map[String, String] = Map(
     "eval1_ir_metrics" -> eval1Sql,
     "eval3_cohens_kappa" -> eval3Sql,
+    "eval4_pass_at_k" -> eval4Sql,
     "dq3_psi_drift" -> dq3Sql,
     "dq4_ks_distance" -> dq4Sql,
     "dq5_benford_audit" -> dq5Sql,

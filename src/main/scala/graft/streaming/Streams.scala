@@ -1015,7 +1015,58 @@ object Streams {
     s.read.parquet(gens.toIndexedSeq: _*).orderBy("doc_id")
   }
 
+  // ---- ST18: streaming Benford first-digit monitor ----
+
+  /** ST18: dq5's fabricated-numbers audit as a STREAMING monitor — the
+    * shape a payments/ingest pipeline actually wants it in (flag the
+    * feed the day it goes weird, not at month-end). Per micro-batch the
+    * incoming money values reduce to a 9-row digit-count delta; deltas
+    * merge into generation-dir state by plain addition (counts are the
+    * trivially-mergeable sketch — the st16 KMV discipline, simpler), so
+    * state is ≤ 9 rows FOREVER and the final generation equals the batch
+    * computation bit-for-bit. Oracle: dq5's own SQL — the streaming
+    * answer must be indistinguishable from batch. */
+  val st18: Q = (s, d) => {
+    val srcDir = stagedTableSplit(s, d, "st18", table = "lineitem", key = "l_orderkey")
+    val physical = s.read.parquet(s"$d/lineitem.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .select(graft.ops.Money.cents(col("l_extendedprice")).as("v"))
+      .filter(col("v") > 0)
+      .select(graft.ops.Evaluation.firstDigit("v").as("digit"))
+    val cntRoot = Files.createTempDirectory("graft_st18_cnt").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(cntRoot).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st18").toString
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val delta = batch.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val prior = gens().filter(_._1 < batchId)
+        val merged = prior.sortBy(-_._1).headOption match {
+          case None            => delta
+          case Some((_, path)) => sess.read.parquet(path)
+            .unionAll(delta.select("digit", "n_obs"))
+            .groupBy("digit").agg(sum("n_obs").as("n_obs"))
+        }
+        // 9-row state: one file per generation is the right physical shape
+        merged.select("digit", "n_obs").coalesce(1)
+          .write.mode("overwrite").parquet(s"$cntRoot/gen_$batchId")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    graft.ops.Evaluation.benfordFromCounts(s.read.parquet(latest._2))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st18_stream_benford" -> st18,
     "st17_stream_decontamination" -> st17,
     "st16_stream_kmv_distinct" -> st16,
     "st15_stream_psi_drift" -> st15,
@@ -1038,6 +1089,7 @@ object Streams {
 
   /** Streaming results must equal the batch windowing oracles. */
   val oracle: Map[String, String] = Map(
+    "st18_stream_benford" -> graft.ops.Evaluation.dq5Sql,
     "st17_stream_decontamination" -> graft.ops.TextAnalysis.oracle("d19_winnowing_decontamination"),
     "st16_stream_kmv_distinct" -> st16Sql,
     "st15_stream_psi_drift" -> graft.ops.Evaluation.dq3Sql,

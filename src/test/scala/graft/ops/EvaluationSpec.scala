@@ -129,6 +129,25 @@ class EvaluationSpec extends SparkSpec {
     assert(kappa(hand) === 400000L)
   }
 
+  test("eval4 pass@k matches the closed form on a hand-computed task") {
+    import spark.implicits._
+    // one task: n = 10 samples, c = 3 passes
+    val samples = (1 to 10).map(i => (7L, if (i <= 3) 1 else 0)).toDF("task_id", "pass")
+    val out = Evaluation.passAtKOf(samples, "task_id", "pass").collect()
+      .map(r => r.getInt(1) -> r.getLong(4)).toMap
+    // pass@1 = 1 - 7/10 = .3
+    assert(out(1) === 300000L)
+    // pass@5 = 1 - C(7,5)/C(10,5) = 1 - 2520/30240 -> 1e6 - 83333 (floor)
+    assert(out(5) === 916667L)
+    // n - c = 7 < 10: every 10-subset contains a pass
+    assert(out(10) === 1000000L)
+    // all-fail task never reaches 1e6
+    val none = (1 to 10).map(_ => (8L, 0)).toDF("task_id", "pass")
+    val z = Evaluation.passAtKOf(none, "task_id", "pass").collect()
+      .map(r => r.getInt(1) -> r.getLong(4)).toMap
+    assert(z.values.forall(_ === 0L))
+  }
+
   test("dq5 Benford shares sum to ~1e6 and expectations are the canonical constants") {
     val rows = Evaluation.dq5(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
