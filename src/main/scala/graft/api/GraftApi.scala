@@ -324,6 +324,17 @@ object GraftApi {
     * EITHER dimension. Pure `&`/`|`/`<<` int64 math. */
   def zorderKey(x: Column, y: Column): Column = ScaleOps.zorder2(x, y)
 
+  /** Append a 16-level Hilbert-curve index column `h` over two integer
+    * key columns — the locality upgrade over [[zorderKey]] (no Morton
+    * diagonal jumps, so per-file min/max rectangles are tighter; 26%
+    * lower on the fixture's semi-perimeter proxy, `ScaleOpsSpec`).
+    * Frame-in/frame-out because the index is built by 16 chained
+    * projections (linear plan growth) rather than one column
+    * expression; follow with `repartitionByRange(col("h"))
+    * .sortWithinPartitions("h")` exactly like the z-order path. */
+  def hilbertIndexed(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    ScaleOps.hilbert16(df, xCol, yCol)
+
   /** Type-2 (SCD2) history of `attrCol` per `keyCol`: consecutive equal
     * values collapse into (keyCol, version, attrCol, valid_from_us,
     * valid_to_us) intervals; NULL valid_to = current. `tsUsCol` must be

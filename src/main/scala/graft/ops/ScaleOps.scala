@@ -1123,6 +1123,93 @@ object ScaleOps {
        |FROM z CROSS JOIN b
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- ZO2: Hilbert-curve layout (the locality upgrade over z-order) ----
+
+  /** 16-level Hilbert xy2d, appended as column `h` via 16 CHAINED
+    * per-level projections (linear plan growth — a single nested
+    * expression would explode exponentially through the per-level
+    * (x, y) rotation). Pure integer CASE arithmetic: per level s = 2^k,
+    * rx/ry are the level bits, the quadrant offset is s²·(3rx + ry −
+    * 2rx·ry) (= s²·((3rx) XOR ry) for bits), and the rotation maps
+    * (x,y) → (x,y) | (y,x) | (s−1−y, s−1−x). Max h = 4^16 ≈ 4.3e9 —
+    * comfortably long. Both dialects generate from the same per-level
+    * formulas, so the curve is engine-identical. */
+  private[graft] def hilbert16(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    var cur = df
+      .withColumn("hx", expr(s"$xCol & 65535"))
+      .withColumn("hy", expr(s"$yCol & 65535"))
+      .withColumn("h", lit(0L))
+    for (lvl <- 15 to 0 by -1) {
+      val s = 1L << lvl
+      cur = cur
+        .withColumn("rx", expr(s"CASE WHEN (hx & $s) > 0 THEN 1L ELSE 0L END"))
+        .withColumn("ry", expr(s"CASE WHEN (hy & $s) > 0 THEN 1L ELSE 0L END"))
+        .withColumn("h", expr(s"h + $s * $s * (3 * rx + ry - 2 * rx * ry)"))
+        .withColumn("nx", expr(
+          s"CASE WHEN ry = 1 THEN hx WHEN rx = 0 THEN hy ELSE ${s - 1} - hy END"))
+        .withColumn("ny", expr(
+          s"CASE WHEN ry = 1 THEN hy WHEN rx = 0 THEN hx ELSE ${s - 1} - hx END"))
+        .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
+    }
+    cur.drop("hx", "hy", "rx", "ry", "nx", "ny")
+  }
+
+  /** The same 16 chained levels as DuckDB CTEs `hl15..hl0` over a
+    * prologue CTE `h16(…, hx, hy, h)`; ends with `hl0` exposing `h`. */
+  private def hilbert16Sql(inner: String, carryCols: String): String = {
+    val lvls = (15 to 0 by -1).map { lvl =>
+      val s = 1L << lvl
+      val prev = if (lvl == 15) "h16" else s"hl${lvl + 1}"
+      s"""hl$lvl AS (
+         |  SELECT $carryCols,
+         |         h + $s * $s * (3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)
+         |           + (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)
+         |           - 2 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)
+         |               * (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS h,
+         |         CASE WHEN (hy & $s) > 0 THEN hx
+         |              WHEN (hx & $s) = 0 THEN hy ELSE ${s - 1} - hy END AS hx,
+         |         CASE WHEN (hy & $s) > 0 THEN hy
+         |              WHEN (hx & $s) = 0 THEN hx ELSE ${s - 1} - hx END AS hy
+         |  FROM $prev)""".stripMargin
+    }
+    (s"h16 AS ($inner)" +: lvls).mkString(",\n")
+  }
+
+  /** ZO2: Hilbert layout quality — zo1's exact report shape (32 equal
+    * key-ranges of the curve, per-bucket min/max rectangles on both
+    * dimensions) with the Hilbert index replacing the z-order key. The
+    * Hilbert curve never makes the long diagonal jumps Morton order
+    * does, so per-bucket rectangles are tighter and range predicates on
+    * either key skip more files — `ScaleOpsSpec` asserts the summed
+    * rectangle semi-perimeter beats zo1's on the same data. At scale
+    * this column feeds `repartitionByRange(h)` exactly like
+    * [[GraftApi.zorderKey]]. */
+  val zo2: Q = (s, d) => {
+    val z = hilbert16(
+      Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")),
+      "l_partkey", "l_suppkey")
+    val bounds = z.agg(min("h").as("hmin"), max("h").as("hmax"))
+    z.join(broadcast(bounds))
+      .withColumn("bucket", least(lit(31L), expr("(h - hmin) * 32 div (hmax - hmin + 1)")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+      .orderBy("bucket")
+  }
+  val zo2Sql: String =
+    s"""WITH ${hilbert16Sql(
+        "SELECT l_partkey, l_suppkey, l_partkey & 65535 AS hx, " +
+          "l_suppkey & 65535 AS hy, CAST(0 AS BIGINT) AS h FROM lineitem",
+        "l_partkey, l_suppkey")},
+       |b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM hl0)
+       |SELECT least(31, (h - hmin) * 32 // (hmax - hmin + 1)) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+       |FROM hl0 CROSS JOIN b
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- SCD1: slowly-changing-dimension type-2 history ----
 
   /** SCD1: type-2 dimension history derived from an event log — per user,
@@ -1468,6 +1555,7 @@ object ScaleOps {
     "bin1_binaryfile_source" -> bin1,
     "mv1_incremental_agg_merge" -> mv1,
     "zo1_zorder_layout" -> zo1,
+    "zo2_hilbert_layout" -> zo2,
     "scd1_type2_history" -> scd1,
     "apx4_cms_heavy_hitters" -> apx4,
     "shuf1_deterministic_shuffle" -> shuf1,
@@ -1502,6 +1590,7 @@ object ScaleOps {
     "bin1_binaryfile_source" -> bin1Sql,
     "mv1_incremental_agg_merge" -> mv1Sql,
     "zo1_zorder_layout" -> zo1Sql,
+    "zo2_hilbert_layout" -> zo2Sql,
     "scd1_type2_history" -> scd1Sql,
     // apx4 deliberately absent: CMS estimates are engine-defined (rows-only)
     "shuf1_deterministic_shuffle" -> shuf1Sql,

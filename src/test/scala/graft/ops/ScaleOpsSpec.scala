@@ -453,4 +453,43 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(merged === whole, "union sketch must equal the one-pass sketch")
   }
+
+  test("zo2 Hilbert index matches a scalar JVM xy2d and beats z-order locality") {
+    import spark.implicits._
+    // scalar reference: the classic iterative xy2d on the 2^16 grid
+    def xy2d(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0 & 65535L, y0 & 65535L, 0L)
+      var s = 32768L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val pairs = Seq((0L, 0L), (1L, 0L), (1L, 1L), (0L, 1L), (7L, 3L),
+      (123L, 456L), (65535L, 65535L), (40000L, 1L), (2L, 60000L))
+    val got = ScaleOps.hilbert16(pairs.toDF("x", "y"), "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) === xy2d(x, y), s"hilbert($x, $y)")
+    }
+    // the 2x2 base visit order of this (x-first) orientation:
+    // (0,0) -> (1,0) -> (1,1) -> (0,1) — a single unit step each time
+    assert(Seq((0L, 0L), (1L, 0L), (1L, 1L), (0L, 1L))
+      .map(p => got(p)) === Seq(0L, 1L, 2L, 3L))
+    // locality: Hilbert buckets must not be WORSE than z-order's on the
+    // summed per-bucket rectangle semi-perimeter (file-skipping proxy)
+    def semiPerim(rows: Array[org.apache.spark.sql.Row]): Long =
+      rows.map(r => (r.getLong(3) - r.getLong(2)) + (r.getLong(5) - r.getLong(4))).sum
+    val zo = semiPerim(ScaleOps.zo1(spark, sfDir).collect())
+    val hi = semiPerim(ScaleOps.zo2(spark, sfDir).collect())
+    info(s"semi-perimeter sum: zorder=$zo hilbert=$hi")
+    assert(hi <= zo, s"Hilbert layout ($hi) must not lose to z-order ($zo)")
+  }
 }
