@@ -335,6 +335,13 @@ object GraftApi {
   def hilbertIndexed(df: DataFrame, xCol: String, yCol: String): DataFrame =
     ScaleOps.hilbert16(df, xCol, yCol)
 
+  /** Per-doc diff of two corpus snapshots keyed on doc_id, comparing
+    * md5(text): (doc_id, status in added/removed/changed/unchanged) —
+    * the what-moved audit before retraining on a refreshed corpus. One
+    * full-outer hash join on the key. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    ScaleOps.snapshotDiffOf(oldDocs, newDocs)
+
   /** Type-2 (SCD2) history of `attrCol` per `keyCol`: consecutive equal
     * values collapse into (keyCol, version, attrCol, valid_from_us,
     * valid_to_us) intervals; NULL valid_to = current. `tsUsCol` must be

@@ -648,6 +648,66 @@ object ScaleOps {
       |FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
       |GROUP BY prio ORDER BY prio""".stripMargin
 
+  // ---- DIFF1: corpus snapshot diff (training-data governance) ----
+
+  /** Per-doc diff of two corpus snapshots keyed on `doc_id`, comparing
+    * md5(text): status ∈ added / removed / changed / unchanged — the
+    * audit run before retraining on a refreshed corpus ("what actually
+    * moved since the last snapshot, and does the delta explain the eval
+    * shift?"). ONE full-outer hash join on the key (the merge1 shape);
+    * at 100 TB both snapshots hash-partition on doc_id and the join is
+    * the single shuffle. The library entry point
+    * ([[graft.api.GraftApi.snapshotDiff]]). */
+  private[graft] def snapshotDiffOf(oldDocs: org.apache.spark.sql.DataFrame,
+      newDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    oldDocs.select(col("doc_id"), md5(col("text")).as("h_old"))
+      .join(newDocs.select(col("doc_id"), md5(col("text")).as("h_new")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), expr(
+        """CASE WHEN h_old IS NULL THEN 'added'
+          |     WHEN h_new IS NULL THEN 'removed'
+          |     WHEN h_old <> h_new THEN 'changed'
+          |     ELSE 'unchanged' END""".stripMargin).as("status"))
+
+  /** DIFF1: snapshot B is derived deterministically from the fixture
+    * (doc_id % 13 = 0 removed; % 17 = 0 rewritten; % 19 = 0 re-added
+    * above the id range as new docs), then diffed against snapshot A =
+    * the fixture. Emits the per-status accounting with a Σ doc_id
+    * membership witness. */
+  val diff1: Q = (s, d) => {
+    val a = Tables.documents(s, d).select("doc_id", "text")
+    val b = a.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(a.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    snapshotDiffOf(a, b)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_id"))
+      .orderBy("status")
+  }
+  val diff1Sql: String =
+    """WITH a AS (SELECT doc_id, text FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM a WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM a WHERE doc_id % 19 = 0),
+      |j AS (
+      |  SELECT coalesce(ah.doc_id, bh.doc_id) AS doc_id,
+      |         CASE WHEN ah.doc_id IS NULL THEN 'added'
+      |              WHEN bh.doc_id IS NULL THEN 'removed'
+      |              WHEN ah.h <> bh.h THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM (SELECT doc_id, md5(text) AS h FROM a) ah
+      |  FULL OUTER JOIN (SELECT doc_id, md5(text) AS h FROM b) bh
+      |    ON ah.doc_id = bh.doc_id)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   // ---- S11: schema-evolution read across parquet generations ----
 
   /** S11: mergeSchema read over two parquet generations — an old dir
@@ -1562,6 +1622,7 @@ object ScaleOps {
     "samp2_weighted_source_sample" -> samp2,
     "b1_bucketed_join" -> b1,
     "merge1_cdc_upsert" -> merge1,
+    "diff1_snapshot_diff" -> diff1,
     "s12_compaction" -> s12,
     "s13_orc_roundtrip" -> s13,
     "s11_schema_evolution" -> s11,
@@ -1597,6 +1658,7 @@ object ScaleOps {
     "samp2_weighted_source_sample" -> samp2Sql,
     "b1_bucketed_join" -> b1Sql,
     "merge1_cdc_upsert" -> merge1Sql,
+    "diff1_snapshot_diff" -> diff1Sql,
     "s12_compaction" -> s12Sql,
     "s13_orc_roundtrip" -> s13Sql,
     "s11_schema_evolution" -> s11Sql,

@@ -492,4 +492,13 @@ class ScaleOpsSpec extends SparkSpec {
     info(s"semi-perimeter sum: zorder=$zo hilbert=$hi")
     assert(hi <= zo, s"Hilbert layout ($hi) must not lose to z-order ($zo)")
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    import spark.implicits._
+    val a = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish")).toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new")).toDF("doc_id", "text")
+    val got = ScaleOps.snapshotDiffOf(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
 }
