@@ -136,6 +136,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-11 ops keep their scale shapes (ret4 broadcasts, zo2 join-free index, diff1 one join)") {
+    // ret4: the query set, cf, nq and |C| must all broadcast — the corpus
+    // is scanned once and the probe never shuffles the small sides
+    val p4 = plan(Retrieval.queries("ret4_query_likelihood_topk")(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p4).length >= 2,
+      "query-set/cf/nq sides must broadcast\n" + p4.take(800))
+    assert(!p4.contains("CartesianProduct"), "no cartesian in the QL probe")
+    // zo2: the Hilbert index is pure projection — the only join is the
+    // broadcast 1-row bounds attach; nothing explodes
+    val pz = plan(ScaleOps.zo2(spark, sfDir))
+    assert(!pz.contains("SortMergeJoin") && !pz.contains("ShuffledHashJoin"),
+      "hilbert bucketing must not shuffle-join\n" + pz.take(800))
+    assert(!pz.contains("Generate"), "no explode in the index build")
+    // diff1: exactly one full-outer join shape, on the key
+    val pd = plan(ScaleOps.queries("diff1_snapshot_diff")(spark, sfDir))
+    assert(pd.contains("FullOuter"), "snapshot diff is one full-outer key join\n" + pd.take(800))
+    assert(!pd.contains("CartesianProduct") && !pd.contains("BroadcastNestedLoopJoin"),
+      "diff must stay an equi-join\n" + pd.take(800))
+  }
+
   private def assertPrefixSumShape(p: String): Unit = {
     assert(p.contains("Window"), p.take(600))
     val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
