@@ -342,6 +342,14 @@ object GraftApi {
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
     ScaleOps.snapshotDiffOf(oldDocs, newDocs)
 
+  /** Matryoshka prefix-dimension retrieval recall (Kusupati et al.
+    * 2022): per query, how much of the full-dimension exact top-k a
+    * `dims`-dim prefix ranking retains — (q_id, n_hits, recall_bp). The
+    * safety audit before serving truncated-embedding indexes. */
+  def matryoshkaRecall(vectors: DataFrame, queries: DataFrame,
+      dims: Int = 16, k: Int = 3): DataFrame =
+    Similarity.matryoshkaRecallOf(vectors, queries, dims, k)
+
   /** Type-2 (SCD2) history of `attrCol` per `keyCol`: consecutive equal
     * values collapse into (keyCol, version, attrCol, valid_from_us,
     * valid_to_us) intervals; NULL valid_to = current. `tsUsCol` must be

@@ -693,6 +693,86 @@ object Similarity {
        |      ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id AND a.bucket = b.bucket)
        |  GROUP BY q_id, cand_id, q_nrm, c_nrm)""".stripMargin)
 
+  // ---- EMB4: Matryoshka prefix-dim retrieval recall ----
+
+  /** EMB4: the Matryoshka-representation audit (Kusupati et al.
+    * NeurIPS 2022): retrieve with only the FIRST `dims` dimensions (the
+    * cheap nested prefix a 4× smaller index would store) and measure,
+    * per query, how much of the full-dimension exact top-k survives —
+    * the number that decides whether truncated embeddings are safe for
+    * first-stage retrieval. Per query: (q_id, n_hits, recall_bp).
+    *
+    * Exactness: both rankings are the sim1 integer-dot machinery (the
+    * prefix side just slices the quantized arrays before the identical
+    * dot/norm/rank pipeline), and the overlap count is an integer join —
+    * hash-exact. Scale: two sim1-shaped passes (brute-force by intent —
+    * this is instrumentation, like sim8); production would run it on a
+    * sampled query set. */
+  private[graft] def matryoshkaRecallOf(vectors: DataFrame, queries: DataFrame,
+      dims: Int = 16, k: Int = 3): DataFrame = {
+    def prefixed(df: DataFrame): DataFrame = qnormOf(df)
+      .select(col("vec_id"), expr(s"slice(q, 1, $dims)").as("q"))
+      .withColumn("nrm", expr("graft_dot(q, q)"))
+      .filter(col("nrm") > 0)
+    val pn = prefixed(vectors)
+    val ps = prefixed(queries)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    val prefTop = pn.join(broadcast(ps), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        expr("graft_dot(qq, q)").as("dot"), col("q_nrm"), col("nrm"))
+      .withColumn("cos", col("dot") / sqrt(col("q_nrm").cast("double") * col("nrm").cast("double")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+    cosineTopKOf(vectors, queries, k)
+      .select(col("q_id"), col("cand_id"))
+      .join(prefTop, Seq("q_id", "cand_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("q_id"), col("n_hits").cast("long").as("n_hits"),
+        expr(s"CAST(n_hits * 10000 div $k AS BIGINT)").as("recall_bp"))
+  }
+
+  val emb4: Q = (s, d) =>
+    matryoshkaRecallOf(Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0))
+      .orderBy("q_id")
+  val emb4Sql: String =
+    s"""WITH $qnormCte,
+       |pn AS (
+       |  SELECT vec_id, list_slice(q, 1, 16) AS q,
+       |         CAST(list_sum(list_transform(list_slice(q, 1, 16), x -> x * x)) AS BIGINT) AS nrm
+       |  FROM qn),
+       |pnn AS (SELECT * FROM pn WHERE nrm > 0),
+       |pdots AS (
+       |  SELECT q_id, cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot, q_nrm, c_nrm FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS cand_id, a.nrm AS q_nrm, b.nrm AS c_nrm,
+       |           unnest(a.q) AS xa, unnest(b.q) AS xb
+       |    FROM pnn a JOIN pnn b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+       |  GROUP BY q_id, cand_id, q_nrm, c_nrm),
+       |ptop AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q_id, cand_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) DESC, cand_id) AS rk
+       |    FROM pdots) WHERE rk <= 3),
+       |fdots AS (
+       |  SELECT q_id, cand_id, CAST(sum(xa * xb) AS BIGINT) AS dot, q_nrm, c_nrm FROM (
+       |    SELECT a.vec_id AS q_id, b.vec_id AS cand_id, a.nrm AS q_nrm, b.nrm AS c_nrm,
+       |           unnest(a.q) AS xa, unnest(b.q) AS xb
+       |    FROM qn a JOIN qn b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id)
+       |  GROUP BY q_id, cand_id, q_nrm, c_nrm),
+       |ftop AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q_id, cand_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY dot / sqrt(CAST(q_nrm AS DOUBLE) * CAST(c_nrm AS DOUBLE)) DESC, cand_id) AS rk
+       |    FROM fdots) WHERE rk <= 3)
+       |SELECT f.q_id, CAST(sum(CASE WHEN p.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN p.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // 3 AS BIGINT) AS recall_bp
+       |FROM ftop f LEFT JOIN ptop p ON p.q_id = f.q_id AND p.cand_id = f.cand_id
+       |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin
+
   // ---- EMB2: hard-negative mining for contrastive training ----
 
   /** EMB2: the batch op that feeds contrastive / triplet training — for
@@ -1024,6 +1104,7 @@ object Similarity {
     "sim10_ivfpq_topk" -> sim10,
     "sim9_pq_adc_topk" -> sim9,
     "emb2_hard_negatives" -> emb2,
+    "emb4_matryoshka_recall" -> emb4,
     "mmr1_diverse_topk" -> mmr1,
     "mmr2_diverse_topk_bucketed" -> mmr2,
     "sim8_lsh_recall" -> sim8,
@@ -1040,6 +1121,7 @@ object Similarity {
     "sim10_ivfpq_topk" -> sim10Sql,
     "sim9_pq_adc_topk" -> sim9Sql,
     "emb2_hard_negatives" -> emb2Sql,
+    "emb4_matryoshka_recall" -> emb4Sql,
     "mmr1_diverse_topk" -> mmr1Sql,
     "mmr2_diverse_topk_bucketed" -> mmr2Sql,
     "sim8_lsh_recall" -> sim8Sql,
