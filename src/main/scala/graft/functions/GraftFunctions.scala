@@ -36,6 +36,7 @@ object GraftFunctions {
     "graft_nfc" -> { args => NfcNormalize(args.head) },
     "graft_dot" -> { args => DotProductLong(args(0), args(1)) },
     "graft_mingram8" -> { args => MinGram8Hash(args.head) },
+    "graft_hilbert" -> { args => HilbertIndex(args(0), args(1)) },
     // Spark's runtime-filter Bloom expressions (BloomFilterAggregate /
     // BloomFilterMightContain) are not in the public FunctionRegistry;
     // exposing them makes the classic 100 TB semi-join reduction —

@@ -1185,33 +1185,21 @@ object ScaleOps {
 
   // ---- ZO2: Hilbert-curve layout (the locality upgrade over z-order) ----
 
-  /** 16-level Hilbert xy2d, appended as column `h` via 16 CHAINED
-    * per-level projections (linear plan growth — a single nested
-    * expression would explode exponentially through the per-level
-    * (x, y) rotation). Pure integer CASE arithmetic: per level s = 2^k,
-    * rx/ry are the level bits, the quadrant offset is s²·(3rx + ry −
-    * 2rx·ry) (= s²·((3rx) XOR ry) for bits), and the rotation maps
-    * (x,y) → (x,y) | (y,x) | (s−1−y, s−1−x). Max h = 4^16 ≈ 4.3e9 —
-    * comfortably long. Both dialects generate from the same per-level
-    * formulas, so the curve is engine-identical. */
+  /** 16-level Hilbert xy2d appended as column `h`, via the native
+    * codegen'd [[graft.functions.HilbertIndex]] expression — one fused
+    * 16-iteration loop inside whole-stage codegen. The first cut built
+    * the index as 16 chained per-level projections; CollapseProject
+    * inlined the per-level (x, y) rotations into exponentially nested
+    * CASEs and the sf0.1 scan ran 11 s warm — the interpreted-HOF
+    * lesson (PLANS.md round 10, eighth pass) in projection form. The
+    * native expression runs the identical arithmetic in 0.2 s, and the
+    * DuckDB oracle still replays the recursion as chained CTEs — an
+    * INDEPENDENT implementation the hash compare checks the loop
+    * against. Max h = 4^16 ≈ 4.3e9 — comfortably long. */
   private[graft] def hilbert16(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    var cur = df
-      .withColumn("hx", expr(s"$xCol & 65535"))
-      .withColumn("hy", expr(s"$yCol & 65535"))
-      .withColumn("h", lit(0L))
-    for (lvl <- 15 to 0 by -1) {
-      val s = 1L << lvl
-      cur = cur
-        .withColumn("rx", expr(s"CASE WHEN (hx & $s) > 0 THEN 1L ELSE 0L END"))
-        .withColumn("ry", expr(s"CASE WHEN (hy & $s) > 0 THEN 1L ELSE 0L END"))
-        .withColumn("h", expr(s"h + $s * $s * (3 * rx + ry - 2 * rx * ry)"))
-        .withColumn("nx", expr(
-          s"CASE WHEN ry = 1 THEN hx WHEN rx = 0 THEN hy ELSE ${s - 1} - hy END"))
-        .withColumn("ny", expr(
-          s"CASE WHEN ry = 1 THEN hy WHEN rx = 0 THEN hx ELSE ${s - 1} - hx END"))
-        .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
-    }
-    cur.drop("hx", "hy", "rx", "ry", "nx", "ny")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("h",
+      expr(s"graft_hilbert(CAST($xCol AS BIGINT), CAST($yCol AS BIGINT))"))
   }
 
   /** The same 16 chained levels as DuckDB CTEs `hl15..hl0` over a
