@@ -38,7 +38,10 @@ object Bench {
     "sim3_lsh_ann_topk", "t1_explode_tokens", "t2_tokenize_ws_runs",
     "set1_intersect_except", "st4_stream_dedup", "x1_topk_custom_strategy",
     "q21_waiting_suppliers", "sim5_int8_quantized_topk", "d10_deduped_corpus",
-    "ret1_bm25_topk", "pipe1_pretrain_report", "pr1_pagerank_suppliers")
+    "ret1_bm25_topk", "pipe1_pretrain_report", "pr1_pagerank_suppliers",
+    // round-11 headliners: the bucketed-MMR scale fix, the native-expression
+    // Hilbert layout, and the QL retrieval probe
+    "mmr2_diverse_topk_bucketed", "zo2_hilbert_layout", "ret4_query_likelihood_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -418,4 +418,21 @@ class ApiSpec extends SparkSpec {
     perCluster.values.foreach(n => assert(n <= 5, "quota respected"))
     assert(sample.map(_.getLong(0)).distinct.length === sample.length)
   }
+
+  test("round-11 API entries bind the registry implementations (no drift)") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val qs = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0)
+    assert(GraftApi.ivfPqTopK(emb, qs).orderBy("q_id", "rk").collect().toSeq ===
+      graft.SparkEntry.queries("sim10_ivfpq_topk")(spark, sfDir).collect().toSeq)
+    assert(GraftApi.matryoshkaRecall(emb, qs).orderBy("q_id").collect().toSeq ===
+      graft.SparkEntry.queries("emb4_matryoshka_recall")(spark, sfDir).collect().toSeq)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val qset = spark.sql(
+      "SELECT 1 AS query_id, 'spark' AS term UNION ALL SELECT 1, 'table' " +
+        "UNION ALL SELECT 2, 'hash' UNION ALL SELECT 2, 'merge' UNION ALL SELECT 2, 'sort' " +
+        "UNION ALL SELECT 3, 'window' UNION ALL SELECT 3, 'scan'")
+    assert(GraftApi.queryLikelihoodTopK(docs, qset)
+      .orderBy("query_id", "rnk").collect().toSeq ===
+      graft.SparkEntry.queries("ret4_query_likelihood_topk")(spark, sfDir).collect().toSeq)
+  }
 }
