@@ -45,9 +45,9 @@ object AsOf {
         struct(col(tsCol).as("t"), col(valueCol).as("v"))),
         ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) :+
+      .select((left.columns.map(col) :+
         col("__asof.t").as(s"asof_$tsCol") :+
-        col("__asof.v").as(s"asof_$valueCol"): _*)
+        col("__asof.v").as(s"asof_$valueCol")).toIndexedSeq: _*)
   }
 
   val af1: Q = (s, d) => {

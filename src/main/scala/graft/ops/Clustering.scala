@@ -265,7 +265,7 @@ object Clustering {
         .minBy { case (o, dd) => (dd, o) }
       l -> (bl, bd)
     }.toMap
-    val centLit = centLiteral(labels.map(cents))
+    val centLit = centLiteral(labels.map(cents).toIndexedSeq)
     val idxExpr = labels.zipWithIndex
       .map { case (l, i) => s"WHEN label = $l THEN ${i + 1}" }
       .mkString("CASE ", " ", " ELSE 0 END")

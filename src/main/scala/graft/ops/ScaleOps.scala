@@ -526,7 +526,7 @@ object ScaleOps {
         min(col(c)).cast("string").as(s"${c}_min"),
         max(col(c)).cast("string").as(s"${c}_max"))
     }
-    df.groupBy(groupCol).agg(count(lit(1)).as("n_rows"), aggs: _*)
+    df.groupBy(groupCol).agg(count(lit(1)).as("n_rows"), aggs.toIndexedSeq: _*)
   }
 
   val prof1: Q = (s, d) =>

@@ -111,7 +111,7 @@ object Similarity {
 
   /** Exact integer dot of a quantized-vector column against one plane. */
   private[ops] def planeDot(qCol: String, weights: IndexedSeq[Long]): Column =
-    expr(s"aggregate(zip_with($qCol, array(${weights.map(_ + "L").mkString(",")}), " +
+    expr(s"aggregate(zip_with($qCol, array(${weights.map(w => s"${w}L").mkString(",")}), " +
       "(x, y) -> x * y), 0L, (acc, v) -> acc + v)")
 
   /** Sign-bit key over a slice of planes: '1'/'0' per plane, concatenated. */
