@@ -283,6 +283,15 @@ object GraftApi {
       keyCol: String, tsCol: String, valueCol: String): DataFrame =
     AsOf.asofJoinOf(left, right, keyCol, tsCol, valueCol)
 
+  /** Nearest as-of join (pandas `merge_asof(direction='nearest')`): each
+    * left row paired with the closest right row in EITHER direction
+    * within `tolerance` (ties prefer backward); unmatched left rows are
+    * dropped. One shuffle on the key, no candidate pairs. Right rows
+    * must be unique at (key, ts). */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, tolerance: Long): DataFrame =
+    AsOf.asofNearestOf(left, right, keyCol, tsCol, valueCol, tolerance)
+
   /** Gap-based sessionization: tags each event with a per-key `session_id`
     * (1..k in (tsCol, tieCol) order; a new session starts when the gap to
     * the previous event exceeds `gapUs`, strict >). One shuffle on the
@@ -639,6 +648,26 @@ object GraftApi {
     * (DECIMAL-safe at corpus² scale). */
   def cohensKappa(rated: DataFrame): DataFrame =
     graft.ops.Evaluation.cohensKappaOf(rated)
+
+  /** ROUGE-2 on the distinct-bigram set basis over a (pair_id, side,
+    * text) frame (side 0 = reference, 1 = candidate): per pair the two
+    * distinct-bigram counts, their overlap and exact basis-point
+    * precision / recall / F1. Pairs missing either side are dropped. */
+  def rougeBigram(pairs: DataFrame): DataFrame =
+    graft.ops.Evaluation.rougeBigramOf(pairs)
+
+  /** First-order Markov transition matrix of the per-user event-type
+    * chain over an (user_id, ts, event_id, event_type) frame: counts of
+    * each adjacent (cur_type → nxt_type) step plus exact basis-point
+    * row-normalized probabilities. */
+  def markovTransitions(events: DataFrame): DataFrame =
+    graft.ops.Curation.markovTransitionsOf(events)
+
+  /** Zipf rank-frequency OLS slope per source over a (source, text)
+    * frame: ln-ln fit across the top `topR` word ranks, emitted negated
+    * in e6 (≈1e6 for natural text). */
+  def zipfSlope(docs: DataFrame, topR: Int = 100): DataFrame =
+    graft.ops.TextAnalysis.zipfSlopeOf(docs, topR)
 
   /** Benford first-digit audit over a positive integer value column —
     * the fabricated/corrupted-numeric screen. Per digit: observed count,

@@ -86,6 +86,98 @@ object AsOf {
       |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.t_us >= c.t_us
       |ORDER BY p.purchase_id""".stripMargin
 
+  // ---- AF2: nearest as-of join (both directions, bounded tolerance) ----
+
+  /** Generic NEAREST as-of join — for each left row, the right row
+    * sharing `keyCol` whose `tsCol` is closest in EITHER direction,
+    * within `tolerance` (same unit as `tsCol`); ties prefer the
+    * backward (≤) match, the pandas `merge_asof(direction='nearest')`
+    * semantics. Composed like [[asofJoinOf]]: one interleaved union,
+    * then TWO running-value frames over the same per-key sort — `last`
+    * over the preceding frame (latest right ≤ t) and `first` over the
+    * following frame (earliest right > t; same-ts rights sort before
+    * the left row, so the frames partition cleanly at equality). Still
+    * ONE shuffle on the key and no candidate pairs — the naive form is
+    * a |left|×|right-within-tolerance| interval join (the oracle
+    * replays exactly that as an independent check). Left rows with no
+    * right row inside the tolerance are DROPPED (matched semantics).
+    * Right rows must be pre-deduplicated at (key, ts). Attaches
+    * `nearest_<valueCol>`, `dir` (0 = backward, 1 = forward) and
+    * `adiff` (absolute distance); the library entry point is
+    * [[graft.api.GraftApi.asofNearest]]. */
+  private[graft] def asofNearestOf(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String,
+      tolerance: Long): DataFrame = {
+    val lu = left.withColumn("__side", lit(1))
+    val ru = right.select(col(keyCol), col(tsCol), col(valueCol))
+      .withColumn("__side", lit(0))
+    val ord = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rstruct = when(col("__side") === 0,
+      struct(col(tsCol).as("t"), col(valueCol).as("v")))
+    val bd = col(tsCol) - col("__back.t")
+    val fd = col("__fwd.t") - col(tsCol)
+    val bOk = col("__back").isNotNull && bd <= tolerance
+    val fOk = col("__fwd").isNotNull && fd <= tolerance
+    lu.unionByName(ru, allowMissingColumns = true)
+      .withColumn("__back", last(rstruct, ignoreNulls = true).over(wB))
+      .withColumn("__fwd", first(rstruct, ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+      .withColumn("__pick",
+        when(bOk && (!fOk || bd <= fd), struct(col("__back.v").as("v"), lit(0).as("dir"), bd.as("adiff")))
+          .otherwise(when(fOk, struct(col("__fwd.v").as("v"), lit(1).as("dir"), fd.as("adiff")))))
+      .filter(col("__pick").isNotNull)
+      .select((left.columns.map(col) :+
+        col("__pick.v").as(s"nearest_$valueCol") :+
+        col("__pick.dir").as("dir") :+
+        col("__pick.adiff").as("adiff")).toIndexedSeq: _*)
+  }
+
+  /** AF2: each purchase paired with its nearest click (either
+    * direction) by the same user within ±1 hour — the sensor/quote
+    * alignment shape (`merge_asof(direction='nearest')`) that af1's
+    * backward-only form cannot express. Clicks are deduplicated at
+    * (user, ts) exactly as af1 so the nearest pick is deterministic;
+    * the oracle is an INDEPENDENT formulation (tolerance-bounded
+    * interval join + rank by distance), not a window replay. */
+  val af2: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val us = unix_micros(col("ts"))
+    val clickW = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+    val clicks = ev.filter(col("event_type") === "click")
+      .withColumn("rk", row_number().over(clickW)).filter(col("rk") === 1)
+      .select(col("user_id"), us.as("t_us"), cents(col("value")).as("click_value_c"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), us.as("t_us"))
+    asofNearestOf(purchases, clicks, "user_id", "t_us", "click_value_c",
+        tolerance = 3600000000L)
+      .select(col("purchase_id"), col("user_id"),
+        col("nearest_click_value_c"), col("dir"), col("adiff").as("adiff_us"))
+      .orderBy("purchase_id")
+  }
+  val af2Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us, CAST(round(value * 100) AS BIGINT) AS click_value_c
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rk
+      |        FROM events WHERE event_type = 'click')
+      |  WHERE rk = 1),
+      |purchases AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS t_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |cand AS (
+      |  SELECT p.purchase_id, p.user_id, c.click_value_c,
+      |         CASE WHEN c.t_us <= p.t_us THEN 0 ELSE 1 END AS dir,
+      |         abs(p.t_us - c.t_us) AS adiff_us
+      |  FROM purchases p JOIN clicks c
+      |    ON c.user_id = p.user_id AND abs(p.t_us - c.t_us) <= 3600000000),
+      |pick AS (
+      |  SELECT *, row_number() OVER (PARTITION BY purchase_id ORDER BY adiff_us, dir) AS rn
+      |  FROM cand)
+      |SELECT purchase_id, user_id, click_value_c AS nearest_click_value_c,
+      |       CAST(dir AS INTEGER) AS dir, adiff_us
+      |FROM pick WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
   // ---- RJ1: interval (range) join via time-bucket blocking ----
 
   /** Generic bucketed range join: each left row (with integer point
@@ -153,8 +245,10 @@ object AsOf {
 
   val queries: Map[String, Q] = Map(
     "af1_asof_join" -> af1,
+    "af2_asof_nearest" -> af2,
     "rj1_range_join_bucketed" -> rj1)
   val oracle: Map[String, String] = Map(
     "af1_asof_join" -> af1Sql,
+    "af2_asof_nearest" -> af2Sql,
     "rj1_range_join_bucketed" -> rj1Sql)
 }

@@ -439,6 +439,51 @@ object Curation {
       |       md5(path) AS path_md5
       |FROM p ORDER BY user_id, bkt""".stripMargin
 
+  // ---- MARKOV1: first-order transition matrix over event streams ----
+
+  /** First-order Markov transition matrix of the per-user event-type
+    * chain — the behavioral model a curation pipeline fits to decide
+    * which trajectories are "typical" (and the generator for synthetic
+    * session data): each user's events ordered by (ts, event_id), every
+    * adjacent (state → next state) step counted globally, row-normalized
+    * to exact basis points (`c·10⁴ div row_n` — pure integer, so the
+    * matrix hash-matches DuckDB).
+    *
+    * Scale: ONE shuffle on user_id for the lead() window (per-user
+    * partitions, never a global sort), then a map-side-combined count
+    * into the |types|² transition domain; the row-normalizing window
+    * runs on that value-domain-bounded frame, so everything after the
+    * first shuffle is O(|event_type alphabet|²) regardless of corpus
+    * size. The library entry point is
+    * [[graft.api.GraftApi.markovTransitions]]. */
+  private[graft] def markovTransitionsOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur_type"), col("nxt").as("nxt_type"))
+      .agg(count(lit(1)).as("c"))
+    val rowW = Window.partitionBy("cur_type")
+    counts
+      .withColumn("row_n", sum("c").over(rowW))
+      .withColumn("p_bp", expr("c * 10000 div row_n"))
+  }
+
+  val markov1: Q = (s, d) =>
+    markovTransitionsOf(Tables.events(s, d)).orderBy("cur_type", "nxt_type")
+  val markov1Sql: String =
+    """WITH s AS (
+      |  SELECT event_type AS cur_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_type
+      |  FROM events),
+      |c AS (
+      |  SELECT cur_type, nxt_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM s WHERE nxt_type IS NOT NULL GROUP BY cur_type, nxt_type)
+      |SELECT cur_type, nxt_type, c,
+      |       CAST(sum(c) OVER (PARTITION BY cur_type) AS BIGINT) AS row_n,
+      |       c * 10000 // CAST(sum(c) OVER (PARTITION BY cur_type) AS BIGINT) AS p_bp
+      |FROM c ORDER BY cur_type, nxt_type""".stripMargin
+
   // ---- DQ2: robust outlier audit (median / MAD, exact integer) ----
 
   /** Robust per-group outlier audit: median and MAD (median absolute
@@ -549,6 +594,7 @@ object Curation {
     "priv3_randomized_response" -> priv3,
     "priv4_laplace_counts" -> priv4,
     "traj1_session_paths" -> traj1,
+    "markov1_transition_matrix" -> markov1,
     "dq2_mad_outliers" -> dq2,
   )
 
@@ -562,6 +608,7 @@ object Curation {
     "priv3_randomized_response" -> priv3Sql,
     "priv4_laplace_counts" -> priv4Sql,
     "traj1_session_paths" -> traj1Sql,
+    "markov1_transition_matrix" -> markov1Sql,
     "dq2_mad_outliers" -> dq2Sql,
   )
 }

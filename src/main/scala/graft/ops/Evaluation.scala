@@ -537,10 +537,84 @@ object Evaluation {
        |ORDER BY task_id, k""".stripMargin
   }
 
+  // ---- EVAL5: ROUGE-2 set overlap between candidate/reference pairs ----
+
+  /** ROUGE-2 (distinct-bigram set basis) between candidate/reference
+    * text pairs — the reference-based generation metric: per pair the
+    * distinct-bigram counts of each side, their overlap, and exact
+    * basis-point precision / recall / F1 (`2·o·10⁴ div (c+r)` — the
+    * harmonic mean collapses to one integer division on set counts).
+    * `pairs` is (pair_id, side, text) with side 0 = reference,
+    * 1 = candidate; pairs missing either side (or whose side has < 2
+    * tokens, hence no bigram) are dropped — matched semantics.
+    *
+    * Scale: one corpus scan explodes each text's DISTINCT bigrams
+    * (zip-of-shifted-slices — constant splits per row, the d2 lesson),
+    * one shuffle on (pair_id, bigram) folds presence bits, one
+    * map-side-combined count per pair. Everything is corpus-linear; no
+    * string ever crosses a join. The library entry point is
+    * [[graft.api.GraftApi.rougeBigram]]. */
+  private[graft] def rougeBigramOf(pairs: DataFrame): DataFrame = {
+    val bgArr = "array_distinct(transform(arrays_zip(" +
+      "slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+      "slice(split(text, ' '), 2, size(split(text, ' ')) - 1)), " +
+      "s -> concat(s['0'], ' ', s['1'])))"
+    val b = pairs
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("pair_id"), col("side"), explode(expr(bgArr)).as("bg"))
+    b.groupBy("pair_id", "bg")
+      .agg(max(when(col("side") === 0, 1L).otherwise(0L)).as("in_ref"),
+        max(when(col("side") === 1, 1L).otherwise(0L)).as("in_cand"))
+      .groupBy("pair_id")
+      .agg(sum("in_ref").as("n_ref_bg"), sum("in_cand").as("n_cand_bg"),
+        sum(col("in_ref") * col("in_cand")).as("n_overlap"))
+      .filter(col("n_ref_bg") > 0L && col("n_cand_bg") > 0L)
+      .withColumn("p_bp", expr("n_overlap * 10000 div n_cand_bg"))
+      .withColumn("r_bp", expr("n_overlap * 10000 div n_ref_bg"))
+      .withColumn("f_bp", expr("2 * n_overlap * 10000 div (n_cand_bg + n_ref_bg)"))
+  }
+
+  /** EVAL5 on the fixture: consecutive documents paired (even doc_id =
+    * reference, odd = candidate) — a deterministic pairing that needs no
+    * side table and still exercises real overlap (shared small corpus
+    * vocabulary). */
+  val eval5: Q = (s, d) =>
+    rougeBigramOf(Tables.documents(s, d).select(
+        (col("doc_id") / 2).cast("long").as("pair_id"),
+        (col("doc_id") % 2).cast("int").as("side"), col("text")))
+      .orderBy("pair_id")
+  val eval5Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id // 2 AS pair_id, CAST(doc_id % 2 AS INTEGER) AS side,
+      |         str_split(text, ' ') AS ws
+      |  FROM documents),
+      |b AS (
+      |  SELECT pair_id, side,
+      |         unnest(list_distinct(list_transform(range(1, len(ws)),
+      |           i -> ws[i] || ' ' || ws[i + 1]))) AS bg
+      |  FROM w WHERE len(ws) >= 2),
+      |g AS (
+      |  SELECT pair_id, bg,
+      |         max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_ref,
+      |         max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_cand
+      |  FROM b GROUP BY pair_id, bg),
+      |a AS (
+      |  SELECT pair_id, CAST(sum(in_ref) AS BIGINT) AS n_ref_bg,
+      |         CAST(sum(in_cand) AS BIGINT) AS n_cand_bg,
+      |         CAST(sum(in_ref * in_cand) AS BIGINT) AS n_overlap
+      |  FROM g GROUP BY pair_id)
+      |SELECT pair_id, n_ref_bg, n_cand_bg, n_overlap,
+      |       n_overlap * 10000 // n_cand_bg AS p_bp,
+      |       n_overlap * 10000 // n_ref_bg AS r_bp,
+      |       2 * n_overlap * 10000 // (n_cand_bg + n_ref_bg) AS f_bp
+      |FROM a WHERE n_ref_bg > 0 AND n_cand_bg > 0
+      |ORDER BY pair_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "eval1_ir_metrics" -> eval1,
     "eval3_cohens_kappa" -> eval3,
     "eval4_pass_at_k" -> eval4,
+    "eval5_rouge_bigram" -> eval5,
     "dq3_psi_drift" -> dq3,
     "dq4_ks_distance" -> dq4,
     "dq5_benford_audit" -> dq5,
@@ -552,6 +626,7 @@ object Evaluation {
     "eval1_ir_metrics" -> eval1Sql,
     "eval3_cohens_kappa" -> eval3Sql,
     "eval4_pass_at_k" -> eval4Sql,
+    "eval5_rouge_bigram" -> eval5Sql,
     "dq3_psi_drift" -> dq3Sql,
     "dq4_ks_distance" -> dq4Sql,
     "dq5_benford_audit" -> dq5Sql,

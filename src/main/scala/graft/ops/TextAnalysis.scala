@@ -1063,8 +1063,75 @@ object TextAnalysis {
       |WHERE f.doc_id % 97 <> 0
       |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
 
+  // ---- ZIPF1: rank-frequency slope audit (corpus naturalness) ----
+
+  /** Zipf rank-frequency slope per source — the corpus-naturalness
+    * audit: natural text follows freq ∝ rank^(-s) with s ≈ 1, so an
+    * OLS fit of ln(freq) on ln(rank) over the top `topR` ranks flags
+    * machine-generated / templated sources whose slope is far from −1
+    * (Piantadosi 2014). Per the t14/stat2 exactness convention, each
+    * (rank, freq) point's logs are rounded ONCE to e6 integers; the OLS
+    * slope is then a pure integer expression — numerator and
+    * denominator exceed int64 only at the final ×10⁶ rescale, which
+    * runs in DECIMAL(38,0) (HUGEINT in the oracle). The slope is
+    * emitted NEGATED (`slope_neg_e6` ≥ 0, ~1e6 for natural text):
+    * covariance of a rank-sorted frequency list is never positive, and
+    * keeping the integer division non-negative sidesteps the
+    * truncate-vs-floor divergence between Spark's `div` and DuckDB's
+    * `//` on negatives.
+    *
+    * Scale: one corpus scan → map-side-combined (source, word) counts;
+    * the top-`topR` cut rides [[graft.plans.TopKPerGroup]] (bounded
+    * per-partition heaps + one bounded exchange — never a vocab-sized
+    * per-source window sort), and the rank window + OLS fold then run
+    * on ≤ topR rows per source. The library entry point is
+    * [[graft.api.GraftApi.zipfSlope]]. */
+  private[graft] def zipfSlopeOf(docs: DataFrame, topR: Int = 100): DataFrame = {
+    val wc = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val top = graft.plans.TopKPerGroup(
+      wc, Seq("source"), Seq(("c", true), ("word", false)), topR)
+    val w = Window.partitionBy("source").orderBy(col("c").desc, col("word"))
+    top
+      .withColumn("rk", row_number().over(w))
+      .withColumn("x_e6", expr("CAST(round(1000000 * ln(CAST(rk AS DOUBLE))) AS BIGINT)"))
+      .withColumn("y_e6", expr("CAST(round(1000000 * ln(CAST(c AS DOUBLE))) AS BIGINT)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_ranks"),
+        sum("x_e6").as("sx"), sum("y_e6").as("sy"),
+        sum(expr("x_e6 * y_e6")).as("sxy"), sum(expr("x_e6 * x_e6")).as("sxx"))
+      .withColumn("slope_neg_e6", expr(
+        """CAST((CAST(sx AS DECIMAL(38,0)) * sy - CAST(n_ranks AS DECIMAL(38,0)) * sxy) * 1000000
+          | div (CAST(n_ranks AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)""".stripMargin))
+      .select("source", "n_ranks", "slope_neg_e6")
+  }
+
+  val zipf1: Q = (s, d) =>
+    zipfSlopeOf(Tables.documents(s, d)).orderBy("source")
+  val zipf1Sql: String =
+    """WITH wc AS (
+      |  SELECT source, unnest(str_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c FROM wc GROUP BY source, word),
+      |r AS (SELECT source, word, c,
+      |             row_number() OVER (PARTITION BY source ORDER BY c DESC, word) AS rk
+      |      FROM c),
+      |t AS (SELECT source,
+      |             CAST(round(1000000 * ln(CAST(rk AS DOUBLE))) AS BIGINT) AS x,
+      |             CAST(round(1000000 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS y
+      |      FROM r WHERE rk <= 100),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+      |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |             CAST(sum(x * y) AS HUGEINT) AS sxy, CAST(sum(x * x) AS HUGEINT) AS sxx
+      |      FROM t GROUP BY source)
+      |SELECT source, n_ranks,
+      |       CAST((CAST(sx AS HUGEINT) * sy - n_ranks * sxy) * 1000000
+      |            // (n_ranks * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS slope_neg_e6
+      |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "t21_winnowing" -> t21,
+    "zipf1_rank_slope" -> zipf1,
     "d19_winnowing_decontamination" -> d19,
     "t20_hashed_linear_filter" -> t20,
     "voc2_vocab_coverage" -> voc2,
@@ -1087,6 +1154,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "t21_winnowing" -> t21Sql,
+    "zipf1_rank_slope" -> zipf1Sql,
     "d19_winnowing_decontamination" -> d19Sql,
     "t20_hashed_linear_filter" -> t20Sql,
     "voc2_vocab_coverage" -> voc2Sql,
