@@ -506,6 +506,29 @@ object ScaleOps {
       |       concat('doc ', CAST(i AS VARCHAR), ' ', md5(CAST(i AS VARCHAR))) AS text
       |FROM range(2000, 2100) t(i) ORDER BY 1""".stripMargin
 
+  /** SRC3: aggregate pushdown through the custom DSv2 source —
+    * `SupportsPushDownAggregates` COMPLETE pushdown: the grouped
+    * count/min/max is answered by the source in closed form (modular
+    * arithmetic over the filtered interval), Spark's aggregate node is
+    * dropped, and the "scan" emits 3 pre-aggregated rows for a 89k-row
+    * interval without generating a single document — the DSv2 analogue
+    * of answering count/min/max from parquet footer statistics.
+    * Composes with filter pushdown (the interval narrows first). Plan
+    * shape (`aggPushed=lang:count+min+max`, no partial aggregate)
+    * asserted in `GraftDocsSourceSpec`. */
+  val src3: Q = (s, _) =>
+    s.read.format("graft.sources.GraftDocsSource")
+      .option("rows", "100000").load()
+      .filter(col("doc_id") >= 1000 && col("doc_id") < 90000)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy("lang")
+  val src3Sql: String =
+    """SELECT CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lang,
+      |       CAST(count(*) AS BIGINT) AS n_docs, min(i) AS min_id, max(i) AS max_id
+      |FROM range(1000, 90000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- PROF1: column profile (data-quality pass) ----
 
   /** PROF1: the single-scan data-quality profile every ingestion pipeline
@@ -1599,6 +1622,7 @@ object ScaleOps {
     "apx6_kmv_distinct" -> apx6,
     "apx7_kmv_set_ops" -> apx7,
     "src1_custom_dsv2_source" -> src1,
+    "src3_agg_pushdown" -> src3,
     "dpp1_dynamic_partition_pruning" -> dpp1,
     "bin1_binaryfile_source" -> bin1,
     "mv1_incremental_agg_merge" -> mv1,
@@ -1635,6 +1659,7 @@ object ScaleOps {
     "apx6_kmv_distinct" -> apx6Sql,
     "apx7_kmv_set_ops" -> apx7Sql,
     "src1_custom_dsv2_source" -> src1Sql,
+    "src3_agg_pushdown" -> src3Sql,
     "dpp1_dynamic_partition_pruning" -> dpp1Sql,
     "bin1_binaryfile_source" -> bin1Sql,
     "mv1_incremental_agg_merge" -> mv1Sql,

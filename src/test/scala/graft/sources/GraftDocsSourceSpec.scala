@@ -52,6 +52,47 @@ class GraftDocsSourceSpec extends SparkSpec {
     assert(df.count() === 0)
   }
 
+  test("grouped count/min/max pushes down completely (no aggregate node, 3 closed-form rows)") {
+    val df = load(100000L)
+      .filter(col("doc_id") >= 1000 && col("doc_id") < 90000)
+      .groupBy("lang").agg(count(lit(1)).as("n"), min("doc_id").as("mn"), max("doc_id").as("mx"))
+    val p = planOf(df)
+    assert(p.contains("aggPushed=lang:count+min+max"),
+      s"aggregation must reach the source:\n${p.take(900)}")
+    assert(!p.contains("HashAggregate"),
+      s"complete pushdown must drop Spark's aggregate node:\n${p.take(900)}")
+    assert(p.contains("range=[1000,90000)"), "filter pushdown must compose with agg pushdown")
+    val rows = df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // lang = i % 3 -> en:0, de:1, fr:2 over [1000, 90000)
+    assert(rows === Map(
+      "en" -> ((29666L, 1002L, 89997L)),
+      "de" -> ((29667L, 1000L, 89998L)),
+      "fr" -> ((29667L, 1001L, 89999L))))
+  }
+
+  test("global aggregate pushes down; empty interval yields the SQL empty-agg row") {
+    val g = load(100000L).agg(count(lit(1)).as("n"), min("doc_id").as("mn"), max("doc_id").as("mx"))
+    assert(planOf(g).contains("aggPushed=count+min+max"))
+    assert(g.head() === org.apache.spark.sql.Row(100000L, 0L, 99999L))
+    val e = load(100000L).filter(col("doc_id") > 5000L && col("doc_id") < 100L)
+      .agg(count(lit(1)).as("n"), min("doc_id").as("mn"))
+    val r = e.head()
+    assert(r.getLong(0) === 0L && r.isNullAt(1),
+      "empty-interval global aggregate must be (0, NULL)")
+  }
+
+  test("unsupported aggregates fall back to a normal generated-row scan") {
+    val df = load(1000L).groupBy("lang").agg(sum("doc_id").as("s"))
+    val p = planOf(df)
+    assert(!p.contains("aggPushed"), "sum is not pushable; source must decline")
+    assert(p.contains("HashAggregate"), "Spark must aggregate above the row scan")
+    val viaRows = load(1000L).collect().groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(0)).sum).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === viaRows)
+  }
+
   test("micro-batch stream drains in bounded batches and equals the batch read") {
     val stream = spark.readStream.format("graft.sources.GraftDocsSource")
       .option("rows", "2000").option("streamBatchRows", "500").load()
