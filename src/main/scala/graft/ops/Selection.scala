@@ -931,6 +931,68 @@ object Selection {
 
   // ---- registry ----
 
+  // ---- TOK3: unigram-LM Viterbi segmentation (SentencePiece shape) ----
+
+  /** TOK3: Viterbi min-cost segmentation of the distinct token
+    * vocabulary against the fixed unigram piece table — the
+    * SentencePiece encode step (Kudo 2018) beside tok2's BPE encode.
+    * The whole DP runs inside the native codegen'd
+    * [[graft.functions.ViterbiCost]] expression (`graft_viterbi`);
+    * per word it emits the packed min (cost·2¹⁶ + pieces), split here
+    * into exact integers. The oracle replays the forward DP as one
+    * chained CTE per character position (12-deep fixed unroll, the
+    * bpe2 precedent) over the SAME packed integers and the SAME
+    * vocabulary VALUES — an independent implementation of the
+    * recurrence, not a mirror of the loop.
+    *
+    * Scale: one corpus scan → distinct tokens (map-side combined); the
+    * DP is per-token O(len·6) with zero joins — at 100 TB the token
+    * DOMAIN (not the corpus) bounds everything after the scan, and the
+    * expression rides whole-stage codegen inside it. */
+  val tok3: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")).between(1, 12))
+      .distinct()
+      .select(col("word"),
+        length(col("word")).cast("long").as("n_chars"),
+        expr("graft_viterbi(word)").as("comb"))
+      .select(col("word"), col("n_chars"),
+        expr("comb div 65536").as("cost_units"),
+        expr("comb % 65536").as("n_pieces"))
+      .orderBy("word")
+  }
+
+  val tok3Sql: String = {
+    import graft.functions.ViterbiCost
+    val maxLen = 12
+    def lk(j: Int, L: Int): String = {
+      val sub = s"substr(word, ${j - L + 1}, $L)"
+      if (L == 1) s"coalesce((SELECT cost FROM v WHERE piece = $sub), ${ViterbiCost.UnkCost})"
+      else s"(SELECT cost FROM v WHERE piece = $sub)"
+    }
+    val steps = (1 to maxLen).map { j =>
+      val cands = (1 to math.min(ViterbiCost.MaxPiece, j)).map { L =>
+        s"b${j - L} + ${lk(j, L)} * 65536 + 1"
+      }
+      val bexpr = if (cands.size == 1) cands.head else s"least(${cands.mkString(", ")})"
+      s"s$j AS (SELECT *, CAST($bexpr AS BIGINT) AS b$j FROM s${j - 1})"
+    }
+    val caseN = (1 to maxLen).map(j => s"WHEN $j THEN b$j").mkString(" ")
+    s"""WITH v(piece, cost) AS (VALUES ${ViterbiCost.piecesSql}),
+       |words AS (
+       |  SELECT DISTINCT word, CAST(len(word) AS BIGINT) AS n
+       |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) BETWEEN 1 AND $maxLen),
+       |s0 AS (SELECT word, n, CAST(0 AS BIGINT) AS b0 FROM words),
+       |${steps.mkString(",\n")}
+       |SELECT word, n AS n_chars,
+       |       (CASE n $caseN END) // 65536 AS cost_units,
+       |       (CASE n $caseN END) % 65536 AS n_pieces
+       |FROM s$maxLen ORDER BY word""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "mix3_unimax_alloc" -> mix3,
     "sel1_dsir_topk" -> sel1,
@@ -944,6 +1006,7 @@ object Selection {
     "rep1_adjacent_dedup" -> rep1,
     "batch1_length_buckets" -> batch1,
     "tok2_bpe_encode" -> tok2,
+    "tok3_unigram_viterbi" -> tok3,
     "samp4_weighted_topk" -> samp4,
   )
 
@@ -954,6 +1017,7 @@ object Selection {
     "bpe1_pair_stats" -> bpe1Sql,
     "bpe2_merge_induction" -> bpe2Sql,
     "tok2_bpe_encode" -> tok2Sql,
+    "tok3_unigram_viterbi" -> tok3Sql,
     "t19_bigram_nll" -> t19Sql,
     "t22_kneser_ney" -> t22Sql,
     "fim1_split" -> fim1Sql,

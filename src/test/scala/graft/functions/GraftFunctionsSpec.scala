@@ -183,6 +183,50 @@ class GraftFunctionsSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = before
   }
 
+  test("graft_viterbi equals brute-force segmentation enumeration, exhaustively") {
+    import graft.functions.ViterbiCost
+    val costs = ViterbiCost.Pieces.toMap
+    // brute force: min packed cost over ALL segmentations, same packing
+    def brute(w: String): Long =
+      if (w.isEmpty) 0L
+      else (1 to math.min(ViterbiCost.MaxPiece, w.length)).flatMap { l =>
+        val piece = w.substring(0, l)
+        val c = costs.get(piece).orElse(if (l == 1) Some(ViterbiCost.UnkCost) else None)
+        c.map(cv => cv * 65536L + 1L + brute(w.substring(l)))
+      }.min
+    val alphabet = "taber".toCharArray
+    def words(n: Int): Seq[String] =
+      if (n == 0) Seq("") else words(n - 1).flatMap(w => alphabet.map(c => w + c))
+    val all = (1 to 5).flatMap(words) :+ "customer" :+ "window" :+ "ZZ@q"
+    all.foreach { w =>
+      val got = ViterbiCost.compute(org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      assert(got === brute(w), s"DP disagrees with enumeration on '$w'")
+    }
+    // hand cases: whole-word piece beats per-char spelling
+    def of(w: String) = ViterbiCost.compute(org.apache.spark.unsafe.types.UTF8String.fromString(w))
+    assert(of("table") === 170L * 65536L + 1L, "whole-word piece wins")
+    assert(of("er") === 95L * 65536L + 1L)
+    assert(of("qqq") === 180L * 65536L + 3L, "known chars spell out at 60 each")
+    assert(of("@@") === 600L * 65536L + 2L, "unknown chars admitted at UnkCost")
+  }
+
+  test("graft_viterbi runs inside whole-stage codegen as a SQL function") {
+    graft.functions.GraftFunctions.register(spark)
+    // a range-backed frame: local Seqs constant-fold into a LocalTableScan
+    // (which only exercises interpreted eval)
+    val df = spark.range(3)
+      .selectExpr("element_at(array('table','stream','tab'), cast(id + 1 AS int)) AS w")
+      .selectExpr("w", "graft_viterbi(w) AS c")
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project") && plan.contains("graft_viterbi"),
+      s"expression fell out of codegen:\n$plan")
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("table") === 170L * 65536L + 1L)
+    assert(got("stream") === 200L * 65536L + 1L)
+    assert(got("tab") === 130L * 65536L + 1L)
+  }
+
   test("ThresholdLevenshtein preserves null semantics") {
     import spark.implicits._
     val before = spark.experimental.extraOptimizations
