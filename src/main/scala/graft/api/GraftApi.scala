@@ -669,6 +669,11 @@ object GraftApi {
   def zipfSlope(docs: DataFrame, topR: Int = 100): DataFrame =
     graft.ops.TextAnalysis.zipfSlopeOf(docs, topR)
 
+  /** Type-token ratio and hapax share per document over a (doc_id,
+    * text) frame — exact integer counts plus basis-point ratios. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.lexicalDiversityOf(docs)
+
   /** Benford first-digit audit over a positive integer value column —
     * the fabricated/corrupted-numeric screen. Per digit: observed count,
     * observed share (e6), the Benford expectation and the absolute

@@ -1063,6 +1063,46 @@ object TextAnalysis {
       |WHERE f.doc_id % 97 <> 0
       |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
 
+  // ---- T24: lexical diversity (TTR + hapax share) ----
+
+  /** Type-token ratio and hapax-legomenon share per document — the
+    * lexical-diversity face of quality filtering: templated/spun text
+    * repeats its vocabulary (low TTR), scraped boilerplate shows few
+    * once-only words (low hapax share); Gopher-style pipelines cut on
+    * both. All exact integers: (n_tokens, n_types, n_hapax) from one
+    * (doc_id, word) count pass, ratios as basis points by integral
+    * division.
+    *
+    * Scale: two map-side-combined aggregates on the (doc_id, word) and
+    * doc_id keys — corpus-linear, no joins, no windows. The library
+    * entry point is [[graft.api.GraftApi.lexicalDiversity]]. */
+  private[graft] def lexicalDiversityOf(docs: DataFrame): DataFrame = {
+    val wc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    wc.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_bp", expr("n_types * 10000 div n_tokens"))
+      .withColumn("hapax_bp", expr("n_hapax * 10000 div n_types"))
+  }
+
+  val t24: Q = (s, d) =>
+    lexicalDiversityOf(Tables.documents(s, d)).orderBy("doc_id")
+  val t24Sql: String =
+    """WITH wc AS (
+      |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY doc_id, word)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_types,
+      |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |       CAST(count(*) AS BIGINT) * 10000 // CAST(sum(c) AS BIGINT) AS ttr_bp,
+      |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+      |         // CAST(count(*) AS BIGINT) AS hapax_bp
+      |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- ZIPF1: rank-frequency slope audit (corpus naturalness) ----
 
   /** Zipf rank-frequency slope per source — the corpus-naturalness
@@ -1132,6 +1172,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "t21_winnowing" -> t21,
     "zipf1_rank_slope" -> zipf1,
+    "t24_lexical_diversity" -> t24,
     "d19_winnowing_decontamination" -> d19,
     "t20_hashed_linear_filter" -> t20,
     "voc2_vocab_coverage" -> voc2,
@@ -1155,6 +1196,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "t21_winnowing" -> t21Sql,
     "zipf1_rank_slope" -> zipf1Sql,
+    "t24_lexical_diversity" -> t24Sql,
     "d19_winnowing_decontamination" -> d19Sql,
     "t20_hashed_linear_filter" -> t20Sql,
     "voc2_vocab_coverage" -> voc2Sql,

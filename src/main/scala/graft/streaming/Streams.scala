@@ -1065,7 +1065,58 @@ object Streams {
       .orderBy("digit")
   }
 
+  // ---- ST19: streaming Markov transition counts (markov1's live face) ----
+
+  case class EvT(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  case class LastEv(ts_us: Long, event_id: Long, event_type: String)
+  case class Trans(cur_type: String, nxt_type: String)
+
+  /** ST19: the per-user transition steps of markov1 extracted
+    * incrementally — state per user is ONE (ts, id, type) triple (the
+    * last event seen), each micro-batch sorts only ITS OWN per-user
+    * slice (bounded by batch size, never the history) and emits the
+    * adjacent steps, including the one that crosses the batch boundary
+    * through the stored triple. Transition counting then rides a normal
+    * streaming-side batch aggregate after the drain; the final matrix is
+    * bit-identical to batch markov1 (its SQL is the oracle).
+    *
+    * Ordering contract: per-key event-time order ACROSS micro-batches
+    * (the staged replay is mod-time ordered; a production deployment
+    * with out-of-order arrival would buffer under a watermark first —
+    * st3's EventTimeTimeout shape). State never grows with history:
+    * one triple per user, forever. */
+  val st19: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val evs: Dataset[EvT] = eventStream(s, d, variant = "st19_")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[EvT]
+    val steps = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, Trans](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[EvT], state: GroupState[LastEv]) =>
+          val sorted = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+          var prev = state.getOption
+          val out = Vector.newBuilder[Trans]
+          sorted.foreach { e =>
+            prev.foreach(p => out += Trans(p.event_type, e.event_type))
+            prev = Some(LastEv(e.ts_us, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+    drain(s, steps.toDF(), "st19_out", OutputMode.Append())
+      .groupBy("cur_type", "nxt_type")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("row_n",
+        sum("c").over(org.apache.spark.sql.expressions.Window.partitionBy("cur_type")))
+      .withColumn("p_bp", expr("c * 10000 div row_n"))
+      .orderBy("cur_type", "nxt_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st19_stream_markov" -> st19,
     "st18_stream_benford" -> st18,
     "st17_stream_decontamination" -> st17,
     "st16_stream_kmv_distinct" -> st16,
@@ -1090,6 +1141,7 @@ object Streams {
   /** Streaming results must equal the batch windowing oracles. */
   val oracle: Map[String, String] = Map(
     "st18_stream_benford" -> graft.ops.Evaluation.dq5Sql,
+    "st19_stream_markov" -> graft.ops.Curation.markov1Sql,
     "st17_stream_decontamination" -> graft.ops.TextAnalysis.oracle("d19_winnowing_decontamination"),
     "st16_stream_kmv_distinct" -> st16Sql,
     "st15_stream_psi_drift" -> graft.ops.Evaluation.dq3Sql,

@@ -76,6 +76,17 @@ class AuditJoinSpec extends SparkSpec {
     assert(out(1L) === ((3L, 10000L, 10000L, 10000L)))
   }
 
+  test("lexicalDiversityOf counts types/tokens/hapax exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "x y z"), (3L, "q q q q")).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversityOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) === ((3L, 2L, 1L, 6666L, 5000L)))
+    assert(out(2L) === ((3L, 3L, 3L, 10000L, 10000L)), "all-distinct doc maxes both ratios")
+    assert(out(3L) === ((4L, 1L, 0L, 2500L, 0L)), "repeated-word doc has zero hapax")
+  }
+
   test("zipfSlopeOf recovers slope ~ -1 on an exact freq = C/rank corpus") {
     import spark.implicits._
     // 12/rank over 4 ranks; distinct counts make the rank order total
