@@ -619,11 +619,23 @@ object GraftApi {
   def kcorePeel(edges: DataFrame, k: Int = 3, rounds: Int = 3): DataFrame =
     Graph.kcorePeelOf(edges, k, rounds)
 
+  /** Deterministic synchronous label propagation over an undirected
+    * (a, b) edge frame: `rounds` mode-vote rounds (ties → smallest
+    * label); emits (node, community, csize). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 2): DataFrame =
+    Graph.labelPropagationOf(edges, rounds)
+
   /** Per-label embedding audit: integer-mean centroid cohesion
     * (mean squared-L2 to own centroid) and separation (nearest foreign
     * centroid + distance) over a (vec_id, embedding, label) frame. */
   def labelCentroidAudit(vecs: DataFrame): DataFrame =
     graft.ops.Clustering.labelCentroidAuditOf(vecs)
+
+  /** Simplified (centroid-based) silhouette of the k-means assignment
+    * over a (vec_id, embedding) frame: per cluster the mean silhouette
+    * in basis points plus the closer-foreign-centroid count. */
+  def simplifiedSilhouette(vecs: DataFrame): DataFrame =
+    graft.ops.Clustering.silhouetteOf(vecs)
 
   /** Weighted-term BM25 top-k: queries carry (query_id, term, wt_bp);
     * each term's contribution scales by wt_bp/10⁴ — the primitive under

@@ -223,6 +223,70 @@ object Clustering {
         |WHERE rk <= 40
         |ORDER BY cluster_id, vec_id""".stripMargin
 
+  // ---- CL3: simplified silhouette (cluster-quality audit) ----
+
+  /** Simplified silhouette (Hruschka et al. 2004 — centroid distances
+    * instead of the O(n²) pairwise form): per vector a = squared-L2 to
+    * its OWN final centroid, b = min squared-L2 to any OTHER centroid,
+    * s = (b − a)/max(a, b) ∈ [−1, 1]; reported per cluster as the mean
+    * in basis points plus `n_negative` (s < 0 ⇔ a foreign centroid
+    * closer than the assigned one). Because [[kmeansAssignments]]
+    * re-assigns against the FINAL centroids, a = min over all centroids
+    * and n_negative is 0 BY INVARIANT — the column is the cheap
+    * assignment-vs-centroid drift check for callers who feed their own
+    * (possibly stale) assignment, and the sign-split machinery below
+    * keeps the op correct for them.
+    * All integers; the two integral divisions are SIGN-SPLIT (the eval3
+    * convention) so Spark's truncating `div` and DuckDB's flooring `//`
+    * agree on negative silhouettes.
+    *
+    * Scale: one zero-join codegen projection per vector against the
+    * k×dim centroid literal (cl1's Lloyd-assignment shape) + one
+    * map-side-combined aggregate into k rows. The library entry point
+    * is [[graft.api.GraftApi.simplifiedSilhouette]]. */
+  private[graft] def silhouetteOf(vectors: DataFrame): DataFrame = {
+    val (assigned, cents) = kmeansAssignments(vectors)
+    assigned
+      .withColumn("dists", expr(
+        s"transform(${centLiteral(cents)}, c -> " +
+          "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))"))
+      .withColumn("b", expr(
+        s"array_min(zip_with(dists, sequence(1L, ${K}L), (v, i) -> CASE WHEN i = cid THEN NULL ELSE v END))"))
+      .withColumn("s_bp", expr(
+        """CASE WHEN b >= dist THEN (b - dist) * 10000 div greatest(greatest(dist, b), 1)
+          |     ELSE -((dist - b) * 10000 div greatest(greatest(dist, b), 1)) END""".stripMargin))
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), sum("s_bp").as("ssil"),
+        sum(when(col("s_bp") < 0L, 1L).otherwise(0L)).as("n_negative"))
+      .withColumn("mean_sil_bp", expr(
+        "CASE WHEN ssil >= 0 THEN ssil div n_members ELSE -((-ssil) div n_members) END"))
+      .select("cluster_id", "n_members", "mean_sil_bp", "n_negative")
+  }
+
+  val cl3: Q = (s, d) =>
+    silhouetteOf(Tables.embeddings(s, d)).orderBy("cluster_id")
+
+  /** cl3's oracle: the same Lloyd chain, then b from the full d1
+    * distance table by an INDEPENDENT route (join-and-min over foreign
+    * centroids, where the Spark side masks one slot of the in-row
+    * distance array). */
+  val cl3Sql: String = lloydCtes +
+    """, b AS (
+       |  SELECT d.vec_id, CAST(min(d.dist) AS BIGINT) AS b
+       |  FROM d1 d JOIN a1 a ON a.vec_id = d.vec_id AND d.cid <> a.cid
+       |  GROUP BY d.vec_id),
+       |sil AS (
+       |  SELECT a.cid, a.vec_id,
+       |         CASE WHEN b.b >= a.dist
+       |              THEN (b.b - a.dist) * 10000 // greatest(greatest(a.dist, b.b), 1)
+       |              ELSE -((a.dist - b.b) * 10000 // greatest(greatest(a.dist, b.b), 1)) END AS s
+       |  FROM a1 a JOIN b ON b.vec_id = a.vec_id)
+       |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |       CASE WHEN sum(s) >= 0 THEN CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |            ELSE -(CAST(-sum(s) AS BIGINT) // CAST(count(*) AS BIGINT)) END AS mean_sil_bp,
+       |       CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+       |FROM sil GROUP BY cid ORDER BY cluster_id""".stripMargin
+
   // ---- EMB1: label-centroid embedding audit ----
 
   /** Supervised embedding-quality audit over a labeled vector frame
@@ -329,9 +393,11 @@ object Clustering {
   val queries: Map[String, Q] = Map(
     "cl1_kmeans_clusters" -> cl1,
     "cl2_cluster_balanced_sample" -> cl2,
+    "cl3_simplified_silhouette" -> cl3,
     "emb1_label_centroid_audit" -> emb1)
   val oracle: Map[String, String] = Map(
     "cl1_kmeans_clusters" -> cl1Sql,
     "cl2_cluster_balanced_sample" -> cl2Sql,
+    "cl3_simplified_silhouette" -> cl3Sql,
     "emb1_label_centroid_audit" -> emb1Sql)
 }

@@ -332,11 +332,77 @@ object Graph {
       |        CAST(CAST(s AS HUGEINT) * 1000000 // (SELECT max(s) FROM a2r) AS BIGINT) AS as_ FROM a2r)
       |SELECT node, as_ AS auth_e6 FROM a2 ORDER BY node""".stripMargin
 
+  // ---- LP1: synchronous label propagation (communities, not CC) ----
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007, 0709.2938) over an undirected (a, b) edge frame: labels
+    * start as node ids; each round every node adopts the MOST FREQUENT
+    * label among its neighbors, ties broken by the smallest label —
+    * fully deterministic (the classic algorithm's random visit order
+    * replaced by the synchronous+min-tie rule, the price of
+    * hash-checkable output). Unlike d18/CC's min-label spread this is a
+    * MODE vote: dense clusters converge to internal labels and sparse
+    * bridges do NOT merge everything into one component.
+    *
+    * Scale: per round ONE shuffle (edge⋈label join into a
+    * (node, label) count) + a per-node argmax window over the
+    * neighbor-label domain (bounded by each node's distinct neighbor
+    * labels, never the graph); labels localCheckpoint-ed per round so
+    * lineage stays flat — the pr1/kcore1 loop convention. The library
+    * entry point is [[graft.api.GraftApi.labelPropagation]]. */
+  private[graft] def labelPropagationOf(und0: DataFrame, rounds: Int = 2): DataFrame = {
+    val e = und0.select(col("a"), col("b"))
+      .unionAll(und0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    var lab = e.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val votes = e
+        .join(lab.select(col("node").as("b"), col("lbl").as("nlbl")), Seq("b"))
+        .groupBy(col("a"), col("nlbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("a").orderBy(col("c").desc, col("nlbl"))
+      lab = votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("a").as("node"), col("nlbl").as("lbl")).localCheckpoint(true)
+    }
+    val sizes = lab.groupBy("lbl").agg(count(lit(1)).as("csize"))
+    lab.join(broadcast(sizes), Seq("lbl"))
+      .select(col("node"), col("lbl").as("community"), col("csize"))
+  }
+
+  /** LP1: 2-round label propagation on the supplier co-purchase graph
+    * (tc1/kcore1's w ≥ 2 edge set). The oracle replays both synchronous
+    * rounds as chained vote/argmax CTEs. */
+  val lp1: Q = (s, d) =>
+    labelPropagationOf(coPurchaseW2(s, d)).orderBy("node")
+  val lp1Sql: String = {
+    def round(prev: String, out: String): String =
+      s"""v$out AS (
+         |  SELECT e.a, l.lbl AS nlbl, CAST(count(*) AS BIGINT) AS c
+         |  FROM sym e JOIN $prev l ON l.node = e.b
+         |  GROUP BY e.a, l.lbl),
+         |$out AS MATERIALIZED (
+         |  SELECT a AS node, nlbl AS lbl FROM (
+         |    SELECT a, nlbl, row_number() OVER (PARTITION BY a ORDER BY c DESC, nlbl) AS rk
+         |    FROM v$out)
+         |  WHERE rk = 1)""".stripMargin
+    s"""WITH $coPurchaseW2Sql,
+       |sym AS MATERIALIZED (
+       |  SELECT a, b FROM w2 UNION SELECT b AS a, a AS b FROM w2),
+       |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csize FROM l2 GROUP BY lbl)
+       |SELECT l.node, l.lbl AS community, s.csize
+       |FROM l2 l JOIN sizes s ON s.lbl = l.lbl
+       |ORDER BY l.node""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "pr2_hits_authorities" -> pr2,
     "pr1_pagerank_suppliers" -> pr1,
     "tc1_triangle_count" -> tc1,
     "kcore1_supplier_core" -> kcore1,
+    "lp1_label_propagation" -> lp1,
   )
 
   val oracle: Map[String, String] = Map(
@@ -344,5 +410,6 @@ object Graph {
     "pr1_pagerank_suppliers" -> pr1Sql,
     "tc1_triangle_count" -> tc1Sql,
     "kcore1_supplier_core" -> kcore1Sql,
+    "lp1_label_propagation" -> lp1Sql,
   )
 }

@@ -45,6 +45,24 @@ class ClusteringSpec extends SparkSpec {
     assert(again.toSeq === sample.toSeq)
   }
 
+  test("cl3 silhouettes cover the partition, stay in range, and satisfy the assignment invariant") {
+    val sil = Clustering.cl3(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sizes = Clustering.cl1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sil.map(s => s._1 -> s._2).toMap === sizes,
+      "cl3 must report the same per-cluster membership as cl1")
+    sil.foreach { case (cid, _, mean, neg) =>
+      assert(mean >= -10000L && mean <= 10000L, s"cluster $cid mean $mean out of range")
+      assert(neg === 0L,
+        s"cluster $cid: assignment against final centroids can never prefer a foreign one")
+      assert(mean >= 0L, s"cluster $cid: all silhouettes are >= 0 under the invariant")
+    }
+    val again = Clustering.cl3(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === sil.toSeq, "cl3 must be deterministic")
+  }
+
   test("cl1 separates a planted two-blob geometry into distinct clusters") {
     val sp = spark
     import sp.implicits._

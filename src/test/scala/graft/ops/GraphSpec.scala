@@ -44,4 +44,28 @@ class GraphSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).max === 1000000L, "normalization pins the max")
     assert(rows.map(_.getLong(1)).distinct.length > 1, "authorities differentiate")
   }
+
+  test("lp1 mode-vote rounds match the hand-traced two-triangle graph") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by the 3-4 bridge; two
+    // synchronous min-tie rounds traced by hand
+    val e = Seq((1L,2L),(1L,3L),(2L,3L),(4L,5L),(4L,6L),(5L,6L),(3L,4L)).toDF("a","b")
+    val out = Graph.labelPropagationOf(e, rounds = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      4L -> ((4L, 1L)), 5L -> ((3L, 2L)), 6L -> ((3L, 2L))))
+  }
+
+  test("lp1 on the fixture labels every node with an existing node id, deterministically") {
+    val rows = Graph.lp1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val nodes = rows.map(_._1).toSet
+    assert(rows.forall(r => nodes.contains(r._2)), "communities are node ids of the graph")
+    val bySize = rows.groupBy(_._2)
+    rows.foreach { case (_, c, cs) => assert(bySize(c).length.toLong === cs, "csize consistent") }
+    val again = Graph.lp1(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
 }
