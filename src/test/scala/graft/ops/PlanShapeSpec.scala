@@ -209,4 +209,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.linesIterator.exists(l => l.contains("Window [")),
       "no window funnel on 8 cluster partitions\n" + p.take(800))
   }
+
+  test("round-11 third-pass shapes: zipf1 TopK cut, af2 one exchange, eval5 no string joins, src3 no aggregate") {
+    // zipf1: the top-100 rank cut must ride the bounded-exchange TopK
+    // operator, never a vocab-sized per-source window sort before the cut
+    val pz = plan(TextAnalysis.zipf1(spark, sfDir))
+    assert(pz.contains("TopKPartial") && pz.contains("TopKFinal"),
+      "zipf rank cut must use TopKPerGroup\n" + pz.take(800))
+    // af2: the interleaved-union nearest as-of is ONE shuffle on the key
+    // (both window frames share the sort); no join operator at all
+    val pa = plan(AsOf.af2(spark, sfDir))
+    assert(!pa.contains("Join"), "af2 must not materialize candidate pairs\n" + pa.take(800))
+    // exactly 2 hash exchanges: the (user_id, ts) click-dedup window +
+    // the ONE (user_id) as-of sort both window frames share — a naive
+    // nearest join would add a third exchange and a Join node
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(pa).length
+    assert(exchanges == 2, s"af2 wants dedup + one shared as-of exchange, got $exchanges\n" + pa.take(800))
+    // eval5: presence-bit folding means no string ever crosses a join
+    val pe = plan(Evaluation.eval5(spark, sfDir))
+    assert(!pe.contains("Join"), "eval5 is aggregate-only\n" + pe.take(800))
+    assert(pe.contains("partial_"), "bigram fold must combine map-side")
+    // src3: complete aggregate pushdown leaves NO aggregate node
+    val ps = plan(ops_src3(spark))
+    assert(ps.contains("aggPushed=lang:count+min+max") && !ps.contains("HashAggregate"),
+      "src3 must push the whole aggregation into the source\n" + ps.take(800))
+  }
+
+  private def ops_src3(s: org.apache.spark.sql.SparkSession) =
+    ScaleOps.queries("src3_agg_pushdown")(s, sfDir)
 }
