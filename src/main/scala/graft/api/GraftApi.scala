@@ -686,6 +686,13 @@ object GraftApi {
   def lexicalDiversity(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.lexicalDiversityOf(docs)
 
+  /** FK-integrity audit of one (child, parent) relationship: orphan
+    * child keys, unreferenced parent keys, and both distinct-key
+    * totals as four labeled rows. */
+  def refIntegrity(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, rel: String): DataFrame =
+    graft.ops.Evaluation.refIntegrityOf(child, childKey, parent, parentKey, rel)
+
   /** Benford first-digit audit over a positive integer value column —
     * the fabricated/corrupted-numeric screen. Per digit: observed count,
     * observed share (e6), the Benford expectation and the absolute

@@ -537,6 +537,69 @@ object Evaluation {
        |ORDER BY task_id, k""".stripMargin
   }
 
+  // ---- DQ6: referential-integrity audit across the star schema ----
+
+  /** Generic FK-integrity audit of one (child, parent) relationship:
+    * child keys that reference no parent (orphans — broken ingestion)
+    * and parent keys referenced by no child (unreferenced — retention /
+    * join-reduction candidates). Both sides reduce to DISTINCT key sets
+    * FIRST (map-side combined), so the two anti-joins carry key
+    * cardinality, never table cardinality. */
+  private[graft] def refIntegrityOf(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, rel: String): DataFrame = {
+    val ck = child.select(col(childKey).as("k")).filter(col("k").isNotNull).distinct()
+    val pk = parent.select(col(parentKey).as("k")).distinct()
+    val orphans = ck.join(pk, Seq("k"), "left_anti").agg(count(lit(1)).as("n"))
+      .select(lit(rel).as("rel"), lit("orphan_child_keys").as("kind"), col("n"))
+    val unref = pk.join(ck, Seq("k"), "left_anti").agg(count(lit(1)).as("n"))
+      .select(lit(rel).as("rel"), lit("unreferenced_parent_keys").as("kind"), col("n"))
+    val totals = ck.agg(count(lit(1)).as("n"))
+      .select(lit(rel).as("rel"), lit("distinct_child_keys").as("kind"), col("n"))
+      .unionAll(pk.agg(count(lit(1)).as("n"))
+        .select(lit(rel).as("rel"), lit("distinct_parent_keys").as("kind"), col("n")))
+    orphans.unionAll(unref).unionAll(totals)
+  }
+
+  /** DQ6: the four star-schema FK edges audited in one pass — the
+    * pre-ingestion contract check a pipeline runs before trusting its
+    * joins (an orphan rate > 0 silently deflates every inner join
+    * downstream). 16 summary rows. The library entry point is
+    * [[graft.api.GraftApi.refIntegrity]]. */
+  val dq6: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    refIntegrityOf(Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", "orders_customer")
+      .unionAll(refIntegrityOf(li, "l_orderkey",
+        Tables.orders(s, d), "o_orderkey", "lineitem_orders"))
+      .unionAll(refIntegrityOf(li, "l_partkey",
+        Tables.part(s, d), "p_partkey", "lineitem_part"))
+      .unionAll(refIntegrityOf(li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey", "lineitem_supplier"))
+      .orderBy("rel", "kind")
+  }
+  val dq6Sql: String = {
+    def one(rel: String, child: String, ck: String, parent: String, pk: String): String =
+      s"""SELECT '$rel' AS rel, 'orphan_child_keys' AS kind,
+         |  CAST((SELECT count(*) FROM (SELECT DISTINCT $ck AS k FROM $child WHERE $ck IS NOT NULL)
+         |        WHERE k NOT IN (SELECT $pk FROM $parent)) AS BIGINT) AS n
+         |UNION ALL
+         |SELECT '$rel', 'unreferenced_parent_keys',
+         |  CAST((SELECT count(*) FROM (SELECT DISTINCT $pk AS k FROM $parent)
+         |        WHERE k NOT IN (SELECT $ck FROM $child WHERE $ck IS NOT NULL)) AS BIGINT)
+         |UNION ALL
+         |SELECT '$rel', 'distinct_child_keys',
+         |  CAST((SELECT count(DISTINCT $ck) FROM $child WHERE $ck IS NOT NULL) AS BIGINT)
+         |UNION ALL
+         |SELECT '$rel', 'distinct_parent_keys',
+         |  CAST((SELECT count(DISTINCT $pk) FROM $parent) AS BIGINT)""".stripMargin
+    Seq(
+      one("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      one("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      one("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY rel, kind")
+  }
+
   // ---- EVAL5: ROUGE-2 set overlap between candidate/reference pairs ----
 
   /** ROUGE-2 (distinct-bigram set basis) between candidate/reference
@@ -618,6 +681,7 @@ object Evaluation {
     "dq3_psi_drift" -> dq3,
     "dq4_ks_distance" -> dq4,
     "dq5_benford_audit" -> dq5,
+    "dq6_ref_integrity" -> dq6,
     "split1_hash_split" -> split1,
     "tox1_blocklist_filter" -> tox1,
   )
@@ -630,6 +694,7 @@ object Evaluation {
     "dq3_psi_drift" -> dq3Sql,
     "dq4_ks_distance" -> dq4Sql,
     "dq5_benford_audit" -> dq5Sql,
+    "dq6_ref_integrity" -> dq6Sql,
     "split1_hash_split" -> split1Sql,
     "tox1_blocklist_filter" -> tox1Sql,
   )

@@ -1381,6 +1381,46 @@ object ScaleOps {
        |       CAST(sum(${Money.centsSql("o_totalprice")}) AS BIGINT) AS sum_c
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- MV2: incremental JOIN-view maintenance (delta algebra) ----
+
+  /** MV2: delta maintenance of a JOIN materialized view — when BOTH
+    * sides of F ⋈ D receive a batch, the classic view-maintenance
+    * algebra Δ(F ⋈ D) = ΔF⋈D₀ + F₀⋈ΔD + ΔF⋈ΔD means the refresh joins
+    * only delta-sized inputs against stored sides, never recomputing
+    * the base⋈base term (at 100 TB the base join IS the corpus; the
+    * three delta terms are day-sized). Spark computes the view strictly
+    * through the four-term algebra (the aggregate is a monoid, so
+    * term-wise aggregation + key-wise sum ≡ recompute); the ORACLE is
+    * the direct single-join recompute — the hash match proves the
+    * algebra exact, the mv1 contract one join deeper. Base/delta splits
+    * are deterministic slices (lineitem by l_linenumber ≥ 5, orders by
+    * o_orderkey % 7 = 0). */
+  val mv2: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("rev_e4"),
+      col("l_linenumber"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    val fBase = li.filter(col("l_linenumber") < 5)
+    val fDelta = li.filter(col("l_linenumber") >= 5)
+    val dBase = ord.filter(col("o_orderkey") % 7 =!= 0)
+    val dDelta = ord.filter(col("o_orderkey") % 7 === 0)
+    def term(f: DataFrame, dd: DataFrame): DataFrame =
+      f.join(dd, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("rev_e4").as("rev_e4"))
+    term(fBase, dBase).unionAll(term(fDelta, dBase))
+      .unionAll(term(fBase, dDelta)).unionAll(term(fDelta, dDelta))
+      .groupBy("o_orderpriority")
+      .agg(sum("n").as("n"), sum("rev_e4").as("revenue_e4"))
+      .orderBy("o_orderpriority")
+  }
+  val mv2Sql: String =
+    s"""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(${Money.centsSql("l_extendedprice")}
+       |                * (100 - ${Money.centsSql("l_discount")})) AS BIGINT) AS revenue_e4
+       |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- STAT1: single-pass exact correlation matrix ----
 
   /** STAT1: the pairwise Pearson correlation matrix of lineitem's four
@@ -1626,6 +1666,7 @@ object ScaleOps {
     "dpp1_dynamic_partition_pruning" -> dpp1,
     "bin1_binaryfile_source" -> bin1,
     "mv1_incremental_agg_merge" -> mv1,
+    "mv2_incremental_join_mv" -> mv2,
     "zo1_zorder_layout" -> zo1,
     "zo2_hilbert_layout" -> zo2,
     "scd1_type2_history" -> scd1,
@@ -1663,6 +1704,7 @@ object ScaleOps {
     "dpp1_dynamic_partition_pruning" -> dpp1Sql,
     "bin1_binaryfile_source" -> bin1Sql,
     "mv1_incremental_agg_merge" -> mv1Sql,
+    "mv2_incremental_join_mv" -> mv2Sql,
     "zo1_zorder_layout" -> zo1Sql,
     "zo2_hilbert_layout" -> zo2Sql,
     "scd1_type2_history" -> scd1Sql,

@@ -87,6 +87,32 @@ class AuditJoinSpec extends SparkSpec {
     assert(out(3L) === ((4L, 1L, 0L, 2500L, 0L)), "repeated-word doc has zero hapax")
   }
 
+  test("refIntegrityOf counts planted orphans and unreferenced parents") {
+    import spark.implicits._
+    val child = Seq(1L, 1L, 2L, 9L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Evaluation.refIntegrityOf(child, "fk", parent, "pk", "r").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map(
+      "orphan_child_keys" -> 1L,          // 9 references nothing
+      "unreferenced_parent_keys" -> 1L,   // 3 never referenced
+      "distinct_child_keys" -> 3L,
+      "distinct_parent_keys" -> 3L))
+  }
+
+  test("mv2 four-term delta algebra equals the direct join recompute") {
+    import org.apache.spark.sql.functions._
+    val direct = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))")).as("revenue_e4"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val viaAlgebra = ScaleOps.mv2(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(viaAlgebra.toSeq === direct.toSeq)
+  }
+
   test("zipfSlopeOf recovers slope ~ -1 on an exact freq = C/rank corpus") {
     import spark.implicits._
     // 12/rank over 4 ranks; distinct counts make the rank order total
