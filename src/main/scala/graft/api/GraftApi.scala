@@ -693,6 +693,19 @@ object GraftApi {
       parent: DataFrame, parentKey: String, rel: String): DataFrame =
     graft.ops.Evaluation.refIntegrityOf(child, childKey, parent, parentKey, rel)
 
+  /** Join-key skew audit: the top-`topK` heaviest keys of `keyCol`
+    * with exact shares against the p50/p99 per-key frequency — run it
+    * before shuffling a large corpus on the key (a head key at 100x
+    * p50 wants sk2's salting treatment). */
+  def keySkewAudit(rows: DataFrame, keyCol: String, topK: Int = 10): DataFrame =
+    ScaleOps.keySkewAuditOf(rows, keyCol, topK)
+
+  /** Deterministic bootstrap CI (hash-Poissonized resamples, no RNG)
+    * on the n_chars >= 300 pass-rate of a (doc_id, n_chars) frame:
+    * one row (point_bp, p05_bp, p50_bp, p95_bp, n_reps). */
+  def bootstrapCi(docs: DataFrame, b: Int = 200): DataFrame =
+    graft.ops.Evaluation.bootstrapCiOf(docs, b)
+
   /** Benford first-digit audit over a positive integer value column —
     * the fabricated/corrupted-numeric screen. Per digit: observed count,
     * observed share (e6), the Benford expectation and the absolute

@@ -600,6 +600,72 @@ object Evaluation {
     ).mkString("", "\nUNION ALL\n", "\nORDER BY rel, kind")
   }
 
+  // ---- EVAL6: deterministic bootstrap CI on a pass-rate metric ----
+
+  /** EVAL6: bootstrap confidence interval (Efron 1979) on the corpus
+    * pass-rate of a quality predicate — the error bar a pipeline should
+    * attach before declaring "filter X keeps 62% of docs" on a sampled
+    * corpus. `b` resamples are drawn WITHOUT RNG: each (doc, replicate)
+    * gets a Poisson(1)-approximating weight from two md5 hex bytes
+    * (pmf 37/37/18/6/2 over w = 0..4 — mean 1.00, the multinomial
+    * bootstrap's Poissonization), so both engines replay the identical
+    * resample and the CI hash-matches. Per replicate the weighted rate
+    * in exact bp; the interval is the exact 5/50/95 percentile of the
+    * `b` replicate rates (apx3 machinery on a `b`-row frame).
+    *
+    * Scale: ONE corpus scan explodes b weights per doc (corpus·b rows,
+    * map-side combined into b partial rates — no shuffle carries more
+    * than b rows per task); everything after is O(b). */
+  private[graft] def bootstrapCiOf(docs: DataFrame, b: Int = 200): DataFrame = {
+    val x = docs.select(col("doc_id"), (col("n_chars") >= 300).cast("long").as("x"))
+    val reps = x
+      .select(col("doc_id"), col("x"), explode(expr(s"sequence(1, $b)")).as("bi"))
+      .withColumn("u", expr(
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', CAST(bi AS STRING))), 1, 4), 16, 10) AS BIGINT) % 100"))
+      .withColumn("w", expr(
+        "CASE WHEN u < 37 THEN 0L WHEN u < 74 THEN 1L WHEN u < 92 THEN 2L WHEN u < 98 THEN 3L ELSE 4L END"))
+      .groupBy("bi")
+      .agg(sum(expr("w * x")).as("sx"), sum("w").as("sw"))
+      .withColumn("rate_bp", expr("sx * 10000 div greatest(sw, 1)"))
+    val pcts = ScaleOps.exactPercentilesOf(
+      reps.select(lit(0L).as("g"), col("rate_bp").as("v")), "g", "v", Seq(0.05, 0.5, 0.95))
+    val point = x.agg(expr("CAST(sum(x) * 10000 div count(1) AS BIGINT)").as("point_bp"))
+    point
+      .crossJoin(broadcast(pcts.filter(col("pct") === 0.05).select(col("exact_pct").as("p05_bp"))))
+      .crossJoin(broadcast(pcts.filter(col("pct") === 0.5).select(col("exact_pct").as("p50_bp"))))
+      .crossJoin(broadcast(pcts.filter(col("pct") === 0.95).select(col("exact_pct").as("p95_bp"))))
+      .withColumn("n_reps", lit(b.toLong))
+  }
+
+  val eval6: Q = (s, d) => bootstrapCiOf(Tables.documents(s, d))
+  val eval6Sql: String = {
+    val b = 200
+    s"""WITH x AS (
+       |  SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS x FROM documents),
+       |rep AS (
+       |  SELECT doc_id, x, unnest(range(1, ${b + 1})) AS bi FROM x),
+       |wts AS (
+       |  SELECT bi, x,
+       |         ('0x' || substr(md5(doc_id || ':' || bi), 1, 4))::BIGINT % 100 AS u
+       |  FROM rep),
+       |reps AS (
+       |  SELECT bi,
+       |         CAST(sum((CASE WHEN u < 37 THEN 0 WHEN u < 74 THEN 1 WHEN u < 92 THEN 2
+       |                        WHEN u < 98 THEN 3 ELSE 4 END) * x) AS BIGINT) * 10000
+       |           // greatest(CAST(sum(CASE WHEN u < 37 THEN 0 WHEN u < 74 THEN 1 WHEN u < 92 THEN 2
+       |                        WHEN u < 98 THEN 3 ELSE 4 END) AS BIGINT), 1) AS rate_bp
+       |  FROM wts GROUP BY bi),
+       |freq AS (SELECT rate_bp AS v, count(*) AS f FROM reps GROUP BY 1),
+       |cum AS (SELECT v, CAST(sum(f) OVER (ORDER BY v) AS BIGINT) AS cf,
+       |               CAST(sum(f) OVER () AS BIGINT) AS n FROM freq),
+       |p05 AS (SELECT min(v) AS p05_bp FROM cum WHERE cf >= ceil(0.05 * n)),
+       |p50 AS (SELECT min(v) AS p50_bp FROM cum WHERE cf >= ceil(0.5 * n)),
+       |p95 AS (SELECT min(v) AS p95_bp FROM cum WHERE cf >= ceil(0.95 * n)),
+       |pt AS (SELECT CAST(sum(x) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS point_bp FROM x)
+       |SELECT point_bp, p05_bp, p50_bp, p95_bp, CAST($b AS BIGINT) AS n_reps
+       |FROM pt, p05, p50, p95""".stripMargin
+  }
+
   // ---- EVAL5: ROUGE-2 set overlap between candidate/reference pairs ----
 
   /** ROUGE-2 (distinct-bigram set basis) between candidate/reference
@@ -682,6 +748,7 @@ object Evaluation {
     "dq4_ks_distance" -> dq4,
     "dq5_benford_audit" -> dq5,
     "dq6_ref_integrity" -> dq6,
+    "eval6_bootstrap_ci" -> eval6,
     "split1_hash_split" -> split1,
     "tox1_blocklist_filter" -> tox1,
   )
@@ -695,6 +762,7 @@ object Evaluation {
     "dq4_ks_distance" -> dq4Sql,
     "dq5_benford_audit" -> dq5Sql,
     "dq6_ref_integrity" -> dq6Sql,
+    "eval6_bootstrap_ci" -> eval6Sql,
     "split1_hash_split" -> split1Sql,
     "tox1_blocklist_filter" -> tox1Sql,
   )

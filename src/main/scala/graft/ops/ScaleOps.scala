@@ -1381,6 +1381,55 @@ object ScaleOps {
        |       CAST(sum(${Money.centsSql("o_totalprice")}) AS BIGINT) AS sum_c
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- SK3: join-key skew audit (the "will this shuffle melt" probe) ----
+
+  /** Key-frequency skew audit of any (rows, keyCol) pair — the
+    * diagnostic a pipeline runs BEFORE shuffling 100 TB on a key: the
+    * top-`topK` heaviest keys with their exact share, against the p50 /
+    * p99 of the per-key frequency distribution (a top key at 100× p50
+    * says "salt this join" — sk2's treatment — long before an executor
+    * OOMs). One corpus scan into key-cardinality counts
+    * (localCheckpoint-ed; three consumers must not rescan the corpus),
+    * then everything runs on key/value-domain-bounded frames: the
+    * percentile pick on the count HISTOGRAM (apx3's machinery), the
+    * top-k through the bounded-exchange [[graft.plans.TopKPerGroup]].
+    * The library entry point is [[graft.api.GraftApi.keySkewAudit]]. */
+  private[graft] def keySkewAuditOf(rows: DataFrame, keyCol: String,
+      topK: Int = 10): DataFrame = {
+    val counts = rows.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"))
+    val pcts = exactPercentilesOf(
+      counts.select(lit(0L).as("g"), col("c").as("v")), "g", "v", Seq(0.5, 0.99))
+    val p50 = pcts.filter(col("pct") === 0.5).select(col("exact_pct").as("p50_c"))
+    val p99 = pcts.filter(col("pct") === 0.99).select(col("exact_pct").as("p99_c"))
+    val top = graft.plans.TopKPerGroup(counts.withColumn("g", lit(0)),
+      Seq("g"), Seq(("c", true), ("k", false)), topK)
+    val w = Window.partitionBy("g").orderBy(col("c").desc, col("k"))
+    top.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
+      .select(col("rk"), col("k").as("key"), col("c"),
+        expr("c * 10000 div n_rows").as("share_bp"),
+        col("n_keys"), col("p50_c"), col("p99_c"),
+        expr("c * 100 div greatest(p50_c, 1)").as("x_over_p50"))
+  }
+
+  val sk3: Q = (s, d) =>
+    keySkewAuditOf(Tables.lineitem(s, d), "l_suppkey").orderBy("rk")
+  val sk3Sql: String =
+    """WITH c AS (
+      |  SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows FROM c),
+      |freq AS (SELECT c AS v, count(*) AS f FROM c GROUP BY c),
+      |cum AS (SELECT v, CAST(sum(f) OVER (ORDER BY v) AS BIGINT) AS cf,
+      |               CAST(sum(f) OVER () AS BIGINT) AS n FROM freq),
+      |p50 AS (SELECT min(v) AS p50_c FROM cum WHERE cf >= ceil(0.5 * n)),
+      |p99 AS (SELECT min(v) AS p99_c FROM cum WHERE cf >= ceil(0.99 * n)),
+      |top AS (SELECT k, c, CAST(row_number() OVER (ORDER BY c DESC, k) AS INTEGER) AS rk FROM c)
+      |SELECT rk, k AS key, c, c * 10000 // n_rows AS share_bp,
+      |       n_keys, p50_c, p99_c, c * 100 // greatest(p50_c, 1) AS x_over_p50
+      |FROM top, stats, p50, p99 WHERE rk <= 10 ORDER BY rk""".stripMargin
+
   // ---- MV2: incremental JOIN-view maintenance (delta algebra) ----
 
   /** MV2: delta maintenance of a JOIN materialized view — when BOTH
@@ -1667,6 +1716,7 @@ object ScaleOps {
     "bin1_binaryfile_source" -> bin1,
     "mv1_incremental_agg_merge" -> mv1,
     "mv2_incremental_join_mv" -> mv2,
+    "sk3_key_skew_audit" -> sk3,
     "zo1_zorder_layout" -> zo1,
     "zo2_hilbert_layout" -> zo2,
     "scd1_type2_history" -> scd1,
@@ -1705,6 +1755,7 @@ object ScaleOps {
     "bin1_binaryfile_source" -> bin1Sql,
     "mv1_incremental_agg_merge" -> mv1Sql,
     "mv2_incremental_join_mv" -> mv2Sql,
+    "sk3_key_skew_audit" -> sk3Sql,
     "zo1_zorder_layout" -> zo1Sql,
     "zo2_hilbert_layout" -> zo2Sql,
     "scd1_type2_history" -> scd1Sql,

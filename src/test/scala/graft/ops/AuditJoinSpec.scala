@@ -113,6 +113,35 @@ class AuditJoinSpec extends SparkSpec {
     assert(viaAlgebra.toSeq === direct.toSeq)
   }
 
+  test("keySkewAuditOf ranks planted heavy keys with exact shares and percentiles") {
+    import spark.implicits._
+    val rows = (Seq.fill(10)(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(2)(3L) ++ Seq(4L, 5L))
+      .toDF("k2")
+    val out = ScaleOps.keySkewAuditOf(rows, "k2", topK = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).sortBy(_._1)
+    // counts: {1:10, 2:2, 3:2, 4:1, 5:1}; sorted count list [1,1,2,2,10]:
+    // p50 = first v with cf >= ceil(0.5*5)=3 -> 2; p99 -> 10
+    assert(out.length === 3)
+    assert(out(0) === ((1, 1L, 10L, 6250L, 5L, 2L, 10L, 500L)),
+      "head key: 10/16 rows = 6250 bp, 5x the p50 key")
+    assert(out(1)._3 === 2L && out(2)._3 === 2L, "ties broken deterministically")
+    assert(out(1)._2 === 2L && out(2)._2 === 3L)
+  }
+
+  test("eval6 bootstrap CI brackets the point estimate and is rerun-stable") {
+    val out = Evaluation.eval6(spark, sfDir).head()
+    val (point, p05, p50, p95, n) = (out.getLong(0), out.getLong(1),
+      out.getLong(2), out.getLong(3), out.getLong(4))
+    assert(n === 200L)
+    assert(p05 <= p50 && p50 <= p95, s"percentiles must be ordered: $p05 $p50 $p95")
+    assert(p05 <= point && point <= p95,
+      s"the 90% interval should bracket the point estimate ($p05, $point, $p95)")
+    assert(point >= 0L && p95 <= 10000L)
+    val again = Evaluation.eval6(spark, sfDir).head()
+    assert(again === out, "hash-derived resamples must be rerun-stable")
+  }
+
   test("zipfSlopeOf recovers slope ~ -1 on an exact freq = C/rank corpus") {
     import spark.implicits._
     // 12/rank over 4 ranks; distinct counts make the rank order total
