@@ -569,27 +569,45 @@ object Similarity {
       .select(col("q_id"), col("pa"), col("pb"),
         expr("CAST(round(graft_dot(qa, qb) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000) AS BIGINT)")
           .as("sim_e6"))
-      .localCheckpoint(true)
-    val w1 = Window.partitionBy("q_id").orderBy(col("rel_e6").desc, col("cand_id"))
-    var sel = cand.withColumn("r", row_number().over(w1)).filter(col("r") === 1)
-      .select(col("q_id"), col("cand_id"), lit(1L).as("rk"),
-        expr("CAST(7 * rel_e6 AS BIGINT)").as("score_e7"))
-    for (step <- 2 to k) {
-      val selIds = sel.select(col("q_id"), col("cand_id"))
-      val pen = pairs
-        .join(selIds.select(col("q_id").as("pq"), col("cand_id").as("sid")),
-          col("q_id") === col("pq") && col("pb") === col("sid"))
-        .groupBy(col("q_id").as("gq"), col("pa")).agg(max("sim_e6").as("pen"))
-      val ws = Window.partitionBy("q_id").orderBy(col("score_e7").desc, col("cand_id"))
-      val pick = cand.join(selIds, Seq("q_id", "cand_id"), "left_anti")
-        .join(pen, col("q_id") === col("gq") && col("cand_id") === col("pa"))
-        .select(col("q_id"), col("cand_id"),
-          expr("CAST(7 * rel_e6 - 3 * pen AS BIGINT)").as("score_e7"))
-        .withColumn("r", row_number().over(ws)).filter(col("r") === 1)
-        .select(col("q_id"), col("cand_id"), lit(step.toLong).as("rk"), col("score_e7"))
-      sel = sel.unionAll(pick)
-    }
-    sel
+    // The greedy selection runs PER QUERY over ≤ nCand candidates and
+    // ≤ nCand² pairwise sims — a bounded LOCAL computation. Round 11
+    // replaced the former k-step driver loop (per step: an anti-join, a
+    // penalty aggregate and a rank window — ~3·k shuffles of tiny
+    // frames, pure stage machinery) with one fold over per-query
+    // ARRAYS: candidates and the sim map collect into two bounded
+    // columns, and `aggregate(sequence(1, k), …)` replays the exact
+    // greedy recurrence (score = 7·rel − 3·max sim-to-selected, ties →
+    // lowest cand_id via the (score, −id) struct max) in a single
+    // projection. Semantics are bit-identical — the DuckDB oracle's
+    // unrolled loop is unchanged — but the plan is 2 aggregates instead
+    // of 3·k shuffles. The HOF is interpreted, but it touches k·nCand·k
+    // elements per QUERY row, not per corpus row (the d11 lesson does
+    // not bite: inputs are bound columns, never re-split expressions).
+    val candArr = cand.groupBy("q_id").agg(
+      array_sort(collect_list(struct(col("cand_id").as("id"), col("rel_e6").as("rel"))))
+        .as("cands"))
+    val simMap = pairs.groupBy("q_id").agg(
+      map_from_entries(collect_list(struct(
+        concat(col("pa").cast("string"), lit(":"), col("pb").cast("string")),
+        col("sim_e6")))).as("smap"))
+    val scored = "transform(filter(cands, c -> !exists(acc, a -> a.id = c.id)), " +
+      "c -> named_struct(" +
+      "'s', 7L * c.rel - 3L * coalesce(array_max(transform(acc, " +
+      "a -> element_at(smap, concat(CAST(c.id AS STRING), ':', CAST(a.id AS STRING))))), 0L), " +
+      "'negid', -c.id))"
+    val greedy =
+      s"""aggregate(sequence(1, $k),
+         |  CAST(array() AS ARRAY<STRUCT<id: BIGINT, rk: BIGINT, s: BIGINT>>),
+         |  (acc, step) -> CASE WHEN size(acc) >= size(cands) THEN acc ELSE
+         |    concat(acc, array(named_struct(
+         |      'id', -array_max($scored).negid,
+         |      'rk', CAST(size(acc) + 1 AS BIGINT),
+         |      's', array_max($scored).s))) END)""".stripMargin
+    candArr.join(simMap, Seq("q_id"), "left")
+      .withColumn("smap", coalesce(col("smap"), expr("CAST(map() AS MAP<STRING, BIGINT>)")))
+      .select(col("q_id"), explode(expr(greedy)).as("pick"))
+      .select(col("q_id"), col("pick.id").as("cand_id"),
+        col("pick.rk").as("rk"), col("pick.s").as("score_e7"))
   }
 
   val mmr1: Q = (s, d) =>
