@@ -435,4 +435,31 @@ class ApiSpec extends SparkSpec {
       .orderBy("query_id", "rnk").collect().toSeq ===
       graft.SparkEntry.queries("ret4_query_likelihood_topk")(spark, sfDir).collect().toSeq)
   }
+
+  test("round-11 session APIs bind the same implementations as their registry entries") {
+    val sfd = sfDir
+    val docs = graft.Tables.documents(spark, sfd)
+    assert(GraftApi.lexicalDiversity(docs).orderBy("doc_id").collect().toSeq ===
+      graft.SparkEntry.queries("t24_lexical_diversity")(spark, sfd).collect().toSeq)
+    assert(GraftApi.zipfSlope(docs).orderBy("source").collect().toSeq ===
+      graft.SparkEntry.queries("zipf1_rank_slope")(spark, sfd).collect().toSeq)
+    assert(GraftApi.markovTransitions(graft.Tables.events(spark, sfd))
+      .orderBy("cur_type", "nxt_type").collect().toSeq ===
+      graft.SparkEntry.queries("markov1_transition_matrix")(spark, sfd).collect().toSeq)
+    assert(GraftApi.simplifiedSilhouette(graft.Tables.embeddings(spark, sfd))
+      .orderBy("cluster_id").collect().toSeq ===
+      graft.SparkEntry.queries("cl3_simplified_silhouette")(spark, sfd).collect().toSeq)
+    assert(GraftApi.bootstrapCi(docs).collect().toSeq ===
+      graft.SparkEntry.queries("eval6_bootstrap_ci")(spark, sfd).collect().toSeq)
+    // facade ops on a user frame (planted semantics already pinned in
+    // AuditJoinSpec/GraphSpec via the ops layer — this pins the facade)
+    val sp = spark
+    import sp.implicits._
+    val rouge = GraftApi.rougeBigram(
+      Seq((0L, 0, "a b c"), (0L, 1, "a b d")).toDF("pair_id", "side", "text")).head()
+    assert(rouge.getAs[Long]("f_bp") === 5000L)
+    val skew = GraftApi.keySkewAudit(
+      (Seq.fill(9)(7L) ++ Seq(8L, 9L, 10L)).toDF("k2"), "k2", topK = 1).head()
+    assert(skew.getAs[Long]("key") === 7L && skew.getAs[Long]("c") === 9L)
+  }
 }
