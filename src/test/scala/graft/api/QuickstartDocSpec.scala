@@ -42,4 +42,22 @@ class QuickstartDocSpec extends SparkSpec {
     assert(rows.nonEmpty, "IVF-PQ must return neighbours")
     assert(rows.forall(_.getInt(2) <= 10), "rk bounded by k")
   }
+
+  test("quickstart audit snippet: the four corpus audits run and return rows") {
+    val sp = spark
+    import sp.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val skew = GraftApi.keySkewAudit(docs, "source")
+    assert(skew.count() > 0 && skew.columns.contains("p99_c"))
+    val zipf = GraftApi.zipfSlope(docs)
+    assert(zipf.count() > 0, "every source gets a slope")
+    val ci = GraftApi.bootstrapCi(docs)
+    assert(ci.count() === 1)
+    val sources = docs.select("source").distinct()
+      .withColumnRenamed("source", "source_id")
+    val fk = GraftApi.refIntegrity(docs, "source", sources, "source_id", "docs_sources")
+    assert(fk.count() === 4)
+    assert(fk.filter($"kind" === "orphan_child_keys").head().getLong(2) === 0L,
+      "every doc source exists in the dimension by construction")
+  }
 }
