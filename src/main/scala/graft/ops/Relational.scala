@@ -775,12 +775,24 @@ object Relational {
        |JOIN customer ON c_custkey = o_custkey
        |ORDER BY price_c DESC, o_orderkey""".stripMargin
 
-  /** HLL1: sketch-based distinct (approx_count_distinct / HyperLogLog++) —
-    * engine-defined estimate, so rows-only; accuracy asserted in tests. */
+  /** HLL1: sketch-based distinct (approx_count_distinct / HyperLogLog++).
+    * The estimate itself is engine-defined (HLL++ register layout), so —
+    * the apx1 tolerance-oracle pattern, applied here in round 11 — it
+    * stays OUT of the hashed output; what the gate checks is the exact
+    * count plus a `within_6pct` flag (3σ at rsd 0.02) whose oracle
+    * asserts the literal 1. Sketch drift beyond the bound turns the
+    * driver gate red instead of hiding behind a rows-only row. */
   val hll1: Q = (s, d) =>
     li(s, d).agg(
       approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
       countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) * 100 <=
+          col("exact_orders") * 6).cast("int").as("within_6pct"))
+  val hll1Sql: String =
+    """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |       1 AS within_6pct
+      |FROM lineitem""".stripMargin
 
   /** APX1: approximate percentiles (Greenwald-Khanna sketch via
     * `approx_percentile`) audited against the EXACT distributed
@@ -1302,6 +1314,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "hll1_sketch_distinct" -> hll1Sql,
     "s1_scan_pruned" -> s1Sql,
     "s2_partitioned_scan" -> s2Sql,
     "s3_union_scan" -> s3Sql,

@@ -322,8 +322,23 @@ object ScaleOps {
     val globalExact = Tables.events(s, d).agg(countDistinct(col("user_id"))).head().getLong(0)
     val global = sk.agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_nd"))
       .select(lit("ALL").as("event_type"), col("est_nd"), lit(globalExact).as("exact_nd"))
-    perType.unionAll(global).orderBy("event_type")
+    // round-11 tolerance-oracle upgrade (apx1 pattern): the Datasketches
+    // estimate stays out of the hash; the gate checks exact counts plus
+    // a ≤5% flag — including on the ALL row, which pins MERGEABILITY
+    // (the union-of-sketches estimate must stay within the bound too)
+    perType.unionAll(global)
+      .select(col("event_type"), col("exact_nd"),
+        (abs(col("est_nd") - col("exact_nd")) * 100 <= col("exact_nd") * 5)
+          .cast("int").as("within_5pct"))
+      .orderBy("event_type")
   }
+  val apx5Sql: String =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_nd,
+      |       1 AS within_5pct
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), 1 FROM events
+      |ORDER BY event_type""".stripMargin
 
   // ---- APX6: KMV (k-minimum-values) distinct sketch, exact-oracle ----
 
@@ -1346,12 +1361,38 @@ object ScaleOps {
       .orderBy(col("est_cnt").desc, col(c))
   }
 
-  val apx4: Q = (s, d) =>
-    cmsHeavyHittersOf(
-      Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .filter(length(col("tok")) > 0),
-      "tok", eps = 0.001, confidence = 0.99, seed = 42, minEst = 400)
+  /** apx4's gate form (round-11 tolerance-oracle upgrade, the apx1
+    * pattern): the hashed output restricts to the PROVABLE subset —
+    * tokens whose EXACT count crosses the threshold, which CMS can
+    * never miss (est ≥ exact) — each with a `within_eps` flag checking
+    * the ε·N overestimate bound against a literal 1 in the oracle. The
+    * raw estimate stays out of the hash (engine-defined), the est-based
+    * detection semantics stay in [[cmsHeavyHittersOf]]/`GraftApi`, and
+    * a sketch regression (missed heavy hitter, bound violation) now
+    * turns the driver gate red. */
+  val apx4: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val epsN = expr("CAST(ceil(0.001 * n_total) AS BIGINT)")
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    cmsHeavyHittersOf(toks, "tok", eps = 0.001, confidence = 0.99,
+        seed = 42, minEst = 400)
+      .filter(col("exact_cnt") >= 400)
+      .crossJoin(broadcast(total))
+      .select(col("tok"), col("exact_cnt"),
+        (col("est_cnt") >= col("exact_cnt") &&
+          col("est_cnt") <= col("exact_cnt") + epsN).cast("int").as("within_eps"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+  val apx4Sql: String =
+    """WITH t AS (
+      |  SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+      |t2 AS (SELECT tok FROM t WHERE len(tok) > 0),
+      |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM t2 GROUP BY tok)
+      |SELECT tok, exact_cnt, 1 AS within_eps
+      |FROM c WHERE exact_cnt >= 400
+      |ORDER BY exact_cnt DESC, tok""".stripMargin
 
   // ---- MV1: incremental aggregate maintenance ----
 
@@ -1759,7 +1800,8 @@ object ScaleOps {
     "zo1_zorder_layout" -> zo1Sql,
     "zo2_hilbert_layout" -> zo2Sql,
     "scd1_type2_history" -> scd1Sql,
-    // apx4 deliberately absent: CMS estimates are engine-defined (rows-only)
+    "apx4_cms_heavy_hitters" -> apx4Sql,
+    "apx5_hll_mergeable" -> apx5Sql,
     "shuf1_deterministic_shuffle" -> shuf1Sql,
     "samp2_weighted_source_sample" -> samp2Sql,
     "b1_bucketed_join" -> b1Sql,
