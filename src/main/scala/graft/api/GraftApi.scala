@@ -810,4 +810,34 @@ object GraftApi {
 
   def pqCodebooks(quantized: DataFrame): Seq[Seq[Array[Long]]] =
     Similarity.pqCodebooks(quantized)
+
+  /** Top-k TF-IDF keywords per document over a (doc_id, text) frame —
+    * exact integer tf·idf_e6 scores, term-ascending tie-break. Emits
+    * (doc_id, rk, term, tf, df, idf_e6, score). Registry twin:
+    * `kw1_tfidf_keywords` (oracle-checked). */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame =
+    TextAnalysis.tfidfKeywordsOf(docs, k)
+
+  /** Skip-gram (center, context) pair counts at window 2 over a
+    * (doc_id, text) frame — the SGNS/GloVe co-occurrence multiset, both
+    * directions, row-local generation (no self-join). Registry twin:
+    * `w2v1_skipgram_pairs`. */
+  def skipgramPairs(docs: DataFrame, minSupport: Long = 1L): DataFrame =
+    TextAnalysis.skipgramPairsOf(docs, minSupport)
+
+  /** Corpus-level BLEU-2 sufficient statistics over a (pair_id, side,
+    * text) frame (side 0 = reference, 1 = candidate): multiset-clipped
+    * n-gram matches for n ∈ {1,2}, candidate/reference lengths, exact
+    * basis-point precisions and the integer-exact geometric mean
+    * `bleu2_core_bp`; the brevity-penalty decision is emitted as
+    * integers, not folded in. Registry twin: `eval7_bleu2`. */
+  def bleu2(pairs: DataFrame): DataFrame =
+    graft.ops.Evaluation.bleu2Of(pairs)
+
+  /** One deterministic topic-model M-step over a (doc_id, text) frame:
+    * salted-md5 token→topic init, word-topic counts, and each topic's
+    * top terms with exact basis-point φ̂(w|k). Registry twin:
+    * `lda1_topic_mstep`. */
+  def topicMstep(docs: DataFrame, kTopics: Int = 4, topN: Int = 5): DataFrame =
+    graft.ops.Clustering.topicMstepOf(docs, kTopics, topN)
 }

@@ -390,14 +390,75 @@ object Clustering {
        |FROM stats s JOIN nn USING (label) ORDER BY label""".stripMargin
   }
 
+  // ---- LDA1: one topic-model M-step under a deterministic init ----
+
+  /** LDA1: the M-step of a plate-model topic EM (pLSA/LDA family) under
+    * a DETERMINISTIC token→topic initialization — the word-topic count
+    * matrix and per-topic top terms that one sweep of collapsed
+    * Gibbs/EM maintains. Each token position draws its initial topic
+    * from a salted md5 of (doc_id, position) mod K (the split1/eval6
+    * hash-draw idiom — both engines replay it bit-for-bit, no RNG);
+    * the M-step then folds word-topic counts c_wk and topic totals c_k
+    * and emits each topic's top-5 terms with exact basis-point
+    * φ̂(w|k) = c_wk·10⁴ div c_k. This is the distributed-update shape of
+    * topic-model training: everything a real sampler adds is a smarter
+    * (but still per-token) reassignment between identical M-steps.
+    *
+    * Scale: one corpus token scan → one map-side-combined hash
+    * aggregate on (w, topic) — output is vocabulary×K, never
+    * corpus-sized; topic totals derive from that same frame (no second
+    * scan) and broadcast back; the top-5 window partitions K ways over
+    * a vocabulary-sized frame. */
+  private[graft] def topicMstepOf(docs: DataFrame, kTopics: Int = 4, topN: Int = 5): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
+      .filter(length(col("w")) > 0)
+      .withColumn("topic", expr(
+        s"CAST(conv(substring(md5(concat('lda1:', CAST(doc_id AS STRING), ':', CAST(pos0 AS STRING))), 1, 4), 16, 10) AS BIGINT) % $kTopics"))
+    val cwk = toks.groupBy("topic", "w").agg(count(lit(1)).as("c_wk"))
+    val ck = cwk.groupBy("topic").agg(sum("c_wk").as("c_k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("topic").orderBy(col("c_wk").desc, col("w").asc)
+    cwk.join(broadcast(ck), Seq("topic"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= topN)
+      .select(col("topic"), col("rk").cast("long").as("rk"), col("w").as("term"),
+        col("c_wk"), col("c_k"), expr("c_wk * 10000 div c_k").as("phi_bp"))
+  }
+
+  val lda1: Q = (s, d) =>
+    topicMstepOf(Tables.documents(s, d)).orderBy("topic", "rk")
+  val lda1Sql: String =
+    """WITH ws AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+      |toks AS (
+      |  SELECT doc_id, t.p AS pos0, t.w AS w FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+      |      i -> {'p': i - 1, 'w': ws[i]})) AS t
+      |    FROM ws)
+      |  WHERE len(t.w) > 0),
+      |z AS (
+      |  SELECT w,
+      |         ('0x' || substr(md5('lda1:' || doc_id::VARCHAR || ':' || pos0::VARCHAR), 1, 4))::BIGINT % 4 AS topic
+      |  FROM toks),
+      |cwk AS (SELECT topic, w, CAST(count(*) AS BIGINT) AS c_wk FROM z GROUP BY topic, w),
+      |ck AS (SELECT topic, CAST(sum(c_wk) AS BIGINT) AS c_k FROM cwk GROUP BY topic),
+      |r AS (
+      |  SELECT cwk.topic, cwk.w, cwk.c_wk, ck.c_k,
+      |         row_number() OVER (PARTITION BY cwk.topic ORDER BY cwk.c_wk DESC, cwk.w) AS rk
+      |  FROM cwk JOIN ck USING (topic))
+      |SELECT topic, CAST(rk AS BIGINT) AS rk, w AS term, c_wk, c_k,
+      |       c_wk * 10000 // c_k AS phi_bp
+      |FROM r WHERE rk <= 5 ORDER BY topic, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cl1_kmeans_clusters" -> cl1,
     "cl2_cluster_balanced_sample" -> cl2,
     "cl3_simplified_silhouette" -> cl3,
+    "lda1_topic_mstep" -> lda1,
     "emb1_label_centroid_audit" -> emb1)
   val oracle: Map[String, String] = Map(
     "cl1_kmeans_clusters" -> cl1Sql,
     "cl2_cluster_balanced_sample" -> cl2Sql,
     "cl3_simplified_silhouette" -> cl3Sql,
+    "lda1_topic_mstep" -> lda1Sql,
     "emb1_label_centroid_audit" -> emb1Sql)
 }

@@ -739,7 +739,110 @@ object Evaluation {
       |FROM a WHERE n_ref_bg > 0 AND n_cand_bg > 0
       |ORDER BY pair_id""".stripMargin
 
+  // ---- EVAL7: corpus-level BLEU-2 sufficient statistics ----
+
+  /** EVAL7: corpus-level BLEU-2 between candidate/reference pairs — the
+    * MULTISET-clipped counterpart of eval5's set-basis ROUGE: per pair
+    * and n-gram, the candidate's occurrence count is clipped at the
+    * reference's (`min(c_cand, c_ref)`, Papineni et al. 2002), then
+    * clipped matches and candidate totals are summed over the whole
+    * corpus for n ∈ {1, 2}. The headline `bleu2_core_bp` is the
+    * geometric mean √(p1·p2) in basis points, computed EXACTLY in
+    * integers: q = ⌊m1·m2·10⁸ / (t1·t2)⌋ in DECIMAL(38,0) (HUGEINT in
+    * the oracle — m1·m2·10⁸ overflows int64 beyond ~10⁵ tokens per
+    * side), then ⌊√q⌋, which is exact because q ≤ 10⁸ < 2⁵³ and
+    * correctly-rounded double sqrt of an exact integer that small never
+    * crosses an integer boundary. The brevity-penalty DECISION is
+    * emitted as exact integers (c_len, r_len, bp_applied) rather than
+    * folding exp(1−r/c) — a raw double exp — into the hash (the mix2
+    * 1-ulp lesson).
+    *
+    * Scale: two corpus scans (unigram + bigram stage), each one
+    * row-local n-gram explode → one hash aggregate on (pair_id, gram)
+    * with BOTH sides' counts folded in the same aggregate (no join of
+    * two corpus-sized frames), then a map-side-combined global sum.
+    * Everything after the per-gram aggregate is one row. */
+  private[graft] def bleu2Of(pairs: DataFrame): DataFrame = {
+    def stage(grams: DataFrame): DataFrame =
+      grams.groupBy("pair_id", "g")
+        .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("c_cand"),
+          sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_ref"))
+        .agg(sum(least(col("c_cand"), col("c_ref"))).as("m"),
+          sum(col("c_cand")).as("t"))
+    val toks = pairs
+      .select(col("pair_id"), col("side"), explode(split(col("text"), " ")).as("g"))
+      .filter(length(col("g")) > 0)
+    val uni = stage(toks)
+      .select(col("m").as("m1"), col("t").as("t1"))
+    val bgArr = "transform(arrays_zip(" +
+      "slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+      "slice(split(text, ' '), 2, size(split(text, ' ')) - 1)), " +
+      "s -> concat(s['0'], ' ', s['1']))"
+    val bi = stage(pairs
+        .filter(size(split(col("text"), " ")) >= 2)
+        .select(col("pair_id"), col("side"), explode(expr(bgArr)).as("g")))
+      .select(col("m").as("m2"), col("t").as("t2"))
+    val lens = pairs
+      .select(col("side"), explode(split(col("text"), " ")).as("g"))
+      .filter(length(col("g")) > 0)
+      .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("c_len"),
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("r_len"))
+    lens.crossJoin(uni).crossJoin(bi)
+      .withColumn("p1_bp", expr("m1 * 10000 div greatest(t1, 1)"))
+      .withColumn("p2_bp", expr("m2 * 10000 div greatest(t2, 1)"))
+      .withColumn("bleu2_core_bp", expr(
+        "CAST(floor(sqrt(CAST(CAST(m1 AS DECIMAL(38,0)) * m2 * 100000000 " +
+          "div (CAST(greatest(t1, 1) AS DECIMAL(38,0)) * greatest(t2, 1)) AS DOUBLE))) AS BIGINT)"))
+      .withColumn("bp_applied", when(col("c_len") < col("r_len"), 1).otherwise(0))
+  }
+
+  /** EVAL7 on the fixture: the eval5 pairing (even doc_id = reference,
+    * odd = candidate). */
+  val eval7: Q = (s, d) =>
+    bleu2Of(Tables.documents(s, d).select(
+      (col("doc_id") / 2).cast("long").as("pair_id"),
+      (col("doc_id") % 2).cast("int").as("side"), col("text")))
+  val eval7Sql: String =
+    """WITH pr AS (
+      |  SELECT doc_id // 2 AS pair_id, CAST(doc_id % 2 AS INTEGER) AS side,
+      |         str_split(text, ' ') AS ws
+      |  FROM documents),
+      |toks AS (
+      |  SELECT pair_id, side, unnest(ws) AS g FROM pr),
+      |t1g AS (
+      |  SELECT pair_id, g,
+      |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cand,
+      |         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref
+      |  FROM toks WHERE len(g) > 0 GROUP BY pair_id, g),
+      |uni AS (
+      |  SELECT CAST(sum(least(c_cand, c_ref)) AS BIGINT) AS m1,
+      |         CAST(sum(c_cand) AS BIGINT) AS t1 FROM t1g),
+      |bg AS (
+      |  SELECT pair_id, side,
+      |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS g
+      |  FROM pr WHERE len(ws) >= 2),
+      |t2g AS (
+      |  SELECT pair_id, g,
+      |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cand,
+      |         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref
+      |  FROM bg GROUP BY pair_id, g),
+      |bi AS (
+      |  SELECT CAST(sum(least(c_cand, c_ref)) AS BIGINT) AS m2,
+      |         CAST(sum(c_cand) AS BIGINT) AS t2 FROM t2g),
+      |lens AS (
+      |  SELECT CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_len,
+      |         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r_len
+      |  FROM toks WHERE len(g) > 0)
+      |SELECT c_len, r_len, m1, t1, m2, t2,
+      |       m1 * 10000 // greatest(t1, 1) AS p1_bp,
+      |       m2 * 10000 // greatest(t2, 1) AS p2_bp,
+      |       CAST(floor(sqrt(CAST(CAST(m1 AS HUGEINT) * m2 * 100000000
+      |            // (CAST(greatest(t1, 1) AS HUGEINT) * greatest(t2, 1)) AS DOUBLE))) AS BIGINT) AS bleu2_core_bp,
+      |       CASE WHEN c_len < r_len THEN 1 ELSE 0 END AS bp_applied
+      |FROM lens, uni, bi""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "eval7_bleu2" -> eval7,
     "eval1_ir_metrics" -> eval1,
     "eval3_cohens_kappa" -> eval3,
     "eval4_pass_at_k" -> eval4,
@@ -754,6 +857,7 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "eval7_bleu2" -> eval7Sql,
     "eval1_ir_metrics" -> eval1Sql,
     "eval3_cohens_kappa" -> eval3Sql,
     "eval4_pass_at_k" -> eval4Sql,

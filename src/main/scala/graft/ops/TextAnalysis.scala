@@ -1169,7 +1169,120 @@ object TextAnalysis {
       |            // (n_ranks * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS slope_neg_e6
       |FROM a ORDER BY source""".stripMargin
 
+  // ---- KW1: per-document TF-IDF keyword extraction ----
+
+  /** KW1: the top-3 TF-IDF keywords of every document — the classic
+    * per-doc salience signal (tag suggestion, weak topic labels, index
+    * terms). TF is the exact in-doc term count; IDF is ln(N/df) over
+    * document frequency, rounded to micro-units (the t14 convention:
+    * identical integer counts → identical double expression → one
+    * rounded integer in both engines); the score is the exact integer
+    * product tf·idf_e6 so ranking never compares doubles. Ties break by
+    * term text ascending, so the top-3 is fully deterministic.
+    *
+    * Scale: one token scan → one (doc_id, w) hash aggregate (map-side
+    * combined) for TF; DF is a vocabulary-sized frame derived from the
+    * same aggregate (never a second corpus scan) and broadcast back; the
+    * per-doc top-3 window partitions by doc_id — thousands of tiny
+    * partitions, no global sort. tf ≤ doc length and idf_e6 ≤ ln(N)·10⁶
+    * (~2.8e7 at 10¹² docs), so tf·idf_e6 fits int64 with ~5 orders of
+    * headroom at 100 TB. */
+  private[graft] def tfidfKeywordsOf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf_e6",
+        expr("CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .withColumn("score", col("tf") * col("idf_e6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("w").as("term"),
+        col("tf"), col("df"), col("idf_e6"), col("score"))
+  }
+
+  val kw1: Q = (s, d) =>
+    tfidfKeywordsOf(Tables.documents(s, d)).orderBy("doc_id", "rk")
+  val kw1Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0 GROUP BY doc_id, w),
+      |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+      |         CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000) AS BIGINT) AS idf_e6
+      |  FROM tf JOIN df USING (w) CROSS JOIN n),
+      |r AS (
+      |  SELECT doc_id, w, tf, df, idf_e6, tf * idf_e6 AS score,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY tf * idf_e6 DESC, w) AS rk
+      |  FROM s)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, w AS term, tf, df, idf_e6, score
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  // ---- W2V1: skip-gram training-pair counts ----
+
+  /** W2V1: the (center, context) skip-gram pair frequency table at
+    * window 2 — the input word2vec/SGNS (and any co-occurrence-matrix
+    * embedding: GloVe, PPMI-SVD) trains from. Both directions of each
+    * within-window pair are emitted (center→context and context→center),
+    * exactly as a symmetric-window SGNS sampler walks the corpus; pairs
+    * below `minSupport` are dropped. Unlike t14 (document-level distinct
+    * co-occurrence for PMI), this counts every positional occurrence
+    * inside a ±2 token window — the multiset the gradient actually sees.
+    *
+    * Scale: pair generation is ROW-LOCAL — two zips of shifted array
+    * slices per document (the d2 constant-splits lesson; no self-join,
+    * no posexplode shuffle), then one hash aggregate on the pair key
+    * (map-side combined, vocabulary²-bounded output). At 100 TB this is
+    * one corpus scan + one bounded shuffle. */
+  private[graft] def skipgramPairsOf(docs: DataFrame, minSupport: Long): DataFrame = {
+    val pairsArr =
+      "concat(" +
+        "transform(arrays_zip(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)), s -> struct(s['0'] AS a, s['1'] AS b)), " +
+        "transform(arrays_zip(slice(ws, 1, size(ws) - 2), slice(ws, 3, size(ws) - 2)), s -> struct(s['0'] AS a, s['1'] AS b)))"
+    val p = docs
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(pairsArr)).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      .filter(length(col("a")) > 0 && length(col("b")) > 0)
+    p.select(col("a").as("center"), col("b").as("context"))
+      .union(p.select(col("b").as("center"), col("a").as("context")))
+      .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minSupport)
+  }
+
+  val w2v1: Q = (s, d) =>
+    skipgramPairsOf(Tables.documents(s, d), minSupport = 30L)
+      .orderBy("center", "context")
+  val w2v1Sql: String =
+    """WITH ws AS (SELECT str_split(text, ' ') AS ws FROM documents WHERE len(str_split(text, ' ')) >= 2),
+      |p AS (
+      |  SELECT pr.a AS a, pr.b AS b FROM (
+      |    SELECT unnest(list_concat(
+      |      list_transform(range(1, len(ws)), i -> {'a': ws[i], 'b': ws[i + 1]}),
+      |      list_transform(range(1, len(ws) - 1), i -> {'a': ws[i], 'b': ws[i + 2]}))) AS pr
+      |    FROM ws)
+      |  WHERE len(pr.a) > 0 AND len(pr.b) > 0),
+      |u AS (
+      |  SELECT a AS center, b AS context FROM p
+      |  UNION ALL
+      |  SELECT b AS center, a AS context FROM p)
+      |SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM u GROUP BY center, context HAVING count(*) >= 30
+      |ORDER BY center, context""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "kw1_tfidf_keywords" -> kw1,
+    "w2v1_skipgram_pairs" -> w2v1,
     "t21_winnowing" -> t21,
     "zipf1_rank_slope" -> zipf1,
     "t24_lexical_diversity" -> t24,
@@ -1194,6 +1307,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "kw1_tfidf_keywords" -> kw1Sql,
+    "w2v1_skipgram_pairs" -> w2v1Sql,
     "t21_winnowing" -> t21Sql,
     "zipf1_rank_slope" -> zipf1Sql,
     "t24_lexical_diversity" -> t24Sql,

@@ -462,4 +462,20 @@ class ApiSpec extends SparkSpec {
       (Seq.fill(9)(7L) ++ Seq(8L, 9L, 10L)).toDF("k2"), "k2", topK = 1).head()
     assert(skew.getAs[Long]("key") === 7L && skew.getAs[Long]("c") === 9L)
   }
+
+  test("sixth-pass session APIs bind the same implementations as their registry entries") {
+    val sfd = sfDir
+    val docs = graft.Tables.documents(spark, sfd)
+    assert(GraftApi.tfidfKeywords(docs).orderBy("doc_id", "rk").collect().toSeq ===
+      graft.SparkEntry.queries("kw1_tfidf_keywords")(spark, sfd).collect().toSeq)
+    assert(GraftApi.skipgramPairs(docs, minSupport = 30L)
+      .orderBy("center", "context").collect().toSeq ===
+      graft.SparkEntry.queries("w2v1_skipgram_pairs")(spark, sfd).collect().toSeq)
+    assert(GraftApi.topicMstep(docs).orderBy("topic", "rk").collect().toSeq ===
+      graft.SparkEntry.queries("lda1_topic_mstep")(spark, sfd).collect().toSeq)
+    val pairedDocs = docs.selectExpr("doc_id div 2 AS pair_id",
+      "CAST(doc_id % 2 AS INT) AS side", "text")
+    assert(GraftApi.bleu2(pairedDocs).collect().toSeq ===
+      graft.SparkEntry.queries("eval7_bleu2")(spark, sfd).collect().toSeq)
+  }
 }

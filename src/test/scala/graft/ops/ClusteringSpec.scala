@@ -94,4 +94,31 @@ class ClusteringSpec extends SparkSpec {
     assert(aClusters === blobASum, s"blob A ids leaked: $byCluster")
     assert(bClusters === blobBSum, s"blob B ids leaked: $byCluster")
   }
+
+  test("lda1 M-step conserves token mass, bounds phi, and is rerun-stable") {
+    val out = Clustering.lda1(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val topics = out.map(_.getLong(0)).distinct.sorted
+    assert(topics.forall(t => t >= 0 && t < 4))
+    // per-topic invariants: rk dense from 1, c_wk descending, phi exact
+    topics.foreach { t =>
+      val rows = out.filter(_.getLong(0) == t).sortBy(_.getLong(1))
+      assert(rows.map(_.getLong(1)).toSeq === (1L to rows.length))
+      val cwks = rows.map(_.getLong(3))
+      assert(cwks.zip(cwks.tail).forall { case (a, b) => a >= b })
+      rows.foreach { r =>
+        assert(r.getLong(5) === r.getLong(3) * 10000 / r.getLong(4))
+        assert(r.getLong(3) <= r.getLong(4))
+      }
+    }
+    // token mass: the per-topic totals must sum to the corpus token count
+    val totalFromTopics = out.groupBy(_.getLong(0))
+      .map { case (_, rs) => rs.head.getLong(4) }.sum
+    val corpusTokens = graft.Tables.documents(spark, sfDir)
+      .selectExpr("sum(size(filter(split(text, ' '), w -> length(w) > 0)))")
+      .head().getLong(0)
+    assert(totalFromTopics === corpusTokens)
+    // deterministic init → bit-identical rerun
+    assert(Clustering.lda1(spark, sfDir).collect().toSeq === out.toSeq)
+  }
 }

@@ -148,6 +148,31 @@ class EvaluationSpec extends SparkSpec {
     assert(z.values.forall(_ === 0L))
   }
 
+  test("eval7 BLEU-2 clips multiset counts and the isqrt geometric mean is exact") {
+    import spark.implicits._
+    // cand "the the cat" vs ref "the cat sat": clipped unigrams =
+    // min(2,1)[the] + min(1,1)[cat] = 2 of 3; clipped bigrams =
+    // "the cat" only = 1 of 2 (ROUGE's set basis would credit "the" once)
+    val pairs = Seq((0L, 0, "the cat sat"), (0L, 1, "the the cat"))
+      .toDF("pair_id", "side", "text")
+    val r = Evaluation.bleu2Of(pairs).head()
+    assert(r.getAs[Long]("c_len") === 3L && r.getAs[Long]("r_len") === 3L)
+    assert(r.getAs[Long]("m1") === 2L && r.getAs[Long]("t1") === 3L)
+    assert(r.getAs[Long]("m2") === 1L && r.getAs[Long]("t2") === 2L)
+    assert(r.getAs[Long]("p1_bp") === 6666L && r.getAs[Long]("p2_bp") === 5000L)
+    // floor(sqrt(2*1*1e8 div (3*2))) = floor(sqrt(33333333)) = 5773
+    assert(r.getAs[Long]("bleu2_core_bp") === 5773L)
+    assert(r.getAs[Int]("bp_applied") === 0)
+    // identical sides → every precision is 10000 and the mean is exact
+    val perfect = Evaluation.bleu2Of(
+      Seq((0L, 0, "a b c"), (0L, 1, "a b c")).toDF("pair_id", "side", "text")).head()
+    assert(perfect.getAs[Long]("bleu2_core_bp") === 10000L)
+    // shorter candidate flips the brevity-penalty decision bit
+    val short = Evaluation.bleu2Of(
+      Seq((0L, 0, "a b c d"), (0L, 1, "a b")).toDF("pair_id", "side", "text")).head()
+    assert(short.getAs[Int]("bp_applied") === 1)
+  }
+
   test("dq5 Benford shares sum to ~1e6 and expectations are the canonical constants") {
     val rows = Evaluation.dq5(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

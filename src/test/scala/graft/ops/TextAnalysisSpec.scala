@@ -270,6 +270,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("kw1 tf-idf keywords match a hand computation and break ties by term") {
+    import spark.implicits._
+    val docs = Seq((0L, "x x y"), (1L, "y z"), (2L, "z z z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywordsOf(docs, k = 3)
+      .orderBy("doc_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(6)))
+    val ln3e6 = math.round(math.log(3.0) * 1000000)        // df=1 → 1098612
+    val ln15e6 = math.round(math.log(1.5) * 1000000)       // df=2 → 405465
+    assert(out.toSeq === Seq(
+      (0L, 1L, "x", 2L, 2 * ln3e6), (0L, 2L, "y", 1L, ln15e6),
+      (1L, 1L, "y", 1L, ln15e6), (1L, 2L, "z", 1L, ln15e6), // equal scores → term asc
+      (2L, 1L, "z", 3L, 3 * ln15e6)))
+  }
+
+  test("w2v1 skip-gram pairs cover both directions of the ±2 window exactly") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.skipgramPairsOf(docs, minSupport = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // window 2 over [a b c]: (a,b) (b,c) at d=1, (a,c) at d=2 — each both ways
+    assert(got === Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("c", "b") -> 1L, ("a", "c") -> 1L, ("c", "a") -> 1L))
+    // repeated tokens count every positional occurrence (multiset, unlike t14)
+    val rep = TextAnalysis.skipgramPairsOf(
+      Seq((0L, "a a a")).toDF("doc_id", "text"), minSupport = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(rep === Map(("a", "a") -> 6L)) // 2 at d=1 + 1 at d=2, both directions
+  }
+
   test("t21 density and bounds hold on every fixture document") {
     val rows = TextAnalysis.t21(spark, sfDir).collect()
     assert(rows.nonEmpty)
