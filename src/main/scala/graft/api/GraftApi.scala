@@ -840,4 +840,19 @@ object GraftApi {
     * `lda1_topic_mstep`. */
   def topicMstep(docs: DataFrame, kTopics: Int = 4, topN: Int = 5): DataFrame =
     graft.ops.Clustering.topicMstepOf(docs, kTopics, topN)
+
+  /** Per-language keyness feature selection over a (doc_id, lang, text)
+    * frame: each language's top terms by a·pmi_e6 (the observed-cell
+    * log-likelihood score), positive associations only. Registry twin:
+    * `fs1_term_keyness`. */
+  def keynessTerms(docs: DataFrame, topN: Int = 5): DataFrame =
+    graft.ops.Curation.keynessTermsOf(docs, topN)
+
+  /** Multi-source BFS over a directed (src, dst) edge frame from a
+    * (node) seed frame: every node within `maxDepth` hops with its exact
+    * hop distance — the reachability/blast-radius primitive. Frontier
+    * joins only (never visited×edges). Registry twin:
+    * `bfs1_seed_distance`. */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, maxDepth: Int = 3): DataFrame =
+    graft.ops.Graph.bfsLevelsOf(edges, seeds, maxDepth)
 }

@@ -584,7 +584,79 @@ object Curation {
       |FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
       |ORDER BY lang, source""".stripMargin
 
+  // ---- FS1: per-language keyness term selection ----
+
+  /** FS1: the top-5 KEYNESS terms of every language — stat2's per-cell
+    * G idiom applied to the (lang, term) document-contingency and turned
+    * into a ranked feature-selection list (the classifier-feature /
+    * corpus-characterization step: which words make `lang` look like
+    * `lang`). Per (lang, term) over DISTINCT in-doc occurrence:
+    * pmi_e6 = ln(a·T/(n_t·n_l)) rounded once (the t14 convention), and
+    * keyness = a·pmi_e6 — the observed-cell log-likelihood term
+    * 2·a·ln(O/E) up to the constant factor. The product is computed in
+    * DECIMAL(38,0) and emitted as BIGINT: a ≤ 10¹¹ docs × |pmi| ≤
+    * ln(10¹²)·10⁶ ≈ 2.8e7 stays under int64's 9.2e18 through the full
+    * 100 TB design range. Positive-association terms only (keyness > 0);
+    * ties break by term ascending.
+    *
+    * Scale: one distinct-token scan → one (term, lang) hash aggregate;
+    * the term margin derives from that aggregate (no second scan) and
+    * joins back SHUFFLE-side on the vocabulary frame (vocab-sized, not
+    * corpus-sized); lang margins and T broadcast. The top-5 window
+    * partitions |langs| ways over a vocab×langs frame. */
+  private[graft] def keynessTermsOf(docs: DataFrame, topN: Int = 5): DataFrame = {
+    val dl = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val a = dl.groupBy("lang", "w").agg(count(lit(1)).as("a"))
+    val nt = a.groupBy("w").agg(sum("a").as("n_t"))
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val t = docs.agg(count(lit(1)).as("t"))
+    val scored = a.join(nt, Seq("w"))
+      .join(broadcast(nl), Seq("lang")).crossJoin(broadcast(t))
+      .withColumn("pmi_e6", expr(
+        "CAST(round(ln(CAST(a AS DOUBLE) * CAST(t AS DOUBLE) / " +
+          "(CAST(n_t AS DOUBLE) * CAST(n_l AS DOUBLE))) * 1000000) AS BIGINT)"))
+      .withColumn("keyness", expr(
+        "CAST(CAST(a AS DECIMAL(38,0)) * pmi_e6 AS BIGINT)"))
+      .filter(col("keyness") > 0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("keyness").desc, col("w").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topN)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("w").as("term"),
+        col("a"), col("n_t"), col("pmi_e6"), col("keyness"))
+  }
+
+  val fs1: Q = (s, d) =>
+    keynessTermsOf(Tables.documents(s, d)).orderBy("lang", "rk")
+  val fs1Sql: String =
+    """WITH dl AS (
+      |  SELECT DISTINCT doc_id, lang, w FROM (
+      |    SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0),
+      |a AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS a FROM dl GROUP BY lang, w),
+      |nt AS (SELECT w, CAST(sum(a) AS BIGINT) AS n_t FROM a GROUP BY w),
+      |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM documents),
+      |s AS (
+      |  SELECT a.lang, a.w, a.a, nt.n_t,
+      |         CAST(round(ln(CAST(a.a AS DOUBLE) * CAST(t.t AS DOUBLE) /
+      |           (CAST(nt.n_t AS DOUBLE) * CAST(nl.n_l AS DOUBLE))) * 1000000) AS BIGINT) AS pmi_e6
+      |  FROM a JOIN nt USING (w) JOIN nl USING (lang) CROSS JOIN t),
+      |k AS (
+      |  SELECT lang, w, a, n_t, pmi_e6,
+      |         CAST(a::HUGEINT * pmi_e6 AS BIGINT) AS keyness
+      |  FROM s WHERE a::HUGEINT * pmi_e6 > 0),
+      |r AS (
+      |  SELECT lang, w, a, n_t, pmi_e6, keyness,
+      |         row_number() OVER (PARTITION BY lang ORDER BY keyness DESC, w) AS rk
+      |  FROM k)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, w AS term, a, n_t, pmi_e6, keyness
+      |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "fs1_term_keyness" -> fs1,
     "stat2_gtest_independence" -> stat2,
     "cur1_curriculum_order" -> cur1,
     "pref1_pairwise_winrate" -> pref1,
@@ -599,6 +671,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "fs1_term_keyness" -> fs1Sql,
     "stat2_gtest_independence" -> stat2Sql,
     "cur1_curriculum_order" -> cur1Sql,
     "pref1_pairwise_winrate" -> pref1Sql,

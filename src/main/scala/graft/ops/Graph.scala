@@ -397,7 +397,80 @@ object Graph {
        |ORDER BY l.node""".stripMargin
   }
 
+  // ---- BFS1: multi-source BFS levels (seed-set reachability) ----
+
+  /** Multi-source BFS over a directed (src, dst) edge frame: every node
+    * within `maxDepth` hops of the seed set, labeled with its exact hop
+    * distance — the reachability/lineage primitive (blast-radius of a
+    * contaminated source, provenance closure, influence frontier).
+    *
+    * Scale: textbook frontier BFS — per level ONE equi-join of the
+    * CURRENT frontier (never the full visited set) against the cached
+    * edge list, one distinct, one anti-join against visited; the visited
+    * frame is eagerly localCheckpointed per round (the tc1/hits lineage
+    * discipline) so round r's plan never replays rounds 1..r−1. Work per
+    * level is |edges out of frontier|, total O(edges within maxDepth),
+    * independent of graph diameter beyond the cap. The driver holds the
+    * level counter only. */
+  private[graft] def bfsLevelsOf(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = dist.select("node")
+    for (i <- 1 to maxDepth) {
+      val nbrs = e.join(frontier, e("src") === frontier("node"))
+        .select(e("dst").as("node")).distinct()
+      val fresh = nbrs.join(dist.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(i.toLong).as("dist"))
+      dist = dist.unionAll(fresh).localCheckpoint(true)
+      frontier = dist.filter(col("dist") === i.toLong).select("node")
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** BFS1 on the fixture: the pr1 purchase graph, seeded at every tenth
+    * supplier (a key-modulus seed set that is non-empty at every sf,
+    * unlike a nation predicate) — "which customers and second-degree
+    * suppliers does this supply slice touch within 3 hops". */
+  val bfs1: Q = (s, d) => {
+    val e0 = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val und = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Tables.supplier(s, d).filter(col("s_suppkey") % 10 === 0)
+      .select(concat(lit("s"), col("s_suppkey")).as("node"))
+    bfsLevelsOf(und, seeds).orderBy("node")
+  }
+  val bfs1Sql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |r0 AS MATERIALIZED (
+      |  SELECT DISTINCT 's' || s_suppkey AS node FROM supplier WHERE s_suppkey % 10 = 0),
+      |r1 AS MATERIALIZED (
+      |  SELECT node FROM r0
+      |  UNION SELECT e.dst FROM edges e JOIN r0 ON e.src = r0.node),
+      |r2 AS MATERIALIZED (
+      |  SELECT node FROM r1
+      |  UNION SELECT e.dst FROM edges e JOIN r1 ON e.src = r1.node),
+      |r3 AS MATERIALIZED (
+      |  SELECT node FROM r2
+      |  UNION SELECT e.dst FROM edges e JOIN r2 ON e.src = r2.node)
+      |SELECT node,
+      |       CAST(CASE WHEN node IN (SELECT node FROM r0) THEN 0
+      |                 WHEN node IN (SELECT node FROM r1) THEN 1
+      |                 WHEN node IN (SELECT node FROM r2) THEN 2
+      |                 ELSE 3 END AS BIGINT) AS dist
+      |FROM r3 ORDER BY node""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "bfs1_seed_distance" -> bfs1,
     "pr2_hits_authorities" -> pr2,
     "pr1_pagerank_suppliers" -> pr1,
     "tc1_triangle_count" -> tc1,
@@ -406,6 +479,7 @@ object Graph {
   )
 
   val oracle: Map[String, String] = Map(
+    "bfs1_seed_distance" -> bfs1Sql,
     "pr2_hits_authorities" -> pr2Sql,
     "pr1_pagerank_suppliers" -> pr1Sql,
     "tc1_triangle_count" -> tc1Sql,

@@ -1115,7 +1115,57 @@ object Streams {
       .orderBy("cur_type", "nxt_type")
   }
 
+  // ---- ST20: streaming skip-gram pair accumulation (w2v1's live face) ----
+
+  /** ST20: w2v1's skip-gram co-occurrence table maintained INCREMENTALLY
+    * — the embedding-training statistic a continuously-ingesting corpus
+    * pipeline keeps warm instead of recomputing. Per micro-batch the
+    * batch's documents emit their window-2 pairs ROW-LOCALLY (w2v1's
+    * zip-of-slices projection — each doc lives in exactly one batch, so
+    * pair deltas partition the corpus), and deltas merge into
+    * generation-dir state by plain count addition (counts are the
+    * trivially-mergeable sketch — the st18 discipline). State is
+    * vocabulary²-bounded, never corpus-bounded; the final generation cut
+    * at min-support is bit-identical to batch w2v1, which the shared
+    * oracle proves. */
+  val st20: Q = (s, d) => {
+    val srcDir = stagedTableSplit(s, d, "st20", table = "documents", key = "doc_id")
+    val physical = s.read.parquet(s"$d/documents.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val cntRoot = Files.createTempDirectory("graft_st20_cnt").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(cntRoot).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st20").toString
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val delta = graft.ops.TextAnalysis.skipgramPairsOf(batch.toDF(), minSupport = 1L)
+        val prior = gens().filter(_._1 < batchId)
+        val merged = prior.sortBy(-_._1).headOption match {
+          case None            => delta
+          case Some((_, path)) => sess.read.parquet(path)
+            .unionAll(delta.select("center", "context", "n_pairs"))
+            .groupBy("center", "context").agg(sum("n_pairs").as("n_pairs"))
+        }
+        merged.select("center", "context", "n_pairs")
+          .write.mode("overwrite").parquet(s"$cntRoot/gen_$batchId")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    s.read.parquet(latest._2)
+      .filter(col("n_pairs") >= 30L)
+      .orderBy("center", "context")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st20_stream_skipgram" -> st20,
     "st19_stream_markov" -> st19,
     "st18_stream_benford" -> st18,
     "st17_stream_decontamination" -> st17,
@@ -1142,6 +1192,7 @@ object Streams {
   val oracle: Map[String, String] = Map(
     "st18_stream_benford" -> graft.ops.Evaluation.dq5Sql,
     "st19_stream_markov" -> graft.ops.Curation.markov1Sql,
+    "st20_stream_skipgram" -> graft.ops.TextAnalysis.w2v1Sql,
     "st17_stream_decontamination" -> graft.ops.TextAnalysis.oracle("d19_winnowing_decontamination"),
     "st16_stream_kmv_distinct" -> st16Sql,
     "st15_stream_psi_drift" -> graft.ops.Evaluation.dq3Sql,

@@ -477,5 +477,15 @@ class ApiSpec extends SparkSpec {
       "CAST(doc_id % 2 AS INT) AS side", "text")
     assert(GraftApi.bleu2(pairedDocs).collect().toSeq ===
       graft.SparkEntry.queries("eval7_bleu2")(spark, sfd).collect().toSeq)
+    assert(GraftApi.keynessTerms(docs).orderBy("lang", "rk").collect().toSeq ===
+      graft.SparkEntry.queries("fs1_term_keyness")(spark, sfd).collect().toSeq)
+    // bfsLevels facade: pinned on a tiny planted graph (the fixture twin
+    // rebuilds pr1's purchase edges — GraphSpec covers the semantics)
+    val sp2 = spark
+    import sp2.implicits._
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")).toDF("src", "dst")
+    val lv = GraftApi.bfsLevels(e, Seq("a").toDF("node"), maxDepth = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(lv === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
   }
 }

@@ -308,4 +308,20 @@ class CurationSpec extends SparkSpec {
     info(s"mmr2 picks=${bucketed.length} overlap_with_mmr1=$hit " +
       s"recall_bp=${hit * 10000L / bucketed.length}")
   }
+  test("fs1 keyness surfaces each language's discriminative term, positive-only") {
+    import spark.implicits._
+    // lang aa docs all contain xx (never in bb); shared word cc is everywhere
+    val docs = Seq(
+      (0L, "aa", "xx cc"), (1L, "aa", "xx cc"), (2L, "aa", "xx cc"),
+      (3L, "bb", "yy cc"), (4L, "bb", "yy cc"), (5L, "bb", "yy cc"))
+      .toDF("doc_id", "lang", "text")
+    val out = Curation.keynessTermsOf(docs, topN = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(6)))
+    // top term per lang is its exclusive word with keyness = a * ln(2)e6
+    val ln2e6 = math.round(math.log(2.0) * 1000000)
+    assert(out.filter(_._1 == "aa").head === (("aa", 1L, "xx", 3L, 3 * ln2e6)))
+    assert(out.filter(_._1 == "bb").head === (("bb", 1L, "yy", 3L, 3 * ln2e6)))
+    // cc has pmi = ln(1) = 0 in both langs -> filtered by keyness > 0
+    assert(!out.exists(_._3 == "cc"))
+  }
 }

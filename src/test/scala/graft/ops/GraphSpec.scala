@@ -68,4 +68,20 @@ class GraphSpec extends SparkSpec {
     val again = Graph.lp1(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq === rows.toSeq)
   }
+  test("bfs1 levels match a hand-traced chain and respect the depth cap") {
+    import spark.implicits._
+    // directed chain s0 -> a -> b -> c -> dd, plus an unreachable island z
+    val e0 = Seq(("s0", "a"), ("a", "b"), ("b", "c"), ("c", "dd"), ("z", "z2"))
+      .toDF("src", "dst")
+    val und = e0.unionAll(e0.selectExpr("dst AS src", "src AS dst"))
+    val seeds = Seq("s0").toDF("node")
+    val got = Graph.bfsLevelsOf(und, seeds, maxDepth = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("s0" -> 0L, "a" -> 1L, "b" -> 2L, "c" -> 3L))
+    // dd is 4 hops out, z/z2 disconnected: all absent under the cap
+    // two seeds: distances are the min over the seed set
+    val got2 = Graph.bfsLevelsOf(und, Seq("s0", "c").toDF("node"), maxDepth = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got2 === Map("s0" -> 0L, "c" -> 0L, "a" -> 1L, "b" -> 1L, "dd" -> 1L))
+  }
 }

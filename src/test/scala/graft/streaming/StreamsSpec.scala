@@ -352,4 +352,13 @@ class StreamsSpec extends SparkSpec {
     assert(rows("c1_user_not_null")._2 === 0L)
     assert(rows("c3_value_le_90")._2 > 0L, "the tight value expectation must find violations")
   }
+  test("st20 streaming skip-gram counts equal the batch w2v1 table bit-for-bit") {
+    val live = Streams.st20(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = graft.ops.TextAnalysis.skipgramPairsOf(
+        graft.Tables.documents(spark, sfDir), minSupport = 30L)
+      .orderBy("center", "context").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(live === batch)
+  }
 }
