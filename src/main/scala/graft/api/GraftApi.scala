@@ -855,4 +855,19 @@ object GraftApi {
     * `bfs1_seed_distance`. */
   def bfsLevels(edges: DataFrame, seeds: DataFrame, maxDepth: Int = 3): DataFrame =
     graft.ops.Graph.bfsLevelsOf(edges, seeds, maxDepth)
+
+  /** Personalized PageRank from a (node) seed frame over a directed
+    * (src, dst) edge frame — pr1's exact-integer power iteration with
+    * teleport restricted to the seeds; unreached nodes are dropped.
+    * Registry twin: `ppr1_personalized_pagerank`. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 3): DataFrame =
+    graft.ops.Graph.personalizedPageRankOf(edges, seeds, iters)
+
+  /** Stupid-backoff trigram scoring (Brants et al. 2007) of `test`
+    * documents under a model counted from `train` (both (doc_id, text)):
+    * per doc the trigram count, per-tier backoff profile and mean NLL in
+    * e6 micro-nats — the held-out-domain fit signal. Registry twin:
+    * `t25_stupid_backoff`. */
+  def stupidBackoff(train: DataFrame, test: DataFrame): DataFrame =
+    graft.ops.Selection.stupidBackoffOf(train, test)
 }

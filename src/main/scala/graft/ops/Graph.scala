@@ -469,7 +469,96 @@ object Graph {
       |                 ELSE 3 END AS BIGINT) AS dist
       |FROM r3 ORDER BY node""".stripMargin
 
+  // ---- PPR1: personalized PageRank from a seed set ----
+
+  /** Personalized PageRank (Jeh–Widom 2003 shape): pr1's exact-integer
+    * power iteration with the teleport mass restricted to a SEED set —
+    * the "importance relative to these nodes" primitive (seed-anchored
+    * corpus selection, graph-RAG neighborhood scoring, influence
+    * attribution), where bfs1 answers "how far", ppr1 answers "how
+    * much". Seeds start at 10⁶; each step a node scores
+    * `150000·[seed] + (850·Σ rank div degree) div 1000` — all exact
+    * integer (the pr1 convention), so three iterations hash-match the
+    * chained-CTE oracle. Nodes never reached keep rank 0 and are
+    * dropped.
+    *
+    * Scale: identical to pr1 — degree folded once into the cached edge
+    * list, per iteration ONE map-side-combined shuffle of contributions
+    * + a full-outer join against the (tiny, checkpointed) seed frame;
+    * rank frames only ever contain REACHED nodes (the r>0 filter feeds
+    * the next join), so early iterations touch the seed neighborhood,
+    * not the graph. */
+  private[graft] def personalizedPageRankOf(edges: DataFrame, seeds: DataFrame,
+      iters: Int = Iters): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sd = seeds.select(col("node")).distinct()
+      .withColumn("is_seed", lit(1)).localCheckpoint(true)
+    var r = sd.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(r.filter(col("r") > 0L), ed("src") === r("node"))
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy("dst").agg(expr("CAST((850 * sum(c)) div 1000 AS BIGINT)").as("contrib"))
+        .select(col("dst").as("node"), col("contrib"))
+      r = contrib.join(sd, Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("contrib"), lit(0L)) +
+            when(col("is_seed").isNotNull, 150000L).otherwise(0L)).as("r"))
+        .localCheckpoint(true)
+    }
+    ed.unpersist()
+    r.filter(col("r") > 0L).select(col("node"), col("r").as("rank_e6"))
+  }
+
+  /** PPR1 on the fixture: the pr1 purchase graph scored from bfs1's
+    * every-tenth-supplier seed slice. */
+  val ppr1: Q = (s, d) => {
+    val e0 = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val und = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Tables.supplier(s, d).filter(col("s_suppkey") % 10 === 0)
+      .select(concat(lit("s"), col("s_suppkey")).as("node"))
+    personalizedPageRankOf(und, seeds).orderBy("node")
+  }
+  val ppr1Sql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+      |seeds AS MATERIALIZED (
+      |  SELECT DISTINCT 's' || s_suppkey AS node FROM supplier WHERE s_suppkey % 10 = 0),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM seeds),
+      |c1 AS (SELECT e.dst AS node, (850 * sum(r0.r // deg.d)) // 1000 AS contrib
+      |       FROM edges e JOIN deg ON deg.src = e.src
+      |       JOIN r0 ON r0.node = e.src AND r0.r > 0 GROUP BY e.dst),
+      |r1 AS MATERIALIZED (
+      |  SELECT COALESCE(c.node, s.node) AS node,
+      |         CAST(COALESCE(c.contrib, 0) + CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END AS BIGINT) AS r
+      |  FROM c1 c FULL JOIN seeds s ON s.node = c.node),
+      |c2 AS (SELECT e.dst AS node, (850 * sum(r1.r // deg.d)) // 1000 AS contrib
+      |       FROM edges e JOIN deg ON deg.src = e.src
+      |       JOIN r1 ON r1.node = e.src AND r1.r > 0 GROUP BY e.dst),
+      |r2 AS MATERIALIZED (
+      |  SELECT COALESCE(c.node, s.node) AS node,
+      |         CAST(COALESCE(c.contrib, 0) + CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END AS BIGINT) AS r
+      |  FROM c2 c FULL JOIN seeds s ON s.node = c.node),
+      |c3 AS (SELECT e.dst AS node, (850 * sum(r2.r // deg.d)) // 1000 AS contrib
+      |       FROM edges e JOIN deg ON deg.src = e.src
+      |       JOIN r2 ON r2.node = e.src AND r2.r > 0 GROUP BY e.dst),
+      |r3 AS (
+      |  SELECT COALESCE(c.node, s.node) AS node,
+      |         CAST(COALESCE(c.contrib, 0) + CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END AS BIGINT) AS r
+      |  FROM c3 c FULL JOIN seeds s ON s.node = c.node)
+      |SELECT node, r AS rank_e6 FROM r3 WHERE r > 0 ORDER BY node""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ppr1_personalized_pagerank" -> ppr1,
     "bfs1_seed_distance" -> bfs1,
     "pr2_hits_authorities" -> pr2,
     "pr1_pagerank_suppliers" -> pr1,
@@ -479,6 +568,7 @@ object Graph {
   )
 
   val oracle: Map[String, String] = Map(
+    "ppr1_personalized_pagerank" -> ppr1Sql,
     "bfs1_seed_distance" -> bfs1Sql,
     "pr2_hits_authorities" -> pr2Sql,
     "pr1_pagerank_suppliers" -> pr1Sql,

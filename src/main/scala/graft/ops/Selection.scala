@@ -993,7 +993,121 @@ object Selection {
        |FROM s$maxLen ORDER BY word""".stripMargin
   }
 
+  // ---- T25: stupid-backoff trigram scoring on a held-out split ----
+
+  /** T25: trigram language-model scoring with Stupid Backoff (Brants et
+    * al. EMNLP 2007 — the smoothing invented FOR distributed web-scale
+    * LMs: no discount normalization, so counts shard freely). The model
+    * trains on docs with doc_id % 7 ≠ 0 and scores the held-out % 7 = 0
+    * docs — unlike t19/t22's self-scoring, unseen n-grams genuinely
+    * occur, so every backoff tier fires. Per trigram instance:
+    * S = c123/c12, backing off to 0.4·c23/c2, then 0.4²·c3/T, then a
+    * 0.4³/T unseen-word floor; each tier's −ln S is ONE double
+    * expression over exact integers rounded to e6 micro-nats (the
+    * t14/t19 convention — the 0.4 factors fold into exact rationals:
+    * ln(5·c2/(2·c23)), ln(25·T/(4·c3)), ln(125·T/8)). Emits per doc the
+    * instance count, the per-tier hit counts (the backoff profile — how
+    * far out-of-domain the doc is), and the mean NLL.
+    *
+    * Scale: model tables (trigram/bigram/unigram counts) derive from ONE
+    * exploded train scan and are vocab-bounded; the held-out trigram
+    * stream left-joins them on their n-gram keys (the two unigram
+    * margins broadcast); no corpus×corpus surface anywhere. */
+  private[graft] def stupidBackoffOf(train: DataFrame, test: DataFrame): DataFrame = {
+    def tris(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> struct(ws[i - 1] AS w1, ws[i] AS w2, ws[i + 1] AS w3))")).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0 && length(col("w3")) > 0)
+    val trTri = tris(train)
+    val c123 = trTri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val c12 = trTri.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c23 = trTri.groupBy("w2", "w3").agg(count(lit(1)).as("c23"))
+    val toks = train.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val c2 = toks.groupBy(col("w").as("w2")).agg(count(lit(1)).as("c2"))
+    val c3 = toks.groupBy(col("w").as("w3")).agg(count(lit(1)).as("c3"))
+    val t = toks.agg(count(lit(1)).as("t"))
+    val scored = tris(test)
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c23, Seq("w2", "w3"), "left")
+      .join(broadcast(c2), Seq("w2"), "left")
+      .join(broadcast(c3), Seq("w3"), "left")
+      .crossJoin(broadcast(t))
+      .withColumn("tier", expr(
+        "CASE WHEN c123 IS NOT NULL THEN 0 WHEN c23 IS NOT NULL THEN 1 " +
+          "WHEN c3 IS NOT NULL THEN 2 ELSE 3 END"))
+      .withColumn("nll_e6_tok", expr(
+        "CASE tier " +
+          "WHEN 0 THEN CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(c123 AS DOUBLE)) * 1000000) AS BIGINT) " +
+          "WHEN 1 THEN CAST(round(ln(CAST(5 * c2 AS DOUBLE) / CAST(2 * c23 AS DOUBLE)) * 1000000) AS BIGINT) " +
+          "WHEN 2 THEN CAST(round(ln(CAST(25 * t AS DOUBLE) / CAST(4 * c3 AS DOUBLE)) * 1000000) AS BIGINT) " +
+          "ELSE CAST(round(ln(CAST(125 * t AS DOUBLE) / CAST(8 AS DOUBLE)) * 1000000) AS BIGINT) END"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("tier") === 0, 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("tier") === 1, 1L).otherwise(0L)).as("n_bo1"),
+        sum(when(col("tier") >= 2, 1L).otherwise(0L)).as("n_bo2"),
+        expr("sum(nll_e6_tok) div count(1)").as("nll_e6"))
+  }
+
+  val t25: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    stupidBackoffOf(docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0)).orderBy("doc_id")
+  }
+  val t25Sql: String =
+    """WITH tr AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents WHERE doc_id % 7 <> 0),
+      |te AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents WHERE doc_id % 7 = 0),
+      |trt AS (
+      |  SELECT t.w1, t.w2, t.w3 FROM (
+      |    SELECT unnest(list_transform(range(1, len(ws) - 1),
+      |      i -> {'w1': ws[CAST(i AS INTEGER)], 'w2': ws[CAST(i AS INTEGER) + 1], 'w3': ws[CAST(i AS INTEGER) + 2]})) AS t
+      |    FROM tr WHERE len(ws) >= 3)
+      |  WHERE len(t.w1) > 0 AND len(t.w2) > 0 AND len(t.w3) > 0),
+      |tet AS (
+      |  SELECT doc_id, t.w1, t.w2, t.w3 FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |      i -> {'w1': ws[CAST(i AS INTEGER)], 'w2': ws[CAST(i AS INTEGER) + 1], 'w3': ws[CAST(i AS INTEGER) + 2]})) AS t
+      |    FROM te WHERE len(ws) >= 3)
+      |  WHERE len(t.w1) > 0 AND len(t.w2) > 0 AND len(t.w3) > 0),
+      |c123 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123 FROM trt GROUP BY w1, w2, w3),
+      |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM trt GROUP BY w1, w2),
+      |c23 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS c23 FROM trt GROUP BY w2, w3),
+      |toks AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents WHERE doc_id % 7 <> 0),
+      |c2 AS (SELECT w AS w2, CAST(count(*) AS BIGINT) AS c2 FROM toks WHERE len(w) > 0 GROUP BY w),
+      |c3 AS (SELECT w AS w3, CAST(count(*) AS BIGINT) AS c3 FROM toks WHERE len(w) > 0 GROUP BY w),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM toks WHERE len(w) > 0),
+      |sc AS (
+      |  SELECT tet.doc_id,
+      |         CASE WHEN c123.c123 IS NOT NULL THEN 0 WHEN c23.c23 IS NOT NULL THEN 1
+      |              WHEN c3.c3 IS NOT NULL THEN 2 ELSE 3 END AS tier,
+      |         CASE WHEN c123.c123 IS NOT NULL
+      |                THEN CAST(round(ln(CAST(c12.c12 AS DOUBLE) / CAST(c123.c123 AS DOUBLE)) * 1000000) AS BIGINT)
+      |              WHEN c23.c23 IS NOT NULL
+      |                THEN CAST(round(ln(CAST(5 * c2.c2 AS DOUBLE) / CAST(2 * c23.c23 AS DOUBLE)) * 1000000) AS BIGINT)
+      |              WHEN c3.c3 IS NOT NULL
+      |                THEN CAST(round(ln(CAST(25 * tt.t AS DOUBLE) / CAST(4 * c3.c3 AS DOUBLE)) * 1000000) AS BIGINT)
+      |              ELSE CAST(round(ln(CAST(125 * tt.t AS DOUBLE) / CAST(8 AS DOUBLE)) * 1000000) AS BIGINT) END AS nll_e6_tok
+      |  FROM tet
+      |  LEFT JOIN c123 USING (w1, w2, w3)
+      |  LEFT JOIN c12 USING (w1, w2)
+      |  LEFT JOIN c23 USING (w2, w3)
+      |  LEFT JOIN c2 USING (w2)
+      |  LEFT JOIN c3 USING (w3)
+      |  CROSS JOIN tt)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+      |       CAST(sum(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |       CAST(sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo1,
+      |       CAST(sum(CASE WHEN tier >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo2,
+      |       CAST(sum(nll_e6_tok) AS BIGINT) // CAST(count(*) AS BIGINT) AS nll_e6
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t25_stupid_backoff" -> t25,
     "mix3_unimax_alloc" -> mix3,
     "sel1_dsir_topk" -> sel1,
     "t18_char_entropy" -> t18,
@@ -1011,6 +1125,7 @@ object Selection {
   )
 
   val oracle: Map[String, String] = Map(
+    "t25_stupid_backoff" -> t25Sql,
     "mix3_unimax_alloc" -> mix3Sql,
     "sel1_dsir_topk" -> sel1Sql,
     "t18_char_entropy" -> t18Sql,

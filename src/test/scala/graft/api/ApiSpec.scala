@@ -487,5 +487,14 @@ class ApiSpec extends SparkSpec {
     val lv = GraftApi.bfsLevels(e, Seq("a").toDF("node"), maxDepth = 2)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(lv === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    val docs2 = graft.Tables.documents(spark, sfd)
+    assert(GraftApi.stupidBackoff(
+        docs2.filter("doc_id % 7 != 0"), docs2.filter("doc_id % 7 = 0"))
+      .orderBy("doc_id").collect().toSeq ===
+      graft.SparkEntry.queries("t25_stupid_backoff")(spark, sfd).collect().toSeq)
+    val pprPlanted = GraftApi.personalizedPageRank(
+      Seq(("s", "l"), ("l", "s")).toDF("src", "dst"), Seq("s").toDF("node"), iters = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(pprPlanted === Map("s" -> 150000L, "l" -> 850000L))
   }
 }

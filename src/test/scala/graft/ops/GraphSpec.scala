@@ -84,4 +84,17 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got2 === Map("s0" -> 0L, "c" -> 0L, "a" -> 1L, "b" -> 1L, "dd" -> 1L))
   }
+  test("ppr1 personalized PageRank matches the hand-computed seeded star iterates") {
+    import spark.implicits._
+    // star: seed s <-> l1,l2,l3, plus a disconnected island z1 <-> z2
+    val e0 = Seq(("s", "l1"), ("s", "l2"), ("s", "l3"), ("z1", "z2")).toDF("src", "dst")
+    val und = e0.unionAll(e0.selectExpr("dst AS src", "src AS dst"))
+    val got = Graph.personalizedPageRankOf(und, Seq("s").toDF("node"), iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // r1: s=150000, leaves=(850*(1000000 div 3)) div 1000 = 283333
+    // r2: s=150000+(850*3*283333) div 1000 = 872499; leaves=(850*(150000 div 3)) div 1000 = 42500
+    // r3: s=150000+(850*3*42500) div 1000 = 258375; leaves=(850*(872499 div 3)) div 1000 = 247208
+    assert(got === Map("s" -> 258375L, "l1" -> 247208L, "l2" -> 247208L, "l3" -> 247208L))
+    // the island never receives teleport or flow: absent, not zero
+  }
 }

@@ -315,4 +315,31 @@ class SelectionSpec extends SparkSpec {
       assert(r.getInt(3) === expect)
     }
   }
+  test("t25 stupid backoff walks every tier with the hand-computed rational NLLs") {
+    import spark.implicits._
+    // train trigrams: (a,b,c) (b,c,a) (c,a,b) (a,b,d); tokens a:2 b:2 c:1 d:1, T=6
+    val train = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val test = Seq(
+      (0L, "a b c"),  // tier0 hit:      ln(c12(a,b)/c123(a,b,c)) = ln 2
+      (7L, "x b c"),  // tier1 backoff:  ln(5*c2(b)/(2*c23(b,c))) = ln 5
+      (14L, "x y c"), // tier2 backoff:  ln(25*T/(4*c3(c)))       = ln 37.5
+      (21L, "x y z")  // tier3 floor:    ln(125*T/8)              = ln 93.75
+    ).toDF("doc_id", "text")
+    val out = Selection.stupidBackoffOf(train, test).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    def e6(x: Double): Long = math.round(math.log(x) * 1000000)
+    assert(out.toSeq === Seq(
+      (0L, 1L, 1L, 0L, 0L, e6(2.0)),
+      (7L, 1L, 0L, 1L, 0L, e6(5.0)),
+      (14L, 1L, 0L, 0L, 1L, e6(37.5)),
+      (21L, 1L, 0L, 0L, 1L, e6(93.75))))
+  }
+
+  test("t25 on the fixture exercises hit and both backoff tiers") {
+    val agg = Selection.t25(spark, sfDir)
+      .selectExpr("sum(n_hit) AS h", "sum(n_bo1) AS b1", "sum(n_bo2) AS b2").head()
+    assert(agg.getLong(0) > 0L, "direct trigram hits must occur")
+    assert(agg.getLong(1) > 0L, "bigram backoff must occur on held-out docs")
+    assert(agg.getLong(2) >= 0L)
+  }
 }
