@@ -870,4 +870,29 @@ object GraftApi {
     * `t25_stupid_backoff`. */
   def stupidBackoff(train: DataFrame, test: DataFrame): DataFrame =
     graft.ops.Selection.stupidBackoffOf(train, test)
+
+  /** FORCAST readability per (doc_id, text) document — the
+    * readability formula designed for non-prose text (no sentence
+    * count): word/monosyllable/syllable counts plus the grade and
+    * syllables-per-word in exact e3 fixed point. Registry twin:
+    * `t26_forcast_readability`. */
+  def forcastReadability(docs: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.forcastReadabilityOf(docs)
+
+  /** Asymmetric shingle-containment pairs over a (doc_id, text) frame:
+    * unordered pairs whose containment |A∩B|/|A| (either direction,
+    * basis points) reaches `minBp` — catches near-subset/quote overlap
+    * that symmetric Jaccard misses. Candidates come off the
+    * shingle-equality self-join under the stop-shingle DF cap (no
+    * all-pairs surface). Registry twin: `d20_containment`. */
+  def containmentPairs(docs: DataFrame, minBp: Long = 8000L): DataFrame =
+    graft.ops.Dedup.containmentPairsOf(docs, minBp)
+
+  /** First/last-touch conversion attribution over an events frame
+    * (user_id, event_id, ts, event_type, value): per-channel conversion
+    * counts and exact purchase cents under both models; purchases with
+    * no prior touch since the user's previous purchase attribute to
+    * `direct`. Registry twin: `e11_attribution`. */
+  def attribution(events: DataFrame): DataFrame =
+    graft.ops.Events.attributionOf(events)
 }

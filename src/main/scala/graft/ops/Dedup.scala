@@ -447,6 +447,70 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- D20: shingle containment (asymmetric near-subset detection) ----
+
+  /** Containment similarity C(A,B) = |A∩B|/|A| over the distinct-shingle
+    * sets (Broder 1997's second resemblance measure) — the asymmetric
+    * companion to d6's Jaccard: a short document quoted wholesale inside
+    * a long one scores near-10000 containment while its Jaccard dives
+    * with the length ratio, so symmetric dedup never sees it. This is
+    * the quote/subset face of near-dup detection (and the shape of
+    * train-on-test leakage where the eval doc is EMBEDDED in a train
+    * doc). Emits both directions per unordered pair (id_a < id_b;
+    * cont_a_bp = share of A's shingles inside B) and keeps pairs where
+    * either direction ≥ 8000 — the corpus's suffix-injected near-dups
+    * (missing only the leading word) land here at ~10000 even when
+    * their Jaccard falls below a symmetric threshold.
+    *
+    * Scale: same shape as d6 — candidates come off the shingle-equality
+    * self-join (only pairs that SHARE a shingle materialize) with the
+    * [[D6MaxDf]] stop-shingle cap bounding every bucket; per-doc set
+    * sizes use the same capped representation, keeping both directions
+    * internally consistent. No all-pairs surface. Library entry point:
+    * [[graft.api.GraftApi.containmentPairs]]. */
+  private[graft] def containmentPairsOf(docs: DataFrame,
+      minBp: Long = 8000L): DataFrame = {
+    val sh = shinglesOf(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), h60(col("shingle")).as("sh"))
+    val dfok = sh.groupBy("sh").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= D6MaxDf).select("sh")
+    val bounded = sh.join(dfok, Seq("sh"))
+    val sizes = bounded.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = bounded.as("sa").join(bounded.as("sb"),
+        col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("id_a"), col("sb.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("id_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        expr("inter * 10000 div na.n").as("cont_a_bp"),
+        expr("inter * 10000 div nb.n").as("cont_b_bp"))
+      .filter(greatest(col("cont_a_bp"), col("cont_b_bp")) >= minBp)
+      .orderBy("id_a", "id_b")
+  }
+
+  val d20: Q = (s, d) => containmentPairsOf(corpus(s, d))
+
+  val d20Sql: String =
+    s"""WITH $shinglesCte,
+      |shh0 AS (SELECT doc_id, ${h60Sql("shingle")} AS sh FROM shingles),
+      |dfok AS (SELECT sh FROM shh0 GROUP BY sh HAVING count(*) <= $D6MaxDf),
+      |shh AS (SELECT s.doc_id, s.sh FROM shh0 s JOIN dfok USING (sh)),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shh GROUP BY doc_id),
+      |ints AS (
+      |  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+      |  FROM shh sa JOIN shh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i.id_a, i.id_b,
+      |       i.inter * 10000 // na.n AS cont_a_bp,
+      |       i.inter * 10000 // nb.n AS cont_b_bp
+      |FROM ints i
+      |JOIN sizes na ON na.doc_id = i.id_a
+      |JOIN sizes nb ON nb.doc_id = i.id_b
+      |WHERE greatest(i.inter * 10000 // na.n, i.inter * 10000 // nb.n) >= 8000
+      |ORDER BY id_a, id_b""".stripMargin
+
   val d6: Q = (s, d) => ngramJaccardBlockedOf(Tables.documents(s, d))
 
   val d6Sql: String =
@@ -1477,6 +1541,7 @@ object Dedup {
     "d7_embedding_neardup" -> d7,
     "d8_dedup_clusters" -> d8,
     "d18_cc_largestar" -> d18,
+    "d20_containment" -> d20,
     "d9_decontamination" -> d9,
   )
 
@@ -1498,6 +1563,7 @@ object Dedup {
     "d7_embedding_neardup" -> d7Sql,
     "d8_dedup_clusters" -> d8Sql,
     "d18_cc_largestar" -> d18Sql,
+    "d20_containment" -> d20Sql,
     "d9_decontamination" -> d9Sql,
   )
 }

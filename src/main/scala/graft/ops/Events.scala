@@ -330,7 +330,92 @@ object Events {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
       |FROM daily ORDER BY day""".stripMargin
 
+  /** E11: first/last-touch conversion attribution — the marketing-
+    * analytics face of the gaps-and-islands idiom. Each purchase closes
+    * an attribution group: every event carries the count of purchases
+    * STRICTLY BEFORE it in the user's (ts, event_id) order, so touches
+    * (click/view) share a group key with exactly the purchase that
+    * follows them; within the group the first/last touch are exact
+    * struct-ordered min/max (no ts-tie ambiguity — event_id breaks
+    * ties), and a group with no touch attributes to `direct`. Output is
+    * the 3-row per-channel table both models side by side: conversions
+    * and exact purchase cents under first-touch vs last-touch.
+    *
+    * Scale: one shuffle on user_id for the running-purchase-count
+    * window, one map-side-combined aggregate per (user, group) — both
+    * shard-local per user — then a channel-bounded (≤ #event_types + 1
+    * rows) final aggregate. No self-join of events against events, which
+    * is how attribution is usually (quadratically) written. */
+  private[graft] def attributionOf(events: DataFrame): DataFrame = {
+    val touch = col("event_type").isin("click", "view")
+    val typed = events.select(col("user_id"), col("event_id"),
+      expr("unix_micros(ts)").as("us"), col("event_type"),
+      cents(col("value")).as("vc"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = typed
+      .withColumn("pgrp", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w),
+        lit(0L)))
+      .groupBy("user_id", "pgrp")
+      .agg(sum(when(col("event_type") === "purchase", col("vc"))).as("purchase_c"),
+        min(when(touch, struct(col("us"), col("event_id"),
+          col("event_type").as("ch")))).as("firstt"),
+        max(when(touch, struct(col("us"), col("event_id"),
+          col("event_type").as("ch")))).as("lastt"))
+      .filter(col("purchase_c").isNotNull)
+    // both models off ONE pass over the conversion groups: explode each
+    // group into its (model, channel) credits, then a channel-bounded
+    // conditional aggregate — joining separate first/last frames would
+    // re-run the event scan + window twice
+    g.select(explode(array(
+        struct(lit(0).as("m"),
+          coalesce(col("firstt.ch"), lit("direct")).as("channel"),
+          col("purchase_c")),
+        struct(lit(1).as("m"),
+          coalesce(col("lastt.ch"), lit("direct")).as("channel"),
+          col("purchase_c")))).as("x"))
+      .groupBy(col("x.channel").as("channel"))
+      .agg(sum(when(col("x.m") === 0, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("x.m") === 0, col("x.purchase_c")).otherwise(0L)).as("cents_first"),
+        sum(when(col("x.m") === 1, 1L).otherwise(0L)).as("n_last"),
+        sum(when(col("x.m") === 1, col("x.purchase_c")).otherwise(0L)).as("cents_last"))
+      .orderBy("channel")
+  }
+
+  val e11: Q = (s, d) => attributionOf(ev(s, d))
+  val e11Sql: String =
+    s"""WITH t AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+       |         $centsSql AS vc,
+       |         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pgrp
+       |  FROM events),
+       |g AS (
+       |  SELECT user_id, pgrp,
+       |         sum(CASE WHEN event_type = 'purchase' THEN vc END) AS purchase_c,
+       |         min(CASE WHEN event_type IN ('click', 'view')
+       |             THEN {'us': us, 'eid': event_id, 'ch': event_type} END) AS firstt,
+       |         max(CASE WHEN event_type IN ('click', 'view')
+       |             THEN {'us': us, 'eid': event_id, 'ch': event_type} END) AS lastt
+       |  FROM t GROUP BY 1, 2
+       |  HAVING sum(CASE WHEN event_type = 'purchase' THEN vc END) IS NOT NULL),
+       |x AS (
+       |  SELECT unnest([
+       |    {'m': 0, 'channel': coalesce(firstt.ch, 'direct'), 'pc': purchase_c},
+       |    {'m': 1, 'channel': coalesce(lastt.ch, 'direct'), 'pc': purchase_c}],
+       |    recursive := true)
+       |  FROM g)
+       |SELECT channel,
+       |       CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       |       CAST(sum(CASE WHEN m = 0 THEN pc ELSE 0 END) AS BIGINT) AS cents_first,
+       |       CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+       |       CAST(sum(CASE WHEN m = 1 THEN pc ELSE 0 END) AS BIGINT) AS cents_last
+       |FROM x GROUP BY channel ORDER BY channel""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e11_attribution" -> e11,
     "w6_cumulative_distinct" -> w6,
     "e10_resample_locf" -> e10,
     "e1_tumbling_window" -> e1,
@@ -345,6 +430,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e11_attribution" -> e11Sql,
     "w6_cumulative_distinct" -> w6Sql,
     "e10_resample_locf" -> e10Sql,
     "e1_tumbling_window" -> e1Sql,

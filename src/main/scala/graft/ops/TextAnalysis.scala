@@ -1280,7 +1280,55 @@ object TextAnalysis {
       |FROM u GROUP BY center, context HAVING count(*) >= 30
       |ORDER BY center, context""".stripMargin
 
+  // ---- T26: FORCAST readability (syllable-profile grade) ----
+
+  /** FORCAST readability grade per document (Caylor et al. 1973) — the
+    * readability formula built for NON-PROSE text (forms, listings,
+    * fragments): unlike Flesch-Kincaid it uses no sentence count, only
+    * the monosyllabic-word share, so it stays meaningful on corpora
+    * where punctuation was stripped upstream (exactly this pipeline's
+    * P7 output). grade = 20 − (monosyllables per 150 words)/10
+    * = 20 − 15·mono/words, emitted as exact e3 fixed point by integral
+    * division; the syllable proxy is the standard vowel-group count
+    * (runs of [aeiouy], min 1 per word), identical regex semantics in
+    * both engines (split keeps boundary empties: groups = parts − 1).
+    * Also emits syllables-per-word (e3) — the vocabulary-complexity
+    * companion signal quality filters cut on.
+    *
+    * Scale: one exploded scan → per-doc map-side-combined aggregate;
+    * corpus-linear, no joins. Library entry point:
+    * [[graft.api.GraftApi.forcastReadability]]. */
+  private[graft] def forcastReadabilityOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"),
+        greatest(lit(1), size(split(col("word"), "[aeiouy]+")) - 1).as("syl"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("syl") === 1, 1L).otherwise(0L)).as("n_mono"),
+        sum(col("syl").cast("long")).as("n_syll"))
+      .withColumn("grade_e3", lit(20000L) - expr("15000 * n_mono div n_words"))
+      .withColumn("spw_e3", expr("1000 * n_syll div n_words"))
+
+  val t26: Q = (s, d) =>
+    forcastReadabilityOf(Tables.documents(s, d)).orderBy("doc_id")
+  val t26Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         greatest(1, len(regexp_split_to_array(word, '[aeiouy]+')) - 1) AS syl
+      |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(CASE WHEN syl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mono,
+      |       CAST(sum(syl) AS BIGINT) AS n_syll,
+      |       20000 - 15000 * CAST(sum(CASE WHEN syl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         // CAST(count(*) AS BIGINT) AS grade_e3,
+      |       1000 * CAST(sum(syl) AS BIGINT) // CAST(count(*) AS BIGINT) AS spw_e3
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t26_forcast_readability" -> t26,
     "kw1_tfidf_keywords" -> kw1,
     "w2v1_skipgram_pairs" -> w2v1,
     "t21_winnowing" -> t21,
@@ -1307,6 +1355,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t26_forcast_readability" -> t26Sql,
     "kw1_tfidf_keywords" -> kw1Sql,
     "w2v1_skipgram_pairs" -> w2v1Sql,
     "t21_winnowing" -> t21Sql,

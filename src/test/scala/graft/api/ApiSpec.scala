@@ -3,6 +3,7 @@ package graft.api
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.ops.Dedup
 
 /** The library facade: works on arbitrary user frames (not just the
   * fixture), and the fixture-bound registry queries are exactly these
@@ -496,5 +497,19 @@ class ApiSpec extends SparkSpec {
       Seq(("s", "l"), ("l", "s")).toDF("src", "dst"), Seq("s").toDF("node"), iters = 1)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(pprPlanted === Map("s" -> 150000L, "l" -> 850000L))
+  }
+
+  test("ninth-pass session APIs bind the same implementations as their registry entries") {
+    val sfd = sfDir
+    val docs = graft.Tables.documents(spark, sfd)
+    assert(GraftApi.forcastReadability(docs).orderBy("doc_id").collect().toSeq ===
+      graft.SparkEntry.queries("t26_forcast_readability")(spark, sfd).collect().toSeq)
+    assert(GraftApi.attribution(graft.Tables.events(spark, sfd))
+      .orderBy("channel").collect().toSeq ===
+      graft.SparkEntry.queries("e11_attribution")(spark, sfd).collect().toSeq)
+    // containmentPairs runs over the registry's dup-injected corpus frame
+    assert(GraftApi.containmentPairs(Dedup.corpus(spark, sfd))
+      .orderBy("id_a", "id_b").collect().toSeq ===
+      graft.SparkEntry.queries("d20_containment")(spark, sfd).collect().toSeq)
   }
 }

@@ -408,4 +408,25 @@ class DedupSimSpec extends SparkSpec {
     assert(got.sorted.toSeq === expected.sorted.toSeq)
     assert(expected.nonEmpty)
   }
+
+  test("d20 containment finds an embedded quote that symmetric Jaccard down-scores") {
+    val s2 = spark
+    import s2.implicits._
+    // B has 10 words -> 8 shingles; A is B's middle 5 words -> 3 shingles,
+    // every one inside B: containment(A in B) is exactly 10000 while the
+    // pair's Jaccard is only 3/8 = 3750 bp
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (2L, "charlie delta echo foxtrot golf"),
+      (3L, "kilo lima mike november oscar papa")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L, 3750L, 10000L)),
+      s"expected the quote pair only, got ${got.toSeq}")
+    // the same pair under d6-shaped symmetric Jaccard: 3750 bp — below any
+    // near-dup threshold >= 40%, which is the point of the asymmetric score
+    val inter = 3L; val na = 8L; val nb = 3L
+    assert(inter * 10000 / (na + nb - inter) === 3750L)
+  }
 }

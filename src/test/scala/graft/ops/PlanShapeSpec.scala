@@ -237,4 +237,22 @@ class PlanShapeSpec extends SparkSpec {
 
   private def ops_src3(s: org.apache.spark.sql.SparkSession) =
     ScaleOps.queries("src3_agg_pushdown")(s, sfDir)
+
+  test("ninth-pass shapes: t26 join-free, d20 no all-pairs, e11 single event scan") {
+    // t26: pure scan -> map-side-combined per-doc aggregate; no joins
+    val pt = plan(TextAnalysis.t26(spark, sfDir))
+    assert(!pt.contains("Join"), "t26 is aggregate-only\n" + pt.take(800))
+    assert(pt.contains("partial_"), "syllable fold must combine map-side")
+    // d20: candidates come ONLY off the shingle-equality self-join under
+    // the DF cap — any nested-loop/cartesian node means an all-pairs frame
+    val pd = plan(Dedup.d20(spark, sfDir))
+    assert(!pd.contains("CartesianProduct") && !pd.contains("BroadcastNestedLoopJoin"),
+      "d20 must never enumerate doc pairs\n" + pd.take(800))
+    // e11: both attribution models fold off ONE pass over the grouped
+    // conversions — a first/last frame join would scan events twice
+    val pe = plan(Events.e11(spark, sfDir))
+    val scans = "Scan parquet".r.findAllIn(pe).length
+    assert(scans == 1, s"e11 wants one event scan, got $scans\n" + pe.take(800))
+    assert(!pe.contains("Join"), "e11 is window + aggregate, no joins\n" + pe.take(800))
+  }
 }

@@ -316,4 +316,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(withSel > 0)
   }
+
+  test("t26 FORCAST grade matches hand-counted syllable profiles") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      (1L, "go up"),                               // 2 monosyllables
+      (2L, "observation computation analysis"),    // 4+4+4 syllables, 0 mono
+      (3L, "the quick brown fox jumps")            // 5 monosyllables
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.forcastReadabilityOf(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // all-monosyllable text bottoms out at grade 5.0; zero-mono text
+    // pins the ceiling 20.0 — the formula's exact range endpoints
+    assert(rows(0) === ((1L, 2L, 2L, 2L, 5000L, 1000L)))
+    assert(rows(1) === ((2L, 3L, 0L, 12L, 20000L, 4000L)))
+    assert(rows(2) === ((3L, 5L, 5L, 5L, 5000L, 1000L)))
+  }
 }
