@@ -895,4 +895,32 @@ object GraftApi {
     * `direct`. Registry twin: `e11_attribution`. */
   def attribution(events: DataFrame): DataFrame =
     graft.ops.Events.attributionOf(events)
+
+  /** Tokenizer fertility per language under a supplied BPE merge list:
+    * per lang, word/token/char counts, fertility (tokens per word, e3)
+    * and continuation-token share (bp) — the multilingual tokenizer-
+    * equity audit. Registry twin (corpus-learned merges):
+    * `tok4_fertility`. */
+  def bpeFertilityByLang(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    graft.ops.Selection.bpeFertilityByLangOf(docs, merges)
+
+  /** Data-constrained, quality-weighted repetition allocation
+    * (Muennighoff et al. 2023 shape): greedy (source, epoch≤cap) units
+    * by type-token-ratio-weighted halving utility against a fixed token
+    * budget. Registry twin: `mix4_data_constrained`. */
+  def dataConstrainedAlloc(docs: DataFrame, epochCap: Int = 4): DataFrame =
+    graft.ops.Selection.dataConstrainedAllocOf(docs, epochCap)
+
+  /** Top-k bursty terms by the variance-to-mean dispersion of per-doc
+    * counts (VMR, e6) over a (doc_id, text) frame — boilerplate/spam
+    * screening beside TF-IDF. Registry twin: `t27_burstiness`. */
+  def termBurstiness(docs: DataFrame, minDf: Long = 50L, k: Int = 20): DataFrame =
+    graft.ops.TextAnalysis.burstinessOf(docs, minDf, k)
+
+  /** RFM segmentation over an events frame: exact quartiles of recency/
+    * frequency/monetary via the distributed global-rank idiom (no
+    * single-partition ntile), emitted as the 4×4×4 segment table.
+    * Registry twin: `e12_rfm`. */
+  def rfmSegments(events: DataFrame): DataFrame =
+    graft.ops.Events.rfmSegmentsOf(events)
 }

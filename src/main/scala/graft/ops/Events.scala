@@ -414,8 +414,68 @@ object Events {
        |       CAST(sum(CASE WHEN m = 1 THEN pc ELSE 0 END) AS BIGINT) AS cents_last
        |FROM x GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** E12: RFM segmentation — the classic buyer-base audit: per
+    * purchasing user, Recency (last purchase time), Frequency (purchase
+    * count) and Monetary (exact purchase cents), each cut into exact
+    * quartiles, then the 4×4×4 segment table (users + cents per
+    * segment). Quartiles ascend with the metric (4 = most recent / most
+    * frequent / highest spend) and come from a GLOBAL rank — computed
+    * with [[PrefixSum.prefixRank]] (range-partition + local window +
+    * broadcast offsets), NOT a single-partition `ntile()` window, so no
+    * one-reducer sort exists even with billions of buyers. Ranks are
+    * tie-broken to a total order ((metric, companion metric, user_id)),
+    * so quartile cuts are deterministic in both engines:
+    * q = 4·(rank−1) div n + 1.
+    *
+    * Scale: one shuffle on user_id for the per-user fold, three range
+    * exchanges for the ranks (each over the user-bounded frame, each
+    * collecting one row PER PARTITION), and a ≤64-row final aggregate. */
+  private[graft] def rfmSegmentsOf(events: DataFrame): DataFrame = {
+    val per = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(expr("unix_micros(ts)")).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(cents(col("value"))).as("cents"))
+    def quart(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+        out: String): DataFrame = {
+      val r = PrefixSum.prefixRank(df, order)
+      r.df.withColumn(out, expr(s"(4 * (g_rank - 1)) div ${r.nRows}L + 1"))
+        .drop("g_rank")
+    }
+    val scored = quart(quart(quart(per,
+      Seq(col("last_us"), col("user_id")), "r_q"),
+      Seq(col("freq"), col("cents"), col("user_id")), "f_q"),
+      Seq(col("cents"), col("freq"), col("user_id")), "m_q")
+    scored.groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"), sum("cents").as("sum_cents"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  val e12: Q = (s, d) => rfmSegmentsOf(ev(s, d))
+  val e12Sql: String =
+    s"""WITH per AS (
+       |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+       |         CAST(count(*) AS BIGINT) AS freq,
+       |         CAST(sum($centsSql) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+       |rk AS (
+       |  SELECT user_id, cents,
+       |         CAST(row_number() OVER (ORDER BY last_us, user_id) AS BIGINT) AS rr,
+       |         CAST(row_number() OVER (ORDER BY freq, cents, user_id) AS BIGINT) AS fr,
+       |         CAST(row_number() OVER (ORDER BY cents, freq, user_id) AS BIGINT) AS mr
+       |  FROM per)
+       |SELECT (4 * (rr - 1)) // n.n + 1 AS r_q,
+       |       (4 * (fr - 1)) // n.n + 1 AS f_q,
+       |       (4 * (mr - 1)) // n.n + 1 AS m_q,
+       |       CAST(count(*) AS BIGINT) AS n_users,
+       |       CAST(sum(cents) AS BIGINT) AS sum_cents
+       |FROM rk CROSS JOIN n
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "e11_attribution" -> e11,
+    "e12_rfm" -> e12,
     "w6_cumulative_distinct" -> w6,
     "e10_resample_locf" -> e10,
     "e1_tumbling_window" -> e1,
@@ -431,6 +491,7 @@ object Events {
 
   val oracle: Map[String, String] = Map(
     "e11_attribution" -> e11Sql,
+    "e12_rfm" -> e12Sql,
     "w6_cumulative_distinct" -> w6Sql,
     "e10_resample_locf" -> e10Sql,
     "e1_tumbling_window" -> e1Sql,

@@ -123,6 +123,83 @@ object Selection {
        |       END * 10000 // n_toks AS BIGINT) AS epochs_bp
        |FROM scal ORDER BY source""".stripMargin
 
+  // ---- MIX4: data-constrained repetition allocation ----
+
+  /** Epoch cap for mix4: past ~4 passes repeated data adds ~no value
+    * (Muennighoff et al. 2023, arXiv:2305.16264, Fig. 3). */
+  private val Mix4EpochCap = 4
+
+  /** MIX4: data-constrained, quality-weighted repetition allocation —
+    * the mixing decision a token-starved run actually faces (Muennighoff
+    * et al. 2023): when the budget B exceeds the fresh corpus, WHICH
+    * sources earn a 2nd/3rd/4th epoch? Each (source, epoch≤4) unit of
+    * n_s tokens carries utility u = q_s · 2^−(epoch−1): a stylized
+    * exact-integer form of the paper's decaying value of repeated data,
+    * weighted by source quality q_s = type-token ratio in e6 (richer
+    * vocabulary ⇒ worth repeating; boilerplate-heavy sources decay out
+    * of the budget first). Greedy by (u desc, source, epoch) — within a
+    * source the halving makes epochs strictly ordered, so a later epoch
+    * never allocates before an earlier one — whole units until the
+    * budget B = ⌊2.5·Σn_s⌋ runs out, the boundary unit partially. Every
+    * step is integer, so the oracle is engine-exact. Emits per source
+    * (n_toks, q_e6, alloc, epochs_bp).
+    *
+    * Scale: mix3's shape — ONE map-side-combined corpus scan for the
+    * (count, distinct-count) pair per source, then the greedy runs on
+    * the sources×4 unit table (bounded by the source universe, one
+    * partition by design, same as mix3's water-fill window). Library
+    * entry point: [[graft.api.GraftApi.dataConstrainedAlloc]]. */
+  private[graft] def dataConstrainedAllocOf(docs: DataFrame, epochCap: Int): DataFrame = {
+    val perSrc = toks(docs).groupBy("source")
+      .agg(count(lit(1)).as("n_toks"), countDistinct("tok").as("n_types"))
+      .withColumn("q_e6", expr("1000000 * n_types div n_toks"))
+    // sources×epochs is tiny (one row per corpus source per epoch) — a
+    // global window on one partition is the right plan (mix3 precedent).
+    val ord = Window.orderBy(col("u").desc, col("source"), col("epoch"))
+    perSrc.coalesce(1)
+      .withColumn("tot", sum("n_toks").over(Window.partitionBy()))
+      .select(col("source"), col("n_toks"), col("q_e6"), col("tot"),
+        explode(sequence(lit(1), lit(epochCap))).as("epoch"))
+      .withColumn("u", expr("q_e6 div shiftleft(1, epoch - 1)"))
+      .withColumn("prefix", coalesce(
+        sum("n_toks").over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("alloc_u",
+        greatest(lit(0L), least(col("n_toks"), expr("(5 * tot) div 2") - col("prefix"))))
+      .groupBy("source", "n_toks", "q_e6")
+      .agg(sum("alloc_u").as("alloc"))
+      .withColumn("epochs_bp", expr("alloc * 10000 div n_toks"))
+      .orderBy("source")
+  }
+
+  val mix4: Q = (s, d) =>
+    dataConstrainedAllocOf(Tables.documents(s, d), Mix4EpochCap)
+
+  val mix4Sql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(str_split(text, ' ')) AS tok FROM documents),
+       |per_src AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_toks,
+       |         CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+       |  FROM toks WHERE len(tok) > 0 GROUP BY source),
+       |q AS (
+       |  SELECT source, n_toks, 1000000 * n_types // n_toks AS q_e6,
+       |         CAST(sum(n_toks) OVER () AS BIGINT) AS tot
+       |  FROM per_src),
+       |units AS (
+       |  SELECT source, n_toks, q_e6, tot, e.epoch,
+       |         q_e6 // (1 << (epoch - 1)) AS u
+       |  FROM q CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS epoch) e
+       |  WHERE e.epoch <= $Mix4EpochCap),
+       |pre AS (
+       |  SELECT *, CAST(coalesce(sum(n_toks) OVER (
+       |           ORDER BY u DESC, source, epoch
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+       |  FROM units)
+       |SELECT source, n_toks, q_e6,
+       |       CAST(sum(greatest(0, least(n_toks, (5 * tot) // 2 - prefix))) AS BIGINT) AS alloc,
+       |       CAST(sum(greatest(0, least(n_toks, (5 * tot) // 2 - prefix))) * 10000 // n_toks AS BIGINT) AS epochs_bp
+       |FROM pre GROUP BY source, n_toks, q_e6 ORDER BY source""".stripMargin
+
   // ---- SEL1: DSIR importance-weighted selection ----
 
   /** The "target distribution" slice — the high-quality subset whose
@@ -791,20 +868,21 @@ object Selection {
     bpeEncodeStatsOf(docs, merges).orderBy("doc_id")
   }
 
-  /** tok2's oracle: replay the trainer ([[bpeMergeCtes]]) to get m1..m4,
-    * apply them to the distinct-token vocabulary (`e0..e4` — the encode
-    * side keeps the `tok` key so symbol counts join back to instances),
-    * then the per-doc accounting. */
-  val tok2Sql: String = {
+  /** Encode-side CTE chain shared by tok2Sql and tok4Sql: replays the
+    * learned merges m1..m$k over the distinct-token vocabulary
+    * (`e0..e$k` — the encode side keeps the `tok` key so symbol counts
+    * join back to instances) and ends in
+    * `sc(tok, n_before, n_after)`. A constant builder, not string
+    * surgery (the cl2Sql lesson). */
+  private def bpeEncodeCtes(k: Int): String = {
     def rep8(base: String): String = (1 to 8).foldLeft(base)((c, _) =>
       s"replace($c, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')")
-    val enc = (1 to BpeMerges).map { n =>
+    val enc = (1 to k).map { n =>
       s"""e$n AS MATERIALIZED (
          |  SELECT e.tok, ${rep8("e.repr")} AS repr
          |  FROM e${n - 1} e CROSS JOIN m$n m)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${bpeMergeCtes(BpeMerges)},
-       |e0 AS (
+    s"""e0 AS (
        |  SELECT tok, ' ' || array_to_string(list_transform(generate_series(1, len(tok)),
        |           i -> substr(tok, CAST(i AS INTEGER), 1)), ' ') || ' ' AS repr
        |  FROM (SELECT DISTINCT tok FROM toksb WHERE len(tok) > 0)),
@@ -812,7 +890,14 @@ object Selection {
        |sc AS (
        |  SELECT tok, CAST(len(tok) AS BIGINT) AS n_before,
        |         CAST(len(str_split(trim(repr), ' ')) AS BIGINT) AS n_after
-       |  FROM e$BpeMerges),
+       |  FROM e$k)""".stripMargin
+  }
+
+  /** tok2's oracle: replay the trainer ([[bpeMergeCtes]]) to get m1..m4,
+    * encode via [[bpeEncodeCtes]], then the per-doc accounting. */
+  val tok2Sql: String =
+    s"""WITH ${bpeMergeCtes(BpeMerges)},
+       |${bpeEncodeCtes(BpeMerges)},
        |tk AS (
        |  SELECT doc_id, tok FROM (
        |    SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
@@ -823,7 +908,79 @@ object Selection {
        |       CAST(sum(n_after) * 10000 // sum(n_before) AS BIGINT) AS compression_bp
        |FROM tk JOIN sc USING (tok)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- TOK4: tokenizer fertility by language ----
+
+  /** TOK4: the multilingual tokenizer-equity audit — fertility (subword
+    * tokens per word) and continuation-token share PER LANGUAGE under
+    * the corpus-learned BPE merges. A tokenizer trained on a skewed mix
+    * encodes under-represented languages into more pieces (fertility
+    * 2-3× the dominant language's), which inflates their effective
+    * sequence length and training cost; this table is the standard
+    * diagnostic (cf. the tokenizer-parity analyses around NLLB/BLOOM).
+    * fertility_e3 = 1000·n_tokens div n_words exactly;
+    * cont_bp = 10000·(n_tokens − n_words) div n_tokens (share of
+    * emitted tokens that are word-continuations, i.e. non-initial
+    * pieces — each word contributes exactly one initial piece).
+    *
+    * Scale: the trainer and the per-token symbol counts are tok2's
+    * (vocab-sized frames, one corpus scan); this aggregate folds the
+    * SAME joined instances per (lang) instead of per (doc) — language
+    * count is bounded, so the final frame is tiny. Library entry point:
+    * [[graft.api.GraftApi.bpeFertilityByLang]]. */
+  private[graft] def bpeFertilityByLangOf(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val t = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab0 = t.select(col("tok")).distinct()
+      .select(col("tok"), concat(lit(" "), array_join(split(col("tok"), ""), " "), lit(" ")).as("repr"))
+    val encoded = merges.foldLeft(vocab0) { case (v, (l, r)) =>
+      val mergedCol = (1 to 8).foldLeft(col("repr")) { (c, _) =>
+        org.apache.spark.sql.functions.replace(c, lit(s" $l $r "), lit(s" $l$r "))
+      }
+      v.select(col("tok"), mergedCol.as("repr"))
+    }
+    val symCounts = encoded.select(col("tok"),
+      length(col("tok")).cast("long").as("n_before"),
+      size(split(trim(col("repr")), " ")).cast("long").as("n_after"))
+    t.join(symCounts, Seq("tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_after").as("n_tokens"),
+        sum("n_before").as("n_chars"))
+      .withColumn("fertility_e3", expr("1000 * n_tokens div n_words"))
+      .withColumn("cont_bp", expr("10000 * (n_tokens - n_words) div n_tokens"))
+      .orderBy("lang")
   }
+
+  /** Registry variant: learns the 4 corpus merges (bpe2's trainer), then
+    * audits fertility per language. */
+  val tok4: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val spark = s
+    import spark.implicits._
+    val merges = bpeMergesOf(docs, BpeMerges)
+      .orderBy("iter").select("left_sym", "right_sym")
+      .as[(String, String)].collect().toSeq
+    bpeFertilityByLangOf(docs, merges)
+  }
+
+  val tok4Sql: String =
+    s"""WITH ${bpeMergeCtes(BpeMerges)},
+       |${bpeEncodeCtes(BpeMerges)},
+       |tkl AS (
+       |  SELECT lang, tok FROM (
+       |    SELECT lang, unnest(str_split(text, ' ')) AS tok FROM documents)
+       |  WHERE len(tok) > 0)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_after) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n_before) AS BIGINT) AS n_chars,
+       |       1000 * CAST(sum(n_after) AS BIGINT) // CAST(count(*) AS BIGINT) AS fertility_e3,
+       |       10000 * (CAST(sum(n_after) AS BIGINT) - CAST(count(*) AS BIGINT))
+       |         // CAST(sum(n_after) AS BIGINT) AS cont_bp
+       |FROM tkl JOIN sc USING (tok)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---- BATCH1: length-bucket padding-waste accounting ----
 
@@ -1121,6 +1278,8 @@ object Selection {
     "batch1_length_buckets" -> batch1,
     "tok2_bpe_encode" -> tok2,
     "tok3_unigram_viterbi" -> tok3,
+    "tok4_fertility" -> tok4,
+    "mix4_data_constrained" -> mix4,
     "samp4_weighted_topk" -> samp4,
   )
 
@@ -1133,6 +1292,8 @@ object Selection {
     "bpe2_merge_induction" -> bpe2Sql,
     "tok2_bpe_encode" -> tok2Sql,
     "tok3_unigram_viterbi" -> tok3Sql,
+    "tok4_fertility" -> tok4Sql,
+    "mix4_data_constrained" -> mix4Sql,
     "t19_bigram_nll" -> t19Sql,
     "t22_kneser_ney" -> t22Sql,
     "fim1_split" -> fim1Sql,

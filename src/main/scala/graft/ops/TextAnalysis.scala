@@ -1327,8 +1327,68 @@ object TextAnalysis {
       |       1000 * CAST(sum(syl) AS BIGINT) // CAST(count(*) AS BIGINT) AS spw_e3
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- T27: term burstiness (variance-to-mean dispersion) ----
+
+  private val T27MinDf = 50L
+  private val T27TopK = 20
+
+  /** T27: term burstiness — the variance-to-mean ratio (Fisher's index
+    * of dispersion) of each term's per-document count across the WHOLE
+    * corpus (absent docs count as zero, which the sufficient-statistics
+    * form gets for free). VMR = 1 is Poisson scatter; VMR ≫ 1 marks
+    * bursty terms that pile into few documents — boilerplate, templated
+    * spam, topical jargon — exactly the terms Church & Gale (1995)
+    * showed IDF mis-scores, and a standard screen beside t14's PMI and
+    * kw1's TF-IDF when building stopword/boilerplate lists.
+    * vmr_e6 = 10⁶·(n·S2 − S1²) div (n·S1) with S1 = Σc, S2 = Σc²
+    * per term — non-negative by Cauchy–Schwarz, exact integers in both
+    * engines. The products run in DECIMAL(38,0)/HUGEINT (the eval2
+    * convention): int64 wraps once S1 > ~3e9, and the decimal headroom
+    * holds to S1 ≈ 10¹⁶ occurrences — past any 100 TB corpus.
+    *
+    * Scale: one exploded scan → (doc, w) map-side-combined counts →
+    * vocab-sized per-term aggregate; the doc-count scalar broadcasts;
+    * the top-k plans as TakeOrderedAndProject (no global sort). Library
+    * entry point: [[graft.api.GraftApi.termBurstiness]]. */
+  private[graft] def burstinessOf(docs: DataFrame, minDf: Long = T27MinDf,
+      k: Int = T27TopK): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    counts.groupBy("w")
+      .agg(count(lit(1)).as("df"), sum("c").as("s1"), sum(expr("c * c")).as("s2"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(n))
+      .withColumn("vmr_e6", expr(
+        """CAST(1000000 * (CAST(n_docs AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)
+          |  div (CAST(n_docs AS DECIMAL(38,0)) * s1) AS BIGINT)""".stripMargin))
+      .orderBy(col("vmr_e6").desc, col("w"))
+      .limit(k)
+      .select("w", "df", "s1", "vmr_e6")
+  }
+
+  val t27: Q = (s, d) => burstinessOf(Tables.documents(s, d))
+  val t27Sql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY doc_id, w),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |v AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS s1,
+       |         CAST(sum(c * c) AS BIGINT) AS s2
+       |  FROM c GROUP BY w HAVING count(*) >= $T27MinDf)
+       |SELECT w, df, s1,
+       |       CAST(1000000 * (CAST(n_docs AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+       |         // (CAST(n_docs AS HUGEINT) * s1) AS BIGINT) AS vmr_e6
+       |FROM v CROSS JOIN n
+       |ORDER BY vmr_e6 DESC, w LIMIT $T27TopK""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "t26_forcast_readability" -> t26,
+    "t27_burstiness" -> t27,
     "kw1_tfidf_keywords" -> kw1,
     "w2v1_skipgram_pairs" -> w2v1,
     "t21_winnowing" -> t21,
@@ -1356,6 +1416,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "t26_forcast_readability" -> t26Sql,
+    "t27_burstiness" -> t27Sql,
     "kw1_tfidf_keywords" -> kw1Sql,
     "w2v1_skipgram_pairs" -> w2v1Sql,
     "t21_winnowing" -> t21Sql,

@@ -512,4 +512,24 @@ class ApiSpec extends SparkSpec {
       .orderBy("id_a", "id_b").collect().toSeq ===
       graft.SparkEntry.queries("d20_containment")(spark, sfd).collect().toSeq)
   }
+
+  test("tenth-pass session APIs bind the same implementations as their registry entries") {
+    val sfd = sfDir
+    val docs = graft.Tables.documents(spark, sfd)
+    assert(GraftApi.dataConstrainedAlloc(docs).collect().toSeq ===
+      graft.SparkEntry.queries("mix4_data_constrained")(spark, sfd).collect().toSeq)
+    assert(GraftApi.termBurstiness(docs).collect().toSeq ===
+      graft.SparkEntry.queries("t27_burstiness")(spark, sfd).collect().toSeq)
+    assert(GraftApi.rfmSegments(graft.Tables.events(spark, sfd)).collect().toSeq ===
+      graft.SparkEntry.queries("e12_rfm")(spark, sfd).collect().toSeq)
+    // the facade fertility call takes user-supplied merges; feed it the
+    // corpus-learned ones and it must equal the self-contained registry op
+    val s2 = spark
+    import s2.implicits._
+    val merges = graft.ops.Selection.bpeMergesOf(docs, 4)
+      .orderBy("iter").select("left_sym", "right_sym")
+      .as[(String, String)].collect().toSeq
+    assert(GraftApi.bpeFertilityByLang(docs, merges).collect().toSeq ===
+      graft.SparkEntry.queries("tok4_fertility")(spark, sfd).collect().toSeq)
+  }
 }

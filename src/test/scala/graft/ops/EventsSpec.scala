@@ -41,4 +41,36 @@ class EventsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum === rows.map(_.getLong(3)).sum)
     assert(firstC > 0)
   }
+
+  test("e12 RFM quartiles follow the aligned hand fixture") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    // user k (1..4) makes k purchases, each later and larger than user
+    // k-1's — recency/frequency/monetary ranks all align, so user k sits
+    // in segment (k,k,k) exactly: q = 4*(rank-1) div 4 + 1 = rank
+    val ev = (1 to 4).flatMap { k =>
+      (1 to k).map(i => (k * 10L + i, k.toLong,
+        f"2024-01-0$k%d 00:0$i%d:00", "purchase", k * 1.0))
+    }.toDF("event_id", "user_id", "ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Events.rfmSegmentsOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === (1 to 4).map(k =>
+      (k.toLong, k.toLong, k.toLong, 1L, k.toLong * k * 100L)))
+  }
+
+  test("e12 segment table conserves users and cents over the fixture") {
+    val rows = Events.e12(spark, sfDir).collect()
+    val users = rows.map(_.getLong(3)).sum
+    import org.apache.spark.sql.functions._
+    val per = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(countDistinct("user_id"), sum(expr("CAST(round(value * 100) AS BIGINT)")))
+      .head()
+    assert(users === per.getLong(0), "every purchasing user lands in one segment")
+    assert(rows.map(_.getLong(4)).sum === per.getLong(1), "cents conserve")
+    rows.foreach(r => Seq(0, 1, 2).foreach(i =>
+      assert(r.getLong(i) >= 1L && r.getLong(i) <= 4L)))
+  }
 }

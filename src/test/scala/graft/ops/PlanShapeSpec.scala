@@ -255,4 +255,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans == 1, s"e11 wants one event scan, got $scans\n" + pe.take(800))
     assert(!pe.contains("Join"), "e11 is window + aggregate, no joins\n" + pe.take(800))
   }
+
+  test("tenth-pass shapes: e12 pid-partitioned ranks, t27 top-k without a global sort") {
+    // e12: all three global quartile ranks ride PrefixSum — every rank
+    // window stays pid-partitioned; no single-partition ntile exists
+    val pe = plan(Events.e12(spark, sfDir))
+    val winLines = pe.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("pid")),
+      "every RFM rank window must be pid-partitioned\n" + winLines.mkString("\n"))
+    // t27: per-term stats map-side combine and the top-20 cut is
+    // TakeOrderedAndProject, never a full corpus sort
+    val pt = plan(TextAnalysis.t27(spark, sfDir))
+    assert(pt.contains("TakeOrderedAndProject"),
+      "t27 top-k must plan as TakeOrderedAndProject\n" + pt.take(800))
+    assert(pt.contains("partial_"), "term stats must map-side combine")
+  }
 }

@@ -342,4 +342,51 @@ class SelectionSpec extends SparkSpec {
     assert(agg.getLong(1) > 0L, "bigram backoff must occur on held-out docs")
     assert(agg.getLong(2) >= 0L)
   }
+
+  // ---- tok4: fertility by language ----
+
+  test("tok4 fertility matches a hand-encoded two-language corpus") {
+    // merge (a,b): en words [ab, ab, cd] -> tokens [ab]=1, [ab]=1, [c d]=2
+    //   n_words 3, n_tokens 4, n_chars 6 -> fertility 1333 e3, cont 2500 bp
+    // fr word [abc] -> [ab c]=2 tokens: n_words 1, n_tokens 2, n_chars 3
+    //   -> fertility 2000 e3, cont 5000 bp
+    val d = docs(
+      (1L, "ab ab cd", "en", "s0"),
+      (2L, "abc", "fr", "s0"))
+    val out = Selection.bpeFertilityByLangOf(d, Seq(("a", "b"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("en", 3L, 4L, 6L, 1333L, 2500L),
+      ("fr", 1L, 2L, 3L, 2000L, 5000L)))
+  }
+
+  // ---- mix4: data-constrained repetition allocation ----
+
+  test("mix4 repeats the high-quality source before the boilerplate one gets a second epoch") {
+    // A: 3 toks, 3 types -> q = 1e6; B: 6 toks, 1 type -> q = 166666
+    // units by utility desc: A1(1e6) A2(5e5) A3(25e4) B1(166666) A4(125e3)
+    //   B2(83333) B3(41666) B4(20833); budget = (5*9) div 2 = 22
+    // prefix:    0    3    6     9      15     18(least 4) 22->0  0
+    // -> A alloc 12 (4 full epochs, the cap), B alloc 10 (16666 bp)
+    val d = docs(
+      (1L, "x y z", "en", "A"),
+      (2L, "x x x x x x", "en", "B"))
+    val out = Selection.dataConstrainedAllocOf(d, 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("A", 3L, 1000000L, 12L, 40000L),
+      ("B", 6L, 166666L, 10L, 16666L)))
+  }
+
+  test("mix4 allocation always spends exactly the budget and respects the epoch cap") {
+    val rows = Selection.mix4(spark, sfDir).collect()
+    val spent = rows.map(_.getLong(3)).sum
+    val total = rows.map(_.getLong(1)).sum
+    assert(spent === (5L * total) / 2L, "greedy fill must spend the whole budget")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= 4L * r.getLong(1), s"epoch cap violated for ${r.getString(0)}")
+      assert(r.getLong(3) >= 0L)
+    }
+  }
 }

@@ -334,4 +334,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1) === ((2L, 3L, 0L, 12L, 20000L, 4000L)))
     assert(rows(2) === ((3L, 5L, 5L, 5L, 5000L, 1000L)))
   }
+
+  test("t27 burstiness: a uniformly-spread term scores VMR 0, a piled-up term scores its pile") {
+    val s2 = spark
+    import s2.implicits._
+    // 'u' appears exactly once in all 4 docs: S1=4, S2=4, n=4
+    //   -> (4*4 - 16)/(4*4) = 0 (sub-Poisson, clamped at the uniform floor)
+    // 'b' appears 4 times in ONE doc: S1=4, S2=16
+    //   -> (4*16 - 16)/(4*4) = 3 -> 3,000,000 e6
+    val docs = Seq(
+      (1L, "u b b b b"), (2L, "u"), (3L, "u"), (4L, "u")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.burstinessOf(docs, minDf = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("b", 1L, 4L, 3000000L), ("u", 4L, 4L, 0L)))
+  }
 }
