@@ -923,4 +923,13 @@ object GraftApi {
     * Registry twin: `e12_rfm`. */
   def rfmSegments(events: DataFrame): DataFrame =
     graft.ops.Events.rfmSegmentsOf(events)
+
+  /** t-closeness audit: per quasi-identifier group, the total-variation
+    * distance (e6) between the group's sensitive-value distribution and
+    * the corpus-wide one, with the t ≤ 0.2 flag — completes the
+    * k-anonymity / l-diversity / t-closeness release trio. Exact
+    * integers over the common denominator (DECIMAL(38,0) products).
+    * Registry twin: `priv5_t_closeness`. */
+  def tClosenessAudit(rows: DataFrame, qiCols: Seq[String], sensCol: String): DataFrame =
+    graft.ops.Curation.tClosenessOf(rows, qiCols, sensCol)
 }

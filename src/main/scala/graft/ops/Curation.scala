@@ -280,6 +280,87 @@ object Curation {
       |GROUP BY c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT)
       |ORDER BY c_nationkey, bal_k""".stripMargin
 
+  // ---- PRIV5: t-closeness audit ----
+
+  /** PRIV5: t-closeness (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third leg of the release-audit trio: priv1 checks group SIZE
+    * (k-anonymity), priv2 checks sensitive-value VARIETY (l-diversity),
+    * this checks sensitive-value DISTRIBUTION: a group whose
+    * market-segment mix diverges from the corpus-wide mix leaks
+    * membership information even when k and l pass. For a categorical
+    * sensitive attribute the distance is total variation
+    * t = ½·Σ_j |p_j − q_j| (EMD under the uniform ground metric);
+    * computed as exact integers over the common denominator n_g·N:
+    * tv_e6 = 10⁶·Σ_j |c_gj·N − C_j·n_g| div (2·n_g·N), products in
+    * DECIMAL(38,0)/HUGEINT (the eval2 convention — c·N reaches 10²⁴ at
+    * a trillion rows, past int64 but inside decimal headroom). Segments
+    * ABSENT from a group still contribute |0 − C_j·n_g| — the grid is
+    * groups × the (bounded) segment universe, built by a broadcast
+    * cross join, never by enumerating rows.
+    *
+    * Scale: one scan feeds both the (QI, segment) counts and the k-row
+    * global segment histogram; the grid is |QI-domain|·|segments| rows
+    * (bounded), the per-group fold map-side combines, and the 1-row
+    * corpus total broadcasts. Emits per QI group (group_n, tv_e6,
+    * t_le_0_2 flag). Library entry point:
+    * [[graft.api.GraftApi.tClosenessAudit]]. */
+  private[graft] def tClosenessOf(rows: DataFrame, qiCols: Seq[String],
+      sensCol: String): DataFrame = {
+    val qi = qiCols.map(col)
+    val base = rows.select((qi :+ col(sensCol).as("sens")): _*)
+    val gseg = base.groupBy((qi :+ col("sens")): _*).agg(count(lit(1)).as("c"))
+    val grp = gseg.groupBy(qi: _*).agg(sum("c").as("n_g"))
+    val glob = base.groupBy("sens").agg(count(lit(1)).as("cg"))
+    val total = base.agg(count(lit(1)).as("n_tot"))
+    grp.crossJoin(broadcast(glob))
+      .join(gseg, qiCols :+ "sens", "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(total))
+      .groupBy((qi :+ col("n_g") :+ col("n_tot")): _*)
+      .agg(sum(expr(
+        "abs(CAST(c AS DECIMAL(38,0)) * n_tot - CAST(cg AS DECIMAL(38,0)) * n_g)"))
+        .as("tvd"))
+      .select((qi :+ col("n_g").as("group_n") :+
+        expr("CAST(1000000 * tvd div (2 * CAST(n_g AS DECIMAL(38,0)) * n_tot) AS BIGINT)")
+          .as("tv_e6")): _*)
+      .withColumn("t_le_0_2",
+        expr("CAST(CASE WHEN tv_e6 <= 200000 THEN 1 ELSE 0 END AS BIGINT)"))
+      .orderBy(qi: _*)
+  }
+
+  val priv5: Q = (s, d) =>
+    tClosenessOf(
+      Tables.customer(s, d)
+        .withColumn("bal_k", expr("CAST(floor(c_acctbal / 1000) AS BIGINT)")),
+      Seq("c_nationkey", "bal_k"), "c_mktsegment")
+
+  val priv5Sql: String =
+    """WITH base AS (
+      |  SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+      |         c_mktsegment AS sens
+      |  FROM customer),
+      |gseg AS (
+      |  SELECT c_nationkey, bal_k, sens, CAST(count(*) AS BIGINT) AS c
+      |  FROM base GROUP BY 1, 2, 3),
+      |grp AS (
+      |  SELECT c_nationkey, bal_k, CAST(sum(c) AS BIGINT) AS n_g
+      |  FROM gseg GROUP BY 1, 2),
+      |gsum AS (SELECT sens, CAST(count(*) AS BIGINT) AS cg FROM base GROUP BY sens),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM base),
+      |grid AS (
+      |  SELECT g.c_nationkey, g.bal_k, g.n_g, gl.cg, coalesce(s.c, 0) AS c
+      |  FROM grp g CROSS JOIN gsum gl
+      |  LEFT JOIN gseg s ON s.c_nationkey = g.c_nationkey
+      |    AND s.bal_k = g.bal_k AND s.sens = gl.sens)
+      |SELECT c_nationkey, bal_k, n_g AS group_n,
+      |       CAST(1000000 * sum(abs(CAST(c AS HUGEINT) * n_tot - CAST(cg AS HUGEINT) * n_g))
+      |         // (2 * CAST(n_g AS HUGEINT) * n_tot) AS BIGINT) AS tv_e6,
+      |       CAST(CASE WHEN 1000000 * sum(abs(CAST(c AS HUGEINT) * n_tot - CAST(cg AS HUGEINT) * n_g))
+      |         // (2 * CAST(n_g AS HUGEINT) * n_tot) <= 200000 THEN 1 ELSE 0 END AS BIGINT) AS t_le_0_2
+      |FROM grid CROSS JOIN tot
+      |GROUP BY c_nationkey, bal_k, n_g, n_tot
+      |ORDER BY c_nationkey, bal_k""".stripMargin
+
   // ---- PRIV3: randomized response (deterministic local-DP mechanism) ----
 
   /** Warner-style randomized response over the market-segment column:
@@ -665,6 +746,7 @@ object Curation {
     "priv2_l_diversity" -> priv2,
     "priv3_randomized_response" -> priv3,
     "priv4_laplace_counts" -> priv4,
+    "priv5_t_closeness" -> priv5,
     "traj1_session_paths" -> traj1,
     "markov1_transition_matrix" -> markov1,
     "dq2_mad_outliers" -> dq2,
@@ -680,6 +762,7 @@ object Curation {
     "priv2_l_diversity" -> priv2Sql,
     "priv3_randomized_response" -> priv3Sql,
     "priv4_laplace_counts" -> priv4Sql,
+    "priv5_t_closeness" -> priv5Sql,
     "traj1_session_paths" -> traj1Sql,
     "markov1_transition_matrix" -> markov1Sql,
     "dq2_mad_outliers" -> dq2Sql,

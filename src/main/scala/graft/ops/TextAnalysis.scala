@@ -1350,24 +1350,38 @@ object TextAnalysis {
     * vocab-sized per-term aggregate; the doc-count scalar broadcasts;
     * the top-k plans as TakeOrderedAndProject (no global sort). Library
     * entry point: [[graft.api.GraftApi.termBurstiness]]. */
-  private[graft] def burstinessOf(docs: DataFrame, minDf: Long = T27MinDf,
-      k: Int = T27TopK): DataFrame = {
-    val counts = docs
+  /** Per-term sufficient statistics (w → df, S1 = Σc, S2 = Σc²) for the
+    * dispersion measure. ADDITIVE across disjoint document sets (each
+    * doc's counts are complete within its set), which is what lets the
+    * streaming twin (st21) maintain them per micro-batch and stay
+    * bit-identical to batch. */
+  private[graft] def burstinessStatsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    counts.groupBy("w")
+      .groupBy("w")
       .agg(count(lit(1)).as("df"), sum("c").as("s1"), sum(expr("c * c")).as("s2"))
+
+  /** Final cut shared by t27 and st21: threshold, exact VMR, top-k.
+    * `nDf` is a 1-row (n_docs) frame so the corpus size rides the same
+    * broadcast in both the batch and streaming paths. */
+  private[graft] def burstinessFromStats(stats: DataFrame, nDf: DataFrame,
+      minDf: Long, k: Int): DataFrame =
+    stats
       .filter(col("df") >= minDf)
-      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(nDf))
       .withColumn("vmr_e6", expr(
         """CAST(1000000 * (CAST(n_docs AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)
           |  div (CAST(n_docs AS DECIMAL(38,0)) * s1) AS BIGINT)""".stripMargin))
       .orderBy(col("vmr_e6").desc, col("w"))
       .limit(k)
       .select("w", "df", "s1", "vmr_e6")
-  }
+
+  private[graft] def burstinessOf(docs: DataFrame, minDf: Long = T27MinDf,
+      k: Int = T27TopK): DataFrame =
+    burstinessFromStats(burstinessStatsOf(docs),
+      docs.agg(count(lit(1)).as("n_docs")), minDf, k)
 
   val t27: Q = (s, d) => burstinessOf(Tables.documents(s, d))
   val t27Sql: String =

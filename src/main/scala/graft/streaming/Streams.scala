@@ -1164,7 +1164,64 @@ object Streams {
       .orderBy("center", "context")
   }
 
+  /** ST21: streaming term-burstiness monitor — the streaming face of
+    * batch t27, and the payoff of its sufficient-statistics form: per
+    * micro-batch the (w → df, S1, S2) triple is computed over ONLY the
+    * batch's documents and merged ADDITIVELY into the stored table
+    * (docs are whole within a batch, so per-doc counts — hence all
+    * three statistics — are exact batch-local partials); the document
+    * count rides a 1-row meta table. The final VMR cut runs through the
+    * SAME code path as t27 ([[graft.ops.TextAnalysis.burstinessFromStats]]),
+    * so the drained top-k is bit-identical to batch regardless of batch
+    * boundaries — proven by the shared DuckDB oracle. State is
+    * vocabulary-sized (3 longs per term) no matter how much text
+    * streams past; generation dirs follow st10's idempotent-overwrite
+    * contract. The live-corpus boilerplate alarm at 100 TB/day: reading
+    * the current top-k is a vocab-bounded scan, never a corpus rescan. */
+  val st21: Q = (s, d) => {
+    val srcDir = stagedTableSplit(s, d, "st21", table = "documents", key = "doc_id")
+    val physical = s.read.parquet(s"$d/documents.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val statRoot = Files.createTempDirectory("graft_st21_stats").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(statRoot).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st21").toString
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val b = batch.toDF().localCheckpoint(true) // one staging of the batch for stats + count
+        val deltaStats = graft.ops.TextAnalysis.burstinessStatsOf(b)
+        val deltaN = b.count()
+        val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
+        val (mergedStats, mergedN) = prior match {
+          case None => (deltaStats, deltaN)
+          case Some((_, path)) =>
+            val ps = sess.read.parquet(s"$path/stats")
+            val pn = sess.read.parquet(s"$path/meta").head().getLong(0)
+            (ps.unionAll(deltaStats).groupBy("w")
+              .agg(sum("df").as("df"), sum("s1").as("s1"), sum("s2").as("s2")),
+              pn + deltaN)
+        }
+        mergedStats.write.mode("overwrite").parquet(s"$statRoot/gen_$batchId/stats")
+        sess.range(1).select(lit(mergedN).as("n_docs"))
+          .write.mode("overwrite").parquet(s"$statRoot/gen_$batchId/meta")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    graft.ops.TextAnalysis.burstinessFromStats(
+      s.read.parquet(s"${latest._2}/stats"),
+      s.read.parquet(s"${latest._2}/meta"), 50L, 20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "st21_stream_burstiness" -> st21,
     "st20_stream_skipgram" -> st20,
     "st19_stream_markov" -> st19,
     "st18_stream_benford" -> st18,
@@ -1193,6 +1250,7 @@ object Streams {
     "st18_stream_benford" -> graft.ops.Evaluation.dq5Sql,
     "st19_stream_markov" -> graft.ops.Curation.markov1Sql,
     "st20_stream_skipgram" -> graft.ops.TextAnalysis.w2v1Sql,
+    "st21_stream_burstiness" -> graft.ops.TextAnalysis.t27Sql,
     "st17_stream_decontamination" -> graft.ops.TextAnalysis.oracle("d19_winnowing_decontamination"),
     "st16_stream_kmv_distinct" -> st16Sql,
     "st15_stream_psi_drift" -> graft.ops.Evaluation.dq3Sql,

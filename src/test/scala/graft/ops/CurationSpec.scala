@@ -324,4 +324,27 @@ class CurationSpec extends SparkSpec {
     // cc has pmi = ln(1) = 0 in both langs -> filtered by keyness > 0
     assert(!out.exists(_._3 == "cc"))
   }
+
+  test("priv5 t-closeness scores a skewed group's exact total variation") {
+    val s2 = spark
+    import s2.implicits._
+    // global mix: X 5/6, Y 1/6. group A = {X, Y}: TV = 1/2(1/3 + 1/3) = 1/3;
+    // group B = {X, X, X, X}: TV = 1/2(1/6 + 1/6) = 1/6. integer form:
+    // A: |1*6-5*2| + |1*6-1*2| = 8 -> 1e6*8 div (2*2*6) = 333333
+    // B: |4*6-5*4| + |0*6-1*4| = 8 -> 1e6*8 div (2*4*6) = 166666
+    val rows = Seq(
+      ("A", "X"), ("A", "Y"), ("B", "X"), ("B", "X"), ("B", "X"), ("B", "X")
+    ).toDF("grp", "sens")
+    val got = Curation.tClosenessOf(rows, Seq("grp"), "sens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("A", 2L, 333333L, 0L), ("B", 4L, 166666L, 1L)))
+  }
+
+  test("priv5 groups partition the population and a global-mix group scores 0") {
+    val nCust = graft.Tables.customer(spark, sfDir).count()
+    val p5 = Curation.priv5(spark, sfDir).collect()
+    assert(p5.map(_.getLong(2)).sum === nCust, "priv5 group sizes must sum to |customer|")
+    p5.foreach(r => assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L,
+      "TV is a [0,1] distance"))
+  }
 }

@@ -361,4 +361,16 @@ class StreamsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(live === batch)
   }
+
+  test("st21 streaming burstiness equals the batch t27 top-k bit-for-bit") {
+    // the merged (df, S1, S2) statistics and the doc count are additive
+    // across micro-batches, and the final cut runs through t27's own
+    // burstinessFromStats — so the drained top-k must match batch exactly
+    val live = Streams.st21(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = graft.ops.TextAnalysis.burstinessOf(
+        graft.Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(live === batch)
+  }
 }
