@@ -932,4 +932,11 @@ object GraftApi {
     * Registry twin: `priv5_t_closeness`. */
   def tClosenessAudit(rows: DataFrame, qiCols: Seq[String], sensCol: String): DataFrame =
     graft.ops.Curation.tClosenessOf(rows, qiCols, sensCol)
+
+  /** Top principal direction of a (vec_id, embedding) corpus by
+    * exact-integer matrix-free power iteration (64 rows: dim, v_e3) —
+    * the all-but-the-top / whitening primitive. Registry twin:
+    * `emb5_power_iteration`. */
+  def topPrincipalDirection(vectors: DataFrame, iters: Int = 3): DataFrame =
+    graft.ops.Similarity.topPrincipalOf(vectors, iters)
 }

@@ -430,12 +430,19 @@ object Events {
     * Scale: one shuffle on user_id for the per-user fold, three range
     * exchanges for the ranks (each over the user-bounded frame, each
     * collecting one row PER PARTITION), and a ≤64-row final aggregate. */
-  private[graft] def rfmSegmentsOf(events: DataFrame): DataFrame = {
-    val per = events.filter(col("event_type") === "purchase")
+  /** Per-buyer (last_us, freq, cents) fold — each column is a mergeable
+    * monoid (max / sum / sum), which is what lets the streaming twin
+    * (st22) maintain the buyer table per micro-batch and stay
+    * bit-identical to batch. */
+  private[graft] def rfmPerUserOf(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(max(expr("unix_micros(ts)")).as("last_us"),
         count(lit(1)).as("freq"),
         sum(cents(col("value"))).as("cents"))
+
+  /** Quartile scoring + segment cut shared by e12 and st22. */
+  private[graft] def rfmSegmentsFromPerUser(per: DataFrame): DataFrame = {
     def quart(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
         out: String): DataFrame = {
       val r = PrefixSum.prefixRank(df, order)
@@ -450,6 +457,9 @@ object Events {
       .agg(count(lit(1)).as("n_users"), sum("cents").as("sum_cents"))
       .orderBy("r_q", "f_q", "m_q")
   }
+
+  private[graft] def rfmSegmentsOf(events: DataFrame): DataFrame =
+    rfmSegmentsFromPerUser(rfmPerUserOf(events))
 
   val e12: Q = (s, d) => rfmSegmentsOf(ev(s, d))
   val e12Sql: String =

@@ -791,6 +791,82 @@ object Similarity {
        |FROM ftop f LEFT JOIN ptop p ON p.q_id = f.q_id AND p.cand_id = f.cand_id
        |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin
 
+  // ---- EMB5: top principal direction by exact-integer power iteration ----
+
+  private val Emb5Iters = 3
+
+  /** EMB5: the corpus's top principal direction (dominant eigenvector of
+    * the un-centered Gram matrix XᵀX) by matrix-free power iteration —
+    * the primitive behind embedding post-processing like all-but-the-top
+    * (Mu & Viswanath, ICLR 2018: removing the dominant common direction
+    * improves isotropy and downstream retrieval) and whitening. Wholly
+    * EXACT across engines: vectors are the e3-quantized integers (the
+    * sim1 contract), v₀ = all-ones·10³, and each iteration is
+    *   dotᵢ = Σ_j qᵢⱼ·vⱼ  (int64)  →  sⱼ = Σᵢ dotᵢ·qᵢⱼ  (DECIMAL(38,0)
+    * — the corpus-scale sum wraps int64 past ~10⁹ vectors)  →
+    *   v′ⱼ = sign(sⱼ)·(|sⱼ|·10³ div max|s|)
+    * (the sign-split keeps the integral division truncation-identical in
+    * Spark (`div`, toward zero) and DuckDB (`//`, floor) — they differ
+    * on negatives). Deterministic start ⇒ deterministic sign ⇒ the
+    * DuckDB replay (iterations unrolled as CTEs) hash-matches exactly.
+    *
+    * Scale: one corpus scan per iteration; the per-dim fold is a
+    * map-side-combined 64-row aggregate, the 64-long v crosses the
+    * driver between iterations (the sim9-codebook class of justified
+    * collect), and the final normalization stays in-frame off the
+    * broadcast 1-row max. No dims×dims matrix is ever materialized.
+    * Library entry point: [[graft.api.GraftApi.topPrincipalDirection]]. */
+  private[graft] def topPrincipalOf(vectors: DataFrame, iters: Int = Emb5Iters): DataFrame = {
+    require(iters >= 1, s"power iteration needs at least one step, got $iters")
+    val qn = qnormOf(vectors).select("vec_id", "q")
+    var v: IndexedSeq[BigInt] = IndexedSeq.fill(64)(BigInt(1000))
+    def vLit = s"array(${v.map(x => s"${x}L").mkString(",")})"
+    def sFrame = qn
+      .withColumn("dot", expr(s"graft_dot(q, $vLit)"))
+      .select(col("dot"), posexplode(col("q")).as(Seq("j", "x")))
+      .groupBy("j").agg(sum(expr("CAST(dot AS DECIMAL(38,0)) * x")).as("s"))
+    for (_ <- 1 until iters) {
+      // 64 rows cross the driver — the next iteration's v is a plan literal
+      val rows = sFrame.collect().map(r => (r.getInt(0), BigInt(r.getDecimal(1).toBigInteger)))
+      val m = rows.map(_._2.abs).max.max(BigInt(1))
+      v = rows.sortBy(_._1).map { case (_, s) => s.sign * (s.abs * 1000 / m) }.toIndexedSeq
+    }
+    val s = sFrame
+    s.crossJoin(broadcast(s.agg(greatest(max(abs(col("s"))), lit(1)).as("m"))))
+      .select(col("j").cast("long").as("dim"),
+        expr("CAST(CASE WHEN s < 0 THEN -((-s) * 1000 div m) ELSE (s * 1000 div m) END AS BIGINT)")
+          .as("v_e3"))
+      .orderBy("dim")
+  }
+
+  val emb5: Q = (s, d) => topPrincipalOf(Tables.embeddings(s, d))
+
+  /** emb5's oracle: the same three iterations unrolled as CTE blocks —
+    * v carried as an ordered list between blocks, HUGEINT folds, and the
+    * sign-split floor/trunc-proof division. */
+  val emb5Sql: String = {
+    def iterBlock(n: Int, dotExpr: String): String =
+      s"""d$n AS (
+         |  SELECT vec_id, q, CAST($dotExpr AS BIGINT) AS dot FROM qn${if (n > 1) s", l${n - 1}" else ""}),
+         |s$n AS (
+         |  SELECT j, CAST(sum(CAST(dot AS HUGEINT) * q[CAST(j AS INTEGER)]) AS HUGEINT) AS s
+         |  FROM d$n CROSS JOIN generate_series(1, 64) t(j)
+         |  GROUP BY j),
+         |m$n AS (SELECT greatest(max(abs(s)), 1) AS m FROM s$n),
+         |v$n AS (
+         |  SELECT j, CAST(CASE WHEN s < 0 THEN -((-s) * 1000 // m) ELSE s * 1000 // m END AS BIGINT) AS v
+         |  FROM s$n, m$n),
+         |l$n AS (SELECT list(v ORDER BY j) AS vl FROM v$n)""".stripMargin
+    val blocks = (1 to Emb5Iters).map { n =>
+      val dot = if (n == 1) "1000 * list_sum(q)"
+        else s"list_sum(list_transform(generate_series(1, 64), j -> q[CAST(j AS INTEGER)] * vl[CAST(j AS INTEGER)]))"
+      iterBlock(n, dot)
+    }.mkString(",\n")
+    s"""WITH $qnormCte,
+       |$blocks
+       |SELECT j - 1 AS dim, v AS v_e3 FROM v$Emb5Iters ORDER BY dim""".stripMargin
+  }
+
   // ---- EMB2: hard-negative mining for contrastive training ----
 
   /** EMB2: the batch op that feeds contrastive / triplet training — for
@@ -1123,6 +1199,7 @@ object Similarity {
     "sim9_pq_adc_topk" -> sim9,
     "emb2_hard_negatives" -> emb2,
     "emb4_matryoshka_recall" -> emb4,
+    "emb5_power_iteration" -> emb5,
     "mmr1_diverse_topk" -> mmr1,
     "mmr2_diverse_topk_bucketed" -> mmr2,
     "sim8_lsh_recall" -> sim8,
@@ -1140,6 +1217,7 @@ object Similarity {
     "sim9_pq_adc_topk" -> sim9Sql,
     "emb2_hard_negatives" -> emb2Sql,
     "emb4_matryoshka_recall" -> emb4Sql,
+    "emb5_power_iteration" -> emb5Sql,
     "mmr1_diverse_topk" -> mmr1Sql,
     "mmr2_diverse_topk_bucketed" -> mmr2Sql,
     "sim8_lsh_recall" -> sim8Sql,

@@ -1220,7 +1220,57 @@ object Streams {
       s.read.parquet(s"${latest._2}/meta"), 50L, 20)
   }
 
+  /** ST22: streaming RFM maintenance — the live buyer-base monitor: per
+    * micro-batch, the purchases' per-user (max last_us, count, Σcents)
+    * partials merge into the stored buyer table by a full-outer
+    * max/sum/sum (every column a mergeable monoid, so the stored table
+    * is batch-boundary-independent — the same argument as st15/st21);
+    * the quartile scoring + segment cut then run through e12's own
+    * [[graft.ops.Events.rfmSegmentsFromPerUser]] (PrefixSum global
+    * ranks), so the drained segment table is bit-identical to batch —
+    * proven by the shared DuckDB oracle. State is buyer-bounded (3
+    * longs per purchasing user), never event-volume-bounded. */
+  val st22: Q = (s, d) => {
+    val srcDir = stagedTableSplit(s, d, "st22", table = "events", key = "event_id")
+    val physical = s.read.parquet(s"$d/events.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val rfmRoot = Files.createTempDirectory("graft_st22_rfm").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(rfmRoot).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st22").toString
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        // the staged file surfaces ts as its physical type — run it
+        // through the same normalization every batch consumer uses
+        val delta = graft.ops.Events.rfmPerUserOf(
+          graft.Tables.normalizeEventTs(batch.toDF()))
+        val prior = gens().filter(_._1 < batchId)
+        val merged = prior.sortBy(-_._1).headOption match {
+          case None => delta
+          case Some((_, path)) =>
+            sess.read.parquet(path)
+              .unionAll(delta)
+              .groupBy("user_id")
+              .agg(max("last_us").as("last_us"), sum("freq").as("freq"),
+                sum("cents").as("cents"))
+        }
+        merged.write.mode("overwrite").parquet(s"$rfmRoot/gen_$batchId")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    graft.ops.Events.rfmSegmentsFromPerUser(s.read.parquet(latest._2))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st22_stream_rfm" -> st22,
     "st21_stream_burstiness" -> st21,
     "st20_stream_skipgram" -> st20,
     "st19_stream_markov" -> st19,
@@ -1251,6 +1301,7 @@ object Streams {
     "st19_stream_markov" -> graft.ops.Curation.markov1Sql,
     "st20_stream_skipgram" -> graft.ops.TextAnalysis.w2v1Sql,
     "st21_stream_burstiness" -> graft.ops.TextAnalysis.t27Sql,
+    "st22_stream_rfm" -> graft.ops.Events.e12Sql,
     "st17_stream_decontamination" -> graft.ops.TextAnalysis.oracle("d19_winnowing_decontamination"),
     "st16_stream_kmv_distinct" -> st16Sql,
     "st15_stream_psi_drift" -> graft.ops.Evaluation.dq3Sql,

@@ -532,4 +532,17 @@ class ApiSpec extends SparkSpec {
     assert(GraftApi.bpeFertilityByLang(docs, merges).collect().toSeq ===
       graft.SparkEntry.queries("tok4_fertility")(spark, sfd).collect().toSeq)
   }
+
+  test("twelfth-pass session APIs bind the same implementations as their registry entries") {
+    val sfd = sfDir
+    assert(GraftApi.topPrincipalDirection(graft.Tables.embeddings(spark, sfd))
+      .collect().toSeq ===
+      graft.SparkEntry.queries("emb5_power_iteration")(spark, sfd).collect().toSeq)
+    assert(GraftApi.tClosenessAudit(
+        graft.Tables.customer(spark, sfd)
+          .withColumn("bal_k", org.apache.spark.sql.functions.expr(
+            "CAST(floor(c_acctbal / 1000) AS BIGINT)")),
+        Seq("c_nationkey", "bal_k"), "c_mktsegment").collect().toSeq ===
+      graft.SparkEntry.queries("priv5_t_closeness")(spark, sfd).collect().toSeq)
+  }
 }

@@ -409,6 +409,27 @@ class DedupSimSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("emb5 power iteration recovers a planted dominant direction") {
+    val s2 = spark
+    import s2.implicits._
+    // 10 vectors hugging axis 7 (value 0.9) with small alternating noise on
+    // axis 3 (+/-0.05): the Gram matrix's top eigenvector is axis 7, so the
+    // normalized output must put |v_e3| = 1000 there and noise-scale mass
+    // on axis 3; every untouched dim is exactly 0
+    val vecs = (0 until 10).map { i =>
+      val a = Array.fill(64)(0.0f)
+      a(7) = 0.9f
+      a(3) = if (i % 2 == 0) 0.05f else -0.05f
+      (i.toLong, a.toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val v = Similarity.topPrincipalOf(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(math.abs(v(7L)) === 1000L, s"dominant axis must normalize to the cap, got ${v(7L)}")
+    assert(math.abs(v(3L)) < 200L, s"noise axis stays small, got ${v(3L)}")
+    (0 until 64).filter(d => d != 7 && d != 3).foreach(d =>
+      assert(v(d.toLong) === 0L, s"untouched dim $d must be exactly zero"))
+  }
+
   test("d20 containment finds an embedded quote that symmetric Jaccard down-scores") {
     val s2 = spark
     import s2.implicits._

@@ -373,4 +373,15 @@ class StreamsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(live === batch)
   }
+
+  test("st22 streaming RFM segments equal the batch e12 table bit-for-bit") {
+    // the per-buyer (max, sum, sum) state is a mergeable monoid and the
+    // quartile cut reuses e12's rfmSegmentsFromPerUser — batch-boundary
+    // independence is exact, not approximate
+    val live = Streams.st22(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val batch = graft.ops.Events.rfmSegmentsOf(graft.Tables.events(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(live === batch)
+  }
 }
