@@ -939,4 +939,11 @@ object GraftApi {
     * `emb5_power_iteration`. */
   def topPrincipalDirection(vectors: DataFrame, iters: Int = 3): DataFrame =
     graft.ops.Similarity.topPrincipalOf(vectors, iters)
+
+  /** Per-label energy share (e6) of the corpus's dominant common
+    * direction — the all-but-the-top diagnostic over a
+    * (vec_id, embedding, label) frame. Registry twin:
+    * `emb6_common_energy`. */
+  def commonDirectionEnergy(vectors: DataFrame): DataFrame =
+    graft.ops.Similarity.commonEnergyOf(vectors)
 }

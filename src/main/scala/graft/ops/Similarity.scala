@@ -841,10 +841,11 @@ object Similarity {
 
   val emb5: Q = (s, d) => topPrincipalOf(Tables.embeddings(s, d))
 
-  /** emb5's oracle: the same three iterations unrolled as CTE blocks —
-    * v carried as an ordered list between blocks, HUGEINT folds, and the
-    * sign-split floor/trunc-proof division. */
-  val emb5Sql: String = {
+  /** The unrolled power-iteration CTE chain ending in `l$Emb5Iters(vl)`
+    * — v carried as an ordered list between blocks, HUGEINT folds, and
+    * the sign-split floor/trunc-proof division. A shared constant for
+    * emb5Sql and emb6Sql (not string surgery — the cl2Sql lesson). */
+  private val emb5Ctes: String = {
     def iterBlock(n: Int, dotExpr: String): String =
       s"""d$n AS (
          |  SELECT vec_id, q, CAST($dotExpr AS BIGINT) AS dot FROM qn${if (n > 1) s", l${n - 1}" else ""}),
@@ -862,9 +863,70 @@ object Similarity {
         else s"list_sum(list_transform(generate_series(1, 64), j -> q[CAST(j AS INTEGER)] * vl[CAST(j AS INTEGER)]))"
       iterBlock(n, dot)
     }.mkString(",\n")
-    s"""WITH $qnormCte,
-       |$blocks
+    s"""$qnormCte,
+       |$blocks""".stripMargin
+  }
+
+  /** emb5's oracle: the shared iteration chain + the dim projection. */
+  val emb5Sql: String =
+    s"""WITH $emb5Ctes
        |SELECT j - 1 AS dim, v AS v_e3 FROM v$Emb5Iters ORDER BY dim""".stripMargin
+
+  // ---- EMB6: common-direction energy (the all-but-the-top diagnostic) ----
+
+  /** EMB6: how much of the corpus's embedding energy sits on the
+    * dominant common direction — the diagnostic that decides whether
+    * all-but-the-top post-processing (Mu & Viswanath, ICLR 2018) is
+    * worth applying, broken out PER LABEL (a label whose vectors load
+    * heavily on the common direction is poorly separated from the rest
+    * under cosine). share_e6 = 10⁶·Σᵢ(qᵢ·v)² div (|v|²·Σᵢ|qᵢ|²) with v
+    * = emb5's power-iteration direction; every term is integer
+    * (DECIMAL(38,0)/HUGEINT — (q·v)² reaches ~10¹⁷ per vector and the
+    * corpus sum wraps int64 past ~10² vectors, well inside decimal
+    * headroom at any corpus size). Removing the projection zeroes this
+    * EXACTLY (x′·v = q·v·|v|² − (q·v)·|v|² = 0, pinned in
+    * `DedupSimSpec`) — the energy share is the entire before/after
+    * story, with no pairwise isotropy scan needed.
+    *
+    * Scale: emb5's three scans learn v (64 longs through the driver),
+    * then ONE more scan folds the per-label energy — label count is
+    * bounded, so the final frame is tiny. Library entry point:
+    * [[graft.api.GraftApi.commonDirectionEnergy]]. */
+  private[graft] def commonEnergyOf(vectors: DataFrame): DataFrame = {
+    val v = topPrincipalOf(vectors).collect().map(r => r.getLong(1))
+    val v2 = v.map(x => BigInt(x) * x).sum
+    val vLit = s"array(${v.map(x => s"${x}L").mkString(",")})"
+    qnormOf(vectors)
+      .join(vectors.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .withColumn("pv", expr(s"graft_dot(q, $vLit)"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(pv AS DECIMAL(38,0)) * pv")).as("e_top"),
+        sum(expr("CAST(nrm AS DECIMAL(38,0))")).as("e_all"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        expr(s"CAST(1000000 * e_top div (CAST(${v2}L AS DECIMAL(38,0)) * e_all) AS BIGINT)")
+          .as("share_e6"))
+      .orderBy("label")
+  }
+
+  val emb6: Q = (s, d) => commonEnergyOf(Tables.embeddings(s, d))
+
+  /** emb6's oracle: emb5's shared power-iteration chain gives l3's `vl`;
+    * the energy fold reuses it per label. */
+  val emb6Sql: String = {
+    s"""WITH $emb5Ctes,
+       |vsq AS (SELECT CAST(list_sum(list_transform(vl, x -> CAST(x AS HUGEINT) * x)) AS HUGEINT) AS v2
+       |       FROM l$Emb5Iters),
+       |pv AS (
+       |  SELECT e.label, qn.nrm,
+       |         CAST(list_sum(list_transform(generate_series(1, 64),
+       |           j -> qn.q[CAST(j AS INTEGER)] * vl[CAST(j AS INTEGER)])) AS BIGINT) AS pv
+       |  FROM qn JOIN embeddings e USING (vec_id) CROSS JOIN l$Emb5Iters)
+       |SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(1000000 * sum(CAST(pv AS HUGEINT) * pv)
+       |         // (vsq.v2 * sum(CAST(nrm AS HUGEINT))) AS BIGINT) AS share_e6
+       |FROM pv CROSS JOIN vsq
+       |GROUP BY label, vsq.v2 ORDER BY label""".stripMargin
   }
 
   // ---- EMB2: hard-negative mining for contrastive training ----
@@ -1200,6 +1262,7 @@ object Similarity {
     "emb2_hard_negatives" -> emb2,
     "emb4_matryoshka_recall" -> emb4,
     "emb5_power_iteration" -> emb5,
+    "emb6_common_energy" -> emb6,
     "mmr1_diverse_topk" -> mmr1,
     "mmr2_diverse_topk_bucketed" -> mmr2,
     "sim8_lsh_recall" -> sim8,
@@ -1218,6 +1281,7 @@ object Similarity {
     "emb2_hard_negatives" -> emb2Sql,
     "emb4_matryoshka_recall" -> emb4Sql,
     "emb5_power_iteration" -> emb5Sql,
+    "emb6_common_energy" -> emb6Sql,
     "mmr1_diverse_topk" -> mmr1Sql,
     "mmr2_diverse_topk_bucketed" -> mmr2Sql,
     "sim8_lsh_recall" -> sim8Sql,

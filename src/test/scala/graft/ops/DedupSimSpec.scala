@@ -430,6 +430,33 @@ class DedupSimSpec extends SparkSpec {
       assert(v(d.toLong) === 0L, s"untouched dim $d must be exactly zero"))
   }
 
+  test("emb6 energy share pins 1e6 on a rank-one corpus and the projection zeroes exactly") {
+    val s2 = spark
+    import s2.implicits._
+    // every vector is a multiple of axis 7 -> the top direction carries
+    // ALL the energy: share_e6 is exactly 1,000,000 for both labels
+    val vecs = (0 until 8).map { i =>
+      val a = Array.fill(64)(0.0f)
+      a(7) = 0.1f * (i + 1)
+      (i.toLong, a.toSeq, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.commonEnergyOf(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 4L, 1000000L), (1L, 4L, 1000000L)))
+    // the ABTT identity the scaladoc claims: the scaled residual
+    // x' = q*|v|^2 - (q.v)*v is orthogonal to v EXACTLY in integers
+    val v = Similarity.topPrincipalOf(graft.Tables.embeddings(spark, sfDir))
+      .collect().map(r => BigInt(r.getLong(1)))
+    val v2 = v.map(x => x * x).sum
+    val q = graft.Tables.embeddings(spark, sfDir).limit(5).collect()
+      .map(_.getSeq[Float](1).toArray.map(x => BigInt(math.round(x.toDouble * 1000))))
+    q.foreach { qi =>
+      val dot = qi.indices.map(j => qi(j) * v(j)).sum
+      val resDotV = qi.indices.map(j => (qi(j) * v2 - dot * v(j)) * v(j)).sum
+      assert(resDotV === BigInt(0), "residual must be exactly orthogonal to v")
+    }
+  }
+
   test("d20 containment finds an embedded quote that symmetric Jaccard down-scores") {
     val s2 = spark
     import s2.implicits._
