@@ -946,4 +946,16 @@ object GraftApi {
     * `emb6_common_energy`. */
   def commonDirectionEnergy(vectors: DataFrame): DataFrame =
     graft.ops.Similarity.commonEnergyOf(vectors)
+
+  /** Heaps'-law vocabulary-growth exponent β (e6) from the half-vs-full
+    * two-point estimate over a (doc_id, text) frame — tokenizer-sizing /
+    * boilerplate-health audit. Registry twin: `voc3_heaps_law`. */
+  def heapsLaw(docs: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.heapsLawOf(docs)
+
+  /** Per-node local clustering coefficient (e6) over an undirected
+    * (a, b) edge frame, via the degree-oriented triangle machinery.
+    * Registry twin: `lcc1_clustering_coefficient`. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame =
+    graft.ops.Graph.clusteringCoefficientsOf(edges)
 }

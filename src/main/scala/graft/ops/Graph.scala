@@ -158,24 +158,32 @@ object Graph {
       |  FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
       |  GROUP BY x.sk, y.sk HAVING count(*) >= 2)""".stripMargin
 
-  val tc1: Q = (s, d) => {
+  /** The top-8-sparsified undirected supplier graph shared by tc1 and
+    * lcc1 (see the tc1 scaladoc for why the sparsification is the
+    * scale-safety condition). */
+  private def sparsifiedUndOf(s: SparkSession, d: String): DataFrame = {
     val w2 = coPurchaseW2(s, d)
     val dir = w2.select(col("a").as("n"), col("b").as("nb"), col("w"))
       .unionAll(w2.select(col("b").as("n"), col("a").as("nb"), col("w")))
     val topw = Window.partitionBy("n").orderBy(col("w").desc, col("nb"))
-    val und = dir.withColumn("r", row_number().over(topw)).filter(col("r") <= 8)
+    dir.withColumn("r", row_number().over(topw)).filter(col("r") <= 8)
       .select(least(col("n"), col("nb")).as("a"), greatest(col("n"), col("nb")).as("b"))
       .distinct()
-    triangleCountsOf(und).orderBy("node")
   }
-  val tc1Sql: String =
-    s"""WITH $coPurchaseW2Sql,
+  /** CTE chain ending in `und(a, b)` — the oracle twin of
+    * [[sparsifiedUndOf]], shared by tc1Sql and lcc1Sql. */
+  private val sparsifiedUndSql: String =
+    s"""$coPurchaseW2Sql,
       |dir AS (
       |  SELECT a AS n, b AS nb, w FROM w2 UNION ALL SELECT b AS n, a AS nb, w FROM w2),
       |und AS MATERIALIZED (
       |  SELECT DISTINCT least(n, nb) AS a, greatest(n, nb) AS b FROM (
       |    SELECT n, nb, row_number() OVER (PARTITION BY n ORDER BY w DESC, nb) AS r
-      |    FROM dir) WHERE r <= 8),
+      |    FROM dir) WHERE r <= 8)""".stripMargin
+
+  val tc1: Q = (s, d) => triangleCountsOf(sparsifiedUndOf(s, d)).orderBy("node")
+  val tc1Sql: String =
+    s"""WITH $sparsifiedUndSql,
       |deg AS MATERIALIZED (
       |  SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
       |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
@@ -194,6 +202,61 @@ object Graph {
       |  UNION ALL SELECT v1 AS node FROM tris
       |  UNION ALL SELECT v2 AS node FROM tris)
       |GROUP BY node ORDER BY node""".stripMargin
+
+  // ---- LCC1: local clustering coefficient ----
+
+  /** LCC1: per-node local clustering coefficient (Watts–Strogatz 1998)
+    * over the same sparsified supplier graph as tc1 —
+    * lcc = 2·triangles(v) / (deg(v)·(deg(v)−1)) in exact e6 fixed point
+    * (dg < 2 ⇒ 0, guarding the ANSI divide), the standard
+    * community-tightness audit beside the raw triangle counts: a
+    * high-degree node with few triangles is a BRIDGE, a low-degree node
+    * with lcc ≈ 1 sits inside a clique — exactly the distinction
+    * community detection (lp1) and dedup-cluster QA care about.
+    *
+    * Scale: tc1's degree-oriented triangle machinery (wedge work bounded
+    * by the top-8 sparsification) plus one degree aggregate and one
+    * left join — node-bounded frames beyond the shared edge scan.
+    * Library entry point: [[graft.api.GraftApi.clusteringCoefficients]]
+    * (any undirected a<b edge frame). */
+  private[graft] def clusteringCoefficientsOf(und0: DataFrame): DataFrame = {
+    val und = und0.select(col("a"), col("b")).localCheckpoint(true)
+    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    deg.join(triangleCountsOf(und), Seq("node"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .withColumn("lcc_e6", expr(
+        "CASE WHEN dg >= 2 THEN 2000000 * n_tri div (dg * (dg - 1)) ELSE 0L END"))
+      .orderBy("node")
+  }
+
+  val lcc1: Q = (s, d) => clusteringCoefficientsOf(sparsifiedUndOf(s, d))
+  val lcc1Sql: String =
+    s"""WITH $sparsifiedUndSql,
+      |deg AS MATERIALIZED (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+      |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+      |oriented AS MATERIALIZED (
+      |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+      |              THEN u.a ELSE u.b END AS u,
+      |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+      |              THEN u.b ELSE u.a END AS v
+      |  FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+      |tris AS MATERIALIZED (
+      |  SELECT e1.u, e1.v AS v1, e2.v AS v2
+      |  FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+      |  JOIN und ON und.a = e1.v AND und.b = e2.v),
+      |ntri AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+      |    SELECT u AS node FROM tris
+      |    UNION ALL SELECT v1 AS node FROM tris
+      |    UNION ALL SELECT v2 AS node FROM tris)
+      |  GROUP BY node)
+      |SELECT d.v AS node, d.dg, coalesce(t.n_tri, 0) AS n_tri,
+      |       CASE WHEN d.dg >= 2 THEN 2000000 * coalesce(t.n_tri, 0) // (d.dg * (d.dg - 1))
+      |            ELSE 0 END AS lcc_e6
+      |FROM deg d LEFT JOIN ntri t ON t.node = d.v
+      |ORDER BY node""".stripMargin
 
   // ---- KCORE1: bounded-round k-core peeling ----
 
@@ -563,6 +626,7 @@ object Graph {
     "pr2_hits_authorities" -> pr2,
     "pr1_pagerank_suppliers" -> pr1,
     "tc1_triangle_count" -> tc1,
+    "lcc1_clustering_coefficient" -> lcc1,
     "kcore1_supplier_core" -> kcore1,
     "lp1_label_propagation" -> lp1,
   )
@@ -573,6 +637,7 @@ object Graph {
     "pr2_hits_authorities" -> pr2Sql,
     "pr1_pagerank_suppliers" -> pr1Sql,
     "tc1_triangle_count" -> tc1Sql,
+    "lcc1_clustering_coefficient" -> lcc1Sql,
     "kcore1_supplier_core" -> kcore1Sql,
     "lp1_label_propagation" -> lp1Sql,
   )

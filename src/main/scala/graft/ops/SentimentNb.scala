@@ -323,12 +323,80 @@ object SentimentNb {
        |         // CAST(count(*) AS BIGINT) AS pos_rate_bp
        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** CAL2: Murphy (1973) decomposition of the Brier score over cal1's
+    * margin bins — Brier = REL − RES + UNC with the binned forecast
+    * f_k = (2·bin+11)/22 (the bin's midpoint mapped onto [0,1]):
+    * reliability charges miscalibration (forecast vs observed rate per
+    * bin), resolution credits bins that separate outcomes from the base
+    * rate, uncertainty is the base rate's own variance. The decomposition
+    * localizes WHY a Brier score is bad — a model can be well calibrated
+    * (REL≈0) yet useless (RES≈0) — which is the diagnostic cal1's raw
+    * curve doesn't give. Arithmetic: per-bin numerators are exact
+    * DECIMAL(38,0)/HUGEINT squares over the common denominators; the
+    * only truncations are the mirrored integral divisions (per-bin by
+    * n_k, then the three e6 emissions), deterministic in both engines
+    * (all numerators non-negative, so trunc == floor).
+    *
+    * Scale: cal1's one scan + an 11-row bin table; everything after the
+    * bin aggregate is constant-size. */
+  val cal2: Q = (s, d) => {
+    val bins = scoredDf(s, d)
+      .withColumn("bin",
+        expr("least(greatest(CAST(floor(coalesce(margin_r6, 0.0)) AS BIGINT), -5L), 5L)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("o"))
+    val tot = bins.agg(sum("n").as("nn"), sum("o").as("oo"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("n"), col("nn"), col("oo"),
+        expr("CAST(n * (2 * bin + 11) - 22 * o AS DECIMAL(38,0))").as("reld"),
+        expr("CAST(o * nn - oo * n AS DECIMAL(38,0))").as("resd"))
+      .agg(sum(expr("reld * reld div CAST(n AS DECIMAL(38,0))")).as("relsum"),
+        sum(expr("resd * resd div CAST(n AS DECIMAL(38,0))")).as("ressum"),
+        max("nn").as("nn"), max("oo").as("oo"))
+      .select(col("nn").as("n"),
+        expr("CAST(1000000 * relsum div (484 * CAST(nn AS DECIMAL(38,0))) AS BIGINT)").as("rel_e6"),
+        expr("CAST(1000000 * ressum div (CAST(nn AS DECIMAL(38,0)) * nn * nn) AS BIGINT)").as("res_e6"),
+        expr("CAST(1000000 * CAST(oo AS DECIMAL(38,0)) * (nn - oo) div (CAST(nn AS DECIMAL(38,0)) * nn) AS BIGINT)").as("unc_e6"))
+      .withColumn("brier_e6", expr("rel_e6 - res_e6 + unc_e6"))
+  }
+  val cal2Sql: String =
+    s"""WITH $scoredCte,
+       |b AS (
+       |  SELECT least(greatest(CAST(floor(coalesce(margin_r6, 0.0)) AS BIGINT), -5), 5) AS bin,
+       |         label
+       |  FROM scored),
+       |bins AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS o
+       |  FROM b GROUP BY bin),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(o) AS BIGINT) AS oo FROM bins),
+       |terms AS (
+       |  SELECT n, nn, oo,
+       |         CAST(n * (2 * bin + 11) - 22 * o AS HUGEINT) AS reld,
+       |         CAST(o * nn - oo * n AS HUGEINT) AS resd
+       |  FROM bins, tot),
+       |agg AS (
+       |  SELECT CAST(sum(reld * reld // CAST(n AS HUGEINT)) AS HUGEINT) AS relsum,
+       |         CAST(sum(resd * resd // CAST(n AS HUGEINT)) AS HUGEINT) AS ressum,
+       |         max(nn) AS nn, max(oo) AS oo
+       |  FROM terms)
+       |SELECT nn AS n,
+       |       CAST(1000000 * relsum // (484 * CAST(nn AS HUGEINT)) AS BIGINT) AS rel_e6,
+       |       CAST(1000000 * ressum // (CAST(nn AS HUGEINT) * nn * nn) AS BIGINT) AS res_e6,
+       |       CAST(1000000 * CAST(oo AS HUGEINT) * (nn - oo) // (CAST(nn AS HUGEINT) * nn) AS BIGINT) AS unc_e6,
+       |       CAST(1000000 * relsum // (484 * CAST(nn AS HUGEINT))
+       |         - 1000000 * ressum // (CAST(nn AS HUGEINT) * nn * nn)
+       |         + 1000000 * CAST(oo AS HUGEINT) * (nn - oo) // (CAST(nn AS HUGEINT) * nn) AS BIGINT) AS brier_e6
+       |FROM agg""".stripMargin
+
   // =====================================================================
   //  registry
   // =====================================================================
 
   val queries: Map[String, Q] = Map(
     "cal1_nb_calibration_bins" -> cal1,
+    "cal2_brier_decomposition" -> cal2,
     "eval2_nb_auc" -> eval2,
     "a1_nb_word_class_counts" -> a1,
     "a2_corpus_scalars" -> a2,
@@ -341,6 +409,7 @@ object SentimentNb {
 
   val oracle: Map[String, String] = Map(
     "cal1_nb_calibration_bins" -> cal1Sql,
+    "cal2_brier_decomposition" -> cal2Sql,
     "eval2_nb_auc" -> eval2Sql,
     "a1_nb_word_class_counts" -> a1Sql,
     "a2_corpus_scalars" -> a2Sql,

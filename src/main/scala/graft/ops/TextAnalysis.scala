@@ -1400,9 +1400,57 @@ object TextAnalysis {
        |FROM v CROSS JOIN n
        |ORDER BY vmr_e6 DESC, w LIMIT $T27TopK""".stripMargin
 
+  // ---- VOC3: Heaps'-law vocabulary growth exponent ----
+
+  /** VOC3: the Heaps'-law growth exponent β (types ≈ K·tokensᵝ,
+    * Heaps 1978) from the two-point estimate between the deterministic
+    * half corpus (doc_id % 2 = 0) and the full corpus:
+    * β = ln(T_full/T_half) / ln(N_full/N_half). The tokenizer-sizing /
+    * dedup-health audit: natural corpora sit at β ≈ 0.4–0.6 — β near 0
+    * means the vocabulary has saturated (template/boilerplate-dominated
+    * text), β near 1 means type growth tracks token growth (unjoined
+    * IDs, noise, or OCR garbage). Exactness: both ln arguments are
+    * ratios of exact int64 counts (identical doubles in both engines),
+    * each ln rounds to e6 micro-nats before ONE integral division — the
+    * t15/sel1 convention.
+    *
+    * Scale: one exploded scan, two exact count-distincts (two-phase
+    * hash distinct, map-side partials), 1-row output. Library entry
+    * point: [[graft.api.GraftApi.heapsLaw]]. */
+  private[graft] def heapsLawOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_half"),
+        countDistinct(when(col("doc_id") % 2 === 0, col("w"))).as("t_half"),
+        count(lit(1)).as("n_full"),
+        countDistinct(col("w")).as("t_full"))
+      .withColumn("beta_e6", expr(
+        "CAST(round(ln(CAST(t_full AS DOUBLE) / t_half) * 1000000) AS BIGINT) * 1000000 div " +
+          "CAST(round(ln(CAST(n_full AS DOUBLE) / n_half) * 1000000) AS BIGINT)"))
+
+  val voc3: Q = (s, d) => heapsLawOf(Tables.documents(s, d))
+  val voc3Sql: String =
+    """WITH ww AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0)
+      |SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_half,
+      |       CAST(count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN w END) AS BIGINT) AS t_half,
+      |       CAST(count(*) AS BIGINT) AS n_full,
+      |       CAST(count(DISTINCT w) AS BIGINT) AS t_full,
+      |       CAST(round(ln(CAST(count(DISTINCT w) AS DOUBLE)
+      |              / count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN w END)) * 1000000) AS BIGINT)
+      |         * 1000000
+      |         // CAST(round(ln(CAST(count(*) AS DOUBLE)
+      |              / sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)) * 1000000) AS BIGINT)
+      |         AS beta_e6
+      |FROM ww""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "t26_forcast_readability" -> t26,
     "t27_burstiness" -> t27,
+    "voc3_heaps_law" -> voc3,
     "kw1_tfidf_keywords" -> kw1,
     "w2v1_skipgram_pairs" -> w2v1,
     "t21_winnowing" -> t21,
@@ -1431,6 +1479,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "t26_forcast_readability" -> t26Sql,
     "t27_burstiness" -> t27Sql,
+    "voc3_heaps_law" -> voc3Sql,
     "kw1_tfidf_keywords" -> kw1Sql,
     "w2v1_skipgram_pairs" -> w2v1Sql,
     "t21_winnowing" -> t21Sql,

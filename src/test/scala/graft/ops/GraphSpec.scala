@@ -97,4 +97,17 @@ class GraphSpec extends SparkSpec {
     assert(got === Map("s" -> 258375L, "l1" -> 247208L, "l2" -> 247208L, "l3" -> 247208L))
     // the island never receives teleport or flow: absent, not zero
   }
+
+  test("lcc1 coefficients match the hand-traced triangle-plus-pendant graph") {
+    val s2 = spark
+    import s2.implicits._
+    // triangle {1,2,3} plus pendant edge 3-4: deg = (2,2,3,1), tri = (1,1,1,0)
+    // lcc_e6: 1,2 -> 2*1e6/(2*1) = 1e6; 3 -> 2*1e6/(3*2) = 333333; 4 -> 0 (deg < 2)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.clusteringCoefficientsOf(und).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L), (4L, 1L, 0L, 0L)))
+  }
 }

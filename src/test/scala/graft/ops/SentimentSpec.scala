@@ -158,4 +158,26 @@ class SentimentSpec extends SparkSpec {
     assert(aucBp === auc2 * 10000 / (2 * np * nn), "bp is the exact integer quotient")
     assert(auc2 >= 0 && auc2 <= 2 * np * nn, "numerator bounded by pair count")
   }
+
+  test("cal2 Brier decomposition satisfies the Murphy identity against a direct recompute") {
+    val bins = SentimentNb.cal1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = bins.map(_._2).sum
+    val o = bins.map(_._3).sum
+    // direct binned Brier = (1/N) sum_k [n_k f_k^2 - 2 f_k o_k + o_k], f_k = (2k+11)/22
+    val direct = bins.map { case (k, nk, ok) =>
+      val f = (2.0 * k + 11) / 22
+      nk * f * f - 2 * f * ok + ok
+    }.sum / n
+    val r = SentimentNb.cal2(spark, sfDir).head()
+    val (rel, res, unc, brier) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(brier === rel - res + unc, "the emitted decomposition identity")
+    assert(rel >= 0 && res >= 0 && unc >= 0 && unc <= 250000)
+    // integral-division truncation: each of the <=11 bins' rel term
+    // truncates <=1 unit of the (484*N)-denominated sum -> at most
+    // 1e6*11/(484*N) e-6 of drift, plus the three final e6 truncations
+    val slack = 1000000L * 11 / (484 * n) + 4
+    assert(math.abs(brier - math.round(direct * 1000000)) <= slack,
+      s"decomposition must equal the direct binned Brier: $brier vs $direct (slack $slack)")
+  }
 }

@@ -349,4 +349,16 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq(("b", 1L, 4L, 3000000L), ("u", 4L, 4L, 0L)))
   }
+
+  test("voc3 Heaps exponent matches the mirrored two-point arithmetic") {
+    val s2 = spark
+    import s2.implicits._
+    // half (doc 0): "a b a" -> N1=3, T1=2; full adds doc 1 "a c" -> N=5, T=3
+    val docs = Seq((0L, "a b a"), (1L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.heapsLawOf(docs).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 2L, 5L, 3L)))
+    val lnT = math.round(math.log(3.0 / 2) * 1000000)
+    val lnN = math.round(math.log(5.0 / 3) * 1000000)
+    assert(r.getLong(4) === lnT * 1000000L / lnN)
+  }
 }
