@@ -41,7 +41,10 @@ object Bench {
     "ret1_bm25_topk", "pipe1_pretrain_report", "pr1_pagerank_suppliers",
     // round-11 headliners: the bucketed-MMR scale fix, the native-expression
     // Hilbert layout, and the QL retrieval probe
-    "mmr2_diverse_topk_bucketed", "zo2_hilbert_layout", "ret4_query_likelihood_topk")
+    "mmr2_diverse_topk_bucketed", "zo2_hilbert_layout", "ret4_query_likelihood_topk",
+    // round-11 late-pass headliners: the asymmetric-containment dedup face
+    // and the exact-integer power iteration
+    "d20_containment", "emb5_power_iteration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
