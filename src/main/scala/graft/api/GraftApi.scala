@@ -958,4 +958,12 @@ object GraftApi {
     * Registry twin: `lcc1_clustering_coefficient`. */
   def clusteringCoefficients(edges: DataFrame): DataFrame =
     graft.ops.Graph.clusteringCoefficientsOf(edges)
+
+  /** Severity-tiered blocklist policy over a (source, text) frame:
+    * per-source block/review/pass counts, tier hit volumes and the
+    * weighted score. Exact whole-token matching. Registry twin:
+    * `tox2_tiered_blocklist`. */
+  def tieredBlocklistStats(docs: DataFrame, severe: Seq[String],
+      mild: Seq[String]): DataFrame =
+    graft.ops.Evaluation.tieredBlocklistStatsOf(docs, severe, mild)
 }

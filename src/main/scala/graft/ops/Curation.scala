@@ -304,14 +304,17 @@ object Curation {
     * corpus total broadcasts. Emits per QI group (group_n, tv_e6,
     * t_le_0_2 flag). Library entry point:
     * [[graft.api.GraftApi.tClosenessAudit]]. */
-  private[graft] def tClosenessOf(rows: DataFrame, qiCols: Seq[String],
-      sensCol: String): DataFrame = {
+  /** The t-closeness cut over a (QI..., sens, c) count table — factored
+    * from [[tClosenessOf]] so the streaming twin (st23) can maintain the
+    * ADDITIVE (QI, sens) counts per micro-batch and run the same cut:
+    * the group sizes, the global histogram and the corpus total are all
+    * sums over this one table. */
+  private[graft] def tClosenessFromSegCounts(gseg: DataFrame,
+      qiCols: Seq[String]): DataFrame = {
     val qi = qiCols.map(col)
-    val base = rows.select((qi :+ col(sensCol).as("sens")): _*)
-    val gseg = base.groupBy((qi :+ col("sens")): _*).agg(count(lit(1)).as("c"))
     val grp = gseg.groupBy(qi: _*).agg(sum("c").as("n_g"))
-    val glob = base.groupBy("sens").agg(count(lit(1)).as("cg"))
-    val total = base.agg(count(lit(1)).as("n_tot"))
+    val glob = gseg.groupBy("sens").agg(sum("c").as("cg"))
+    val total = gseg.agg(sum("c").as("n_tot"))
     grp.crossJoin(broadcast(glob))
       .join(gseg, qiCols :+ "sens", "left")
       .na.fill(0L, Seq("c"))
@@ -326,6 +329,14 @@ object Curation {
       .withColumn("t_le_0_2",
         expr("CAST(CASE WHEN tv_e6 <= 200000 THEN 1 ELSE 0 END AS BIGINT)"))
       .orderBy(qi: _*)
+  }
+
+  private[graft] def tClosenessOf(rows: DataFrame, qiCols: Seq[String],
+      sensCol: String): DataFrame = {
+    val qi = qiCols.map(col)
+    val gseg = rows.select((qi :+ col(sensCol).as("sens")): _*)
+      .groupBy((qi :+ col("sens")): _*).agg(count(lit(1)).as("c"))
+    tClosenessFromSegCounts(gseg, qiCols)
   }
 
   val priv5: Q = (s, d) =>

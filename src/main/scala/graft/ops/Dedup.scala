@@ -511,6 +511,53 @@ object Dedup {
       |WHERE greatest(i.inter * 10000 // na.n, i.inter * 10000 // nb.n) >= 8000
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- D21: cross-source duplication matrix (dedup observability) ----
+
+  /** D21: WHERE the near-dups come from — d3's verified pair set rolled
+    * up to an unordered source-pair matrix (n_pairs + share of all
+    * near-dup pairs in bp). The provenance audit a curation team runs
+    * before deciding source weights: a hot (src_i, src_j) cell means one
+    * feed mirrors another (drop or down-weight the copy), a hot diagonal
+    * means a source self-duplicates (template/boilerplate). Corpus doc
+    * ids map back to their base document via the dup-shell stride
+    * (doc_id % 1000000 — the [[corpus]] construction), so the injected
+    * shells attribute to their origin's source.
+    *
+    * Scale: everything is d3's banded candidate machinery; past the
+    * pair set there are two joins against the (doc_id, source) dimension
+    * and a source²-bounded aggregate. */
+  val d21: Q = (s, d) => {
+    val pairs = d3Verified(s, d).select("id_a", "id_b")
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val withA = pairs.join(src.select(col("doc_id").as("ba"), col("source").as("src_a")),
+      expr("id_a % 1000000") === col("ba"))
+    val withB = withA.join(src.select(col("doc_id").as("bb"), col("source").as("src_b")),
+      expr("id_b % 1000000") === col("bb"))
+      .select(least(col("src_a"), col("src_b")).as("src_x"),
+        greatest(col("src_a"), col("src_b")).as("src_y"))
+    val tot = withB.agg(count(lit(1)).as("t"))
+    withB.groupBy("src_x", "src_y").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("src_x"), col("src_y"), col("n_pairs"),
+        expr("n_pairs * 10000 div t").as("share_bp"))
+      .orderBy("src_x", "src_y")
+  }
+
+  val d21Sql: String =
+    s"""WITH p AS ($d3Sql),
+       |sa AS (
+       |  SELECT p.id_b, d.source AS src_a
+       |  FROM p JOIN documents d ON p.id_a % 1000000 = d.doc_id),
+       |sab AS (
+       |  SELECT least(sa.src_a, d.source) AS src_x,
+       |         greatest(sa.src_a, d.source) AS src_y
+       |  FROM sa JOIN documents d ON sa.id_b % 1000000 = d.doc_id),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM sab)
+       |SELECT src_x, src_y, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(count(*) * 10000 // t AS BIGINT) AS share_bp
+       |FROM sab CROSS JOIN tot
+       |GROUP BY src_x, src_y, t ORDER BY src_x, src_y""".stripMargin
+
   val d6: Q = (s, d) => ngramJaccardBlockedOf(Tables.documents(s, d))
 
   val d6Sql: String =
@@ -1542,6 +1589,7 @@ object Dedup {
     "d8_dedup_clusters" -> d8,
     "d18_cc_largestar" -> d18,
     "d20_containment" -> d20,
+    "d21_cross_source_matrix" -> d21,
     "d9_decontamination" -> d9,
   )
 
@@ -1564,6 +1612,7 @@ object Dedup {
     "d8_dedup_clusters" -> d8Sql,
     "d18_cc_largestar" -> d18Sql,
     "d20_containment" -> d20Sql,
+    "d21_cross_source_matrix" -> d21Sql,
     "d9_decontamination" -> d9Sql,
   )
 }

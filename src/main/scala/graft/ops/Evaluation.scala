@@ -317,6 +317,57 @@ object Evaluation {
       |         // CAST(count(*) AS BIGINT) AS flag_bp
       |FROM h GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- TOX2: severity-tiered blocklist policy ----
+
+  /** TOX2: the severity-tiered extension of tox1 — real moderation
+    * policies don't treat all blocklist hits alike: a severe-tier hit
+    * (weight 5) blocks a document outright, mild-tier hits (weight 1)
+    * accumulate toward review. Emits per source: document counts under
+    * the three dispositions (block = any severe hit; review = no severe
+    * but ≥1 mild; pass), tier hit volumes, and the weighted score —
+    * the shape a tiered-filter rollout is evaluated with before
+    * flipping it on. Same exact whole-token matching and one-scan
+    * aggregate plan as tox1; tiers are plan-time literals (broadcast
+    * blocklist tables at 100 TB). Library entry point:
+    * [[graft.api.GraftApi.tieredBlocklistStats]]. */
+  private[graft] def tieredBlocklistStatsOf(docs: DataFrame,
+      severe: Seq[String], mild: Seq[String]): DataFrame = {
+    def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+    docs
+      .withColumn("sev", expr(
+        s"size(filter(split(text, ' '), w -> array_contains(${arr(severe)}, w)))").cast("long"))
+      .withColumn("mild", expr(
+        s"size(filter(split(text, ' '), w -> array_contains(${arr(mild)}, w)))").cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sev") > 0, 1L).otherwise(0L)).as("n_block"),
+        sum(when(col("sev") === 0 && col("mild") > 0, 1L).otherwise(0L)).as("n_review"),
+        sum("sev").as("sev_hits"),
+        sum("mild").as("mild_hits"))
+      .withColumn("n_pass", expr("n_docs - n_block - n_review"))
+      .withColumn("wscore", expr("5 * sev_hits + mild_hits"))
+      .orderBy("source")
+  }
+
+  val tox2: Q = (s, d) =>
+    tieredBlocklistStatsOf(Tables.documents(s, d),
+      severe = Seq("dup"), mild = Seq("slow", "big"))
+  val tox2Sql: String =
+    """WITH h AS (
+      |  SELECT source,
+      |         CAST(len(list_filter(str_split(text, ' '), w -> w IN ('dup'))) AS BIGINT) AS sev,
+      |         CAST(len(list_filter(str_split(text, ' '), w -> w IN ('slow', 'big'))) AS BIGINT) AS mild
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN sev > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_block,
+      |       CAST(sum(CASE WHEN sev = 0 AND mild > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_review,
+      |       CAST(sum(sev) AS BIGINT) AS sev_hits,
+      |       CAST(sum(mild) AS BIGINT) AS mild_hits,
+      |       CAST(count(*) - sum(CASE WHEN sev > 0 THEN 1 ELSE 0 END)
+      |            - sum(CASE WHEN sev = 0 AND mild > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |       CAST(5 * sum(sev) + sum(mild) AS BIGINT) AS wscore
+      |FROM h GROUP BY source ORDER BY source""".stripMargin
+
   // ---- EVAL3: Cohen's kappa — inter-rater agreement beyond chance ----
 
   /** EVAL3: Cohen's kappa (Cohen 1960) between two document-quality
@@ -854,6 +905,7 @@ object Evaluation {
     "eval6_bootstrap_ci" -> eval6,
     "split1_hash_split" -> split1,
     "tox1_blocklist_filter" -> tox1,
+    "tox2_tiered_blocklist" -> tox2,
   )
 
   val oracle: Map[String, String] = Map(
@@ -869,5 +921,6 @@ object Evaluation {
     "eval6_bootstrap_ci" -> eval6Sql,
     "split1_hash_split" -> split1Sql,
     "tox1_blocklist_filter" -> tox1Sql,
+    "tox2_tiered_blocklist" -> tox2Sql,
   )
 }

@@ -1269,7 +1269,56 @@ object Streams {
     graft.ops.Events.rfmSegmentsFromPerUser(s.read.parquet(latest._2))
   }
 
+  /** ST23: streaming t-closeness monitor — the live release-audit face
+    * of batch priv5: the (QI, segment) count table is an additive
+    * monoid, so each micro-batch's deltas merge full-outer into the
+    * stored table and the t-closeness cut runs through priv5's own
+    * [[graft.ops.Curation.tClosenessFromSegCounts]] — group sizes,
+    * global histogram and corpus total are all sums over that one
+    * table, so stream == batch bit-for-bit (shared DuckDB oracle).
+    * State is QI-domain × segments integers regardless of row volume —
+    * the continuous-compliance shape: a group drifting over t = 0.2
+    * flips its flag as the data arrives, no rescan. */
+  val st23: Q = (s, d) => {
+    val srcDir = stagedTableSplit(s, d, "st23", table = "customer", key = "c_custkey")
+    val physical = s.read.parquet(s"$d/customer.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .select(col("c_nationkey"),
+        expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_k"),
+        col("c_mktsegment").as("sens"))
+    val segRoot = Files.createTempDirectory("graft_st23_seg").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(segRoot).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st23").toString
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val delta = batch.groupBy("c_nationkey", "bal_k", "sens")
+          .agg(count(lit(1)).as("c"))
+        val prior = gens().filter(_._1 < batchId)
+        val merged = prior.sortBy(-_._1).headOption match {
+          case None => delta
+          case Some((_, path)) =>
+            sess.read.parquet(path).unionAll(delta)
+              .groupBy("c_nationkey", "bal_k", "sens").agg(sum("c").as("c"))
+        }
+        merged.write.mode("overwrite").parquet(s"$segRoot/gen_$batchId")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    graft.ops.Curation.tClosenessFromSegCounts(
+      s.read.parquet(latest._2), Seq("c_nationkey", "bal_k"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st23_stream_tcloseness" -> st23,
     "st22_stream_rfm" -> st22,
     "st21_stream_burstiness" -> st21,
     "st20_stream_skipgram" -> st20,
@@ -1302,6 +1351,7 @@ object Streams {
     "st20_stream_skipgram" -> graft.ops.TextAnalysis.w2v1Sql,
     "st21_stream_burstiness" -> graft.ops.TextAnalysis.t27Sql,
     "st22_stream_rfm" -> graft.ops.Events.e12Sql,
+    "st23_stream_tcloseness" -> graft.ops.Curation.priv5Sql,
     "st17_stream_decontamination" -> graft.ops.TextAnalysis.oracle("d19_winnowing_decontamination"),
     "st16_stream_kmv_distinct" -> st16Sql,
     "st15_stream_psi_drift" -> graft.ops.Evaluation.dq3Sql,

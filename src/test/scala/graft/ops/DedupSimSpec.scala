@@ -477,4 +477,17 @@ class DedupSimSpec extends SparkSpec {
     val inter = 3L; val na = 8L; val nb = 3L
     assert(inter * 10000 / (na + nb - inter) === 3750L)
   }
+
+  test("d21 source matrix conserves d3's pair count and its shares sum to ~10000 bp") {
+    val rows = Dedup.queries("d21_cross_source_matrix")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val totalPairs = Dedup.queries("d3_minhash_lsh_pairs")(spark, sfDir).count()
+    assert(rows.map(_._3).sum === totalPairs, "every near-dup pair lands in one source cell")
+    val shareSum = rows.map(_._4).sum
+    assert(shareSum <= 10000 && shareSum >= 10000 - rows.length,
+      s"shares must sum to 10000 bp minus truncation, got $shareSum")
+    // the injected dup shells copy SAME-source documents, so diagonal
+    // cells must exist
+    assert(rows.exists { case (x, y, _, _) => x == y }, "self-duplication cells expected")
+  }
 }

@@ -186,4 +186,28 @@ class EvaluationSpec extends SparkSpec {
       assert(dev >= 0)
     }
   }
+
+  test("tox2 tiered dispositions partition each source and weight hits 5:1") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      ("A", "dup slow ok"),     // severe -> block (mild hit also counted in volume)
+      ("A", "slow big ok"),     // mild only -> review
+      ("A", "clean text here"), // pass
+      ("B", "dup dup dup")      // 3 severe hits, one blocked doc
+    ).toDF("source", "text")
+    val got = Evaluation.tieredBlocklistStatsOf(docs, Seq("dup"), Seq("slow", "big"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq === Seq(
+      ("A", 3L, 1L, 1L, 1L, 3L, 1L, 8L),   // wscore = 5*1 + 3
+      ("B", 1L, 1L, 0L, 3L, 0L, 0L, 15L))) // wscore = 5*3
+  }
+
+  test("tox2 dispositions partition every source on the fixture") {
+    Evaluation.tox2(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3) + r.getLong(6),
+        s"block + review + pass must partition source ${r.getString(0)}")
+    }
+  }
 }

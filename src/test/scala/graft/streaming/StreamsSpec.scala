@@ -384,4 +384,10 @@ class StreamsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
     assert(live === batch)
   }
+
+  test("st23 streaming t-closeness equals the batch priv5 table bit-for-bit") {
+    val live = Streams.st23(spark, sfDir).collect().map(_.toString).toSeq
+    val batch = graft.ops.Curation.priv5(spark, sfDir).collect().map(_.toString).toSeq
+    assert(live === batch)
+  }
 }
