@@ -544,14 +544,18 @@ object Dedup {
   }
 
   val d21Sql: String =
-    s"""WITH p AS ($d3Sql),
+    // the modulo keys are PROJECTED before their joins (p0) — an
+    // expression-vs-column equality can lose the hash-join derivation in
+    // DuckDB and degrade to a spilling nested loop (observed at sf3)
+    s"""WITH p AS MATERIALIZED ($d3Sql),
+       |p0 AS (SELECT id_a % 1000000 AS ba, id_b % 1000000 AS bb FROM p),
        |sa AS (
-       |  SELECT p.id_b, d.source AS src_a
-       |  FROM p JOIN documents d ON p.id_a % 1000000 = d.doc_id),
+       |  SELECT p0.bb, d.source AS src_a
+       |  FROM p0 JOIN documents d ON p0.ba = d.doc_id),
        |sab AS (
        |  SELECT least(sa.src_a, d.source) AS src_x,
        |         greatest(sa.src_a, d.source) AS src_y
-       |  FROM sa JOIN documents d ON sa.id_b % 1000000 = d.doc_id),
+       |  FROM sa JOIN documents d ON sa.bb = d.doc_id),
        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM sab)
        |SELECT src_x, src_y, CAST(count(*) AS BIGINT) AS n_pairs,
        |       CAST(count(*) * 10000 // t AS BIGINT) AS share_bp
