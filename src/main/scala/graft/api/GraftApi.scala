@@ -966,4 +966,11 @@ object GraftApi {
   def tieredBlocklistStats(docs: DataFrame, severe: Seq[String],
       mild: Seq[String]): DataFrame =
     graft.ops.Evaluation.tieredBlocklistStatsOf(docs, severe, mild)
+
+  /** Exact class-balanced downsampling summary: every class cut to the
+    * minority class's size by deterministic salted-md5 rank; the
+    * per-class kept-id sum proves the kept SET. Registry twin:
+    * `samp5_class_balance`. */
+  def classBalancedSample(rows: DataFrame, classCol: String, idCol: String): DataFrame =
+    graft.ops.ScaleOps.classBalancedSampleOf(rows, classCol, idCol)
 }

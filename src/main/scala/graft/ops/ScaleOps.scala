@@ -923,6 +923,55 @@ object ScaleOps {
       |       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- SAMP5: deterministic class-balanced downsampling ----
+
+  /** SAMP5: exact class-balanced downsampling — every class (here:
+    * source) is cut to EXACTLY the minority class's size by a
+    * deterministic salted-md5 rank within the class, the classic
+    * imbalance fix before training a classifier (and the alternative to
+    * loss re-weighting when compute is the budget). The kept set is a
+    * pure function of the data (no RNG), so reruns and engines agree;
+    * the per-class id sum proves both engines kept the SAME documents,
+    * not merely the same count.
+    *
+    * Scale: one shuffle on the class key for the per-class rank window
+    * (partitioned — never a global sort) plus a broadcast 1-row min.
+    * When exact-m is not required at 100 TB, the rank pass relaxes to
+    * samp2's map-side hash-threshold Bernoulli keep with
+    * keepBp = m/n_class — zero sorts; the exact variant is what audits
+    * and fixed-budget runs use. Library entry point:
+    * [[graft.api.GraftApi.classBalancedSample]]. */
+  private[graft] def classBalancedSampleOf(rows: DataFrame, classCol: String,
+      idCol: String): DataFrame = {
+    val ranked = rows
+      .withColumn("sk", md5(concat(lit("samp5:"), col(idCol).cast("string"))))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(classCol).orderBy(col("sk"), col(idCol))).cast("long"))
+    val m = ranked.groupBy(classCol).agg(count(lit(1)).as("n"))
+      .agg(min("n").as("m"))
+    ranked.crossJoin(broadcast(m))
+      .groupBy(classCol)
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("r") <= col("m"), 1L).otherwise(0L)).as("n_after"),
+        sum(when(col("r") <= col("m"), col(idCol)).otherwise(0L)).as("kept_id_sum"))
+      .orderBy(classCol)
+  }
+
+  val samp5: Q = (s, d) =>
+    classBalancedSampleOf(Tables.documents(s, d), "source", "doc_id")
+  val samp5Sql: String =
+    """WITH ranked AS (
+      |  SELECT source, doc_id,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |           ORDER BY md5('samp5:' || doc_id::VARCHAR), doc_id) AS BIGINT) AS r
+      |  FROM documents),
+      |m AS (SELECT CAST(min(n) AS BIGINT) AS m FROM (
+      |        SELECT count(*) AS n FROM ranked GROUP BY source))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_before,
+      |       CAST(sum(CASE WHEN r <= m THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+      |       CAST(sum(CASE WHEN r <= m THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+      |FROM ranked CROSS JOIN m GROUP BY source ORDER BY source""".stripMargin
+
   // ---- MIX1: temperature-based source mixture (computed rates) ----
 
   /** MIX1: temperature sampling over sources — the corpus-mixing rule
@@ -1744,6 +1793,7 @@ object ScaleOps {
     "mix2_doremi_reweight" -> mix2,
     "dq1_expectations" -> dq1,
     "samp3_group_sample_topk" -> samp3,
+    "samp5_class_balance" -> samp5,
     "obs1_observed_metrics" -> obs1,
     "stat1_correlation_matrix" -> stat1,
     "s15_zstd_codec" -> s15,
@@ -1784,6 +1834,7 @@ object ScaleOps {
     "mix2_doremi_reweight" -> mix2Sql,
     "dq1_expectations" -> dq1Sql,
     "samp3_group_sample_topk" -> samp3Sql,
+    "samp5_class_balance" -> samp5Sql,
     "obs1_observed_metrics" -> obs1Sql,
     "stat1_correlation_matrix" -> stat1Sql,
     "s15_zstd_codec" -> s15Sql,

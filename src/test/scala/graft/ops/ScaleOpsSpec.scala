@@ -514,4 +514,18 @@ class ScaleOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
+
+  test("samp5 balances every class to the minority size with a deterministic kept set") {
+    val rows = ScaleOps.samp5(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val m = rows.map(_._2).min
+    rows.foreach { case (src, before, after, _) =>
+      assert(after === m, s"class $src must be cut to the minority size $m, got $after")
+      assert(after <= before)
+    }
+    // rerun-stability: the kept-id sums are a pure function of the data
+    val again = ScaleOps.samp5(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    assert(again.toSeq === rows.map(r => (r._1, r._4)).toSeq)
+  }
 }
