@@ -290,12 +290,15 @@ object Evaluation {
     * "assess" never matches a blocked "ass"). Map-side projection +
     * one aggregate; the blocklist is a plan-time literal (at 100 TB, a
     * broadcast join against a blocklist table — same shape). The
-    * library entry point takes any list ([[graft.api.GraftApi]]). */
+    * library entry point takes any list ([[graft.api.GraftApi]]) — the
+    * literal is injected through `typedLit`, never string-interpolated
+    * into SQL, so words with quotes ("don't") are safe. */
   private[graft] def blocklistStatsOf(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
-    val listSql = blocklist.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val listCol = typedLit(blocklist)
     docs
-      .withColumn("hits", expr(
-        s"size(filter(split(text, ' '), w -> array_contains($listSql, w)))").cast("long"))
+      .withColumn("hits",
+        size(filter(split(col("text"), " "),
+          w => array_contains(listCol, w))).cast("long"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
@@ -332,12 +335,14 @@ object Evaluation {
     * [[graft.api.GraftApi.tieredBlocklistStats]]. */
   private[graft] def tieredBlocklistStatsOf(docs: DataFrame,
       severe: Seq[String], mild: Seq[String]): DataFrame = {
-    def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+    def hitsIn(ws: Seq[String]): Column = {
+      val listCol = typedLit(ws)
+      size(filter(split(col("text"), " "),
+        w => array_contains(listCol, w))).cast("long")
+    }
     docs
-      .withColumn("sev", expr(
-        s"size(filter(split(text, ' '), w -> array_contains(${arr(severe)}, w)))").cast("long"))
-      .withColumn("mild", expr(
-        s"size(filter(split(text, ' '), w -> array_contains(${arr(mild)}, w)))").cast("long"))
+      .withColumn("sev", hitsIn(severe))
+      .withColumn("mild", hitsIn(mild))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("sev") > 0, 1L).otherwise(0L)).as("n_block"),

@@ -1426,8 +1426,12 @@ object TextAnalysis {
         count(lit(1)).as("n_full"),
         countDistinct(col("w")).as("t_full"))
       .withColumn("beta_e6", expr(
-        "CAST(round(ln(CAST(t_full AS DOUBLE) / t_half) * 1000000) AS BIGINT) * 1000000 div " +
-          "CAST(round(ln(CAST(n_full AS DOUBLE) / n_half) * 1000000) AS BIGINT)"))
+        // Degenerate-corpus guard (no even doc_ids, or half == full): the
+        // denominator ln would be 0/±Inf — Spark's `div` nulls silently
+        // while DuckDB's `//` errors, so emit NULL explicitly in BOTH.
+        "CASE WHEN n_half = 0 OR t_half = 0 OR n_half = n_full THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(round(ln(CAST(t_full AS DOUBLE) / t_half) * 1000000) AS BIGINT) * 1000000 div " +
+          "nullif(CAST(round(ln(CAST(n_full AS DOUBLE) / n_half) * 1000000) AS BIGINT), 0) END"))
 
   val voc3: Q = (s, d) => heapsLawOf(Tables.documents(s, d))
   val voc3Sql: String =
@@ -1439,12 +1443,16 @@ object TextAnalysis {
       |       CAST(count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN w END) AS BIGINT) AS t_half,
       |       CAST(count(*) AS BIGINT) AS n_full,
       |       CAST(count(DISTINCT w) AS BIGINT) AS t_full,
-      |       CAST(round(ln(CAST(count(DISTINCT w) AS DOUBLE)
+      |       CASE WHEN sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) = 0
+      |              OR count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN w END) = 0
+      |              OR sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) = count(*)
+      |            THEN CAST(NULL AS BIGINT)
+      |            ELSE CAST(round(ln(CAST(count(DISTINCT w) AS DOUBLE)
       |              / count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN w END)) * 1000000) AS BIGINT)
-      |         * 1000000
-      |         // CAST(round(ln(CAST(count(*) AS DOUBLE)
-      |              / sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)) * 1000000) AS BIGINT)
-      |         AS beta_e6
+      |              * 1000000
+      |              // nullif(CAST(round(ln(CAST(count(*) AS DOUBLE)
+      |              / sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)) * 1000000) AS BIGINT), 0)
+      |       END AS beta_e6
       |FROM ww""".stripMargin
 
   val queries: Map[String, Q] = Map(

@@ -113,6 +113,25 @@ class EvaluationSpec extends SparkSpec {
     assert(out("s2") === ((1L, 1L, 5000L)))
   }
 
+  test("blocklists with quotes/metacharacters are safe plan literals, not SQL text") {
+    import spark.implicits._
+    // "don't" and an injection-shaped entry must behave as plain tokens —
+    // the list rides typedLit, never string interpolation into expr().
+    val docs = Seq(
+      ("s1", "don't stop"), ("s1", "dont stop"),
+      ("s2", "x')), true)) -- y"))
+      .toDF("source", "text")
+    val out = Evaluation.blocklistStatsOf(docs, Seq("don't", "x')),")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_flagged"), r.getAs[Long]("total_hits"))).toMap
+    assert(out("s1") === ((1L, 1L)))
+    assert(out("s2") === ((1L, 1L)))
+    val tiered = Evaluation.tieredBlocklistStatsOf(docs,
+      severe = Seq("don't"), mild = Seq("stop")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_block"), r.getAs[Long]("n_review"))).toMap
+    assert(tiered("s1") === ((1L, 1L)))
+    assert(tiered("s2") === ((0L, 0L)))
+  }
+
   test("eval3 kappa: perfect agreement = 1e6, independent raters ~ 0, disagreement negative") {
     import spark.implicits._
     def kappa(rows: Seq[(Int, Int)]): Long =

@@ -361,4 +361,17 @@ class TextAnalysisSpec extends SparkSpec {
     val lnN = math.round(math.log(5.0 / 3) * 1000000)
     assert(r.getLong(4) === lnT * 1000000L / lnN)
   }
+
+  test("voc3 Heaps exponent emits NULL (not a crash/garbage) on degenerate corpora") {
+    val s2 = spark
+    import s2.implicits._
+    // no even doc_ids -> n_half = 0 (the ln-of-infinity branch)
+    val odd = Seq((1L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val rOdd = TextAnalysis.heapsLawOf(odd).head()
+    assert(rOdd.isNullAt(rOdd.fieldIndex("beta_e6")))
+    // only even doc_ids -> n_half = n_full (the 0-denominator branch)
+    val even = Seq((0L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val rEven = TextAnalysis.heapsLawOf(even).head()
+    assert(rEven.isNullAt(rEven.fieldIndex("beta_e6")))
+  }
 }
