@@ -973,4 +973,20 @@ object GraftApi {
     * `samp5_class_balance`. */
   def classBalancedSample(rows: DataFrame, classCol: String, idCol: String): DataFrame =
     graft.ops.ScaleOps.classBalancedSampleOf(rows, classCol, idCol)
+
+  /** CER cleaning-damage audit over a (source, text) frame: per source
+    * the micro-averaged character error rate (bp) between each doc and
+    * its stopword-cleaned form via true Levenshtein distance, worst-doc
+    * CER and the >10%-damaged count. Registry twin:
+    * `eval8_cleaning_cer`. */
+  def cleaningDamage(docs: DataFrame,
+      stopwords: Seq[String] = Seq("a", "the")): DataFrame =
+    graft.ops.Evaluation.cleaningDamageOf(docs, stopwords)
+
+  /** Krippendorff's alpha (binary, two raters) over an (a, b) rating
+    * frame: pooled value counts, observed/expected disagreement (e6)
+    * and alpha (e6, NULL when undefined). Registry twin:
+    * `eval9_krippendorff_alpha`. */
+  def krippendorffAlpha(rated: DataFrame): DataFrame =
+    graft.ops.Evaluation.krippendorffAlphaOf(rated)
 }

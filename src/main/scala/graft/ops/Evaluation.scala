@@ -897,7 +897,145 @@ object Evaluation {
       |       CASE WHEN c_len < r_len THEN 1 ELSE 0 END AS bp_applied
       |FROM lens, uni, bi""".stripMargin
 
+  // ---- EVAL8: character-error-rate cleaning-damage audit ----
+
+  /** EVAL8: a CER (character-error-rate) audit of a cleaning stage —
+    * the OCR/ASR evaluation statistic repurposed for the question every
+    * pipeline owner asks before enabling a new cleaner: "how much does
+    * this stage actually mutate each source's text?" The cleaner under
+    * audit here is stopword removal (whole-token drop of 'a'/'the' +
+    * space re-join); the damage metric is the true Levenshtein distance
+    * between raw and cleaned text — not the naive dropped-char count,
+    * so the same audit works unchanged for cleaners whose edits are not
+    * length-decomposable (unicode fixes, de-hyphenation, boilerplate
+    * excision). Per source: document count, corpus-level CER in bp
+    * (Σdist·10000 / Σlen — micro-averaged, the standard corpus CER),
+    * the worst per-doc CER, and how many docs exceed 10% damage.
+    *
+    * Exactness: Levenshtein is the classic integer DP — Spark's
+    * `levenshtein` and DuckDB's `levenshtein` agree exactly; every
+    * ratio is BIGINT floor division of nonnegative integers.
+    *
+    * Scale: embarrassingly parallel map (one DP per doc) + one
+    * aggregate — no shuffle beyond the final per-source rollup. The DP
+    * is O(len²) per doc, so the audit windows each doc to its first
+    * [[Eval8Window]] chars (both sides, both engines) — the standard
+    * bounded-cost sampling for damage audits; at 100 TB you'd also
+    * Bernoulli-sample docs (samp2) ahead of it. */
+  private[graft] val Eval8Window = 256
+
+  private[graft] def cleaningDamageOf(docs: DataFrame,
+      stopwords: Seq[String] = Seq("a", "the")): DataFrame = {
+    val sw = typedLit(stopwords)
+    docs
+      .withColumn("raw", substring(col("text"), 1, Eval8Window))
+      .withColumn("cleaned",
+        array_join(filter(split(col("raw"), " "),
+          w => !array_contains(sw, w)), " "))
+      .withColumn("dist", levenshtein(col("raw"), col("cleaned")).cast("long"))
+      .withColumn("len", greatest(length(col("raw")).cast("long"), lit(1L)))
+      .withColumn("cer_bp", expr("dist * 10000 div len"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("dist").as("sum_dist"),
+        sum("len").as("sum_len"),
+        max("cer_bp").as("max_cer_bp"),
+        sum(when(col("cer_bp") >= 1000L, 1L).otherwise(0L)).as("n_damaged"))
+      .withColumn("corpus_cer_bp", expr("sum_dist * 10000 div sum_len"))
+      .orderBy("source")
+  }
+
+  val eval8: Q = (s, d) => cleaningDamageOf(Tables.documents(s, d))
+  val eval8Sql: String =
+    s"""WITH c AS (
+       |  SELECT source, substr(text, 1, $Eval8Window) AS raw,
+       |         array_to_string(list_filter(str_split(substr(text, 1, $Eval8Window), ' '),
+       |           w -> w NOT IN ('a', 'the')), ' ') AS cleaned
+       |  FROM documents),
+       |m AS (
+       |  SELECT source,
+       |         CAST(levenshtein(raw, cleaned) AS BIGINT) AS dist,
+       |         greatest(CAST(len(raw) AS BIGINT), 1) AS len
+       |  FROM c)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(dist) AS BIGINT) AS sum_dist,
+       |       CAST(sum(len) AS BIGINT) AS sum_len,
+       |       CAST(max(dist * 10000 // len) AS BIGINT) AS max_cer_bp,
+       |       CAST(sum(CASE WHEN dist * 10000 // len >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_damaged,
+       |       CAST(sum(dist) AS BIGINT) * 10000 // CAST(sum(len) AS BIGINT) AS corpus_cer_bp
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- EVAL9: Krippendorff's alpha (binary, two raters) ----
+
+  /** EVAL9: Krippendorff's alpha (Krippendorff 1970/2004) over the same
+    * two quality raters as eval3 — the agreement coefficient content
+    * teams prefer over kappa when comparing across studies, because its
+    * expected disagreement is computed from the POOLED value
+    * distribution (both raters together) with a finite-sample
+    * (2n−1) correction, rather than from each rater's own marginals.
+    * For binary labels and two raters the whole statistic collapses to
+    * an exact rational: Do = n_d/n, De = n1·n0/(n·(2n−1)) where
+    * n1/n0 are pooled value counts over the 2n ratings, so
+    * α = 1 − n_d·(2n−1)/(n1·n0). Emits the pooled counts, Do/De in e6,
+    * and α in e6; α is NULL when one value never occurs (De = 0 — alpha
+    * undefined, the heaps-law/voc3 explicit-NULL convention, since
+    * Spark's div would null silently while DuckDB's // errors).
+    *
+    * Exactness: all-integer rationals in DECIMAL(38,0)/HUGEINT (the
+    * eval3 overflow convention: 10⁶·n_d·(2n−1) is corpus² — BIGINT
+    * overflows past n ≈ 10⁶·³); the α quotient operand is nonnegative,
+    * so trunc-vs-floor division agrees across engines.
+    *
+    * Scale: one corpus scan into a 4-cell aggregate; 1-row output. */
+  private[graft] def krippendorffAlphaOf(rated: DataFrame): DataFrame =
+    rated
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN a <> b THEN 1L ELSE 0L END")).as("n_d"),
+        sum(expr("CAST(a + b AS LONG)")).as("n1"))
+      .withColumn("n0", expr("2 * n - n1"))
+      .withColumn("do_e6", expr("CASE WHEN n = 0 THEN NULL ELSE n_d * 1000000 div n END"))
+      .withColumn("de_e6", expr(
+        "CASE WHEN n = 0 THEN NULL ELSE " +
+          "CAST(CAST(n1 AS DECIMAL(38,0)) * n0 * 1000000 div (CAST(n AS DECIMAL(38,0)) * (2 * n - 1)) AS BIGINT) END"))
+      .withColumn("alpha_e6", expr(
+        "CASE WHEN n = 0 OR n1 = 0 OR n0 = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE 1000000 - CAST(CAST(n_d AS DECIMAL(38,0)) * (2 * n - 1) * 1000000 div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT) END"))
+
+  val eval9: Q = (s, d) => {
+    val q = TextAnalysis.qualityScoreOf(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality"))
+    val rated = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .join(q, Seq("doc_id"))
+      .select(
+        when(col("n_chars") >= 200, 1).otherwise(0).as("a"),
+        when(col("quality") >= 5000, 1).otherwise(0).as("b"))
+    krippendorffAlphaOf(rated)
+  }
+  val eval9Sql: String =
+    s"""WITH ${TextAnalysis.qualityCte},
+       |rated AS (
+       |  SELECT CASE WHEN d.n_chars >= 200 THEN 1 ELSE 0 END AS a,
+       |         CASE WHEN q.quality >= 5000 THEN 1 ELSE 0 END AS b
+       |  FROM documents d JOIN qual q ON q.doc_id = d.doc_id),
+       |cm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
+       |         CAST(sum(a + b) AS BIGINT) AS n1
+       |  FROM rated)
+       |SELECT n, n_d, n1, 2 * n - n1 AS n0,
+       |       CASE WHEN n = 0 THEN NULL ELSE n_d * 1000000 // n END AS do_e6,
+       |       CASE WHEN n = 0 THEN NULL ELSE
+       |         CAST(CAST(n1 AS HUGEINT) * (2 * n - n1) * 1000000
+       |           // (CAST(n AS HUGEINT) * (2 * n - 1)) AS BIGINT) END AS de_e6,
+       |       CASE WHEN n = 0 OR n1 = 0 OR 2 * n - n1 = 0 THEN CAST(NULL AS BIGINT)
+       |            ELSE 1000000 - CAST(CAST(n_d AS HUGEINT) * (2 * n - 1) * 1000000
+       |              // (CAST(n1 AS HUGEINT) * (2 * n - n1)) AS BIGINT) END AS alpha_e6
+       |FROM cm""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "eval8_cleaning_cer" -> eval8,
+    "eval9_krippendorff_alpha" -> eval9,
     "eval7_bleu2" -> eval7,
     "eval1_ir_metrics" -> eval1,
     "eval3_cohens_kappa" -> eval3,
@@ -914,6 +1052,8 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "eval8_cleaning_cer" -> eval8Sql,
+    "eval9_krippendorff_alpha" -> eval9Sql,
     "eval7_bleu2" -> eval7Sql,
     "eval1_ir_metrics" -> eval1Sql,
     "eval3_cohens_kappa" -> eval3Sql,

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -130,6 +131,33 @@ class EvaluationSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getAs[Long]("n_block"), r.getAs[Long]("n_review"))).toMap
     assert(tiered("s1") === ((1L, 1L)))
     assert(tiered("s2") === ((0L, 0L)))
+  }
+
+  test("eval8 CER: Levenshtein damage matches the hand-counted stopword drop") {
+    import spark.implicits._
+    // "the dog a cat" -> "dog cat": 6 chars removed, len 13 -> 4615 bp
+    val docs = Seq(("s1", "the dog a cat"), ("s1", "dog cat")).toDF("source", "text")
+    val r = Evaluation.cleaningDamageOf(docs).collect().head
+    assert(r.getAs[Long]("sum_dist") === 6L)
+    assert(r.getAs[Long]("sum_len") === 20L)
+    assert(r.getAs[Long]("max_cer_bp") === 6L * 10000 / 13)
+    assert(r.getAs[Long]("n_damaged") === 1L)
+    assert(r.getAs[Long]("corpus_cer_bp") === 6L * 10000 / 20)
+  }
+
+  test("eval9 Krippendorff alpha: hand-computed rationals incl. the undefined case") {
+    import spark.implicits._
+    def alpha(rows: Seq[(Int, Int)]): Row =
+      Evaluation.krippendorffAlphaOf(rows.toDF("a", "b")).collect().head
+    // perfect agreement with both values present -> 1e6
+    assert(alpha(Seq((1, 1), (1, 1), (0, 0), (0, 0))).getAs[Long]("alpha_e6") === 1000000L)
+    // independent 2x2: n=4, n_d=2, n1=n0=4 -> 1 - 2*7/16 = 0.125
+    assert(alpha(Seq((1, 1), (1, 0), (0, 1), (0, 0))).getAs[Long]("alpha_e6") === 125000L)
+    // balanced perfect disagreement: 1 - 4*7/16 = -0.75 (small-sample floor)
+    assert(alpha(Seq((1, 0), (1, 0), (0, 1), (0, 1))).getAs[Long]("alpha_e6") === -750000L)
+    // one value never occurs -> De = 0 -> alpha undefined -> NULL
+    val degen = alpha(Seq((1, 1), (1, 1)))
+    assert(degen.isNullAt(degen.fieldIndex("alpha_e6")))
   }
 
   test("eval3 kappa: perfect agreement = 1e6, independent raters ~ 0, disagreement negative") {
