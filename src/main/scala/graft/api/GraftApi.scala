@@ -989,4 +989,12 @@ object GraftApi {
     * `eval9_krippendorff_alpha`. */
   def krippendorffAlpha(rated: DataFrame): DataFrame =
     graft.ops.Evaluation.krippendorffAlphaOf(rated)
+
+  /** Exact closed-form per-group least-squares fit of `yCol` on `xCol`
+    * (integer columns): n, sums, slope/intercept/R² in e6 from integer
+    * sufficient statistics — the per-feed structure probe (NULL on
+    * degenerate groups). Registry twin: `dq7_least_squares_fit`. */
+  def leastSquaresFit(pts: DataFrame, groupCol: String,
+      xCol: String, yCol: String): DataFrame =
+    graft.ops.Evaluation.leastSquaresFitOf(pts, groupCol, xCol, yCol)
 }

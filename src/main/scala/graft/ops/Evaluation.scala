@@ -897,6 +897,101 @@ object Evaluation {
       |       CASE WHEN c_len < r_len THEN 1 ELSE 0 END AS bp_applied
       |FROM lens, uni, bi""".stripMargin
 
+  // ---- DQ7: exact closed-form least-squares structure probe ----
+
+  /** DQ7: per-source simple linear regression of chars on tokens —
+    * slope (chars per token), intercept and R², each an EXACT closed
+    * form over integer sufficient statistics (n, Σx, Σy, Σx², Σy²,
+    * Σxy). This is the cheap "structure probe" a pipeline runs per
+    * source/feed: prose sits near a tight universal slope (≈ mean word
+    * length + 1) with high R²; markup-heavy or OCR-damaged feeds show
+    * inflated slope or collapsed fit, and a drifting fit on a stable
+    * feed means the extractor changed. The same sufficient-statistic
+    * shape is how a linear quality probe is fit at 100 TB: one map-side
+    * combinable aggregate, one small solve — never per-row iteration.
+    *
+    * Exactness: slope_e6 = 10⁶·(nΣxy − ΣxΣy)/(nΣx² − Σx²) and
+    * intercept_e6 = (10⁶·Σy − slope_e6·Σx)/n are integer rationals in
+    * DECIMAL(38,0)/HUGEINT with the eval3 sign-split (trunc-vs-floor);
+    * R² divides num/den by 10³ FIRST (identically in both engines) so
+    * its e6 product stays inside 38 digits at sf10 per-source counts;
+    * degenerate sources (constant x or y, n < 2) emit NULL explicitly
+    * (the voc3 convention). */
+  private[graft] def leastSquaresFitOf(pts: DataFrame,
+      groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    pts
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol).cast("long")).as("sx"),
+        sum(col(yCol).cast("long")).as("sy"),
+        sum((col(xCol) * col(xCol)).cast("long")).as("sxx"),
+        sum((col(yCol) * col(yCol)).cast("long")).as("syy"),
+        sum((col(xCol) * col(yCol)).cast("long")).as("sxy"))
+      .withColumn("num", expr(s"CAST(n AS $d38) * sxy - CAST(sx AS $d38) * sy"))
+      .withColumn("dx", expr(s"CAST(n AS $d38) * sxx - CAST(sx AS $d38) * sx"))
+      .withColumn("dy", expr(s"CAST(n AS $d38) * syy - CAST(sy AS $d38) * sy"))
+      .withColumn("slope_e6", expr(
+        "CASE WHEN dx = 0 THEN CAST(NULL AS BIGINT) " +
+          "WHEN num >= 0 THEN CAST(num * 1000000 div dx AS BIGINT) " +
+          "ELSE -CAST((-num) * 1000000 div dx AS BIGINT) END"))
+      .withColumn("icept_e6", expr(
+        s"CASE WHEN slope_e6 IS NULL THEN CAST(NULL AS BIGINT) " +
+          s"WHEN CAST(sy AS $d38) * 1000000 - CAST(slope_e6 AS $d38) * sx >= 0 " +
+          s"THEN CAST((CAST(sy AS $d38) * 1000000 - CAST(slope_e6 AS $d38) * sx) div n AS BIGINT) " +
+          s"ELSE -CAST((CAST(slope_e6 AS $d38) * sx - CAST(sy AS $d38) * 1000000) div n AS BIGINT) END"))
+      .withColumn("r2_e6", expr(
+        // abs() before the scale-down: num can be negative and trunc-vs-
+        // floor division disagree there; dx/dy are >= 0 by Cauchy-Schwarz
+        "CASE WHEN dx = 0 OR dy = 0 OR abs(num) div 1000 = 0 OR dx div 1000 = 0 OR dy div 1000 = 0 " +
+          "THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST((abs(num) div 1000) * (abs(num) div 1000) * 1000000 " +
+          "div ((dx div 1000) * (dy div 1000)) AS BIGINT) END"))
+      .select(groupCol, "n", "sx", "sy", "slope_e6", "icept_e6", "r2_e6")
+      .orderBy(groupCol)
+  }
+
+  val dq7: Q = (s, d) =>
+    leastSquaresFitOf(
+      Tables.documents(s, d).select(col("source"),
+        size(filter(split(col("text"), " "), w => length(w) > 0)).as("x"),
+        col("n_chars").as("y")),
+      "source", "x", "y")
+  val dq7Sql: String =
+    """WITH pts AS (
+      |  SELECT source,
+      |         CAST(len(list_filter(str_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS x,
+      |         n_chars AS y
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM pts GROUP BY source),
+      |k AS (
+      |  SELECT *,
+      |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+      |         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+      |  FROM s),
+      |f AS (
+      |  SELECT *,
+      |         CASE WHEN dx = 0 THEN CAST(NULL AS BIGINT)
+      |              WHEN num >= 0 THEN CAST(num * 1000000 // dx AS BIGINT)
+      |              ELSE -CAST((-num) * 1000000 // dx AS BIGINT) END AS slope_e6
+      |  FROM k)
+      |SELECT source, n, sx, sy, slope_e6,
+      |       CASE WHEN slope_e6 IS NULL THEN CAST(NULL AS BIGINT)
+      |            WHEN CAST(sy AS HUGEINT) * 1000000 - CAST(slope_e6 AS HUGEINT) * sx >= 0
+      |              THEN CAST((CAST(sy AS HUGEINT) * 1000000 - CAST(slope_e6 AS HUGEINT) * sx) // n AS BIGINT)
+      |            ELSE -CAST((CAST(slope_e6 AS HUGEINT) * sx - CAST(sy AS HUGEINT) * 1000000) // n AS BIGINT) END AS icept_e6,
+      |       CASE WHEN dx = 0 OR dy = 0 OR abs(num) // 1000 = 0 OR dx // 1000 = 0 OR dy // 1000 = 0
+      |              THEN CAST(NULL AS BIGINT)
+      |            ELSE CAST((abs(num) // 1000) * (abs(num) // 1000) * 1000000
+      |              // ((dx // 1000) * (dy // 1000)) AS BIGINT) END AS r2_e6
+      |FROM f ORDER BY source""".stripMargin
+
   // ---- EVAL8: character-error-rate cleaning-damage audit ----
 
   /** EVAL8: a CER (character-error-rate) audit of a cleaning stage —
@@ -1034,6 +1129,7 @@ object Evaluation {
        |FROM cm""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "dq7_least_squares_fit" -> dq7,
     "eval8_cleaning_cer" -> eval8,
     "eval9_krippendorff_alpha" -> eval9,
     "eval7_bleu2" -> eval7,
@@ -1052,6 +1148,7 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq7_least_squares_fit" -> dq7Sql,
     "eval8_cleaning_cer" -> eval8Sql,
     "eval9_krippendorff_alpha" -> eval9Sql,
     "eval7_bleu2" -> eval7Sql,

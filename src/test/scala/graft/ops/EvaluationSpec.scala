@@ -133,6 +133,32 @@ class EvaluationSpec extends SparkSpec {
     assert(tiered("s2") === ((0L, 0L)))
   }
 
+  test("dq7 least-squares fit: exact line recovers slope/intercept/R2=1, degenerate is NULL") {
+    import spark.implicits._
+    // y = 3x + 7 exactly: slope 3e6, intercept 7e6, R2 = 1e6
+    val line = Seq(("s1", 100L, 307L), ("s1", 200L, 607L), ("s1", 300L, 907L), ("s1", 400L, 1207L))
+    // constant x: dx = 0 -> every coefficient NULL
+    val degen = Seq(("s2", 5L, 1L), ("s2", 5L, 9L))
+    val out = Evaluation.leastSquaresFitOf(
+      (line ++ degen).toDF("source", "x", "y"), "source", "x", "y").collect()
+    val s1 = out.find(_.getString(0) == "s1").get
+    assert(s1.getAs[Long]("slope_e6") === 3000000L)
+    assert(s1.getAs[Long]("icept_e6") === 7000000L)
+    assert(s1.getAs[Long]("r2_e6") === 1000000L)
+    val s2 = out.find(_.getString(0) == "s2").get
+    assert(s2.isNullAt(s2.fieldIndex("slope_e6")) && s2.isNullAt(s2.fieldIndex("r2_e6")))
+  }
+
+  test("dq7 fit: negative slope keeps engine-consistent sign-split arithmetic") {
+    import spark.implicits._
+    // y = -2x + 1000 exactly
+    val pts = Seq(("s1", 100L, 800L), ("s1", 200L, 600L), ("s1", 300L, 400L))
+      .toDF("source", "x", "y")
+    val r = Evaluation.leastSquaresFitOf(pts, "source", "x", "y").collect().head
+    assert(r.getAs[Long]("slope_e6") === -2000000L)
+    assert(r.getAs[Long]("icept_e6") === 1000L * 1000000L)
+  }
+
   test("eval8 CER: Levenshtein damage matches the hand-counted stopword drop") {
     import spark.implicits._
     // "the dog a cat" -> "dog cat": 6 chars removed, len 13 -> 4615 bp
