@@ -997,4 +997,11 @@ object GraftApi {
   def leastSquaresFit(pts: DataFrame, groupCol: String,
       xCol: String, yCol: String): DataFrame =
     graft.ops.Evaluation.leastSquaresFitOf(pts, groupCol, xCol, yCol)
+
+  /** Best-keeper selection over a (cluster_id, doc_id, q) dup-cluster
+    * member frame: per cluster the argmax-quality keeper (min doc_id on
+    * ties) plus eviction accounting — one deterministic struct-max
+    * aggregate, no window/sort. Registry twin: `d22_best_keeper`. */
+  def bestKeepers(members: DataFrame): DataFrame =
+    graft.ops.Dedup.bestKeeperOf(members)
 }

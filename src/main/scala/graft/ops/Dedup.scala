@@ -969,6 +969,75 @@ object Dedup {
        |WHERE c.doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---- D22: best-keeper selection per dup cluster ----
+
+  /** Per-cluster argmax keeper selection over (cluster_id, doc_id, q)
+    * members: one group-by with a (q, −doc_id) struct-max — max quality,
+    * then MIN doc_id on ties, fully deterministic — plus the eviction
+    * accounting (members dropped, quality mass dropped). No window, no
+    * sort: a single map-side-combinable aggregate over the member frame
+    * (which holds only documents that HAVE a duplicate). */
+  private[graft] def bestKeeperOf(members: DataFrame): DataFrame =
+    members.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q").as("q"), (-col("doc_id")).as("nid"))).as("best"),
+        sum("q").as("sum_q"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.nid")).as("keeper_id"),
+        col("best.q").as("keeper_q"),
+        (col("n_members") - 1L).as("n_evicted"),
+        (col("sum_q") - col("best.q")).as("q_dropped"))
+      .orderBy("cluster_id")
+
+  /** D22: the keeper policy production dedup actually ships — d10 keeps
+    * the MIN-ID member of each near-dup cluster, but real pipelines keep
+    * the BEST member (longest / highest quality: truncated mirrors and
+    * stripped re-crawls lose to the fullest copy) and log what the
+    * eviction cost. Composition: d3's verified pairs → d8's connected
+    * components → one argmax aggregate with quality = text length.
+    * Exactness: argmax over (length, −doc_id) longs — deterministic in
+    * both engines; the oracle replays the cluster CTE and picks the
+    * keeper with a mirrored window. Scale: the cluster frame is only
+    * docs WITH a duplicate; the quality join is one broadcast-prone
+    * equi-join; the argmax is one partial-aggregating shuffle on
+    * cluster_id — no global sort anywhere. */
+  val d22: Q = (s, d) => {
+    val cl = dedupClustersOf(d3Verified(s, d).select(col("id_a"), col("id_b")))
+    val members = cl.join(corpus(s, d), Seq("doc_id"))
+      .select(col("cluster_id"), col("doc_id"),
+        length(col("text")).cast("long").as("q"))
+    bestKeeperOf(members)
+  }
+  val d22Sql: String =
+    s"""WITH RECURSIVE p AS ($d3Sql),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM p),
+       |reach(id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.lbl = e.a),
+       |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |$corpusCte,
+       |m AS (
+       |  SELECT cc.cluster_id, cc.id AS doc_id, CAST(len(c.text) AS BIGINT) AS q
+       |  FROM cc JOIN corpus c ON c.doc_id = cc.id),
+       |a AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |         CAST(sum(q) AS BIGINT) AS sum_q
+       |  FROM m GROUP BY cluster_id),
+       |r AS (
+       |  SELECT cluster_id, doc_id, q,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |           ORDER BY q DESC, doc_id ASC) AS rk
+       |  FROM m)
+       |SELECT a.cluster_id, a.n_members, r.doc_id AS keeper_id,
+       |       r.q AS keeper_q, a.n_members - 1 AS n_evicted,
+       |       a.sum_q - r.q AS q_dropped
+       |FROM a JOIN r ON r.cluster_id = a.cluster_id AND r.rk = 1
+       |ORDER BY a.cluster_id""".stripMargin
+
   // ---- D11: edit-distance near-dup pairs (suffix+prefix-blocked) ----
 
   /** Skew cap for d11's mid-content block key — same magnitude and
@@ -1583,6 +1652,7 @@ object Dedup {
     "d12_semantic_dedup_corpus" -> d12,
     "d11_edit_distance_pairs" -> d11,
     "d10_deduped_corpus" -> d10,
+    "d22_best_keeper" -> d22,
     "d1_exact_dedup" -> d1,
     "d2_minhash_signatures" -> d2,
     "d3_minhash_lsh_pairs" -> d3,
@@ -1606,6 +1676,7 @@ object Dedup {
     "d12_semantic_dedup_corpus" -> d12Sql,
     "d11_edit_distance_pairs" -> d11Sql,
     "d10_deduped_corpus" -> d10Sql,
+    "d22_best_keeper" -> d22Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_signatures" -> d2Sql,
     "d3_minhash_lsh_pairs" -> d3Sql,

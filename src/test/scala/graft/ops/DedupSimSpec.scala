@@ -490,4 +490,31 @@ class DedupSimSpec extends SparkSpec {
     // cells must exist
     assert(rows.exists { case (x, y, _, _) => x == y }, "self-duplication cells expected")
   }
+
+  test("d22 best-keeper: argmax quality with min-id tie-break and exact eviction accounting") {
+    import spark.implicits._
+    val members = Seq(
+      // cluster 1: clear winner (doc 12, q 90)
+      (1L, 10L, 50L), (1L, 11L, 70L), (1L, 12L, 90L),
+      // cluster 2: quality TIE (docs 21 and 20 both q 40) -> keeper = min id 20
+      (2L, 21L, 40L), (2L, 20L, 40L), (2L, 22L, 10L))
+      .toDF("cluster_id", "doc_id", "q")
+    val out = Dedup.bestKeeperOf(members).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("keeper_id"), r.getAs[Long]("keeper_q"),
+        r.getAs[Long]("n_evicted"), r.getAs[Long]("q_dropped")))).toMap
+    assert(out(1L) === ((12L, 90L, 2L, 120L)))
+    assert(out(2L) === ((20L, 40L, 2L, 50L)))
+  }
+
+  test("d22 on the fixture: one keeper per d8 cluster, keeper dominates its cluster") {
+    val keepers = Dedup.queries("d22_best_keeper")(spark, sfDir).collect()
+    val clusters = Dedup.queries("d8_dedup_clusters")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    assert(keepers.length === clusters.map(_._2).distinct.length,
+      "exactly one keeper per cluster")
+    keepers.foreach { r =>
+      assert(r.getAs[Long]("n_members") === r.getAs[Long]("n_evicted") + 1)
+      assert(r.getAs[Long]("q_dropped") >= 0L)
+    }
+  }
 }
