@@ -1004,4 +1004,13 @@ object GraftApi {
     * aggregate, no window/sort. Registry twin: `d22_best_keeper`. */
   def bestKeepers(members: DataFrame): DataFrame =
     graft.ops.Dedup.bestKeeperOf(members)
+
+  /** Neyman allocation of a fixed sample `budget` across strata
+    * (n_h ∝ N_h·σ_h over `yCol`, largest-remainder rounding so the
+    * integer allocations sum EXACTLY to the budget; proportional
+    * fallback when every stratum is constant). Registry twin:
+    * `samp6_neyman_alloc`. */
+  def neymanAllocation(rows: DataFrame, stratumCol: String, yCol: String,
+      budget: Long): DataFrame =
+    graft.ops.ScaleOps.neymanAllocationOf(rows, stratumCol, yCol, budget)
 }

@@ -972,6 +972,81 @@ object ScaleOps {
       |       CAST(sum(CASE WHEN r <= m THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
       |FROM ranked CROSS JOIN m GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- SAMP6: Neyman allocation of a sample budget across strata ----
+
+  /** Eval-sample budget for the samp6 registry binding. */
+  private[graft] val Samp6Budget = 1000L
+
+  /** SAMP6: Neyman allocation (Neyman 1934) of a fixed audit/eval-set
+    * budget across strata — the survey-sampling optimum n_h ∝ N_h·σ_h
+    * that a pipeline uses to build a label-efficient eval set: noisy
+    * strata (high within-stratum variance) get more of the budget than
+    * uniform ones of the same size, minimizing the estimator variance at
+    * fixed labeling cost. Integer allocations sum EXACTLY to the budget
+    * via largest-remainder rounding (rank by remainder desc, stratum asc
+    * — deterministic); all-constant corpora (every σ_h = 0) fall back to
+    * proportional allocation (w_h = N_h) rather than dividing by zero.
+    *
+    * Exactness: N_h·σ_h = √(N_h·Σy² − (Σy)²) exactly (population σ), so
+    * the weight is ONE floor(sqrt(double)) of an exact DECIMAL(38)
+    * integer — the mix1 IEEE-sqrt convention, bit-identical across
+    * engines; everything after is BIGINT floor division on nonnegative
+    * operands.
+    *
+    * Scale: one map-side-combined corpus scan into S stratum rows, then
+    * the rounding windows run on one partition of S rows (the mix3
+    * small-domain precedent — S is the source domain, not the corpus). */
+  private[graft] def neymanAllocationOf(rows: DataFrame, stratumCol: String,
+      yCol: String, budget: Long): DataFrame = {
+    val s = rows.groupBy(stratumCol).agg(
+        count(lit(1)).as("n"),
+        sum(col(yCol).cast("long")).as("sy"),
+        sum((col(yCol) * col(yCol)).cast("long")).as("syy"))
+      .withColumn("v", expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("w_raw", expr("CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT)"))
+    // strata cardinality is the small stratum domain — a global window on
+    // one partition is the right plan; coalesce(1) makes that explicit
+    val all = Window.partitionBy()
+    s.coalesce(1)
+      .withColumn("tot_raw", sum("w_raw").over(all))
+      .withColumn("w", when(col("tot_raw") === 0L, col("n")).otherwise(col("w_raw")))
+      .withColumn("tot", sum("w").over(all))
+      .withColumn("base", expr(s"$budget * w div tot"))
+      .withColumn("r", expr(s"($budget * w) % tot"))
+      .withColumn("deficit", lit(budget) - sum("base").over(all))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("r").desc, col(stratumCol))))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+      .select(stratumCol, "n", "w", "base", "alloc")
+      .orderBy(stratumCol)
+  }
+
+  val samp6: Q = (s, d) =>
+    neymanAllocationOf(Tables.documents(s, d), "source", "n_chars", Samp6Budget)
+  val samp6Sql: String =
+    s"""WITH s AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(n_chars) AS BIGINT) AS sy,
+       |         CAST(sum(n_chars * n_chars) AS BIGINT) AS syy
+       |  FROM documents GROUP BY source),
+       |v AS (
+       |  SELECT source, n,
+       |         CAST(floor(sqrt(CAST(CAST(n AS HUGEINT) * syy
+       |           - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS BIGINT) AS w_raw
+       |  FROM s),
+       |t AS (SELECT *, sum(w_raw) OVER () AS tot_raw FROM v),
+       |w AS (SELECT source, n,
+       |             CASE WHEN tot_raw = 0 THEN n ELSE w_raw END AS w FROM t),
+       |u AS (SELECT *, sum(w) OVER () AS tot FROM w),
+       |b AS (SELECT *, $Samp6Budget * w // tot AS base,
+       |             ($Samp6Budget * w) % tot AS r FROM u),
+       |dd AS (SELECT *, $Samp6Budget - sum(base) OVER () AS deficit,
+       |              row_number() OVER (ORDER BY r DESC, source) AS rk FROM b)
+       |SELECT source, n, w, base,
+       |       CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM dd ORDER BY source""".stripMargin
+
   // ---- MIX1: temperature-based source mixture (computed rates) ----
 
   /** MIX1: temperature sampling over sources — the corpus-mixing rule
@@ -1794,6 +1869,7 @@ object ScaleOps {
     "dq1_expectations" -> dq1,
     "samp3_group_sample_topk" -> samp3,
     "samp5_class_balance" -> samp5,
+    "samp6_neyman_alloc" -> samp6,
     "obs1_observed_metrics" -> obs1,
     "stat1_correlation_matrix" -> stat1,
     "s15_zstd_codec" -> s15,
@@ -1835,6 +1911,7 @@ object ScaleOps {
     "dq1_expectations" -> dq1Sql,
     "samp3_group_sample_topk" -> samp3Sql,
     "samp5_class_balance" -> samp5Sql,
+    "samp6_neyman_alloc" -> samp6Sql,
     "obs1_observed_metrics" -> obs1Sql,
     "stat1_correlation_matrix" -> stat1Sql,
     "s15_zstd_codec" -> s15Sql,

@@ -528,4 +528,25 @@ class ScaleOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(3)))
     assert(again.toSeq === rows.map(r => (r._1, r._4)).toSeq)
   }
+
+  test("samp6 Neyman allocation favors the noisy stratum and sums exactly to the budget") {
+    import spark.implicits._
+    // s_noisy: same size as s_flat but high variance -> larger allocation
+    val noisy = (0 until 100).map(i => ("s_noisy", if (i % 2 == 0) 100L else 900L))
+    val flat = (0 until 100).map(_ => ("s_flat", 500L))
+    val small = (0 until 10).map(i => ("s_small", 400L + (i % 3) * 100L))
+    val out = ScaleOps.neymanAllocationOf(
+      (noisy ++ flat ++ small).toDF("source", "y"), "source", "y", 100L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(out.values.sum === 100L, "allocations must sum exactly to the budget")
+    assert(out("s_noisy") > out("s_small"), "high N*sigma wins budget")
+    assert(out("s_flat") === 0L, "zero-variance stratum needs no samples under Neyman")
+    // all-constant corpus: proportional fallback, still exactly the budget
+    val const = ScaleOps.neymanAllocationOf(
+      (flat ++ small.map { case (s, _) => (s, 7L) }).toDF("source", "y"), "source", "y", 11L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(const.values.sum === 11L)
+    assert(const("s_flat") === 10L && const("s_small") === 1L,
+      "fallback is proportional to stratum size")
+  }
 }
