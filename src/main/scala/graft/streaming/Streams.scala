@@ -1317,7 +1317,93 @@ object Streams {
       s.read.parquet(latest._2), Seq("c_nationkey", "bal_k"))
   }
 
+  // ---- ST24: streaming CUSUM mean-shift monitor ----
+
+  case class CuEv(event_type: String, ts_us: Long, event_id: Long, cents: Long)
+  case class CuState(p: Long, minp: Long)
+  case class CuPoint(event_type: String, ts_us: Long, event_id: Long,
+      d: Long, cusum: Long)
+
+  /** CUSUM reference value k (cents): the in-control mean the monitor
+    * charges against — deviations above it accumulate. */
+  private[graft] val St24RefCents = 5000L
+  /** CUSUM alarm threshold h (cents of accumulated drift). */
+  private[graft] val St24AlarmCents = 100000L
+
+  /** ST24: a streaming CUSUM (Page 1954) mean-shift monitor per event
+    * type — the sequential change-point detector a pipeline points at an
+    * incoming feed's value stream to catch upward drift (price/latency/
+    * score creep) long before a per-window mean test fires. The CUSUM
+    * recurrence S_t = max(0, S_{t−1} + (x_t − k)) is non-associative,
+    * but it has the exact closed form S_t = P_t − min_{0≤j≤t} P_j over
+    * the deviation prefix sums P — so per-key state is just TWO longs
+    * (running P, running min P), each micro-batch sorts only its own
+    * per-key slice (st19's ordering contract), and the emitted per-event
+    * CUSUM path is bit-identical to the batch window computation, which
+    * is the oracle. Output per event type: event count, the CUSUM
+    * maximum (the drift high-water mark), its final value, and the first
+    * event time the alarm threshold h was crossed (NULL if never).
+    *
+    * Exactness: all cents-integer arithmetic (the Money convention);
+    * sums/extrema of longs. Scale: state is 2 longs per key forever;
+    * the per-batch sort is bounded by the batch's own slice, never
+    * history; the post-drain rollup is one small aggregate. */
+  val st24: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val evs: Dataset[CuEv] = eventStream(s, d, variant = "st24_")
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), cents(col("value")).as("cents"))
+      .as[CuEv]
+    val pts = evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CuState, CuPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: String, it: Iterator[CuEv], state: GroupState[CuState]) =>
+          val sorted = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(CuState(0L, 0L))
+          val out = Vector.newBuilder[CuPoint]
+          sorted.foreach { e =>
+            val dev = e.cents - St24RefCents
+            val p = st.p + dev
+            val minp = math.min(st.minp, p)
+            st = CuState(p, minp)
+            out += CuPoint(k, e.ts_us, e.event_id, dev, p - minp)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+    drain(s, pts.toDF(), "st24_out", OutputMode.Append())
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max("cusum").as("max_cusum"),
+        max(struct(col("ts_us"), col("event_id"), col("cusum")))
+          .getField("cusum").as("final_cusum"),
+        min(when(col("cusum") >= St24AlarmCents, col("ts_us"))).as("alarm_ts_us"))
+      .orderBy("event_type")
+  }
+  val st24Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+       |         ${graft.ops.Money.centsSql("value")} - $St24RefCents AS d
+       |  FROM events),
+       |p AS (
+       |  SELECT event_type, ts_us, event_id, d,
+       |         sum(d) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+       |                      ROWS UNBOUNDED PRECEDING) AS pf
+       |  FROM e),
+       |c AS (
+       |  SELECT event_type, ts_us, d, pf,
+       |         pf - least(0, min(pf) OVER (PARTITION BY event_type
+       |           ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)) AS cusum
+       |  FROM p)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(max(cusum) AS BIGINT) AS max_cusum,
+       |       CAST(sum(d) - least(0, min(pf)) AS BIGINT) AS final_cusum,
+       |       CAST(min(CASE WHEN cusum >= $St24AlarmCents THEN ts_us END) AS BIGINT) AS alarm_ts_us
+       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st24_stream_cusum" -> st24,
     "st23_stream_tcloseness" -> st23,
     "st22_stream_rfm" -> st22,
     "st21_stream_burstiness" -> st21,
@@ -1346,6 +1432,7 @@ object Streams {
 
   /** Streaming results must equal the batch windowing oracles. */
   val oracle: Map[String, String] = Map(
+    "st24_stream_cusum" -> st24Sql,
     "st18_stream_benford" -> graft.ops.Evaluation.dq5Sql,
     "st19_stream_markov" -> graft.ops.Curation.markov1Sql,
     "st20_stream_skipgram" -> graft.ops.TextAnalysis.w2v1Sql,

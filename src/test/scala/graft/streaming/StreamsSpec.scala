@@ -390,4 +390,29 @@ class StreamsSpec extends SparkSpec {
     val batch = graft.ops.Curation.priv5(spark, sfDir).collect().map(_.toString).toSeq
     assert(live === batch)
   }
+
+  test("st24 CUSUM closed form P_t - min prefix equals the iterated max(0, .) recurrence") {
+    // the op's whole exactness claim: 2-long state reproduces the
+    // non-associative recurrence; pin it on a sign-mixed sequence
+    val devs = Seq(5L, -3L, -10L, 8L, 8L, -1L, -30L, 4L, 4L, 4L, -2L, 100L, -100L, 7L)
+    var p = 0L; var minp = 0L; var sNaive = 0L
+    devs.foreach { d =>
+      p += d; minp = math.min(minp, p)
+      sNaive = math.max(0L, sNaive + d)
+      assert(p - minp === sNaive, s"closed form diverged at dev $d")
+    }
+  }
+
+  test("st24 streaming CUSUM rollup is internally consistent on the fixture") {
+    val rows = Streams.st24(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val maxC = r.getAs[Long]("max_cusum")
+      val finC = r.getAs[Long]("final_cusum")
+      assert(maxC >= 0L && finC >= 0L && maxC >= finC,
+        "CUSUM is nonnegative and the high-water mark bounds the final value")
+      if (!r.isNullAt(r.fieldIndex("alarm_ts_us")))
+        assert(maxC >= Streams.St24AlarmCents)
+    }
+  }
 }
