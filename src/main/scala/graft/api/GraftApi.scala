@@ -1013,4 +1013,17 @@ object GraftApi {
   def neymanAllocation(rows: DataFrame, stratumCol: String, yCol: String,
       budget: Long): DataFrame =
     graft.ops.ScaleOps.neymanAllocationOf(rows, stratumCol, yCol, budget)
+
+  /** WordPiece greedy longest-match encoding profile over a `wordCol`
+    * string column: appends `n_pieces` and `is_unk` via the native
+    * codegen'd `graft_wordpiece` expression (BERT's greedy rule with
+    * the all-or-nothing [UNK]). Registry twin: `tok5_wordpiece`. */
+  def wordPieceProfile(words: DataFrame, wordCol: String = "word"): DataFrame = {
+    graft.functions.GraftFunctions.register(words.sparkSession)
+    words
+      .withColumn("wp_packed", org.apache.spark.sql.functions.expr(s"graft_wordpiece($wordCol)"))
+      .withColumn("n_pieces", org.apache.spark.sql.functions.expr("wp_packed div 2"))
+      .withColumn("is_unk", org.apache.spark.sql.functions.expr("wp_packed % 2"))
+      .drop("wp_packed")
+  }
 }

@@ -1150,6 +1150,78 @@ object Selection {
        |FROM s$maxLen ORDER BY word""".stripMargin
   }
 
+  // ---- TOK5: WordPiece greedy longest-match encoding (BERT shape) ----
+
+  /** TOK5: WordPiece encoding (Wu et al. 2016; the BERT tokenizer) of
+    * the distinct token vocabulary — GREEDY longest-match-first with
+    * `##` continuation pieces and the all-or-nothing [UNK] rule,
+    * BESIDE tok3's global-min-cost Viterbi: the two segmenters that
+    * dominate production tokenizers, over the same word domain, so
+    * their piece-count/UNK profiles are directly comparable. The scan
+    * runs inside the native codegen'd
+    * [[graft.functions.WordPieceEncode]] expression
+    * (`graft_wordpiece`); per word it emits pieceCount·2 + isUnk,
+    * split here into exact integers. The oracle replays the greedy
+    * scan as one (take, advance) CTE pair per character position
+    * (12-deep fixed unroll, the tok3 precedent) over the SAME
+    * vocabulary VALUES.
+    *
+    * Scale: identical to tok3 — one corpus scan → map-side-combined
+    * distinct token domain; per-word O(len·6) with zero joins. */
+  val tok5: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")).between(1, 12))
+      .distinct()
+      .select(col("word"),
+        length(col("word")).cast("long").as("n_chars"),
+        expr("graft_wordpiece(word)").as("packed"))
+      .select(col("word"), col("n_chars"),
+        expr("packed div 2").as("n_pieces"),
+        expr("packed % 2").as("is_unk"))
+      .orderBy("word")
+  }
+
+  val tok5Sql: String = {
+    import graft.functions.WordPieceEncode
+    val maxLen = 12
+    // longest-match take at 1-based position `p`: the max piece length
+    // whose (root | ##continuation) form is in the vocabulary, else -1
+    def takeExpr(p: String): String = {
+      val whens = (WordPieceEncode.MaxPiece to 1 by -1).map { l =>
+        s"WHEN n - $p + 1 >= $l AND EXISTS (SELECT 1 FROM v WHERE piece = " +
+          s"CASE WHEN $p = 1 THEN substr(word, $p, $l) " +
+          s"ELSE '##' || substr(word, $p, $l) END) THEN $l"
+      }.mkString(" ")
+      s"(CASE $whens ELSE -1 END)"
+    }
+    val steps = (1 to maxLen).map { k =>
+      val (p, c, u) = (s"p${k - 1}", s"c${k - 1}", s"u${k - 1}")
+      s"""t$k AS (
+         |  SELECT word, n, $p, $c, $u,
+         |         CASE WHEN $u = 1 OR $p > n THEN 0 ELSE ${takeExpr(p)} END AS tk
+         |  FROM s${k - 1}),
+         |s$k AS (
+         |  SELECT word, n,
+         |         CASE WHEN tk > 0 THEN $p + tk ELSE $p END AS p$k,
+         |         CASE WHEN tk > 0 THEN $c + 1 ELSE $c END AS c$k,
+         |         CASE WHEN tk = -1 THEN 1 ELSE $u END AS u$k
+         |  FROM t$k)""".stripMargin
+    }
+    s"""WITH v(piece) AS (VALUES ${WordPieceEncode.vocabSql}),
+       |words AS (
+       |  SELECT DISTINCT word, CAST(len(word) AS BIGINT) AS n
+       |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) BETWEEN 1 AND $maxLen),
+       |s0 AS (SELECT word, n, 1 AS p0, CAST(0 AS BIGINT) AS c0, 0 AS u0 FROM words),
+       |${steps.mkString(",\n")}
+       |SELECT word, n AS n_chars,
+       |       CAST(CASE WHEN u$maxLen = 1 THEN 1 ELSE c$maxLen END AS BIGINT) AS n_pieces,
+       |       CAST(u$maxLen AS BIGINT) AS is_unk
+       |FROM s$maxLen ORDER BY word""".stripMargin
+  }
+
   // ---- T25: stupid-backoff trigram scoring on a held-out split ----
 
   /** T25: trigram language-model scoring with Stupid Backoff (Brants et
@@ -1278,6 +1350,7 @@ object Selection {
     "batch1_length_buckets" -> batch1,
     "tok2_bpe_encode" -> tok2,
     "tok3_unigram_viterbi" -> tok3,
+    "tok5_wordpiece" -> tok5,
     "tok4_fertility" -> tok4,
     "mix4_data_constrained" -> mix4,
     "samp4_weighted_topk" -> samp4,
@@ -1292,6 +1365,7 @@ object Selection {
     "bpe2_merge_induction" -> bpe2Sql,
     "tok2_bpe_encode" -> tok2Sql,
     "tok3_unigram_viterbi" -> tok3Sql,
+    "tok5_wordpiece" -> tok5Sql,
     "tok4_fertility" -> tok4Sql,
     "mix4_data_constrained" -> mix4Sql,
     "t19_bigram_nll" -> t19Sql,

@@ -210,6 +210,53 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(of("@@") === 600L * 65536L + 2L, "unknown chars admitted at UnkCost")
   }
 
+  test("graft_wordpiece equals a reference greedy scan, exhaustively; UNK is all-or-nothing") {
+    import graft.functions.WordPieceEncode
+    val vocab = WordPieceEncode.Vocab.toSet
+    // independent reference implementation of BERT's greedy rule
+    def ref(w: String): Long = {
+      if (w.isEmpty) return 0L
+      var pos = 0; var cnt = 0L
+      while (pos < w.length) {
+        val take = (math.min(WordPieceEncode.MaxPiece, w.length - pos) to 1 by -1)
+          .find { l =>
+            val p = w.substring(pos, pos + l)
+            vocab.contains(if (pos == 0) p else "##" + p)
+          }
+        take match {
+          case None => return 3L // 1 piece, unk bit
+          case Some(l) => cnt += 1; pos += l
+        }
+      }
+      cnt * 2
+    }
+    def of(w: String) = WordPieceEncode.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(w))
+    val alphabet = "taqze1".toCharArray
+    def words(n: Int): Seq[String] =
+      if (n == 0) Seq("") else words(n - 1).flatMap(w => alphabet.map(c => w + c))
+    ((1 to 5).flatMap(words) ++ Seq("customer", "tablet", "windows", "query"))
+      .foreach(w => assert(of(w) === ref(w), s"greedy scan disagrees on '$w'"))
+    // hand cases
+    assert(of("table") === 2L, "whole-word root = 1 piece")
+    assert(of("tablet") === 2L * 2, "table + ##t")
+    assert(of("zzz") === 3L, "no z root -> whole word UNK despite ##z existing")
+    assert(of("a1") === 3L, "no ##1 continuation -> UNK, all-or-nothing")
+    assert(of("customer") === 7L * 2, "c,u,s,t,o,m,##er")
+  }
+
+  test("graft_wordpiece runs inside whole-stage codegen as a SQL function") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.range(3)
+      .selectExpr("element_at(array('table','tablet','zzz'), cast(id + 1 AS int)) AS w")
+      .selectExpr("w", "graft_wordpiece(w) AS c")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("graft_wordpiece"),
+      s"expression fell out of codegen:\n$plan")
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("table") === 2L && got("tablet") === 4L && got("zzz") === 3L)
+  }
+
   test("graft_viterbi runs inside whole-stage codegen as a SQL function") {
     graft.functions.GraftFunctions.register(spark)
     // a range-backed frame: local Seqs constant-fold into a LocalTableScan
