@@ -1018,6 +1018,22 @@ object GraftApi {
     * string column: appends `n_pieces` and `is_unk` via the native
     * codegen'd `graft_wordpiece` expression (BERT's greedy rule with
     * the all-or-nothing [UNK]). Registry twin: `tok5_wordpiece`. */
+  /** Goodman–Kruskal gamma rank concordance between two integer score
+    * columns of an (x, y) frame, over fixed-width value-domain buckets
+    * (`xBucket`/`yBucket`): concordant/discordant pair counts and
+    * gamma (e6, NULL when no comparable pairs). Registry twin:
+    * `eval10_gamma_concordance`. */
+  def gammaConcordance(scored: DataFrame, xBucket: Long, yBucket: Long): DataFrame =
+    graft.ops.Evaluation.gammaConcordanceOf(scored, xBucket, yBucket)
+
+  /** Cross-source vocabulary-overlap matrix over a (source, text)
+    * frame: per unordered source pair the type counts, intersection,
+    * Jaccard and directional containment (bp) — the lexical-redundancy
+    * screen behind mixture design. Registry twin:
+    * `voc4_source_overlap`. */
+  def sourceVocabOverlap(docs: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
+
   def wordPieceProfile(words: DataFrame, wordCol: String = "word"): DataFrame = {
     graft.functions.GraftFunctions.register(words.sparkSession)
     words

@@ -1128,7 +1128,80 @@ object Evaluation {
        |              // (CAST(n1 AS HUGEINT) * (2 * n - n1)) AS BIGINT) END AS alpha_e6
        |FROM cm""".stripMargin
 
+  // ---- EVAL10: Goodman–Kruskal gamma rank concordance ----
+
+  /** EVAL10: Goodman–Kruskal gamma (1954) between two per-document
+    * quality signals — here the cheap length rater (n_chars) vs the
+    * composite t5 quality score. This is the RANK-agreement audit
+    * (do the two raters ORDER documents the same way?) complementing
+    * eval3/eval9's categorical agreement: γ = (C−D)/(C+D) over
+    * concordant/discordant pairs. Exact all-pairs concordance is O(n²),
+    * so the statistic runs over fixed-width value-domain buckets (the
+    * dq3/dq4 binning convention): bucket both signals, build the B×B
+    * contingency once (one map-side-combinable aggregate), then count
+    * C and D by self-joining the CELLS — O(B⁴) work on a frame bounded
+    * by the bucket domain, never the corpus. Within-bucket ties drop
+    * out of both C and D, exactly as gamma prescribes.
+    *
+    * Exactness: cell products are corpus² — DECIMAL(38,0)/HUGEINT (the
+    * eval2 overflow class); gamma's e6 scaling sign-splits (eval3
+    * convention); NULL when C+D = 0 (all mass on one bucket diagonal —
+    * gamma undefined; the voc3 explicit-NULL convention). */
+  private[graft] def gammaConcordanceOf(scored: DataFrame,
+      xBucket: Long, yBucket: Long): DataFrame = {
+    // contingency cells: bounded by the bucket domain, not the corpus
+    val cells = scored
+      .select(expr(s"x div $xBucket").as("bx"), expr(s"y div $yBucket").as("by"))
+      .groupBy("bx", "by").agg(count(lit(1)).as("n"))
+    val a = cells.select(col("bx").as("bxa"), col("by").as("bya"), col("n").as("na"))
+    val b = cells.select(col("bx").as("bxb"), col("by").as("byb"), col("n").as("nb"))
+    a.join(b, col("bxa") < col("bxb"))
+      .agg(
+        // coalesce: an all-ties corpus leaves the bxa<bxb join empty and
+        // a bare sum would go NULL instead of 0 in both engines
+        coalesce(sum(when(col("bya") < col("byb"),
+            expr("CAST(na AS DECIMAL(38,0)) * nb"))),
+          expr("CAST(0 AS DECIMAL(38,0))")).as("c_pairs"),
+        coalesce(sum(when(col("bya") > col("byb"),
+            expr("CAST(na AS DECIMAL(38,0)) * nb"))),
+          expr("CAST(0 AS DECIMAL(38,0))")).as("d_pairs"))
+      .withColumn("gamma_e6", expr(
+        "CASE WHEN c_pairs + d_pairs = 0 THEN CAST(NULL AS BIGINT) " +
+          "WHEN c_pairs >= d_pairs THEN CAST((c_pairs - d_pairs) * 1000000 div (c_pairs + d_pairs) AS BIGINT) " +
+          "ELSE -CAST((d_pairs - c_pairs) * 1000000 div (c_pairs + d_pairs) AS BIGINT) END"))
+      .select(col("c_pairs").cast("long").as("c_pairs"),
+        col("d_pairs").cast("long").as("d_pairs"), col("gamma_e6"))
+  }
+
+  val eval10: Q = (s, d) => {
+    val q = TextAnalysis.qualityScoreOf(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality"))
+    val scored = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .join(q, Seq("doc_id"))
+      .select(col("n_chars").as("x"), col("quality").as("y"))
+    gammaConcordanceOf(scored, xBucket = 50L, yBucket = 1000L)
+  }
+  val eval10Sql: String =
+    s"""WITH ${TextAnalysis.qualityCte},
+       |sc AS (
+       |  SELECT d.n_chars // 50 AS bx, q.quality // 1000 AS by
+       |  FROM documents d JOIN qual q ON q.doc_id = d.doc_id),
+       |cells AS (SELECT bx, by, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY bx, by),
+       |p AS (
+       |  SELECT CAST(coalesce(sum(CASE WHEN a.by < b.by
+       |                THEN CAST(a.n AS HUGEINT) * b.n END), 0) AS HUGEINT) AS c_pairs,
+       |         CAST(coalesce(sum(CASE WHEN a.by > b.by
+       |                THEN CAST(a.n AS HUGEINT) * b.n END), 0) AS HUGEINT) AS d_pairs
+       |  FROM cells a JOIN cells b ON a.bx < b.bx)
+       |SELECT CAST(c_pairs AS BIGINT) AS c_pairs, CAST(d_pairs AS BIGINT) AS d_pairs,
+       |       CASE WHEN c_pairs + d_pairs = 0 THEN CAST(NULL AS BIGINT)
+       |            WHEN c_pairs >= d_pairs
+       |              THEN CAST((c_pairs - d_pairs) * 1000000 // (c_pairs + d_pairs) AS BIGINT)
+       |            ELSE -CAST((d_pairs - c_pairs) * 1000000 // (c_pairs + d_pairs) AS BIGINT) END AS gamma_e6
+       |FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "eval10_gamma_concordance" -> eval10,
     "dq7_least_squares_fit" -> dq7,
     "eval8_cleaning_cer" -> eval8,
     "eval9_krippendorff_alpha" -> eval9,
@@ -1148,6 +1221,7 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "eval10_gamma_concordance" -> eval10Sql,
     "dq7_least_squares_fit" -> dq7Sql,
     "eval8_cleaning_cer" -> eval8Sql,
     "eval9_krippendorff_alpha" -> eval9Sql,

@@ -1455,7 +1455,68 @@ object TextAnalysis {
       |       END AS beta_e6
       |FROM ww""".stripMargin
 
+  // ---- VOC4: cross-source vocabulary-overlap matrix ----
+
+  /** VOC4: the type-set Jaccard matrix between sources — the
+    * domain-similarity audit behind mixture design (mix1/mix2/mix3
+    * decide HOW MUCH of each source; voc4 measures how REDUNDANT two
+    * sources are lexically: near-identical vocabularies mean the
+    * mixture buys less diversity than the source count suggests; it is
+    * also the cheap screen run before the expensive cross-source dup
+    * matrix d21). Per unordered source pair: type counts, intersection
+    * size, Jaccard (bp) and the larger directional containment (bp —
+    * catches a source whose vocabulary is swallowed by a bigger one).
+    *
+    * Scale: distinct (source, type) is map-side combined off one
+    * exploded scan; the self-join key is the TYPE, and each type
+    * expands to at most |sources|² pairs — bounded by the SOURCE DOMAIN
+    * (tens), not the corpus, so the pair space is O(V·S²) with V the
+    * vocabulary: no all-pairs document surface anywhere. All-integer
+    * output. */
+  private[graft] def sourceVocabOverlapOf(docs: DataFrame): DataFrame = {
+    val types = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val sizes = types.groupBy("source").agg(count(lit(1)).as("n_types"))
+    val inter = types.as("a").join(types.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("n_types").as("types_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n_types").as("types_b")), "src_b")
+      .withColumn("jaccard_bp", expr(
+        "n_common * 10000 div (types_a + types_b - n_common)"))
+      .withColumn("contain_bp", expr(
+        "n_common * 10000 div least(types_a, types_b)"))
+      .select("src_a", "src_b", "types_a", "types_b", "n_common",
+        "jaccard_bp", "contain_bp")
+      .orderBy("src_a", "src_b")
+  }
+
+  val voc4: Q = (s, d) => sourceVocabOverlapOf(Tables.documents(s, d))
+  val voc4Sql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT source, w FROM (
+      |    SELECT source, unnest(str_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types FROM t GROUP BY source),
+      |i AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+      |  FROM t a JOIN t b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT i.src_a, i.src_b, sa.n_types AS types_a, sb.n_types AS types_b,
+      |       i.n_common,
+      |       i.n_common * 10000 // (sa.n_types + sb.n_types - i.n_common) AS jaccard_bp,
+      |       i.n_common * 10000 // least(sa.n_types, sb.n_types) AS contain_bp
+      |FROM i
+      |JOIN sz sa ON sa.source = i.src_a
+      |JOIN sz sb ON sb.source = i.src_b
+      |ORDER BY i.src_a, i.src_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "voc4_source_overlap" -> voc4,
     "t26_forcast_readability" -> t26,
     "t27_burstiness" -> t27,
     "voc3_heaps_law" -> voc3,
@@ -1485,6 +1546,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "voc4_source_overlap" -> voc4Sql,
     "t26_forcast_readability" -> t26Sql,
     "t27_burstiness" -> t27Sql,
     "voc3_heaps_law" -> voc3Sql,

@@ -159,6 +159,25 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getAs[Long]("icept_e6") === 1000L * 1000000L)
   }
 
+  test("eval10 gamma: concordant=1e6, discordant=-1e6, all-ties NULL, mixed hand case") {
+    import spark.implicits._
+    def gamma(rows: Seq[(Long, Long)]): Row =
+      Evaluation.gammaConcordanceOf(rows.toDF("x", "y"), 1L, 1L).collect().head
+    // perfectly concordant ranks
+    assert(gamma(Seq((1L, 1L), (2L, 2L), (3L, 3L))).getAs[Long]("gamma_e6") === 1000000L)
+    // perfectly discordant
+    assert(gamma(Seq((1L, 3L), (2L, 2L), (3L, 1L))).getAs[Long]("gamma_e6") === -1000000L)
+    // all mass in one x bucket: no comparable pairs -> NULL
+    val ties = gamma(Seq((1L, 1L), (1L, 2L), (1L, 3L)))
+    assert(ties.isNullAt(ties.fieldIndex("gamma_e6")))
+    // hand case: cells (0,0)=2 (1,1)=1 (2,0)=1 -> C=2*1=2... enumerate:
+    // pairs with bx increase: (0,0)x(1,1): 2 concordant; (0,0)x(2,0): ties (by equal) -> drop;
+    // (1,1)x(2,0): 1 discordant. gamma = (2-1)/3
+    val h = gamma(Seq((0L, 0L), (0L, 0L), (1L, 1L), (2L, 0L)))
+    assert(h.getAs[Long]("c_pairs") === 2L && h.getAs[Long]("d_pairs") === 1L)
+    assert(h.getAs[Long]("gamma_e6") === 1000000L / 3)
+  }
+
   test("eval8 CER: Levenshtein damage matches the hand-counted stopword drop") {
     import spark.implicits._
     // "the dog a cat" -> "dog cat": 6 chars removed, len 13 -> 4615 bp

@@ -362,6 +362,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(4) === lnT * 1000000L / lnN)
   }
 
+  test("voc4 source vocabulary overlap matches hand-counted type sets") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      ("sa", "a b c d"), ("sa", "a b"),     // types(sa) = {a,b,c,d}
+      ("sb", "a b x"),                       // types(sb) = {a,b,x}
+      ("sc", "a b c d"))                     // types(sc) = {a,b,c,d} (== sa)
+      .toDF("source", "text")
+    val out = TextAnalysis.sourceVocabOverlapOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Long]("jaccard_bp"), r.getAs[Long]("contain_bp")))).toMap
+    // sa vs sb: common {a,b}=2, union 5 -> 4000 bp; containment 2/3 -> 6666
+    assert(out(("sa", "sb")) === ((2L, 4000L, 6666L)))
+    // sa vs sc: identical type sets
+    assert(out(("sa", "sc")) === ((4L, 10000L, 10000L)))
+    assert(out.size === 3, "unordered pairs only")
+  }
+
   test("voc3 Heaps exponent emits NULL (not a crash/garbage) on degenerate corpora") {
     val s2 = spark
     import s2.implicits._
