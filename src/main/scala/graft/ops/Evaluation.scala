@@ -942,11 +942,14 @@ object Evaluation {
           s"ELSE -CAST((CAST(slope_e6 AS $d38) * sx - CAST(sy AS $d38) * 1000000) div n AS BIGINT) END"))
       .withColumn("r2_e6", expr(
         // abs() before the scale-down: num can be negative and trunc-vs-
-        // floor division disagree there; dx/dy are >= 0 by Cauchy-Schwarz
+        // floor division disagree there; dx/dy are >= 0 by Cauchy-Schwarz.
+        // Spark's `div` returns BIGINT, so re-cast to DECIMAL(38,0) BEFORE
+        // squaring — the long product overflows from sf1 per-source counts
+        // up (caught at the sf1 gate; DuckDB's HUGEINT never overflowed)
         "CASE WHEN dx = 0 OR dy = 0 OR abs(num) div 1000 = 0 OR dx div 1000 = 0 OR dy div 1000 = 0 " +
           "THEN CAST(NULL AS BIGINT) " +
-          "ELSE CAST((abs(num) div 1000) * (abs(num) div 1000) * 1000000 " +
-          "div ((dx div 1000) * (dy div 1000)) AS BIGINT) END"))
+          s"ELSE CAST(CAST(abs(num) div 1000 AS $d38) * CAST(abs(num) div 1000 AS $d38) * 1000000 " +
+          s"div (CAST(dx div 1000 AS $d38) * CAST(dy div 1000 AS $d38)) AS BIGINT) END"))
       .select(groupCol, "n", "sx", "sy", "slope_e6", "icept_e6", "r2_e6")
       .orderBy(groupCol)
   }
