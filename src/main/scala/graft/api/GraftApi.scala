@@ -1026,6 +1026,13 @@ object GraftApi {
   def gammaConcordance(scored: DataFrame, xBucket: Long, yBucket: Long): DataFrame =
     graft.ops.Evaluation.gammaConcordanceOf(scored, xBucket, yBucket)
 
+  /** Monroe "Fightin' Words" log-odds keyness with an informative
+    * Dirichlet prior over a text frame split by the `isA` predicate:
+    * both tails of z-scored distinctive words (`topN` each). Registry
+    * twin: `fs2_log_odds_keyness`. */
+  def logOddsKeyness(docs: DataFrame, isA: Column, topN: Int = 10): DataFrame =
+    graft.ops.Curation.logOddsKeynessOf(docs, isA, topN)
+
   /** Cross-source vocabulary-overlap matrix over a (source, text)
     * frame: per unordered source pair the type counts, intersection,
     * Jaccard and directional containment (bp) — the lexical-redundancy

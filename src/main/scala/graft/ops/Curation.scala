@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -747,7 +747,101 @@ object Curation {
       |SELECT lang, CAST(rk AS BIGINT) AS rk, w AS term, a, n_t, pmi_e6, keyness
       |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
 
+  // ---- FS2: Monroe "Fightin' Words" log-odds keyness ----
+
+  /** FS2: word keyness between two corpus halves by log-odds with an
+    * informative Dirichlet prior (Monroe, Colaresi & Quinn 2008) — THE
+    * standard corpus-comparison statistic, fixing fs1/PMI's known bias
+    * toward rare words: the prior (α_w = 1, α₀ = V) shrinks
+    * low-evidence words toward no difference, and the z-score divides
+    * each word's log-odds shift δ_w by its sampling noise
+    * σ_w ≈ √(1/(y_aw+1) + 1/(y_bw+1)), so a word is "distinctive" only
+    * when the evidence supports it. Split here: lang = 'en' vs the
+    * rest; emits both tails (the 10 most en-leaning and 10 most
+    * rest-leaning words).
+    *
+    * Exactness: δ_e6 is ONE four-ln double expression over exact token
+    * counts, rounded once (the t14 convention); 1/σ is
+    * floor(sqrt(ca·cb·10⁶ div (ca+cb))) over exact DECIMAL(38) integers
+    * (the mix1 IEEE-sqrt convention), and z_e3 is the sign-split
+    * integer product — every step identical in both engines.
+    *
+    * Scale: one exploded scan → one (word) hash aggregate carrying both
+    * groups' counts (map-side combined); margins broadcast; the
+    * two top-10 cuts run over the VOCAB-bounded scored frame (the fs1
+    * window class). */
+  private[graft] def logOddsKeynessOf(docs: DataFrame, isA: Column,
+      topN: Int = 10): DataFrame = {
+    val toks = docs
+      .select(isA.cast("int").as("in_a"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = toks.groupBy("w").agg(
+      sum(col("in_a").cast("long")).as("ya"),
+      sum((lit(1) - col("in_a")).cast("long")).as("yb"))
+    val margins = counts.agg(sum("ya").as("na"), sum("yb").as("nb"),
+      count(lit(1)).as("v"))
+    val scored = counts.crossJoin(broadcast(margins))
+      .withColumn("ca", expr("ya + 1"))
+      .withColumn("cb", expr("yb + 1"))
+      .withColumn("delta_e6", expr(
+        "CAST(round((ln(CAST(ca AS DOUBLE)) - ln(CAST(na + v - ca AS DOUBLE)) " +
+          "- ln(CAST(cb AS DOUBLE)) + ln(CAST(nb + v - cb AS DOUBLE))) * 1000000) AS BIGINT)"))
+      .withColumn("s_e3", expr(
+        "CAST(floor(sqrt(CAST(CAST(ca AS DECIMAL(38,0)) * cb * 1000000 " +
+          "div (CAST(ca AS DECIMAL(38,0)) + cb) AS DOUBLE))) AS BIGINT)"))
+      .withColumn("z_e3", expr(
+        "CASE WHEN delta_e6 >= 0 THEN delta_e6 * s_e3 div 1000000 " +
+          "ELSE -((-delta_e6) * s_e3 div 1000000) END"))
+      .select("w", "ya", "yb", "delta_e6", "z_e3")
+    val aSide = scored.orderBy(col("z_e3").desc, col("w").asc).limit(topN)
+      .withColumn("side", lit("a"))
+    val bSide = scored.orderBy(col("z_e3").asc, col("w").asc).limit(topN)
+      .withColumn("side", lit("b"))
+    aSide.unionAll(bSide)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("side")
+          .orderBy(when(col("side") === "a", -col("z_e3")).otherwise(col("z_e3")), col("w"))).cast("long"))
+      .select("side", "rk", "w", "ya", "yb", "delta_e6", "z_e3")
+      .orderBy("side", "rk")
+  }
+
+  val fs2: Q = (s, d) =>
+    logOddsKeynessOf(Tables.documents(s, d), col("lang") === "en")
+  val fs2Sql: String =
+    """WITH toks AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in_a,
+      |         unnest(str_split(text, ' ')) AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT w, CAST(sum(in_a) AS BIGINT) AS ya,
+      |         CAST(sum(1 - in_a) AS BIGINT) AS yb
+      |  FROM toks WHERE len(w) > 0 GROUP BY w),
+      |m AS (SELECT CAST(sum(ya) AS BIGINT) AS na, CAST(sum(yb) AS BIGINT) AS nb,
+      |             CAST(count(*) AS BIGINT) AS v FROM c),
+      |sc AS (
+      |  SELECT w, ya, yb,
+      |         CAST(round((ln(CAST(ya + 1 AS DOUBLE)) - ln(CAST(na + v - ya - 1 AS DOUBLE))
+      |           - ln(CAST(yb + 1 AS DOUBLE)) + ln(CAST(nb + v - yb - 1 AS DOUBLE))) * 1000000) AS BIGINT) AS delta_e6,
+      |         CAST(floor(sqrt(CAST(CAST(ya + 1 AS HUGEINT) * (yb + 1) * 1000000
+      |           // (CAST(ya + 1 AS HUGEINT) + yb + 1) AS DOUBLE))) AS BIGINT) AS s_e3
+      |  FROM c CROSS JOIN m),
+      |z AS (
+      |  SELECT w, ya, yb, delta_e6,
+      |         CASE WHEN delta_e6 >= 0 THEN delta_e6 * s_e3 // 1000000
+      |              ELSE -((-delta_e6) * s_e3 // 1000000) END AS z_e3
+      |  FROM sc),
+      |aa AS (
+      |  SELECT 'a' AS side, CAST(row_number() OVER (ORDER BY z_e3 DESC, w) AS BIGINT) AS rk,
+      |         w, ya, yb, delta_e6, z_e3
+      |  FROM z ORDER BY z_e3 DESC, w LIMIT 10),
+      |bb AS (
+      |  SELECT 'b' AS side, CAST(row_number() OVER (ORDER BY z_e3 ASC, w) AS BIGINT) AS rk,
+      |         w, ya, yb, delta_e6, z_e3
+      |  FROM z ORDER BY z_e3 ASC, w LIMIT 10)
+      |SELECT * FROM aa UNION ALL SELECT * FROM bb ORDER BY side, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "fs2_log_odds_keyness" -> fs2,
     "fs1_term_keyness" -> fs1,
     "stat2_gtest_independence" -> stat2,
     "cur1_curriculum_order" -> cur1,
@@ -764,6 +858,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "fs2_log_odds_keyness" -> fs2Sql,
     "fs1_term_keyness" -> fs1Sql,
     "stat2_gtest_independence" -> stat2Sql,
     "cur1_curriculum_order" -> cur1Sql,

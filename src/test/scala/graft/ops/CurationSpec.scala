@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Behavioral checks for the curation family beyond the oracle gate:
@@ -338,6 +340,27 @@ class CurationSpec extends SparkSpec {
     val got = Curation.tClosenessOf(rows, Seq("grp"), "sens").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq(("A", 2L, 333333L, 0L), ("B", 4L, 166666L, 1L)))
+  }
+
+  test("fs2 log-odds keyness: signs follow the leaning and the prior shrinks rare words") {
+    import spark.implicits._
+    // A-corpus says "alpha" a lot, B-corpus says "beta"; "common" is shared.
+    // "rare" appears ONCE in A only — same direction as alpha but far less
+    // evidence, so the prior+variance must rank it BELOW alpha's z.
+    val docs = Seq(
+      ("en", ("alpha " * 20 + "common " * 10 + "rare").trim),
+      ("de", ("beta " * 20 + "common " * 10).trim))
+      .toDF("lang", "text")
+    val out = Curation.logOddsKeynessOf(docs, col("lang") === "en", topN = 3)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getAs[Long]("z_e3")))
+    val a = out.filter(_._1 == "a").map(t => t._2 -> t._3).toMap
+    val b = out.filter(_._1 == "b").map(t => t._2 -> t._3).toMap
+    assert(a("alpha") > 0L, "A-heavy word leans A")
+    assert(b("beta") < 0L, "B-heavy word leans B")
+    assert(a.contains("rare") && a("rare") > 0L && a("rare") < a("alpha"),
+      "one observation cannot outrank twenty under the prior")
+    assert(math.abs(a.getOrElse("common", b("common"))) < a("alpha"),
+      "a shared word is less distinctive than the A-exclusive one")
   }
 
   test("priv5 groups partition the population and a global-mix group scores 0") {
