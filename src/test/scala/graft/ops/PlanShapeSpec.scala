@@ -270,4 +270,28 @@ class PlanShapeSpec extends SparkSpec {
       "t27 top-k must plan as TakeOrderedAndProject\n" + pt.take(800))
     assert(pt.contains("partial_"), "term stats must map-side combine")
   }
+
+  test("round-12 shapes: dq7 one aggregate, voc4 no cartesian, eval10 bucket-bounded, fs2 broadcast margins") {
+    // dq7: the whole fit is ONE map-side-combinable sufficient-statistic
+    // aggregate — no join, no window over the corpus
+    val p7 = plan(Evaluation.dq7(spark, sfDir))
+    assert(p7.contains("partial_"), "dq7 sufficient stats must map-side combine")
+    assert(!p7.contains("Join"), "dq7 must not join\n" + p7.take(800))
+    // voc4: the type-keyed self-join must be a hash join on the word,
+    // never a cartesian/broadcast-nested-loop over documents
+    val p4 = plan(TextAnalysis.voc4(spark, sfDir))
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"),
+      "voc4 pair space must come from the type-equality join\n" + p4.take(800))
+    // eval10: the concordance join runs over the bucket-bounded cell
+    // frame — both sides must already be aggregated (partial_ before the
+    // join input exchanges), and the corpus never self-joins
+    val p10 = plan(Evaluation.eval10(spark, sfDir))
+    assert(p10.contains("partial_count"), "eval10 cells must aggregate before the pair join")
+    // fs2: the margin frame is 1 row — it must broadcast, not shuffle
+    val pf = plan(Curation.fs2(spark, sfDir))
+    assert(pf.contains("BroadcastNestedLoopJoin") || pf.contains("BroadcastHashJoin"),
+      "fs2 margins must broadcast\n" + pf.take(800))
+    assert(pf.contains("TakeOrderedAndProject"),
+      "fs2 top-k cuts must plan as TakeOrderedAndProject")
+  }
 }
