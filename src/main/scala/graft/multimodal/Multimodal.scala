@@ -288,7 +288,113 @@ object Multimodal {
        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
        |FROM t GROUP BY lang, win ORDER BY lang, win""".stripMargin
 
+  // ---- MM8: perceptual near-dup assets (byte-grain SimHash + Hamming) ----
+
+  /** Bit width of the asset fingerprint (chars of the bit string). */
+  private val Mm8Bits = 0 until 32
+  /** Skew cap for a band bucket — the d5 MaxBucket rationale at the
+    * asset grain. */
+  private val Mm8MaxBucket = 50
+
+  /** MM8: perceptual-hash near-duplicate detection over BINARY media
+    * payloads — the image-dedup pass of a media lake (re-encodes, crops
+    * and thumbnails of one image that exact d1/mm1 hashing can never
+    * link). A real deployment computes pHash/aHash from DECODED pixels;
+    * the codec is stubbed here (the mm3 contract), so the fingerprint
+    * is a SimHash over the payload's byte 4-grams — the same
+    * locality-sensitive property (small payload edits flip few bits),
+    * with every downstream stage real: fingerprint aggregation,
+    * quarter-band blocking with the d5 skew cap, candidate dedup, and
+    * the native `graft_hamming` cut. The asset table plants a
+    * "cropped re-encode" twin (leading bytes dropped) for every
+    * doc_id % 9 = 0 image, so the op demonstrably links what exact
+    * hashing cannot.
+    *
+    * Scale: byte-gram explosion is linear in payload bytes and stays
+    * executor-side; banding bounds the candidate space exactly as d5
+    * (≤ cap·bucket pairs per band); the Hamming filter runs on the
+    * deduped candidate set only. */
+  private[multimodal] def imageAssets(s: SparkSession, d: String): DataFrame = {
+    val base = media(s, d).filter(col("modality") === "image")
+      .select(col("doc_id").as("asset_id"),
+        expr("decode(bytes, 'UTF-8')").as("body"))
+    base.unionAll(base.filter(col("asset_id") % 9 === 0)
+      .select((col("asset_id") + 5000000L).as("asset_id"),
+        expr("substr(body, 8)").as("body")))
+  }
+
+  val mm8: Q = (s, d) => {
+    val grams = imageAssets(s, d)
+      .select(col("asset_id"),
+        explode(expr("sequence(1, greatest(length(body) - 3, 1))")).as("i"),
+        col("body"))
+      .select(col("asset_id"), expr("substr(body, i, 4)").as("g"))
+    val bitCols = Mm8Bits.map { j =>
+      when(sum(when(substring(md5(col("g")), j + 1, 1) >= "8", 1L).otherwise(-1L)) >= 0, "1")
+        .otherwise("0").as(s"b$j")
+    }
+    val ph = grams.groupBy("asset_id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("asset_id"), concat(Mm8Bits.map(j => col(s"b$j")): _*).as("ph"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = (0 until 4).map(k =>
+        ph.select(col("asset_id"), col("ph"),
+          substring(col("ph"), k * 8 + 1, 8).as("band"), lit(k).as("bi")))
+      .reduce(_ unionAll _)
+    val ok = bands.groupBy("band", "bi").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= Mm8MaxBucket).select("band", "bi")
+    val bounded = bands.join(ok, Seq("band", "bi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bounded.as("a").join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.bi") === col("b.bi") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        col("a.ph").as("ph_a"), col("b.ph").as("ph_b"))
+      .distinct()
+    graft.functions.GraftFunctions.register(s)
+    cand.select(col("id_a"), col("id_b"),
+        expr("graft_hamming(ph_a, ph_b)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+  val mm8Sql: String = {
+    val bitExprs = Mm8Bits.map { j =>
+      s"CASE WHEN sum(CASE WHEN substr(md5(g), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END"
+    }
+    val ham = Mm8Bits.map { j =>
+      s"CASE WHEN substr(ph_a, ${j + 1}, 1) <> substr(ph_b, ${j + 1}, 1) THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH $mediaCte,
+       |base AS (
+       |  SELECT doc_id AS asset_id, bytes::VARCHAR AS body
+       |  FROM media WHERE modality = 'image'),
+       |assets AS (
+       |  SELECT asset_id, body FROM base
+       |  UNION ALL
+       |  SELECT asset_id + 5000000, substr(body, 8) FROM base WHERE asset_id % 9 = 0),
+       |grams AS (
+       |  SELECT asset_id, substr(body, CAST(i AS INTEGER), 4) AS g
+       |  FROM assets, unnest(range(1, greatest(len(body) - 3, 1) + 1)) AS u(i)),
+       |ph AS (
+       |  SELECT asset_id, ${bitExprs.mkString(" ||\n         ")} AS ph
+       |  FROM grams GROUP BY asset_id),
+       |bands AS (
+       |${(0 until 4).map(k =>
+        s"  SELECT asset_id, ph, substr(ph, ${k * 8 + 1}, 8) AS band, $k AS bi FROM ph")
+        .mkString("\n  UNION ALL\n")}),
+       |ok AS (SELECT band, bi FROM bands GROUP BY band, bi HAVING count(*) <= $Mm8MaxBucket),
+       |bounded AS (SELECT h.* FROM bands h JOIN ok USING (band, bi)),
+       |cand AS (
+       |  SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+       |         a.ph AS ph_a, b.ph AS ph_b
+       |  FROM bounded a JOIN bounded b
+       |    ON a.band = b.band AND a.bi = b.bi AND a.asset_id < b.asset_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming FROM cand)
+       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm8_phash_neardup" -> mm8,
     "mm7_multimodal_pack" -> mm7,
     "mm6_dup_frames" -> mm6,
     "mm1_binary_metadata" -> mm1,
@@ -299,6 +405,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm8_phash_neardup" -> mm8Sql,
     "mm7_multimodal_pack" -> mm7Sql,
     "mm6_dup_frames" -> mm6Sql,
     "mm1_binary_metadata" -> mm1Sql,

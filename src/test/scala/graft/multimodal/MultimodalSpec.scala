@@ -69,4 +69,23 @@ class MultimodalSpec extends SparkSpec {
       assert(nStraddle <= nDocs)
     }
   }
+
+  test("mm8 links the planted re-encode twins that exact hashing cannot") {
+    val pairs = Multimodal.mm8(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // planted twins: every doc_id % 9 == 0 image asset (image slot is
+    // doc_id % 3 == 0, implied by % 9) gets a leading-bytes-dropped copy
+    val planted = graft.Tables.documents(spark, sfDir).collect()
+      .map(_.getLong(0)).filter(_ % 9 == 0).toSet
+    val twins = pairs.filter(p => p._2 == p._1 + 5000000L)
+    val recallBp = twins.length.toLong * 10000 / planted.size
+    // perceptual hashing is a recall trade (the sim8 framing): short
+    // fixture payloads flip more bits per dropped gram, so demand >= 85%
+    // — the sf0.001 measured floor is 92%; exact dedup links ZERO of these
+    assert(recallBp >= 8500L, s"twin recall $recallBp bp, found ${twins.length}/${planted.size}")
+    // the linked twins are genuinely NON-exact dups (payloads differ) —
+    // some at Hamming > 0 — yet all inside the perceptual cut
+    assert(twins.forall(_._3 <= 3L))
+    assert(twins.exists(_._3 > 0L), "twins must include non-identical fingerprints")
+  }
 }
