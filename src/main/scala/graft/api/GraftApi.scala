@@ -1005,6 +1005,13 @@ object GraftApi {
   def bestKeepers(members: DataFrame): DataFrame =
     graft.ops.Dedup.bestKeeperOf(members)
 
+  /** Dedup health report over a (doc_id, cluster_id) cluster frame:
+    * cluster-size histogram with per-size doc/eviction counts and each
+    * size's share of the evictable mass (bp) — the release-over-release
+    * dedup dashboard row. Registry twin: `d23_dedup_health`. */
+  def dedupHealth(clusters: DataFrame): DataFrame =
+    graft.ops.Dedup.dedupHealthOf(clusters)
+
   /** Neyman allocation of a fixed sample `budget` across strata
     * (n_h ∝ N_h·σ_h over `yCol`, largest-remainder rounding so the
     * integer allocations sum EXACTLY to the budget; proportional

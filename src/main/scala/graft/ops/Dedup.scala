@@ -1038,6 +1038,54 @@ object Dedup {
        |FROM a JOIN r ON r.cluster_id = a.cluster_id AND r.rk = 1
        |ORDER BY a.cluster_id""".stripMargin
 
+  // ---- D23: dedup health report (cluster-size histogram + dup mass) ----
+
+  /** D23: the dedup-health dashboard row — the cluster-SIZE histogram of
+    * d8's near-dup components plus the corpus-level duplication-mass
+    * summary a pipeline tracks release-over-release: per cluster size s,
+    * how many clusters, how many documents they hold, how many would be
+    * evicted (s−1 each), and each size's share of the total evictable
+    * mass (bp). A creeping tail (one giant component) means boilerplate
+    * or a mirror is fusing clusters — the signal to tighten banding or
+    * add a stop-shingle; lots of 2-clusters means ordinary re-posts.
+    *
+    * Scale: two tiny aggregates over the cluster frame (docs that HAVE a
+    * duplicate); output is bounded by the distinct-size domain. Oracle
+    * replays d8's recursive CTE (sf1-class, the d22 precedent). */
+  private[graft] def dedupHealthOf(clusters: DataFrame): DataFrame = {
+    val perCluster = clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    val total = perCluster.agg(
+      coalesce(sum(col("sz") - 1L), lit(0L)).as("tot_evict"))
+    perCluster.groupBy("sz")
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
+      .withColumn("n_evict", expr("(sz - 1) * n_clusters"))
+      .crossJoin(broadcast(total))
+      .withColumn("evict_share_bp", expr("n_evict * 10000 div tot_evict"))
+      .select("sz", "n_clusters", "n_docs", "n_evict", "evict_share_bp")
+      .orderBy("sz")
+  }
+
+  val d23: Q = (s, d) =>
+    dedupHealthOf(dedupClustersOf(d3Verified(s, d).select(col("id_a"), col("id_b"))))
+  val d23Sql: String =
+    s"""WITH RECURSIVE p AS ($d3Sql),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM p),
+       |reach(id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.lbl = e.a),
+       |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |pc AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM cc GROUP BY cluster_id),
+       |t AS (SELECT CAST(coalesce(sum(sz - 1), 0) AS BIGINT) AS tot_evict FROM pc)
+       |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(sum(sz) AS BIGINT) AS n_docs,
+       |       CAST((sz - 1) * count(*) AS BIGINT) AS n_evict,
+       |       CAST((sz - 1) * count(*) AS BIGINT) * 10000 // tot_evict AS evict_share_bp
+       |FROM pc CROSS JOIN t GROUP BY sz, tot_evict ORDER BY sz""".stripMargin
+
   // ---- D11: edit-distance near-dup pairs (suffix+prefix-blocked) ----
 
   /** Skew cap for d11's mid-content block key — same magnitude and
@@ -1653,6 +1701,7 @@ object Dedup {
     "d11_edit_distance_pairs" -> d11,
     "d10_deduped_corpus" -> d10,
     "d22_best_keeper" -> d22,
+    "d23_dedup_health" -> d23,
     "d1_exact_dedup" -> d1,
     "d2_minhash_signatures" -> d2,
     "d3_minhash_lsh_pairs" -> d3,
@@ -1677,6 +1726,7 @@ object Dedup {
     "d11_edit_distance_pairs" -> d11Sql,
     "d10_deduped_corpus" -> d10Sql,
     "d22_best_keeper" -> d22Sql,
+    "d23_dedup_health" -> d23Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_signatures" -> d2Sql,
     "d3_minhash_lsh_pairs" -> d3Sql,

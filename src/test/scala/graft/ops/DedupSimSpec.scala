@@ -506,6 +506,21 @@ class DedupSimSpec extends SparkSpec {
     assert(out(2L) === ((20L, 40L, 2L, 50L)))
   }
 
+  test("d23 health report conserves the d8 cluster mass and its shares sum to ~10000 bp") {
+    val health = Dedup.queries("d23_dedup_health")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val clusters = Dedup.queries("d8_dedup_clusters")(spark, sfDir).collect()
+    assert(health.map(_._3).sum === clusters.length.toLong,
+      "histogram doc mass must equal the d8 member count")
+    health.foreach { case (sz, nC, nD, nE, _) =>
+      assert(nD === sz * nC && nE === (sz - 1) * nC)
+      assert(sz >= 2, "singletons never appear in the pair-derived cluster frame")
+    }
+    val shareSum = health.map(_._5).sum
+    assert(shareSum <= 10000 && shareSum >= 10000 - health.length,
+      s"eviction shares must sum to 10000 bp minus truncation, got $shareSum")
+  }
+
   test("d22 on the fixture: one keeper per d8 cluster, keeper dominates its cluster") {
     val keepers = Dedup.queries("d22_best_keeper")(spark, sfDir).collect()
     val clusters = Dedup.queries("d8_dedup_clusters")(spark, sfDir).collect()
