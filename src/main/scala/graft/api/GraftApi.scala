@@ -1048,6 +1048,33 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** Newman modularity of a node partition over an undirected (a, b)
+    * edge frame: per community the exact (n_nodes, e_in, d_sum)
+    * evidence and q_e9 share, plus an overall NULL-community rollup
+    * row with the exact Q = Σ(4m·e_c − d_c²)/(4m²) (sign-split e9;
+    * NULL on an empty graph). `communities` is a (node, c) frame;
+    * unlabeled nodes are outside the audit. Registry twin:
+    * `gr1_modularity`. */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame =
+    graft.ops.Graph.modularityOf(edges, communities)
+
+  /** Isotropy / anisotropy audit of a (vec_id, embedding, label) frame
+    * via the exact sum-vector identity (all-pairs mean dot with ONE
+    * scan, no pairwise join): per label plus a NULL-label overall row,
+    * the mean-vector energy share and the mean cross-pair dot relative
+    * to the mean norm, both e6 integers. Registry twin:
+    * `emb7_isotropy`. */
+  def isotropyAudit(vectors: DataFrame): DataFrame =
+    graft.ops.Similarity.isotropyOf(vectors)
+
+  /** McNemar's paired-classifier significance test over a frame with
+    * 0/1 correctness columns `a_ok` / `b_ok` (one row per shared test
+    * item): the 2×2 agreement cells, and χ² in e6 with and without the
+    * Edwards continuity correction (NULL when no discordant pairs).
+    * Registry twin: `eval11_mcnemar`. */
+  def mcnemarTest(paired: DataFrame): DataFrame =
+    graft.ops.Evaluation.mcnemarOf(paired)
+
   def wordPieceProfile(words: DataFrame, wordCol: String = "word"): DataFrame = {
     graft.functions.GraftFunctions.register(words.sparkSession)
     words

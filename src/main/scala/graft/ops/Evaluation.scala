@@ -1203,7 +1203,81 @@ object Evaluation {
        |            ELSE -CAST((d_pairs - c_pairs) * 1000000 // (c_pairs + d_pairs) AS BIGINT) END AS gamma_e6
        |FROM p""".stripMargin
 
+  // ---- EVAL11: McNemar's paired-classifier significance test ----
+
+  /** EVAL11: McNemar's test (1947) over the PAIRED per-document
+    * correctness of two classifiers scored on the SAME test split —
+    * here the two model families the reference itself ships: the
+    * hand-rolled NB scorer (m6, NB.java's log-space margin) vs the
+    * hand-rolled SVM scorer (m8, SVM.java's weight lookup). Marginal
+    * accuracy comparisons (a6 vs a6_svm) can't tell "better" from
+    * "differently wrong"; McNemar conditions on the discordant pairs:
+    * b = NB-right/SVM-wrong, c = SVM-right/NB-wrong, and
+    * χ² = (b−c)²/(b+c) (plus the Edwards continuity-corrected form
+    * (|b−c|−1)²/(b+c)) is the significance statistic behind "is one
+    * classifier ACTUALLY better on this corpus?".
+    *
+    * Exactness: the four agreement cells are integer counts off ONE
+    * aggregate; (b−c)² rides DECIMAL(38,0)/HUGEINT (counts are
+    * corpus-sized, squares wrap int64 past ~3·10⁹ — the eval2 overflow
+    * class); both χ² forms are non-negative integral divisions
+    * (trunc == floor, no sign-split needed); explicit NULL when
+    * b + c = 0 — identical error profiles make the test undefined (the
+    * voc3 NULL convention). Scale: two broadcast-model scoring passes
+    * (m6/m8's own shapes) + one doc_id-keyed join + a 1-row aggregate.
+    * Library entry point: [[graft.api.GraftApi.mcnemarTest]]. */
+  private[graft] def mcnemarOf(paired: DataFrame): DataFrame =
+    paired.agg(
+      count(lit(1)).as("n"),
+      sum(expr("a_ok * b_ok")).cast("long").as("n_both"),
+      sum(expr("(1 - a_ok) * (1 - b_ok)")).cast("long").as("n_neither"),
+      sum(expr("a_ok * (1 - b_ok)")).cast("long").as("b_only"),
+      sum(expr("(1 - a_ok) * b_ok")).cast("long").as("c_only"))
+    .withColumn("chi2_e6", expr(
+      "CASE WHEN b_only + c_only = 0 THEN CAST(NULL AS BIGINT) " +
+        "ELSE CAST(CAST(b_only - c_only AS DECIMAL(38,0)) * (b_only - c_only) * 1000000 " +
+        "div (b_only + c_only) AS BIGINT) END"))
+    .withColumn("chi2_cc_e6", expr(
+      "CASE WHEN b_only + c_only = 0 THEN CAST(NULL AS BIGINT) " +
+        "WHEN abs(b_only - c_only) <= 1 THEN 0 " +
+        "ELSE CAST(CAST(abs(b_only - c_only) - 1 AS DECIMAL(38,0)) * (abs(b_only - c_only) - 1) * 1000000 " +
+        "div (b_only + c_only) AS BIGINT) END"))
+
+  val eval11: Q = (s, d) => {
+    val nb = SentimentNb.m6(s, d).select(col("doc_id"),
+      when(col("prediction") === col("label"), 1).otherwise(0).as("a_ok"))
+    val sv = SentimentSvm.m8(s, d).select(col("doc_id"),
+      when(col("prediction") === col("label"), 1).otherwise(0).as("b_ok"))
+    mcnemarOf(nb.join(sv, Seq("doc_id")))
+  }
+  /** The two scorers' full CTE chains collide on CTE names (tokens/
+    * model/scored), so each rides as a parenthesized sub-WITH. */
+  val eval11Sql: String =
+    s"""WITH nb AS (
+       |  SELECT doc_id, CASE WHEN prediction = label THEN 1 ELSE 0 END AS a_ok
+       |  FROM (${SentimentNb.m6Sql})),
+       |sv AS (
+       |  SELECT doc_id, CASE WHEN prediction = label THEN 1 ELSE 0 END AS b_ok
+       |  FROM (${SentimentSvm.m8Sql})),
+       |cm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(a_ok * b_ok) AS BIGINT) AS n_both,
+       |         CAST(sum((1 - a_ok) * (1 - b_ok)) AS BIGINT) AS n_neither,
+       |         CAST(sum(a_ok * (1 - b_ok)) AS BIGINT) AS b_only,
+       |         CAST(sum((1 - a_ok) * b_ok) AS BIGINT) AS c_only
+       |  FROM nb JOIN sv USING (doc_id))
+       |SELECT n, n_both, n_neither, b_only, c_only,
+       |       CASE WHEN b_only + c_only = 0 THEN CAST(NULL AS BIGINT)
+       |            ELSE CAST(CAST(b_only - c_only AS HUGEINT) * (b_only - c_only) * 1000000
+       |              // (b_only + c_only) AS BIGINT) END AS chi2_e6,
+       |       CASE WHEN b_only + c_only = 0 THEN CAST(NULL AS BIGINT)
+       |            WHEN abs(b_only - c_only) <= 1 THEN 0
+       |            ELSE CAST(CAST(abs(b_only - c_only) - 1 AS HUGEINT) * (abs(b_only - c_only) - 1) * 1000000
+       |              // (b_only + c_only) AS BIGINT) END AS chi2_cc_e6
+       |FROM cm""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "eval11_mcnemar" -> eval11,
     "eval10_gamma_concordance" -> eval10,
     "dq7_least_squares_fit" -> dq7,
     "eval8_cleaning_cer" -> eval8,
@@ -1224,6 +1298,7 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "eval11_mcnemar" -> eval11Sql,
     "eval10_gamma_concordance" -> eval10Sql,
     "dq7_least_squares_fit" -> dq7Sql,
     "eval8_cleaning_cer" -> eval8Sql,

@@ -258,6 +258,100 @@ object Graph {
       |FROM deg d LEFT JOIN ntri t ON t.node = d.v
       |ORDER BY node""".stripMargin
 
+  // ---- GR1: Newman modularity of a node partition ----
+
+  /** GR1: Newman–Girvan modularity (PNAS 2004) of a given node
+    * partition over an undirected (a, b) edge frame — here the NATION
+    * partition of the sparsified supplier co-purchase graph: does the
+    * business segmentation match the graph's actual community
+    * structure? This is the standard fitness score community detection
+    * (lp1) optimizes, exposed as the AUDIT of any candidate partition:
+    * Q = Σ_c [e_c/m − (d_c/2m)²], carried in the common-denominator
+    * integer form num_c = 4m·e_c − d_c² so the overall
+    * Q = Σ num_c / (4m²) divides ONCE, exactly. Per community the row
+    * holds its exact integer evidence (n_nodes, within-edges e_in,
+    * degree mass d_sum) plus its own truncated q_e9 share; an
+    * overall NULL-community rollup row folds the Σ num_c partials —
+    * never a second edge scan (the emb7 rollup convention).
+    *
+    * Exactness: m, e_c, d_c are integer counts; num_c rides
+    * DECIMAL(38,0)/HUGEINT (d_c² and 4m² square corpus-sized counts —
+    * the eval2 overflow class); q_e9 sign-splits (num_c < 0 for
+    * under-connected communities, and trunc ≠ floor on negatives);
+    * NULL when m = 0 (the voc3 convention). Nodes without a community
+    * row are outside the audit (inner join) — documented, so partial
+    * labelings score only their covered subgraph.
+    *
+    * Scale: one degree aggregate, two broadcast-joinable community
+    * lookups against the edge frame (communities are a dimension,
+    * edges are the fact), then community-domain frames. Library entry
+    * point: [[graft.api.GraftApi.modularity]]. */
+  private[graft] def modularityOf(und0: DataFrame, communities: DataFrame): DataFrame = {
+    val und = und0.select(col("a"), col("b")).localCheckpoint(true)
+    val cm = communities.select(col("node"), col("c"))
+    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val dC = deg.join(cm, Seq("node"))
+      .groupBy("c").agg(count(lit(1)).as("n_nodes"), sum("dg").as("d_sum"))
+    val eC = und
+      .join(cm.select(col("node").as("a"), col("c").as("ca")), Seq("a"))
+      .join(cm.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca")).agg(count(lit(1)).as("e_in"))
+      .withColumnRenamed("ca", "c")
+    val mAgg = und.agg(count(lit(1)).cast("decimal(38,0)").as("m"))
+    val per = dC.join(eC, Seq("c"), "left").na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(mAgg))
+      .withColumn("num", expr(
+        "4 * m * e_in - CAST(d_sum AS DECIMAL(38,0)) * d_sum"))
+    def qE9(numCol: String): String =
+      s"CASE WHEN m = 0 THEN CAST(NULL AS BIGINT) " +
+        s"WHEN $numCol >= 0 THEN CAST($numCol * 1000000000 div (4 * m * m) AS BIGINT) " +
+        s"ELSE -CAST((-$numCol) * 1000000000 div (4 * m * m) AS BIGINT) END"
+    val perRows = per.select(col("c").cast("long").as("community"),
+      col("n_nodes"), col("e_in"), col("d_sum"), expr(qE9("num")).as("q_e9"))
+    val overall = per.agg(sum("n_nodes").as("n_nodes"), sum("e_in").as("e_in"),
+        sum("d_sum").as("d_sum"), sum("num").as("tnum"))
+      .crossJoin(broadcast(mAgg))
+      .select(lit(null).cast("long").as("community"),
+        col("n_nodes").cast("long").as("n_nodes"), col("e_in").cast("long").as("e_in"),
+        col("d_sum").cast("long").as("d_sum"), expr(qE9("tnum")).as("q_e9"))
+    perRows.unionByName(overall).orderBy("community")
+  }
+
+  val gr1: Q = (s, d) => modularityOf(sparsifiedUndOf(s, d),
+    Tables.supplier(s, d).select(col("s_suppkey").as("node"), col("s_nationkey").as("c")))
+  val gr1Sql: String =
+    s"""WITH $sparsifiedUndSql,
+      |cm AS (SELECT s_suppkey AS node, s_nationkey AS c FROM supplier),
+      |deg AS (
+      |  SELECT v AS node, CAST(count(*) AS BIGINT) AS dg FROM (
+      |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+      |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM und),
+      |dc AS (
+      |  SELECT c, CAST(count(*) AS BIGINT) AS n_nodes, CAST(sum(dg) AS BIGINT) AS d_sum
+      |  FROM deg JOIN cm USING (node) GROUP BY c),
+      |ec AS (
+      |  SELECT ca.c AS c, CAST(count(*) AS BIGINT) AS e_in
+      |  FROM und u JOIN cm ca ON ca.node = u.a
+      |       JOIN cm cb ON cb.node = u.b AND cb.c = ca.c
+      |  GROUP BY ca.c),
+      |per AS (
+      |  SELECT dc.c, n_nodes, coalesce(e_in, 0) AS e_in, d_sum,
+      |         4 * m * coalesce(e_in, 0) - CAST(d_sum AS HUGEINT) * d_sum AS num, m
+      |  FROM dc LEFT JOIN ec USING (c) CROSS JOIN mm),
+      |rows AS (
+      |  SELECT c, n_nodes, e_in, d_sum, num, m FROM per
+      |  UNION ALL
+      |  SELECT NULL, CAST(sum(n_nodes) AS BIGINT), CAST(sum(e_in) AS BIGINT),
+      |         CAST(sum(d_sum) AS BIGINT), CAST(sum(num) AS HUGEINT), max(m)
+      |  FROM per)
+      |SELECT CAST(c AS BIGINT) AS community, n_nodes, e_in, d_sum,
+      |       CASE WHEN m = 0 THEN CAST(NULL AS BIGINT)
+      |            WHEN num >= 0 THEN CAST(num * 1000000000 // (4 * m * m) AS BIGINT)
+      |            ELSE -CAST((-num) * 1000000000 // (4 * m * m) AS BIGINT) END AS q_e9
+      |FROM rows ORDER BY community""".stripMargin
+
   // ---- KCORE1: bounded-round k-core peeling ----
 
   /** `rounds` peeling passes toward the k-core of an undirected (a, b)
@@ -627,6 +721,7 @@ object Graph {
     "pr1_pagerank_suppliers" -> pr1,
     "tc1_triangle_count" -> tc1,
     "lcc1_clustering_coefficient" -> lcc1,
+    "gr1_modularity" -> gr1,
     "kcore1_supplier_core" -> kcore1,
     "lp1_label_propagation" -> lp1,
   )
@@ -638,6 +733,7 @@ object Graph {
     "pr1_pagerank_suppliers" -> pr1Sql,
     "tc1_triangle_count" -> tc1Sql,
     "lcc1_clustering_coefficient" -> lcc1Sql,
+    "gr1_modularity" -> gr1Sql,
     "kcore1_supplier_core" -> kcore1Sql,
     "lp1_label_propagation" -> lp1Sql,
   )

@@ -929,6 +929,99 @@ object Similarity {
        |GROUP BY label, vsq.v2 ORDER BY label""".stripMargin
   }
 
+  // ---- EMB7: isotropy / anisotropy audit via the sum-vector identity ----
+
+  /** Per-(label, dim) component sums — one additive-monoid half of
+    * emb7's sufficient statistics (the other is [[isotropyNormStatsOf]]).
+    * Split out so the streaming twin can merge per-batch deltas by
+    * plain SUM and finish through the identical [[isotropyFromStats]]. */
+  private[graft] def isotropyDimStatsOf(vectors: DataFrame): DataFrame =
+    qnormOf(vectors).join(vectors.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("label"), posexplode(col("q")).as(Seq("j", "x")))
+      .groupBy("label", "j").agg(sum(expr("CAST(x AS DECIMAL(38,0))")).as("s"))
+
+  /** Per-label (count, Σ|q|²) — the norm half of emb7's statistics. */
+  private[graft] def isotropyNormStatsOf(vectors: DataFrame): DataFrame =
+    qnormOf(vectors).join(vectors.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("label").agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(expr("CAST(nrm AS DECIMAL(38,0))")).as("nrmsum"))
+
+  /** EMB7: the embedding-space ISOTROPY audit — how concentrated the
+    * corpus (and each label) is around its own mean direction, from the
+    * exact sum-vector identity Σ_{i≠j} qᵢ·qⱼ = |Σq|² − Σ|q|² (one scan;
+    * the all-pairs mean dot product WITHOUT an all-pairs join). Two
+    * rows of evidence per group, plus an overall NULL-label rollup row
+    * folded from the same per-label partials (additive monoids — no
+    * second corpus scan):
+    *   mean_energy_e6 = 10⁶·|Σq|² div (n·Σ|q|²)  — the share of total
+    *     energy on the mean vector (→10⁶ when every vector points the
+    *     same way, →0 for an isotropic cloud; Ethayarajh EMNLP 2019's
+    *     anisotropy diagnostic in exact integers);
+    *   anis_e6 = 10⁶·(|Σq|² − Σ|q|²) div ((n−1)·Σ|q|²) — the mean
+    *     cross-pair dot relative to the mean norm (the expected cosine
+    *     between two random corpus members, up to norm spread), exactly
+    *     10⁶ for an all-identical corpus and exactly −10⁶ for a ±q
+    *     antipodal pair; sign-split (trunc/floor-proof), NULL at n ≤ 1.
+    * Everything is integer: e3-quantized components (the sim1
+    * contract), DECIMAL(38,0)/HUGEINT folds (per-dim sums reach ~10¹⁵
+    * at 10¹² vectors, their squares ~10³⁰ — the eval2 overflow class).
+    *
+    * Scale: one corpus scan (64-way posexplode → map-side-combined
+    * label×64-row aggregate), label-domain-bounded frames after that;
+    * the rollup row re-aggregates the PARTIALS, not the corpus. The
+    * decision this feeds: whether to run all-but-the-top (emb5/emb6's
+    * common-direction removal) and whether per-label sub-spaces are
+    * collapsed enough to hurt contrastive sampling (emb2).
+    * Library entry point: [[graft.api.GraftApi.isotropyAudit]]. */
+  private[graft] def isotropyFromStats(dims: DataFrame, norms: DataFrame): DataFrame = {
+    val ple = dims.groupBy("label").agg(sum(expr("s * s")).as("ssum"))
+    val perLabel = norms.join(ple, Seq("label"))
+      .select(col("label").cast("long").as("label"), col("n"), col("nrmsum"), col("ssum"))
+    val ae = dims.groupBy("j").agg(sum(col("s")).as("s"))
+      .agg(sum(expr("s * s")).as("ssum"))
+    val overall = norms.agg(sum(col("n")).as("n"), sum(col("nrmsum")).as("nrmsum"))
+      .crossJoin(broadcast(ae))
+      .select(lit(null).cast("long").as("label"), col("n"), col("nrmsum"), col("ssum"))
+    perLabel.unionByName(overall)
+      .select(col("label"), col("n").cast("long").as("n_vecs"),
+        expr("CAST(ssum * 1000000 div (n * nrmsum) AS BIGINT)").as("mean_energy_e6"),
+        expr("CASE WHEN n <= 1 THEN CAST(NULL AS BIGINT) " +
+          "WHEN ssum >= nrmsum THEN CAST((ssum - nrmsum) * 1000000 div ((n - 1) * nrmsum) AS BIGINT) " +
+          "ELSE -CAST((nrmsum - ssum) * 1000000 div ((n - 1) * nrmsum) AS BIGINT) END").as("anis_e6"))
+      .orderBy("label")
+  }
+
+  private[graft] def isotropyOf(vectors: DataFrame): DataFrame =
+    isotropyFromStats(isotropyDimStatsOf(vectors), isotropyNormStatsOf(vectors))
+
+  val emb7: Q = (s, d) => isotropyOf(Tables.embeddings(s, d))
+
+  val emb7Sql: String =
+    s"""WITH $qnormCte,
+       |pld AS (
+       |  SELECT e.label, t.j, CAST(sum(qn.q[CAST(t.j AS INTEGER)]) AS HUGEINT) AS s
+       |  FROM qn JOIN embeddings e USING (vec_id)
+       |       CROSS JOIN generate_series(1, 64) t(j)
+       |  GROUP BY e.label, t.j),
+       |pl AS (
+       |  SELECT e.label, CAST(count(*) AS HUGEINT) AS n,
+       |         CAST(sum(qn.nrm) AS HUGEINT) AS nrmsum
+       |  FROM qn JOIN embeddings e USING (vec_id) GROUP BY e.label),
+       |ple AS (SELECT label, CAST(sum(s * s) AS HUGEINT) AS ssum FROM pld GROUP BY label),
+       |ad AS (SELECT j, CAST(sum(s) AS HUGEINT) AS s FROM pld GROUP BY j),
+       |ae AS (SELECT CAST(sum(s * s) AS HUGEINT) AS ssum FROM ad),
+       |an AS (SELECT CAST(sum(n) AS HUGEINT) AS n, CAST(sum(nrmsum) AS HUGEINT) AS nrmsum FROM pl),
+       |grp AS (
+       |  SELECT label, n, nrmsum, ssum FROM pl JOIN ple USING (label)
+       |  UNION ALL
+       |  SELECT NULL AS label, an.n, an.nrmsum, ae.ssum FROM an CROSS JOIN ae)
+       |SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n_vecs,
+       |       CAST(ssum * 1000000 // (n * nrmsum) AS BIGINT) AS mean_energy_e6,
+       |       CASE WHEN n <= 1 THEN CAST(NULL AS BIGINT)
+       |            WHEN ssum >= nrmsum THEN CAST((ssum - nrmsum) * 1000000 // ((n - 1) * nrmsum) AS BIGINT)
+       |            ELSE -CAST((nrmsum - ssum) * 1000000 // ((n - 1) * nrmsum) AS BIGINT) END AS anis_e6
+       |FROM grp ORDER BY label""".stripMargin
+
   // ---- EMB2: hard-negative mining for contrastive training ----
 
   /** EMB2: the batch op that feeds contrastive / triplet training — for
@@ -1263,6 +1356,7 @@ object Similarity {
     "emb4_matryoshka_recall" -> emb4,
     "emb5_power_iteration" -> emb5,
     "emb6_common_energy" -> emb6,
+    "emb7_isotropy" -> emb7,
     "mmr1_diverse_topk" -> mmr1,
     "mmr2_diverse_topk_bucketed" -> mmr2,
     "sim8_lsh_recall" -> sim8,
@@ -1282,6 +1376,7 @@ object Similarity {
     "emb4_matryoshka_recall" -> emb4Sql,
     "emb5_power_iteration" -> emb5Sql,
     "emb6_common_energy" -> emb6Sql,
+    "emb7_isotropy" -> emb7Sql,
     "mmr1_diverse_topk" -> mmr1Sql,
     "mmr2_diverse_topk_bucketed" -> mmr2Sql,
     "sim8_lsh_recall" -> sim8Sql,

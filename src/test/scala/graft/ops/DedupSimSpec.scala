@@ -457,6 +457,43 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("emb7 isotropy pins the aligned / antipodal extremes exactly") {
+    val s2 = spark
+    import s2.implicits._
+    def vec(scale: Float): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); a(5) = scale; a.toSeq
+    }
+    // label 0: four identical vectors -> mean direction carries ALL the
+    // energy (mean_energy_e6 = 1e6) and the mean cross dot equals the
+    // mean norm (anis_e6 = 1e6); label 1: an antipodal +-q pair -> the
+    // sum vector is exactly zero -> mean_energy 0, anis exactly -1e6
+    val vecs = Seq(
+      (0L, vec(0.5f), 0L), (1L, vec(0.5f), 0L), (2L, vec(0.5f), 0L), (3L, vec(0.5f), 0L),
+      (4L, vec(0.25f), 1L), (5L, vec(-0.25f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.isotropyOf(vecs).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.contains((0L, 4L, 1000000L, 1000000L)))
+    assert(got.contains((1L, 2L, 0L, -1000000L)))
+    // the overall rollup row folds the same partials: n = 6 and its
+    // sum vector is 4q0 (|4q0|^2 = 16*250000^2) over nrmsum
+    // (4*250000^2 + 2*62500000000... compute: |q0|^2=500^2... ) -- just
+    // pin structural facts: n_vecs = 6 and anis strictly between -1e6 and 1e6
+    val overall = got.find(_._1 == -1L).get
+    assert(overall._2 === 6L)
+    assert(overall._3 > 0L && overall._3 < 1000000L)
+    assert(overall._4 > -1000000L && overall._4 < 1000000L)
+    // singleton group -> anis undefined (NULL), energy share exactly 1e6
+    val single = Similarity.isotropyOf(
+      Seq((9L, vec(1.0f), 3L)).toDF("vec_id", "embedding", "label")).collect()
+    val lbl = single.find(r => !r.isNullAt(0)).get
+    assert(lbl.getLong(2) === 1000000L)
+    assert(lbl.isNullAt(lbl.fieldIndex("anis_e6")))
+    // facade routes to the same implementation
+    assert(graft.api.GraftApi.isotropyAudit(vecs).count() === 3L)
+  }
+
   test("d20 containment finds an embedded quote that symmetric Jaccard down-scores") {
     val s2 = spark
     import s2.implicits._

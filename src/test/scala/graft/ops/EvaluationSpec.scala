@@ -205,6 +205,37 @@ class EvaluationSpec extends SparkSpec {
     assert(degen.isNullAt(degen.fieldIndex("alpha_e6")))
   }
 
+  test("eval11 mcnemar: cells partition n; chi2 exact; NULL when no discordance") {
+    import spark.implicits._
+    def mc(rows: Seq[(Int, Int)]) =
+      Evaluation.mcnemarOf(rows.toDF("a_ok", "b_ok")).collect().head
+    // textbook 2x2: both=30, b=12, c=3, neither=5 -> chi2 = 81/15 = 5.4
+    val hand = Seq.fill(30)((1, 1)) ++ Seq.fill(12)((1, 0)) ++
+      Seq.fill(3)((0, 1)) ++ Seq.fill(5)((0, 0))
+    val r = mc(hand)
+    assert(r.getAs[Long]("n") === 50L)
+    assert(r.getAs[Long]("n_both") === 30L)
+    assert(r.getAs[Long]("b_only") === 12L)
+    assert(r.getAs[Long]("c_only") === 3L)
+    assert(r.getAs[Long]("n_neither") === 5L)
+    assert(r.getAs[Long]("n_both") + r.getAs[Long]("b_only") +
+      r.getAs[Long]("c_only") + r.getAs[Long]("n_neither") === r.getAs[Long]("n"))
+    assert(r.getAs[Long]("chi2_e6") === 5400000L)
+    // continuity-corrected: (|12-3|-1)^2/15 = 64/15 = 4.266666...
+    assert(r.getAs[Long]("chi2_cc_e6") === 4266666L)
+    // symmetric discordance -> chi2 = 0; |b-c|<=1 clamps the cc form to 0
+    val sym = mc(Seq((1, 0), (0, 1), (1, 1)))
+    assert(sym.getAs[Long]("chi2_e6") === 0L)
+    assert(sym.getAs[Long]("chi2_cc_e6") === 0L)
+    // identical error profiles -> test undefined -> NULL
+    val degen = mc(Seq((1, 1), (0, 0)))
+    assert(degen.isNullAt(degen.fieldIndex("chi2_e6")))
+    assert(degen.isNullAt(degen.fieldIndex("chi2_cc_e6")))
+    // the facade routes to the same implementation
+    val viaApi = graft.api.GraftApi.mcnemarTest(hand.toDF("a_ok", "b_ok")).collect().head
+    assert(viaApi.getAs[Long]("chi2_e6") === 5400000L)
+  }
+
   test("eval3 kappa: perfect agreement = 1e6, independent raters ~ 0, disagreement negative") {
     import spark.implicits._
     def kappa(rows: Seq[(Int, Int)]): Long =

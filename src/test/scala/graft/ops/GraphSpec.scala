@@ -98,6 +98,35 @@ class GraphSpec extends SparkSpec {
     // the island never receives teleport or flow: absent, not zero
   }
 
+  test("gr1 modularity matches the hand-computed two-triangle-bridge graph") {
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4: m = 7,
+    // each triangle community has e_in = 3, d_sum = 7 ->
+    // num = 4*7*3 - 49 = 35 per community, Q = 70/196 = 0.357142857...
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("a", "b")
+    val cm = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("node", "c")
+    val rows = graft.api.GraftApi.modularity(und, cm).collect()
+    val byC = rows.map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byC(0L) === ((3L, 3L, 7L, 178571428L))) // 35e9 div 196
+    assert(byC(1L) === ((3L, 3L, 7L, 178571428L)))
+    // the rollup row divides the SUMMED numerators once: 70e9 div 196
+    assert(byC(-1L) === ((6L, 6L, 14L, 357142857L)))
+    // everything in one community -> Q = (4m*m - (2m)^2) / 4m^2 = 0 exactly
+    val one = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (5L, 9L), (6L, 9L)).toDF("node", "c")
+    val q1 = graft.api.GraftApi.modularity(und, one).collect()
+      .find(_.isNullAt(0)).get.getLong(4)
+    assert(q1 === 0L)
+    // a partial labeling that covers only the bridge: e_in = 1,
+    // d_sum = 3 + 3 = 6, num = 28 - 36 = -8 -> the sign-split negative path
+    val partial = Seq((3L, 9L), (4L, 9L)).toDF("node", "c")
+    val qp = graft.api.GraftApi.modularity(und, partial).collect()
+      .find(_.isNullAt(0)).get
+    assert(qp.getLong(2) === 1L && qp.getLong(3) === 6L)
+    assert(qp.getLong(4) === -40816326L) // -(8e9 div 196)
+  }
+
   test("lcc1 coefficients match the hand-traced triangle-plus-pendant graph") {
     val s2 = spark
     import s2.implicits._
