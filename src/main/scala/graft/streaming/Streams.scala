@@ -1402,7 +1402,60 @@ object Streams {
        |       CAST(min(CASE WHEN cusum >= $St24AlarmCents THEN ts_us END) AS BIGINT) AS alarm_ts_us
        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- ST25: streaming isotropy monitor ----
+
+  /** ST25: streaming embedding-isotropy maintenance — the live face of
+    * batch emb7 for an embedding feed (e.g. a vectorization service
+    * whose output drifts toward a collapsed, anisotropic cone as the
+    * upstream encoder degrades). emb7's sufficient statistics are BOTH
+    * additive monoids — the per-(label, dim) component sums and the
+    * per-label (n, Σ|q|²) norm sums — so each micro-batch's deltas
+    * merge by plain full-outer SUM into two stored tables (state:
+    * labels×64 + labels rows of integers, never vector-volume-bounded),
+    * and the final cut runs through emb7's own
+    * [[graft.ops.Similarity.isotropyFromStats]] — stream == batch
+    * bit-for-bit, proven by the shared DuckDB oracle (`emb7Sql`). */
+  val st25: Q = (s, d) => {
+    val srcDir = stagedTableSplit(s, d, "st25", table = "embeddings", key = "vec_id")
+    val physical = s.read.parquet(s"$d/embeddings.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val statRoot = Files.createTempDirectory("graft_st25_stats").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(statRoot).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st25").toString
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val b = batch.toDF().localCheckpoint(true) // one staging for both stat halves
+        val deltaDims = graft.ops.Similarity.isotropyDimStatsOf(b)
+        val deltaNorms = graft.ops.Similarity.isotropyNormStatsOf(b)
+        val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
+        val (mDims, mNorms) = prior match {
+          case None => (deltaDims, deltaNorms)
+          case Some((_, path)) =>
+            (sess.read.parquet(s"$path/dims").unionAll(deltaDims)
+              .groupBy("label", "j").agg(sum("s").as("s")),
+              sess.read.parquet(s"$path/norms").unionAll(deltaNorms)
+                .groupBy("label").agg(sum("n").as("n"), sum("nrmsum").as("nrmsum")))
+        }
+        mDims.write.mode("overwrite").parquet(s"$statRoot/gen_$batchId/dims")
+        mNorms.write.mode("overwrite").parquet(s"$statRoot/gen_$batchId/norms")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    graft.ops.Similarity.isotropyFromStats(
+      s.read.parquet(s"${latest._2}/dims"), s.read.parquet(s"${latest._2}/norms"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st25_stream_isotropy" -> st25,
     "st24_stream_cusum" -> st24,
     "st23_stream_tcloseness" -> st23,
     "st22_stream_rfm" -> st22,
@@ -1433,6 +1486,7 @@ object Streams {
   /** Streaming results must equal the batch windowing oracles. */
   val oracle: Map[String, String] = Map(
     "st24_stream_cusum" -> st24Sql,
+    "st25_stream_isotropy" -> graft.ops.Similarity.emb7Sql,
     "st18_stream_benford" -> graft.ops.Evaluation.dq5Sql,
     "st19_stream_markov" -> graft.ops.Curation.markov1Sql,
     "st20_stream_skipgram" -> graft.ops.TextAnalysis.w2v1Sql,

@@ -374,6 +374,19 @@ class StreamsSpec extends SparkSpec {
     assert(live === batch)
   }
 
+  test("st25 streaming isotropy equals the batch emb7 audit bit-for-bit") {
+    // both stat halves (per-(label,dim) sums; per-label count/norm sums)
+    // are additive monoids and the final cut runs through emb7's own
+    // isotropyFromStats — so the drained audit must match batch exactly
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (if (r.isNullAt(0)) Long.MinValue else r.getLong(0), r.getLong(1),
+        r.getLong(2), if (r.isNullAt(3)) Long.MinValue else r.getLong(3))).toSeq
+    val live = canon(Streams.st25(spark, sfDir).collect())
+    val batch = canon(graft.ops.Similarity.isotropyOf(
+      graft.Tables.embeddings(spark, sfDir)).collect())
+    assert(live === batch)
+  }
+
   test("st22 streaming RFM segments equal the batch e12 table bit-for-bit") {
     // the per-buyer (max, sum, sum) state is a mergeable monoid and the
     // quartile cut reuses e12's rfmSegmentsFromPerUser — batch-boundary
