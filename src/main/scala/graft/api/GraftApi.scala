@@ -1048,6 +1048,15 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** Time-weighted average (TWAP) of a stepwise-held signal per key:
+    * each event's cents value holds until the key's next event;
+    * emits (key, n_events, span_us, twap_c) with a sign-split exact
+    * division and NULL on degenerate spans. `tieCol` breaks equal
+    * timestamps to a total order. Registry twin: `e13_twap`. */
+  def twap(events: DataFrame, keyCol: String, tsCol: String,
+      valueCents: Column, tieCol: String = "event_id"): DataFrame =
+    graft.ops.Events.twapOf(events, keyCol, tsCol, valueCents, tieCol)
+
   /** Newman modularity of a node partition over an undirected (a, b)
     * edge frame: per community the exact (n_nodes, e_in, d_sum)
     * evidence and q_e9 share, plus an overall NULL-community rollup

@@ -483,7 +483,72 @@ object Events {
        |FROM rk CROSS JOIN n
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---- E13: time-weighted average (TWAP) per event type ----
+
+  /** E13: the time-weighted average of a stepwise-held signal — the
+    * finance/metrics TWAP: each event's value HOLDS until the next
+    * event of the same key, so the average weights each value by its
+    * holding duration, Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first), immune
+    * to burst-sampling bias that poisons the naive mean (a sensor that
+    * reports 100× more often while idle drags the plain mean to the
+    * idle value; TWAP doesn't move). The last event holds nothing
+    * (standard right-open convention); keys with a degenerate span
+    * (one event, or all at one instant) emit NULL (the voc3
+    * convention).
+    *
+    * Exactness: values in exact cents (Money.cents), durations in
+    * integer µs off the st19 total-order contract (ts, then the tie
+    * column); the cents×µs products wrap int64 (~10¹¹·10¹³) so the
+    * weighted sum rides DECIMAL(38,0)/HUGEINT (the eval2 class), and
+    * the single final division sign-splits (refund-negative values).
+    *
+    * Scale: one lead() window per key (key-partitioned — the e10/st24
+    * per-type contract: key domains are bounded; a per-(key, day)
+    * variant bounds partitions for unbounded histories) + two
+    * map-side-combinable aggregates. Library entry point:
+    * [[graft.api.GraftApi.twap]]. */
+  private[graft] def twapOf(events: DataFrame, keyCol: String, tsCol: String,
+      valueCentsCol: org.apache.spark.sql.Column, tieCol: String = "event_id"): DataFrame = {
+    val base = events.select(col(keyCol).as("k"),
+      expr(s"unix_micros($tsCol)").as("us"), col(tieCol).as("tie"), valueCentsCol.as("vc"))
+    val w = Window.partitionBy("k").orderBy("us", "tie")
+    val seg = base.withColumn("dur", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dur").isNotNull)
+    val spans = base.groupBy("k")
+      .agg(count(lit(1)).as("n_events"), min("us").as("t0"), max("us").as("t1"))
+    val wsum = seg.groupBy("k").agg(sum(expr("CAST(vc AS DECIMAL(38,0)) * dur")).as("wsum"))
+    spans.join(wsum, Seq("k"), "left")
+      .select(col("k").as(keyCol), col("n_events"),
+        (col("t1") - col("t0")).as("span_us"),
+        expr("CASE WHEN t1 = t0 THEN CAST(NULL AS BIGINT) " +
+          "WHEN wsum >= 0 THEN CAST(wsum div (t1 - t0) AS BIGINT) " +
+          "ELSE -CAST((-wsum) div (t1 - t0) AS BIGINT) END").as("twap_c"))
+      .orderBy(keyCol)
+  }
+
+  val e13: Q = (s, d) => twapOf(ev(s, d), "event_type", "ts", cents(col("value")))
+  val e13Sql: String =
+    s"""WITH base AS (
+       |  SELECT event_type AS k, epoch_us(ts) AS us, event_id AS tie, $centsSql AS vc
+       |  FROM events),
+       |seg AS (
+       |  SELECT k, vc, lead(us) OVER (PARTITION BY k ORDER BY us, tie) - us AS dur
+       |  FROM base),
+       |sp AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n_events,
+       |         min(us) AS t0, max(us) AS t1
+       |  FROM base GROUP BY k),
+       |ws AS (
+       |  SELECT k, CAST(sum(CAST(vc AS HUGEINT) * dur) AS HUGEINT) AS wsum
+       |  FROM seg WHERE dur IS NOT NULL GROUP BY k)
+       |SELECT sp.k AS event_type, n_events, CAST(t1 - t0 AS BIGINT) AS span_us,
+       |       CASE WHEN t1 = t0 THEN CAST(NULL AS BIGINT)
+       |            WHEN wsum >= 0 THEN CAST(wsum // (t1 - t0) AS BIGINT)
+       |            ELSE -CAST((-wsum) // (t1 - t0) AS BIGINT) END AS twap_c
+       |FROM sp LEFT JOIN ws USING (k) ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e13_twap" -> e13,
     "e11_attribution" -> e11,
     "e12_rfm" -> e12,
     "w6_cumulative_distinct" -> w6,
@@ -502,6 +567,7 @@ object Events {
   val oracle: Map[String, String] = Map(
     "e11_attribution" -> e11Sql,
     "e12_rfm" -> e12Sql,
+    "e13_twap" -> e13Sql,
     "w6_cumulative_distinct" -> w6Sql,
     "e10_resample_locf" -> e10Sql,
     "e1_tumbling_window" -> e1Sql,

@@ -42,6 +42,29 @@ class EventsSpec extends SparkSpec {
     assert(firstC > 0)
   }
 
+  test("e13 TWAP weights by holding time, signs split, degenerate span is NULL") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import spark.implicits._
+    val us = 1000000L
+    val ev = Seq(
+      // key a: 100c held 10s, 200c held 20s, 50c tail (unweighted)
+      ("a", 0L * us, 1L, 100L), ("a", 10L * us, 2L, 200L), ("a", 30L * us, 3L, 50L),
+      // key b: negative values exercise the sign-split path
+      ("b", 0L * us, 4L, -100L), ("b", 10L * us, 5L, -300L), ("b", 20L * us, 6L, 0L),
+      // key c: a single event -> span 0 -> NULL
+      ("c", 5L * us, 7L, 42L))
+      .toDF("k", "usv", "event_id", "vc")
+      .withColumn("ts", timestamp_micros(col("usv")))
+    val got = graft.api.GraftApi.twap(ev, "k", "ts", col("vc")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3))).toMap
+    // a: (100*10e6 + 200*20e6) div 30e6 = 166 (naive mean would be 116)
+    assert(got("a") === ((3L, 30L * us, 166L)))
+    // b: (-100*10e6 - 300*10e6) div 20e6 = -200 exactly
+    assert(got("b") === ((3L, 20L * us, -200L)))
+    assert(got("c") === ((1L, 0L, Long.MinValue)))
+  }
+
   test("e12 RFM quartiles follow the aligned hand fixture") {
     val s2 = spark
     import s2.implicits._
