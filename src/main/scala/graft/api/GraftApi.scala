@@ -1048,6 +1048,15 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** Jensen–Shannon divergence matrix over a (source, text) frame:
+    * per unordered source pair the unigram-distribution JSD in nats
+    * (e9, bounded by ln 2), plus union/common type counts — the
+    * distributional redundancy screen complementing the type-set
+    * overlap of [[sourceVocabOverlap]]. Registry twin:
+    * `voc5_source_jsd`. */
+  def sourceJsd(docs: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.sourceJsdOf(docs)
+
   /** Time-weighted average (TWAP) of a stepwise-held signal per key:
     * each event's cents value holds until the key's next event;
     * emits (key, n_events, span_us, twap_c) with a sign-split exact

@@ -1495,6 +1495,99 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  // ---- VOC5: Jensen–Shannon divergence between source unigram LMs ----
+
+  /** VOC5: the DISTRIBUTIONAL complement of voc4's type-set overlap —
+    * per unordered source pair, the Jensen–Shannon divergence (in nats,
+    * e9) between the two sources' unigram token distributions. Two
+    * feeds can share most of their vocabulary (high voc4 Jaccard) yet
+    * USE it with wildly different frequencies; JSD is the symmetric,
+    * bounded (≤ ln 2) statistic mixture design actually wants when
+    * deciding whether two sources are redundant or complementary
+    * (cf. DoReMi/DSIR-style domain weighting, mix2/sel1).
+    *
+    * JSD(P‖Q) = ½Σ_w [p·ln(2p/(p+q)) + q·ln(2q/(p+q))]; words
+    * exclusive to one side contribute their ln 2 mass via the same
+    * expression's degenerate branch. Exactness: counts and totals are
+    * exact integers; each word's contribution is ONE double expression
+    * over identical integer operands in both engines, rounded ONCE to
+    * e9 (the t14/fs2 transcendental convention — per-word convexity
+    * makes every term ≥ 0, so the summed integers divide by 2
+    * truncation-safely).
+    *
+    * Scale: token counts are one exploded scan; the pair expansion
+    * joins each (source, word) count against the SOURCE DOMAIN (≤ S−1
+    * copies per row, S a schema constant — the voc4 bound), never
+    * word×word or doc×doc. Library entry point:
+    * [[graft.api.GraftApi.sourceJsd]]. */
+  private[graft] def sourceJsdOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val cnt = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source").agg(sum("c").as("n_tok"))
+    val srcs = tot.select(col("source").as("other"))
+    val sided = cnt.join(broadcast(srcs), col("source") =!= col("other"))
+      .select(least(col("source"), col("other")).as("src_a"),
+        greatest(col("source"), col("other")).as("src_b"), col("w"),
+        when(col("source") < col("other"), col("c")).otherwise(lit(0L)).as("ca0"),
+        when(col("source") > col("other"), col("c")).otherwise(lit(0L)).as("cb0"))
+    val merged = sided.groupBy("src_a", "src_b", "w")
+      .agg(sum("ca0").as("ca"), sum("cb0").as("cb"))
+    val contrib =
+      "CASE WHEN ca > 0 AND cb > 0 THEN CAST(round((" +
+        "(CAST(ca AS DOUBLE) / na) * ln(2.0 * (CAST(ca AS DOUBLE) / na) / ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb))) + " +
+        "(CAST(cb AS DOUBLE) / nb) * ln(2.0 * (CAST(cb AS DOUBLE) / nb) / ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)))" +
+        ") * 1000000000) AS BIGINT) " +
+        "WHEN ca > 0 THEN CAST(round((CAST(ca AS DOUBLE) / na) * ln(2.0) * 1000000000) AS BIGINT) " +
+        "ELSE CAST(round((CAST(cb AS DOUBLE) / nb) * ln(2.0) * 1000000000) AS BIGINT) END"
+    merged
+      .join(broadcast(tot.select(col("source").as("src_a"), col("n_tok").as("na"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"), col("n_tok").as("nb"))), Seq("src_b"))
+      .withColumn("contrib_e9", expr(contrib))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_union"),
+        sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L)).as("n_common"),
+        sum("contrib_e9").as("c2"))
+      .withColumn("jsd_e9", expr("c2 div 2"))
+      .select("src_a", "src_b", "n_union", "n_common", "jsd_e9")
+      .orderBy("src_a", "src_b")
+  }
+
+  val voc5: Q = (s, d) => sourceJsdOf(Tables.documents(s, d))
+  val voc5Sql: String =
+    """WITH toks AS (
+      |  SELECT source, w FROM (
+      |    SELECT source, unnest(str_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0),
+      |cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY source, w),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok FROM cnt GROUP BY source),
+      |sided AS (
+      |  SELECT least(cnt.source, o.source) AS src_a,
+      |         greatest(cnt.source, o.source) AS src_b, cnt.w,
+      |         CASE WHEN cnt.source < o.source THEN cnt.c ELSE 0 END AS ca0,
+      |         CASE WHEN cnt.source > o.source THEN cnt.c ELSE 0 END AS cb0
+      |  FROM cnt JOIN tot o ON cnt.source <> o.source),
+      |merged AS (
+      |  SELECT src_a, src_b, w, CAST(sum(ca0) AS BIGINT) AS ca, CAST(sum(cb0) AS BIGINT) AS cb
+      |  FROM sided GROUP BY src_a, src_b, w),
+      |scored AS (
+      |  SELECT src_a, src_b, ca, cb,
+      |         CASE WHEN ca > 0 AND cb > 0 THEN CAST(round((
+      |             (CAST(ca AS DOUBLE) / na) * ln(2.0 * (CAST(ca AS DOUBLE) / na) / ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb))) +
+      |             (CAST(cb AS DOUBLE) / nb) * ln(2.0 * (CAST(cb AS DOUBLE) / nb) / ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)))
+      |           ) * 1000000000) AS BIGINT)
+      |              WHEN ca > 0 THEN CAST(round((CAST(ca AS DOUBLE) / na) * ln(2.0) * 1000000000) AS BIGINT)
+      |              ELSE CAST(round((CAST(cb AS DOUBLE) / nb) * ln(2.0) * 1000000000) AS BIGINT) END AS contrib_e9
+      |  FROM merged
+      |  JOIN (SELECT source AS src_a, n_tok AS na FROM tot) ta USING (src_a)
+      |  JOIN (SELECT source AS src_b, n_tok AS nb FROM tot) tb USING (src_b))
+      |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_union,
+      |       CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |       CAST(sum(contrib_e9) AS BIGINT) // 2 AS jsd_e9
+      |FROM scored GROUP BY src_a, src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   val voc4: Q = (s, d) => sourceVocabOverlapOf(Tables.documents(s, d))
   val voc4Sql: String =
     """WITH t AS (
@@ -1517,6 +1610,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "voc4_source_overlap" -> voc4,
+    "voc5_source_jsd" -> voc5,
     "t26_forcast_readability" -> t26,
     "t27_burstiness" -> t27,
     "voc3_heaps_law" -> voc3,
@@ -1547,6 +1641,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "voc4_source_overlap" -> voc4Sql,
+    "voc5_source_jsd" -> voc5Sql,
     "t26_forcast_readability" -> t26Sql,
     "t27_burstiness" -> t27Sql,
     "voc3_heaps_law" -> voc3Sql,

@@ -362,6 +362,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(4) === lnT * 1000000L / lnN)
   }
 
+  test("voc5 JSD pins identical = 0, disjoint = ln 2, and the hand-mixed case") {
+    val s2 = spark
+    import s2.implicits._
+    def jsd(docs: Seq[(String, String)]) =
+      TextAnalysis.sourceJsdOf(docs.toDF("source", "text")).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // identical unigram distributions -> every word's p = q -> JSD = 0
+    val same = jsd(Seq(("p", "x y y"), ("q", "x y y")))
+    assert(same(("p", "q")) === ((2L, 2L, 0L)))
+    // disjoint vocabularies -> the ln 2 maximum: per word round(p*ln2*1e9)
+    // = 693147181, both sides, div 2 -> exactly 693147181
+    val disj = jsd(Seq(("p", "x x"), ("q", "y y")))
+    assert(disj(("p", "q")) === ((2L, 0L, 693147181L)))
+    // hand case: shared x at equal mass contributes 0; y and z each
+    // carry round(0.5*ln2*1e9) = 346573590 -> sum 693147180 div 2
+    val mixed = jsd(Seq(("p", "x y"), ("q", "x z")))
+    assert(mixed(("p", "q")) === ((3L, 1L, 346573590L)))
+    // three sources emit all three unordered pairs, all bounded by ln 2
+    val tri = jsd(Seq(("p", "x"), ("q", "y"), ("r", "x y")))
+    assert(tri.size === 3)
+    tri.values.foreach { case (_, _, j) => assert(j >= 0L && j <= 693147181L) }
+    // facade routes to the same implementation
+    assert(graft.api.GraftApi.sourceJsd(
+      Seq(("p", "x"), ("q", "x")).toDF("source", "text")).collect()
+      .head.getLong(4) === 0L)
+  }
+
   test("voc4 source vocabulary overlap matches hand-counted type sets") {
     val s2 = spark
     import s2.implicits._
