@@ -1048,6 +1048,14 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** Spearman's ρ (tie-averaged ranks) between the integer columns
+    * `x` and `y` of a scored frame — distributed global ranks via the
+    * prefix-sum idiom, exact integer sufficient statistics, one
+    * e6-rounded transcendental; NULL when a signal is constant.
+    * Registry twin: `eval12_spearman`. */
+  def spearman(scored: DataFrame): DataFrame =
+    graft.ops.Evaluation.spearmanOf(scored)
+
   /** Jensen–Shannon divergence matrix over a (source, text) frame:
     * per unordered source pair the unigram-distribution JSD in nats
     * (e9, bounded by ln 2), plus union/common type counts — the

@@ -1276,7 +1276,94 @@ object Evaluation {
        |              // (b_only + c_only) AS BIGINT) END AS chi2_cc_e6
        |FROM cm""".stripMargin
 
+  // ---- EVAL12: Spearman rank correlation (tie-averaged, distributed) ----
+
+  /** EVAL12: Spearman's ρ between two integer quality signals — the
+    * rank-level complement of eval10's gamma: gamma asks "do bucketed
+    * orderings agree?", Spearman measures HOW LINEARLY the full
+    * tie-averaged rankings track each other (the standard
+    * rater-agreement number reported beside κ/α). Ranks use the
+    * textbook average-rank tie treatment, DOUBLED to stay integral:
+    * r2(v) = 2·|{u < v}| + f(v) + 1, computed at the DISTINCT-VALUE
+    * level through [[PrefixSum.prefixRank]] (range-partitioned global
+    * order — never a single-reducer window) and joined back by value.
+    * ρ is then Pearson over (r2x, r2y): integer sufficient statistics
+    * (n, Σr, Σr², Σrxry) in DECIMAL(38,0)/HUGEINT, and the single
+    * transcendental num/√(denx·deny) is ONE double expression over
+    * identical integer operands rounded ONCE to e6 (the t14
+    * convention); NULL when either signal is constant (den = 0, the
+    * voc3 convention). Decimal headroom bounds exactness at ~10⁹ rows
+    * (n·Σr² ≈ 4·10³⁸) — per-shard audit scale; beyond that, bucket
+    * first (eval10's convention) or sample.
+    *
+    * Scale: two value-level prefix ranks (distinct-value frames), two
+    * value-keyed joins back, one map-side-combined 1-row aggregate.
+    * Library entry point: [[graft.api.GraftApi.spearman]]. */
+  private[graft] def spearmanOf(scored: DataFrame): DataFrame = {
+    def ranks2(c: String): DataFrame = {
+      val vc = scored.groupBy(col(c).as("v")).agg(count(lit(1)).as("f"))
+      PrefixSum.prefixRank(vc, Seq(col("v")), sumCol = Some("f")).df
+        .select(col("v").as(c), (lit(2L) * col("g_cum_excl") + col("f") + 1).as(s"r2_$c"))
+    }
+    scored.join(ranks2("x"), Seq("x")).join(ranks2("y"), Seq("y"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(expr("CAST(r2_x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(r2_y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(r2_x AS DECIMAL(38,0)) * r2_x")).as("sxx"),
+        sum(expr("CAST(r2_y AS DECIMAL(38,0)) * r2_y")).as("syy"),
+        sum(expr("CAST(r2_x AS DECIMAL(38,0)) * r2_y")).as("sxy"))
+      .select(col("n").cast("long").as("n"),
+        expr("n * sxy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("denx"),
+        expr("n * syy - sy * sy").as("deny"))
+      .select(col("n"),
+        expr("CASE WHEN denx = 0 OR deny = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(round(CAST(num AS DOUBLE) / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)) * 1000000) AS BIGINT) END")
+          .as("rho_e6"))
+  }
+
+  val eval12: Q = (s, d) => {
+    val q = TextAnalysis.qualityScoreOf(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality"))
+    val scored = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .join(q, Seq("doc_id"))
+      .select(col("n_chars").as("x"), col("quality").as("y"))
+    spearmanOf(scored)
+  }
+  val eval12Sql: String =
+    s"""WITH ${TextAnalysis.qualityCte},
+       |sc AS (
+       |  SELECT d.n_chars AS x, q.quality AS y
+       |  FROM documents d JOIN qual q ON q.doc_id = d.doc_id),
+       |vx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS f FROM sc GROUP BY x),
+       |rx AS (
+       |  SELECT v, 2 * (sum(f) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - f)
+       |         + f + 1 AS r2
+       |  FROM vx),
+       |vy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS f FROM sc GROUP BY y),
+       |ry AS (
+       |  SELECT v, 2 * (sum(f) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - f)
+       |         + f + 1 AS r2
+       |  FROM vy),
+       |st AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |         CAST(sum(CAST(rx.r2 AS HUGEINT)) AS HUGEINT) AS sx,
+       |         CAST(sum(CAST(ry.r2 AS HUGEINT)) AS HUGEINT) AS sy,
+       |         CAST(sum(CAST(rx.r2 AS HUGEINT) * rx.r2) AS HUGEINT) AS sxx,
+       |         CAST(sum(CAST(ry.r2 AS HUGEINT) * ry.r2) AS HUGEINT) AS syy,
+       |         CAST(sum(CAST(rx.r2 AS HUGEINT) * ry.r2) AS HUGEINT) AS sxy
+       |  FROM sc JOIN rx ON rx.v = sc.x JOIN ry ON ry.v = sc.y),
+       |d2 AS (
+       |  SELECT CAST(n AS BIGINT) AS n, n * sxy - sx * sy AS num,
+       |         n * sxx - sx * sx AS denx, n * syy - sy * sy AS deny
+       |  FROM st)
+       |SELECT n,
+       |       CASE WHEN denx = 0 OR deny = 0 THEN CAST(NULL AS BIGINT)
+       |            ELSE CAST(round(CAST(num AS DOUBLE) / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)) * 1000000) AS BIGINT) END AS rho_e6
+       |FROM d2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "eval12_spearman" -> eval12,
     "eval11_mcnemar" -> eval11,
     "eval10_gamma_concordance" -> eval10,
     "dq7_least_squares_fit" -> dq7,
@@ -1298,6 +1385,7 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "eval12_spearman" -> eval12Sql,
     "eval11_mcnemar" -> eval11Sql,
     "eval10_gamma_concordance" -> eval10Sql,
     "dq7_least_squares_fit" -> dq7Sql,

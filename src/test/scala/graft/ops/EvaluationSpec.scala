@@ -205,6 +205,26 @@ class EvaluationSpec extends SparkSpec {
     assert(degen.isNullAt(degen.fieldIndex("alpha_e6")))
   }
 
+  test("eval12 spearman: monotone extremes, the textbook 0.8 case, ties, constant NULL") {
+    import spark.implicits._
+    def rho(rows: Seq[(Long, Long)]): Option[Long] = {
+      val r = Evaluation.spearmanOf(rows.toDF("x", "y")).collect().head
+      if (r.isNullAt(1)) None else Some(r.getLong(1))
+    }
+    // strictly monotone -> +1e6; reversed -> -1e6
+    assert(rho(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))) === Some(1000000L))
+    assert(rho(Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L))) === Some(-1000000L))
+    // the textbook swap case: rho = 1 - 6*4/(5*24) = 0.8
+    assert(rho(Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 5L))) === Some(800000L))
+    // tie-averaged ranks: x=(1,1,2) vs y=(1,2,3) -> 18/sqrt(18*24) = 0.8660254
+    assert(rho(Seq((1L, 1L), (1L, 2L), (2L, 3L))) === Some(866025L))
+    // constant signal -> undefined -> NULL
+    assert(rho(Seq((1L, 5L), (2L, 5L), (3L, 5L))) === None)
+    // facade routes to the same implementation
+    assert(graft.api.GraftApi.spearman(
+      Seq((1L, 1L), (2L, 2L)).toDF("x", "y")).collect().head.getLong(1) === 1000000L)
+  }
+
   test("eval11 mcnemar: cells partition n; chi2 exact; NULL when no discordance") {
     import spark.implicits._
     def mc(rows: Seq[(Int, Int)]) =
