@@ -1048,6 +1048,14 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** Calinski–Harabasz pseudo-F of a cluster assignment frame
+    * (cid, q, nrm — e.g. from the k-means path): per-cluster exact
+    * within-scatter rows (e3) plus an overall NULL-cluster row with
+    * CH_e6 = B·(n−k)·10⁶ div (W·(k−1)); NULL on degenerate
+    * partitions. Registry twin: `cl4_calinski_harabasz`. */
+  def calinskiHarabasz(assigned: DataFrame): DataFrame =
+    graft.ops.Clustering.calinskiHarabaszOf(assigned)
+
   /** Spearman's ρ (tie-averaged ranks) between the integer columns
     * `x` and `y` of a scored frame — distributed global ranks via the
     * prefix-sum idiom, exact integer sufficient statistics, one

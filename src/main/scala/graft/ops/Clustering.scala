@@ -287,6 +287,94 @@ object Clustering {
        |       CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
        |FROM sil GROUP BY cid ORDER BY cluster_id""".stripMargin
 
+  // ---- CL4: Calinski–Harabasz (pseudo-F) cluster-quality index ----
+
+  /** CL4: the Calinski–Harabasz pseudo-F (1974) of the final k-means
+    * assignment — the BETWEEN/WITHIN variance-ratio criterion used to
+    * pick k and to compare clusterings, complementing cl3's silhouette
+    * (silhouette judges member placement; CH judges the partition's
+    * overall separation-vs-compactness). Both dispersion terms come
+    * from EXACT sufficient statistics against the true rational means
+    * (never the integer-rounded centroids): per cluster,
+    * n_c·W_c = n_c·Σ|q|² − |Σq|² (Cauchy–Schwarz ⇒ ≥ 0), and the total
+    * scatter from the same identity over the summed partials. Each W_c
+    * rounds ONCE to e3 by its own exact integral division (trunc ==
+    * floor on non-negatives), the rounded integers sum identically in
+    * both engines, and B = T − W clamps at 0 (truncation can shave ±1
+    * when the true B is 0). CH_e6 = B·(n−k)·10⁶ div (W·(k−1)) with
+    * NULL when k ≤ 1, n ≤ k, or W = 0 (degenerate — the voc3
+    * convention); k counts NON-EMPTY clusters.
+    *
+    * Scale: one posexploded map-side-combined (k×64)-row aggregate +
+    * one per-cluster count/norm aggregate off the assignment — the
+    * emb7 shape; the overall row folds partials, never rescans.
+    * Library entry point: [[graft.api.GraftApi.calinskiHarabasz]]. */
+  private[graft] def calinskiHarabaszOf(assigned: DataFrame): DataFrame = {
+    val perDim = assigned.select(col("cid"), posexplode(col("q")).as(Seq("j", "x")))
+      .groupBy("cid", "j").agg(sum(expr("CAST(x AS DECIMAL(38,0))")).as("s"))
+    val ssumC = perDim.groupBy("cid").agg(sum(expr("s * s")).as("ssum"))
+    val nc = assigned.groupBy("cid").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n_c"),
+      sum(expr("CAST(nrm AS DECIMAL(38,0))")).as("nrm_c"))
+    val per = nc.join(ssumC, Seq("cid"))
+      .withColumn("w_e3", expr("(n_c * nrm_c - ssum) * 1000 div n_c"))
+    val dimAll = perDim.groupBy("j").agg(sum("s").as("s"))
+      .agg(sum(expr("s * s")).as("ssum_all"))
+    val glob = nc.agg(sum("n_c").as("n"), sum("nrm_c").as("nrm_all"),
+      count(lit(1)).cast("decimal(38,0)").as("k"))
+    val wtot = per.agg(sum("w_e3").as("w_t"))
+    val overall = glob.crossJoin(broadcast(dimAll)).crossJoin(broadcast(wtot))
+      .withColumn("t_e3", expr("(n * nrm_all - ssum_all) * 1000 div n"))
+      .select(lit(null).cast("long").as("cluster_id"),
+        col("n").cast("long").as("n_members"), col("w_t").cast("long").as("w_e3"),
+        expr("CASE WHEN k <= 1 OR n <= k OR w_t = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(greatest(t_e3 - w_t, CAST(0 AS DECIMAL(38,0))) * (n - k) * 1000000 " +
+          "div (w_t * (k - 1)) AS BIGINT) END").as("ch_e6"))
+    per.select(col("cid").cast("long").as("cluster_id"),
+        col("n_c").cast("long").as("n_members"), col("w_e3").cast("long").as("w_e3"),
+        lit(null).cast("long").as("ch_e6"))
+      .unionByName(overall).orderBy("cluster_id")
+  }
+
+  val cl4: Q = (s, d) =>
+    calinskiHarabaszOf(kmeansAssignments(Tables.embeddings(s, d))._1)
+
+  /** cl4's oracle: the shared Lloyd chain's final assignment joined back
+    * to qn for (q, nrm), then the same partial-fold arithmetic. */
+  val cl4Sql: String = lloydCtes +
+    """, asg AS (SELECT a.vec_id, a.cid, qn.q, qn.nrm FROM a1 a JOIN qn USING (vec_id)),
+       |pd AS (
+       |  SELECT cid, t.j, CAST(sum(q[CAST(t.j AS INTEGER)]) AS HUGEINT) AS s
+       |  FROM asg CROSS JOIN generate_series(1, 64) t(j) GROUP BY cid, t.j),
+       |sc AS (SELECT cid, CAST(sum(s * s) AS HUGEINT) AS ssum FROM pd GROUP BY cid),
+       |nc AS (
+       |  SELECT cid, CAST(count(*) AS HUGEINT) AS n_c,
+       |         CAST(sum(nrm) AS HUGEINT) AS nrm_c
+       |  FROM asg GROUP BY cid),
+       |per AS (
+       |  SELECT cid, n_c, (n_c * nrm_c - ssum) * 1000 // n_c AS w_e3
+       |  FROM nc JOIN sc USING (cid)),
+       |da AS (SELECT j, CAST(sum(s) AS HUGEINT) AS s FROM pd GROUP BY j),
+       |ga AS (SELECT CAST(sum(s * s) AS HUGEINT) AS ssum_all FROM da),
+       |gl AS (
+       |  SELECT CAST(sum(n_c) AS HUGEINT) AS n, CAST(sum(nrm_c) AS HUGEINT) AS nrm_all,
+       |         CAST(count(*) AS HUGEINT) AS k
+       |  FROM nc),
+       |wt AS (SELECT CAST(sum(w_e3) AS HUGEINT) AS w_t FROM per),
+       |ov AS (
+       |  SELECT (n * nrm_all - ssum_all) * 1000 // n AS t_e3, n, k, w_t
+       |  FROM gl CROSS JOIN ga CROSS JOIN wt)
+       |SELECT CAST(cid AS BIGINT) AS cluster_id, CAST(n_c AS BIGINT) AS n_members,
+       |       CAST(w_e3 AS BIGINT) AS w_e3, CAST(NULL AS BIGINT) AS ch_e6
+       |FROM per
+       |UNION ALL
+       |SELECT NULL, CAST(n AS BIGINT), CAST(w_t AS BIGINT),
+       |       CASE WHEN k <= 1 OR n <= k OR w_t = 0 THEN CAST(NULL AS BIGINT)
+       |            ELSE CAST(greatest(t_e3 - w_t, 0) * (n - k) * 1000000
+       |              // (w_t * (k - 1)) AS BIGINT) END
+       |FROM ov
+       |ORDER BY cluster_id""".stripMargin
+
   // ---- EMB1: label-centroid embedding audit ----
 
   /** Supervised embedding-quality audit over a labeled vector frame
@@ -453,12 +541,14 @@ object Clustering {
     "cl1_kmeans_clusters" -> cl1,
     "cl2_cluster_balanced_sample" -> cl2,
     "cl3_simplified_silhouette" -> cl3,
+    "cl4_calinski_harabasz" -> cl4,
     "lda1_topic_mstep" -> lda1,
     "emb1_label_centroid_audit" -> emb1)
   val oracle: Map[String, String] = Map(
     "cl1_kmeans_clusters" -> cl1Sql,
     "cl2_cluster_balanced_sample" -> cl2Sql,
     "cl3_simplified_silhouette" -> cl3Sql,
+    "cl4_calinski_harabasz" -> cl4Sql,
     "lda1_topic_mstep" -> lda1Sql,
     "emb1_label_centroid_audit" -> emb1Sql)
 }

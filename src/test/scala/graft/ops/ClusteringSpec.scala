@@ -7,6 +7,34 @@ import graft.SparkSpec
   * assignment step genuinely minimizes the integer squared-L2 distance. */
 class ClusteringSpec extends SparkSpec {
 
+  test("cl4 Calinski-Harabasz matches the hand-computed two-cluster fixture") {
+    val s2 = spark
+    import s2.implicits._
+    def qv(x: Long): (Seq[Long], Long) = {
+      val a = Array.fill(64)(0L); a(0) = x; (a.toSeq, x * x)
+    }
+    // cluster 1 at {0, 2}, cluster 2 at {100, 102} on one axis:
+    // W_c = 2 each (w_e3 = 2000), T = 10004, B = 10000,
+    // CH = (10000/1)/(4/2) = 5000 exactly -> ch_e6 = 5e9
+    val assigned = Seq((1L, 0L), (1L, 2L), (2L, 100L), (2L, 102L))
+      .map { case (cid, x) => val (q, nrm) = qv(x); (cid, q, nrm) }
+      .toDF("cid", "q", "nrm")
+    val rows = Clustering.calinskiHarabaszOf(assigned).collect()
+    val per = rows.filter(!_.isNullAt(0))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(per(1L) === ((2L, 2000L)))
+    assert(per(2L) === ((2L, 2000L)))
+    val ov = rows.find(_.isNullAt(0)).get
+    assert(ov.getLong(1) === 4L && ov.getLong(2) === 4000L)
+    assert(ov.getLong(3) === 5000000000L)
+    // a single cluster is degenerate -> NULL CH
+    val one = Seq((1L, 0L), (1L, 2L))
+      .map { case (cid, x) => val (q, nrm) = qv(x); (cid, q, nrm) }
+      .toDF("cid", "q", "nrm")
+    val ov1 = graft.api.GraftApi.calinskiHarabasz(one).collect().find(_.isNullAt(0)).get
+    assert(ov1.isNullAt(ov1.fieldIndex("ch_e6")))
+  }
+
   test("cl1 partitions every nonzero vector exactly once, deterministically") {
     val out = Clustering.cl1(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
