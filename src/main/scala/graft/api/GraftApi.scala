@@ -1048,6 +1048,15 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** Simpson's-paradox audit of the x→y association across strata:
+    * per-stratum exact least-squares slopes (e6) with a `reversed`
+    * flag vs the pooled slope, plus the pooled NULL-stratum row folded
+    * from the same one-scan sufficient statistics. Registry twin:
+    * `dq8_simpson_audit`. */
+  def simpsonAudit(pts: DataFrame, groupCol: String,
+      xCol: String, yCol: String): DataFrame =
+    graft.ops.Evaluation.simpsonAuditOf(pts, groupCol, xCol, yCol)
+
   /** Calinski–Harabasz pseudo-F of a cluster assignment frame
     * (cid, q, nrm — e.g. from the k-means path): per-cluster exact
     * within-scatter rows (e3) plus an overall NULL-cluster row with

@@ -1362,8 +1362,105 @@ object Evaluation {
        |            ELSE CAST(round(CAST(num AS DOUBLE) / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)) * 1000000) AS BIGINT) END AS rho_e6
        |FROM d2""".stripMargin
 
+  // ---- DQ8: Simpson's-paradox slope-reversal audit ----
+
+  /** DQ8: the Simpson's-paradox audit — does the POOLED association
+    * between two signals reverse inside strata? The classic aggregation
+    * trap (Simpson 1951; Berkeley admissions): a corpus-level trend can
+    * be an artifact of stratum composition, so any pipeline decision
+    * keyed on a pooled slope (quality-by-length cuts, source weighting)
+    * must check the per-stratum slopes first. Per stratum: dq7's exact
+    * closed-form least-squares slope (sign-split e6, NULL on degenerate
+    * strata) plus a `reversed` flag vs the pooled slope; the pooled row
+    * (NULL stratum) folds the PER-STRATUM integer sufficient statistics
+    * — one corpus scan total (the emb7 rollup convention).
+    *
+    * Scale: one map-side-combinable six-stat aggregate, stratum-domain
+    * frames after that; the pooled slope broadcasts back as a 1-row
+    * frame. Library entry point: [[graft.api.GraftApi.simpsonAudit]]. */
+  private[graft] def simpsonAuditOf(pts: DataFrame, groupCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val stats = pts.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(col(xCol).cast("long")).as("sx"),
+      sum(col(yCol).cast("long")).as("sy"),
+      sum((col(xCol) * col(xCol)).cast("long")).as("sxx"),
+      sum((col(xCol) * col(yCol)).cast("long")).as("sxy"))
+    def withSlope(df: DataFrame): DataFrame = df
+      .withColumn("num", expr(s"CAST(n AS $d38) * sxy - CAST(sx AS $d38) * sy"))
+      .withColumn("dx", expr(s"CAST(n AS $d38) * sxx - CAST(sx AS $d38) * sx"))
+      .withColumn("slope_e6", expr(
+        "CASE WHEN dx = 0 THEN CAST(NULL AS BIGINT) " +
+          "WHEN num >= 0 THEN CAST(num * 1000000 div dx AS BIGINT) " +
+          "ELSE -CAST((-num) * 1000000 div dx AS BIGINT) END"))
+    val per = withSlope(stats)
+    val pooled = withSlope(stats.agg(sum("n").as("n"), sum("sx").as("sx"),
+      sum("sy").as("sy"), sum("sxx").as("sxx"), sum("sxy").as("sxy")))
+    per.crossJoin(broadcast(pooled.select(col("slope_e6").as("pooled_slope"))))
+      .select(col(groupCol).cast("string").as("stratum"),
+        col("n").cast("long").as("n"), col("slope_e6"),
+        when(col("slope_e6").isNull || col("pooled_slope").isNull,
+          lit(null).cast("boolean"))
+          .otherwise((col("slope_e6") > 0 && col("pooled_slope") < 0) ||
+            (col("slope_e6") < 0 && col("pooled_slope") > 0)).as("reversed"))
+      .unionByName(pooled.select(lit(null).cast("string").as("stratum"),
+        col("n").cast("long").as("n"), col("slope_e6"),
+        lit(null).cast("boolean").as("reversed")))
+      .orderBy("stratum")
+  }
+
+  val dq8: Q = (s, d) =>
+    simpsonAuditOf(
+      Tables.documents(s, d).select(col("source"),
+        size(filter(split(col("text"), " "), w => length(w) > 0)).as("x"),
+        col("n_chars").as("y")),
+      "source", "x", "y")
+  val dq8Sql: String =
+    """WITH pts AS (
+      |  SELECT source,
+      |         CAST(len(list_filter(str_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS x,
+      |         n_chars AS y
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM pts GROUP BY source),
+      |per AS (
+      |  SELECT source, n,
+      |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx
+      |  FROM s),
+      |pooled AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS n,
+      |         CAST(sum(n) AS HUGEINT) * sum(sxy) - CAST(sum(sx) AS HUGEINT) * sum(sy) AS num,
+      |         CAST(sum(n) AS HUGEINT) * sum(sxx) - CAST(sum(sx) AS HUGEINT) * sum(sx) AS dx
+      |  FROM s),
+      |sl AS (
+      |  SELECT source, n,
+      |         CASE WHEN dx = 0 THEN CAST(NULL AS BIGINT)
+      |              WHEN num >= 0 THEN CAST(num * 1000000 // dx AS BIGINT)
+      |              ELSE -CAST((-num) * 1000000 // dx AS BIGINT) END AS slope_e6
+      |  FROM per),
+      |pl AS (
+      |  SELECT n,
+      |         CASE WHEN dx = 0 THEN CAST(NULL AS BIGINT)
+      |              WHEN num >= 0 THEN CAST(num * 1000000 // dx AS BIGINT)
+      |              ELSE -CAST((-num) * 1000000 // dx AS BIGINT) END AS slope_e6
+      |  FROM pooled)
+      |SELECT sl.source AS stratum, sl.n, sl.slope_e6,
+      |       CASE WHEN sl.slope_e6 IS NULL OR pl.slope_e6 IS NULL THEN NULL
+      |            ELSE (sl.slope_e6 > 0 AND pl.slope_e6 < 0)
+      |              OR (sl.slope_e6 < 0 AND pl.slope_e6 > 0) END AS reversed
+      |FROM sl CROSS JOIN pl
+      |UNION ALL
+      |SELECT NULL, n, slope_e6, NULL FROM pl
+      |ORDER BY stratum""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "eval12_spearman" -> eval12,
+    "dq8_simpson_audit" -> dq8,
     "eval11_mcnemar" -> eval11,
     "eval10_gamma_concordance" -> eval10,
     "dq7_least_squares_fit" -> dq7,
@@ -1386,6 +1483,7 @@ object Evaluation {
 
   val oracle: Map[String, String] = Map(
     "eval12_spearman" -> eval12Sql,
+    "dq8_simpson_audit" -> dq8Sql,
     "eval11_mcnemar" -> eval11Sql,
     "eval10_gamma_concordance" -> eval10Sql,
     "dq7_least_squares_fit" -> dq7Sql,

@@ -205,6 +205,31 @@ class EvaluationSpec extends SparkSpec {
     assert(degen.isNullAt(degen.fieldIndex("alpha_e6")))
   }
 
+  test("dq8 simpson audit flags the classic within-stratum reversal") {
+    import spark.implicits._
+    // both strata slope -1 exactly, but stratum B sits higher on BOTH
+    // axes, so the pooled slope is positive: the textbook paradox
+    val pts = Seq(
+      ("a", 1L, 10L), ("a", 2L, 9L), ("a", 3L, 8L),
+      ("b", 11L, 30L), ("b", 12L, 29L), ("b", 13L, 28L))
+      .toDF("g", "x", "y")
+    val rows = graft.api.GraftApi.simpsonAudit(pts, "g", "x", "y").collect()
+    val by = rows.map(r => (if (r.isNullAt(0)) "__pooled__" else r.getString(0)) -> r).toMap
+    assert(by("a").getLong(2) === -1000000L && by("a").getBoolean(3))
+    assert(by("b").getLong(2) === -1000000L && by("b").getBoolean(3))
+    // pooled: num = 1776, dx = 924 -> 1922077 (hand-computed), flag NULL
+    assert(by("__pooled__").getLong(2) === 1922077L)
+    assert(by("__pooled__").isNullAt(3))
+    // a constant-x stratum is degenerate: NULL slope, NULL flag
+    val degen = Seq(("c", 5L, 1L), ("c", 5L, 2L), ("d", 1L, 1L), ("d", 2L, 2L))
+      .toDF("g", "x", "y")
+    val dRows = graft.api.GraftApi.simpsonAudit(degen, "g", "x", "y").collect()
+      .map(r => (if (r.isNullAt(0)) "__pooled__" else r.getString(0)) -> r).toMap
+    assert(dRows("c").isNullAt(2) && dRows("c").isNullAt(3))
+    // aligned stratum agrees with the pooled direction -> not reversed
+    assert(dRows("d").getLong(2) === 1000000L && !dRows("d").getBoolean(3))
+  }
+
   test("eval12 spearman: monotone extremes, the textbook 0.8 case, ties, constant NULL") {
     import spark.implicits._
     def rho(rows: Seq[(Long, Long)]): Option[Long] = {
