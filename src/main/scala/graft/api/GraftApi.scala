@@ -1048,6 +1048,14 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** Newman degree assortativity of an undirected (a, b) edge frame:
+    * the Pearson correlation of end-point degrees over both stub
+    * directions, WHOLLY exact (permutation symmetry makes both
+    * denominators the same integer — no sqrt); sign-split e6, NULL on
+    * regular graphs. Registry twin: `gr2_assortativity`. */
+  def assortativity(edges: DataFrame): DataFrame =
+    graft.ops.Graph.assortativityOf(edges)
+
   /** Simpson's-paradox audit of the x→y association across strata:
     * per-stratum exact least-squares slopes (e6) with a `reversed`
     * flag vs the pooled slope, plus the pooled NULL-stratum row folded

@@ -1378,15 +1378,25 @@ object Evaluation {
     * Scale: one map-side-combinable six-stat aggregate, stratum-domain
     * frames after that; the pooled slope broadcasts back as a 1-row
     * frame. Library entry point: [[graft.api.GraftApi.simpsonAudit]]. */
-  private[graft] def simpsonAuditOf(pts: DataFrame, groupCol: String,
-      xCol: String, yCol: String): DataFrame = {
-    val d38 = "DECIMAL(38,0)"
-    val stats = pts.groupBy(groupCol).agg(
+  /** Per-stratum six-stat sufficient statistics for dq8 — an additive
+    * monoid (every column merges by SUM), split out so the streaming
+    * twin (st26) can fold per-batch deltas and finish through the
+    * identical [[simpsonFromStats]]. */
+  private[graft] def simpsonStatsOf(pts: DataFrame, groupCol: String,
+      xCol: String, yCol: String): DataFrame =
+    pts.groupBy(groupCol).agg(
       count(lit(1)).as("n"),
       sum(col(xCol).cast("long")).as("sx"),
       sum(col(yCol).cast("long")).as("sy"),
       sum((col(xCol) * col(xCol)).cast("long")).as("sxx"),
       sum((col(xCol) * col(yCol)).cast("long")).as("sxy"))
+
+  private[graft] def simpsonAuditOf(pts: DataFrame, groupCol: String,
+      xCol: String, yCol: String): DataFrame =
+    simpsonFromStats(simpsonStatsOf(pts, groupCol, xCol, yCol), groupCol)
+
+  private[graft] def simpsonFromStats(stats: DataFrame, groupCol: String): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
     def withSlope(df: DataFrame): DataFrame = df
       .withColumn("num", expr(s"CAST(n AS $d38) * sxy - CAST(sx AS $d38) * sy"))
       .withColumn("dx", expr(s"CAST(n AS $d38) * sxx - CAST(sx AS $d38) * sx"))

@@ -352,6 +352,76 @@ object Graph {
       |            ELSE -CAST((-num) * 1000000000 // (4 * m * m) AS BIGINT) END AS q_e9
       |FROM rows ORDER BY community""".stripMargin
 
+  // ---- GR2: degree assortativity ----
+
+  /** GR2: Newman's degree assortativity coefficient (PRL 2002) over an
+    * undirected (a, b) edge frame — the Pearson correlation of the
+    * degrees at the two ends of each edge, over both stub directions:
+    * r > 0 means hubs wire to hubs (social-network shape), r < 0 means
+    * hubs wire to leaves (the internet/star shape). Beside gr1
+    * (partition fitness) and lcc1 (local closure) this completes the
+    * standard one-number structure panel.
+    *
+    * WHOLLY exact — no sqrt: over the 2m directed stubs the x and y
+    * degree sequences are permutations of each other, so both Pearson
+    * denominators are THE SAME integer D = M·Σx² − (Σx)² and
+    * r = (M·Σxy − (Σx)²) / D is a pure rational — sign-split e6, NULL
+    * when D = 0 (a regular graph has undefined assortativity — the
+    * voc3 convention). Sums ride DECIMAL(38,0)/HUGEINT (Σxy squares
+    * degree mass — the eval2 overflow class).
+    *
+    * Scale: one degree aggregate + two broadcast-free equi-joins of the
+    * edge frame against the node-domain degree table + a 1-row fold.
+    * Library entry point: [[graft.api.GraftApi.assortativity]]. */
+  private[graft] def assortativityOf(und0: DataFrame): DataFrame = {
+    val und = und0.select(col("a"), col("b"))
+    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val stubs = und
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+      .select(col("da").as("x"), col("db").as("y"))
+      .unionAll(und
+        .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+        .select(col("db").as("x"), col("da").as("y")))
+    stubs.agg(count(lit(1)).cast("decimal(38,0)").as("m2"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .select(expr("CAST(m2 div 2 AS BIGINT)").as("m_edges"),
+        expr("CASE WHEN m2 * sxx - sx * sx = 0 THEN CAST(NULL AS BIGINT) " +
+          "WHEN m2 * sxy - sx * sx >= 0 " +
+          "THEN CAST((m2 * sxy - sx * sx) * 1000000 div (m2 * sxx - sx * sx) AS BIGINT) " +
+          "ELSE -CAST((sx * sx - m2 * sxy) * 1000000 div (m2 * sxx - sx * sx) AS BIGINT) END")
+          .as("assort_e6"))
+  }
+
+  val gr2: Q = (s, d) => assortativityOf(sparsifiedUndOf(s, d))
+  val gr2Sql: String =
+    s"""WITH $sparsifiedUndSql,
+      |deg AS (
+      |  SELECT v AS node, CAST(count(*) AS BIGINT) AS dg FROM (
+      |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+      |stubs AS (
+      |  SELECT da.dg AS x, db.dg AS y
+      |  FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b
+      |  UNION ALL
+      |  SELECT db.dg AS x, da.dg AS y
+      |  FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+      |st AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS m2,
+      |         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM stubs)
+      |SELECT CAST(m2 // 2 AS BIGINT) AS m_edges,
+      |       CASE WHEN m2 * sxx - sx * sx = 0 THEN CAST(NULL AS BIGINT)
+      |            WHEN m2 * sxy - sx * sx >= 0
+      |              THEN CAST((m2 * sxy - sx * sx) * 1000000 // (m2 * sxx - sx * sx) AS BIGINT)
+      |            ELSE -CAST((sx * sx - m2 * sxy) * 1000000 // (m2 * sxx - sx * sx) AS BIGINT) END AS assort_e6
+      |FROM st""".stripMargin
+
   // ---- KCORE1: bounded-round k-core peeling ----
 
   /** `rounds` peeling passes toward the k-core of an undirected (a, b)
@@ -722,6 +792,7 @@ object Graph {
     "tc1_triangle_count" -> tc1,
     "lcc1_clustering_coefficient" -> lcc1,
     "gr1_modularity" -> gr1,
+    "gr2_assortativity" -> gr2,
     "kcore1_supplier_core" -> kcore1,
     "lp1_label_propagation" -> lp1,
   )
@@ -734,6 +805,7 @@ object Graph {
     "tc1_triangle_count" -> tc1Sql,
     "lcc1_clustering_coefficient" -> lcc1Sql,
     "gr1_modularity" -> gr1Sql,
+    "gr2_assortativity" -> gr2Sql,
     "kcore1_supplier_core" -> kcore1Sql,
     "lp1_label_propagation" -> lp1Sql,
   )

@@ -1454,7 +1454,56 @@ object Streams {
       s.read.parquet(s"${latest._2}/dims"), s.read.parquet(s"${latest._2}/norms"))
   }
 
+  // ---- ST26: streaming structure monitor (Simpson audit, live) ----
+
+  /** ST26: streaming maintenance of dq8's Simpson's-paradox audit — the
+    * live "did the pooled trend detach from the within-source trends?"
+    * monitor over a document feed. dq8's per-stratum six-stat table
+    * (n, Σx, Σy, Σx², Σxy) is an additive monoid, so per-batch deltas
+    * merge by full-outer SUM (state: strata × 5 integers) and the
+    * slope/reversal cut runs through dq8's own
+    * [[graft.ops.Evaluation.simpsonFromStats]] — stream == batch
+    * bit-for-bit under the shared `dq8Sql` oracle. */
+  val st26: Q = (s, d) => {
+    val srcDir = stagedTableSplit(s, d, "st26", table = "documents", key = "doc_id")
+    val physical = s.read.parquet(s"$d/documents.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val statRoot = Files.createTempDirectory("graft_st26_stats").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(statRoot).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st26").toString
+    def pts(df: DataFrame): DataFrame = df.select(col("source"),
+      org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.filter(
+        split(col("text"), " "), w => length(w) > 0)).as("x"),
+      col("n_chars").as("y"))
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val delta = graft.ops.Evaluation.simpsonStatsOf(pts(batch.toDF()), "source", "x", "y")
+        val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
+        val merged = prior match {
+          case None => delta
+          case Some((_, path)) =>
+            sess.read.parquet(path).unionAll(delta).groupBy("source")
+              .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+                sum("sxx").as("sxx"), sum("sxy").as("sxy"))
+        }
+        merged.write.mode("overwrite").parquet(s"$statRoot/gen_$batchId")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    graft.ops.Evaluation.simpsonFromStats(s.read.parquet(latest._2), "source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st26_stream_simpson" -> st26,
     "st25_stream_isotropy" -> st25,
     "st24_stream_cusum" -> st24,
     "st23_stream_tcloseness" -> st23,
@@ -1487,6 +1536,7 @@ object Streams {
   val oracle: Map[String, String] = Map(
     "st24_stream_cusum" -> st24Sql,
     "st25_stream_isotropy" -> graft.ops.Similarity.emb7Sql,
+    "st26_stream_simpson" -> graft.ops.Evaluation.dq8Sql,
     "st18_stream_benford" -> graft.ops.Evaluation.dq5Sql,
     "st19_stream_markov" -> graft.ops.Curation.markov1Sql,
     "st20_stream_skipgram" -> graft.ops.TextAnalysis.w2v1Sql,

@@ -127,6 +127,23 @@ class GraphSpec extends SparkSpec {
     assert(qp.getLong(4) === -40816326L) // -(8e9 div 196)
   }
 
+  test("gr2 assortativity: star = -1e6 exactly, kite hand case, regular graph NULL") {
+    def r(edges: Seq[(Long, Long)]): Option[Long] = {
+      val row = graft.api.GraftApi.assortativity(edges.toDF("a", "b")).collect().head
+      if (row.isNullAt(1)) None else Some(row.getLong(1))
+    }
+    // a star is perfectly disassortative: hubs only touch leaves
+    assert(r(Seq((9L, 1L), (9L, 2L), (9L, 3L))) === Some(-1000000L))
+    // triangle-plus-pendant ("kite"): num = -20, den = 28 -> -714285
+    assert(r(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))) === Some(-714285L))
+    // a regular graph (triangle) has zero degree variance -> NULL
+    assert(r(Seq((1L, 2L), (2L, 3L), (1L, 3L))) === None)
+    // edge count rides along: the kite has 4 edges
+    assert(graft.api.GraftApi.assortativity(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b"))
+      .collect().head.getLong(0) === 4L)
+  }
+
   test("lcc1 coefficients match the hand-traced triangle-plus-pendant graph") {
     val s2 = spark
     import s2.implicits._

@@ -387,6 +387,18 @@ class StreamsSpec extends SparkSpec {
     assert(live === batch)
   }
 
+  test("st26 streaming simpson audit equals the batch dq8 table bit-for-bit") {
+    // the per-stratum six-stat table is an additive monoid and the
+    // slope/reversal cut runs through dq8's own simpsonFromStats
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (if (r.isNullAt(0)) "__pooled__" else r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
+        if (r.isNullAt(3)) "null" else r.getBoolean(3).toString)).toSeq
+    val live = canon(Streams.st26(spark, sfDir).collect())
+    val batch = canon(graft.ops.Evaluation.dq8(spark, sfDir).collect())
+    assert(live === batch)
+  }
+
   test("st22 streaming RFM segments equal the batch e12 table bit-for-bit") {
     // the per-buyer (max, sum, sum) state is a mergeable monoid and the
     // quartile cut reuses e12's rfmSegmentsFromPerUser — batch-boundary
