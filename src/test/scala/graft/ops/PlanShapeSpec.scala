@@ -294,4 +294,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(pf.contains("TakeOrderedAndProject"),
       "fs2 top-k cuts must plan as TakeOrderedAndProject")
   }
+
+  test("round-12 session shapes: emb7/dq8 fold partials, voc5 domain-bounded, eval12 pid ranks, gr1 broadcasts m") {
+    // emb7: the rollup row folds per-label PARTIALS — the corpus scan
+    // (posexplode) must appear a bounded number of times, and every
+    // aggregate map-side combines; no window anywhere
+    val p7 = plan(Similarity.emb7(spark, sfDir))
+    assert(p7.contains("partial_"), "emb7 stats must map-side combine")
+    assert(!p7.contains("Window"), "emb7 must not window\n" + p7.take(800))
+    // dq8: per-stratum stats are ONE map-side aggregate; the pooled row
+    // folds those partials (broadcast back), never rescans documents
+    val p8 = plan(Evaluation.dq8(spark, sfDir))
+    assert(p8.contains("partial_"), "dq8 sufficient stats must map-side combine")
+    assert(p8.contains("BroadcastNestedLoopJoin") || p8.contains("BroadcastHashJoin"),
+      "dq8 pooled slope must broadcast\n" + p8.take(800))
+    // voc5: the pair expansion joins counts against the SOURCE DOMAIN —
+    // a broadcast join (tot is source-bounded), never a cartesian over
+    // word-level frames
+    val p5 = plan(TextAnalysis.voc5(spark, sfDir))
+    assert(!p5.contains("CartesianProduct"),
+      "voc5 must not cartesian over word frames\n" + p5.take(800))
+    // eval12: both rank passes ride PrefixSum — every Window node must
+    // stay pid-partitioned (no SinglePartition exchange feeding a window)
+    val p12 = plan(Evaluation.eval12(spark, sfDir))
+    assert(!p12.contains("Exchange SinglePartition\n+- Window") &&
+      !p12.contains("Exchange SinglePartition\n   +- Window"),
+      "eval12 ranks must never funnel through one partition\n" + p12.take(1200))
+    // gr1/gr2: the 1-row m aggregate broadcasts; community/degree
+    // lookups are equi-joins, never nested loops over edges
+    val pg = plan(Graph.gr1(spark, sfDir))
+    assert(pg.contains("BroadcastNestedLoopJoin") || pg.contains("BroadcastHashJoin"),
+      "gr1's m must broadcast\n" + pg.take(800))
+    assert(!pg.contains("CartesianProduct"), "gr1 must not cartesian")
+  }
 }
