@@ -1048,6 +1048,14 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** WordPiece vocabulary-utilization audit over a distinct-`word`
+    * frame: per vocabulary piece (plus the [UNK] sink) the distinct
+    * words touching it and its total firing count, dead pieces emitted
+    * with `is_dead` — the tokenizer-health report behind vocab
+    * shrinking. Registry twin: `tok6_piece_usage`. */
+  def wordPieceUsage(words: DataFrame): DataFrame =
+    graft.ops.Selection.pieceUsageOf(words)
+
   /** Newman degree assortativity of an undirected (a, b) edge frame:
     * the Pearson correlation of end-point degrees over both stub
     * directions, WHOLLY exact (permutation symmetry makes both

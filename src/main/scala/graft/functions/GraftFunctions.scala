@@ -39,6 +39,7 @@ object GraftFunctions {
     "graft_hilbert" -> { args => HilbertIndex(args(0), args(1)) },
     "graft_viterbi" -> { args => ViterbiCost(args.head) },
     "graft_wordpiece" -> { args => WordPieceEncode(args.head) },
+    "graft_wordpiece_pieces" -> { args => WordPieceSegments(args.head) },
     // Spark's runtime-filter Bloom expressions (BloomFilterAggregate /
     // BloomFilterMightContain) are not in the public FunctionRegistry;
     // exposing them makes the classic 100 TB semi-join reduction —

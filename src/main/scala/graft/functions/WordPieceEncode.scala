@@ -76,6 +76,10 @@ object WordPieceEncode {
     s
   }
 
+  /** Vocabulary membership — shared with [[WordPieceSegments]] so both
+    * expressions scan the SAME set. */
+  def contains(piece: String): Boolean = lookup.contains(piece)
+
   /** Static entry point shared by interpreted eval and codegen:
     * greedy longest-match piece count, packed as count·2 + isUnk. */
   def compute(s: UTF8String): Long = {

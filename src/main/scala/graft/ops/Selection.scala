@@ -1183,6 +1183,111 @@ object Selection {
       .orderBy("word")
   }
 
+  // ---- TOK6: WordPiece vocabulary-utilization audit ----
+
+  /** TOK6: the vocabulary-utilization audit over tok5's greedy WordPiece
+    * encoding — per vocabulary piece (plus the `[UNK]` sink), how many
+    * distinct corpus words touch it and how many times it fires in
+    * total, with dead pieces emitted explicitly (`is_dead`). This is
+    * the tokenizer-health report run before shipping or shrinking a
+    * vocabulary: dead pieces are reclaimable slots, single-char pieces
+    * carrying heavy traffic mean the vocab underfits the corpus, and
+    * the `[UNK]` row is the coverage hole tok5's is_unk rate summarizes.
+    *
+    * The piece sequence comes from the native codegen'd
+    * [[graft.functions.WordPieceSegments]] (`graft_wordpiece_pieces`) —
+    * the same greedy longest-match scan as `graft_wordpiece`, emitting
+    * the pieces joined by `+`; the oracle replays the scan with tok5's
+    * fixed per-position CTE unroll, accumulating the same string.
+    *
+    * Scale: one distinct-word frame (vocab-bounded), one native
+    * expression pass, two map-side-combined aggregates bounded by the
+    * PIECE domain; the vocabulary itself is a plan literal on both
+    * engines. Library entry point:
+    * [[graft.api.GraftApi.wordPieceUsage]]. */
+  private[graft] def pieceUsageOf(words: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(words.sparkSession)
+    val enc = words
+      .select(col("word"), expr("graft_wordpiece_pieces(word)").as("pcs"))
+    val uses = enc.select(explode(split(col("pcs"), "\\+")).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("n_uses"))
+    val perWord = enc
+      .select(explode(array_distinct(split(col("pcs"), "\\+"))).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("n_words"))
+    val sp = words.sparkSession
+    import sp.implicits._
+    val vocab = (graft.functions.WordPieceEncode.Vocab :+ "[UNK]").toDF("piece")
+    broadcast(vocab)
+      .join(perWord, Seq("piece"), "left")
+      .join(uses, Seq("piece"), "left")
+      .select(col("piece"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_uses"), lit(0L)).as("n_uses"),
+        (coalesce(col("n_uses"), lit(0L)) === 0L).as("is_dead"))
+      .orderBy("piece")
+  }
+
+  val tok6: Q = (s, d) =>
+    pieceUsageOf(Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")).between(1, 12))
+      .distinct())
+
+  val tok6Sql: String = {
+    import graft.functions.WordPieceEncode
+    val maxLen = 12
+    def takeExpr(p: String): String = {
+      val whens = (WordPieceEncode.MaxPiece to 1 by -1).map { l =>
+        s"WHEN n - $p + 1 >= $l AND EXISTS (SELECT 1 FROM v WHERE piece = " +
+          s"CASE WHEN $p = 1 THEN substr(word, $p, $l) " +
+          s"ELSE '##' || substr(word, $p, $l) END) THEN $l"
+      }.mkString(" ")
+      s"(CASE $whens ELSE -1 END)"
+    }
+    val steps = (1 to maxLen).map { k =>
+      val (p, u, a) = (s"p${k - 1}", s"u${k - 1}", s"a${k - 1}")
+      s"""t$k AS (
+         |  SELECT word, n, $p, $u, $a,
+         |         CASE WHEN $u = 1 OR $p > n THEN 0 ELSE ${takeExpr(p)} END AS tk
+         |  FROM s${k - 1}),
+         |s$k AS (
+         |  SELECT word, n,
+         |         CASE WHEN tk > 0 THEN $p + tk ELSE $p END AS p$k,
+         |         CASE WHEN tk = -1 THEN 1 ELSE $u END AS u$k,
+         |         CASE WHEN tk > 0 THEN
+         |           (CASE WHEN $a = '' THEN '' ELSE $a || '+' END) ||
+         |           (CASE WHEN $p = 1 THEN substr(word, $p, tk)
+         |                 ELSE '##' || substr(word, $p, tk) END)
+         |         ELSE $a END AS a$k
+         |  FROM t$k)""".stripMargin
+    }
+    s"""WITH v(piece) AS (VALUES ${WordPieceEncode.vocabSql}),
+       |words AS (
+       |  SELECT DISTINCT word, CAST(len(word) AS BIGINT) AS n
+       |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) BETWEEN 1 AND $maxLen),
+       |s0 AS (SELECT word, n, 1 AS p0, 0 AS u0, '' AS a0 FROM words),
+       |${steps.mkString(",\n")},
+       |pieces AS (
+       |  SELECT word, CASE WHEN u$maxLen = 1 THEN '[UNK]' ELSE a$maxLen END AS pcs
+       |  FROM s$maxLen),
+       |uses AS (
+       |  SELECT piece, CAST(count(*) AS BIGINT) AS n_uses FROM (
+       |    SELECT unnest(str_split(pcs, '+')) AS piece FROM pieces)
+       |  GROUP BY piece),
+       |pw AS (
+       |  SELECT piece, CAST(count(*) AS BIGINT) AS n_words FROM (
+       |    SELECT word, unnest(list_distinct(str_split(pcs, '+'))) AS piece FROM pieces)
+       |  GROUP BY piece),
+       |vv AS (SELECT piece FROM v UNION ALL SELECT '[UNK]')
+       |SELECT vv.piece, coalesce(pw.n_words, 0) AS n_words,
+       |       coalesce(uses.n_uses, 0) AS n_uses,
+       |       coalesce(uses.n_uses, 0) = 0 AS is_dead
+       |FROM vv LEFT JOIN pw ON pw.piece = vv.piece
+       |        LEFT JOIN uses ON uses.piece = vv.piece
+       |ORDER BY vv.piece""".stripMargin
+  }
+
   val tok5Sql: String = {
     import graft.functions.WordPieceEncode
     val maxLen = 12
@@ -1351,6 +1456,7 @@ object Selection {
     "tok2_bpe_encode" -> tok2,
     "tok3_unigram_viterbi" -> tok3,
     "tok5_wordpiece" -> tok5,
+    "tok6_piece_usage" -> tok6,
     "tok4_fertility" -> tok4,
     "mix4_data_constrained" -> mix4,
     "samp4_weighted_topk" -> samp4,
@@ -1366,6 +1472,7 @@ object Selection {
     "tok2_bpe_encode" -> tok2Sql,
     "tok3_unigram_viterbi" -> tok3Sql,
     "tok5_wordpiece" -> tok5Sql,
+    "tok6_piece_usage" -> tok6Sql,
     "tok4_fertility" -> tok4Sql,
     "mix4_data_constrained" -> mix4Sql,
     "t19_bigram_nll" -> t19Sql,

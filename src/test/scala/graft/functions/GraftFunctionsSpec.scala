@@ -245,6 +245,43 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(of("customer") === 7L * 2, "c,u,s,t,o,m,##er")
   }
 
+  test("graft_wordpiece_pieces is consistent with graft_wordpiece, exhaustively") {
+    import graft.functions.{WordPieceEncode, WordPieceSegments}
+    import org.apache.spark.unsafe.types.UTF8String
+    def packed(w: String) = WordPieceEncode.compute(UTF8String.fromString(w))
+    def pieces(w: String) = WordPieceSegments.compute(UTF8String.fromString(w)).toString
+    val alphabet = "taqze1".toCharArray
+    def words(n: Int): Seq[String] =
+      if (n == 0) Seq("") else words(n - 1).flatMap(w => alphabet.map(c => w + c))
+    ((1 to 5).flatMap(words) ++ Seq("customer", "tablet", "windows", "query"))
+      .foreach { w =>
+        val (cnt, unk) = (packed(w) / 2, packed(w) % 2 == 1)
+        val ps = pieces(w)
+        if (unk) assert(ps === "[UNK]", s"'$w' must collapse to [UNK]")
+        else {
+          val split = ps.split("\\+")
+          assert(split.length.toLong === cnt, s"'$w': piece count must match tok5")
+          // the pieces reassemble the word (## markers stripped)
+          assert(split.map(_.stripPrefix("##")).mkString === w,
+            s"'$w': pieces must reassemble the word, got '$ps'")
+          // every piece is in the shared vocabulary
+          split.foreach(p => assert(WordPieceEncode.contains(p), s"'$p' not in vocab"))
+        }
+      }
+    assert(pieces("tablet") === "table+##t")
+    assert(pieces("customer") === "c+##u+##s+##t+##o+##m+##er")
+    // tok6's usage audit: dead pieces emit zeros, [UNK] row counts sinks
+    val s2 = spark
+    import s2.implicits._
+    val usage = graft.api.GraftApi.wordPieceUsage(
+        Seq("tablet", "table", "zzz").toDF("word")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(usage("table") === ((2L, 2L, false)))  // in both words
+    assert(usage("##t") === ((1L, 1L, false)))
+    assert(usage("[UNK]") === ((1L, 1L, false)))  // zzz
+    assert(usage("spark") === ((0L, 0L, true)))   // dead piece
+  }
+
   test("graft_wordpiece runs inside whole-stage codegen as a SQL function") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.range(3)
