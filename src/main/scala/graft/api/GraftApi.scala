@@ -1048,6 +1048,16 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** Fellegi–Sunter probabilistic record linkage over an
+    * (id, block, f1, f2, f3) record frame: per-field log-likelihood
+    * weights with m = 0.95 and u estimated from the data's own
+    * value-frequency tables (exact integer ratios, one e6-rounded ln
+    * each), md5-capped blocking, pairs scored and cut at
+    * `minScoreE6`. Registry twin: `d24_record_linkage`. */
+  def recordLinkage(recs: DataFrame, cap: Int = 40,
+      minScoreE6: Long = 0L): DataFrame =
+    graft.ops.Dedup.recordLinkageOf(recs, cap, minScoreE6)
+
   /** WordPiece vocabulary-utilization audit over a distinct-`word`
     * frame: per vocabulary piece (plus the [UNK] sink) the distinct
     * words touching it and its total firing count, dead pieces emitted

@@ -1691,7 +1691,127 @@ object Dedup {
        |WHERE i.inter * 10000 // (na.n + nb.n - i.inter) >= $D17TauBp
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- D24: Fellegi–Sunter probabilistic record linkage ----
+
+  /** D24: probabilistic record linkage (Fellegi & Sunter, JASA 1969) —
+    * the ENTITY-RESOLUTION face of dedup: where d1-d17 ask "is this the
+    * same TEXT?", d24 asks "is this the same REAL-WORLD ENTITY?" from
+    * weak field agreements (phone prefix, balance bucket, address
+    * initial). Per field the log-likelihood-ratio weights use the
+    * textbook practical estimates: m fixed at 0.95 (19/20 — exact
+    * rational) and u ESTIMATED FROM THE DATA as the random-agreement
+    * rate u_f = Σ_v c_v²/N² (an exact integer ratio off one value-
+    * frequency aggregate). Each weight is then ONE ln over an exact
+    * integer ratio, rounded ONCE to e6 (the t14 convention):
+    * w_agree = ln(19N²/(20·Σc²)), w_dis = ln(N²/(20·(N²−Σc²))); a
+    * constant field (Σc² = N²) contributes its uninformative-agreement
+    * weight and a 0 disagreement weight (disagreement is impossible).
+    * Pair scores are integer sums of the six weights; pairs at or above
+    * `minScoreE6` survive.
+    *
+    * Scale: candidate pairs come from BLOCKING with the d5 deterministic
+    * skew cap — md5-ranked members per block, `cap` kept, so every
+    * block contributes ≤ cap·(cap−1)/2 pairs no matter how hot the
+    * block; the weight table is a broadcast 1-row frame; never an
+    * all-pairs join. Library entry point:
+    * [[graft.api.GraftApi.recordLinkage]]. */
+  private[graft] def recordLinkageOf(recs: DataFrame, cap: Int = 40,
+      minScoreE6: Long = 0L): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    def fieldW(f: String): DataFrame =
+      recs.groupBy(col(f)).agg(count(lit(1)).as("c"))
+        .agg(sum(expr(s"CAST(c AS $d38) * c")).as("sq"),
+          sum(col("c")).cast("decimal(38,0)").as("n"))
+        .select(
+          expr("CAST(round(ln(CAST(19 * n * n AS DOUBLE) / CAST(20 * sq AS DOUBLE)) * 1000000) AS BIGINT)")
+            .as(s"wa_$f"),
+          expr("CASE WHEN n * n - sq = 0 THEN 0L " +
+            "ELSE CAST(round(ln(CAST(n * n AS DOUBLE) / CAST(20 * (n * n - sq) AS DOUBLE)) * 1000000) AS BIGINT) END")
+            .as(s"wd_$f"))
+    val weights = fieldW("f1").crossJoin(fieldW("f2")).crossJoin(fieldW("f3"))
+    val winB = org.apache.spark.sql.expressions.Window
+      .partitionBy("block").orderBy(col("sk"), col("id"))
+    val capped = recs
+      .withColumn("sk", md5(concat(lit("d24:"), col("id").cast("string"))))
+      .withColumn("rk", row_number().over(winB))
+      .filter(col("rk") <= cap).drop("sk", "rk")
+    val a = capped.select(col("block"), col("id").as("id_a"),
+      col("f1").as("f1a"), col("f2").as("f2a"), col("f3").as("f3a"))
+    val b = capped.select(col("block"), col("id").as("id_b"),
+      col("f1").as("f1b"), col("f2").as("f2b"), col("f3").as("f3b"))
+    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      .crossJoin(broadcast(weights))
+      .withColumn("n_agree",
+        (when(col("f1a") === col("f1b"), 1L).otherwise(0L) +
+          when(col("f2a") === col("f2b"), 1L).otherwise(0L) +
+          when(col("f3a") === col("f3b"), 1L).otherwise(0L)))
+      .withColumn("score_e6",
+        (when(col("f1a") === col("f1b"), col("wa_f1")).otherwise(col("wd_f1")) +
+          when(col("f2a") === col("f2b"), col("wa_f2")).otherwise(col("wd_f2")) +
+          when(col("f3a") === col("f3b"), col("wa_f3")).otherwise(col("wd_f3"))))
+      .filter(col("score_e6") >= minScoreE6)
+      .select(col("id_a"), col("id_b"), col("n_agree"), col("score_e6"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Registry instance over the customer fixture's available fields:
+    * blocks = nation; f1 = market segment, f2 = $1000 balance bucket,
+    * f3 = the balance's last cents digit (a near-uniform weak field).
+    * The +100000-cent offset keeps the bucket/digit operands positive
+    * so Spark `div`/`%` (trunc) and DuckDB `//`/`%` (floor) agree. */
+  val d24: Q = (s, d) =>
+    recordLinkageOf(Tables.customer(s, d).select(
+      col("c_custkey").as("id"),
+      col("c_nationkey").cast("string").as("block"),
+      col("c_mktsegment").as("f1"),
+      expr(s"CAST((${graft.ops.Money.centsSql("c_acctbal")} + 100000) div 100000 AS STRING)").as("f2"),
+      expr(s"CAST((${graft.ops.Money.centsSql("c_acctbal")} + 100000) % 10 AS STRING)").as("f3")))
+  val d24Sql: String =
+    """WITH recs AS (
+      |  SELECT c_custkey AS id,
+      |         c_nationkey::VARCHAR AS block,
+      |         c_mktsegment AS f1,
+      |         ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000)::VARCHAR AS f2,
+      |         ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000) % 10)::VARCHAR AS f3
+      |  FROM customer),
+      |w1 AS (
+      |  SELECT CAST(round(ln(CAST(19 * n * n AS DOUBLE) / CAST(20 * sq AS DOUBLE)) * 1000000) AS BIGINT) AS wa_f1,
+      |         CASE WHEN n * n - sq = 0 THEN 0
+      |              ELSE CAST(round(ln(CAST(n * n AS DOUBLE) / CAST(20 * (n * n - sq) AS DOUBLE)) * 1000000) AS BIGINT) END AS wd_f1
+      |  FROM (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq, CAST(sum(c) AS HUGEINT) AS n
+      |        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM recs GROUP BY f1))),
+      |w2 AS (
+      |  SELECT CAST(round(ln(CAST(19 * n * n AS DOUBLE) / CAST(20 * sq AS DOUBLE)) * 1000000) AS BIGINT) AS wa_f2,
+      |         CASE WHEN n * n - sq = 0 THEN 0
+      |              ELSE CAST(round(ln(CAST(n * n AS DOUBLE) / CAST(20 * (n * n - sq) AS DOUBLE)) * 1000000) AS BIGINT) END AS wd_f2
+      |  FROM (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq, CAST(sum(c) AS HUGEINT) AS n
+      |        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM recs GROUP BY f2))),
+      |w3 AS (
+      |  SELECT CAST(round(ln(CAST(19 * n * n AS DOUBLE) / CAST(20 * sq AS DOUBLE)) * 1000000) AS BIGINT) AS wa_f3,
+      |         CASE WHEN n * n - sq = 0 THEN 0
+      |              ELSE CAST(round(ln(CAST(n * n AS DOUBLE) / CAST(20 * (n * n - sq) AS DOUBLE)) * 1000000) AS BIGINT) END AS wd_f3
+      |  FROM (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq, CAST(sum(c) AS HUGEINT) AS n
+      |        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM recs GROUP BY f3))),
+      |capped AS (
+      |  SELECT block, id, f1, f2, f3 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY block
+      |      ORDER BY md5('d24:' || id::VARCHAR), id) AS rk
+      |    FROM recs) WHERE rk <= 40),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |         CAST((CASE WHEN a.f1 = b.f1 THEN 1 ELSE 0 END) +
+      |              (CASE WHEN a.f2 = b.f2 THEN 1 ELSE 0 END) +
+      |              (CASE WHEN a.f3 = b.f3 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+      |         (CASE WHEN a.f1 = b.f1 THEN wa_f1 ELSE wd_f1 END) +
+      |         (CASE WHEN a.f2 = b.f2 THEN wa_f2 ELSE wd_f2 END) +
+      |         (CASE WHEN a.f3 = b.f3 THEN wa_f3 ELSE wd_f3 END) AS score_e6
+      |  FROM capped a JOIN capped b ON a.block = b.block AND a.id < b.id
+      |  CROSS JOIN w1 CROSS JOIN w2 CROSS JOIN w3)
+      |SELECT id_a, id_b, n_agree, score_e6 FROM pairs
+      |WHERE score_e6 >= 0 ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d24_record_linkage" -> d24,
     "d17_ppjoin_pairs" -> d17,
     "d16_fuzzy_decontamination" -> d16,
     "d15_substring_removal" -> d15,
@@ -1717,6 +1837,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d24_record_linkage" -> d24Sql,
     "d17_ppjoin_pairs" -> d17Sql,
     "d16_fuzzy_decontamination" -> d16Sql,
     "d15_substring_removal" -> d15Sql,

@@ -494,6 +494,41 @@ class DedupSimSpec extends SparkSpec {
     assert(graft.api.GraftApi.isotropyAudit(vecs).count() === 3L)
   }
 
+  test("d24 record linkage: FS weights from data, planted entity outranks, constant-field rules") {
+    val s2 = spark
+    import s2.implicits._
+    // records 1 and 2 are the planted same-entity pair (all fields agree)
+    val recs = Seq(
+      (1L, "b1", "123", "5", "a"), (2L, "b1", "123", "5", "a"),
+      (3L, "b1", "999", "7", "z"), (4L, "b2", "123", "6", "a"),
+      (5L, "b2", "555", "8", "q"))
+      .toDF("id", "block", "f1", "f2", "f3")
+    val all = graft.api.GraftApi.recordLinkage(recs, cap = 40,
+        minScoreE6 = Long.MinValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // blocking: only within-block pairs exist (no (1,4) etc.)
+    assert(all.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    assert(all((1L, 2L))._1 === 3L)
+    // the planted pair strictly outranks every other pair
+    val top = all((1L, 2L))._2
+    all.filterKeys(_ != ((1L, 2L))).values.foreach { case (_, sc) => assert(sc < top) }
+    assert(top > 0L, "three agreements on diverse fields must be positive evidence")
+    // the default minScore = 0 cut keeps only positive-evidence pairs
+    val cut = graft.api.GraftApi.recordLinkage(recs).collect()
+    assert(cut.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    // constant field: disagreement impossible -> wd = 0; agreement is
+    // uninformative-NEGATIVE ln(19/20) = -51293 e6; with all-distinct
+    // f1/f2 (wd = ln(9/120)e6 = -2590267 each) every pair scores exactly
+    // 2*(-2590267) + (-51293) = -5231827
+    val const3 = Seq((1L, "b", "x", "p", "k"), (2L, "b", "y", "q", "k"),
+      (3L, "b", "z", "r", "k")).toDF("id", "block", "f1", "f2", "f3")
+    val c = graft.api.GraftApi.recordLinkage(const3, cap = 40,
+        minScoreE6 = Long.MinValue).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(c.length === 3)
+    c.foreach { case (na, sc) => assert(na === 1L && sc === -5231827L) }
+  }
+
   test("d20 containment finds an embedded quote that symmetric Jaccard down-scores") {
     val s2 = spark
     import s2.implicits._
