@@ -1048,6 +1048,14 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** Kish effective sample size of a (source, w) weighted frame: per
+    * source plus an overall NULL-source rollup, ESS = (Σw)²/Σw² in e3
+    * and its share of n in bp — the concentration diagnostic run
+    * before trusting importance-reweighted estimates. Registry twin:
+    * `samp7_ess`. */
+  def ess(weighted: DataFrame): DataFrame =
+    graft.ops.ScaleOps.essOf(weighted)
+
   /** Fellegi–Sunter probabilistic record linkage over an
     * (id, block, f1, f2, f3) record frame: per-field log-likelihood
     * weights with m = 0.95 and u estimated from the data's own

@@ -1862,7 +1862,71 @@ object ScaleOps {
       |UNION ALL SELECT 'c7_orderkey_in_orders', (SELECT n_rows FROM agg), n FROM orph
       |ORDER BY check_name""".stripMargin
 
+  // ---- SAMP7: effective sample size of importance weights ----
+
+  /** SAMP7: Kish's effective sample size (1965) of a non-negative
+    * per-document weight column — THE diagnostic run before trusting
+    * any weighted estimate (DSIR/DoReMi-style importance reweighting,
+    * quality-weighted mixtures): ESS = (Σw)²/Σw² collapses from n to 1
+    * as the weight mass concentrates, and a small ESS/n share means the
+    * reweighted corpus is effectively a handful of documents wearing a
+    * big corpus's clothes. Per source plus the overall NULL-source
+    * rollup folded from the same additive partials (the emb7
+    * convention — one scan).
+    *
+    * Exactness: weights are exact integers (here the t5 quality
+    * score); (Σw)² and Σw² ride DECIMAL(38,0)/HUGEINT (the eval2
+    * class); ESS rounds ONCE per group by its exact integral division
+    * (ess_e3, and its share of n in bp) — trunc == floor on
+    * non-negatives; NULL when Σw² = 0 (all-zero weights, the voc3
+    * convention). Library entry point: [[graft.api.GraftApi.ess]]. */
+  private[graft] def essOf(weighted: DataFrame): DataFrame = {
+    val per = weighted.groupBy("source").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(expr("CAST(w AS DECIMAL(38,0))")).as("sw"),
+      sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("sww"))
+    val overall = per.agg(sum("n").as("n"), sum("sw").as("sw"), sum("sww").as("sww"))
+      .select(lit(null).cast("string").as("source"), col("n"), col("sw"), col("sww"))
+    per.select(col("source").cast("string").as("source"), col("n"), col("sw"), col("sww"))
+      .unionByName(overall)
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        expr("CASE WHEN sww = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(sw * sw * 1000 div sww AS BIGINT) END").as("ess_e3"),
+        expr("CASE WHEN sww = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(sw * sw * 10000 div (n * sww) AS BIGINT) END").as("ess_share_bp"))
+      .orderBy("source")
+  }
+
+  val samp7: Q = (s, d) => {
+    val q = TextAnalysis.qualityScoreOf(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality").as("w"))
+    essOf(Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(q, Seq("doc_id")))
+  }
+  val samp7Sql: String =
+    s"""WITH ${TextAnalysis.qualityCte},
+       |wt AS (
+       |  SELECT d.source, q.quality AS w
+       |  FROM documents d JOIN qual q ON q.doc_id = d.doc_id),
+       |per AS (
+       |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+       |         CAST(sum(CAST(w AS HUGEINT)) AS HUGEINT) AS sw,
+       |         CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sww
+       |  FROM wt GROUP BY source),
+       |rows AS (
+       |  SELECT source, n, sw, sww FROM per
+       |  UNION ALL
+       |  SELECT NULL, CAST(sum(n) AS HUGEINT), CAST(sum(sw) AS HUGEINT),
+       |         CAST(sum(sww) AS HUGEINT) FROM per)
+       |SELECT source, CAST(n AS BIGINT) AS n_docs,
+       |       CASE WHEN sww = 0 THEN CAST(NULL AS BIGINT)
+       |            ELSE CAST(sw * sw * 1000 // sww AS BIGINT) END AS ess_e3,
+       |       CASE WHEN sww = 0 THEN CAST(NULL AS BIGINT)
+       |            ELSE CAST(sw * sw * 10000 // (n * sww) AS BIGINT) END AS ess_share_bp
+       |FROM rows ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "samp7_ess" -> samp7,
     "mix1_temperature_mix" -> mix1,
     "mix1_debug" -> mix1Debug,
     "mix2_doremi_reweight" -> mix2,
@@ -1912,6 +1976,7 @@ object ScaleOps {
     "samp3_group_sample_topk" -> samp3Sql,
     "samp5_class_balance" -> samp5Sql,
     "samp6_neyman_alloc" -> samp6Sql,
+    "samp7_ess" -> samp7Sql,
     "obs1_observed_metrics" -> obs1Sql,
     "stat1_correlation_matrix" -> stat1Sql,
     "s15_zstd_codec" -> s15Sql,

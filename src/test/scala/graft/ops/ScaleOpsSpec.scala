@@ -515,6 +515,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("samp7 ESS: uniform = n, concentrated collapses, all-zero is NULL") {
+    val s2 = spark
+    import s2.implicits._
+    def ess(rows: Seq[(String, Long)]) =
+      graft.api.GraftApi.ess(rows.toDF("source", "w")).collect()
+        .map(r => (if (r.isNullAt(0)) "__all__" else r.getString(0)) ->
+          (r.getLong(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // uniform weights: ESS = n exactly, share = 10000 bp
+    val u = ess(Seq(("a", 5L), ("a", 5L), ("a", 5L), ("a", 5L)))
+    assert(u("a") === ((4L, 4000L, 10000L)))
+    assert(u("__all__") === ((4L, 4000L, 10000L)))
+    // one dominant weight: ESS = 103^2/10003 = 1.0605... -> 1060 e3, 2651 bp
+    val c = ess(Seq(("b", 100L), ("b", 1L), ("b", 1L), ("b", 1L)))
+    assert(c("b") === ((4L, 1060L, 2651L)))
+    // all-zero weights: undefined -> NULL
+    val z = ess(Seq(("z", 0L), ("z", 0L)))
+    assert(z("z") === ((2L, -1L, -1L)))
+    // the rollup folds partials: two sources, overall n = total
+    val m = ess(Seq(("a", 1L), ("b", 3L)))
+    assert(m("__all__")._1 === 2L)
+  }
+
   test("samp5 balances every class to the minority size with a deterministic kept set") {
     val rows = ScaleOps.samp5(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
