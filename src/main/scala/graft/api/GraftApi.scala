@@ -1048,6 +1048,15 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** Truncated rank-biased overlap (p = 0.9, depth 3) between two
+    * (q_id, cand_id, rk) rankings: per query the order-aware,
+    * top-weighted agreement in e9 (271 000 000 = identical at this
+    * truncation) plus the shared-candidate count — the companion to
+    * set-recall for ANN-vs-exact fidelity. Registry twin:
+    * `sim11_rbo`. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame): DataFrame =
+    graft.ops.Similarity.rboOf(a, b)
+
   /** Kish effective sample size of a (source, w) weighted frame: per
     * source plus an overall NULL-source rollup, ESS = (Σw)²/Σw² in e3
     * and its share of n in bp — the concentration diagnostic run

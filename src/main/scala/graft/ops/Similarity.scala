@@ -1022,6 +1022,78 @@ object Similarity {
        |            ELSE -CAST((nrmsum - ssum) * 1000000 // ((n - 1) * nrmsum) AS BIGINT) END AS anis_e6
        |FROM grp ORDER BY label""".stripMargin
 
+  // ---- SIM11: rank-biased overlap between exact and ANN rankings ----
+
+  /** Truncated-RBO depth weights w_d = round((1−p)·p^(d−1)·10⁹) at
+    * p = 0.9 — INTEGER LITERALS shared verbatim with the oracle, so no
+    * transcendental is ever evaluated at query time. */
+  private val RboDepths = 3
+  private val RboW: IndexedSeq[Long] = (1 to RboDepths).map { d =>
+    (BigDecimal("0.1") * BigDecimal("0.9").pow(d - 1) * BigDecimal(1000000000))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+  }
+
+  /** SIM11: rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010)
+    * between the EXACT cosine ranking (sim1) and the LSH-bucketed ANN
+    * ranking (sim3), per query — the ORDER-aware companion to sim8's
+    * set-recall: recall says "did the ANN find the right candidates?",
+    * RBO says "did it put them in the right ORDER, weighted toward the
+    * top?" (the positions users/retrievers actually consume). Truncated
+    * at depth 3 with p = 0.9: RBO = Σ_d w_d·(|A_d ∩ B_d|/d), where the
+    * w_d are precomputed integer e9 literals (no runtime
+    * transcendental) and each depth's agreement divides ONCE, exactly
+    * (trunc == floor on non-negatives). Identical rankings score
+    * Σw_d = 271 000 000 (the truncated mass; the remaining 0.729 of
+    * RBO's unit mass lives beyond depth 3 — standard truncated RBO).
+    *
+    * Scale: both rankings are per-query-bounded frames (≤ k rows per
+    * query); the overlap join is keyed (q_id, cand_id) and the depth
+    * grid multiplies by the CONSTANT depth count. Library entry point:
+    * [[graft.api.GraftApi.rankBiasedOverlap]]. */
+  private[graft] def rboOf(a: DataFrame, b: DataFrame): DataFrame = {
+    val shared = a.select(col("q_id"), col("cand_id"), col("rk").as("ra"))
+      .join(b.select(col("q_id"), col("cand_id"), col("rk").as("rb")),
+        Seq("q_id", "cand_id"))
+      .select(col("q_id"), greatest(col("ra"), col("rb")).as("dmin"))
+    val wCase = (1 to RboDepths).map(d =>
+      s"WHEN $d THEN ${RboW(d - 1)}L").mkString("CASE d ", " ", " END")
+    val grid = a.select("q_id").distinct()
+      .select(col("q_id"), explode(expr(s"sequence(1, $RboDepths)")).as("d"))
+    grid.join(shared, grid("q_id") === shared("q_id") && col("dmin") <= col("d"), "left")
+      .groupBy(grid("q_id"), col("d")).agg(count(col("dmin")).as("c"))
+      .groupBy("q_id")
+      .agg(sum(expr(s"(($wCase) * c) div d")).cast("long").as("rbo_e9"),
+        max(when(col("d") === RboDepths, col("c"))).as("n_shared"))
+      .orderBy("q_id")
+  }
+
+  val sim11: Q = (s, d) => {
+    val exact = sim1(s, d).filter(col("rk") <= RboDepths)
+    rboOf(exact, sim3(s, d))
+  }
+  val sim11Sql: String = {
+    val wCase = (1 to RboDepths).map(d =>
+      s"WHEN $d THEN ${RboW(d - 1)}").mkString("CASE d ", " ", " END")
+    s"""WITH a AS (
+       |  SELECT q_id, cand_id, rk FROM (${sim1Sql.replace("\n", "\n  ")}) WHERE rk <= $RboDepths),
+       |b AS (
+       |  SELECT q_id, cand_id, rk FROM (${sim3Sql.replace("\n", "\n  ")})),
+       |shared AS (
+       |  SELECT a.q_id, greatest(a.rk, b.rk) AS dmin
+       |  FROM a JOIN b USING (q_id, cand_id)),
+       |grid AS (
+       |  SELECT q_id, t.d FROM (SELECT DISTINCT q_id FROM a)
+       |  CROSS JOIN generate_series(1, $RboDepths) t(d)),
+       |cd AS (
+       |  SELECT g.q_id, g.d, CAST(count(s.dmin) AS BIGINT) AS c
+       |  FROM grid g LEFT JOIN shared s ON s.q_id = g.q_id AND s.dmin <= g.d
+       |  GROUP BY g.q_id, g.d)
+       |SELECT q_id,
+       |       CAST(sum((($wCase) * c) // d) AS BIGINT) AS rbo_e9,
+       |       CAST(max(CASE WHEN d = $RboDepths THEN c END) AS BIGINT) AS n_shared
+       |FROM cd GROUP BY q_id ORDER BY q_id""".stripMargin
+  }
+
   // ---- EMB2: hard-negative mining for contrastive training ----
 
   /** EMB2: the batch op that feeds contrastive / triplet training — for
@@ -1357,6 +1429,7 @@ object Similarity {
     "emb5_power_iteration" -> emb5,
     "emb6_common_energy" -> emb6,
     "emb7_isotropy" -> emb7,
+    "sim11_rbo" -> sim11,
     "mmr1_diverse_topk" -> mmr1,
     "mmr2_diverse_topk_bucketed" -> mmr2,
     "sim8_lsh_recall" -> sim8,
@@ -1377,6 +1450,7 @@ object Similarity {
     "emb5_power_iteration" -> emb5Sql,
     "emb6_common_energy" -> emb6Sql,
     "emb7_isotropy" -> emb7Sql,
+    "sim11_rbo" -> sim11Sql,
     "mmr1_diverse_topk" -> mmr1Sql,
     "mmr2_diverse_topk_bucketed" -> mmr2Sql,
     "sim8_lsh_recall" -> sim8Sql,

@@ -494,6 +494,28 @@ class DedupSimSpec extends SparkSpec {
     assert(graft.api.GraftApi.isotropyAudit(vecs).count() === 3L)
   }
 
+  test("sim11 RBO pins identical = 271e6, disjoint = 0, and the hand swap case") {
+    val s2 = spark
+    import s2.implicits._
+    def rank(rows: Seq[(Long, Long, Int)]) = rows.toDF("q_id", "cand_id", "rk")
+    def rbo(a: Seq[(Long, Long, Int)], b: Seq[(Long, Long, Int)]) =
+      graft.api.GraftApi.rankBiasedOverlap(rank(a), rank(b)).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val top3 = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    // identical rankings -> the full truncated mass, exactly
+    assert(rbo(top3, top3)(1L) === ((271000000L, 3L)))
+    // disjoint rankings -> zero
+    assert(rbo(top3, Seq((1L, 20L, 1), (1L, 21L, 2), (1L, 22L, 3)))(1L) === ((0L, 0L)))
+    // top-2 swap, third replaced: c = (0, 2, 2) ->
+    // 0 + 90000000*2/2 + 81000000*2 div 3 = 144000000
+    val swapped = Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 99L, 3))
+    assert(rbo(top3, swapped)(1L) === ((144000000L, 2L)))
+    // RBO is top-weighted: agreeing on rank 1 beats agreeing on rank 3
+    val agreeTop = rbo(top3, Seq((1L, 10L, 1), (1L, 98L, 2), (1L, 99L, 3)))(1L)._1
+    val agreeBot = rbo(top3, Seq((1L, 98L, 1), (1L, 99L, 2), (1L, 12L, 3)))(1L)._1
+    assert(agreeTop > agreeBot)
+  }
+
   test("d24 record linkage: FS weights from data, planted entity outranks, constant-field rules") {
     val s2 = spark
     import s2.implicits._
