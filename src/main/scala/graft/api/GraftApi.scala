@@ -1048,6 +1048,15 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** int8 quantization-distortion audit of a (vec_id, embedding,
+    * label) frame: per label + overall rollup, the exact relative
+    * squared reconstruction error (e6) of sim5's symmetric int8
+    * scheme and the per-vector worst case — the vector-space
+    * complement of ranking-recall checks. Registry twin:
+    * `emb8_quant_distortion`. */
+  def quantDistortion(vectors: DataFrame): DataFrame =
+    graft.ops.Similarity.quantDistortionOf(vectors)
+
   /** Truncated rank-biased overlap (p = 0.9, depth 3) between two
     * (q_id, cand_id, rk) rankings: per query the order-aware,
     * top-weighted agreement in e9 (271 000 000 = identical at this

@@ -323,6 +323,46 @@ object SentimentNb {
        |         // CAST(count(*) AS BIGINT) AS pos_rate_bp
        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** CAL3: expected / maximum calibration error over cal1's margin bins
+    * (Naeini et al. AAAI 2015 — the single number reported beside
+    * reliability diagrams): with cal2's binned midpoint forecast
+    * f_k = (2·bin+11)/22, ECE = Σ n_k·|f_k − obs_k| / N and MCE is the
+    * worst bin's |f_k − obs_k|. Over the common denominator 22 every
+    * per-bin term is the exact integer |(2b+11)·n_k − 22·pos_k|, so
+    * BOTH numbers are single exact integral divisions (e6; numerators
+    * non-negative ⇒ trunc == floor). Scale: cal1's one scan + an
+    * 11-row fold. */
+  val cal3: Q = (s, d) =>
+    scoredDf(s, d)
+      .withColumn("bin",
+        expr("least(greatest(CAST(floor(coalesce(margin_r6, 0.0)) AS BIGINT), -5L), 5L)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("pos"))
+      .withColumn("dev", expr("abs((2 * bin + 11) * n - 22 * pos)"))
+      .agg(sum("n").cast("long").as("n"),
+        sum(expr("CAST(dev AS DECIMAL(38,0))")).as("sdev"),
+        max(expr("dev * 1000000 div (22 * n)")).as("mce"))
+      .select(col("n"),
+        expr("CAST(sdev * 1000000 div (22 * CAST(n AS DECIMAL(38,0))) AS BIGINT)").as("ece_e6"),
+        col("mce").cast("long").as("mce_e6"))
+  val cal3Sql: String =
+    s"""WITH $scoredCte,
+       |b AS (
+       |  SELECT least(greatest(CAST(floor(coalesce(margin_r6, 0.0)) AS BIGINT), -5), 5) AS bin,
+       |         label
+       |  FROM scored),
+       |k AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM b GROUP BY bin),
+       |d AS (SELECT n, abs((2 * bin + 11) * n - 22 * pos) AS dev FROM k)
+       |SELECT CAST(sum(n) AS BIGINT) AS n,
+       |       CAST(CAST(sum(CAST(dev AS HUGEINT)) AS HUGEINT) * 1000000
+       |         // (22 * CAST(sum(n) AS HUGEINT)) AS BIGINT) AS ece_e6,
+       |       CAST(max(dev * 1000000 // (22 * n)) AS BIGINT) AS mce_e6
+       |FROM d""".stripMargin
+
   /** CAL2: Murphy (1973) decomposition of the Brier score over cal1's
     * margin bins — Brier = REL − RES + UNC with the binned forecast
     * f_k = (2·bin+11)/22 (the bin's midpoint mapped onto [0,1]):
@@ -397,6 +437,7 @@ object SentimentNb {
   val queries: Map[String, Q] = Map(
     "cal1_nb_calibration_bins" -> cal1,
     "cal2_brier_decomposition" -> cal2,
+    "cal3_ece" -> cal3,
     "eval2_nb_auc" -> eval2,
     "a1_nb_word_class_counts" -> a1,
     "a2_corpus_scalars" -> a2,
@@ -410,6 +451,7 @@ object SentimentNb {
   val oracle: Map[String, String] = Map(
     "cal1_nb_calibration_bins" -> cal1Sql,
     "cal2_brier_decomposition" -> cal2Sql,
+    "cal3_ece" -> cal3Sql,
     "eval2_nb_auc" -> eval2Sql,
     "a1_nb_word_class_counts" -> a1Sql,
     "a2_corpus_scalars" -> a2Sql,

@@ -1022,6 +1022,87 @@ object Similarity {
        |            ELSE -CAST((nrmsum - ssum) * 1000000 // ((n - 1) * nrmsum) AS BIGINT) END AS anis_e6
        |FROM grp ORDER BY label""".stripMargin
 
+  // ---- EMB8: int8 quantization-distortion audit ----
+
+  /** EMB8: the DISTORTION half of the int8 story — sim5/sim8/sim11
+    * measure what quantization does to RANKINGS; emb8 measures what it
+    * does to the VECTORS: per label (plus the overall NULL-label rollup,
+    * the emb7 fold), the relative squared reconstruction error of
+    * sim5's symmetric int8 scheme, in exact integers. Working in the
+    * common scaled basis avoids every division until the end:
+    * errᵢ = q8ᵢ·2·mx − 127·qᵢ (the dequantization residual ×127·2mx's
+    * denominator), so dist_e6 = 10⁶·Σ‖err‖² div (127²·Σ‖q‖²) and the
+    * per-vector worst case rides the same integers. A healthy symmetric
+    * int8 sits well under 10⁴ (1% energy); a label whose max_dist
+    * spikes has outlier-magnitude dimensions the shared scale can't
+    * represent — the signal to switch that shard to per-block or PQ
+    * quantization (sim9/sim10).
+    *
+    * Exactness: err is integer by construction (trunc div inside the
+    * quantizer is the sim5 contract, identical in both engines); per-
+    * vector ‖err‖² ≤ 64·(2mx)² stays in int64, corpus sums ride
+    * DECIMAL(38,0)/HUGEINT; every division is a non-negative exact
+    * integral one. Scale: ONE corpus scan (the per-dim fold runs inside
+    * a codegen'd `aggregate(transform(...))` — no explode), then
+    * label-domain frames. Library entry point:
+    * [[graft.api.GraftApi.quantDistortion]]. */
+  private[graft] def quantDistortionOf(vectors: DataFrame): DataFrame = {
+    val errExpr =
+      "aggregate(transform(q, x -> " +
+        "((((x + mx) * 127) div (2 * mx) - 64) * 2 * mx - 127 * x) * " +
+        "((((x + mx) * 127) div (2 * mx) - 64) * 2 * mx - 127 * x)), 0L, (a, v) -> a + v)"
+    val base = qnormOf(vectors)
+      .join(vectors.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .withColumn("mx", expr("array_max(transform(q, x -> abs(x)))"))
+      .withColumn("serr", expr(errExpr))
+      .withColumn("d_e6", expr("serr * 1000000 div (16129 * nrm)"))
+    val per = base.groupBy("label").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(expr("CAST(serr AS DECIMAL(38,0))")).as("serr"),
+      sum(expr("CAST(nrm AS DECIMAL(38,0))")).as("nrm"),
+      max("d_e6").as("max_d"))
+    val overall = per.agg(sum("n").as("n"), sum("serr").as("serr"),
+        sum("nrm").as("nrm"), max("max_d").as("max_d"))
+      .select(lit(null).cast("long").as("label"), col("n"), col("serr"),
+        col("nrm"), col("max_d"))
+    per.select(col("label").cast("long").as("label"), col("n"), col("serr"),
+        col("nrm"), col("max_d"))
+      .unionByName(overall)
+      .select(col("label"), col("n").cast("long").as("n_vecs"),
+        expr("CAST(serr * 1000000 div (16129 * nrm) AS BIGINT)").as("dist_e6"),
+        col("max_d").cast("long").as("max_dist_e6"))
+      .orderBy("label")
+  }
+
+  val emb8: Q = (s, d) => quantDistortionOf(Tables.embeddings(s, d))
+  val emb8Sql: String =
+    s"""WITH $qnormCte,
+       |base AS (
+       |  SELECT e.label, qn.nrm,
+       |         CAST(list_sum(list_transform(qn.q, x ->
+       |           (((x + mx) * 127 // (2 * mx) - 64) * 2 * mx - 127 * x) *
+       |           (((x + mx) * 127 // (2 * mx) - 64) * 2 * mx - 127 * x))) AS BIGINT) AS serr
+       |  FROM (SELECT vec_id, q, nrm,
+       |          list_max(list_transform(q, x -> abs(x))) AS mx FROM qn) qn
+       |  JOIN embeddings e USING (vec_id)),
+       |scored AS (
+       |  SELECT label, nrm, serr, serr * 1000000 // (16129 * nrm) AS d_e6 FROM base),
+       |per AS (
+       |  SELECT label, CAST(count(*) AS HUGEINT) AS n,
+       |         CAST(sum(CAST(serr AS HUGEINT)) AS HUGEINT) AS serr,
+       |         CAST(sum(CAST(nrm AS HUGEINT)) AS HUGEINT) AS nrm,
+       |         CAST(max(d_e6) AS BIGINT) AS max_d
+       |  FROM scored GROUP BY label),
+       |rows AS (
+       |  SELECT label, n, serr, nrm, max_d FROM per
+       |  UNION ALL
+       |  SELECT NULL, CAST(sum(n) AS HUGEINT), CAST(sum(serr) AS HUGEINT),
+       |         CAST(sum(nrm) AS HUGEINT), CAST(max(max_d) AS BIGINT) FROM per)
+       |SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n_vecs,
+       |       CAST(serr * 1000000 // (16129 * nrm) AS BIGINT) AS dist_e6,
+       |       max_d AS max_dist_e6
+       |FROM rows ORDER BY label""".stripMargin
+
   // ---- SIM11: rank-biased overlap between exact and ANN rankings ----
 
   /** Truncated-RBO depth weights w_d = round((1−p)·p^(d−1)·10⁹) at
@@ -1430,6 +1511,7 @@ object Similarity {
     "emb6_common_energy" -> emb6,
     "emb7_isotropy" -> emb7,
     "sim11_rbo" -> sim11,
+    "emb8_quant_distortion" -> emb8,
     "mmr1_diverse_topk" -> mmr1,
     "mmr2_diverse_topk_bucketed" -> mmr2,
     "sim8_lsh_recall" -> sim8,
@@ -1451,6 +1533,7 @@ object Similarity {
     "emb6_common_energy" -> emb6Sql,
     "emb7_isotropy" -> emb7Sql,
     "sim11_rbo" -> sim11Sql,
+    "emb8_quant_distortion" -> emb8Sql,
     "mmr1_diverse_topk" -> mmr1Sql,
     "mmr2_diverse_topk_bucketed" -> mmr2Sql,
     "sim8_lsh_recall" -> sim8Sql,

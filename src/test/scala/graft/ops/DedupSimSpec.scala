@@ -494,6 +494,27 @@ class DedupSimSpec extends SparkSpec {
     assert(graft.api.GraftApi.isotropyAudit(vecs).count() === 3L)
   }
 
+  test("emb8 distortion: dense uniform = 62 e6 exactly, sparse outlier spikes, rollup folds") {
+    val s2 = spark
+    import s2.implicits._
+    // label 0: dense uniform vector -> every dim lands on the same grid
+    // point, relative error exactly 1e6/16129 = 62
+    val dense = (0 until 64).map(_ => 0.5f)
+    // label 1: one hot dim -> the 63 zero dims each miss by a half step
+    // of the shared scale: serr = 1e6 + 63*4e6, dist = 15686
+    val sparse = { val a = Array.fill(64)(0.0f); a(0) = 1.0f; a.toSeq }
+    val vecs = Seq((1L, dense, 0L), (2L, sparse, 1L))
+      .toDF("vec_id", "embedding", "label")
+    val rows = graft.api.GraftApi.quantDistortion(vecs).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(0L) === ((1L, 62L, 62L)))
+    assert(rows(1L) === ((1L, 15686L, 15686L)))
+    // overall rollup: (1.6e7 + 2.53e8)*1e6 div (16129 * 1.7e7) = 981,
+    // max carries the sparse label's spike
+    assert(rows(-1L) === ((2L, 981L, 15686L)))
+  }
+
   test("sim11 RBO pins identical = 271e6, disjoint = 0, and the hand swap case") {
     val s2 = spark
     import s2.implicits._

@@ -159,6 +159,22 @@ class SentimentSpec extends SparkSpec {
     assert(auc2 >= 0 && auc2 <= 2 * np * nn, "numerator bounded by pair count")
   }
 
+  test("cal3 ECE/MCE match a direct recompute from cal1's own bins") {
+    val bins = SentimentNb.cal1(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = bins.map(_._2).sum
+    val devs = bins.map { case (b, nk, pos) => (math.abs((2 * b + 11) * nk - 22 * pos), nk) }
+    val wantEce = devs.map(_._1).map(BigInt(_)).sum * 1000000 / (22 * BigInt(n))
+    val wantMce = devs.map { case (dv, nk) => dv * 1000000L / (22 * nk) }.max
+    val r = SentimentNb.cal3(spark, sfDir).head()
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === wantEce.toLong)
+    assert(r.getLong(2) === wantMce)
+    // structural: both in [0, 1e6], worst bin at least the average
+    assert(r.getLong(1) >= 0L && r.getLong(1) <= 1000000L)
+    assert(r.getLong(2) >= r.getLong(1))
+  }
+
   test("cal2 Brier decomposition satisfies the Murphy identity against a direct recompute") {
     val bins = SentimentNb.cal1(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
