@@ -1048,6 +1048,14 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** Budget-constrained corpus selection over a (doc_id, source, q,
+    * toks) frame: keep the maximal (quality DESC, doc_id) prefix whose
+    * token mass fits `budget`, via one distributed prefix-sum pass;
+    * emits per-source before/after counts and the kept-id checksum.
+    * Registry twin: `sel2_budget_select`. */
+  def budgetSelect(docs: DataFrame, budget: Long): DataFrame =
+    graft.ops.Selection.budgetSelectOf(docs, budget)
+
   /** int8 quantization-distortion audit of a (vec_id, embedding,
     * label) frame: per label + overall rollup, the exact relative
     * squared reconstruction error (e6) of sim5's symmetric int8

@@ -1183,6 +1183,68 @@ object Selection {
       .orderBy("word")
   }
 
+  // ---- SEL2: budgeted corpus selection by global quality rank ----
+
+  /** SEL2: budget-constrained corpus selection — the "spend exactly B
+    * training tokens on the best documents" cut that every
+    * fixed-compute pretraining run makes (the greedy knapsack under
+    * uniform value density; beside sel1's DSIR importance cut and
+    * mix4's repetition allocator): rank ALL documents by (quality
+    * DESC, doc_id) and keep the maximal prefix whose token mass stays
+    * within the budget. The global rank and the running token mass come
+    * from ONE [[graft.ops.PrefixSum.prefixRank]] pass (range-partitioned
+    * order + exclusive token prefix — never a single-reducer window), so
+    * the kept set is exact and deterministic: a document is kept iff
+    * its exclusive prefix + its own tokens fit.
+    *
+    * Output: per source, docs/tokens before and after the cut plus the
+    * kept-id checksum (the samp5 convention — proves both engines keep
+    * the SAME set, not just equal counts). Exactness: integer tokens,
+    * counts and id sums only. Scale: one corpus scan for (quality,
+    * tokens), the PrefixSum exchange, one rollup. Library entry point:
+    * [[graft.api.GraftApi.budgetSelect]]. */
+  private[graft] def budgetSelectOf(docs: DataFrame, budget: Long): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"), col("q"), col("toks"))
+    val ranked = PrefixSum.prefixRank(scored,
+      Seq(col("q").desc, col("doc_id").asc), sumCol = Some("toks")).df
+      .withColumn("keep", col("g_cum_excl") + col("toks") <= budget)
+    ranked.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("toks_all"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("toks")).otherwise(0L)).as("toks_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  val sel2: Q = (s, d) => {
+    val q = graft.ops.TextAnalysis.qualityScoreOf(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality").as("q"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long").as("toks"))
+      .join(q, Seq("doc_id"))
+    budgetSelectOf(docs, budget = 100000L)
+  }
+  val sel2Sql: String =
+    s"""WITH ${graft.ops.TextAnalysis.qualityCte},
+       |docs AS (
+       |  SELECT d.doc_id, d.source,
+       |         CAST(len(list_filter(str_split(d.text, ' '), w -> len(w) > 0)) AS BIGINT) AS toks,
+       |         q.quality AS q
+       |  FROM documents d JOIN qual q ON q.doc_id = d.doc_id),
+       |ranked AS (
+       |  SELECT doc_id, source, toks,
+       |         coalesce(sum(toks) OVER (ORDER BY q DESC, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+       |  FROM docs)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(toks) AS BIGINT) AS toks_all,
+       |       CAST(sum(CASE WHEN cum_excl + toks <= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN cum_excl + toks <= 100000 THEN toks ELSE 0 END) AS BIGINT) AS toks_kept,
+       |       CAST(sum(CASE WHEN cum_excl + toks <= 100000 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
   // ---- TOK6: WordPiece vocabulary-utilization audit ----
 
   /** TOK6: the vocabulary-utilization audit over tok5's greedy WordPiece
@@ -1444,6 +1506,7 @@ object Selection {
     "t25_stupid_backoff" -> t25,
     "mix3_unimax_alloc" -> mix3,
     "sel1_dsir_topk" -> sel1,
+    "sel2_budget_select" -> sel2,
     "t18_char_entropy" -> t18,
     "bpe1_pair_stats" -> bpe1,
     "bpe2_merge_induction" -> bpe2,
@@ -1466,6 +1529,7 @@ object Selection {
     "t25_stupid_backoff" -> t25Sql,
     "mix3_unimax_alloc" -> mix3Sql,
     "sel1_dsir_topk" -> sel1Sql,
+    "sel2_budget_select" -> sel2Sql,
     "t18_char_entropy" -> t18Sql,
     "bpe1_pair_stats" -> bpe1Sql,
     "bpe2_merge_induction" -> bpe2Sql,

@@ -51,6 +51,30 @@ class SelectionSpec extends SparkSpec {
 
   // ---- sel1: DSIR importance ordering ----
 
+  test("sel2: budget cut keeps the exact quality-ranked prefix, id checksums pin the set") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      (1L, "a", 100L, 50L), (2L, "b", 90L, 40L),
+      (3L, "a", 80L, 30L), (4L, "b", 70L, 100L))
+      .toDF("doc_id", "source", "q", "toks")
+    // budget 100: d1 (cum 50) and d2 (cum 90) fit; d3 would hit 120
+    val got = graft.api.GraftApi.budgetSelect(docs, budget = 100L).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got("a") === ((2L, 80L, 1L, 50L, 1L)))
+    assert(got("b") === ((2L, 140L, 1L, 40L, 2L)))
+    // a budget covering everything keeps everything
+    val all = graft.api.GraftApi.budgetSelect(docs, budget = 1000L).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(5))).toMap
+    assert(all("a") === ((2L, 4L)))
+    assert(all("b") === ((2L, 6L)))
+    // zero budget keeps nothing
+    val none = graft.api.GraftApi.budgetSelect(docs, budget = 0L).collect()
+      .map(_.getLong(3)).sum
+    assert(none === 0L)
+  }
+
   test("sel1: docs made of target-enriched tokens outrank raw-typical docs") {
     // target slice (srcT) is all "good"; raw background is all "bad".
     // A raw doc of "good good good" must rank above one of "bad bad bad".
