@@ -44,7 +44,10 @@ object Bench {
     "mmr2_diverse_topk_bucketed", "zo2_hilbert_layout", "ret4_query_likelihood_topk",
     // round-11 late-pass headliners: the asymmetric-containment dedup face
     // and the exact-integer power iteration
-    "d20_containment", "emb5_power_iteration")
+    "d20_containment", "emb5_power_iteration",
+    // round-12 session headliners: the one-scan isotropy fold, the capped
+    // FS blocking and the prefix-sum budget cut
+    "emb7_isotropy", "d24_record_linkage", "sel2_budget_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

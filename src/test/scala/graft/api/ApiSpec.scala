@@ -545,4 +545,23 @@ class ApiSpec extends SparkSpec {
         Seq("c_nationkey", "bal_k"), "c_mktsegment").collect().toSeq ===
       graft.SparkEntry.queries("priv5_t_closeness")(spark, sfd).collect().toSeq)
   }
+
+  test("round-12 session APIs bind the same implementations as their registry entries") {
+    val sfd = sfDir
+    val emb = graft.Tables.embeddings(spark, sfd)
+    assert(GraftApi.isotropyAudit(emb).collect().toSeq ===
+      graft.SparkEntry.queries("emb7_isotropy")(spark, sfd).collect().toSeq)
+    assert(GraftApi.quantDistortion(emb).collect().toSeq ===
+      graft.SparkEntry.queries("emb8_quant_distortion")(spark, sfd).collect().toSeq)
+    val docs = graft.Tables.documents(spark, sfd)
+    assert(GraftApi.sourceJsd(docs).collect().toSeq ===
+      graft.SparkEntry.queries("voc5_source_jsd")(spark, sfd).collect().toSeq)
+    assert(GraftApi.ess(docs.select(
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("n_chars").as("w"))).count() === 21L)
+    assert(GraftApi.twap(graft.Tables.events(spark, sfd), "event_type", "ts",
+        graft.ops.Money.cents(org.apache.spark.sql.functions.col("value")))
+      .collect().toSeq ===
+      graft.SparkEntry.queries("e13_twap")(spark, sfd).collect().toSeq)
+  }
 }
