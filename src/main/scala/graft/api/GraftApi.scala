@@ -1048,6 +1048,14 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** Zone-map skipping audit of a two-key frame: for 32 equal-range
+    * files under linear / z-order / Hilbert layouts, the mean file
+    * count a single-column point probe touches on each dimension —
+    * the quantified case for curve layouts when both columns carry
+    * predicates. Registry twin: `zo3_skipping_audit`. */
+  def skippingAudit(rows: DataFrame, xCol: String, yCol: String): DataFrame =
+    graft.ops.ScaleOps.skippingAuditOf(rows, xCol, yCol)
+
   /** Budget-constrained corpus selection over a (doc_id, source, q,
     * toks) frame: keep the maximal (quality DESC, doc_id) prefix whose
     * token mass fits `budget`, via one distributed prefix-sum pass;

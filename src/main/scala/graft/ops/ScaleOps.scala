@@ -1925,7 +1925,110 @@ object ScaleOps {
        |            ELSE CAST(sw * sw * 10000 // (n * sww) AS BIGINT) END AS ess_share_bp
        |FROM rows ORDER BY source""".stripMargin
 
+  // ---- ZO3: zone-map skipping audit across layouts ----
+
+  /** ZO3: the MEASUREMENT behind zo1/zo2 — how many files does a
+    * single-column point predicate actually touch under each layout?
+    * For 32 equal-range "files" laid out three ways (linear by partkey,
+    * Morton z-order, Hilbert) the audit takes each file's zone map
+    * (min/max of BOTH keys — exactly what parquet row-group stats
+    * store), probes it with every ~5%-sampled key value on each
+    * dimension, and reports the mean touched-file count. The expected
+    * shape at any scale: the linear layout is near-perfect on ITS key
+    * and touches ~everything on the other; the space-filling curves pay
+    * a small factor on partkey to cut suppkey probes by ~an order of
+    * magnitude — the quantified reason a 100 TB table is laid out on a
+    * curve when two dimensions carry predicates.
+    *
+    * Exactness: bucket ids, zone bounds, containment counts and the
+    * e3/bp divisions are all integers (the zo1 map-side bucketing — no
+    * ntile, no global sort). Scale: three corpus scans (one per
+    * layout's key computation) into 32-row zone tables; the probe join
+    * is 32 × (key-domain sample) on the broadcast zone side. Library
+    * entry point: [[graft.api.GraftApi.skippingAudit]]. */
+  private[graft] def skippingAuditOf(rows: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    def zones(keyed: DataFrame): DataFrame = {
+      val b = keyed.agg(min("k").as("kmin"), max("k").as("kmax"))
+      keyed.join(broadcast(b))
+        .withColumn("bucket", least(lit(31L), expr("(k - kmin) * 32 div (kmax - kmin + 1)")))
+        .groupBy("bucket")
+        .agg(min(xCol).as("min_x"), max(xCol).as("max_x"),
+          min(yCol).as("min_y"), max(yCol).as("max_y"))
+    }
+    val base = rows.select(col(xCol), col(yCol))
+    val linear = zones(base.withColumn("k", col(xCol))).withColumn("layout", lit("linear_x"))
+    val zord = zones(base.withColumn("k", zorder2(col(xCol), col(yCol))))
+      .withColumn("layout", lit("zorder"))
+    val hilb = zones(hilbert16(base, xCol, yCol).withColumnRenamed("h", "k"))
+      .withColumn("layout", lit("hilbert"))
+    val zonesAll = linear.unionByName(zord).unionByName(hilb)
+    def probes(c: String): DataFrame =
+      base.select(col(c).as("p")).distinct().filter(col("p") % 20 === 7)
+    def audit(dim: String, pCol: String => org.apache.spark.sql.Column): DataFrame = {
+      val pr = probes(if (dim == "x") xCol else yCol)
+      zonesAll.join(broadcast(pr),
+          col("p") >= pCol("min") && col("p") <= pCol("max"))
+        .groupBy("layout").agg(count(lit(1)).as("touched"))
+        .crossJoin(broadcast(pr.agg(count(lit(1)).as("n_probes"))))
+        .select(col("layout"), lit(dim).as("probe_dim"),
+          lit(32L).as("n_files"), col("n_probes"),
+          expr("touched * 1000 div n_probes").as("avg_touched_e3"),
+          expr("touched * 10000 div (n_probes * 32)").as("touched_share_bp"))
+    }
+    audit("x", side => col(s"${side}_x")).unionByName(audit("y", side => col(s"${side}_y")))
+      .orderBy("layout", "probe_dim")
+  }
+
+  val zo3: Q = (s, d) =>
+    skippingAuditOf(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
+  val zo3Sql: String = {
+    val hilbertCtes = hilbert16Sql(
+      "SELECT l_partkey, l_suppkey, l_partkey & 65535 AS hx, " +
+        "l_suppkey & 65535 AS hy, CAST(0 AS BIGINT) AS h FROM lineitem",
+      "l_partkey, l_suppkey")
+    s"""WITH $hilbertCtes,
+       |keyed AS (
+       |  SELECT 'linear_x' AS layout, l_partkey AS x, l_suppkey AS y,
+       |         CAST(l_partkey AS BIGINT) AS k
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'zorder', l_partkey, l_suppkey, ${zorder2Sql("l_partkey", "l_suppkey")}
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'hilbert', l_partkey, l_suppkey, h FROM hl0),
+       |bounds AS (
+       |  SELECT layout, min(k) AS kmin, max(k) AS kmax FROM keyed GROUP BY layout),
+       |zones AS (
+       |  SELECT layout,
+       |         least(31, (k - kmin) * 32 // (kmax - kmin + 1)) AS bucket,
+       |         min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+       |  FROM keyed JOIN bounds USING (layout)
+       |  GROUP BY 1, 2),
+       |px AS (SELECT DISTINCT l_partkey AS p FROM lineitem WHERE l_partkey % 20 = 7),
+       |py AS (SELECT DISTINCT l_suppkey AS p FROM lineitem WHERE l_suppkey % 20 = 7),
+       |tx AS (
+       |  SELECT layout, CAST(count(*) AS BIGINT) AS touched
+       |  FROM zones JOIN px ON p >= min_x AND p <= max_x GROUP BY layout),
+       |ty AS (
+       |  SELECT layout, CAST(count(*) AS BIGINT) AS touched
+       |  FROM zones JOIN py ON p >= min_y AND p <= max_y GROUP BY layout),
+       |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM px),
+       |ny AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM py)
+       |SELECT layout, 'x' AS probe_dim, CAST(32 AS BIGINT) AS n_files, n_probes,
+       |       touched * 1000 // n_probes AS avg_touched_e3,
+       |       touched * 10000 // (n_probes * 32) AS touched_share_bp
+       |FROM tx CROSS JOIN nx
+       |UNION ALL
+       |SELECT layout, 'y', 32, n_probes,
+       |       touched * 1000 // n_probes,
+       |       touched * 10000 // (n_probes * 32)
+       |FROM ty CROSS JOIN ny
+       |ORDER BY layout, probe_dim""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "zo3_skipping_audit" -> zo3,
     "samp7_ess" -> samp7,
     "mix1_temperature_mix" -> mix1,
     "mix1_debug" -> mix1Debug,
@@ -1977,6 +2080,7 @@ object ScaleOps {
     "samp5_class_balance" -> samp5Sql,
     "samp6_neyman_alloc" -> samp6Sql,
     "samp7_ess" -> samp7Sql,
+    "zo3_skipping_audit" -> zo3Sql,
     "obs1_observed_metrics" -> obs1Sql,
     "stat1_correlation_matrix" -> stat1Sql,
     "s15_zstd_codec" -> s15Sql,

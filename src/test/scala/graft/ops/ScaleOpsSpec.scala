@@ -515,6 +515,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("zo3 skipping audit: linear is perfect on its key, blind on the other; curves split the difference") {
+    val s2 = spark
+    import s2.implicits._
+    // dense 64x64 grid: every layout sees identical data
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val rows = graft.api.GraftApi.skippingAudit(grid, "x", "y").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // linear-by-x probing x: each probe touches exactly ONE file
+    assert(rows(("linear_x", "x")) === ((3L, 1000L, 312L)))
+    // linear-by-x probing y: every file spans all of y -> all 32 touched
+    assert(rows(("linear_x", "y")) === ((3L, 32000L, 10000L)))
+    // both curves cut the y-probe cost well below the linear layout's 32
+    // while staying above the perfect 1
+    for (layout <- Seq("zorder", "hilbert")) {
+      val (n, avgY, _) = rows((layout, "y"))
+      assert(n === 3L)
+      assert(avgY < 16000L, s"$layout should prune y probes, got $avgY")
+      assert(avgY >= 1000L)
+      // and the price paid on x stays far below full scan
+      assert(rows((layout, "x"))._2 < 16000L)
+    }
+  }
+
   test("samp7 ESS: uniform = n, concentrated collapses, all-zero is NULL") {
     val s2 = spark
     import s2.implicits._
