@@ -1048,6 +1048,14 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** Inter-event gap dispersion per key: exact mean gap (µs) and
+    * squared coefficient of variation (e6; Poisson = 10⁶, bursty ≫,
+    * heartbeat ≪) from integer sufficient statistics; NULL on keys
+    * without gaps. Registry twin: `e14_gap_dispersion`. */
+  def gapDispersion(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String = "event_id"): DataFrame =
+    graft.ops.Events.gapDispersionOf(events, keyCol, tsCol, tieCol)
+
   /** Zone-map skipping audit of a two-key frame: for 32 equal-range
     * files under linear / z-order / Hilbert layouts, the mean file
     * count a single-column point probe touches on each dimension —

@@ -547,7 +547,69 @@ object Events {
        |            ELSE -CAST((-wsum) // (t1 - t0) AS BIGINT) END AS twap_c
        |FROM sp LEFT JOIN ws USING (k) ORDER BY event_type""".stripMargin
 
+  // ---- E14: inter-event gap dispersion (Poisson / burstiness audit) ----
+
+  /** E14: dispersion of the inter-event gaps per key — the arrival-
+    * process health check behind rate-based alerting and capacity
+    * planning: a Poisson stream has squared coefficient of variation
+    * CoV² = 1; CoV² ≫ 1 means bursty arrivals (retry storms, batched
+    * uploads wearing an "events" label), CoV² ≪ 1 means a scheduler's
+    * heartbeat pretending to be organic traffic. Gaps come from the
+    * same total-order lead() as e13 (ts, then event_id); the statistics
+    * are the exact integer sufficient pair (Σdt, Σdt²) and both
+    * emissions are single sign-free integral divisions:
+    * mean_us = Σdt div n, cov2_e6 = 10⁶·(n·Σdt² − (Σdt)²) div (Σdt)²
+    * (≥ 0 by Cauchy–Schwarz; DECIMAL(38,0)/HUGEINT products — µs² wraps
+    * int64 immediately); NULL when a key has no gaps or a zero span
+    * (the voc3 convention).
+    *
+    * Scale: one key-partitioned lead() window (the e10/e13 bounded-key
+    * contract) + one map-side-combined aggregate. Library entry point:
+    * [[graft.api.GraftApi.gapDispersion]]. */
+  private[graft] def gapDispersionOf(events: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String = "event_id"): DataFrame = {
+    val base = events.select(col(keyCol).as("k"),
+      expr(s"unix_micros($tsCol)").as("us"), col(tieCol).as("tie"))
+    val w = Window.partitionBy("k").orderBy("us", "tie")
+    val gaps = base.withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dt").isNotNull)
+    base.groupBy("k").agg(count(lit(1)).as("n_events"))
+      .join(gaps.groupBy("k").agg(count(lit(1)).as("n_gaps"),
+        sum(expr("CAST(dt AS DECIMAL(38,0))")).as("sdt"),
+        sum(expr("CAST(dt AS DECIMAL(38,0)) * dt")).as("sdt2")), Seq("k"), "left")
+      .select(col("k").as(keyCol), col("n_events"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+        expr("CASE WHEN n_gaps IS NULL OR n_gaps = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(sdt div n_gaps AS BIGINT) END").as("mean_gap_us"),
+        expr("CASE WHEN n_gaps IS NULL OR n_gaps = 0 OR sdt = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST((n_gaps * sdt2 - sdt * sdt) * 1000000 div (sdt * sdt) AS BIGINT) END")
+          .as("cov2_e6"))
+      .orderBy(keyCol)
+  }
+
+  val e14: Q = (s, d) => gapDispersionOf(ev(s, d), "event_type", "ts")
+  val e14Sql: String =
+    """WITH base AS (
+      |  SELECT event_type AS k, epoch_us(ts) AS us, event_id AS tie FROM events),
+      |gaps AS (
+      |  SELECT k, lead(us) OVER (PARTITION BY k ORDER BY us, tie) - us AS dt
+      |  FROM base),
+      |ne AS (SELECT k, CAST(count(*) AS BIGINT) AS n_events FROM base GROUP BY k),
+      |gs AS (
+      |  SELECT k, CAST(count(*) AS BIGINT) AS n_gaps,
+      |         CAST(sum(CAST(dt AS HUGEINT)) AS HUGEINT) AS sdt,
+      |         CAST(sum(CAST(dt AS HUGEINT) * dt) AS HUGEINT) AS sdt2
+      |  FROM gaps WHERE dt IS NOT NULL GROUP BY k)
+      |SELECT ne.k AS event_type, n_events,
+      |       coalesce(n_gaps, 0) AS n_gaps,
+      |       CASE WHEN n_gaps IS NULL OR n_gaps = 0 THEN CAST(NULL AS BIGINT)
+      |            ELSE CAST(sdt // n_gaps AS BIGINT) END AS mean_gap_us,
+      |       CASE WHEN n_gaps IS NULL OR n_gaps = 0 OR sdt = 0 THEN CAST(NULL AS BIGINT)
+      |            ELSE CAST((n_gaps * sdt2 - sdt * sdt) * 1000000 // (sdt * sdt) AS BIGINT) END AS cov2_e6
+      |FROM ne LEFT JOIN gs USING (k) ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e14_gap_dispersion" -> e14,
     "e13_twap" -> e13,
     "e11_attribution" -> e11,
     "e12_rfm" -> e12,
@@ -568,6 +630,7 @@ object Events {
     "e11_attribution" -> e11Sql,
     "e12_rfm" -> e12Sql,
     "e13_twap" -> e13Sql,
+    "e14_gap_dispersion" -> e14Sql,
     "w6_cumulative_distinct" -> w6Sql,
     "e10_resample_locf" -> e10Sql,
     "e1_tumbling_window" -> e1Sql,

@@ -1880,11 +1880,19 @@ object ScaleOps {
     * (ess_e3, and its share of n in bp) — trunc == floor on
     * non-negatives; NULL when Σw² = 0 (all-zero weights, the voc3
     * convention). Library entry point: [[graft.api.GraftApi.ess]]. */
-  private[graft] def essOf(weighted: DataFrame): DataFrame = {
-    val per = weighted.groupBy("source").agg(
+  /** Per-source (n, Σw, Σw²) — an additive monoid, split out so the
+    * streaming twin (st27) can fold per-batch deltas and finish through
+    * the identical [[essFromStats]]. */
+  private[graft] def essStatsOf(weighted: DataFrame): DataFrame =
+    weighted.groupBy("source").agg(
       count(lit(1)).cast("decimal(38,0)").as("n"),
       sum(expr("CAST(w AS DECIMAL(38,0))")).as("sw"),
       sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("sww"))
+
+  private[graft] def essOf(weighted: DataFrame): DataFrame =
+    essFromStats(essStatsOf(weighted))
+
+  private[graft] def essFromStats(per: DataFrame): DataFrame = {
     val overall = per.agg(sum("n").as("n"), sum("sw").as("sw"), sum("sww").as("sww"))
       .select(lit(null).cast("string").as("source"), col("n"), col("sw"), col("sww"))
     per.select(col("source").cast("string").as("source"), col("n"), col("sw"), col("sww"))

@@ -1502,7 +1502,54 @@ object Streams {
     graft.ops.Evaluation.simpsonFromStats(s.read.parquet(latest._2), "source")
   }
 
+  // ---- ST27: streaming effective-sample-size monitor ----
+
+  /** ST27: streaming maintenance of samp7's Kish ESS — the live "are
+    * the importance weights collapsing onto a handful of documents?"
+    * monitor for a weighted ingest feed. samp7's per-source
+    * (n, Σw, Σw²) table is an additive monoid: per-batch deltas merge
+    * by full-outer SUM (state: sources × 3 integers) and the cut runs
+    * through samp7's own [[graft.ops.ScaleOps.essFromStats]] — stream
+    * == batch bit-for-bit under the shared `samp7Sql` oracle. */
+  val st27: Q = (s, d) => {
+    val srcDir = stagedTableSplit(s, d, "st27", table = "documents", key = "doc_id")
+    val physical = s.read.parquet(s"$d/documents.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val statRoot = Files.createTempDirectory("graft_st27_stats").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(statRoot).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st27").toString
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val b = batch.toDF().localCheckpoint(true)
+        val q = graft.ops.TextAnalysis.qualityScoreOf(b)
+          .select(col("doc_id"), col("quality").as("w"))
+        val delta = graft.ops.ScaleOps.essStatsOf(
+          b.select(col("doc_id"), col("source")).join(q, Seq("doc_id")))
+        val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
+        val merged = prior match {
+          case None => delta
+          case Some((_, path)) =>
+            sess.read.parquet(path).unionAll(delta).groupBy("source")
+              .agg(sum("n").as("n"), sum("sw").as("sw"), sum("sww").as("sww"))
+        }
+        merged.write.mode("overwrite").parquet(s"$statRoot/gen_$batchId")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    graft.ops.ScaleOps.essFromStats(s.read.parquet(latest._2))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st27_stream_ess" -> st27,
     "st26_stream_simpson" -> st26,
     "st25_stream_isotropy" -> st25,
     "st24_stream_cusum" -> st24,
@@ -1537,6 +1584,7 @@ object Streams {
     "st24_stream_cusum" -> st24Sql,
     "st25_stream_isotropy" -> graft.ops.Similarity.emb7Sql,
     "st26_stream_simpson" -> graft.ops.Evaluation.dq8Sql,
+    "st27_stream_ess" -> graft.ops.ScaleOps.samp7Sql,
     "st18_stream_benford" -> graft.ops.Evaluation.dq5Sql,
     "st19_stream_markov" -> graft.ops.Curation.markov1Sql,
     "st20_stream_skipgram" -> graft.ops.TextAnalysis.w2v1Sql,

@@ -42,6 +42,27 @@ class EventsSpec extends SparkSpec {
     assert(firstC > 0)
   }
 
+  test("e14 gap dispersion: heartbeat = 0, bursty hand case, gapless key is NULL") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import spark.implicits._
+    val ev = Seq(
+      // key h: perfectly regular 10us heartbeat -> cov2 exactly 0
+      ("h", 0L, 1L), ("h", 10L, 2L), ("h", 20L, 3L), ("h", 30L, 4L),
+      // key b: gaps (1, 1, 28) -> cov2 = (3*786 - 900)*1e6/900 = 1620000
+      ("b", 0L, 5L), ("b", 1L, 6L), ("b", 2L, 7L), ("b", 30L, 8L),
+      // key s: a single event has no gaps
+      ("s", 5L, 9L))
+      .toDF("k", "usv", "event_id")
+      .withColumn("ts", timestamp_micros(col("usv")))
+    val got = graft.api.GraftApi.gapDispersion(ev, "k", "ts").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(got("h") === ((4L, 3L, 10L, 0L)))
+    assert(got("b") === ((4L, 3L, 10L, 1620000L)))
+    assert(got("s") === ((1L, 0L, -1L, -1L)))
+  }
+
   test("e13 TWAP weights by holding time, signs split, degenerate span is NULL") {
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     import spark.implicits._

@@ -399,6 +399,18 @@ class StreamsSpec extends SparkSpec {
     assert(live === batch)
   }
 
+  test("st27 streaming ESS equals the batch samp7 audit bit-for-bit") {
+    // quality is per-doc pure and the (n, sw, sww) stats are additive,
+    // so the drained audit must match the batch registry query exactly
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (if (r.isNullAt(0)) "__all__" else r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3))).toSeq
+    val live = canon(Streams.st27(spark, sfDir).collect())
+    val batch = canon(graft.ops.ScaleOps.samp7(spark, sfDir).collect())
+    assert(live === batch)
+  }
+
   test("st22 streaming RFM segments equal the batch e12 table bit-for-bit") {
     // the per-buyer (max, sum, sum) state is a mergeable monoid and the
     // quartile cut reuses e12's rfmSegmentsFromPerUser — batch-boundary
