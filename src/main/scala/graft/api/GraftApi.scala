@@ -1048,6 +1048,15 @@ object GraftApi {
   def sourceVocabOverlap(docs: DataFrame): DataFrame =
     graft.ops.TextAnalysis.sourceVocabOverlapOf(docs)
 
+  /** Exact lower weighted median of `valCol` per `keyCol`, weighted by
+    * integer `wCol`: the smallest value whose cumulative weight
+    * reaches half the group total (integer 2·cw ≥ W form); the window
+    * runs on the value-level frame. Registry twin:
+    * `w7_weighted_median`. */
+  def weightedMedian(rows: DataFrame, keyCol: String, valCol: String,
+      wCol: String): DataFrame =
+    graft.ops.Events.weightedMedianOf(rows, keyCol, valCol, wCol)
+
   /** Inter-event gap dispersion per key: exact mean gap (µs) and
     * squared coefficient of variation (e6; Poisson = 10⁶, bursty ≫,
     * heartbeat ≪) from integer sufficient statistics; NULL on keys

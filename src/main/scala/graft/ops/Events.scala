@@ -547,6 +547,60 @@ object Events {
        |            ELSE -CAST((-wsum) // (t1 - t0) AS BIGINT) END AS twap_c
        |FROM sp LEFT JOIN ws USING (k) ORDER BY event_type""".stripMargin
 
+  // ---- W7: exact weighted median per group ----
+
+  /** W7: the exact LOWER WEIGHTED MEDIAN of a value column per group,
+    * weighted by an integer mass column — the robust "typical price
+    * weighted by volume" statistic (a plain median over rows answers
+    * "typical LINE"; weighting by quantity answers "typical UNIT",
+    * which is what pricing/capacity decisions want). Median = the
+    * smallest value whose cumulative weight reaches half the group's
+    * total (2·cw ≥ W — integer form, no halving division).
+    *
+    * Exactness: value-level weight sums, one cumulative window, one
+    * min — all integers. Scale: the cumulative window runs on the
+    * VALUE-LEVEL frame (distinct values per group — value-domain-
+    * bounded, the dq2/mix3 class), partitioned by the group key; the
+    * corpus is touched once by the value aggregation. Library entry
+    * point: [[graft.api.GraftApi.weightedMedian]]. */
+  private[graft] def weightedMedianOf(rows: DataFrame, keyCol: String,
+      valCol: String, wCol: String): DataFrame = {
+    val vals = rows.groupBy(col(keyCol).as("k"), col(valCol).as("v"))
+      .agg(sum(col(wCol).cast("long")).as("w"))
+    val win = Window.partitionBy("k").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals.withColumn("cw", sum("w").over(win))
+      .withColumn("wt", sum("w").over(Window.partitionBy("k")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_values"), max("wt").as("w_total"),
+        min(when(col("cw") * 2 >= col("wt"), col("v"))).as("wmedian"))
+      .select(col("k").as(keyCol), col("n_values"), col("w_total"), col("wmedian"))
+      .orderBy(keyCol)
+  }
+
+  val w7: Q = (s, d) =>
+    weightedMedianOf(
+      Tables.lineitem(s, d).select(col("l_returnflag"),
+        Money.cents(col("l_extendedprice")).as("price_c"),
+        col("l_quantity").cast("long").as("qty")),
+      "l_returnflag", "price_c", "qty")
+  val w7Sql: String =
+    s"""WITH rows_ AS (
+       |  SELECT l_returnflag AS k, ${Money.centsSql("l_extendedprice")} AS v,
+       |         CAST(l_quantity AS BIGINT) AS w
+       |  FROM lineitem),
+       |vals AS (SELECT k, v, CAST(sum(w) AS BIGINT) AS w FROM rows_ GROUP BY k, v),
+       |c AS (
+       |  SELECT k, v, w,
+       |         sum(w) OVER (PARTITION BY k ORDER BY v
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+       |         sum(w) OVER (PARTITION BY k) AS wt
+       |  FROM vals)
+       |SELECT k AS l_returnflag, CAST(count(*) AS BIGINT) AS n_values,
+       |       CAST(max(wt) AS BIGINT) AS w_total,
+       |       CAST(min(CASE WHEN cw * 2 >= wt THEN v END) AS BIGINT) AS wmedian
+       |FROM c GROUP BY k ORDER BY l_returnflag""".stripMargin
+
   // ---- E14: inter-event gap dispersion (Poisson / burstiness audit) ----
 
   /** E14: dispersion of the inter-event gaps per key — the arrival-
@@ -610,6 +664,7 @@ object Events {
 
   val queries: Map[String, Q] = Map(
     "e14_gap_dispersion" -> e14,
+    "w7_weighted_median" -> w7,
     "e13_twap" -> e13,
     "e11_attribution" -> e11,
     "e12_rfm" -> e12,
@@ -631,6 +686,7 @@ object Events {
     "e12_rfm" -> e12Sql,
     "e13_twap" -> e13Sql,
     "e14_gap_dispersion" -> e14Sql,
+    "w7_weighted_median" -> w7Sql,
     "w6_cumulative_distinct" -> w6Sql,
     "e10_resample_locf" -> e10Sql,
     "e1_tumbling_window" -> e1Sql,

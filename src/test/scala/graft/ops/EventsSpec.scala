@@ -42,6 +42,23 @@ class EventsSpec extends SparkSpec {
     assert(firstC > 0)
   }
 
+  test("w7 weighted median: volume-weighting moves the median; plain rows degenerate to it") {
+    import spark.implicits._
+    // values (10, 20, 30) with weights (1, 1, 10): half the mass is 6,
+    // reached first at v = 30 — the unweighted median would say 20
+    val rows = Seq(("a", 10L, 1L), ("a", 20L, 1L), ("a", 30L, 10L),
+      // key b: uniform weights -> the lower median of (1,2,3,4) is 2
+      ("b", 1L, 1L), ("b", 2L, 1L), ("b", 3L, 1L), ("b", 4L, 1L),
+      // duplicate values merge their mass before the cut
+      ("c", 5L, 1L), ("c", 5L, 1L), ("c", 9L, 1L))
+      .toDF("k", "v", "w")
+    val got = graft.api.GraftApi.weightedMedian(rows, "k", "v", "w").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("a") === ((3L, 12L, 30L)))
+    assert(got("b") === ((4L, 4L, 2L)))
+    assert(got("c") === ((2L, 3L, 5L)))
+  }
+
   test("e14 gap dispersion: heartbeat = 0, bursty hand case, gapless key is NULL") {
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     import spark.implicits._
