@@ -1125,6 +1125,14 @@ object GraftApi {
   def wordPieceUsage(words: DataFrame): DataFrame =
     graft.ops.Selection.pieceUsageOf(words)
 
+  /** Global transitivity (clustering coefficient) of an undirected
+    * (a, b) edge frame: C = 3·triangles/wedges as one exact e6
+    * division; NULL on wedge-free graphs. The wedge-weighted
+    * complement of the per-node [[clusteringCoefficients]]. Registry
+    * twin: `gr3_transitivity`. */
+  def transitivity(edges: DataFrame): DataFrame =
+    graft.ops.Graph.transitivityOf(edges)
+
   /** Newman degree assortativity of an undirected (a, b) edge frame:
     * the Pearson correlation of end-point degrees over both stub
     * directions, WHOLLY exact (permutation symmetry makes both

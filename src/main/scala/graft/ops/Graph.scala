@@ -352,6 +352,65 @@ object Graph {
       |            ELSE -CAST((-num) * 1000000000 // (4 * m * m) AS BIGINT) END AS q_e9
       |FROM rows ORDER BY community""".stripMargin
 
+  // ---- GR3: global transitivity ----
+
+  /** GR3: the global clustering coefficient (transitivity) of an
+    * undirected (a, b) edge frame — closed wedges over all wedges,
+    * C = 3·#triangles / #wedges — the ONE-NUMBER closure summary that
+    * completes the structure panel (lcc1 gives the per-node view, which
+    * over-weights low-degree nodes; transitivity weights every wedge
+    * equally — the two can disagree wildly on hub-and-spoke graphs, and
+    * that disagreement is itself the diagnostic). Σ_v n_tri(v) counts
+    * each triangle three times, so C = 2·Σn_tri / Σ dg·(dg−1) divides
+    * ONCE, exactly (e6; DECIMAL(38,0)/HUGEINT — wedge counts square
+    * degrees; NULL when the graph has no wedges, the voc3 convention).
+    *
+    * Scale: tc1's degree-oriented triangle machinery + one degree
+    * aggregate + a 1-row fold. Library entry point:
+    * [[graft.api.GraftApi.transitivity]]. */
+  private[graft] def transitivityOf(und0: DataFrame): DataFrame = {
+    val und = und0.select(col("a"), col("b")).localCheckpoint(true)
+    val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val tri = triangleCountsOf(und).agg(
+      sum(expr("CAST(n_tri AS DECIMAL(38,0))")).as("tri3"))
+    deg.agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum(expr("CAST(dg AS DECIMAL(38,0)) * (dg - 1)")).as("wedges2"))
+      .crossJoin(broadcast(tri))
+      .select(col("n_nodes"),
+        expr("CAST(coalesce(tri3, CAST(0 AS DECIMAL(38,0))) div 3 AS BIGINT)").as("n_triangles"),
+        expr("CAST(wedges2 div 2 AS BIGINT)").as("n_wedges"),
+        expr("CASE WHEN wedges2 = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(coalesce(tri3, CAST(0 AS DECIMAL(38,0))) * 2 * 1000000 div wedges2 AS BIGINT) END")
+          .as("transitivity_e6"))
+  }
+
+  val gr3: Q = (s, d) => transitivityOf(sparsifiedUndOf(s, d))
+  val gr3Sql: String =
+    s"""WITH $sparsifiedUndSql,
+      |deg AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+      |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+      |oriented AS MATERIALIZED (
+      |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+      |              THEN u.a ELSE u.b END AS u,
+      |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+      |              THEN u.b ELSE u.a END AS v
+      |  FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+      |tris AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n_tri
+      |  FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+      |  JOIN und ON und.a = e1.v AND und.b = e2.v),
+      |dd AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |         CAST(sum(CAST(dg AS HUGEINT) * (dg - 1)) AS HUGEINT) AS wedges2
+      |  FROM deg)
+      |SELECT n_nodes, CAST(n_tri AS BIGINT) AS n_triangles,
+      |       CAST(wedges2 // 2 AS BIGINT) AS n_wedges,
+      |       CASE WHEN wedges2 = 0 THEN CAST(NULL AS BIGINT)
+      |            ELSE CAST(n_tri * 3 * 2 * 1000000 // wedges2 AS BIGINT) END AS transitivity_e6
+      |FROM dd CROSS JOIN tris""".stripMargin
+
   // ---- GR2: degree assortativity ----
 
   /** GR2: Newman's degree assortativity coefficient (PRL 2002) over an
@@ -793,6 +852,7 @@ object Graph {
     "lcc1_clustering_coefficient" -> lcc1,
     "gr1_modularity" -> gr1,
     "gr2_assortativity" -> gr2,
+    "gr3_transitivity" -> gr3,
     "kcore1_supplier_core" -> kcore1,
     "lp1_label_propagation" -> lp1,
   )
@@ -806,6 +866,7 @@ object Graph {
     "lcc1_clustering_coefficient" -> lcc1Sql,
     "gr1_modularity" -> gr1Sql,
     "gr2_assortativity" -> gr2Sql,
+    "gr3_transitivity" -> gr3Sql,
     "kcore1_supplier_core" -> kcore1Sql,
     "lp1_label_propagation" -> lp1Sql,
   )

@@ -127,6 +127,23 @@ class GraphSpec extends SparkSpec {
     assert(qp.getLong(4) === -40816326L) // -(8e9 div 196)
   }
 
+  test("gr3 transitivity: triangle = 1e6, star = 0, kite hand case, disagreement with lcc mean") {
+    def t(edges: Seq[(Long, Long)]) = {
+      val r = graft.api.GraftApi.transitivity(edges.toDF("a", "b")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3))
+    }
+    // a triangle closes every wedge
+    assert(t(Seq((1L, 2L), (2L, 3L), (1L, 3L))) === ((3L, 1L, 3L, 1000000L)))
+    // a star has wedges but no closures
+    assert(t(Seq((9L, 1L), (9L, 2L), (9L, 3L))) === ((4L, 0L, 3L, 0L)))
+    // kite (triangle + pendant on node 3): degrees (2,2,3,1) -> wedges
+    // = (1+1+3+0) = 5, one triangle -> C = 3/5 exactly
+    assert(t(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))) === ((4L, 1L, 5L, 600000L)))
+    // a single edge has no wedges -> undefined
+    assert(t(Seq((1L, 2L)))._4 === Long.MinValue)
+  }
+
   test("gr2 assortativity: star = -1e6 exactly, kite hand case, regular graph NULL") {
     def r(edges: Seq[(Long, Long)]): Option[Long] = {
       val row = graft.api.GraftApi.assortativity(edges.toDF("a", "b")).collect().head
