@@ -119,6 +119,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // between-run cleanup: clearCache() alone left localCheckpoint blocks
+    // pinned (Spark never GC-frees them), and over a 336-query sweep the
+    // accumulated blocks degraded late entries — the round-12 driver sweep
+    // recorded physically-implausible warm ≫ cold numbers on d3/pr1/bfs1
+    // (47.8 s warm vs 3.7 s cold) that the CPU-only sentinel could not see
+    def sweepBlocks(): Unit = graft.ops.Pinned.releaseAll(spark)
     // Load-robust sampling (rounds 5-7 all showed driver sweeps with
     // ambient host load poisoning individual samples — e.g. r7's d6
     // charged 27.8 s warm with spread 121.9 s vs 2.4 s isolated). Cold
@@ -143,7 +149,7 @@ object Bench {
       var crashed = false
       var settled = false
       while (!crashed && !settled && samples.size < MaxWarmSamples) {
-        val w = runOnce(fn); spark.catalog.clearCache()
+        val w = runOnce(fn); sweepBlocks()
         if (w < 0) crashed = true
         else {
           samples += w
@@ -165,7 +171,7 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val sentinelBefore = sentinelOnce()
       val cold = runOnce(fn)
-      spark.catalog.clearCache()
+      sweepBlocks()
       val (warm, spread, nWarm, unsettled) = sampleWarm(fn)
       name -> Entry(cold, warm, spread, nWarm, unsettled, sentinelBefore)
     }
@@ -191,8 +197,17 @@ object Bench {
     // the first pass's and the flag clears, with "retried": true recording
     // the provenance. Otherwise the original flagged numbers stand — same
     // honesty guarantees, cold is never retried (one-shot by nature).
+    // warm ≫ cold is physically implausible for a clean measurement (warm
+    // re-runs the identical plan with JIT + page cache already paid), so
+    // it flags the entry for the same end-of-sweep retry — the round-12
+    // driver sweep recorded d3 at 47.8 s warm vs 3.7 s cold with quiet
+    // sentinels, a harness artifact no sample-agreement rule could see.
+    // cold > 0.5 s guards sub-second noise ratios.
+    def warmImplausible(cold: Double, warm: Double): Boolean =
+      cold > 0.5 && warm > 2 * cold
     val finalEntries = timings.zipWithIndex.map { case ((name, e), i) =>
-      val flagged = e.unsettled || loadFlagged(i)
+      val flagged = e.unsettled || loadFlagged(i) ||
+        warmImplausible(e.cold, e.warm)
       if (!flagged || e.warm < 0) (name, e, flagged)
       else {
         val sb = sentinelOnce()
@@ -200,7 +215,7 @@ object Bench {
         val sa = sentinelOnce()
         val quiet = sentinelMedian > 0 &&
           sb <= 2 * sentinelMedian && sa <= 2 * sentinelMedian
-        if (w2 >= 0 && !uns2 && quiet)
+        if (w2 >= 0 && !uns2 && quiet && !warmImplausible(e.cold, w2))
           (name, e.copy(warm = w2, spread = sp2, nWarm = n2, unsettled = false,
             sentinelBefore = sb, retried = true), false)
         else (name, e, true)
@@ -212,9 +227,12 @@ object Bench {
     val method = "warm = min over 2-5 samples, sampled until the two fastest " +
       "agree within 20%; contaminated = agreement never reached (cap hit) OR " +
       "an adjacent fixed-work load sentinel (min of 2 probes, so one-off GC " +
-      "aftermath is discarded) ran >2x the session median; flagged entries " +
-      "get ONE end-of-sweep retry (retried=true) that clears the flag only " +
-      "if it settles between quiet sentinel brackets"
+      "aftermath is discarded) ran >2x the session median OR warm > 2x cold " +
+      "with cold > 0.5s (physically implausible measurement); flagged " +
+      "entries get ONE end-of-sweep retry (retried=true) that clears the " +
+      "flag only if it settles between quiet sentinel brackets and is not " +
+      "itself warm-implausible; pinned storage blocks (incl. checkpoint " +
+      "blocks clearCache cannot free) are swept between runs"
     val onlyJson = only.map(_.map(p => s""""$p"""").mkString("[", ",", "]"))
       .getOrElse("null")
 

@@ -33,8 +33,11 @@ object Verify {
       }
       // queries return lazy frames, so they cannot unpersist their own
       // caches (the caller's action materializes them); drop them here so
-      // one query's blocks never crowd a later query's executors
-      spark.catalog.clearCache()
+      // one query's blocks never crowd a later query's executors.
+      // releasePinned also sweeps checkpoint blocks, which clearCache
+      // cannot see and Spark never GC-frees (round-13) — they accumulated
+      // over a full dump and crowded late entries
+      graft.ops.Pinned.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -32,6 +32,15 @@ object GraftApi {
     * on a session. Idempotent. */
   def registerFunctions(spark: SparkSession): Unit = GraftFunctions.register(spark)
 
+  /** End-of-pipeline storage hygiene: free every block graft pinned on
+    * this session — cached frames AND lineage-truncation checkpoint
+    * blocks, which Spark never GC-frees in-process and
+    * `spark.catalog.clearCache()` cannot see. Always safe: everything
+    * graft pins can be recomputed from source, so at worst a still-live
+    * lazy frame recomputes its next action. Call it between pipeline
+    * stages in a long-lived session. */
+  def releasePinned(spark: SparkSession): Unit = graft.ops.Pinned.releaseAll(spark)
+
   // ---- reference text-cleaning dialects (pure Catalyst columns) ----
 
   /** NB-dialect clean chain (url/mention/digit strip → non-alpha → lower →

@@ -102,11 +102,13 @@ object MlLsh {
     *
     * CACHE HYGIENE (round-8 advice): two intermediate frames (`vecs`,
     * `bands`) are persisted because each feeds ≥2 consumers. The result
-    * is materialized HERE (localCheckpoint) and both intermediates are
+    * is materialized HERE (eager checkpoint) and both intermediates are
     * unpersisted before returning, so library callers get a
-    * self-contained frame and owe no clearCache() — the checkpoint
-    * blocks themselves are freed by the ContextCleaner once the returned
-    * frame is unreferenced. */
+    * self-contained frame and owe no clearCache(). The ONE remaining
+    * pinned block backs the returned pairs themselves — Spark never
+    * GC-frees checkpoint blocks in-process (the round-13 probe; the
+    * round-8 "ContextCleaner frees it" claim was wrong), so a long-lived
+    * session frees it with [[graft.api.GraftApi.releasePinned]]. */
   private[ml] def lsh1Pairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.linalg.{Vector => MlVector}
     // persist: the vectors feed the fit, the band projection, AND the
@@ -140,10 +142,10 @@ object MlLsh {
       .join(vecs.select(col("doc_id").as("id_a"), col("features").as("fa")), Seq("id_a"))
       .join(vecs.select(col("doc_id").as("id_b"), col("features").as("fb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccardDist(col("fa"), col("fb")).as("jaccard_dist"))
-      .localCheckpoint(true) // eager: pins the result so the inputs can unpin
+    val (out, _) = graft.ops.Pinned.checkpoint(pairs) // eager: pins the result so the inputs can unpin
     vecs.unpersist()
     bands.unpersist()
-    pairs
+    out
   }
 
   /** LSH1: MinHashLSH near-dup candidates at Jaccard distance ≤ 0.3 —
@@ -188,10 +190,20 @@ object MlLsh {
     }
     // a fixture without any %100 vec_id yields zero query keys — return an
     // empty frame instead of crashing reduce on an empty collection
-    if (perKey.isEmpty)
-      data.select(col("vec_id").as("q_id"), col("vec_id").as("cand_id"),
-        lit(0.0).as("dist")).limit(0)
-    else perKey.reduce(_ unionAll _).orderBy("q_id", "dist", "cand_id")
+    val res =
+      if (perKey.isEmpty)
+        data.select(col("vec_id").as("q_id"), col("vec_id").as("cand_id"),
+          lit(0.0).as("dist")).limit(0)
+      else perKey.reduce(_ unionAll _).orderBy("q_id", "dist", "cand_id")
+    // the result is BOUNDED tiny (≤ 3 keys × k rows) — pull it to the
+    // driver and rebuild a local frame so `data` can unpin here with
+    // nothing left pinned at all (the fitScore convention)
+    val rows = res.collect().toSeq
+    val out = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), res.schema)
+    data.unpersist()
+    out
   }
 
   val queries: Map[String, Q] = Map(

@@ -335,24 +335,13 @@ object Multimodal {
     }
     val ph = grams.groupBy("asset_id").agg(bitCols.head, bitCols.tail: _*)
       .select(col("asset_id"), concat(Mm8Bits.map(j => col(s"b$j")): _*).as("ph"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = (0 until 4).map(k =>
-        ph.select(col("asset_id"), col("ph"),
-          substring(col("ph"), k * 8 + 1, 8).as("band"), lit(k).as("bi")))
-      .reduce(_ unionAll _)
-    val ok = bands.groupBy("band", "bi").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= Mm8MaxBucket).select("band", "bi")
-    val bounded = bands.join(ok, Seq("band", "bi"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bounded.as("a").join(bounded.as("b"),
-        col("a.band") === col("b.band") && col("a.bi") === col("b.bi") &&
-          col("a.asset_id") < col("b.asset_id"))
-      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
-        col("a.ph").as("ph_a"), col("b.ph").as("ph_b"))
-      .distinct()
+    // band/cap/candidate blocking through the SHARED generator (the d5
+    // body) — one place owns the cap policy and the persist hygiene
+    val cand = graft.ops.Dedup.bandedCandidates(ph, "asset_id", "ph",
+      nBands = 4, bandLen = 8, cap = Mm8MaxBucket)
     graft.functions.GraftFunctions.register(s)
     cand.select(col("id_a"), col("id_b"),
-        expr("graft_hamming(ph_a, ph_b)").as("hamming"))
+        expr("graft_hamming(sig_a, sig_b)").as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy("id_a", "id_b")
   }

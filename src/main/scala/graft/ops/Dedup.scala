@@ -352,26 +352,47 @@ object Dedup {
 
   private val MaxBucket = 50
 
-  val d5: Q = (s, d) => {
-    // persist: the signature agg feeds the 4-way band union, which in turn
-    // feeds the bucket-size filter AND both sides of the candidate join —
-    // uncached, the 32-sum simhash aggregation recomputes ~12×
-    val sh = simhash(s, d)
+  /** Shared band-blocked candidate generator over a bit-string signature
+    * frame — the ONE place the band/cap/candidate shape (and its persist
+    * hygiene) lives; d5's SimHash and mm8's pHash both block through it.
+    * Splits `sigCol` into `nBands` contiguous substrings of `bandLen`
+    * chars; buckets wider than `cap` are skipped (a popular bucket would
+    * recreate the O(n²) pair space banding exists to avoid — standard
+    * practice: super-clusters get a separate pass); pairs are DISTINCT-ed
+    * before any downstream per-pair verify runs. Returns the materialized
+    * (id_a, id_b, sig_a, sig_b) pair frame with id_a < id_b; both
+    * intermediate caches are dropped before returning, so library callers
+    * never inherit pinned blocks. */
+  private[graft] def bandedCandidates(sigs: DataFrame, idCol: String,
+      sigCol: String, nBands: Int, bandLen: Int, cap: Int): DataFrame = {
+    // persist: the signature frame feeds the nBands-way band union, which
+    // in turn feeds the bucket-size filter AND both sides of the candidate
+    // join — uncached, the upstream signature aggregation recomputes ~3·nBands×
+    val sh = sigs.select(col(idCol).as("bc_id"), col(sigCol).as("bc_sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val halves = (0 until 4).map(k =>
-        sh.select(col("doc_id"), col("simhash"),
-          substring(col("simhash"), k * 8 + 1, 8).as("half"), lit(k).as("hi")))
+    val bands = (0 until nBands).map(k =>
+        sh.select(col("bc_id"), col("bc_sig"),
+          substring(col("bc_sig"), k * bandLen + 1, bandLen).as("band"), lit(k).as("bi")))
       .reduce(_ unionAll _)
-    val ok = halves.groupBy("half", "hi").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= MaxBucket).select("half", "hi")
-    val bounded = halves.join(ok, Seq("half", "hi"))
+    val ok = bands.groupBy("band", "bi").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= cap).select("band", "bi")
+    val bounded = bands.join(ok, Seq("band", "bi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bounded.as("a").join(bounded.as("b"),
-        col("a.half") === col("b.half") && col("a.hi") === col("b.hi") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+        col("a.band") === col("b.band") && col("a.bi") === col("b.bi") &&
+          col("a.bc_id") < col("b.bc_id"))
+      .select(col("a.bc_id").as("id_a"), col("b.bc_id").as("id_b"),
+        col("a.bc_sig").as("sig_a"), col("b.bc_sig").as("sig_b"))
       .distinct()
+    val (out, _) = Pinned.checkpoint(cand) // eager: pins the pairs so the inputs can unpin
+    bounded.unpersist()
+    sh.unpersist()
+    out
+  }
+
+  val d5: Q = (s, d) => {
+    val cand = bandedCandidates(simhash(s, d), "doc_id", "simhash",
+      nBands = 4, bandLen = 8, cap = MaxBucket)
     // native codegen'd Hamming expression (graft.functions.HammingDistance)
     // instead of a 32-term substring-compare chain
     graft.functions.GraftFunctions.register(s)
@@ -672,8 +693,14 @@ object Dedup {
         col("na.nrm").as("norm_a"), col("nb.nrm").as("norm_b"))
   }
 
-  val d7: Q = (s, d) =>
-    d7PairsOf(d7Population(s, d)).orderBy("id_a", "id_b")
+  val d7: Q = (s, d) => {
+    // population is persisted (feeds bands + norms + both join sides);
+    // materialize the pair list so the cache drops with this call
+    val qv = d7Population(s, d)
+    val (out, _) = Pinned.checkpoint(d7PairsOf(qv).orderBy("id_a", "id_b"))
+    qv.unpersist()
+    out
+  }
   val d7Sql: String =
     s"""WITH ${qvecSql("vec_id % 5 = 0").replace("qvec AS (", "qbase AS (")},
        |qvec AS (
@@ -730,16 +757,20 @@ object Dedup {
     // MEMORY_AND_DISK blocks make eviction-driven recompute a non-issue;
     // the cost is losing recompute-on-executor-loss, acceptable for an
     // iterative driver loop that would restart anyway.
-    val edges = pairs.select(explode(array(
+    val (edges, freeEdges) = Pinned.checkpoint(pairs.select(explode(array(
         struct(col("id_a"), col("id_b")),
         struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("e"))
-      .select(col("e.id_a"), col("e.id_b"))
-      .localCheckpoint() // eager: materializes and cuts lineage before the loop
+      .select(col("e.id_a"), col("e.id_b")),
+      eager = false) // materialized by the count below
     if (edges.count() == 0) {
       // no near-dup pairs at all: the recursive-CTE oracle yields an empty
       // result; mirror it (the loop below would NPE on a NULL sum(lbl))
-      edges.select(col("id_a").as("doc_id"), col("id_b").as("cluster_id"),
+      // (limit(0) folds to an empty LocalRelation — OptimizeLimitZero —
+      // so the frame never touches the freed edge blocks)
+      val empty = edges.select(col("id_a").as("doc_id"), col("id_b").as("cluster_id"),
         lit(0L).as("n_members")).limit(0)
+      freeEdges()
+      empty
     } else {
       var labels = edges.select(col("id_a").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))
@@ -765,16 +796,22 @@ object Dedup {
         rounds += 1
       }
       require(converged, s"label propagation did not converge in $rounds rounds")
-      // edges/labels stay cached until the caller's final action — the
-      // returned frame is LAZY, so an eager unpersist here would force a
-      // full d3 recompute on eviction; the harness clears the session
-      // cache between queries (Verify/Bench), which is the owning scope
+      // materialize the cluster frame eagerly (it covers only documents
+      // that HAVE a duplicate — small) so the last round's label cache is
+      // dropped HERE instead of leaking into the caller's session
+      // (round-13; `labels` is already materialized by the convergence
+      // aggregate, so the extra pass costs one small join, never a d3
+      // recompute). localCheckpoint also truncates the lineage the
+      // downstream anti-join consumers (d10/d12) re-walk.
       // UNSORTED: the presentation sort lives in the d8 registry entry
       // only — d10's anti-join consumer was paying a useless global sort
       // on the cluster frame (measured ~15 s → ~10 s at sf0.1)
-      labels
+      val (out, _) = Pinned.checkpoint(labels
         .join(labels.groupBy("lbl").agg(count(lit(1)).as("n_members")), "lbl")
-        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("n_members")))
+      labels.unpersist()
+      freeEdges()
+      out
     }
   }
   val d8Sql: String = {
@@ -829,14 +866,15 @@ object Dedup {
     * independent of component diameter. */
   private[graft] def ccLargeStarSmallStar(pairs: DataFrame): DataFrame = {
     // directed-downward invariant: every stored edge is (u, v) with u > v.
-    // localCheckpoint per round: the loop reassigns `edges` ~2·log n
-    // times; without truncation the distinct/join lineage stacks and a
-    // late-round task replays every earlier round.
-    var edges = pairs
+    // checkpoint per round: the loop reassigns `edges` ~2·log n times;
+    // without truncation the distinct/join lineage stacks and a
+    // late-round task replays every earlier round. Superseded rounds
+    // free their blocks immediately (Pinned — Spark never GC-frees them).
+    var (edges, freeEdges) = Pinned.checkpoint(pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct(),
+      eager = false) // materialized by the emptiness probe below
     if (edges.head(1).isEmpty) {
       edges.select(col("u").as("doc_id"), col("v").as("cluster_id"),
         lit(0L).as("n_members")).limit(0)
@@ -861,13 +899,18 @@ object Dedup {
         // neighbors to m = min of its out-neighborhood — the hop-halving
         // step that gives the logarithmic bound.
         val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
-        edges = large.join(mins2, "u")
+        // eager: the new round must be MATERIALIZED before the previous
+        // round's blocks are freed — a lazy checkpoint would still read
+        // them at first action, after the free (lineage is already cut)
+        val (next, freeNext) = Pinned.checkpoint(large.join(mins2, "u")
           .select(explode(array(
             struct(col("u").as("a"), col("m").as("b")),
             struct(col("v").as("a"), col("m").as("b")))).as("e"))
           .select(col("e.a").as("u"), col("e.b").as("v"))
-          .filter(col("u") =!= col("v")).distinct()
-          .localCheckpoint()
+          .filter(col("u") =!= col("v")).distinct())
+        freeEdges()
+        edges = next
+        freeEdges = freeNext
         // fixpoint ⟺ the edge list is a star forest: every source has ONE
         // target, and no target is itself a source. Both checks run on
         // the dup-only edge frame, not the corpus.
@@ -882,9 +925,14 @@ object Dedup {
       require(star, s"large-star/small-star did not converge in $rounds rounds")
       val labels = edges.select(col("u").as("id"), col("v").as("lbl"))
         .union(edges.select(col("v").as("id"), col("v").as("lbl")).distinct())
-      labels
+      // materialize the (dup-docs-only, small) cluster frame so the last
+      // round's blocks can be freed here — one result pin remains, owned
+      // by the returned frame (releasePinned frees it)
+      val (out, _) = Pinned.checkpoint(labels
         .join(labels.groupBy("lbl").agg(count(lit(1)).as("n_members")), "lbl")
-        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("n_members")))
+      freeEdges()
+      out
     }
   }
 
@@ -1357,8 +1405,12 @@ object Dedup {
         .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
   }
 
-  val d12: Q = (s, d) =>
-    semanticDedupedIdsOf(d7Population(s, d)).orderBy("vec_id")
+  val d12: Q = (s, d) => {
+    val qv = d7Population(s, d)
+    val (out, _) = Pinned.checkpoint(semanticDedupedIdsOf(qv).orderBy("vec_id"))
+    qv.unpersist()
+    out
+  }
   val d12Sql: String =
     s"""WITH RECURSIVE p AS ($d7Sql),
        |${qvecSql("vec_id % 5 = 0").replace("qvec AS (", "qbase AS (")},
@@ -1640,8 +1692,9 @@ object Dedup {
     val dfAgg = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // perDoc feeds the prefix explode AND both sides of the verify join —
     // localCheckpoint so the shingle explode + df join + per-doc sort run
-    // once, not three times (the cl1/MlLsh convention; blocks are freed by
-    // the ContextCleaner)
+    // once, not three times. The pin backs the returned frame (Spark
+    // never GC-frees checkpoint blocks — round-13 probe); releasePinned
+    // is the owning scope.
     val perDoc = sh.join(dfAgg, "sh")
       .groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(df, sh))), x -> x.sh)").as("arr"))
@@ -1717,6 +1770,19 @@ object Dedup {
     * [[graft.api.GraftApi.recordLinkage]]. */
   private[graft] def recordLinkageOf(recs: DataFrame, cap: Int = 40,
       minScoreE6: Long = 0L): DataFrame = {
+    // EXACTNESS CAVEAT (round-13 advice): the per-field weights are
+    // e6-ROUNDED ln() doubles, and their SUM gates pair membership at
+    // `minScoreE6` — unlike the other t14-convention uses (where rounding
+    // only shapes a printed digit), a 1-ulp JVM-vs-libm log() difference
+    // at a .5 rounding boundary shifts one weight by ±1e-6 and can flip a
+    // pair across the >= threshold, changing the returned SET. Green at
+    // every tested scale (the boundary case needs ln() to land within
+    // ~1e-16 of a half-ulp of an e6 grid point), but callers pinning
+    // cross-engine set equality should choose minScoreE6 away from
+    // attainable weight sums, or post-filter on the exact integer
+    // n_agree column instead. An exact-rational gate (compare products
+    // of the m/u count ratios, never logs) would remove the caveat at
+    // the cost of changing the score column's published semantics.
     val d38 = "DECIMAL(38,0)"
     def fieldW(f: String): DataFrame =
       recs.groupBy(col(f)).agg(count(lit(1)).as("c"))

@@ -925,9 +925,13 @@ object Evaluation {
       .agg(count(lit(1)).as("n"),
         sum(col(xCol).cast("long")).as("sx"),
         sum(col(yCol).cast("long")).as("sy"),
-        sum((col(xCol) * col(xCol)).cast("long")).as("sxx"),
-        sum((col(yCol) * col(yCol)).cast("long")).as("syy"),
-        sum((col(xCol) * col(yCol)).cast("long")).as("sxy"))
+        // cast each operand BEFORE multiplying: for IntegerType inputs
+        // the product would otherwise wrap int32 in Spark (non-ANSI)
+        // once x > 46340, while DuckDB promotes to HUGEINT first —
+        // a silent cross-engine divergence on very long documents
+        sum(col(xCol).cast("long") * col(xCol).cast("long")).as("sxx"),
+        sum(col(yCol).cast("long") * col(yCol).cast("long")).as("syy"),
+        sum(col(xCol).cast("long") * col(yCol).cast("long")).as("sxy"))
       .withColumn("num", expr(s"CAST(n AS $d38) * sxy - CAST(sx AS $d38) * sy"))
       .withColumn("dx", expr(s"CAST(n AS $d38) * sxx - CAST(sx AS $d38) * sx"))
       .withColumn("dy", expr(s"CAST(n AS $d38) * syy - CAST(sy AS $d38) * sy"))
@@ -1388,8 +1392,12 @@ object Evaluation {
       count(lit(1)).as("n"),
       sum(col(xCol).cast("long")).as("sx"),
       sum(col(yCol).cast("long")).as("sy"),
-      sum((col(xCol) * col(xCol)).cast("long")).as("sxx"),
-      sum((col(xCol) * col(yCol)).cast("long")).as("sxy"))
+      // operand-first casts (see leastSquaresFitOf): int32 products wrap
+      // in Spark for IntegerType x > 46340 while DuckDB promotes — cast
+      // before multiplying so the exact-integer contract holds for any
+      // input width (st26's streaming twin folds through this same path)
+      sum(col(xCol).cast("long") * col(xCol).cast("long")).as("sxx"),
+      sum(col(xCol).cast("long") * col(yCol).cast("long")).as("sxy"))
 
   private[graft] def simpsonAuditOf(pts: DataFrame, groupCol: String,
       xCol: String, yCol: String): DataFrame =

@@ -33,11 +33,19 @@ object Graph {
     * directed graph where every node has out-degree ≥ 1). */
   private[graft] def pageRankOf(edges: DataFrame, iters: Int = Iters): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    // degree folded into the cached edge list ONCE — each iteration then
-    // pays a single join (ranks) instead of re-joining degrees every round
+    // degree folded into the edge list ONCE — each iteration then pays a
+    // single join (ranks) instead of re-joining degrees every round.
+    // FULLY LAZY (round-13): no persist, no checkpoint — the `ed` subtree
+    // is plan-identical across iterations, so Spark's ReusedExchange
+    // writes its shuffles once and every round re-reads them; the
+    // round-12 persist bought nothing the exchange reuse doesn't, and its
+    // MEMORY_AND_DISK block leaked into the caller's session for life
+    // (Spark never GC-frees escaped pins — the Pinned scaladoc). Plan
+    // depth is `iters` with one `ed` copy per round — fine at the fixed
+    // small iteration counts this engine uses; a caller pushing iters
+    // far higher should checkpoint externally.
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), Seq("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var r = ed.select(col("src").as("node")).distinct()
+    var r = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       r = ed
@@ -220,7 +228,10 @@ object Graph {
     * Library entry point: [[graft.api.GraftApi.clusteringCoefficients]]
     * (any undirected a<b edge frame). */
   private[graft] def clusteringCoefficientsOf(und0: DataFrame): DataFrame = {
-    val und = und0.select(col("a"), col("b")).localCheckpoint(true)
+    // lazy (round-13): `und` ends in a distinct() exchange, so its ~6
+    // references below share ONE shuffle write via ReusedExchange — the
+    // old eager checkpoint pinned a block per call that Spark never frees
+    val und = und0.select(col("a"), col("b"))
     val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
     deg.join(triangleCountsOf(und), Seq("node"), "left")
@@ -279,15 +290,21 @@ object Graph {
     * the eval2 overflow class); q_e9 sign-splits (num_c < 0 for
     * under-connected communities, and trunc ≠ floor on negatives);
     * NULL when m = 0 (the voc3 convention). Nodes without a community
-    * row are outside the audit (inner join) — documented, so partial
-    * labelings score only their covered subgraph.
+    * row contribute no e_c/d_c mass (inner join), but `m` — and the 4m²
+    * denominator — counts ALL edges, including those touching unlabeled
+    * nodes: a PARTIAL labeling is scored against the WHOLE graph's edge
+    * mass (the standard Q definition), not re-normalized to its covered
+    * subgraph, so partial labelings systematically deflate Q. Pass a
+    * pre-filtered edge frame if subgraph-relative modularity is wanted.
     *
     * Scale: one degree aggregate, two broadcast-joinable community
     * lookups against the edge frame (communities are a dimension,
     * edges are the fact), then community-domain frames. Library entry
     * point: [[graft.api.GraftApi.modularity]]. */
   private[graft] def modularityOf(und0: DataFrame, communities: DataFrame): DataFrame = {
-    val und = und0.select(col("a"), col("b")).localCheckpoint(true)
+    // lazy (round-13): the three `und` references share the upstream
+    // distinct() exchange via ReusedExchange — no pinned block needed
+    val und = und0.select(col("a"), col("b"))
     val cm = communities.select(col("node"), col("c"))
     val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
@@ -369,7 +386,8 @@ object Graph {
     * aggregate + a 1-row fold. Library entry point:
     * [[graft.api.GraftApi.transitivity]]. */
   private[graft] def transitivityOf(und0: DataFrame): DataFrame = {
-    val und = und0.select(col("a"), col("b")).localCheckpoint(true)
+    // lazy (round-13): same ReusedExchange argument as lcc1/gr1
+    val und = und0.select(col("a"), col("b"))
     val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
     val tri = triangleCountsOf(und).agg(
@@ -436,14 +454,17 @@ object Graph {
     val und = und0.select(col("a"), col("b"))
     val deg = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
-    val stubs = und
+    // the und⋈deg⋈deg three-way join is built ONCE and its two swapped
+    // stub projections union it (round-13 advice: the old body repeated
+    // the identical join expression per direction — ReusedExchange
+    // dedupes the shuffles either way, but the doubled subtree paid the
+    // sparsified-graph window/distinct pipeline twice at plan level)
+    val dd = und
       .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
-      .select(col("da").as("x"), col("db").as("y"))
-      .unionAll(und
-        .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
-        .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
-        .select(col("db").as("x"), col("da").as("y")))
+      .select(col("da"), col("db"))
+    val stubs = dd.select(col("da").as("x"), col("db").as("y"))
+      .unionAll(dd.select(col("db").as("x"), col("da").as("y")))
     stubs.agg(count(lit(1)).cast("decimal(38,0)").as("m2"),
         sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
         sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
@@ -490,19 +511,29 @@ object Graph {
     * d8-cap convention: the driver loop holds iteration COUNT, never
     * data); most real graphs' peeling converges in a handful of rounds,
     * and a caller needing the exact fixpoint raises `rounds`. Each round
-    * is one degree aggregate + two semi-joins, all on integer keys; the
-    * edge frame is localCheckpoint-ed per round so lineage stays flat.
+    * is one degree aggregate + two semi-joins, all on integer keys, with
+    * the surviving edge frame eagerly checkpointed per round — unlike the
+    * other graph loops this one references EACH round's frame three
+    * times (degree union ×2 + join left side), so a lazy chain triples
+    * the subtree per round (3^rounds copies; the round-13 lazy attempt
+    * planned 1000 parquet scans and ran 4× slower at sf0.1). Superseded
+    * rounds free their blocks immediately ([[Pinned.checkpoint]]); only
+    * the last round's node-bounded frame stays pinned behind the
+    * returned aggregate — [[graft.api.GraftApi.releasePinned]] frees it.
     * Emits surviving (node, deg_core). */
   private[graft] def kcorePeelOf(und0: DataFrame, k: Int = 3, rounds: Int = 3): DataFrame = {
-    var und = und0.select(col("a"), col("b")).localCheckpoint(true)
+    var (und, freeUnd) = Pinned.checkpoint(und0.select(col("a"), col("b")))
     for (_ <- 1 to rounds) {
       val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("dg"))
       val keep = deg.filter(col("dg") >= k).select("v")
-      und = und
+      val (next, freeNext) = Pinned.checkpoint(und
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b")).localCheckpoint(true)
+        .select(col("a"), col("b")))
+      freeUnd()
+      und = next
+      freeUnd = freeNext
     }
     und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg_core"))
@@ -550,38 +581,38 @@ object Graph {
     // iters = 0 would return before the authority frame exists
     require(iters >= 1, s"hits needs at least one iteration, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var h = e.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(1000000L).as("hs"))
-    var a: DataFrame = null
-    // each half-step is localCheckpointed (eager) before its max is read:
-    // the raw frame is referenced twice (max aggregate + normalization),
-    // so without the barrier the lineage re-derives each half-step twice
-    // per downstream reference — 2^(2·iters) plan copies of the first
-    // join. With the edge list cached the recompute is a broadcast-join
-    // replay (wall-time modest at test SF — the query's cost is the
-    // edge-list build itself), but at 100 TB a re-derived half-step is a
-    // full shuffle replay; the checkpointed frames are node-cardinality
-    // and the max crosses the driver as ONE long per half-step.
+    // FULLY LAZY (round-13): the per-half-step max is no longer a driver
+    // `.head()` action but a 1-row broadcast aggregate CROSS-JOINED into
+    // the plan — so nothing materializes until the caller acts, no
+    // per-half-step checkpoint blocks pin (Spark never GC-frees them),
+    // and the e.distinct() exchange is written once and reused across
+    // all 2·iters half-steps. Each half-step's groupBy exchange is
+    // likewise shared between its max branch and its normalize branch
+    // via ReusedExchange, so the "referenced twice ⇒ computed twice"
+    // hazard the old eager barrier guarded against never materializes as
+    // repeated shuffle work. Plan SIZE still doubles per half-step
+    // (2^(2·iters) leaf copies) — fine at the fixed iters=2 this engine
+    // uses; a caller pushing iters far higher should checkpoint
+    // externally.
     // renormalization in DECIMAL(38,0): s ≤ degree·10⁶, so s·10⁶ wraps
     // int64 once a node's in-degree passes ~9.2e6 — real at 100 TB; the
     // integral divide lands back in [0, 10⁶] so the stored score stays
     // a plain long
+    def renorm(raw: DataFrame, keyCol: String, outCol: String): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(max("s").as("mx"))))
+        .select(col(keyCol).as("node"),
+          expr("CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div mx AS BIGINT)").as(outCol))
+    var h = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("hs"))
+    var a: DataFrame = null
     for (_ <- 1 to iters) {
       val araw = e.join(h, e("src") === h("node"))
         .groupBy("dst").agg(sum("hs").as("s"))
-        .localCheckpoint(true)
-      val amax = araw.agg(max("s")).head().getLong(0)
-      a = araw.select(col("dst").as("node"),
-        expr(s"CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div ${amax}L AS BIGINT)").as("as_"))
+      a = renorm(araw, "dst", "as_")
       val hraw = e.join(a, e("dst") === a("node"))
         .groupBy("src").agg(sum("as_").as("s"))
-        .localCheckpoint(true)
-      val hmax = hraw.agg(max("s")).head().getLong(0)
-      h = hraw.select(col("src").as("node"),
-        expr(s"CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div ${hmax}L AS BIGINT)").as("hs"))
+      h = renorm(hraw, "src", "hs")
     }
-    e.unpersist()
     a.select(col("node"), col("as_").as("auth_e6"))
   }
 
@@ -633,22 +664,22 @@ object Graph {
     * Scale: per round ONE shuffle (edge⋈label join into a
     * (node, label) count) + a per-node argmax window over the
     * neighbor-label domain (bounded by each node's distinct neighbor
-    * labels, never the graph); labels localCheckpoint-ed per round so
-    * lineage stays flat — the pr1/kcore1 loop convention. The library
+    * labels, never the graph); fully lazy (round-13) — the e.distinct()
+    * exchange is reused across rounds and nothing pins. The library
     * entry point is [[graft.api.GraftApi.labelPropagation]]. */
   private[graft] def labelPropagationOf(und0: DataFrame, rounds: Int = 2): DataFrame = {
     val e = und0.select(col("a"), col("b"))
       .unionAll(und0.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(true)
+      .distinct()
     var lab = e.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl")).localCheckpoint(true)
+      .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to rounds) {
       val votes = e
         .join(lab.select(col("node").as("b"), col("lbl").as("nlbl")), Seq("b"))
         .groupBy(col("a"), col("nlbl")).agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("a").orderBy(col("c").desc, col("nlbl"))
       lab = votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("a").as("node"), col("nlbl").as("lbl")).localCheckpoint(true)
+        .select(col("a").as("node"), col("nlbl").as("lbl"))
     }
     val sizes = lab.groupBy("lbl").agg(count(lit(1)).as("csize"))
     lab.join(broadcast(sizes), Seq("lbl"))
@@ -691,29 +722,30 @@ object Graph {
     * contaminated source, provenance closure, influence frontier).
     *
     * Scale: textbook frontier BFS — per level ONE equi-join of the
-    * CURRENT frontier (never the full visited set) against the cached
-    * edge list, one distinct, one anti-join against visited; the visited
-    * frame is eagerly localCheckpointed per round (the tc1/hits lineage
-    * discipline) so round r's plan never replays rounds 1..r−1. Work per
-    * level is |edges out of frontier|, total O(edges within maxDepth),
-    * independent of graph diameter beyond the cap. The driver holds the
-    * level counter only. */
+    * CURRENT frontier (never the full visited set) against the edge
+    * list, one distinct, one anti-join against visited. Fully lazy
+    * (round-13): the edge list and every level's distinct() end in
+    * exchanges that ReusedExchange writes once, so neither the old edge
+    * persist nor the per-round checkpoints (whose blocks Spark never
+    * GC-frees) are needed; plan size grows ~3× per level — fine at the
+    * fixed small depths this engine uses, and a caller walking much
+    * deeper should checkpoint externally. Work per level is |edges out
+    * of frontier|, total O(edges within maxDepth), independent of graph
+    * diameter beyond the cap. The driver holds the level counter only. */
   private[graft] def bfsLevelsOf(edges: DataFrame, seeds: DataFrame,
       maxDepth: Int = 3): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = seeds.select(col("node")).distinct()
-      .select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
+      .select(col("node"), lit(0L).as("dist"))
     var frontier = dist.select("node")
     for (i <- 1 to maxDepth) {
       val nbrs = e.join(frontier, e("src") === frontier("node"))
         .select(e("dst").as("node")).distinct()
       val fresh = nbrs.join(dist.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(i.toLong).as("dist"))
-      dist = dist.unionAll(fresh).localCheckpoint(true)
-      frontier = dist.filter(col("dist") === i.toLong).select("node")
+      dist = dist.unionAll(fresh)
+      frontier = fresh.select("node")
     }
-    e.unpersist()
     dist
   }
 
@@ -776,11 +808,13 @@ object Graph {
     * not the graph. */
   private[graft] def personalizedPageRankOf(edges: DataFrame, seeds: DataFrame,
       iters: Int = Iters): DataFrame = {
+    // fully lazy (round-13, the pageRankOf argument): the `ed` and `sd`
+    // subtrees are plan-identical across iterations, so their exchanges
+    // are written once and reused; no pinned blocks escape the call
     val e = edges.select(col("src"), col("dst"))
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), Seq("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sd = seeds.select(col("node")).distinct()
-      .withColumn("is_seed", lit(1)).localCheckpoint(true)
+      .withColumn("is_seed", lit(1))
     var r = sd.select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ed
@@ -792,9 +826,7 @@ object Graph {
         .select(col("node"),
           (coalesce(col("contrib"), lit(0L)) +
             when(col("is_seed").isNotNull, 150000L).otherwise(0L)).as("r"))
-        .localCheckpoint(true)
     }
-    ed.unpersist()
     r.filter(col("r") > 0L).select(col("node"), col("r").as("rank_e6"))
   }
 

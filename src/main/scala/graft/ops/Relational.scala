@@ -397,6 +397,36 @@ object Relational {
     s"""WITH ${SentimentNb.modelCte}
        |SELECT word, pos, neg FROM model ORDER BY word""".stripMargin
 
+  /** O1B: BYTE-parity model export (round-13, closing the last O1 gap) —
+    * the reference writes THREE part files, each sorted within, with
+    * words routed by Hadoop's default partitioner
+    * `(word.hashCode() & Integer.MAX_VALUE) % numReduceTasks`
+    * (`NB.java:294-295`, numReduceTasks = 3). Java's `String.hashCode`
+    * (h = Σ c_i·31^(n-1-i), 32-bit wrap) is replayed IDENTICALLY in both
+    * engines as an explicit fold in 64-bit arithmetic mod 2^32 — model
+    * words are cleaned ASCII, so `ascii(char)` equals the UTF-16 unit
+    * Java folds. Emitting (part, word, …) ordered by (part, word) IS the
+    * concatenation of the reference's three reducer files in file order,
+    * so the hash gate checks the exact on-disk layout. */
+  private val JHashExpr =
+    "aggregate(split(word, ''), 0L, (h, c) -> pmod(h * 31 + ascii(c), 4294967296L))"
+  val o1b: Q = (s, d) =>
+    SentimentNb.model(s, d)
+      .withColumn("part",
+        expr(s"CAST(pmod(pmod($JHashExpr, 2147483648L), 3) AS BIGINT)"))
+      .select(col("part"), col("word"), col("pos"), col("neg"))
+      .orderBy("part", "word")
+  val o1bSql =
+    s"""WITH ${SentimentNb.modelCte},
+       |h AS (
+       |  SELECT word, pos, neg,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(word, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |           (h, c) -> (h * 31 + c) % 4294967296) AS jh
+       |  FROM model)
+       |SELECT CAST(jh % 2147483648 % 3 AS BIGINT) AS part, word, pos, neg
+       |FROM h ORDER BY part, word""".stripMargin
+
   // =====================================================================
   //  TPC-H-style analytics (scale-oriented headline queries)
   // =====================================================================
@@ -1276,6 +1306,7 @@ object Relational {
     "t2_tokenize_ws_runs" -> t2,
     "t3_ml_tokenizer" -> t3,
     "o1_sorted_model_export" -> o1,
+    "o1b_model_export_parts" -> o1b,
     "q1_pricing_summary" -> q1,
     "q3_shipping_priority" -> q3,
     "q5_local_supplier_revenue" -> q5,
@@ -1336,6 +1367,7 @@ object Relational {
     "t2_tokenize_ws_runs" -> t2Sql,
     "t3_ml_tokenizer" -> t3Sql,
     "o1_sorted_model_export" -> o1Sql,
+    "o1b_model_export_parts" -> o1bSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier_revenue" -> q5Sql,

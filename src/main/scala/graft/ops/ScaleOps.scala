@@ -1001,7 +1001,9 @@ object ScaleOps {
     val s = rows.groupBy(stratumCol).agg(
         count(lit(1)).as("n"),
         sum(col(yCol).cast("long")).as("sy"),
-        sum((col(yCol) * col(yCol)).cast("long")).as("syy"))
+        // operand-first cast (the dq7/dq8 convention): an IntegerType y
+        // would wrap int32 in the product before the cast could widen it
+        sum(col(yCol).cast("long") * col(yCol).cast("long")).as("syy"))
       .withColumn("v", expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
       .withColumn("w_raw", expr("CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT)"))
     // strata cardinality is the small stratum domain — a global window on
@@ -1022,6 +1024,13 @@ object ScaleOps {
       .orderBy(stratumCol)
   }
 
+  // Oracle note (round-13 root cause of the r12 red row): DuckDB's
+  // sum(BIGINT) OVER () yields HUGEINT, so `tot` — and through `//` the
+  // `base` column — silently promoted to HUGEINT. Values were identical
+  // to Spark's BIGINT, but the driver's hash protocol is sensitive to the
+  // materialized value width, so the row hashed red while rows/schema
+  // matched. Every output column is now CAST AS BIGINT in the final
+  // projection (the samp5 convention).
   val samp6: Q = (s, d) =>
     neymanAllocationOf(Tables.documents(s, d), "source", "n_chars", Samp6Budget)
   val samp6Sql: String =
@@ -1043,7 +1052,7 @@ object ScaleOps {
        |             ($Samp6Budget * w) % tot AS r FROM u),
        |dd AS (SELECT *, $Samp6Budget - sum(base) OVER () AS deficit,
        |              row_number() OVER (ORDER BY r DESC, source) AS rk FROM b)
-       |SELECT source, n, w, base,
+       |SELECT source, n, w, CAST(base AS BIGINT) AS base,
        |       CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
        |FROM dd ORDER BY source""".stripMargin
 

@@ -425,7 +425,12 @@ object Selection {
       .select(concat(lit(" "), array_join(split(col("tok"), ""), " "), lit(" ")).as("repr"), col("f"))
     // The vocab is small relative to the corpus but need not fit on the
     // driver — it stays distributed; only the 1-row argmax is collected.
-    var vocab = vocab0.localCheckpoint()
+    // Superseded per-merge checkpoints free their blocks immediately
+    // (Pinned — Spark never GC-frees them; the loop used to pin one
+    // block set per merge for the session's lifetime), and the LAST one
+    // frees too: the returned frame is built from the driver-collected
+    // merge list, not from the vocab.
+    var (vocab, freeVocab) = Pinned.checkpoint(vocab0, eager = false)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (it <- 1 to k) {
       val pairs = vocab
@@ -447,9 +452,16 @@ object Selection {
         val mergedCol = (1 to 8).foldLeft(col("repr")) { (c, _) =>
           org.apache.spark.sql.functions.replace(c, lit(pat), lit(rep))
         }
-        vocab = vocab.select(mergedCol.as("repr"), col("f")).localCheckpoint()
+        // eager: materialize the new vocab BEFORE freeing the previous
+        // round's blocks it was computed from
+        val (nv, freeNv) = Pinned.checkpoint(
+          vocab.select(mergedCol.as("repr"), col("f")))
+        freeVocab()
+        vocab = nv
+        freeVocab = freeNv
       }
     }
+    freeVocab()
     merges.result().toDF("iter", "left_sym", "right_sym", "pair_count")
       .select(col("iter").cast("int").as("iter"), col("left_sym"), col("right_sym"),
         col("pair_count").cast("long").as("pair_count"))

@@ -985,11 +985,13 @@ object Streams {
   val st17: Q = (s, d) => {
     val srcDir = stagedTableSplit(s, d, "st17", table = "documents", key = "doc_id")
     val physical = s.read.parquet(s"$d/documents.parquet").schema
-    val evalFps = graft.ops.TextAnalysis.fingerprintRowsOf(
-        s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") % 97 === 0))
-      .select(col("fp")).distinct()
-      .withColumn("hit", lit(1))
-      .localCheckpoint(true)
+    // pinned for the stream's lifetime (broadcast side of every batch),
+    // freed once the bounded run completes
+    val (evalFps, freeFps) = graft.ops.Pinned.checkpoint(
+      graft.ops.TextAnalysis.fingerprintRowsOf(
+          s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") % 97 === 0))
+        .select(col("fp")).distinct()
+        .withColumn("hit", lit(1)))
     val src = s.readStream.schema(physical)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val outRoot = Files.createTempDirectory("graft_st17_out").toString
@@ -997,18 +999,23 @@ object Streams {
     val writer = src.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        graft.ops.TextAnalysis
-          .fingerprintRowsOf(batch.filter(col("doc_id") % 97 =!= 0).toDF())
-          .join(broadcast(evalFps), Seq("fp"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_fps"),
-            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
-          .withColumn("flagged", when(col("n_hits") > 0, 1).otherwise(0))
-          .select("doc_id", "n_fps", "n_hits", "flagged")
-          .write.mode("overwrite").parquet(s"$outRoot/gen_$batchId")
+        // fingerprintRowsOf checkpoints internally — scope the batch so
+        // its pin is freed per micro-batch, not accumulated per batch
+        graft.ops.Pinned.scoped(batch.sparkSession) {
+          graft.ops.TextAnalysis
+            .fingerprintRowsOf(batch.filter(col("doc_id") % 97 =!= 0).toDF())
+            .join(broadcast(evalFps), Seq("fp"), "left")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_fps"),
+              sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+            .withColumn("flagged", when(col("n_hits") > 0, 1).otherwise(0))
+            .select("doc_id", "n_fps", "n_hits", "flagged")
+            .write.mode("overwrite").parquet(s"$outRoot/gen_$batchId")
+        }
         (): Unit
       }
     runBounded(s, writer)
+    freeFps() // every batch's broadcast probe is written out by now
     val gens = Option(new java.io.File(outRoot).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("gen_")).map(_.getAbsolutePath)
     require(gens.length >= 4, s"expected >=4 micro-batches, saw ${gens.length}")
@@ -1194,7 +1201,10 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val sess = batch.sparkSession
-        val b = batch.toDF().localCheckpoint(true) // one staging of the batch for stats + count
+        // one staging of the batch for stats + count; freed before the
+        // closure exits — an untracked per-batch checkpoint pins one
+        // block set PER MICRO-BATCH for the session's lifetime
+        val (b, freeB) = graft.ops.Pinned.checkpoint(batch.toDF())
         val deltaStats = graft.ops.TextAnalysis.burstinessStatsOf(b)
         val deltaN = b.count()
         val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
@@ -1210,6 +1220,7 @@ object Streams {
         mergedStats.write.mode("overwrite").parquet(s"$statRoot/gen_$batchId/stats")
         sess.range(1).select(lit(mergedN).as("n_docs"))
           .write.mode("overwrite").parquet(s"$statRoot/gen_$batchId/meta")
+        freeB() // every consumer of the staged batch is materialized above
         (): Unit
       }
     runBounded(s, writer)
@@ -1431,7 +1442,8 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val sess = batch.sparkSession
-        val b = batch.toDF().localCheckpoint(true) // one staging for both stat halves
+        // one staging for both stat halves; freed before the closure exits
+        val (b, freeB) = graft.ops.Pinned.checkpoint(batch.toDF())
         val deltaDims = graft.ops.Similarity.isotropyDimStatsOf(b)
         val deltaNorms = graft.ops.Similarity.isotropyNormStatsOf(b)
         val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
@@ -1445,6 +1457,7 @@ object Streams {
         }
         mDims.write.mode("overwrite").parquet(s"$statRoot/gen_$batchId/dims")
         mNorms.write.mode("overwrite").parquet(s"$statRoot/gen_$batchId/norms")
+        freeB() // both stat halves are materialized above
         (): Unit
       }
     runBounded(s, writer)
@@ -1527,7 +1540,7 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val sess = batch.sparkSession
-        val b = batch.toDF().localCheckpoint(true)
+        val (b, freeB) = graft.ops.Pinned.checkpoint(batch.toDF())
         val q = graft.ops.TextAnalysis.qualityScoreOf(b)
           .select(col("doc_id"), col("quality").as("w"))
         val delta = graft.ops.ScaleOps.essStatsOf(
@@ -1540,6 +1553,7 @@ object Streams {
               .agg(sum("n").as("n"), sum("sw").as("sw"), sum("sww").as("sww"))
         }
         merged.write.mode("overwrite").parquet(s"$statRoot/gen_$batchId")
+        freeB() // the merged stats read of the staged batch is done
         (): Unit
       }
     runBounded(s, writer)

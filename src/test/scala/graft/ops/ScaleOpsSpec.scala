@@ -598,4 +598,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(const("s_flat") === 10L && const("s_small") === 1L,
       "fallback is proportional to stratum size")
   }
+
+  test("samp6 golden: exact sf0.001 Neyman allocation, every column (round-13)") {
+    // Pins the full 5-column result row-for-row — the r12 driver red on
+    // samp6 was an ORACLE-side type promotion (DuckDB sum() OVER () made
+    // `base` HUGEINT), not a value bug; this spec keeps the Spark side
+    // frozen so any future red must be re-diagnosed on the compare path.
+    val golden = Seq(
+      ("src0", 25L, 3616L, 51L, 52L),
+      ("src1", 25L, 3660L, 52L, 52L),
+      ("src10", 25L, 3995L, 57L, 57L),
+      ("src11", 25L, 3290L, 47L, 47L),
+      ("src12", 25L, 3291L, 47L, 47L),
+      ("src13", 25L, 3669L, 52L, 52L),
+      ("src14", 25L, 3872L, 55L, 55L),
+      ("src15", 25L, 2964L, 42L, 42L),
+      ("src16", 25L, 3721L, 53L, 53L),
+      ("src17", 25L, 3758L, 53L, 54L),
+      ("src18", 25L, 3533L, 50L, 51L),
+      ("src19", 25L, 2625L, 37L, 38L),
+      ("src2", 25L, 3863L, 55L, 55L),
+      ("src3", 25L, 3266L, 46L, 47L),
+      ("src4", 25L, 3290L, 47L, 47L),
+      ("src5", 25L, 3287L, 46L, 47L),
+      ("src6", 25L, 3162L, 45L, 45L),
+      ("src7", 25L, 3881L, 55L, 56L),
+      ("src8", 25L, 3351L, 47L, 48L),
+      ("src9", 25L, 3857L, 55L, 55L))
+    val got = ScaleOps.samp6(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === golden)
+    assert(got.map(_._5).sum === 1000L, "allocations must sum exactly to the budget")
+  }
 }
