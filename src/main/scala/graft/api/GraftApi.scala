@@ -1159,6 +1159,14 @@ object GraftApi {
       xCol: String, yCol: String): DataFrame =
     graft.ops.Evaluation.simpsonAuditOf(pts, groupCol, xCol, yCol)
 
+  /** Gopher/MassiveText repetition-quality audit per source: mean
+    * top-2-gram and duplicate-3-gram character-mass shares (exact e6)
+    * plus how many documents each source loses at the published-style
+    * thresholds (rep2 > 0.20, dup3 > 0.15). Input needs (doc_id, text,
+    * `srcCol`). Registry twin: `dq9_repetition_audit`. */
+  def repetitionAudit(docs: DataFrame, srcCol: String = "source"): DataFrame =
+    graft.ops.Evaluation.repetitionAuditOf(docs, srcCol)
+
   /** Calinski–Harabasz pseudo-F of a cluster assignment frame
     * (cid, q, nrm — e.g. from the k-means path): per-cluster exact
     * within-scatter rows (e3) plus an overall NULL-cluster row with

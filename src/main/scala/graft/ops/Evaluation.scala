@@ -1476,7 +1476,132 @@ object Evaluation {
       |SELECT NULL, n, slope_e6, NULL FROM pl
       |ORDER BY stratum""".stripMargin
 
+  // ---- DQ9: repetition-quality audit (Gopher/MassiveText filters) ----
+
+  /** DQ9: the n-gram repetition filters of the MassiveText/Gopher
+    * pipeline (Rae et al. 2112.11446 §A.1.1) — the standard cut that
+    * removes boilerplate/SEO-spam documents whose text is dominated by a
+    * few repeated phrases. Two per-document scores, both exact-integer
+    * fixed-point over word n-gram CHARACTER mass (count × gram length,
+    * the inner space included; fraction of the doc's total gram mass):
+    *
+    *  - `rep2_e6` — mass share of the single most frequent word 2-gram
+    *    (Gopher's "fraction of characters in most common n-gram",
+    *    tie-broken to the lexicographically smallest gram);
+    *  - `dup3_e6` — mass share of all word 3-grams occurring ≥ 2 times
+    *    (Gopher's "fraction of characters in duplicated n-grams",
+    *    counted with multiplicity — a documented simplification of the
+    *    paper's overlap-deduped char count that keeps the score a pure
+    *    integer rational).
+    *
+    * Rolled up PER SOURCE — the form a feed audit wants: mean scores and
+    * how many documents each feed loses at the published-style
+    * thresholds (rep2 > 0.20, dup3 > 0.15). Docs under 2 words score 0
+    * by definition (no grams).
+    *
+    * Exactness: gram masses and totals are BIGINT counts; shares divide
+    * once per doc (`mass·10⁶ div total`); the per-source means divide
+    * once more (sums of e6 longs div counts) — every step replayed
+    * verbatim by the oracle. The deterministic per-doc argmax is
+    * min(struct(-count, gram)) ⟺ DuckDB's (count DESC, gram) row_number.
+    *
+    * Scale: one corpus scan exploded to n-gram rows (corpus-token
+    * bounded, the t1/d6 class), two map-side-combinable aggregates
+    * (doc×gram, then doc), then a source-domain rollup — no joins wider
+    * than the corpus, no driver data. Library entry point:
+    * [[graft.api.GraftApi.repetitionAudit]]. */
+  private[graft] def repetitionStatsOf(docs: DataFrame, srcCol: String): DataFrame = {
+    val w = docs
+      .select(col(srcCol).as("src"), col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    def gramCounts(n: Int): DataFrame = w
+      .select(col("src"), col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> " +
+          s"concat_ws(' ', ${(0 until n).map(j => s"element_at(w, i + $j)").mkString(", ")}))"))
+        .as("g"))
+      .groupBy("src", "doc_id", "g").agg(count(lit(1)).as("c"))
+      .withColumn("mass", col("c") * length(col("g")))
+    val rep2 = gramCounts(2).groupBy("src", "doc_id").agg(
+        min(struct((-col("c")).as("nc"), col("g").as("g"), length(col("g")).as("l"))).as("top"),
+        sum("mass").as("total"))
+      .select(col("src"), col("doc_id"),
+        expr("(-top.nc) * top.l * 1000000 div total").as("rep2_e6"))
+    val dup3 = gramCounts(3).groupBy("src", "doc_id").agg(
+        sum(when(col("c") >= 2, col("mass")).otherwise(0L)).as("dup"),
+        sum("mass").as("total"))
+      .select(col("src"), col("doc_id"),
+        expr("dup * 1000000 div total").as("dup3_e6"))
+    rep2.join(dup3, Seq("src", "doc_id"), "left").na.fill(0L, Seq("dup3_e6"))
+      .groupBy(col("src").as("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum("rep2_e6").as("s_rep2"),
+        sum("dup3_e6").as("s_dup3"),
+        sum(when(col("rep2_e6") > 200000L, 1L).otherwise(0L)).as("n_rep2_flagged"),
+        sum(when(col("dup3_e6") > 150000L, 1L).otherwise(0L)).as("n_dup3_flagged"))
+  }
+
+  /** Finish: divide the additive per-source sums into means. Split out so
+    * the streaming twin (st28) can fold per-batch deltas — every stats
+    * column merges by SUM (per-doc scores are final the batch the doc
+    * arrives in; the st17 one-batch-per-doc discipline) — and finish
+    * through the identical division. */
+  private[graft] def repetitionFromStats(stats: DataFrame): DataFrame =
+    stats.select(col("source"), col("n_docs"),
+      expr("s_rep2 div n_docs").as("mean_rep2_e6"),
+      expr("s_dup3 div n_docs").as("mean_dup3_e6"),
+      col("n_rep2_flagged"), col("n_dup3_flagged"))
+      .orderBy("source")
+
+  private[graft] def repetitionAuditOf(docs: DataFrame, srcCol: String): DataFrame =
+    repetitionFromStats(repetitionStatsOf(docs, srcCol))
+
+  val dq9: Q = (s, d) =>
+    repetitionAuditOf(Tables.documents(s, d), "source")
+  val dq9Sql: String =
+    """WITH w AS (
+      |  SELECT source AS src, doc_id, string_split(text, ' ') AS w
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |g2 AS (
+      |  SELECT src, doc_id,
+      |         w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] AS g
+      |  FROM w, UNNEST(range(1, len(w))) AS t(i)),
+      |c2 AS (
+      |  SELECT src, doc_id, g, CAST(count(*) AS BIGINT) AS c,
+      |         CAST(count(*) * len(g) AS BIGINT) AS mass
+      |  FROM g2 GROUP BY 1, 2, 3),
+      |rep2 AS (
+      |  SELECT src, doc_id, CAST(mass * 1000000 // total AS BIGINT) AS rep2_e6
+      |  FROM (
+      |    SELECT src, doc_id, mass,
+      |           sum(mass) OVER (PARTITION BY src, doc_id) AS total,
+      |           row_number() OVER (PARTITION BY src, doc_id
+      |                              ORDER BY c DESC, g) AS rk
+      |    FROM c2)
+      |  WHERE rk = 1),
+      |g3 AS (
+      |  SELECT src, doc_id,
+      |         w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] || ' ' || w[CAST(i + 2 AS INT)] AS g
+      |  FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |c3 AS (
+      |  SELECT src, doc_id, g, CAST(count(*) AS BIGINT) AS c,
+      |         CAST(count(*) * len(g) AS BIGINT) AS mass
+      |  FROM g3 GROUP BY 1, 2, 3),
+      |dup3 AS (
+      |  SELECT src, doc_id,
+      |         CAST(sum(CASE WHEN c >= 2 THEN mass ELSE 0 END) * 1000000
+      |           // sum(mass) AS BIGINT) AS dup3_e6
+      |  FROM c3 GROUP BY 1, 2)
+      |SELECT r.src AS source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(r.rep2_e6) // count(*) AS BIGINT) AS mean_rep2_e6,
+      |       CAST(sum(coalesce(d.dup3_e6, 0)) // count(*) AS BIGINT) AS mean_dup3_e6,
+      |       CAST(sum(CASE WHEN r.rep2_e6 > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep2_flagged,
+      |       CAST(sum(CASE WHEN coalesce(d.dup3_e6, 0) > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup3_flagged
+      |FROM rep2 r LEFT JOIN dup3 d USING (src, doc_id)
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dq9_repetition_audit" -> dq9,
     "eval12_spearman" -> eval12,
     "dq8_simpson_audit" -> dq8,
     "eval11_mcnemar" -> eval11,
@@ -1500,6 +1625,7 @@ object Evaluation {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq9_repetition_audit" -> dq9Sql,
     "eval12_spearman" -> eval12Sql,
     "dq8_simpson_audit" -> dq8Sql,
     "eval11_mcnemar" -> eval11Sql,

@@ -1562,7 +1562,55 @@ object Streams {
     graft.ops.ScaleOps.essFromStats(s.read.parquet(latest._2))
   }
 
+  // ---- ST28: streaming repetition-quality monitor ----
+
+  /** ST28: dq9's Gopher-style repetition audit as a STREAMING monitor —
+    * the live "did a feed start shipping boilerplate?" cut. Per-document
+    * scores are FINAL the batch the document arrives in (each doc lands
+    * in exactly one micro-batch — the st17 discipline), so dq9's
+    * per-source stats row (n_docs, Σrep2, Σdup3, flag counts) is an
+    * additive monoid: per-batch deltas merge by SUM into generation-dir
+    * state (sources × 5 integers), and the final generation finishes
+    * through dq9's own [[graft.ops.Evaluation.repetitionFromStats]] —
+    * stream == batch bit-for-bit under the shared `dq9Sql` oracle. */
+  val st28: Q = (s, d) => {
+    val srcDir = stagedTableSplit(s, d, "st28", table = "documents", key = "doc_id")
+    val physical = s.read.parquet(s"$d/documents.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val statRoot = Files.createTempDirectory("graft_st28_stats").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(statRoot).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st28").toString
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val delta = graft.ops.Evaluation.repetitionStatsOf(batch.toDF(), "source")
+        val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
+        val merged = prior match {
+          case None => delta
+          case Some((_, path)) =>
+            sess.read.parquet(path).unionAll(delta).groupBy("source")
+              .agg(sum("n_docs").as("n_docs"),
+                sum("s_rep2").as("s_rep2"), sum("s_dup3").as("s_dup3"),
+                sum("n_rep2_flagged").as("n_rep2_flagged"),
+                sum("n_dup3_flagged").as("n_dup3_flagged"))
+        }
+        merged.write.mode("overwrite").parquet(s"$statRoot/gen_$batchId")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    graft.ops.Evaluation.repetitionFromStats(s.read.parquet(latest._2))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st28_stream_repetition" -> st28,
     "st27_stream_ess" -> st27,
     "st26_stream_simpson" -> st26,
     "st25_stream_isotropy" -> st25,
@@ -1598,6 +1646,7 @@ object Streams {
     "st24_stream_cusum" -> st24Sql,
     "st25_stream_isotropy" -> graft.ops.Similarity.emb7Sql,
     "st26_stream_simpson" -> graft.ops.Evaluation.dq8Sql,
+    "st28_stream_repetition" -> graft.ops.Evaluation.dq9Sql,
     "st27_stream_ess" -> graft.ops.ScaleOps.samp7Sql,
     "st18_stream_benford" -> graft.ops.Evaluation.dq5Sql,
     "st19_stream_markov" -> graft.ops.Curation.markov1Sql,

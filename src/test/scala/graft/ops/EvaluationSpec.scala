@@ -378,4 +378,40 @@ class EvaluationSpec extends SparkSpec {
         s"block + review + pass must partition source ${r.getString(0)}")
     }
   }
+
+  test("dq9 repetition audit: boilerplate scores high, varied text low, short docs zero (round-13)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      // pure boilerplate: one repeated 2-gram dominates ("spam ham" x4)
+      (1L, "spam ham spam ham spam ham spam ham", "rep"),
+      // all-distinct words: every gram unique, dup3 = 0
+      (2L, "alpha beta gamma delta epsilon zeta", "rep"),
+      // single word: no grams at all -> filtered out of scoring
+      (3L, "lonely", "rep"),
+      (4L, "one two three four five six seven", "clean")
+    ).toDF("doc_id", "text", "source")
+    val out = Evaluation.repetitionAuditOf(docs, "source").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // doc 3 has < 2 words: the "rep" source counts 2 docs, not 3
+    assert(out("rep").getLong(1) === 2L)
+    assert(out("clean").getLong(1) === 1L)
+    // doc 1: "spam ham" appears 4x of 7 grams; its mass share and the
+    // duplicate-3-gram share are both far over the flag thresholds, and
+    // doc 2 contributes 0 dup mass -> exactly ONE flagged doc per column
+    assert(out("rep").getLong(4) === 1L, "one rep2-flagged doc")
+    assert(out("rep").getLong(5) === 1L, "one dup3-flagged doc")
+    assert(out("clean").getLong(4) === 0L && out("clean").getLong(5) === 0L)
+    // exactness: doc 1's 2-grams are 4x"spam ham"(8ch), 3x"ham spam"(8ch)
+    // -> top mass 32 of 56 => 571428 e6; doc 2's top gram is 1 of 5 equal-
+    // length... lengths differ, but its rep2 <= 1/5 of mass + tie detail —
+    // just pin the dominant doc's exact value through the source mean:
+    // mean_rep2 = (571428 + doc2_rep2) div 2 — recompute doc2 here
+    val doc2Grams = Seq("alpha beta","beta gamma","gamma delta","delta epsilon","epsilon zeta")
+    val total2 = doc2Grams.map(_.length).sum
+    // all counts are 1, so the tie-break picks the lexicographically
+    // smallest gram ("alpha beta")
+    val doc2Rep = doc2Grams.sorted.head.length.toLong * 1000000L / total2
+    assert(out("rep").getLong(2) === (571428L + doc2Rep) / 2L)
+  }
 }
