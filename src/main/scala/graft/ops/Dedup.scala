@@ -806,6 +806,11 @@ object Dedup {
       // UNSORTED: the presentation sort lives in the d8 registry entry
       // only — d10's anti-join consumer was paying a useless global sort
       // on the cluster frame (measured ~15 s → ~10 s at sf0.1)
+      // size via groupBy + join, NOT a window: `labels` is cached, so the
+      // two reads are cache hits and the tiny size table broadcast-joins;
+      // a window would pay a full sort-exchange pass (measured +40% at
+      // sf0.1 in the round-13 scoped bench — the opposite call from lp1,
+      // whose labels frame is lazy and single-pass wins)
       val (out, _) = Pinned.checkpoint(labels
         .join(labels.groupBy("lbl").agg(count(lit(1)).as("n_members")), "lbl")
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("n_members")))
@@ -876,8 +881,11 @@ object Dedup {
       .filter(col("u") =!= col("v")).distinct(),
       eager = false) // materialized by the emptiness probe below
     if (edges.head(1).isEmpty) {
-      edges.select(col("u").as("doc_id"), col("v").as("cluster_id"),
+      // limit(0) folds to an empty LocalRelation, so freeing here is safe
+      val empty = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"),
         lit(0L).as("n_members")).limit(0)
+      freeEdges()
+      empty
     } else {
       var star = false
       var rounds = 0
@@ -928,6 +936,8 @@ object Dedup {
       // materialize the (dup-docs-only, small) cluster frame so the last
       // round's blocks can be freed here — one result pin remains, owned
       // by the returned frame (releasePinned frees it)
+      // groupBy + join over the checkpointed edges (cache-hit reads),
+      // not a window — the dedupClustersOf measurement above
       val (out, _) = Pinned.checkpoint(labels
         .join(labels.groupBy("lbl").agg(count(lit(1)).as("n_members")), "lbl")
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("n_members")))
