@@ -327,4 +327,36 @@ class PlanShapeSpec extends SparkSpec {
       "gr1's m must broadcast\n" + pg.take(800))
     assert(!pg.contains("CartesianProduct"), "gr1 must not cartesian")
   }
+
+  /** Round-13 storage-lifecycle pins: the lazy graph family must reuse
+    * its repeated edge-subtree exchanges at runtime (the property that
+    * replaced the round-12 persist), and the checkpointed loops must
+    * show the lineage barrier. Executed-final-plan checks: AQE only
+    * materializes ReusedExchange/stage markers after the query runs. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // execute THIS QueryExecution so AQE finalizes it
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("pr1/pr2 lazy iteration reuses the edge-list exchanges, no cache scans") {
+    for (name <- Seq("pr1_pagerank_suppliers", "pr2_hits_authorities")) {
+      val p = finalPlan(graft.SparkEntry.queries(name)(spark, sfDir))
+      val reused = "ReusedExchange".r.findAllIn(p).length
+      assert(reused >= 1, s"$name: expected ReusedExchange in the final plan, got 0")
+      assert(!p.contains("InMemoryTableScan"),
+        s"$name must not read persisted blocks (lazy contract)")
+    }
+    Pinned.releaseAll(spark)
+  }
+
+  test("kcore1 peel rounds read the checkpoint barrier, not replayed lineage") {
+    val p = finalPlan(graft.SparkEntry.queries("kcore1_supplier_core")(spark, sfDir))
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 1,
+      "peel must read the per-round checkpointed edge frame")
+    assert(!p.contains("Scan parquet"),
+      "the final aggregate must never reach back to the parquet scans " +
+        "(lineage is truncated at the last round's checkpoint)")
+    Pinned.releaseAll(spark)
+  }
 }
