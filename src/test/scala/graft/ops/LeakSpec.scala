@@ -52,7 +52,22 @@ class LeakSpec extends SparkSpec {
     "lsh1_ml_minhash_join",       // 1 result pin
     "lsh2_ml_brp_knn",            // collect-based, zero pins
     "bpe2_merge_induction",            // per-merge Pinned, all freed (driver result)
-    "m7c_svm_corrected_epochs"    // per-epoch persist + unpersist-prev
+    "m7c_svm_corrected_epochs",   // per-epoch persist + unpersist-prev
+    // remaining persist/checkpoint families: each may keep result-backing
+    // pins but must stay bounded, CacheManager-clean and releasable
+    "cl1_kmeans_clusters",        // centroid-loop persist + final checkpoint
+    "cur1_curriculum_order",      // quartile histogram checkpoint
+    "sim10_ivfpq_topk",           // PQ codebook collects + cell frames
+    "mmr2_diverse_topk_bucketed", // candidate checkpoint
+    "apx7_kmv_set_ops",           // sketch checkpoint (3 consumers)
+    "d11_edit_distance_pairs",    // block-key checkpoint + pinned exchanges
+    "d17_ppjoin_pairs",           // perDoc prefix checkpoint
+    "d19_winnowing_decontamination", // fingerprint index checkpoint
+    "sel2_budget_select",         // distributed prefix-sum partition offsets
+    "w1_running_revenue",         // prefix-sum window path
+    "mix3_unimax_alloc",          // water-filling (source-domain windows)
+    "dq9_repetition_audit",       // new round-13 op — plain aggregates
+    "t22_kneser_ney"              // four vocab-domain model aggregates
   )
 
   /** Result-backing pins allowed per call: a handful of ops legitimately
