@@ -47,7 +47,11 @@ object Bench {
     "d20_containment", "emb5_power_iteration",
     // round-12 session headliners: the one-scan isotropy fold, the capped
     // FS blocking and the prefix-sum budget cut
-    "emb7_isotropy", "d24_record_linkage", "sel2_budget_select")
+    "emb7_isotropy", "d24_record_linkage", "sel2_budget_select",
+    // round-13 headliners: the lazy-graph rework's poster children, the
+    // checkpointed peel, and the new repetition family
+    "ppr1_personalized_pagerank", "kcore1_supplier_core",
+    "dq9_repetition_audit", "st28_stream_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -564,4 +564,15 @@ class ApiSpec extends SparkSpec {
       .collect().toSeq ===
       graft.SparkEntry.queries("e13_twap")(spark, sfd).collect().toSeq)
   }
+
+  test("round-13 session APIs bind the same implementations as their registry entries") {
+    val sfd = sfDir
+    val docs = graft.Tables.documents(spark, sfd)
+    assert(GraftApi.repetitionAudit(docs).collect().toSeq ===
+      graft.SparkEntry.queries("dq9_repetition_audit")(spark, sfd).collect().toSeq)
+    // releasePinned: drains everything the facade calls above pinned —
+    // the public hygiene hook the LeakSpec contract names
+    GraftApi.releasePinned(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
