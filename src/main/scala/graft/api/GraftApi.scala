@@ -93,6 +93,15 @@ object GraftApi {
   def dedupClustersFromPairs(pairs: DataFrame): DataFrame =
     Dedup.dedupClustersOf(pairs)
 
+  /** Soft dedup: keep every document, down-weight duplicates — each doc
+    * gets sampling weight 1e6/cluster_size (singletons 1e6), so every
+    * duplicated content unit contributes one document-equivalent of
+    * expected training mass. `clusters` is [[dedupClusters]] output (or
+    * any (doc_id, n_members) frame). Emits (doc_id, cluster_size,
+    * weight_e6). */
+  def softDedupWeights(docs: DataFrame, clusters: DataFrame): DataFrame =
+    Dedup.softDedupWeightsOf(docs, clusters)
+
   /** Incremental dedup: the new batch minus every row with a verified
     * near-dup (Jaccard ≥ minJaccardBp bp) in the EXISTING corpus — the
     * daily-ingest shape. Old×old is never touched; at scale the old
@@ -586,6 +595,14 @@ object GraftApi {
     * sources×sources matrix. Emits (source, beta_e6). */
   def bradleyTerry(wins: DataFrame, iters: Int = 3): DataFrame =
     Curation.bradleyTerryOf(wins, iters)
+
+  /** Best-of-n reward curve over a (prompt_id, sample_id, reward_c)
+    * frame: for each n, the count of prompts with ≥ n samples and the
+    * exact mean of max(reward over the first n deterministic draws) —
+    * the rejection-sampling payoff plot. Emits (n, n_prompts,
+    * sum_best_c, avg_best_c). */
+  def bestOfNCurve(samples: DataFrame, ns: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame =
+    Curation.bestOfNCurveOf(samples, ns)
 
   /** Per-node triangle counts over an undirected (a, b) edge frame with
     * a < b — degree-oriented wedge join (arboricity-bounded fan-out,

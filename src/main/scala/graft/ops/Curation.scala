@@ -840,7 +840,69 @@ object Curation {
       |  FROM z ORDER BY z_e3 ASC, w LIMIT 10)
       |SELECT * FROM aa UNION ALL SELECT * FROM bb ORDER BY side, rk""".stripMargin
 
+  // ---- PREF3: best-of-n scaling curve (rejection-sampling payoff) ----
+
+  /** Expected best-of-n reward curve — the rejection-sampling (BoN)
+    * payoff plot: for each prompt, samples are drawn in a DETERMINISTIC
+    * pseudo-random order (salted-md5 of the sample id — the engine's
+    * reproducible-shuffle convention), and for n ∈ {1, 2, 4, 8} the
+    * curve reports how many prompts have ≥ n samples and the exact
+    * average of max(reward over the first n draws). The gap between
+    * consecutive rows is the marginal value of one more sample — the
+    * statistic that sizes a BoN inference budget or a rejection-sampling
+    * data-generation pass. The library entry point
+    * ([[graft.api.GraftApi.bestOfNCurve]]).
+    *
+    * Exactness: rewards are exact cents; the running max over a
+    * deterministic order is engine-independent; the average is integer
+    * `div` over non-negative sums (positive-domain fixture, so Spark
+    * trunc ≡ DuckDB floor).
+    *
+    * Scale: ONE window partitioned by prompt — per-prompt state, never a
+    * global sort; the post-filter keeps ≤ |ns| rows per prompt, so the
+    * final aggregate is tiny. At 100 TB the shuffle key is the prompt
+    * id, the natural partitioning of any sampled-generations table. */
+  private[graft] def bestOfNCurveOf(samples: DataFrame,
+      ns: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val w = Window.partitionBy("prompt_id").orderBy(col("draw"), col("sample_id"))
+    samples
+      .withColumn("draw", md5(concat(lit("bon:"), col("sample_id").cast("string"))))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("best_c", max(col("reward_c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rn").isin(ns.map(Integer.valueOf): _*))
+      .groupBy(col("rn").cast("long").as("n"))
+      .agg(count(lit(1)).as("n_prompts"), sum("best_c").as("sum_best_c"))
+      .withColumn("avg_best_c", expr("sum_best_c div n_prompts"))
+      .orderBy("n")
+  }
+
+  /** Registry fixture: users as prompts, their events as samples, value
+    * cents as the reward. */
+  val pref3: Q = (s, d) =>
+    bestOfNCurveOf(Tables.events(s, d).select(
+      col("user_id").as("prompt_id"), col("event_id").as("sample_id"),
+      Money.cents(col("value")).as("reward_c")))
+  val pref3Sql: String =
+    s"""WITH s AS (
+       |  SELECT user_id AS prompt_id, event_id AS sample_id,
+       |         ${Money.centsSql("value")} AS reward_c
+       |  FROM events),
+       |r AS (
+       |  SELECT prompt_id, reward_c,
+       |         row_number() OVER (PARTITION BY prompt_id
+       |           ORDER BY md5('bon:' || sample_id::VARCHAR), sample_id) AS rn,
+       |         max(reward_c) OVER (PARTITION BY prompt_id
+       |           ORDER BY md5('bon:' || sample_id::VARCHAR), sample_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best_c
+       |  FROM s)
+       |SELECT CAST(rn AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_prompts,
+       |       CAST(sum(best_c) AS BIGINT) AS sum_best_c,
+       |       CAST(sum(best_c) // count(*) AS BIGINT) AS avg_best_c
+       |FROM r WHERE rn IN (1, 2, 4, 8) GROUP BY rn ORDER BY n""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "pref3_best_of_n" -> pref3,
     "fs2_log_odds_keyness" -> fs2,
     "fs1_term_keyness" -> fs1,
     "stat2_gtest_independence" -> stat2,
@@ -858,6 +920,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "pref3_best_of_n" -> pref3Sql,
     "fs2_log_odds_keyness" -> fs2Sql,
     "fs1_term_keyness" -> fs1Sql,
     "stat2_gtest_independence" -> stat2Sql,

@@ -1886,7 +1886,59 @@ object Dedup {
       |SELECT id_a, id_b, n_agree, score_e6 FROM pairs
       |WHERE score_e6 >= 0 ORDER BY id_a, id_b""".stripMargin
 
+  // ---- D25: soft dedup — down-weight duplicates instead of dropping ----
+
+  /** D25: SoftDeDup weights — instead of KEEPING one member per
+    * near-dup cluster (d10) the corpus keeps every document but assigns
+    * it sampling weight 1/cluster_size, so each duplicated content unit
+    * contributes one document-equivalent of expected training mass
+    * (the soft-deduplication alternative: down-weight, don't delete —
+    * preserves rare in-cluster variation that hard dedup discards).
+    * Output: (doc_id, cluster_size, weight_e6) for EVERY corpus doc;
+    * singletons get weight 1e6. Σ weight_e6 / 1e6 = the deduplicated
+    * effective corpus size, the same count d10 materializes by deletion.
+    * The library entry point ([[graft.api.GraftApi.softDedupWeights]]).
+    *
+    * Scale: the cluster frame (dedupClustersOf over d3's banded pairs)
+    * covers only documents that HAVE a duplicate — a vanishing fraction
+    * of a 100 TB corpus — so the LEFT join back to the corpus broadcasts
+    * (or shuffles on doc_id, the corpus's natural key); weights are pure
+    * integer division, hash-exact cross-engine. */
+  private[graft] def softDedupWeightsOf(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("n_members")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_members"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_e6", expr("1000000 div cluster_size"))
+
+  val d25: Q = (s, d) =>
+    softDedupWeightsOf(corpus(s, d),
+      dedupClustersOf(d3Verified(s, d).select(col("id_a"), col("id_b"))))
+      .orderBy("doc_id")
+  val d25Sql: String =
+    s"""WITH RECURSIVE p AS ($d3Sql),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM p),
+       |reach(id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.lbl = e.a),
+       |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |w AS (
+       |  SELECT cc.id AS doc_id, CAST(sz.n AS BIGINT) AS n_members
+       |  FROM cc JOIN (SELECT cluster_id, count(*) AS n
+       |                FROM cc GROUP BY cluster_id) sz USING (cluster_id)),
+       |$corpusCte
+       |SELECT c.doc_id,
+       |       CAST(coalesce(w.n_members, 1) AS BIGINT) AS cluster_size,
+       |       CAST(1000000 // coalesce(w.n_members, 1) AS BIGINT) AS weight_e6
+       |FROM corpus c LEFT JOIN w ON w.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d25_soft_dedup_weights" -> d25,
     "d24_record_linkage" -> d24,
     "d17_ppjoin_pairs" -> d17,
     "d16_fuzzy_decontamination" -> d16,
@@ -1913,6 +1965,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d25_soft_dedup_weights" -> d25Sql,
     "d24_record_linkage" -> d24Sql,
     "d17_ppjoin_pairs" -> d17Sql,
     "d16_fuzzy_decontamination" -> d16Sql,

@@ -662,7 +662,49 @@ object Events {
       |            ELSE CAST((n_gaps * sdt2 - sdt * sdt) * 1000000 // (sdt * sdt) AS BIGINT) END AS cov2_e6
       |FROM ne LEFT JOIN gs USING (k) ORDER BY event_type""".stripMargin
 
+  /** E15: OHLC bars — per (1-hour bucket × event_type), the candlestick
+    * aggregate: open/close = value of the chronologically first/last
+    * event (ties on ts broken by event_id so both engines pick the same
+    * row), high/low extremes, event count, and turnover — all in exact
+    * cents. Open/close are min/max over (ts, event_id, vc) STRUCTS:
+    * lexicographic struct ordering turns "first/last per group" into a
+    * pure MONOID, so the whole bar is ONE hash aggregate — no window, no
+    * sort exchange, and the identical one-scan shape replays
+    * incrementally in the streaming twin (st29). Scale: one shuffle
+    * keyed by (bucket, type); per-group state is two structs + four
+    * longs regardless of corpus size; partial aggregation halves the
+    * exchange on the map side. */
+  val e15: Q = (s, d) =>
+    ev(s, d)
+      .select(date_trunc("hour", col("ts")).as("window_start"), col("event_type"),
+        col("ts"), col("event_id"), cents(col("value")).as("vc"))
+      .groupBy("window_start", "event_type")
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("vc"))).getField("vc").as("open_c"),
+        max(struct(col("ts"), col("event_id"), col("vc"))).getField("vc").as("close_c"),
+        max("vc").as("high_c"), min("vc").as("low_c"),
+        count(lit(1)).as("n"), sum("vc").as("turnover_c"))
+      .orderBy("window_start", "event_type")
+  val e15Sql: String =
+    s"""WITH b AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+       |         ts, event_id, $centsSql AS vc FROM events),
+       |r AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY window_start, event_type
+       |                            ORDER BY ts, event_id) AS rf,
+       |         row_number() OVER (PARTITION BY window_start, event_type
+       |                            ORDER BY ts DESC, event_id DESC) AS rl
+       |  FROM b)
+       |SELECT window_start, event_type,
+       |       CAST(max(CASE WHEN rf = 1 THEN vc END) AS BIGINT) AS open_c,
+       |       CAST(max(CASE WHEN rl = 1 THEN vc END) AS BIGINT) AS close_c,
+       |       CAST(max(vc) AS BIGINT) AS high_c, CAST(min(vc) AS BIGINT) AS low_c,
+       |       CAST(count(*) AS BIGINT) AS n, CAST(sum(vc) AS BIGINT) AS turnover_c
+       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e15_ohlc_bars" -> e15,
     "e14_gap_dispersion" -> e14,
     "w7_weighted_median" -> w7,
     "e13_twap" -> e13,
@@ -682,6 +724,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e15_ohlc_bars" -> e15Sql,
     "e11_attribution" -> e11Sql,
     "e12_rfm" -> e12Sql,
     "e13_twap" -> e13Sql,

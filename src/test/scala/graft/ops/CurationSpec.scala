@@ -64,6 +64,46 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pref3 best-of-n: hand-traced draws, monotone curve, prompt accounting") {
+    val sp = spark
+    import sp.implicits._
+    // prompt 1 has 3 samples, prompt 2 has 1 — so n=1 sees 2 prompts,
+    // n=2 sees only prompt 1, and the curve's running max can never drop
+    val samples = Seq(
+      (1L, 10L, 100L), (1L, 11L, 300L), (1L, 12L, 200L),
+      (2L, 20L, 50L))
+      .toDF("prompt_id", "sample_id", "reward_c")
+    val got = Curation.bestOfNCurveOf(samples, Seq(1, 2, 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(got(0)._2 === 2L && got(1)._2 === 1L && got(2)._2 === 1L,
+      "n_prompts = prompts with >= n samples")
+    // replay the deterministic draw order to get the expected maxima
+    val draw = samples.collect().map { r =>
+      val sid = r.getLong(1)
+      (r.getLong(0), org.apache.commons.codec.digest.DigestUtils.md5Hex(s"bon:$sid"),
+        sid, r.getLong(2))
+    }
+    val byPrompt = draw.groupBy(_._1).view.mapValues(
+      _.sortBy(t => (t._2, t._3)).map(_._4)).toMap
+    def bestAt(n: Int): Long =
+      byPrompt.values.filter(_.length >= n).map(_.take(n).max).sum
+    assert(got(0)._3 === bestAt(1) && got(1)._3 === bestAt(2) && got(2)._3 === bestAt(3))
+    // prompt-1-only suffix of the curve is monotone non-decreasing
+    assert(got(1)._3 <= got(2)._3)
+    assert(got(2)._3 === 300L, "best of all three samples")
+  }
+
+  test("pref3 fixture: avg best-of-8 dominates avg best-of-1 and counts nest") {
+    val rows = Curation.pref3(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    // prompts with >= n samples can only shrink as n grows
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2 })
+    assert(rows.last._3 >= rows.head._3,
+      "expected max over 8 draws >= expected single draw")
+  }
+
   test("pref2 recovers a planted dominance order") {
     val sp = spark
     import sp.implicits._

@@ -33,6 +33,51 @@ class EventsSpec extends SparkSpec {
       ("view", 1L, 700L, 2L, 1700L)))
   }
 
+  test("e15 OHLC: ts ties break on event_id, extremes and turnover are exact") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    // one bar, same-second open tie: event 1 vs 2 at 00:00:01 -> open
+    // must be event 1's value; close is the last ts (00:59:59)
+    val ev = Seq(
+      (2L, "2024-01-01 00:00:01", "x", 5.00),
+      (1L, "2024-01-01 00:00:01", "x", 3.00),
+      (3L, "2024-01-01 00:30:00", "x", 9.50),
+      (4L, "2024-01-01 00:59:59", "x", 0.25),
+      (5L, "2024-01-01 01:00:00", "x", 7.00) // next bar
+    ).toDF("event_id", "ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val bars = ev.select(
+        date_trunc("hour", col("ts")).as("window_start"), col("event_type"),
+        col("ts"), col("event_id"), Money.cents(col("value")).as("vc"))
+      .groupBy("window_start", "event_type")
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("vc"))).getField("vc").as("open_c"),
+        max(struct(col("ts"), col("event_id"), col("vc"))).getField("vc").as("close_c"),
+        max("vc").as("high_c"), min("vc").as("low_c"),
+        count(lit(1)).as("n"), sum("vc").as("turnover_c"))
+      .orderBy("window_start")
+      .collect()
+    assert(bars.length === 2)
+    val b0 = bars(0)
+    assert(b0.getLong(2) === 300L, "open = tie-broken first event (id 1)")
+    assert(b0.getLong(3) === 25L, "close = last event in the bar")
+    assert(b0.getLong(4) === 950L && b0.getLong(5) === 25L)
+    assert(b0.getLong(6) === 4L && b0.getLong(7) === 300L + 500L + 950L + 25L)
+    assert(bars(1).getLong(2) === 700L && bars(1).getLong(3) === 700L)
+  }
+
+  test("e15 fixture bars conserve e1's totals (same buckets, same mass)") {
+    val ohlc = Events.e15(spark, sfDir).collect()
+    val e1r = Events.e1(spark, sfDir).collect()
+    assert(ohlc.length === e1r.length, "identical (bucket, type) grid")
+    assert(ohlc.map(_.getLong(7)).sum === e1r.map(_.getLong(3)).sum)
+    ohlc.foreach { r =>
+      val (open, close, high, low) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(low <= open && open <= high && low <= close && close <= high)
+    }
+  }
+
   test("e11 total attributed cents equals total purchase cents under both models") {
     val rows = Events.e11(spark, sfDir).collect()
     val firstC = rows.map(_.getLong(2)).sum
