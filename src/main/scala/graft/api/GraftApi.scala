@@ -205,6 +205,14 @@ object GraftApi {
     * (doc_id, text, n_chars). */
   def tokenCounts(docs: DataFrame): DataFrame = TextAnalysis.tokenCountsOf(docs)
 
+  /** Cross-document n-gram novelty over a (doc_id, text) frame: per doc,
+    * its distinct 3-gram shingle count, how many of those appear in at
+    * least one OTHER document, and novelty_bp — the boilerplate /
+    * memorization-risk signal. Same shingle definition as the dedup
+    * family. */
+  def ngramNovelty(docs: DataFrame): DataFrame =
+    TextAnalysis.ngramNoveltyOf(docs)
+
   /** Gopher quality-rule battery (Rae et al. 2112.11446 §A1.1): per-doc
     * word-count / mean-word-length / symbol / bullet / ellipsis /
     * alpha-word / stopword rules in integer basis points plus a conjoined
@@ -478,6 +486,13 @@ object GraftApi {
   def deterministicShuffle(df: DataFrame, idCol: String, salt: String = "shuf:"): DataFrame =
     ScaleOps.deterministicShuffleOf(df, idCol, salt)
 
+  /** Systematic sampling: every k-th row of the deterministic shuffle —
+    * exactly ceil(n/k) rows (zero count variance, unlike a Bernoulli
+    * keep), implicitly stratified by the hash order. */
+  def systematicSample(df: DataFrame, idCol: String, k: Int,
+      salt: String = "samp8:"): DataFrame =
+    ScaleOps.systematicSampleOf(df, idCol, k, salt)
+
   /** Deterministic uniform k-sample per group: rows ordered by md5(id,
     * salt) — a fixed pseudo-random total order — with the first k per
     * group kept by the custom partial/final top-k operator (exchange
@@ -609,6 +624,14 @@ object GraftApi {
     * never a naive hub-quadratic enumeration). */
   def triangleCounts(edges: DataFrame): DataFrame =
     Graph.triangleCountsOf(edges)
+
+  /** Common-neighbor link prediction over a bipartite (left, right)
+    * edge frame: top-k (s_a, s_b) right-node pairs by shared left
+    * neighbors, with exact integer Jaccard. Per-left wedge lists are
+    * capped (salted, oracle-replayable) so hub nodes never go
+    * quadratic. */
+  def commonNeighborTopK(edges: DataFrame, k: Int, cap: Int = 50): DataFrame =
+    Graph.commonNeighborTopKOf(edges, k, cap)
 
   /** MMR-diversified top-k (λ = 0.7, exact integer scores) over each
     * query's nCand exact-cosine candidates. Emits (q_id, cand_id, rk,

@@ -86,7 +86,7 @@ object Dedup {
     * number of times per row and the lambda touches only its struct
     * argument. Measured at sf1 (quiet host, stash A/B): d2 2.71 → 0.98 s
     * warm, d3 9.71 → 5.88 s, d6 6.26 → 5.54 s. */
-  private def shinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(
         when(size(split(col("text"), " ")) >= 3,
@@ -98,7 +98,7 @@ object Dedup {
           .otherwise(array(col("text")))).as("shingle"))
       .distinct()
 
-  private def shinglesCteBody(cteName: String, src: String): String =
+  private[graft] def shinglesCteBody(cteName: String, src: String): String =
     s"""$cteName AS (
        |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(str_split(text, ' ')) >= 3
        |    THEN [array_to_string((str_split(text, ' '))[i+1:i+3], ' ')

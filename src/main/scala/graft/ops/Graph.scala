@@ -879,7 +879,81 @@ object Graph {
       |  FROM c3 c FULL JOIN seeds s ON s.node = c.node)
       |SELECT node, r AS rank_e6 FROM r3 WHERE r > 0 ORDER BY node""".stripMargin
 
+  // ---- GR4: common-neighbor link prediction (bipartite projection) ----
+
+  /** GR4: link prediction over the customer–supplier purchase graph —
+    * the top-20 supplier pairs most likely to be substitutes, scored by
+    * common customers (the common-neighbors heuristic) with an exact
+    * integer Jaccard tie-metric cn·1e6 div (d_a + d_b − cn). This is the
+    * bipartite-projection wedge join (suppliers co-purchased by the same
+    * customer), the same candidate-generation shape as d3's band join:
+    * pairs exist ONLY where a shared customer witnesses them — never an
+    * all-pairs supplier product.
+    *
+    * Scale: each customer's supplier list is capped at [[Gr4Cap]] by a
+    * salted-md5 row_number (hot hub customers would otherwise contribute
+    * O(degree²) wedges — the d3 hot-band rule applied to graphs; the cap
+    * is part of the operator contract and the oracle replays it).
+    * Degrees come from the UNCAPPED graph, so the Jaccard denominator is
+    * exact even where candidates are capped. One shuffle for the edge
+    * distinct, one self-join co-partitioned on the customer key, one
+    * hash-agg on the pair; top-20 via TakeOrdered (never a global sort
+    * materialization). The library entry point
+    * ([[graft.api.GraftApi.commonNeighborTopK]]). */
+  private val Gr4Cap = 50
+
+  /** Top-k common-neighbor pairs over a bipartite (left, right) edge
+    * frame: candidates from capped per-left wedges, degrees exact. */
+  private[graft] def commonNeighborTopKOf(edges: DataFrame, k: Int,
+      cap: Int = Gr4Cap): DataFrame = {
+    val e = edges.select(col("left"), col("right")).distinct()
+    val deg = e.groupBy("right").agg(count(lit(1)).as("deg"))
+    val wE = Window.partitionBy("left")
+      .orderBy(md5(concat(lit("gr4:"), col("left").cast("string"),
+        lit("|"), col("right").cast("string"))), col("right"))
+    val capped = e.withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= cap).drop("rk")
+    val cn = capped.select(col("left"), col("right").as("s_a"))
+      .join(capped.select(col("left"), col("right").as("s_b")), Seq("left"))
+      .filter(col("s_a") < col("s_b"))
+      .groupBy("s_a", "s_b").agg(count(lit(1)).as("cn"))
+    cn.join(deg.select(col("right").as("s_a"), col("deg").as("da")), Seq("s_a"))
+      .join(deg.select(col("right").as("s_b"), col("deg").as("db")), Seq("s_b"))
+      .withColumn("jaccard_e6", expr("cn * 1000000 div (da + db - cn)"))
+      .select(col("s_a"), col("s_b"), col("cn"), col("jaccard_e6"))
+      .orderBy(col("jaccard_e6").desc, col("s_a"), col("s_b"))
+      .limit(k)
+  }
+
+  val gr4: Q = (s, d) =>
+    commonNeighborTopKOf(
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("left"), col("l_suppkey").as("right")),
+      20)
+  val gr4Sql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS lft, l_suppkey AS rgt
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |deg AS (SELECT rgt, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY rgt),
+       |capped AS (
+       |  SELECT lft, rgt FROM (
+       |    SELECT lft, rgt, row_number() OVER (PARTITION BY lft
+       |      ORDER BY md5('gr4:' || lft::VARCHAR || '|' || rgt::VARCHAR), rgt) AS rk
+       |    FROM e) WHERE rk <= $Gr4Cap),
+       |cn AS (
+       |  SELECT a.rgt AS s_a, b.rgt AS s_b, CAST(count(*) AS BIGINT) AS cn
+       |  FROM capped a JOIN capped b ON a.lft = b.lft AND a.rgt < b.rgt
+       |  GROUP BY a.rgt, b.rgt)
+       |SELECT cn.s_a, cn.s_b, cn.cn,
+       |       cn.cn * 1000000 // (da.dg + db.dg - cn.cn) AS jaccard_e6
+       |FROM cn
+       |JOIN deg da ON da.rgt = cn.s_a
+       |JOIN deg db ON db.rgt = cn.s_b
+       |ORDER BY jaccard_e6 DESC, s_a, s_b LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "gr4_common_neighbor_link" -> gr4,
     "ppr1_personalized_pagerank" -> ppr1,
     "bfs1_seed_distance" -> bfs1,
     "pr2_hits_authorities" -> pr2,
@@ -894,6 +968,7 @@ object Graph {
   )
 
   val oracle: Map[String, String] = Map(
+    "gr4_common_neighbor_link" -> gr4Sql,
     "ppr1_personalized_pagerank" -> ppr1Sql,
     "bfs1_seed_distance" -> bfs1Sql,
     "pr2_hits_authorities" -> pr2Sql,

@@ -881,6 +881,38 @@ object ScaleOps {
       |       doc_id, lang
       |FROM documents ORDER BY pos""".stripMargin
 
+  // ---- SAMP8: systematic sampling over the deterministic shuffle ----
+
+  /** SAMP8: systematic (every k-th) sampling — rank the population by
+    * the salted-md5 deterministic shuffle and keep positions 1, k+1,
+    * 2k+1, …: EXACTLY ceil(n/k) rows (a Bernoulli keep only hits 1/k in
+    * expectation) with the hash order acting as implicit stratification
+    * (survey-sampling's classic systematic design; the hash breaks any
+    * periodicity in the frame order that classical systematic sampling
+    * is vulnerable to). Deterministic ⇒ reproducible and hash-exact
+    * cross-engine. The library entry point
+    * ([[graft.api.GraftApi.systematicSample]]).
+    *
+    * Scale: [[deterministicShuffleOf]]'s bucket-offset global rank —
+    * 256-key bucket windows plus one broadcast offset join, never a
+    * single-reducer window; the filter is map-side. */
+  private[graft] def systematicSampleOf(df: DataFrame, idCol: String,
+      k: Int, salt: String = "samp8:"): DataFrame =
+    deterministicShuffleOf(df, idCol, salt)
+      .filter((col("pos") - 1) % k === 0)
+
+  val samp8: Q = (s, d) =>
+    systematicSampleOf(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id", 25)
+      .select(col("pos"), col("doc_id"), col("lang"))
+      .orderBy("pos")
+  val samp8Sql: String =
+    """SELECT pos, doc_id, lang FROM (
+      |  SELECT row_number() OVER (ORDER BY md5('samp8:' || doc_id::VARCHAR), doc_id) AS pos,
+      |         doc_id, lang
+      |  FROM documents)
+      |WHERE (pos - 1) % 25 = 0 ORDER BY pos""".stripMargin
+
   // ---- SAMP2: weighted per-source sampling (corpus mixing) ----
 
   /** SAMP2: deterministic weighted downsampling per source — the corpus
@@ -2045,6 +2077,7 @@ object ScaleOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "samp8_systematic" -> samp8,
     "zo3_skipping_audit" -> zo3,
     "samp7_ess" -> samp7,
     "mix1_temperature_mix" -> mix1,
@@ -2089,6 +2122,7 @@ object ScaleOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "samp8_systematic" -> samp8Sql,
     "mix1_temperature_mix" -> mix1Sql,
     "mix1_debug" -> mix1DebugSql,
     "mix2_doremi_reweight" -> mix2Sql,

@@ -1608,7 +1608,51 @@ object TextAnalysis {
       |JOIN sz sb ON sb.source = i.src_b
       |ORDER BY i.src_a, i.src_b""".stripMargin
 
+  // ---- T23: cross-document n-gram novelty ----
+
+  /** T23: n-gram novelty — per document, the share of its distinct word
+    * 3-gram shingles that appear in NO other document (novelty_bp), the
+    * memorization-risk / boilerplate signal data-curation pipelines
+    * report next to dedup: a doc with low novelty is made of phrases the
+    * corpus already contains even when no single pair-level duplicate
+    * fires (template fragments, licence headers, quoted chains). Uses
+    * the SAME shingle definition as the d2/d3 dedup family, so its
+    * numbers are directly comparable with the near-dup reports. The
+    * library entry point ([[graft.api.GraftApi.ngramNovelty]]).
+    *
+    * Scale: one shuffle keyed by shingle (hash-agg document frequency —
+    * the shingle frame was already shuffled on that key, so the join
+    * back reuses the exchange), one hash-agg back on doc_id. No pair
+    * space, no windows; pure integer output. */
+  private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shinglesOf(docs)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty_bp",
+        expr("(n_shingles - n_shared) * 10000 div n_shingles"))
+  }
+
+  val t23: Q = (s, d) =>
+    ngramNoveltyOf(Tables.documents(s, d).select("doc_id", "text"))
+      .orderBy("doc_id")
+  val t23Sql: String =
+    s"""WITH ${Dedup.shinglesCteBody("shing", "documents")},
+       |df AS (
+       |  SELECT shingle, CAST(count(*) AS BIGINT) AS df
+       |  FROM shing GROUP BY shingle)
+       |SELECT s.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_shingles,
+       |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |       CAST((count(*) - sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)) * 10000
+       |            // count(*) AS BIGINT) AS novelty_bp
+       |FROM shing s JOIN df USING (shingle)
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t23_ngram_novelty" -> t23,
     "voc4_source_overlap" -> voc4,
     "voc5_source_jsd" -> voc5,
     "t26_forcast_readability" -> t26,
@@ -1640,6 +1684,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t23_ngram_novelty" -> t23Sql,
     "voc4_source_overlap" -> voc4Sql,
     "voc5_source_jsd" -> voc5Sql,
     "t26_forcast_readability" -> t26Sql,

@@ -173,4 +173,28 @@ class GraphSpec extends SparkSpec {
       (1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
       (3L, 3L, 1L, 333333L), (4L, 1L, 0L, 0L)))
   }
+
+  test("gr4 common neighbors: planted co-purchase pair with exact Jaccard; no witness, no pair") {
+    val sp = spark
+    import sp.implicits._
+    // suppliers 100 (customers 1,2,3) and 101 (customers 1,2): cn = 2,
+    // jaccard = 2/(3+2-2); supplier 102 shares no customer -> never paired
+    val edges = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L),
+      (1L, 101L), (2L, 101L),
+      (4L, 102L)).toDF("left", "right")
+    val got = Graph.commonNeighborTopKOf(edges, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((100L, 101L, 2L, 666666L)))
+  }
+
+  test("gr4 fixture: scores are valid Jaccards, descending, and the cap bounds candidates") {
+    val rows = Graph.gr4(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 20)
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sortBy(-_).toSeq, "ranked by score")
+    rows.foreach { case (a, b, cn, j) =>
+      assert(a < b && cn >= 1 && j >= 0 && j <= 1000000L)
+    }
+  }
 }

@@ -631,4 +631,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got === golden)
     assert(got.map(_._5).sum === 1000L, "allocations must sum exactly to the budget")
   }
+
+  test("samp8 systematic: exactly ceil(n/k) rows at positions 1, k+1, …, from the salted order") {
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val n = docs.count()
+    val got = ScaleOps.samp8(spark, sfDir).collect()
+    assert(got.length.toLong === (n + 24) / 25, "zero count variance — the systematic guarantee")
+    assert(got.map(_.getLong(0)).toSeq === (1L to n by 25L).toSeq)
+    // rows are the deterministic shuffle's rows at those positions
+    val full = ScaleOps.deterministicShuffleOf(docs, "doc_id", "samp8:")
+      .collect().map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"))).toMap
+    got.foreach(r => assert(full(r.getLong(0)) === r.getLong(1)))
+  }
 }

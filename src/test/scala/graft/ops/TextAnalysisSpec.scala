@@ -420,4 +420,35 @@ class TextAnalysisSpec extends SparkSpec {
     val rEven = TextAnalysis.heapsLawOf(even).head()
     assert(rEven.isNullAt(rEven.fieldIndex("beta_e6")))
   }
+
+  test("t23 novelty: shared 3-grams are flagged, unique docs score 10000") {
+    val sp = spark
+    import sp.implicits._
+    // docs 1 and 2 share the shingle "b c d"; doc 3 is fully unique;
+    // doc 4 is too short for a 3-gram (falls back to the whole text)
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "x b c d"),
+      (3L, "p q r"),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNoveltyOf(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((2L, 1L, 5000L)))
+    assert(got(2L) === ((2L, 1L, 5000L)))
+    assert(got(3L) === ((1L, 0L, 10000L)))
+    assert(got(4L) === ((1L, 0L, 10000L)))
+  }
+
+  test("t23 fixture: novelty_bp = 10000 exactly when n_shared = 0, and in [0, 10000]") {
+    val rows = TextAnalysis.t23(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nSh, nShared, bp) =>
+      assert(nShared <= nSh)
+      assert(bp === (nSh - nShared) * 10000 / nSh)
+      assert(bp >= 0 && bp <= 10000)
+    }
+    assert(rows.exists(_._3 < 10000), "the fixture corpus must contain shared phrases")
+  }
 }
