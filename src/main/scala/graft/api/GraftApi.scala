@@ -1223,6 +1223,16 @@ object GraftApi {
   def spearman(scored: DataFrame): DataFrame =
     graft.ops.Evaluation.spearmanOf(scored)
 
+  /** Cumulative gains / lift at k over a scored frame with columns
+    * (`labelCol` ∈ {0,1}, `scoreCol`, `tie`): positives found in the
+    * top-k by descending score (ties broken by `tie`) and the exact
+    * integer lift over random in basis points. Distributed global rank
+    * via the prefix-sum idiom — no single-reducer window. Registry
+    * twin: `eval13_lift_at_k`. */
+  def liftAtK(scored: DataFrame, labelCol: String, scoreCol: String,
+      ks: Seq[Int]): DataFrame =
+    graft.ops.SentimentNb.liftAtKOf(scored, labelCol, scoreCol, ks)
+
   /** Jensen–Shannon divergence matrix over a (source, text) frame:
     * per unordered source pair the unigram-distribution JSD in nats
     * (e9, bounded by ln 2), plus union/common type counts — the

@@ -300,6 +300,50 @@ object SentimentNb {
        |         // (2 * CAST(sum(p) AS HUGEINT) * sum(q)) AS BIGINT) AS auc_bp
        |FROM cum""".stripMargin
 
+  /** EVAL13: cumulative gains / lift at k — the targeting companion to
+    * eval2's AUC: rank the test docs by NB margin (descending, doc_id
+    * tie-break) and report, at k ∈ {10, 25, 50, 100}, how many true
+    * positives the top k contains and the exact lift over random
+    * (pos_at_k·N·10000 div (k·n_pos) basis points). AUC summarizes the
+    * whole curve; lift@k is what a selection budget actually buys — the
+    * statistic behind "score the corpus, keep the top k" quality
+    * filtering. Ranking uses [[PrefixSum.prefixRank]] (range-partitioned
+    * global rank + exclusive positive prefix — never a single-reducer
+    * window), and both engines rank the identical 6-decimal-rounded
+    * margins, so every output is exact integer. */
+  private[graft] def liftAtKOf(scores: DataFrame, labelCol: String,
+      scoreCol: String, ks: Seq[Int]): DataFrame = {
+    val base = scores.select(col(scoreCol).as("m"), col("tie"),
+      col(labelCol).cast("long").as("lbl"))
+    val r = PrefixSum.prefixRank(base,
+      Seq(col("m").desc, col("tie").asc), sumCol = Some("lbl"))
+    r.df.filter(col("g_rank").isin(ks.map(k => java.lang.Long.valueOf(k.toLong)): _*))
+      .select(col("g_rank").as("k"),
+        (col("g_cum_excl") + col("lbl")).as("pos_at_k"))
+      .withColumn("lift_bp", expr(
+        s"pos_at_k * ${r.nRows}L * 10000 div greatest(k * ${r.sumTotal}L, 1)"))
+      .orderBy("k")
+  }
+
+  val eval13: Q = (s, d) =>
+    liftAtKOf(
+      scoredDf(s, d).select(col("label"),
+        expr("coalesce(margin_r6, 0.0)").as("m"), col("doc_id").as("tie")),
+      "label", "m", Seq(10, 25, 50, 100))
+  val eval13Sql: String =
+    s"""WITH $scoredCte,
+       |r AS (
+       |  SELECT CAST(label AS BIGINT) AS lbl,
+       |         row_number() OVER (ORDER BY coalesce(margin_r6, 0.0) DESC, doc_id) AS rn,
+       |         sum(CAST(label AS BIGINT)) OVER (
+       |           ORDER BY coalesce(margin_r6, 0.0) DESC, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos
+       |  FROM scored),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(lbl) AS BIGINT) AS npos FROM r)
+       |SELECT CAST(rn AS BIGINT) AS k, CAST(cpos AS BIGINT) AS pos_at_k,
+       |       CAST(cpos * n * 10000 // greatest(rn * npos, 1) AS BIGINT) AS lift_bp
+       |FROM r CROSS JOIN tot WHERE rn IN (10, 25, 50, 100) ORDER BY k""".stripMargin
+
   val cal1: Q = (s, d) =>
     scoredDf(s, d)
       .withColumn("bin",
@@ -439,6 +483,7 @@ object SentimentNb {
     "cal2_brier_decomposition" -> cal2,
     "cal3_ece" -> cal3,
     "eval2_nb_auc" -> eval2,
+    "eval13_lift_at_k" -> eval13,
     "a1_nb_word_class_counts" -> a1,
     "a2_corpus_scalars" -> a2,
     "j1_broadcast_model_join" -> j1,
@@ -453,6 +498,7 @@ object SentimentNb {
     "cal2_brier_decomposition" -> cal2Sql,
     "cal3_ece" -> cal3Sql,
     "eval2_nb_auc" -> eval2Sql,
+    "eval13_lift_at_k" -> eval13Sql,
     "a1_nb_word_class_counts" -> a1Sql,
     "a2_corpus_scalars" -> a2Sql,
     "j1_broadcast_model_join" -> j1Sql,

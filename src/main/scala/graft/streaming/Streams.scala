@@ -1573,6 +1573,29 @@ object Streams {
     * state (sources × 5 integers), and the final generation finishes
     * through dq9's own [[graft.ops.Evaluation.repetitionFromStats]] —
     * stream == batch bit-for-bit under the shared `dq9Sql` oracle. */
+  /** ST29: streaming OHLC bars — result contract of Events.e15. The
+    * batch op's struct-min/max formulation is what makes this a legal
+    * (and cheap) streaming aggregate: open/close/high/low/count/sum are
+    * all MONOIDS, so per-(window, type) state is two structs + four
+    * longs updated incrementally — no per-event retention, no sort. */
+  val st29: Q = (s, d) => {
+    val agg = eventStream(s, d)
+      .select(col("ts"), col("event_id"), col("event_type"),
+        cents(col("value")).as("vc"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("vc"))).getField("vc").as("open_c"),
+        max(struct(col("ts"), col("event_id"), col("vc"))).getField("vc").as("close_c"),
+        max("vc").as("high_c"), min("vc").as("low_c"),
+        count(lit(1)).as("n"), sum("vc").as("turnover_c"))
+    drain(s, agg, "st29_out", OutputMode.Complete())
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("open_c"), col("close_c"), col("high_c"), col("low_c"),
+        col("n"), col("turnover_c"))
+      .orderBy("window_start", "event_type")
+  }
+
   val st28: Q = (s, d) => {
     val srcDir = stagedTableSplit(s, d, "st28", table = "documents", key = "doc_id")
     val physical = s.read.parquet(s"$d/documents.parquet").schema
@@ -1611,6 +1634,7 @@ object Streams {
 
   val queries: Map[String, Q] = Map(
     "st28_stream_repetition" -> st28,
+    "st29_stream_ohlc" -> st29,
     "st27_stream_ess" -> st27,
     "st26_stream_simpson" -> st26,
     "st25_stream_isotropy" -> st25,
@@ -1647,6 +1671,7 @@ object Streams {
     "st25_stream_isotropy" -> graft.ops.Similarity.emb7Sql,
     "st26_stream_simpson" -> graft.ops.Evaluation.dq8Sql,
     "st28_stream_repetition" -> graft.ops.Evaluation.dq9Sql,
+    "st29_stream_ohlc" -> graft.ops.Events.e15Sql,
     "st27_stream_ess" -> graft.ops.ScaleOps.samp7Sql,
     "st18_stream_benford" -> graft.ops.Evaluation.dq5Sql,
     "st19_stream_markov" -> graft.ops.Curation.markov1Sql,

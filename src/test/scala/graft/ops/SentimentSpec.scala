@@ -159,6 +159,30 @@ class SentimentSpec extends SparkSpec {
     assert(auc2 >= 0 && auc2 <= 2 * np * nn, "numerator bounded by pair count")
   }
 
+  test("eval13 lift machinery: perfect ranker, random baseline, exact formula") {
+    val sp = spark; import sp.implicits._
+    // 4 positives ranked on top of 6 negatives: lift@2 = (2/2)/(4/10)
+    val perfect = (1 to 10).map(i =>
+      (if (i <= 4) 1.0 else 0.0, 100.0 - i, i.toLong)).toDF("label", "m", "tie")
+    val got = SentimentNb.liftAtKOf(perfect, "label", "m", Seq(2, 4, 5, 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (2L, 2L, 25000L),   // 2/2 vs 4/10 -> 2.5x
+      (4L, 4L, 25000L),   // all positives found
+      (5L, 4L, 20000L),   // 4/5 vs 0.4  -> 2x
+      (10L, 4L, 10000L))) // whole population -> lift 1 exactly
+  }
+
+  test("eval13 on the fixture: cumulative positives nest and the formula is exact") {
+    val rows = SentimentNb.eval13(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq(10L, 25L, 50L, 100L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, "pos_at_k is non-decreasing in k")
+    }
+    rows.foreach { case (k, p, _) => assert(p >= 0 && p <= k) }
+  }
+
   test("cal3 ECE/MCE match a direct recompute from cal1's own bins") {
     val bins = SentimentNb.cal1(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -411,6 +411,17 @@ class StreamsSpec extends SparkSpec {
     assert(live === batch)
   }
 
+  test("st29 streaming OHLC bars equal the batch e15 table bit-for-bit") {
+    // every bar statistic is a monoid (struct-min/max, min, max, count,
+    // sum), so the incremental drain must reproduce the batch bars
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    val live = canon(Streams.st29(spark, sfDir).collect())
+    val batch = canon(graft.ops.Events.e15(spark, sfDir).collect())
+    assert(live === batch)
+  }
+
   test("st22 streaming RFM segments equal the batch e12 table bit-for-bit") {
     // the per-buyer (max, sum, sum) state is a mergeable monoid and the
     // quartile cut reuses e12's rfmSegmentsFromPerUser — batch-boundary
