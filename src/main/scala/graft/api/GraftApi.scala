@@ -188,6 +188,14 @@ object GraftApi {
   def vocabOov(docs: DataFrame, minFreq: Long = 5L): DataFrame =
     TextAnalysis.vocabOovOf(docs, minFreq)
 
+  /** Vocabulary sizing curve: per min-frequency cutoff, the induced
+    * vocab size, kept token mass and OOV share in basis points — the
+    * size-vs-coverage sweep behind a tokenizer's vocab choice. One
+    * corpus scan; the sweep runs on the vocab-sized frequency table. */
+  def vocabCurve(docs: DataFrame,
+      cutoffs: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L)): DataFrame =
+    TextAnalysis.vocabCurveOf(docs, cutoffs)
+
   /** Per-document add-1-smoothed unigram negative log-likelihood, the
     * CCNet-style LM quality signal: (doc_id, n_toks, nll_e6). Per-token
     * surprisals are e6 integers BEFORE summation, so scores are exact
@@ -723,6 +731,13 @@ object GraftApi {
     * row-normalized probabilities. */
   def markovTransitions(events: DataFrame): DataFrame =
     graft.ops.Curation.markovTransitionsOf(events)
+
+  /** Stationary distribution of the [[markovTransitions]] chain:
+    * `iters` exact-integer power-iteration steps of π′ = πP from a
+    * uniform start — (state, pi_e6). Absorbing states and bp truncation
+    * are part of the documented integer contract. */
+  def markovStationary(events: DataFrame, iters: Int = 3): DataFrame =
+    graft.ops.Curation.markovStationaryOf(events, iters)
 
   /** Zipf rank-frequency OLS slope per source over a (source, text)
     * frame: ln-ln fit across the top `topR` word ranks, emitted negated

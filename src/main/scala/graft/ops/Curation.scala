@@ -901,7 +901,72 @@ object Curation {
        |       CAST(sum(best_c) // count(*) AS BIGINT) AS avg_best_c
        |FROM r WHERE rn IN (1, 2, 4, 8) GROUP BY rn ORDER BY n""".stripMargin
 
+  // ---- MARKOV2: stationary distribution of the behavior chain ----
+
+  /** MARKOV2: the chain's stationary distribution — three exact-integer
+    * power-iteration steps of π′ = πP over markov1's bp-normalized
+    * transition matrix, started uniform at 10⁶ per state. The
+    * equilibrium occupancy share is the "where do users end up" summary that
+    * complements markov1's local step probabilities (and the sampling
+    * weight a trajectory generator draws start states from). States
+    * with no outgoing transitions absorb only what one step hands them
+    * (their row is missing from P — mass entering them leaves the
+    * system), and each step loses ≤ |states| millionths to bp/div
+    * truncation: both are part of the integer contract the oracle
+    * replays exactly.
+    *
+    * Scale: after markov1's one corpus shuffle, every iteration runs on
+    * the |types|²-bounded matrix joined to the |types|-row π — constant
+    * work regardless of corpus size; pi·p_bp ≤ |states|·10¹⁰ stays in
+    * int64 for any realistic event alphabet. Library entry point:
+    * [[graft.api.GraftApi.markovStationary]]. */
+  private[graft] def markovStationaryOf(events: DataFrame, iters: Int = 3): DataFrame = {
+    val m = markovTransitionsOf(events)
+      .select(col("cur_type"), col("nxt_type"), col("p_bp"))
+    val states = m.select(col("cur_type").as("state"))
+      .unionAll(m.select(col("nxt_type").as("state"))).distinct()
+    var pi = states.select(col("state"), lit(1000000L).as("pi"))
+    for (_ <- 1 to iters) {
+      val flowed = m.join(pi, m("cur_type") === pi("state"))
+        .groupBy(col("nxt_type").as("state2"))
+        .agg(expr("CAST(sum(pi * p_bp) div 10000 AS BIGINT)").as("pin"))
+      pi = states.join(flowed, states("state") === flowed("state2"), "left")
+        .select(col("state"), coalesce(col("pin"), lit(0L)).as("pi"))
+    }
+    pi.select(col("state"), col("pi").as("pi_e6"))
+  }
+
+  val markov2: Q = (s, d) =>
+    markovStationaryOf(Tables.events(s, d)).orderBy("state")
+  val markov2Sql: String = {
+    def step(n: Int): String =
+      s"""p$n AS (
+         |  SELECT st.state, CAST(coalesce(f.pin, 0) AS BIGINT) AS pi
+         |  FROM st LEFT JOIN (
+         |    SELECT m.nxt_type AS state, CAST(sum(p${n - 1}.pi * m.p_bp) // 10000 AS BIGINT) AS pin
+         |    FROM m JOIN p${n - 1} ON p${n - 1}.state = m.cur_type
+         |    GROUP BY m.nxt_type) f USING (state))""".stripMargin
+    s"""WITH s AS (
+       |  SELECT event_type AS cur_type,
+       |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_type
+       |  FROM events),
+       |c AS (
+       |  SELECT cur_type, nxt_type, CAST(count(*) AS BIGINT) AS c
+       |  FROM s WHERE nxt_type IS NOT NULL GROUP BY cur_type, nxt_type),
+       |m AS (
+       |  SELECT cur_type, nxt_type,
+       |         c * 10000 // CAST(sum(c) OVER (PARTITION BY cur_type) AS BIGINT) AS p_bp
+       |  FROM c),
+       |st AS (SELECT cur_type AS state FROM m UNION SELECT nxt_type FROM m),
+       |p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS pi FROM st),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}
+       |SELECT state, pi AS pi_e6 FROM p3 ORDER BY state""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "markov2_stationary" -> markov2,
     "pref3_best_of_n" -> pref3,
     "fs2_log_odds_keyness" -> fs2,
     "fs1_term_keyness" -> fs1,
@@ -920,6 +985,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "markov2_stationary" -> markov2Sql,
     "pref3_best_of_n" -> pref3Sql,
     "fs2_log_odds_keyness" -> fs2Sql,
     "fs1_term_keyness" -> fs1Sql,

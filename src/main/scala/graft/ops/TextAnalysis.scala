@@ -1651,7 +1651,57 @@ object TextAnalysis {
        |FROM shing s JOIN df USING (shingle)
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 
+  // ---- VOC6: vocabulary-size / OOV-rate curve over cutoffs ----
+
+  /** VOC6: the vocabulary sizing curve — for each min-frequency cutoff
+    * c ∈ {1, 2, 4, 8, 16}, the induced vocabulary size (types with
+    * freq ≥ c), the token mass it keeps, and the OOV token share in
+    * basis points. voc1 reports the per-doc OOV rate at ONE cutoff;
+    * this is the sweep a tokenizer design actually reads (vocab size vs
+    * coverage trade-off — pick the knee). The library entry point
+    * ([[graft.api.GraftApi.vocabCurve]]).
+    *
+    * Scale: one exploded-token hash aggregate builds the term-frequency
+    * table (the corpus's only scan and only data-sized shuffle); the
+    * cutoff sweep cross-joins the VOCAB-sized frame against a 5-row
+    * literal — value-domain-bounded work, one tiny final aggregate. */
+  private[graft] def vocabCurveOf(docs: DataFrame,
+      cutoffs: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L)): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val tf = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    tf.crossJoin(broadcast(cutoffs.toDF("cutoff")))
+      .groupBy("cutoff")
+      .agg(
+        sum(when(col("tf") >= col("cutoff"), 1L).otherwise(0L)).as("vocab_size"),
+        sum(when(col("tf") >= col("cutoff"), col("tf")).otherwise(0L)).as("kept_tokens"),
+        sum("tf").as("total_tokens"))
+      .withColumn("oov_bp",
+        expr("(total_tokens - kept_tokens) * 10000 div total_tokens"))
+      .orderBy("cutoff")
+  }
+
+  val voc6: Q = (s, d) => vocabCurveOf(Tables.documents(s, d))
+  val voc6Sql: String =
+    """WITH tf AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+      |  WHERE len(tok) > 0 GROUP BY tok),
+      |cu AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS cutoff)
+      |SELECT cutoff,
+      |       CAST(sum(CASE WHEN tf >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS vocab_size,
+      |       CAST(sum(CASE WHEN tf >= cutoff THEN tf ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |       CAST(sum(tf) AS BIGINT) AS total_tokens,
+      |       CAST((sum(tf) - sum(CASE WHEN tf >= cutoff THEN tf ELSE 0 END)) * 10000
+      |            // sum(tf) AS BIGINT) AS oov_bp
+      |FROM tf CROSS JOIN cu
+      |GROUP BY cutoff ORDER BY cutoff""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "voc6_vocab_curve" -> voc6,
     "t23_ngram_novelty" -> t23,
     "voc4_source_overlap" -> voc4,
     "voc5_source_jsd" -> voc5,
@@ -1684,6 +1734,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "voc6_vocab_curve" -> voc6Sql,
     "t23_ngram_novelty" -> t23Sql,
     "voc4_source_overlap" -> voc4Sql,
     "voc5_source_jsd" -> voc5Sql,

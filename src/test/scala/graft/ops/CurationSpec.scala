@@ -64,6 +64,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("markov2 stationary: 2-cycle keeps uniform mass, sink chain absorbs, source drains") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1 alternates a,b (P is the swap — uniform is stationary);
+    // user 2 walks d -> c -> c (d is a source, c a self-loop sink)
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 00:00:01", "a"), (2L, 1L, "2024-01-01 00:00:02", "b"),
+      (3L, 1L, "2024-01-01 00:00:03", "a"), (4L, 1L, "2024-01-01 00:00:04", "b"),
+      (5L, 1L, "2024-01-01 00:00:05", "a"),
+      (6L, 2L, "2024-01-01 00:00:01", "d"), (7L, 2L, "2024-01-01 00:00:02", "c"),
+      (8L, 2L, "2024-01-01 00:00:03", "c"))
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val pi = Curation.markovStationaryOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(pi("a") === 1000000L && pi("b") === 1000000L, "swap chain is mass-stable")
+    assert(pi("d") === 0L, "source state drains after one step")
+    assert(pi("c") === 2000000L, "sink holds its own mass plus the source's")
+  }
+
+  test("markov2 fixture: mass bounded by the uniform start, all states present") {
+    val states = Curation.markov2(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(states.nonEmpty)
+    states.foreach { case (_, p) => assert(p >= 0L) }
+    assert(states.map(_._2).sum <= states.length.toLong * 1000000L,
+      "integer truncation only ever removes mass")
+  }
+
   test("pref3 best-of-n: hand-traced draws, monotone curve, prompt accounting") {
     val sp = spark
     import sp.implicits._

@@ -421,6 +421,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rEven.isNullAt(rEven.fieldIndex("beta_e6")))
   }
 
+  test("voc6 curve: hand-counted cutoffs, monotone vocab shrink, exact OOV shares") {
+    val sp = spark
+    import sp.implicits._
+    // token freqs: a=3, b=2, c=1 over 6 tokens
+    val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCurveOf(docs, Seq(1L, 2L, 3L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 6L, 6L, 0L),
+      (2L, 2L, 5L, 6L, 1666L),
+      (3L, 1L, 3L, 6L, 5000L)))
+
+    val fix = TextAnalysis.voc6(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(fix.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L, 16L))
+    fix.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3, "vocab and kept mass shrink with the cutoff")
+      assert(a._4 <= b._4, "OOV share grows with the cutoff")
+    }
+    assert(fix.head._4 === 0L, "cutoff 1 keeps everything")
+  }
+
   test("t23 novelty: shared 3-grams are flagged, unique docs score 10000") {
     val sp = spark
     import sp.implicits._
