@@ -51,7 +51,10 @@ object Bench {
     // round-13 headliners: the lazy-graph rework's poster children, the
     // checkpointed peel, and the new repetition family
     "ppr1_personalized_pagerank", "kcore1_supplier_core",
-    "dq9_repetition_audit", "st28_stream_repetition")
+    "dq9_repetition_audit", "st28_stream_repetition",
+    // round-13 second-session headliners: soft dedup (cluster loop +
+    // corpus join), the shingle-df novelty scan, and the monoid OHLC twin
+    "d25_soft_dedup_weights", "t23_ngram_novelty", "st29_stream_ohlc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

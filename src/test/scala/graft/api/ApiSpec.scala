@@ -575,4 +575,42 @@ class ApiSpec extends SparkSpec {
     GraftApi.releasePinned(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("round-13 second-session APIs bind the same implementations as their registry entries") {
+    val sfd = sfDir
+    val docs = graft.Tables.documents(spark, sfd)
+    val events = graft.Tables.events(spark, sfd)
+
+    assert(GraftApi.ngramNovelty(docs.select("doc_id", "text")).orderBy("doc_id")
+      .collect().toSeq ===
+      graft.SparkEntry.queries("t23_ngram_novelty")(spark, sfd).collect().toSeq)
+    assert(GraftApi.vocabCurve(docs).collect().toSeq ===
+      graft.SparkEntry.queries("voc6_vocab_curve")(spark, sfd).collect().toSeq)
+    assert(GraftApi.markovStationary(events).orderBy("state").collect().toSeq ===
+      graft.SparkEntry.queries("markov2_stationary")(spark, sfd).collect().toSeq)
+    assert(GraftApi.systematicSample(
+        docs.select(col("doc_id"), col("lang")), "doc_id", 25)
+      .select(col("pos"), col("doc_id"), col("lang")).orderBy("pos")
+      .collect().toSeq ===
+      graft.SparkEntry.queries("samp8_systematic")(spark, sfd).collect().toSeq)
+    assert(GraftApi.bestOfNCurve(events.select(
+        col("user_id").as("prompt_id"), col("event_id").as("sample_id"),
+        graft.ops.Money.cents(col("value")).as("reward_c"))).collect().toSeq ===
+      graft.SparkEntry.queries("pref3_best_of_n")(spark, sfd).collect().toSeq)
+
+    val purchases = graft.Tables.orders(spark, sfd)
+      .join(graft.Tables.lineitem(spark, sfd), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("left"), col("l_suppkey").as("right"))
+    assert(GraftApi.commonNeighborTopK(purchases, 20).collect().toSeq ===
+      graft.SparkEntry.queries("gr4_common_neighbor_link")(spark, sfd).collect().toSeq)
+
+    // softDedupWeights over the registry's own cluster frame = d25
+    val clusters = GraftApi.dedupClusters(graft.ops.Dedup.corpus(spark, sfd))
+    assert(GraftApi.softDedupWeights(graft.ops.Dedup.corpus(spark, sfd), clusters)
+      .orderBy("doc_id").collect().toSeq ===
+      graft.SparkEntry.queries("d25_soft_dedup_weights")(spark, sfd).collect().toSeq)
+
+    GraftApi.releasePinned(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
