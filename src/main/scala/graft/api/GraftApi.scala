@@ -213,6 +213,13 @@ object GraftApi {
     * (doc_id, text, n_chars). */
   def tokenCounts(docs: DataFrame): DataFrame = TextAnalysis.tokenCountsOf(docs)
 
+  /** Boilerplate candidates: per source, the top-k word 3-gram shingles
+    * by document frequency (df ≥ 2) — licence headers / template chrome
+    * surface here before pair-level dedup fires. Needs (doc_id, text,
+    * source); top-k runs through the bounded-exchange custom operator. */
+  def boilerplateNgrams(docs: DataFrame, k: Int = 5): DataFrame =
+    TextAnalysis.boilerplateNgramsOf(docs, k)
+
   /** Cross-document n-gram novelty over a (doc_id, text) frame: per doc,
     * its distinct 3-gram shingle count, how many of those appear in at
     * least one OTHER document, and novelty_bp — the boilerplate /
@@ -738,6 +745,13 @@ object GraftApi {
     * are part of the documented integer contract. */
   def markovStationary(events: DataFrame, iters: Int = 3): DataFrame =
     graft.ops.Curation.markovStationaryOf(events, iters)
+
+  /** Burst windows: per event type, the hourly buckets more than two
+    * exact-integer standard deviations above the type's present-hour
+    * baseline — (event_type, window_start, n_events, z2_e2). Needs
+    * (ts, event_type). */
+  def burstWindows(events: DataFrame): DataFrame =
+    graft.ops.Events.burstWindowsOf(events)
 
   /** Zipf rank-frequency OLS slope per source over a (source, text)
     * frame: ln-ln fit across the top `topR` word ranks, emitted negated

@@ -703,7 +703,63 @@ object Events {
        |       CAST(count(*) AS BIGINT) AS n, CAST(sum(vc) AS BIGINT) AS turnover_c
        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** E16: burst-window detection — per event type, the hourly buckets
+    * whose event count sits more than two standard deviations ABOVE
+    * that type's own present-hour baseline (retry storms, scraper
+    * bursts, flash crowds — the temporal complement of dq2's
+    * value-domain outliers). Entirely exact: with S = Σc, Q = Σc²,
+    * n = #present hours, the flag is dev := c·n − S > 0 and
+    * dev² > 4·(n·Q − S²), and the reported z² is the exact integral
+    * hundredths dev²·100 div (n·Q − S²) — no float σ anywhere, so both
+    * engines flag the identical window SET. The baseline covers hours
+    * the type APPEARED in (absent hours are not zero-filled; a fully
+    * regular feed flags nothing since every dev = 0).
+    *
+    * Scale: one corpus shuffle into (type × hour) counts; the baseline
+    * is a per-type fold of that value-domain-bounded frame and joins
+    * back broadcast-small. DECIMAL(38,0)/HUGEINT keep dev² exact to
+    * ~10¹⁶ events/hour. Library entry point:
+    * [[graft.api.GraftApi.burstWindows]]. */
+  private[graft] def burstWindowsOf(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val stats = counts.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sq"))
+    counts.join(broadcast(stats), Seq("event_type"))
+      .withColumn("dev", expr("CAST(c AS DECIMAL(38,0)) * n - sc"))
+      .withColumn("var_n2", expr("n * sq - CAST(sc AS DECIMAL(38,0)) * sc"))
+      .filter(col("var_n2") > 0 && col("dev") > 0 &&
+        expr("dev * dev > 4 * var_n2"))
+      .select(col("event_type"), col("window_start"), col("c").as("n_events"),
+        expr("CAST(dev * dev * 100 div var_n2 AS BIGINT)").as("z2_e2"))
+      .orderBy("event_type", "window_start")
+  }
+
+  val e16: Q = (s, d) => burstWindowsOf(ev(s, d))
+  val e16Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      |         event_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |         CAST(sum(c) AS HUGEINT) AS sc,
+      |         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq
+      |  FROM c GROUP BY 1)
+      |SELECT c.event_type, c.window_start, c.c AS n_events,
+      |       CAST((CAST(c.c AS HUGEINT) * n - sc) * (CAST(c.c AS HUGEINT) * n - sc) * 100
+      |            // (n * sq - sc * sc) AS BIGINT) AS z2_e2
+      |FROM c JOIN s USING (event_type)
+      |WHERE n * sq - sc * sc > 0
+      |  AND CAST(c.c AS HUGEINT) * n - sc > 0
+      |  AND (CAST(c.c AS HUGEINT) * n - sc) * (CAST(c.c AS HUGEINT) * n - sc)
+      |      > 4 * (n * sq - sc * sc)
+      |ORDER BY c.event_type, c.window_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "e16_burst_windows" -> e16,
     "e15_ohlc_bars" -> e15,
     "e14_gap_dispersion" -> e14,
     "w7_weighted_median" -> w7,
@@ -724,6 +780,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "e16_burst_windows" -> e16Sql,
     "e15_ohlc_bars" -> e15Sql,
     "e11_attribution" -> e11Sql,
     "e12_rfm" -> e12Sql,

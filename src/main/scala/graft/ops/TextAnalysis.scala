@@ -1700,7 +1700,52 @@ object TextAnalysis {
       |FROM tf CROSS JOIN cu
       |GROUP BY cutoff ORDER BY cutoff""".stripMargin
 
+  // ---- T28: boilerplate n-gram extraction per source ----
+
+  /** T28: boilerplate candidates — per source, the top-5 word 3-gram
+    * shingles by document frequency (df ≥ 2): licence headers, cookie
+    * banners, navigation chrome and template fragments surface here
+    * long before any pair-level duplicate fires, and the output is the
+    * seed list a template-stripping cleaning rule starts from.
+    * Same shingle definition as the dedup family and t23's novelty, so
+    * all three reports compose. The library entry point
+    * ([[graft.api.GraftApi.boilerplateNgrams]]).
+    *
+    * Scale: one shingle-keyed shuffle into (source × shingle) document
+    * frequencies, then the top-5 cut runs through the bounded-exchange
+    * [[graft.plans.TopKPerGroup]] custom operator — the exchange
+    * carries ≤ k rows per source per partition, never the shingle
+    * table (the x1 contract; source domain is bounded). */
+  private[graft] def boilerplateNgramsOf(docs: DataFrame, k: Int = 5): DataFrame = {
+    val sh = Dedup.shinglesOf(docs.select("doc_id", "text"))
+    val df = sh.join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source", "shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val top = graft.plans.TopKPerGroup(df, Seq("source"),
+      Seq(("df", true), ("shingle", false)), k)
+    top.withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("df").desc, col("shingle"))).cast("long"))
+      .select(col("source"), col("rk"), col("shingle"), col("df"))
+  }
+
+  val t28: Q = (s, d) =>
+    boilerplateNgramsOf(Tables.documents(s, d)).orderBy("source", "rk")
+  val t28Sql: String =
+    s"""WITH ${Dedup.shinglesCteBody("shing", "documents")},
+       |df AS (
+       |  SELECT d.source, s.shingle, CAST(count(*) AS BIGINT) AS df
+       |  FROM shing s JOIN documents d USING (doc_id)
+       |  GROUP BY d.source, s.shingle HAVING count(*) >= 2),
+       |r AS (
+       |  SELECT source, shingle, df,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY df DESC, shingle) AS BIGINT) AS rk
+       |  FROM df)
+       |SELECT source, rk, shingle, df FROM r WHERE rk <= 5
+       |ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t28_boilerplate_ngrams" -> t28,
     "voc6_vocab_curve" -> voc6,
     "t23_ngram_novelty" -> t23,
     "voc4_source_overlap" -> voc4,
@@ -1734,6 +1779,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t28_boilerplate_ngrams" -> t28Sql,
     "voc6_vocab_curve" -> voc6Sql,
     "t23_ngram_novelty" -> t23Sql,
     "voc4_source_overlap" -> voc4Sql,

@@ -33,6 +33,26 @@ class EventsSpec extends SparkSpec {
       ("view", 1L, 700L, 2L, 1700L)))
   }
 
+  test("e16 bursts: a 10x hour flags with exact z2, the steady type stays silent") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    // type x: five 1-event hours + one 10-event hour
+    //   S=15, n=6, Q=105; dev(10)=45, n2var=405; z2 = 2025/405 = 5.00
+    // type y: perfectly uniform — every dev = 0, nothing flags
+    val rows =
+      (0 to 4).map(h => (f"2024-01-01 0$h:10:00", "x")) ++
+      (1 to 10).map(m => (f"2024-01-01 05:$m%02d:00", "x")) ++
+      (0 to 3).map(h => (f"2024-01-01 0$h:20:00", "y"))
+    val ev = rows.zipWithIndex
+      .map { case ((t, ty), i) => (i.toLong, t, ty, 0.0) }
+      .toDF("event_id", "ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Events.burstWindowsOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("x", 10L, 500L)))
+  }
+
   test("e15 OHLC: ts ties break on event_id, extremes and turnover are exact") {
     val s2 = spark
     import s2.implicits._

@@ -421,6 +421,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rEven.isNullAt(rEven.fieldIndex("beta_e6")))
   }
 
+  test("t28 boilerplate: a planted template shingle tops its source, singles stay out") {
+    val sp = spark
+    import sp.implicits._
+    // "all rights reserved" appears in 3 of source A's docs; each doc
+    // also carries unique content shingles (df = 1 -> excluded)
+    val docs = Seq(
+      (1L, "all rights reserved alpha beta gamma", "A"),
+      (2L, "all rights reserved delta epsilon zeta", "A"),
+      (3L, "all rights reserved eta theta iota", "A"),
+      (4L, "kappa lambda mu nu xi omicron", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.boilerplateNgramsOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("A", 1L, "all rights reserved", 3L)),
+      "only the repeated template shingle survives df >= 2")
+  }
+
   test("voc6 curve: hand-counted cutoffs, monotone vocab shrink, exact OOV shares") {
     val sp = spark
     import sp.implicits._
