@@ -720,10 +720,17 @@ object Events {
     * back broadcast-small. DECIMAL(38,0)/HUGEINT keep dev² exact to
     * ~10¹⁶ events/hour. Library entry point:
     * [[graft.api.GraftApi.burstWindows]]. */
-  private[graft] def burstWindowsOf(events: DataFrame): DataFrame = {
-    val counts = events
+  /** The (hour-bucket × type) count table e16 screens — an additive
+    * monoid, which is what lets the streaming twin (st30) maintain it
+    * incrementally by summed per-batch deltas. */
+  private[graft] def hourlyCountsOf(events: DataFrame): DataFrame =
+    events
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("c"))
+
+  /** The burst cut over a merged counts table — shared by e16 and the
+    * streaming st30 so their flag sets are the same code path. */
+  private[graft] def burstsFromCounts(counts: DataFrame): DataFrame = {
     val stats = counts.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("c").as("sc"),
         sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sq"))
@@ -736,6 +743,9 @@ object Events {
         expr("CAST(dev * dev * 100 div var_n2 AS BIGINT)").as("z2_e2"))
       .orderBy("event_type", "window_start")
   }
+
+  private[graft] def burstWindowsOf(events: DataFrame): DataFrame =
+    burstsFromCounts(hourlyCountsOf(events))
 
   val e16: Q = (s, d) => burstWindowsOf(ev(s, d))
   val e16Sql: String =

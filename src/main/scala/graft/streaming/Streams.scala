@@ -1573,6 +1573,48 @@ object Streams {
     * state (sources × 5 integers), and the final generation finishes
     * through dq9's own [[graft.ops.Evaluation.repetitionFromStats]] —
     * stream == batch bit-for-bit under the shared `dq9Sql` oracle. */
+  /** ST30: streaming burst monitor — the live face of e16 for an event
+    * feed ("is any type spiking against its own history?"). The
+    * (hour × type) count table is an additive monoid, so per-batch
+    * deltas merge by summed full-outer union (state: present buckets ×
+    * one long) and the 2σ cut runs through e16's own
+    * [[graft.ops.Events.burstsFromCounts]] — stream == batch
+    * bit-for-bit under the shared `e16Sql` oracle. */
+  val st30: Q = (s, d) => {
+    val srcDir = stagedTableSplit(s, d, "st30", table = "events", key = "event_id")
+    val physical = s.read.parquet(s"$d/events.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val statRoot = Files.createTempDirectory("graft_st30_stats").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(statRoot).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st30").toString
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val delta = graft.ops.Events.hourlyCountsOf(
+          graft.Tables.normalizeEventTs(batch.toDF()))
+        val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
+        val merged = prior match {
+          case None => delta
+          case Some((_, path)) =>
+            sess.read.parquet(path).unionAll(delta)
+              .groupBy("window_start", "event_type")
+              .agg(sum("c").as("c"))
+        }
+        merged.write.mode("overwrite").parquet(s"$statRoot/gen_$batchId")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    graft.ops.Events.burstsFromCounts(s.read.parquet(latest._2))
+  }
+
   /** ST29: streaming OHLC bars — result contract of Events.e15. The
     * batch op's struct-min/max formulation is what makes this a legal
     * (and cheap) streaming aggregate: open/close/high/low/count/sum are
@@ -1635,6 +1677,7 @@ object Streams {
   val queries: Map[String, Q] = Map(
     "st28_stream_repetition" -> st28,
     "st29_stream_ohlc" -> st29,
+    "st30_stream_bursts" -> st30,
     "st27_stream_ess" -> st27,
     "st26_stream_simpson" -> st26,
     "st25_stream_isotropy" -> st25,
@@ -1672,6 +1715,7 @@ object Streams {
     "st26_stream_simpson" -> graft.ops.Evaluation.dq8Sql,
     "st28_stream_repetition" -> graft.ops.Evaluation.dq9Sql,
     "st29_stream_ohlc" -> graft.ops.Events.e15Sql,
+    "st30_stream_bursts" -> graft.ops.Events.e16Sql,
     "st27_stream_ess" -> graft.ops.ScaleOps.samp7Sql,
     "st18_stream_benford" -> graft.ops.Evaluation.dq5Sql,
     "st19_stream_markov" -> graft.ops.Curation.markov1Sql,

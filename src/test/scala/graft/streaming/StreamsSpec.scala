@@ -422,6 +422,16 @@ class StreamsSpec extends SparkSpec {
     assert(live === batch)
   }
 
+  test("st30 streaming burst flags equal the batch e16 set bit-for-bit") {
+    // the (hour x type) count table is an additive monoid; the shared
+    // burstsFromCounts cut must flag the identical window set
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3))).toSeq
+    val live = canon(Streams.st30(spark, sfDir).collect())
+    val batch = canon(graft.ops.Events.e16(spark, sfDir).collect())
+    assert(live === batch)
+  }
+
   test("st22 streaming RFM segments equal the batch e12 table bit-for-bit") {
     // the per-buyer (max, sum, sum) state is a mergeable monoid and the
     // quartile cut reuses e12's rfmSegmentsFromPerUser — batch-boundary
