@@ -350,6 +350,34 @@ class PlanShapeSpec extends SparkSpec {
     Pinned.releaseAll(spark)
   }
 
+  test("round-13 second-session shapes: t23 reuses the shingle exchange, gr4 never cartesians, e16/e15 are one-scan aggregates") {
+    // t23: the shingle frame is shuffled on `shingle` once for the df
+    // aggregate; the join back must reuse that exchange, not rescan
+    val pt = finalPlan(TextAnalysis.t23(spark, sfDir))
+    assert("ReusedExchange".r.findAllIn(pt).length >= 1,
+      "t23's df join must reuse the shingle exchange\n" + pt.take(800))
+
+    // gr4: candidates exist only through the shared-customer wedge join
+    val pg = plan(Graph.gr4(spark, sfDir))
+    assert(!pg.contains("CartesianProduct"), "gr4 must never cartesian")
+    assert(pg.contains("TakeOrderedAndProject"),
+      "top-20 must be TakeOrdered, not a global sort materialization")
+
+    // e15/e16: single hash-aggregate families with map-side partials
+    for (q <- Seq(Events.e15(spark, sfDir), Events.e16(spark, sfDir))) {
+      val p = plan(q)
+      assert(p.contains("partial_"), "bar/count aggregates must combine map-side")
+      assert(!p.contains("Window"), "no window operator in the monoid formulation")
+    }
+
+    // samp8: the data-sized rank window must be bucket-partitioned (the
+    // only unpartitioned window allowed is the 256-row offsets frame)
+    val ps = plan(ScaleOps.samp8(spark, sfDir))
+    assert(ps.contains("windowspecdefinition(bkt"),
+      "samp8's row_number must partition by the hash bucket\n" + ps.take(800))
+    Pinned.releaseAll(spark)
+  }
+
   test("kcore1 peel rounds read the checkpoint barrier, not replayed lineage") {
     val p = finalPlan(graft.SparkEntry.queries("kcore1_supplier_core")(spark, sfDir))
     assert("Scan ExistingRDD".r.findAllIn(p).length >= 1,
