@@ -102,6 +102,15 @@ object GraftApi {
   def softDedupWeights(docs: DataFrame, clusters: DataFrame): DataFrame =
     Dedup.softDedupWeightsOf(docs, clusters)
 
+  /** Leakage-safe train/eval split: the split key is the near-dup
+    * cluster id (falling back to doc_id for singletons), so every
+    * cluster lands whole on one side and eval can never contain a
+    * near-copy of a training document. Emits (doc_id, split_key,
+    * split); assignment = salted-md5 mod 10⁴ < evalBp. */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+      evalBp: Int = 2500): DataFrame =
+    Dedup.leakageSafeSplitOf(docs, clusters, evalBp)
+
   /** Incremental dedup: the new batch minus every row with a verified
     * near-dup (Jaccard ≥ minJaccardBp bp) in the EXISTING corpus — the
     * daily-ingest shape. Old×old is never touched; at scale the old
@@ -1261,6 +1270,14 @@ object GraftApi {
   def liftAtK(scored: DataFrame, labelCol: String, scoreCol: String,
       ks: Seq[Int]): DataFrame =
     graft.ops.SentimentNb.liftAtKOf(scored, labelCol, scoreCol, ks)
+
+  /** Average precision (step-interpolated PR-AUC) over a scored frame —
+    * the imbalance-robust companion to ROC-AUC: (n_pos, n, ap_e6), each
+    * curve term an exact integral e6 quotient. Registry twin:
+    * `eval14_average_precision`. */
+  def averagePrecision(scored: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame =
+    graft.ops.SentimentNb.averagePrecisionOf(scored, labelCol, scoreCol)
 
   /** Jensen–Shannon divergence matrix over a (source, text) frame:
     * per unordered source pair the unigram-distribution JSD in nats

@@ -1937,7 +1937,59 @@ object Dedup {
        |FROM corpus c LEFT JOIN w ON w.doc_id = c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---- D26: leakage-safe train/eval split ----
+
+  /** D26: dedup-aware (leakage-safe) train/eval split — the split key
+    * is the near-dup CLUSTER id, not the document id, so all members of
+    * a duplicate cluster land on the SAME side and the eval set can
+    * never contain a near-copy of a training document (the train/test
+    * contamination a doc-keyed random split silently produces — the
+    * same failure class d9/d16's benchmark decontamination guards
+    * against, here applied to the corpus's own split). Assignment is
+    * the samp1 convention: first 4 salted-md5 hex digits mod 10⁴ <
+    * evalBp ⇒ eval — reproducible, map-side, oracle-replayable. The
+    * library entry point ([[graft.api.GraftApi.leakageSafeSplit]]).
+    *
+    * Scale: the cluster frame covers only documents WITH a duplicate,
+    * so the LEFT probe is the d25 shape (broadcast or doc_id-keyed
+    * shuffle); the hash assignment never leaves the map side. */
+  private[graft] def leakageSafeSplitOf(docs: DataFrame, clusters: DataFrame,
+      evalBp: Int = 2500): DataFrame =
+    docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(conv(substring(md5(concat(lit("d26:"), col("split_key").cast("string"))), 1, 4), 16, 10)
+          .cast("long") % 10000 < evalBp, "eval").otherwise("train"))
+      .select(col("doc_id"), col("split_key"), col("split"))
+
+  val d26: Q = (s, d) =>
+    leakageSafeSplitOf(corpus(s, d),
+      dedupClustersOf(d3Verified(s, d).select(col("id_a"), col("id_b"))))
+      .orderBy("doc_id")
+  val d26Sql: String =
+    s"""WITH RECURSIVE p AS ($d3Sql),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM p),
+       |reach(id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.lbl = e.a),
+       |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |$corpusCte
+       |SELECT c.doc_id,
+       |       coalesce(cc.cluster_id, c.doc_id) AS split_key,
+       |       CASE WHEN ('0x' || substr(md5('d26:' ||
+       |              coalesce(cc.cluster_id, c.doc_id)::VARCHAR), 1, 4))::BIGINT
+       |              % 10000 < 2500
+       |            THEN 'eval' ELSE 'train' END AS split
+       |FROM corpus c LEFT JOIN cc ON cc.id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d26_leakage_safe_split" -> d26,
     "d25_soft_dedup_weights" -> d25,
     "d24_record_linkage" -> d24,
     "d17_ppjoin_pairs" -> d17,
@@ -1965,6 +2017,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d26_leakage_safe_split" -> d26Sql,
     "d25_soft_dedup_weights" -> d25Sql,
     "d24_record_linkage" -> d24Sql,
     "d17_ppjoin_pairs" -> d17Sql,

@@ -325,6 +325,69 @@ object SentimentNb {
       .orderBy("k")
   }
 
+  /** EVAL14: average precision (area under the precision–recall curve,
+    * step interpolation) — the imbalance-robust companion to eval2's
+    * ROC-AUC: ROC flatters a classifier when negatives dominate, AP
+    * weighs exactly the positive-retrieval behavior selection pipelines
+    * care about. AP = Σ over distinct scores s (descending) of
+    * ΔR·P(s) = (p_s/n_pos)·(cumpos_s/cum_n_s); each term is the exact
+    * integral e6 quotient p_s·cumpos_s·10⁶ div (n_pos·cum_n_s) — no
+    * floats, so the sum is engine-exact. Per-distinct-score counts +
+    * the descending prefix come from the same eval2 machinery
+    * ([[PrefixSum.prefixRank]] on the value-domain frame — never a
+    * pairwise join, never a single-reducer window); ties take the
+    * whole tied block's precision (the standard step convention). */
+  private[graft] def averagePrecisionOf(scores: DataFrame,
+      labelCol: String, scoreCol: String): DataFrame = {
+    val per = scores.groupBy(col(scoreCol).as("m"))
+      .agg(sum(when(col(labelCol) === 1.0, 1L).otherwise(0L)).as("p"),
+        count(lit(1)).as("t"))
+    // two prefix passes over the tiny value-domain frame: cum_n (all
+    // rows at-or-above the score) then cum_p (positives at-or-above)
+    val byDesc = Seq(col("m").desc)
+    val r1 = PrefixSum.prefixRank(per, byDesc, sumCol = Some("t"))
+    val withCumN = r1.df.select(col("m"), col("p"), col("t"),
+      (col("g_cum_excl") + col("t")).as("cum_n"))
+    val r2 = PrefixSum.prefixRank(withCumN, byDesc, sumCol = Some("p"))
+    val nPos = math.max(r2.sumTotal, 1L) // n_pos (guard: AP of an all-negative frame is 0)
+    r2.df
+      .agg(
+        lit(r2.sumTotal).as("n_pos"),
+        sum("t").as("n"),
+        sum(expr("CASE WHEN p = 0 THEN 0L ELSE " +
+          s"CAST(p AS DECIMAL(38,0)) * (g_cum_excl + p) * 1000000 div " +
+          s"(CAST(${nPos}L AS DECIMAL(38,0)) * cum_n) END")).as("ap_raw"))
+      .select(col("n_pos"), col("n"),
+        expr("CAST(coalesce(ap_raw, 0) AS BIGINT)").as("ap_e6"))
+  }
+
+  val eval14: Q = (s, d) =>
+    averagePrecisionOf(
+      scoredDf(s, d).select(col("label"),
+        expr("coalesce(margin_r6, 0.0)").as("m")),
+      "label", "m")
+  val eval14Sql: String =
+    s"""WITH $scoredCte,
+       |vals AS (
+       |  SELECT coalesce(margin_r6, 0.0) AS m,
+       |         CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |         CAST(count(*) AS BIGINT) AS t
+       |  FROM scored GROUP BY 1),
+       |cum AS (
+       |  SELECT m, p, t,
+       |         CAST(sum(t) OVER (ORDER BY m DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+       |         CAST(coalesce(sum(p) OVER (ORDER BY m DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pb
+       |  FROM vals),
+       |tot AS (SELECT greatest(CAST(sum(p) AS HUGEINT), 1) AS npos,
+       |               CAST(sum(p) AS BIGINT) AS n_pos_out,
+       |               CAST(sum(t) AS BIGINT) AS n FROM vals)
+       |SELECT tot.n_pos_out AS n_pos, tot.n,
+       |       CAST(coalesce(sum(CASE WHEN p = 0 THEN 0 ELSE
+       |         CAST(p AS HUGEINT) * (pb + p) * 1000000 // (tot.npos * cum_n) END), 0) AS BIGINT) AS ap_e6
+       |FROM cum CROSS JOIN tot GROUP BY tot.n_pos_out, tot.n""".stripMargin
+
   val eval13: Q = (s, d) =>
     liftAtKOf(
       scoredDf(s, d).select(col("label"),
@@ -484,6 +547,7 @@ object SentimentNb {
     "cal3_ece" -> cal3,
     "eval2_nb_auc" -> eval2,
     "eval13_lift_at_k" -> eval13,
+    "eval14_average_precision" -> eval14,
     "a1_nb_word_class_counts" -> a1,
     "a2_corpus_scalars" -> a2,
     "j1_broadcast_model_join" -> j1,
@@ -499,6 +563,7 @@ object SentimentNb {
     "cal3_ece" -> cal3Sql,
     "eval2_nb_auc" -> eval2Sql,
     "eval13_lift_at_k" -> eval13Sql,
+    "eval14_average_precision" -> eval14Sql,
     "a1_nb_word_class_counts" -> a1Sql,
     "a2_corpus_scalars" -> a2Sql,
     "j1_broadcast_model_join" -> j1Sql,

@@ -662,6 +662,35 @@ class DedupSimSpec extends SparkSpec {
     rows.foreach { case (_, sz, we6) => assert(we6 === 1000000L / sz) }
   }
 
+  test("d26 split: clusters land whole on one side, singletons key on themselves") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 40L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val rows = Dedup.leakageSafeSplitOf(docs, clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length === 40)
+    val byKey = rows.groupBy(_._2)
+    assert(byKey(1L).map(_._3).distinct.length === 1, "cluster 1 must not straddle")
+    assert(byKey(10L).map(_._3).distinct.length === 1, "cluster 10 must not straddle")
+    rows.filter(r => !Set(1L, 2L, 3L, 10L, 11L).contains(r._1))
+      .foreach { case (id, key, _) => assert(key === id, "singletons key on doc_id") }
+    assert(rows.map(_._3).distinct.sorted.toSeq === Seq("eval", "train"),
+      "40 docs at 25% eval must populate both sides")
+  }
+
+  test("d26 on the fixture: no d8 cluster straddles the split") {
+    val split = Dedup.queries("d26_leakage_safe_split")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val clusters = Dedup.queries("d8_dedup_clusters")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      val sides = members.map(m => split(m._1)).distinct
+      assert(sides.length === 1, s"cluster $cid straddles the split: $sides")
+    }
+  }
+
   test("d22 on the fixture: one keeper per d8 cluster, keeper dominates its cluster") {
     val keepers = Dedup.queries("d22_best_keeper")(spark, sfDir).collect()
     val clusters = Dedup.queries("d8_dedup_clusters")(spark, sfDir).collect()

@@ -68,7 +68,8 @@ class LeakSpec extends SparkSpec {
     "mix3_unimax_alloc",          // water-filling (source-domain windows)
     "dq9_repetition_audit",       // new round-13 op — plain aggregates
     "t22_kneser_ney",             // four vocab-domain model aggregates
-    "d25_soft_dedup_weights"      // dedupClustersOf loop (1 result pin)
+    "d25_soft_dedup_weights",     // dedupClustersOf loop (1 result pin)
+    "d26_leakage_safe_split"      // same cluster loop under the split
   )
 
   /** Result-backing pins allowed per call: a handful of ops legitimately

@@ -173,6 +173,32 @@ class SentimentSpec extends SparkSpec {
       (10L, 4L, 10000L))) // whole population -> lift 1 exactly
   }
 
+  test("eval14 AP machinery: separation=1e6, all-ties=base rate, empty-positive=0") {
+    val sp = spark; import sp.implicits._
+    def ap(rows: Seq[(Double, Double)]): Long =
+      SentimentNb.averagePrecisionOf(rows.toDF("label", "m"), "label", "m")
+        .collect().head.getLong(2)
+    // perfect separation, 4 positives (4 divides 1e6 -> exactly 1e6)
+    val perfect = (1 to 4).map(i => (1.0, 20.0 - i)) ++ (1 to 6).map(i => (0.0, 10.0 - i))
+    assert(ap(perfect) === 1000000L)
+    // every score tied: precision at the single block = base rate 4/10
+    assert(ap((1 to 4).map(_ => (1.0, 7.0)) ++ (1 to 6).map(_ => (0.0, 7.0))) === 400000L)
+    // no positives at all: AP = 0, no division blow-up
+    assert(ap((1 to 5).map(i => (0.0, i.toDouble))) === 0L)
+    // hand case: positives at ranks 1 and 3 of 4 -> 1e6/2·(1 + 2/3) = 833333
+    assert(ap(Seq((1.0, 4.0), (0.0, 3.0), (1.0, 2.0), (0.0, 1.0))) === 833333L)
+  }
+
+  test("eval14 on the fixture: AP is bounded and consistent with counts") {
+    val r = SentimentNb.eval14(spark, sfDir).collect().head
+    val (np, n, ap) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(np > 0 && n >= np)
+    assert(ap >= 0 && ap <= 1000000L)
+    // AP can never fall below ~the base rate achieved at the last block's
+    // worst case of 0 (weak sanity: it must exceed zero on real scores)
+    assert(ap > 0)
+  }
+
   test("eval13 on the fixture: cumulative positives nest and the formula is exact") {
     val rows = SentimentNb.eval13(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
