@@ -515,6 +515,31 @@ object ScaleOps {
       .option("rows", "10000").load()
       .filter(col("doc_id") >= 2000 && col("doc_id") < 2100)
       .orderBy("doc_id")
+
+  /** SRC4: custom DataSource V2 WRITE path — documents projected
+    * through [[graft.sources.GraftTsvSink]]'s two-phase commit (per-task
+    * staging files published atomically by the driver's job commit,
+    * overwrite via SupportsTruncate) and read back for the oracle: a
+    * hash match proves content fidelity end-to-end through the sink's
+    * serialize → stage → commit → publish pipeline. The double write
+    * (overwrite twice) additionally proves truncate leaves no stale
+    * generation behind — a duplicate row would break the hash. */
+  val src4: Q = (s, d) => {
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_src4_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+    docs.write.format("graft.sources.GraftTsvSink")
+      .option("path", out).mode("overwrite").save()
+    docs.write.format("graft.sources.GraftTsvSink")
+      .option("path", out).mode("overwrite").save()
+    s.read.text(out + "/part-*.tsv")
+      .select(split(col("value"), "\t").as("f"))
+      .select(expr("CAST(f[0] AS BIGINT)").as("doc_id"),
+        col("f").getItem(1).as("lang"), col("f").getItem(2).as("source"))
+      .orderBy("doc_id")
+  }
+  val src4Sql: String =
+    "SELECT doc_id, lang, source FROM documents ORDER BY doc_id"
   val src1Sql: String =
     """SELECT i AS doc_id,
       |       CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lang,
@@ -2096,6 +2121,7 @@ object ScaleOps {
     "apx7_kmv_set_ops" -> apx7,
     "src1_custom_dsv2_source" -> src1,
     "src3_agg_pushdown" -> src3,
+    "src4_custom_sink" -> src4,
     "dpp1_dynamic_partition_pruning" -> dpp1,
     "bin1_binaryfile_source" -> bin1,
     "mv1_incremental_agg_merge" -> mv1,
@@ -2140,6 +2166,7 @@ object ScaleOps {
     "apx7_kmv_set_ops" -> apx7Sql,
     "src1_custom_dsv2_source" -> src1Sql,
     "src3_agg_pushdown" -> src3Sql,
+    "src4_custom_sink" -> src4Sql,
     "dpp1_dynamic_partition_pruning" -> dpp1Sql,
     "bin1_binaryfile_source" -> bin1Sql,
     "mv1_incremental_agg_merge" -> mv1Sql,
