@@ -229,6 +229,13 @@ object GraftApi {
   def boilerplateNgrams(docs: DataFrame, k: Int = 5): DataFrame =
     TextAnalysis.boilerplateNgramsOf(docs, k)
 
+  /** Embedding norm health audit over a (vec_id, embedding, label)
+    * frame: per label the exact median/MAD of the integer squared norms
+    * and a 3-MAD outlier count — broken encoder batches surface as norm
+    * outliers. dq2's MAD machinery verbatim. */
+  def normAudit(vectors: DataFrame): DataFrame =
+    Similarity.normAuditOf(vectors)
+
   /** Cross-document n-gram novelty over a (doc_id, text) frame: per doc,
     * its distinct 3-gram shingle count, how many of those appear in at
     * least one OTHER document, and novelty_bp — the boilerplate /
@@ -656,6 +663,12 @@ object GraftApi {
     * quadratic. */
   def commonNeighborTopK(edges: DataFrame, k: Int, cap: Int = 50): DataFrame =
     Graph.commonNeighborTopKOf(edges, k, cap)
+
+  /** Adamic–Adar link prediction over the same bipartite wedges: each
+    * shared left-node witness contributes 1/ln(degree) (e6-rounded
+    * once), so hub witnesses count less than selective ones. */
+  def adamicAdarTopK(edges: DataFrame, k: Int, cap: Int = 50): DataFrame =
+    Graph.adamicAdarTopKOf(edges, k, cap)
 
   /** MMR-diversified top-k (λ = 0.7, exact integer scores) over each
     * query's nCand exact-cosine candidates. Emits (q_id, cand_id, rk,

@@ -609,34 +609,40 @@ object Curation {
         .select(col("l_returnflag").as("grp"), Money.cents(col("l_extendedprice")).as("v")))
       .withColumnRenamed("grp", "l_returnflag")
       .orderBy("l_returnflag")
-  val dq2Sql: String =
-    """WITH li AS (
+  /** The dq2 MAD chain over an arbitrary `li(grp, v)` CTE body — shared
+    * with emb9 so both oracles replay the identical machinery. */
+  private[graft] def madSqlOver(liBody: String, grpOut: String): String =
+    s"""WITH $liBody,
+       |freq AS MATERIALIZED (SELECT grp, v, count(*) AS f FROM li GROUP BY grp, v),
+       |cum AS (
+       |  SELECT grp, v, CAST(sum(f) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cf,
+       |         CAST(sum(f) OVER (PARTITION BY grp) AS BIGINT) AS n
+       |  FROM freq),
+       |med AS MATERIALIZED (
+       |  SELECT grp, min(v) AS med FROM cum WHERE cf >= ceil(0.5 * n) GROUP BY grp),
+       |dev AS MATERIALIZED (
+       |  SELECT li.grp, abs(li.v - med.med) AS dv, med.med AS med
+       |  FROM li JOIN med ON med.grp = li.grp),
+       |dfreq AS (SELECT grp, dv, count(*) AS f FROM dev GROUP BY grp, dv),
+       |dcum AS (
+       |  SELECT grp, dv, CAST(sum(f) OVER (PARTITION BY grp ORDER BY dv) AS BIGINT) AS cf,
+       |         CAST(sum(f) OVER (PARTITION BY grp) AS BIGINT) AS n
+       |  FROM dfreq),
+       |mad AS MATERIALIZED (
+       |  SELECT grp, min(dv) AS mad FROM dcum WHERE cf >= ceil(0.5 * n) GROUP BY grp)
+       |SELECT d.grp AS $grpOut, any_value(d.med) AS med_c, any_value(m.mad) AS mad_c,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(CASE WHEN d.dv > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+       |       CAST(sum(CASE WHEN d.dv > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) * 10000
+       |         // greatest(CAST(count(*) AS BIGINT), 1) AS out_bp
+       |FROM dev d JOIN mad m ON m.grp = d.grp
+       |GROUP BY d.grp ORDER BY $grpOut""".stripMargin
+
+  val dq2Sql: String = madSqlOver(
+    """li AS (
       |  SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
-      |  FROM lineitem),
-      |freq AS MATERIALIZED (SELECT grp, v, count(*) AS f FROM li GROUP BY grp, v),
-      |cum AS (
-      |  SELECT grp, v, CAST(sum(f) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cf,
-      |         CAST(sum(f) OVER (PARTITION BY grp) AS BIGINT) AS n
-      |  FROM freq),
-      |med AS MATERIALIZED (
-      |  SELECT grp, min(v) AS med FROM cum WHERE cf >= ceil(0.5 * n) GROUP BY grp),
-      |dev AS MATERIALIZED (
-      |  SELECT li.grp, abs(li.v - med.med) AS dv, med.med AS med
-      |  FROM li JOIN med ON med.grp = li.grp),
-      |dfreq AS (SELECT grp, dv, count(*) AS f FROM dev GROUP BY grp, dv),
-      |dcum AS (
-      |  SELECT grp, dv, CAST(sum(f) OVER (PARTITION BY grp ORDER BY dv) AS BIGINT) AS cf,
-      |         CAST(sum(f) OVER (PARTITION BY grp) AS BIGINT) AS n
-      |  FROM dfreq),
-      |mad AS MATERIALIZED (
-      |  SELECT grp, min(dv) AS mad FROM dcum WHERE cf >= ceil(0.5 * n) GROUP BY grp)
-      |SELECT d.grp AS l_returnflag, any_value(d.med) AS med_c, any_value(m.mad) AS mad_c,
-      |       CAST(count(*) AS BIGINT) AS n,
-      |       CAST(sum(CASE WHEN d.dv > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
-      |       CAST(sum(CASE WHEN d.dv > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) * 10000
-      |         // greatest(CAST(count(*) AS BIGINT), 1) AS out_bp
-      |FROM dev d JOIN mad m ON m.grp = d.grp
-      |GROUP BY d.grp ORDER BY l_returnflag""".stripMargin
+      |  FROM lineitem)""".stripMargin,
+    "l_returnflag")
 
   // ---- STAT2: G-test of lang × source independence ----
 

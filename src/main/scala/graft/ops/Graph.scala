@@ -952,7 +952,66 @@ object Graph {
        |JOIN deg db ON db.rgt = cn.s_b
        |ORDER BY jaccard_e6 DESC, s_a, s_b LIMIT 20""".stripMargin
 
+  // ---- GR5: Adamic–Adar link prediction ----
+
+  /** GR5: the Adamic–Adar index over the same bipartite wedge machinery
+    * as gr4 — each shared customer contributes 1/ln(degree) instead of
+    * 1, so promiscuous hub witnesses (a customer who buys from
+    * everyone) count far less than selective ones: the standard
+    * refinement of raw common-neighbor counting (Adamic & Adar, Social
+    * Networks 2003). Per-witness weights are e6-rounded ONCE from
+    * identical integer operands (the t14 transcendental convention) and
+    * summed as exact longs, so ranking and scores hash-match the
+    * oracle. Witness degrees come from the UNCAPPED edge frame; only
+    * pair GENERATION is salt-capped (the gr4 contract — a witness that
+    * forms a pair always has degree ≥ 2, so ln never sees 1). */
+  private[graft] def adamicAdarTopKOf(edges: DataFrame, k: Int,
+      cap: Int = Gr4Cap): DataFrame = {
+    val e = edges.select(col("left"), col("right")).distinct()
+    val ldeg = e.groupBy("left").agg(count(lit(1)).as("ldeg"))
+    val wE = Window.partitionBy("left")
+      .orderBy(md5(concat(lit("gr5:"), col("left").cast("string"),
+        lit("|"), col("right").cast("string"))), col("right"))
+    val capped = e.withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= cap).drop("rk")
+    capped.select(col("left"), col("right").as("s_a"))
+      .join(capped.select(col("left"), col("right").as("s_b")), Seq("left"))
+      .filter(col("s_a") < col("s_b"))
+      .join(ldeg, Seq("left"))
+      .withColumn("w_e6",
+        expr("CAST(round(1000000.0 / ln(CAST(ldeg AS DOUBLE))) AS BIGINT)"))
+      .groupBy("s_a", "s_b")
+      .agg(count(lit(1)).as("cn"), sum("w_e6").as("aa_e6"))
+      .orderBy(col("aa_e6").desc, col("s_a"), col("s_b"))
+      .limit(k)
+  }
+
+  val gr5: Q = (s, d) =>
+    adamicAdarTopKOf(
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("left"), col("l_suppkey").as("right")),
+      20)
+  val gr5Sql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS lft, l_suppkey AS rgt
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |ldeg AS (SELECT lft, CAST(count(*) AS BIGINT) AS ldeg FROM e GROUP BY lft),
+       |capped AS (
+       |  SELECT lft, rgt FROM (
+       |    SELECT lft, rgt, row_number() OVER (PARTITION BY lft
+       |      ORDER BY md5('gr5:' || lft::VARCHAR || '|' || rgt::VARCHAR), rgt) AS rk
+       |    FROM e) WHERE rk <= $Gr4Cap)
+       |SELECT a.rgt AS s_a, b.rgt AS s_b, CAST(count(*) AS BIGINT) AS cn,
+       |       CAST(sum(CAST(round(1000000.0 / ln(CAST(ldeg.ldeg AS DOUBLE))) AS BIGINT)) AS BIGINT) AS aa_e6
+       |FROM capped a
+       |JOIN capped b ON a.lft = b.lft AND a.rgt < b.rgt
+       |JOIN ldeg ON ldeg.lft = a.lft
+       |GROUP BY a.rgt, b.rgt
+       |ORDER BY aa_e6 DESC, s_a, s_b LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "gr5_adamic_adar" -> gr5,
     "gr4_common_neighbor_link" -> gr4,
     "ppr1_personalized_pagerank" -> ppr1,
     "bfs1_seed_distance" -> bfs1,
@@ -968,6 +1027,7 @@ object Graph {
   )
 
   val oracle: Map[String, String] = Map(
+    "gr5_adamic_adar" -> gr5Sql,
     "gr4_common_neighbor_link" -> gr4Sql,
     "ppr1_personalized_pagerank" -> ppr1Sql,
     "bfs1_seed_distance" -> bfs1Sql,

@@ -1502,7 +1502,36 @@ object Similarity {
        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, cand_id) AS INTEGER) AS rk
        |  FROM pairs) WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
 
+  // ---- EMB9: embedding-norm health audit (dq2's MAD machinery) ----
+
+  /** EMB9: embedding norm outlier audit — per label, the exact median
+    * and MAD of the integer squared norms with a 3·MAD outlier count:
+    * truncated/zero-padded/exploding vectors (a broken encoder batch, a
+    * bad shard) surface as norm outliers long before any retrieval
+    * metric moves. Runs dq2's MAD machinery
+    * ([[graft.ops.Curation.madOutliersOf]]) verbatim over the
+    * e3-quantized norms, so exactness and the oracle chain are shared —
+    * value-domain percentile windows, no corpus-sized sort.
+    * The library entry point ([[graft.api.GraftApi.normAudit]]). */
+  /** The library entry point over any (vec_id, embedding, label) frame. */
+  private[graft] def normAuditOf(vectors: DataFrame): DataFrame =
+    graft.ops.Curation.madOutliersOf(
+      qnormOf(vectors)
+        .join(vectors.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .select(col("label").cast("string").as("grp"), col("nrm").as("v")))
+      .withColumnRenamed("grp", "label")
+
+  val emb9: Q = (s, d) =>
+    normAuditOf(Tables.embeddings(s, d)).orderBy("label")
+  val emb9Sql: String = graft.ops.Curation.madSqlOver(
+    s"""$qnormCte,
+       |li AS (
+       |  SELECT e.label::VARCHAR AS grp, qn.nrm AS v
+       |  FROM qn JOIN embeddings e USING (vec_id))""".stripMargin,
+    "label")
+
   val queries: Map[String, Q] = Map(
+    "emb9_norm_audit" -> emb9,
     "sim10_ivfpq_topk" -> sim10,
     "sim9_pq_adc_topk" -> sim9,
     "emb2_hard_negatives" -> emb2,
@@ -1525,6 +1554,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "emb9_norm_audit" -> emb9Sql,
     "sim10_ivfpq_topk" -> sim10Sql,
     "sim9_pq_adc_topk" -> sim9Sql,
     "emb2_hard_negatives" -> emb2Sql,

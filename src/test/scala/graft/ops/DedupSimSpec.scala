@@ -662,6 +662,22 @@ class DedupSimSpec extends SparkSpec {
     rows.foreach { case (_, sz, we6) => assert(we6 === 1000000L / sz) }
   }
 
+  test("emb9 norm audit: a planted exploding vector flags, uniform labels stay clean") {
+    val sp = spark
+    import sp.implicits._
+    // label 0: eight unit vectors + one 5x outlier (MAD 0 -> any
+    // deviation flags); label 1: perfectly uniform -> zero outliers
+    val vecs = ((1L to 8L).map(i => (i, Array(1.0f, 0.0f), 0)) ++
+      Seq((9L, Array(5.0f, 0.0f), 0)) ++
+      (10L to 12L).map(i => (i, Array(2.0f, 0.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.normAuditOf(vecs).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got("0") === ((1000000L, 0L, 9L, 1L, 1111L)))
+    assert(got("1") === ((4000000L, 0L, 3L, 0L, 0L)))
+  }
+
   test("d26 split: clusters land whole on one side, singletons key on themselves") {
     val sp = spark
     import sp.implicits._

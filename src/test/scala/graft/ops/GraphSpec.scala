@@ -188,6 +188,22 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq === Seq((100L, 101L, 2L, 666666L)))
   }
 
+  test("gr5 Adamic-Adar: the selective witness outweighs the hub, weights exact") {
+    val sp = spark
+    import sp.implicits._
+    // customer 1 (degree 3) witnesses three pairs at 1e6/ln3 = 910239;
+    // customer 2 (degree 2) witnesses (200,201) at 1e6/ln2 = 1442695
+    val edges = Seq(
+      (1L, 100L), (1L, 101L), (1L, 102L),
+      (2L, 200L), (2L, 201L)).toDF("left", "right")
+    val got = Graph.adamicAdarTopKOf(edges, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.head === ((200L, 201L, 1L, 1442695L)),
+      "the degree-2 witness pair must rank first")
+    assert(got.tail.toSeq === Seq(
+      (100L, 101L, 1L, 910239L), (100L, 102L, 1L, 910239L), (101L, 102L, 1L, 910239L)))
+  }
+
   test("gr4 fixture: scores are valid Jaccards, descending, and the cap bounds candidates") {
     val rows = Graph.gr4(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
