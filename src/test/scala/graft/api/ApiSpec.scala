@@ -603,6 +603,15 @@ class ApiSpec extends SparkSpec {
       .select(col("o_custkey").as("left"), col("l_suppkey").as("right"))
     assert(GraftApi.commonNeighborTopK(purchases, 20).collect().toSeq ===
       graft.SparkEntry.queries("gr4_common_neighbor_link")(spark, sfd).collect().toSeq)
+    assert(GraftApi.adamicAdarTopK(purchases, 20).collect().toSeq ===
+      graft.SparkEntry.queries("gr5_adamic_adar")(spark, sfd).collect().toSeq)
+    assert(GraftApi.normAudit(graft.Tables.embeddings(spark, sfd))
+      .orderBy("label").collect().toSeq ===
+      graft.SparkEntry.queries("emb9_norm_audit")(spark, sfd).collect().toSeq)
+    assert(GraftApi.burstWindows(graft.Tables.events(spark, sfd)).collect().toSeq ===
+      graft.SparkEntry.queries("e16_burst_windows")(spark, sfd).collect().toSeq)
+    assert(GraftApi.boilerplateNgrams(docs).orderBy("source", "rk").collect().toSeq ===
+      graft.SparkEntry.queries("t28_boilerplate_ngrams")(spark, sfd).collect().toSeq)
 
     // softDedupWeights over the registry's own cluster frame = d25
     val clusters = GraftApi.dedupClusters(graft.ops.Dedup.corpus(spark, sfd))
