@@ -122,11 +122,67 @@ object Pipeline {
        |  ON i.lang = k.lang
        |ORDER BY i.lang""".stripMargin
 
+  /** PIPE2: per-source curation-readiness report — the second composite:
+    * for every source, its document count, token budget, exact mean
+    * quality (t5's score), mean cross-document n-gram novelty (t23) and
+    * the share of its shingle mass the corpus already contains
+    * elsewhere (the template/boilerplate pressure t28 itemizes). One
+    * frame answers "which feeds are worth their tokens, and which are
+    * duplicate-heavy template farms". All means are exact integral
+    * divisions of summed integers.
+    *
+    * Scale: two token-explosion scans (the shingle frame and the
+    * quality stop-word counter — both already the t23/t5 shapes, and
+    * Catalyst plans the whole composite together), everything else
+    * joins on doc_id and aggregates onto the bounded source domain. */
+  val pipe2: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val novelty = TextAnalysis.ngramNoveltyOf(docs.select("doc_id", "text"))
+    val q = TextAnalysis.qualityScoreOf(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    docs.select("doc_id", "source")
+      .join(novelty, Seq("doc_id"))
+      .join(q, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        expr("sum(quality) div count(1)").as("mean_quality"),
+        expr("sum(novelty_bp) div count(1)").as("mean_novelty_bp"),
+        expr("sum(n_shared) * 10000 div sum(n_shingles)").as("shared_shingle_bp"))
+      .orderBy("source")
+  }
+  val pipe2Sql: String =
+    s"""WITH ${Dedup.shinglesCteBody("shing", "documents")},
+       |sdf AS (
+       |  SELECT shingle, CAST(count(*) AS BIGINT) AS df
+       |  FROM shing GROUP BY shingle),
+       |nov AS (
+       |  SELECT s.doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_shingles,
+       |         CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |         CAST((count(*) - sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)) * 10000
+       |              // count(*) AS BIGINT) AS novelty_bp
+       |  FROM shing s JOIN sdf USING (shingle) GROUP BY s.doc_id),
+       |${TextAnalysis.qualityCte}
+       |SELECT d.source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(qm.n_tokens) AS BIGINT) AS sum_tokens,
+       |       CAST(sum(qual.quality) // count(*) AS BIGINT) AS mean_quality,
+       |       CAST(sum(nov.novelty_bp) // count(*) AS BIGINT) AS mean_novelty_bp,
+       |       CAST(sum(nov.n_shared) * 10000 // sum(nov.n_shingles) AS BIGINT) AS shared_shingle_bp
+       |FROM documents d
+       |JOIN nov ON nov.doc_id = d.doc_id
+       |JOIN qual ON qual.doc_id = d.doc_id
+       |JOIN qm ON qm.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pipe1_pretrain_report" -> pipe1,
+    "pipe2_curation_report" -> pipe2,
   )
 
   val oracle: Map[String, String] = Map(
     "pipe1_pretrain_report" -> pipe1Sql,
+    "pipe2_curation_report" -> pipe2Sql,
   )
 }

@@ -35,4 +35,29 @@ class PipelineSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 12, s"exchange count grew past the chain's budget: $exchanges")
   }
+
+  test("pipe2 report ties out against the standalone t23 and t5 operators") {
+    val rows = Pipeline.pipe2(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val src = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val nov = TextAnalysis.t23(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    val q = TextAnalysis.t5(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getAs[Long]("quality"))))
+    val bySrcNov = nov.groupBy(t => src(t._1))
+    val bySrcQ = q.groupBy(t => src(t._1))
+    rows.foreach { case (s, (n, sumTok, meanQ, meanNov, sharedBp)) =>
+      val nv = bySrcNov(s).map(_._2)
+      val qs = bySrcQ(s).map(_._2)
+      assert(n === nv.length.toLong && n === qs.length.toLong)
+      assert(sumTok === qs.map(_._1).sum)
+      assert(meanQ === qs.map(_._2).sum / n)
+      assert(meanNov === nv.map(_._3).sum / n)
+      assert(sharedBp === nv.map(_._2).sum * 10000 / nv.map(_._1).sum)
+    }
+  }
 }
