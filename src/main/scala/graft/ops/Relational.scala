@@ -269,7 +269,7 @@ object Relational {
     val rows = P4bGolden
       .map { case (i, t) => s"($i, '${t.replace("'", "''")}')" }
       .mkString(",\n       ")
-    s"""SELECT * FROM (VALUES
+    s"""SELECT CAST(id AS BIGINT) AS id, cleaned FROM (VALUES
        |$rows) AS t(id, cleaned) ORDER BY id""".stripMargin
   }
 

@@ -717,7 +717,7 @@ object TextAnalysis {
     """WITH n AS (SELECT doc_id, len(str_split(text, ' ')) AS n FROM documents),
       |starts AS (
       |  SELECT doc_id, n, unnest(range(0, greatest(n, 1), 96)) AS start_tok FROM n)
-      |SELECT doc_id, CAST(start_tok // 96 AS INTEGER) AS chunk_idx,
+      |SELECT doc_id, CAST(start_tok // 96 AS BIGINT) AS chunk_idx,
       |       CAST(start_tok AS INTEGER) AS start_tok,
       |       CAST(least(128, n - start_tok) AS INTEGER) AS chunk_toks
       |FROM starts
