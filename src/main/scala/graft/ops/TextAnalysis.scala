@@ -1665,14 +1665,21 @@ object TextAnalysis {
     * table (the corpus's only scan and only data-sized shuffle); the
     * cutoff sweep cross-joins the VOCAB-sized frame against a 5-row
     * literal — value-domain-bounded work, one tiny final aggregate. */
-  private[graft] def vocabCurveOf(docs: DataFrame,
-      cutoffs: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L)): DataFrame = {
-    val sp = docs.sparkSession
-    import sp.implicits._
-    val tf = docs
+  /** voc6's term-frequency table — an additive monoid, which is what
+    * lets the streaming twin (st31) maintain it by summed per-batch
+    * deltas. */
+  private[graft] def termFreqOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy("tok").agg(count(lit(1)).as("tf"))
+
+  /** The cutoff sweep over a merged tf table — shared by voc6 and st31
+    * so both compute the curve through the same code path. */
+  private[graft] def curveFromTf(tf: DataFrame,
+      cutoffs: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L)): DataFrame = {
+    val sp = tf.sparkSession
+    import sp.implicits._
     tf.crossJoin(broadcast(cutoffs.toDF("cutoff")))
       .groupBy("cutoff")
       .agg(
@@ -1683,6 +1690,10 @@ object TextAnalysis {
         expr("(total_tokens - kept_tokens) * 10000 div total_tokens"))
       .orderBy("cutoff")
   }
+
+  private[graft] def vocabCurveOf(docs: DataFrame,
+      cutoffs: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L)): DataFrame =
+    curveFromTf(termFreqOf(docs), cutoffs)
 
   val voc6: Q = (s, d) => vocabCurveOf(Tables.documents(s, d))
   val voc6Sql: String =

@@ -1615,6 +1615,47 @@ object Streams {
     graft.ops.Events.burstsFromCounts(s.read.parquet(latest._2))
   }
 
+  /** ST31: streaming vocabulary-curve monitor — the live face of voc6
+    * for a document ingest ("is the feed growing the vocabulary, or
+    * just repeating it?"). The term-frequency table is an additive
+    * monoid maintained by summed per-batch deltas (state: vocab-sized,
+    * the st16-class incremental index — bounded by the TYPE domain, not
+    * the corpus), and the cutoff sweep runs through voc6's own
+    * [[graft.ops.TextAnalysis.curveFromTf]] — stream == batch
+    * bit-for-bit under the shared `voc6Sql` oracle. */
+  val st31: Q = (s, d) => {
+    val srcDir = stagedTableSplit(s, d, "st31", table = "documents", key = "doc_id")
+    val physical = s.read.parquet(s"$d/documents.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val statRoot = Files.createTempDirectory("graft_st31_stats").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(statRoot).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st31").toString
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val delta = graft.ops.TextAnalysis.termFreqOf(batch.toDF())
+        val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
+        val merged = prior match {
+          case None => delta
+          case Some((_, path)) =>
+            sess.read.parquet(path).unionAll(delta)
+              .groupBy("tok").agg(sum("tf").as("tf"))
+        }
+        merged.write.mode("overwrite").parquet(s"$statRoot/gen_$batchId")
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    graft.ops.TextAnalysis.curveFromTf(s.read.parquet(latest._2))
+  }
+
   /** ST29: streaming OHLC bars — result contract of Events.e15. The
     * batch op's struct-min/max formulation is what makes this a legal
     * (and cheap) streaming aggregate: open/close/high/low/count/sum are
@@ -1678,6 +1719,7 @@ object Streams {
     "st28_stream_repetition" -> st28,
     "st29_stream_ohlc" -> st29,
     "st30_stream_bursts" -> st30,
+    "st31_stream_vocab_curve" -> st31,
     "st27_stream_ess" -> st27,
     "st26_stream_simpson" -> st26,
     "st25_stream_isotropy" -> st25,
@@ -1716,6 +1758,7 @@ object Streams {
     "st28_stream_repetition" -> graft.ops.Evaluation.dq9Sql,
     "st29_stream_ohlc" -> graft.ops.Events.e15Sql,
     "st30_stream_bursts" -> graft.ops.Events.e16Sql,
+    "st31_stream_vocab_curve" -> graft.ops.TextAnalysis.voc6Sql,
     "st27_stream_ess" -> graft.ops.ScaleOps.samp7Sql,
     "st18_stream_benford" -> graft.ops.Evaluation.dq5Sql,
     "st19_stream_markov" -> graft.ops.Curation.markov1Sql,

@@ -422,6 +422,16 @@ class StreamsSpec extends SparkSpec {
     assert(live === batch)
   }
 
+  test("st31 streaming vocab curve equals the batch voc6 sweep bit-for-bit") {
+    // the tf table is an additive monoid; the shared curveFromTf sweep
+    // must reproduce the batch curve exactly
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val live = canon(Streams.st31(spark, sfDir).collect())
+    val batch = canon(graft.ops.TextAnalysis.voc6(spark, sfDir).collect())
+    assert(live === batch)
+  }
+
   test("st30 streaming burst flags equal the batch e16 set bit-for-bit") {
     // the (hour x type) count table is an additive monoid; the shared
     // burstsFromCounts cut must flag the identical window set
