@@ -24,6 +24,38 @@ object Graph {
 
   private val Iters = 3
 
+  /** Plan-depth guardrail for the lazy iterative loops (round-14): the
+    * fully-lazy round-13 shape is right at this engine's fixed 2-3
+    * rounds (ReusedExchange pays each subtree's shuffle once), but the
+    * library entry points expose `iters`/`maxDepth`/`rounds`, and the
+    * lazy plan grows with every round (bfs ~3x per level) — a caller
+    * asking for depth 15 got exponential analysis blowup with no
+    * guardrail. Past `LazyComfortRounds` total rounds, every
+    * `GuardEvery`-th round's frame is localCheckpointed (cutting the
+    * lineage chain so plan size stays O(GuardEvery) subtrees) and the
+    * PREVIOUS guard block is freed at the next cut ([[Pinned.checkpoint]]
+    * — kcorePeelOf's per-round-free pattern). The final round never cuts,
+    * so short runs pin nothing; on a long run at most ONE block (the last
+    * interior cut) stays pinned behind the returned lazy frame —
+    * [[graft.api.GraftApi.releasePinned]] frees it, as for kcore. */
+  private[graft] val LazyComfortRounds = 6
+  private[graft] val GuardEvery = 5
+
+  private[graft] final class PlanGuard(totalRounds: Int) {
+    private var freePrev: () => Unit = () => ()
+    def shouldCut(round: Int): Boolean =
+      totalRounds > LazyComfortRounds && round % GuardEvery == 0 &&
+        round < totalRounds
+    def cut(df: DataFrame): DataFrame = {
+      val (cp, free) = Pinned.checkpoint(df)
+      freePrev()
+      freePrev = free
+      cp
+    }
+    def apply(df: DataFrame, round: Int): DataFrame =
+      if (shouldCut(round)) cut(df) else df
+  }
+
   /** Integer PageRank over an undirected edge frame (src, dst) — the
     * library entry point ([[graft.api.GraftApi.pageRank]]). Ranks start
     * at 1 000 000 per node; each step is
@@ -42,18 +74,20 @@ object Graph {
     // MEMORY_AND_DISK block leaked into the caller's session for life
     // (Spark never GC-frees escaped pins — the Pinned scaladoc). Plan
     // depth is `iters` with one `ed` copy per round — fine at the fixed
-    // small iteration counts this engine uses; a caller pushing iters
-    // far higher should checkpoint externally.
+    // small iteration counts this engine uses; past that, [[PlanGuard]]
+    // cuts the chain every few rounds so a library caller can push
+    // `iters` arbitrarily high.
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), Seq("src"))
+    val guard = new PlanGuard(iters)
     var r = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
-      r = ed
+    for (i <- 1 to iters) {
+      r = guard(ed
         .join(r, ed("src") === r("node"))
         .select(col("dst"), expr("r div d").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("s"))
         .select(col("dst").as("node"),
-          expr("CAST(150000 + (850 * s) div 1000 AS BIGINT)").as("r"))
+          expr("CAST(150000 + (850 * s) div 1000 AS BIGINT)").as("r")), i)
     }
     r.select(col("node"), col("r").as("rank_e6"))
   }
@@ -592,8 +626,8 @@ object Graph {
     // hazard the old eager barrier guarded against never materializes as
     // repeated shuffle work. Plan SIZE still doubles per half-step
     // (2^(2·iters) leaf copies) — fine at the fixed iters=2 this engine
-    // uses; a caller pushing iters far higher should checkpoint
-    // externally.
+    // uses; past the comfort zone [[PlanGuard]] cuts the hub frame's
+    // chain every few rounds so high iteration counts stay bounded.
     // renormalization in DECIMAL(38,0): s ≤ degree·10⁶, so s·10⁶ wraps
     // int64 once a node's in-degree passes ~9.2e6 — real at 100 TB; the
     // integral divide lands back in [0, 10⁶] so the stored score stays
@@ -602,16 +636,17 @@ object Graph {
       raw.crossJoin(broadcast(raw.agg(max("s").as("mx"))))
         .select(col(keyCol).as("node"),
           expr("CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div mx AS BIGINT)").as(outCol))
+    val guard = new PlanGuard(iters)
     var h = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("hs"))
     var a: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val araw = e.join(h, e("src") === h("node"))
         .groupBy("dst").agg(sum("hs").as("s"))
       a = renorm(araw, "dst", "as_")
       val hraw = e.join(a, e("dst") === a("node"))
         .groupBy("src").agg(sum("as_").as("s"))
-      h = renorm(hraw, "src", "hs")
+      h = guard(renorm(hraw, "src", "hs"), i)
     }
     a.select(col("node"), col("as_").as("auth_e6"))
   }
@@ -671,15 +706,16 @@ object Graph {
     val e = und0.select(col("a"), col("b"))
       .unionAll(und0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+    val guard = new PlanGuard(rounds)
     var lab = e.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       val votes = e
         .join(lab.select(col("node").as("b"), col("lbl").as("nlbl")), Seq("b"))
         .groupBy(col("a"), col("nlbl")).agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("a").orderBy(col("c").desc, col("nlbl"))
-      lab = votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("a").as("node"), col("nlbl").as("lbl"))
+      lab = guard(votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("a").as("node"), col("nlbl").as("lbl")), i)
     }
     // community sizes via ONE window pass over the final labels instead
     // of a groupBy + self-join — the lazy final `lab` is window-topped,
@@ -732,13 +768,17 @@ object Graph {
     * exchanges that ReusedExchange writes once, so neither the old edge
     * persist nor the per-round checkpoints (whose blocks Spark never
     * GC-frees) are needed; plan size grows ~3× per level — fine at the
-    * fixed small depths this engine uses, and a caller walking much
-    * deeper should checkpoint externally. Work per level is |edges out
-    * of frontier|, total O(edges within maxDepth), independent of graph
-    * diameter beyond the cap. The driver holds the level counter only. */
+    * fixed small depths this engine uses, and past the comfort zone
+    * [[PlanGuard]] cuts the chain every few levels (rebuilding the
+    * frontier from the checkpointed dist frame's current level), so a
+    * caller can walk arbitrarily deep with bounded plan size. Work per
+    * level is |edges out of frontier|, total O(edges within maxDepth),
+    * independent of graph diameter beyond the cap. The driver holds the
+    * level counter only. */
   private[graft] def bfsLevelsOf(edges: DataFrame, seeds: DataFrame,
       maxDepth: Int = 3): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+    val guard = new PlanGuard(maxDepth)
     var dist = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
     var frontier = dist.select("node")
@@ -748,7 +788,13 @@ object Graph {
       val fresh = nbrs.join(dist.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(i.toLong).as("dist"))
       dist = dist.unionAll(fresh)
-      frontier = fresh.select("node")
+      if (guard.shouldCut(i)) {
+        // cut dist's chain, then rebuild the frontier FROM the cut frame
+        // (its current level's rows) so the next level's join also starts
+        // from the checkpoint, not the lazy `fresh` subtree
+        dist = guard.cut(dist)
+        frontier = dist.filter(col("dist") === i.toLong).select("node")
+      } else frontier = fresh.select("node")
     }
     dist
   }
@@ -817,19 +863,20 @@ object Graph {
     // are written once and reused; no pinned blocks escape the call
     val e = edges.select(col("src"), col("dst"))
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), Seq("src"))
+    val guard = new PlanGuard(iters)
     val sd = seeds.select(col("node")).distinct()
       .withColumn("is_seed", lit(1))
     var r = sd.select(col("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ed
         .join(r.filter(col("r") > 0L), ed("src") === r("node"))
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy("dst").agg(expr("CAST((850 * sum(c)) div 1000 AS BIGINT)").as("contrib"))
         .select(col("dst").as("node"), col("contrib"))
-      r = contrib.join(sd, Seq("node"), "full_outer")
+      r = guard(contrib.join(sd, Seq("node"), "full_outer")
         .select(col("node"),
           (coalesce(col("contrib"), lit(0L)) +
-            when(col("is_seed").isNotNull, 150000L).otherwise(0L)).as("r"))
+            when(col("is_seed").isNotNull, 150000L).otherwise(0L)).as("r")), i)
     }
     r.filter(col("r") > 0L).select(col("node"), col("r").as("rank_e6"))
   }

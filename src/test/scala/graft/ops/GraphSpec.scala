@@ -213,4 +213,49 @@ class GraphSpec extends SparkSpec {
       assert(a < b && cn >= 1 && j >= 0 && j <= 1000000L)
     }
   }
+
+  test("PlanGuard: bfs at depth 12 completes with bounded plan size, exact " +
+      "distances, and zero blocks left after releasePinned") {
+    val sp = spark
+    import sp.implicits._
+    // a 20-node path: depth 12 reaches exactly nodes 0..12
+    val edges = (0L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = graft.api.GraftApi.bfsLevels(edges, seeds, maxDepth = 12)
+    // unguarded, the lazy dist chain roughly doubles per level (~2^12
+    // subtree copies); with PlanGuard cuts at levels 5 and 10 the final
+    // plan holds only the last cut plus two lazy levels
+    var planNodes = 0
+    out.queryExecution.logical.foreach(_ => planNodes += 1)
+    assert(planNodes < 400, s"guarded plan must stay bounded, got $planNodes nodes")
+    val rows = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === (0L to 12L).map(i => i -> i).toMap)
+    graft.api.GraftApi.releasePinned(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"blocks must not outlive releasePinned: $leaked")
+  }
+
+  test("PlanGuard: pageRank at iters 12 matches the driver-simulated " +
+      "integer fixpoint (guarded cuts change lifecycle, never values)") {
+    val sp = spark
+    import sp.implicits._
+    val e0 = Seq(("c", "l1"), ("c", "l2"), ("c", "l3")).toDF("src", "dst")
+    val und = e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst")))
+    // simulate the exact integer iterates on the driver: center degree 3,
+    // leaf degree 1; contrib = rank div degree, all values positive
+    var rc = 1000000L
+    var rl = 1000000L
+    for (_ <- 1 to 12) {
+      val nc = 150000L + (850L * (3L * rl)) / 1000L
+      val nl = 150000L + (850L * (rc / 3L)) / 1000L
+      rc = nc
+      rl = nl
+    }
+    val r = graft.api.GraftApi.pageRank(und, iters = 12)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("c") === rc)
+    assert(Seq("l1", "l2", "l3").forall(l => r(l) === rl))
+    graft.api.GraftApi.releasePinned(spark)
+  }
 }
