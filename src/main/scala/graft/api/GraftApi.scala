@@ -1208,11 +1208,16 @@ object GraftApi {
     graft.ops.ScaleOps.essOf(weighted)
 
   /** Fellegi–Sunter probabilistic record linkage over an
-    * (id, block, f1, f2, f3) record frame: per-field log-likelihood
-    * weights with m = 0.95 and u estimated from the data's own
-    * value-frequency tables (exact integer ratios, one e6-rounded ln
-    * each), md5-capped blocking, pairs scored and cut at
-    * `minScoreE6`. Registry twin: `d24_record_linkage`. */
+    * (id, block, f1, f2, f3) record frame: per-field likelihood ratios
+    * with m = 0.95 and u estimated from the data's own value-frequency
+    * tables, discretized once as an exact e12 integer; md5-capped
+    * blocking. At the default `minScoreE6 = 0` the pair cut is an EXACT
+    * integer cross-multiplied ratio-product comparison (cross-engine
+    * set-stable — no transcendental in the gate); the e6-rounded ln
+    * weights are display columns. A nonzero threshold gates on the
+    * rounded score sum and can flip a boundary pair on a 1-ulp libm
+    * difference — pick it away from attainable sums, or post-filter on
+    * n_agree. Registry twin: `d24_record_linkage`. */
   def recordLinkage(recs: DataFrame, cap: Int = 40,
       minScoreE6: Long = 0L): DataFrame =
     graft.ops.Dedup.recordLinkageOf(recs, cap, minScoreE6)

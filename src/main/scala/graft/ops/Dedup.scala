@@ -1780,29 +1780,40 @@ object Dedup {
     * [[graft.api.GraftApi.recordLinkage]]. */
   private[graft] def recordLinkageOf(recs: DataFrame, cap: Int = 40,
       minScoreE6: Long = 0L): DataFrame = {
-    // EXACTNESS CAVEAT (round-13 advice): the per-field weights are
-    // e6-ROUNDED ln() doubles, and their SUM gates pair membership at
-    // `minScoreE6` — unlike the other t14-convention uses (where rounding
-    // only shapes a printed digit), a 1-ulp JVM-vs-libm log() difference
-    // at a .5 rounding boundary shifts one weight by ±1e-6 and can flip a
-    // pair across the >= threshold, changing the returned SET. Green at
-    // every tested scale (the boundary case needs ln() to land within
-    // ~1e-16 of a half-ulp of an e6 grid point), but callers pinning
-    // cross-engine set equality should choose minScoreE6 away from
-    // attainable weight sums, or post-filter on the exact integer
-    // n_agree column instead. An exact-rational gate (compare products
-    // of the m/u count ratios, never logs) would remove the caveat at
-    // the cost of changing the score column's published semantics.
+    // EXACT GATE (round-14, closing the round-13 fragility): pair
+    // membership at the default `minScoreE6 = 0` is decided by an exact
+    // integer likelihood-ratio product, never a transcendental. The
+    // per-field random-agreement probability is discretized ONCE as
+    // u12 = Σc²·10¹² div N² (exact integer floor in both engines); a
+    // field then contributes ratio 95·10¹⁰/u12 on agreement (m = 0.95 =
+    // 95·10¹⁰/10¹²) and 5·10¹⁰/(10¹²−u12) on disagreement, and the pair
+    // survives iff Π num_f ≥ Π den_f, cross-multiplied in DECIMAL(38,0)
+    // (products ≤ 10³⁶ — safe for corpora to 10¹³ records; DuckDB
+    // mirrors in HUGEINT). A constant field (u12 = 10¹²) contributes the
+    // neutral (1, 1) on its impossible disagreement branch, and a
+    // beyond-rare u12 = 0 (only attainable past 10¹² records) makes the
+    // den product 0, auto-keeping — the infinite-weight limit. The
+    // e6-rounded ln() weights remain as DISPLAY columns (computed from
+    // the same u12, so score sign and set membership agree up to e6
+    // rounding); a 1-ulp libm difference can shift a printed weight by
+    // ±1e-6 at a .5 boundary but can no longer change the returned SET.
+    // A caller passing a nonzero `minScoreE6` gates on the rounded score
+    // sum (e^threshold is not rational) and inherits the display
+    // columns' boundary caveat — pick thresholds away from attainable
+    // sums, or post-filter on n_agree.
     val d38 = "DECIMAL(38,0)"
+    val E12 = "1000000000000"
     def fieldW(f: String): DataFrame =
       recs.groupBy(col(f)).agg(count(lit(1)).as("c"))
         .agg(sum(expr(s"CAST(c AS $d38) * c")).as("sq"),
           sum(col("c")).cast("decimal(38,0)").as("n"))
+        .select(expr(s"CAST(sq * $E12 div (n * n) AS $d38)").as("u12"))
         .select(
-          expr("CAST(round(ln(CAST(19 * n * n AS DOUBLE) / CAST(20 * sq AS DOUBLE)) * 1000000) AS BIGINT)")
+          col("u12").as(s"u12_$f"),
+          expr(s"CAST(round(ln(950000000000 / CAST(greatest(u12, 1) AS DOUBLE)) * 1000000) AS BIGINT)")
             .as(s"wa_$f"),
-          expr("CASE WHEN n * n - sq = 0 THEN 0L " +
-            "ELSE CAST(round(ln(CAST(n * n AS DOUBLE) / CAST(20 * (n * n - sq) AS DOUBLE)) * 1000000) AS BIGINT) END")
+          expr(s"CASE WHEN u12 >= $E12 THEN 0L " +
+            s"ELSE CAST(round(ln(50000000000 / CAST($E12 - u12 AS DOUBLE)) * 1000000) AS BIGINT) END")
             .as(s"wd_$f"))
     val weights = fieldW("f1").crossJoin(fieldW("f2")).crossJoin(fieldW("f3"))
     val winB = org.apache.spark.sql.expressions.Window
@@ -1825,7 +1836,16 @@ object Dedup {
         (when(col("f1a") === col("f1b"), col("wa_f1")).otherwise(col("wd_f1")) +
           when(col("f2a") === col("f2b"), col("wa_f2")).otherwise(col("wd_f2")) +
           when(col("f3a") === col("f3b"), col("wa_f3")).otherwise(col("wd_f3"))))
-      .filter(col("score_e6") >= minScoreE6)
+      .withColumn("lr_num", expr(Seq("f1", "f2", "f3").map(f =>
+        s"CAST(CASE WHEN ${f}a = ${f}b THEN 950000000000 " +
+          s"WHEN u12_$f >= $E12 THEN 1 ELSE 50000000000 END AS $d38)")
+        .mkString(" * ")))
+      .withColumn("lr_den", expr(Seq("f1", "f2", "f3").map(f =>
+        s"CAST(CASE WHEN ${f}a = ${f}b THEN u12_$f " +
+          s"WHEN u12_$f >= $E12 THEN 1 ELSE $E12 - u12_$f END AS $d38)")
+        .mkString(" * ")))
+      .filter(if (minScoreE6 == 0L) col("lr_num") >= col("lr_den")
+        else col("score_e6") >= minScoreE6)
       .select(col("id_a"), col("id_b"), col("n_agree"), col("score_e6"))
       .orderBy("id_a", "id_b")
   }
@@ -1851,23 +1871,29 @@ object Dedup {
       |         ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000) % 10)::VARCHAR AS f3
       |  FROM customer),
       |w1 AS (
-      |  SELECT CAST(round(ln(CAST(19 * n * n AS DOUBLE) / CAST(20 * sq AS DOUBLE)) * 1000000) AS BIGINT) AS wa_f1,
-      |         CASE WHEN n * n - sq = 0 THEN 0
-      |              ELSE CAST(round(ln(CAST(n * n AS DOUBLE) / CAST(20 * (n * n - sq) AS DOUBLE)) * 1000000) AS BIGINT) END AS wd_f1
-      |  FROM (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq, CAST(sum(c) AS HUGEINT) AS n
-      |        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM recs GROUP BY f1))),
+      |  SELECT u12 AS u12_f1,
+      |         CAST(round(ln(950000000000 / CAST(greatest(u12, 1) AS DOUBLE)) * 1000000) AS BIGINT) AS wa_f1,
+      |         CASE WHEN u12 >= 1000000000000 THEN 0
+      |              ELSE CAST(round(ln(50000000000 / CAST(1000000000000 - u12 AS DOUBLE)) * 1000000) AS BIGINT) END AS wd_f1
+      |  FROM (SELECT sq * 1000000000000 // (n * n) AS u12
+      |        FROM (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq, CAST(sum(c) AS HUGEINT) AS n
+      |              FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM recs GROUP BY f1)))),
       |w2 AS (
-      |  SELECT CAST(round(ln(CAST(19 * n * n AS DOUBLE) / CAST(20 * sq AS DOUBLE)) * 1000000) AS BIGINT) AS wa_f2,
-      |         CASE WHEN n * n - sq = 0 THEN 0
-      |              ELSE CAST(round(ln(CAST(n * n AS DOUBLE) / CAST(20 * (n * n - sq) AS DOUBLE)) * 1000000) AS BIGINT) END AS wd_f2
-      |  FROM (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq, CAST(sum(c) AS HUGEINT) AS n
-      |        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM recs GROUP BY f2))),
+      |  SELECT u12 AS u12_f2,
+      |         CAST(round(ln(950000000000 / CAST(greatest(u12, 1) AS DOUBLE)) * 1000000) AS BIGINT) AS wa_f2,
+      |         CASE WHEN u12 >= 1000000000000 THEN 0
+      |              ELSE CAST(round(ln(50000000000 / CAST(1000000000000 - u12 AS DOUBLE)) * 1000000) AS BIGINT) END AS wd_f2
+      |  FROM (SELECT sq * 1000000000000 // (n * n) AS u12
+      |        FROM (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq, CAST(sum(c) AS HUGEINT) AS n
+      |              FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM recs GROUP BY f2)))),
       |w3 AS (
-      |  SELECT CAST(round(ln(CAST(19 * n * n AS DOUBLE) / CAST(20 * sq AS DOUBLE)) * 1000000) AS BIGINT) AS wa_f3,
-      |         CASE WHEN n * n - sq = 0 THEN 0
-      |              ELSE CAST(round(ln(CAST(n * n AS DOUBLE) / CAST(20 * (n * n - sq) AS DOUBLE)) * 1000000) AS BIGINT) END AS wd_f3
-      |  FROM (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq, CAST(sum(c) AS HUGEINT) AS n
-      |        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM recs GROUP BY f3))),
+      |  SELECT u12 AS u12_f3,
+      |         CAST(round(ln(950000000000 / CAST(greatest(u12, 1) AS DOUBLE)) * 1000000) AS BIGINT) AS wa_f3,
+      |         CASE WHEN u12 >= 1000000000000 THEN 0
+      |              ELSE CAST(round(ln(50000000000 / CAST(1000000000000 - u12 AS DOUBLE)) * 1000000) AS BIGINT) END AS wd_f3
+      |  FROM (SELECT sq * 1000000000000 // (n * n) AS u12
+      |        FROM (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq, CAST(sum(c) AS HUGEINT) AS n
+      |              FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM recs GROUP BY f3)))),
       |capped AS (
       |  SELECT block, id, f1, f2, f3 FROM (
       |    SELECT *, row_number() OVER (PARTITION BY block
@@ -1880,11 +1906,23 @@ object Dedup {
       |              (CASE WHEN a.f3 = b.f3 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
       |         (CASE WHEN a.f1 = b.f1 THEN wa_f1 ELSE wd_f1 END) +
       |         (CASE WHEN a.f2 = b.f2 THEN wa_f2 ELSE wd_f2 END) +
-      |         (CASE WHEN a.f3 = b.f3 THEN wa_f3 ELSE wd_f3 END) AS score_e6
+      |         (CASE WHEN a.f3 = b.f3 THEN wa_f3 ELSE wd_f3 END) AS score_e6,
+      |         (CASE WHEN a.f1 = b.f1 THEN CAST(950000000000 AS HUGEINT)
+      |               WHEN u12_f1 >= 1000000000000 THEN 1 ELSE 50000000000 END) *
+      |         (CASE WHEN a.f2 = b.f2 THEN CAST(950000000000 AS HUGEINT)
+      |               WHEN u12_f2 >= 1000000000000 THEN 1 ELSE 50000000000 END) *
+      |         (CASE WHEN a.f3 = b.f3 THEN CAST(950000000000 AS HUGEINT)
+      |               WHEN u12_f3 >= 1000000000000 THEN 1 ELSE 50000000000 END) AS lr_num,
+      |         (CASE WHEN a.f1 = b.f1 THEN CAST(u12_f1 AS HUGEINT)
+      |               WHEN u12_f1 >= 1000000000000 THEN 1 ELSE 1000000000000 - u12_f1 END) *
+      |         (CASE WHEN a.f2 = b.f2 THEN CAST(u12_f2 AS HUGEINT)
+      |               WHEN u12_f2 >= 1000000000000 THEN 1 ELSE 1000000000000 - u12_f2 END) *
+      |         (CASE WHEN a.f3 = b.f3 THEN CAST(u12_f3 AS HUGEINT)
+      |               WHEN u12_f3 >= 1000000000000 THEN 1 ELSE 1000000000000 - u12_f3 END) AS lr_den
       |  FROM capped a JOIN capped b ON a.block = b.block AND a.id < b.id
       |  CROSS JOIN w1 CROSS JOIN w2 CROSS JOIN w3)
       |SELECT id_a, id_b, n_agree, score_e6 FROM pairs
-      |WHERE score_e6 >= 0 ORDER BY id_a, id_b""".stripMargin
+      |WHERE lr_num >= lr_den ORDER BY id_a, id_b""".stripMargin
 
   // ---- D25: soft dedup — down-weight duplicates instead of dropping ----
 
