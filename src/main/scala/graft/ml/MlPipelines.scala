@@ -214,6 +214,360 @@ object MlPipelines {
        |  AS t(doc_id, bucket, tf)
        |ORDER BY doc_id, bucket""".stripMargin
 
+  /** F1c (round-14): the FULL sf0.01 featurizer histogram, frozen as a
+    * golden — f1's grouped shape restricted to its DETERMINISTIC columns
+    * (per-doc HashingTF nonzero count, integer TF mass, and post-IDF
+    * nonzero count — idf_nnz drops a bucket exactly when its term
+    * appears in every document, a set property independent of float
+    * order) with the engine-defined double idf mass left to the f1
+    * rows-only companion. The 312-row oracle VALUES block below was
+    * produced by this query at sf0.01 and is the corpus-wide upgrade of
+    * the f1b planted golden: any drift in Spark's Tokenizer splitting,
+    * MurmurHash3 bucketing, or IDF zero-structure breaks the hash match
+    * loudly. SF-SPECIFIC by construction (the driver's correctness gate
+    * runs at sf0.01); at other scales the query still runs but the
+    * golden does not apply. */
+  val f1c: Q = (s, d) => {
+    val (tok, tf, idf) = featurize
+    val data = corpus(s, d)
+    val withTf = tf.transform(tok.transform(data))
+    val scaled = idf.fit(withTf).transform(withTf)
+    import org.apache.spark.ml.linalg.Vector
+    val nnz = udf((v: Vector) => v.numNonzeros)
+    val tot = udf((v: Vector) => {
+      var s = 0.0
+      v.foreachActive((_, x) => s += x)
+      s
+    })
+    scaled.select(
+      nnz(col("rawFeatures")).cast("long").as("tf_nnz"),
+      round(tot(col("rawFeatures")), 0).cast("long").as("tf_total"),
+      nnz(col("features")).cast("long").as("idf_nnz"))
+      .groupBy("tf_nnz", "tf_total", "idf_nnz")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("tf_nnz", "tf_total", "idf_nnz")
+  }
+
+
+  val f1cSql: String =
+    """SELECT CAST(tf_nnz AS BIGINT) AS tf_nnz, CAST(tf_total AS BIGINT) AS tf_total,
+       |       CAST(idf_nnz AS BIGINT) AS idf_nnz, CAST(n AS BIGINT) AS n
+       |FROM (VALUES
+       |      (6, 10, 6, 1),
+       |      (8, 10, 8, 3),
+       |      (8, 11, 8, 1),
+       |      (9, 11, 9, 2),
+       |      (10, 11, 10, 3),
+       |      (10, 12, 10, 1),
+       |      (10, 13, 10, 3),
+       |      (11, 12, 11, 1),
+       |      (11, 13, 11, 2),
+       |      (11, 15, 11, 1),
+       |      (11, 16, 11, 1),
+       |      (12, 12, 12, 2),
+       |      (12, 15, 12, 1),
+       |      (12, 16, 12, 3),
+       |      (12, 18, 12, 1),
+       |      (12, 19, 12, 1),
+       |      (13, 15, 13, 1),
+       |      (13, 16, 13, 1),
+       |      (13, 17, 13, 1),
+       |      (13, 19, 13, 1),
+       |      (13, 21, 13, 1),
+       |      (13, 24, 13, 1),
+       |      (14, 16, 14, 1),
+       |      (14, 17, 14, 2),
+       |      (14, 18, 14, 3),
+       |      (14, 22, 14, 2),
+       |      (14, 25, 14, 1),
+       |      (15, 15, 15, 1),
+       |      (15, 17, 15, 1),
+       |      (15, 19, 15, 2),
+       |      (15, 20, 15, 4),
+       |      (15, 21, 15, 1),
+       |      (15, 24, 15, 1),
+       |      (15, 25, 15, 1),
+       |      (15, 28, 15, 1),
+       |      (16, 19, 16, 1),
+       |      (16, 20, 16, 2),
+       |      (16, 21, 16, 2),
+       |      (16, 22, 16, 2),
+       |      (16, 23, 16, 2),
+       |      (16, 24, 16, 2),
+       |      (16, 25, 16, 1),
+       |      (16, 26, 16, 1),
+       |      (16, 27, 16, 2),
+       |      (16, 28, 16, 2),
+       |      (17, 19, 17, 1),
+       |      (17, 21, 17, 2),
+       |      (17, 23, 17, 1),
+       |      (17, 24, 17, 1),
+       |      (17, 25, 17, 2),
+       |      (17, 26, 17, 2),
+       |      (17, 28, 17, 2),
+       |      (17, 29, 17, 2),
+       |      (17, 31, 17, 1),
+       |      (17, 32, 17, 1),
+       |      (18, 20, 18, 1),
+       |      (18, 23, 18, 2),
+       |      (18, 24, 18, 3),
+       |      (18, 25, 18, 1),
+       |      (18, 26, 18, 1),
+       |      (18, 27, 18, 2),
+       |      (18, 28, 18, 1),
+       |      (18, 29, 18, 1),
+       |      (18, 30, 18, 3),
+       |      (18, 31, 18, 1),
+       |      (18, 32, 18, 3),
+       |      (18, 33, 18, 2),
+       |      (19, 24, 19, 1),
+       |      (19, 25, 19, 1),
+       |      (19, 27, 19, 1),
+       |      (19, 28, 19, 1),
+       |      (19, 29, 19, 1),
+       |      (19, 30, 19, 2),
+       |      (19, 32, 19, 1),
+       |      (19, 33, 19, 2),
+       |      (19, 34, 19, 1),
+       |      (19, 36, 19, 2),
+       |      (19, 37, 19, 2),
+       |      (19, 38, 19, 1),
+       |      (19, 41, 19, 1),
+       |      (20, 23, 20, 1),
+       |      (20, 28, 20, 1),
+       |      (20, 30, 20, 1),
+       |      (20, 31, 20, 2),
+       |      (20, 32, 20, 1),
+       |      (20, 33, 20, 1),
+       |      (20, 34, 20, 1),
+       |      (20, 36, 20, 2),
+       |      (20, 37, 20, 1),
+       |      (20, 38, 20, 1),
+       |      (20, 39, 20, 1),
+       |      (20, 42, 20, 1),
+       |      (21, 28, 21, 1),
+       |      (21, 29, 21, 1),
+       |      (21, 31, 21, 1),
+       |      (21, 32, 21, 3),
+       |      (21, 35, 21, 1),
+       |      (21, 36, 21, 1),
+       |      (21, 37, 21, 3),
+       |      (21, 38, 21, 2),
+       |      (21, 41, 21, 1),
+       |      (21, 44, 21, 1),
+       |      (21, 45, 21, 2),
+       |      (22, 29, 22, 1),
+       |      (22, 31, 22, 3),
+       |      (22, 33, 22, 1),
+       |      (22, 34, 22, 2),
+       |      (22, 39, 22, 4),
+       |      (22, 40, 22, 1),
+       |      (22, 43, 22, 1),
+       |      (22, 44, 22, 2),
+       |      (22, 45, 22, 1),
+       |      (22, 46, 22, 1),
+       |      (22, 47, 22, 1),
+       |      (22, 51, 22, 2),
+       |      (22, 61, 22, 1),
+       |      (23, 30, 23, 1),
+       |      (23, 32, 23, 2),
+       |      (23, 38, 23, 1),
+       |      (23, 39, 23, 2),
+       |      (23, 40, 23, 1),
+       |      (23, 42, 23, 2),
+       |      (23, 43, 23, 3),
+       |      (23, 44, 23, 2),
+       |      (23, 47, 23, 3),
+       |      (23, 48, 23, 1),
+       |      (23, 50, 23, 1),
+       |      (23, 53, 23, 1),
+       |      (23, 58, 23, 1),
+       |      (24, 38, 24, 1),
+       |      (24, 39, 24, 1),
+       |      (24, 41, 24, 1),
+       |      (24, 43, 24, 2),
+       |      (24, 44, 24, 1),
+       |      (24, 45, 24, 3),
+       |      (24, 46, 24, 2),
+       |      (24, 47, 24, 3),
+       |      (24, 48, 24, 1),
+       |      (24, 51, 24, 1),
+       |      (24, 54, 24, 1),
+       |      (24, 56, 24, 1),
+       |      (24, 57, 24, 1),
+       |      (24, 59, 24, 1),
+       |      (24, 60, 24, 2),
+       |      (24, 61, 24, 1),
+       |      (24, 63, 24, 1),
+       |      (25, 37, 25, 1),
+       |      (25, 42, 25, 2),
+       |      (25, 43, 25, 2),
+       |      (25, 44, 25, 2),
+       |      (25, 46, 25, 1),
+       |      (25, 47, 25, 2),
+       |      (25, 49, 25, 1),
+       |      (25, 50, 25, 3),
+       |      (25, 51, 25, 3),
+       |      (25, 53, 25, 3),
+       |      (25, 55, 25, 1),
+       |      (25, 56, 25, 2),
+       |      (25, 57, 25, 2),
+       |      (25, 58, 25, 1),
+       |      (25, 59, 25, 1),
+       |      (25, 60, 25, 1),
+       |      (25, 61, 25, 1),
+       |      (25, 62, 25, 1),
+       |      (25, 63, 25, 2),
+       |      (25, 64, 25, 1),
+       |      (25, 67, 25, 1),
+       |      (25, 69, 25, 3),
+       |      (25, 71, 25, 1),
+       |      (25, 72, 25, 1),
+       |      (25, 81, 25, 1),
+       |      (26, 41, 26, 1),
+       |      (26, 42, 26, 1),
+       |      (26, 43, 26, 1),
+       |      (26, 48, 26, 1),
+       |      (26, 49, 26, 1),
+       |      (26, 51, 26, 2),
+       |      (26, 53, 26, 1),
+       |      (26, 54, 26, 2),
+       |      (26, 55, 26, 1),
+       |      (26, 57, 26, 2),
+       |      (26, 58, 26, 3),
+       |      (26, 59, 26, 2),
+       |      (26, 60, 26, 4),
+       |      (26, 61, 26, 2),
+       |      (26, 62, 26, 1),
+       |      (26, 63, 26, 1),
+       |      (26, 64, 26, 1),
+       |      (26, 65, 26, 1),
+       |      (26, 66, 26, 1),
+       |      (26, 67, 26, 1),
+       |      (26, 69, 26, 1),
+       |      (26, 70, 26, 1),
+       |      (26, 71, 26, 1),
+       |      (26, 72, 26, 5),
+       |      (26, 75, 26, 1),
+       |      (26, 77, 26, 1),
+       |      (26, 83, 26, 1),
+       |      (26, 88, 26, 1),
+       |      (26, 91, 26, 1),
+       |      (26, 94, 26, 1),
+       |      (27, 42, 27, 1),
+       |      (27, 51, 27, 1),
+       |      (27, 53, 27, 1),
+       |      (27, 55, 27, 1),
+       |      (27, 56, 27, 2),
+       |      (27, 58, 27, 2),
+       |      (27, 59, 27, 3),
+       |      (27, 60, 27, 1),
+       |      (27, 61, 27, 1),
+       |      (27, 62, 27, 2),
+       |      (27, 63, 27, 1),
+       |      (27, 64, 27, 2),
+       |      (27, 65, 27, 4),
+       |      (27, 66, 27, 4),
+       |      (27, 67, 27, 5),
+       |      (27, 69, 27, 1),
+       |      (27, 70, 27, 1),
+       |      (27, 72, 27, 4),
+       |      (27, 73, 27, 2),
+       |      (27, 74, 27, 2),
+       |      (27, 75, 27, 2),
+       |      (27, 76, 27, 1),
+       |      (27, 78, 27, 2),
+       |      (27, 79, 27, 5),
+       |      (27, 80, 27, 1),
+       |      (27, 81, 27, 3),
+       |      (27, 83, 27, 2),
+       |      (27, 84, 27, 2),
+       |      (27, 85, 27, 1),
+       |      (27, 86, 27, 2),
+       |      (27, 87, 27, 1),
+       |      (27, 90, 27, 1),
+       |      (28, 58, 28, 1),
+       |      (28, 59, 28, 1),
+       |      (28, 60, 28, 1),
+       |      (28, 62, 28, 1),
+       |      (28, 64, 28, 1),
+       |      (28, 65, 28, 1),
+       |      (28, 66, 28, 2),
+       |      (28, 69, 28, 2),
+       |      (28, 70, 28, 3),
+       |      (28, 71, 28, 2),
+       |      (28, 73, 28, 1),
+       |      (28, 74, 28, 1),
+       |      (28, 75, 28, 2),
+       |      (28, 76, 28, 1),
+       |      (28, 77, 28, 3),
+       |      (28, 78, 28, 2),
+       |      (28, 79, 28, 1),
+       |      (28, 80, 28, 5),
+       |      (28, 81, 28, 3),
+       |      (28, 82, 28, 1),
+       |      (28, 83, 28, 2),
+       |      (28, 84, 28, 2),
+       |      (28, 85, 28, 2),
+       |      (28, 86, 28, 3),
+       |      (28, 87, 28, 2),
+       |      (28, 88, 28, 3),
+       |      (28, 89, 28, 1),
+       |      (28, 91, 28, 1),
+       |      (28, 92, 28, 1),
+       |      (28, 93, 28, 1),
+       |      (28, 97, 28, 2),
+       |      (28, 98, 28, 1),
+       |      (29, 56, 29, 1),
+       |      (29, 63, 29, 1),
+       |      (29, 65, 29, 1),
+       |      (29, 67, 29, 1),
+       |      (29, 68, 29, 2),
+       |      (29, 69, 29, 1),
+       |      (29, 70, 29, 1),
+       |      (29, 72, 29, 1),
+       |      (29, 74, 29, 2),
+       |      (29, 75, 29, 1),
+       |      (29, 76, 29, 1),
+       |      (29, 77, 29, 1),
+       |      (29, 79, 29, 2),
+       |      (29, 80, 29, 1),
+       |      (29, 81, 29, 3),
+       |      (29, 82, 29, 1),
+       |      (29, 83, 29, 3),
+       |      (29, 84, 29, 1),
+       |      (29, 85, 29, 1),
+       |      (29, 88, 29, 1),
+       |      (29, 91, 29, 1),
+       |      (29, 92, 29, 1),
+       |      (29, 93, 29, 6),
+       |      (29, 94, 29, 3),
+       |      (29, 95, 29, 1),
+       |      (29, 96, 29, 2),
+       |      (29, 97, 29, 1),
+       |      (29, 99, 29, 1),
+       |      (30, 76, 30, 1),
+       |      (30, 82, 30, 1),
+       |      (30, 83, 30, 4),
+       |      (30, 84, 30, 1),
+       |      (30, 85, 30, 1),
+       |      (30, 86, 30, 1),
+       |      (30, 87, 30, 1),
+       |      (30, 88, 30, 1),
+       |      (30, 89, 30, 1),
+       |      (30, 90, 30, 1),
+       |      (30, 91, 30, 1),
+       |      (30, 92, 30, 2),
+       |      (30, 93, 30, 2),
+       |      (30, 94, 30, 5),
+       |      (30, 95, 30, 2),
+       |      (30, 96, 30, 1),
+       |      (30, 97, 30, 3),
+       |      (30, 99, 30, 2),
+       |      (31, 94, 31, 1))
+       |  AS t(tf_nnz, tf_total, idf_nnz, n)
+       |ORDER BY tf_nnz, tf_total, idf_nnz""".stripMargin
+
   /** R1: randomSplit(0.75/0.25, seed) disjointness + coverage invariants:
     * train+test = total and overlap = 0 (membership itself is engine RNG). */
   val r1: Q = (s, d) => {
@@ -234,6 +588,7 @@ object MlPipelines {
     "m3_ml_linear_svc" -> mlSvm,
     "f1_hashing_tf_idf" -> f123,
     "f1b_hashing_tf_golden" -> f1b,
+    "f1c_tfidf_shape_full" -> f1c,
     "r1_random_split" -> r1,
   )
 
@@ -241,5 +596,6 @@ object MlPipelines {
     * the featurizer's bucket layout is deterministic and hash-checked
     * against the frozen f1b golden. */
   val oracle: Map[String, String] = Map(
-    "f1b_hashing_tf_golden" -> f1bSql)
+    "f1b_hashing_tf_golden" -> f1bSql,
+    "f1c_tfidf_shape_full" -> f1cSql)
 }
