@@ -94,11 +94,13 @@ object GraftApi {
     Dedup.dedupClustersOf(pairs)
 
   /** Soft dedup: keep every document, down-weight duplicates — each doc
-    * gets sampling weight 1e6/cluster_size (singletons 1e6), so every
-    * duplicated content unit contributes one document-equivalent of
-    * expected training mass. `clusters` is [[dedupClusters]] output (or
-    * any (doc_id, n_members) frame). Emits (doc_id, cluster_size,
-    * weight_e6). */
+    * gets sampling weight 1e6 div cluster_size (singletons 1e6), with
+    * the integer remainder assigned to the cluster's canonical (min-id)
+    * member so every cluster's weights sum to EXACTLY 1e6 — one
+    * document-equivalent of expected training mass per duplicated
+    * content unit, no truncation drift. `clusters` is [[dedupClusters]]
+    * output (or any (doc_id, cluster_id, n_members) frame). Emits
+    * (doc_id, cluster_size, weight_e6). */
   def softDedupWeights(docs: DataFrame, clusters: DataFrame): DataFrame =
     Dedup.softDedupWeightsOf(docs, clusters)
 
@@ -645,8 +647,9 @@ object GraftApi {
   /** Best-of-n reward curve over a (prompt_id, sample_id, reward_c)
     * frame: for each n, the count of prompts with ≥ n samples and the
     * exact mean of max(reward over the first n deterministic draws) —
-    * the rejection-sampling payoff plot. Emits (n, n_prompts,
-    * sum_best_c, avg_best_c). */
+    * the rejection-sampling payoff plot. `avg_best_c` is FLOOR division
+    * (well-defined for negative reward sums, e.g. signed RLHF rewards).
+    * Emits (n, n_prompts, sum_best_c, avg_best_c). */
   def bestOfNCurve(samples: DataFrame, ns: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame =
     Curation.bestOfNCurveOf(samples, ns)
 

@@ -860,9 +860,12 @@ object Curation {
     * ([[graft.api.GraftApi.bestOfNCurve]]).
     *
     * Exactness: rewards are exact cents; the running max over a
-    * deterministic order is engine-independent; the average is integer
-    * `div` over non-negative sums (positive-domain fixture, so Spark
-    * trunc ≡ DuckDB floor).
+    * deterministic order is engine-independent; the average is FLOOR
+    * division (round-14 advice: a plain Spark `div` truncates toward
+    * zero while the DuckDB oracle's `//` floors, so the library entry
+    * point diverged on negative reward sums — plausible for RLHF
+    * rewards; the explicit floor-correction below makes both engines
+    * agree on the full signed domain).
     *
     * Scale: ONE window partitioned by prompt — per-prompt state, never a
     * global sort; the post-filter keeps ≤ |ns| rows per prompt, so the
@@ -879,7 +882,12 @@ object Curation {
       .filter(col("rn").isin(ns.map(Integer.valueOf): _*))
       .groupBy(col("rn").cast("long").as("n"))
       .agg(count(lit(1)).as("n_prompts"), sum("best_c").as("sum_best_c"))
-      .withColumn("avg_best_c", expr("sum_best_c div n_prompts"))
+      // floor division (n_prompts > 0 always): trunc and floor differ
+      // only for inexact negative quotients, where trunc sits one high
+      .withColumn("avg_best_c", expr(
+        "CASE WHEN sum_best_c < 0 AND sum_best_c % n_prompts != 0 " +
+          "THEN sum_best_c div n_prompts - 1 " +
+          "ELSE sum_best_c div n_prompts END"))
       .orderBy("n")
   }
 

@@ -1933,9 +1933,14 @@ object Dedup {
     * (the soft-deduplication alternative: down-weight, don't delete —
     * preserves rare in-cluster variation that hard dedup discards).
     * Output: (doc_id, cluster_size, weight_e6) for EVERY corpus doc;
-    * singletons get weight 1e6. Σ weight_e6 / 1e6 = the deduplicated
-    * effective corpus size, the same count d10 materializes by deletion.
-    * The library entry point ([[graft.api.GraftApi.softDedupWeights]]).
+    * singletons get weight 1e6. Each cluster's canonical (min-id) member
+    * carries the integer-division remainder (1e6 % size) on top of the
+    * shared 1e6 div size, so every cluster's weights sum to EXACTLY 1e6
+    * and Σ weight_e6 / 1e6 equals the deduplicated effective corpus
+    * size — the same count d10 materializes by deletion (round-14
+    * advice: the un-remaindered weights undershot by up to (size−1)
+    * millionths per cluster). The library entry point
+    * ([[graft.api.GraftApi.softDedupWeights]]).
     *
     * Scale: the cluster frame (dedupClustersOf over d3's banded pairs)
     * covers only documents that HAVE a duplicate — a vanishing fraction
@@ -1944,10 +1949,14 @@ object Dedup {
     * integer division, hash-exact cross-engine. */
   private[graft] def softDedupWeightsOf(docs: DataFrame, clusters: DataFrame): DataFrame =
     docs.select(col("doc_id"))
-      .join(clusters.select(col("doc_id"), col("n_members")), Seq("doc_id"), "left")
+      .join(clusters.select(col("doc_id"), col("cluster_id"), col("n_members")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_members"), lit(1L)).as("cluster_size"))
-      .withColumn("weight_e6", expr("1000000 div cluster_size"))
+        coalesce(col("n_members"), lit(1L)).as("cluster_size"),
+        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("is_canon"))
+      .withColumn("weight_e6", expr("1000000 div cluster_size + " +
+        "CASE WHEN is_canon THEN 1000000 % cluster_size ELSE 0L END"))
+      .drop("is_canon")
 
   val d25: Q = (s, d) =>
     softDedupWeightsOf(corpus(s, d),
@@ -1965,13 +1974,15 @@ object Dedup {
        |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.lbl = e.a),
        |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
        |w AS (
-       |  SELECT cc.id AS doc_id, CAST(sz.n AS BIGINT) AS n_members
+       |  SELECT cc.id AS doc_id, cc.cluster_id, CAST(sz.n AS BIGINT) AS n_members
        |  FROM cc JOIN (SELECT cluster_id, count(*) AS n
        |                FROM cc GROUP BY cluster_id) sz USING (cluster_id)),
        |$corpusCte
        |SELECT c.doc_id,
        |       CAST(coalesce(w.n_members, 1) AS BIGINT) AS cluster_size,
-       |       CAST(1000000 // coalesce(w.n_members, 1) AS BIGINT) AS weight_e6
+       |       CAST(1000000 // coalesce(w.n_members, 1)
+       |            + CASE WHEN coalesce(w.cluster_id, c.doc_id) = c.doc_id
+       |                   THEN 1000000 % coalesce(w.n_members, 1) ELSE 0 END AS BIGINT) AS weight_e6
        |FROM corpus c LEFT JOIN w ON w.doc_id = c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 

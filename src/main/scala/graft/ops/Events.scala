@@ -717,9 +717,13 @@ object Events {
     *
     * Scale: one corpus shuffle into (type × hour) counts; the baseline
     * is a per-type fold of that value-domain-bounded frame and joins
-    * back broadcast-small. DECIMAL(38,0)/HUGEINT keep dev² exact to
-    * ~10¹⁶ events/hour. Library entry point:
-    * [[graft.api.GraftApi.burstWindows]]. */
+    * back broadcast-small. Exactness bound (round-14 advice): dev scales
+    * as c·n (count × present hours, not count alone), and the reported
+    * z² computes dev²·100 in DECIMAL(38,0)/HUGEINT — exact while
+    * c·n < ~3·10¹⁷ (e.g. 10¹³ events/hour over a decade of hourly
+    * buckets); past that the product overflows LOUDLY (Spark ANSI and
+    * DuckDB both raise — never a silently dropped window). Library
+    * entry point: [[graft.api.GraftApi.burstWindows]]. */
   /** The (hour-bucket × type) count table e16 screens — an additive
     * monoid, which is what lets the streaming twin (st30) maintain it
     * incrementally by summed per-batch deltas. */

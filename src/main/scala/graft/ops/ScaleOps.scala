@@ -516,6 +516,14 @@ object ScaleOps {
       .filter(col("doc_id") >= 2000 && col("doc_id") < 2100)
       .orderBy("doc_id")
 
+  /** Per-JVM output-dir token (round-14 advice): two concurrent runs
+    * against the same dataset dir used to share one fixed tmpdir, so one
+    * run's truncate-commit could delete part files the other was reading
+    * back. A per-process token isolates JVMs while same-JVM re-runs
+    * (Bench's warm samples) still reuse and overwrite one directory. */
+  private lazy val Src4Token =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
+
   /** SRC4: custom DataSource V2 WRITE path — documents projected
     * through [[graft.sources.GraftTsvSink]]'s two-phase commit (per-task
     * staging files published atomically by the driver's job commit,
@@ -526,7 +534,7 @@ object ScaleOps {
     * generation behind — a duplicate row would break the hash. */
   val src4: Q = (s, d) => {
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft_src4_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      "graft_src4_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" + Src4Token).toString
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
     docs.write.format("graft.sources.GraftTsvSink")
       .option("path", out).mode("overwrite").save()

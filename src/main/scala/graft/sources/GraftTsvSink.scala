@@ -72,6 +72,27 @@ private class GraftTsvWriteBuilder(path: String, schema: StructType,
 
 private case class GraftTsvCommitMessage(stagedFile: String) extends WriterCommitMessage
 
+/** Java-serializable carrier for the driver's Hadoop configuration
+  * (round-14 advice): executor-side writers previously built their
+  * FileSystem from a fresh `new Configuration()`, which resolves default
+  * scheme handlers only — any non-default fs config (object-store
+  * credentials, custom scheme impls) worked on the driver's commit path
+  * but broke in tasks on a real cluster. Hadoop `Configuration` is
+  * Writable, not Serializable, so ship it via write()/readFields(). */
+private class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends java.io.Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private class GraftTsvBatchWrite(path: String, schema: StructType,
     queryId: String, truncate: Boolean) extends BatchWrite {
 
@@ -80,7 +101,9 @@ private class GraftTsvBatchWrite(path: String, schema: StructType,
       .sparkContext.hadoopConfiguration)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftTsvWriterFactory(path, schema, queryId)
+    new GraftTsvWriterFactory(path, schema, queryId,
+      new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dest = new Path(path)
@@ -109,20 +132,21 @@ private class GraftTsvBatchWrite(path: String, schema: StructType,
 }
 
 private class GraftTsvWriterFactory(path: String, schema: StructType,
-    queryId: String) extends DataWriterFactory {
+    queryId: String, conf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftTsvDataWriter(path, schema, queryId, partitionId, taskId)
+    new GraftTsvDataWriter(path, schema, queryId, partitionId, taskId, conf)
 }
 
 private class GraftTsvDataWriter(path: String, schema: StructType,
-    queryId: String, partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    queryId: String, partitionId: Int, taskId: Long,
+    conf: SerializableHadoopConf) extends DataWriter[InternalRow] {
 
   private val staged =
     new Path(new Path(path, s".staging-$queryId"), f"part-$partitionId%05d-$taskId.tsv")
-  // executor-side: the default Hadoop configuration resolves the same
-  // scheme handlers as the driver (for non-default cluster configs the
-  // factory would carry a SerializableConfiguration instead)
-  private val fs = staged.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  // executor-side: the DRIVER's Hadoop configuration, shipped through the
+  // factory, so non-default fs config (credentials, scheme impls)
+  // resolves identically on both sides of the two-phase commit
+  private val fs = staged.getFileSystem(conf.value)
   private lazy val out = {
     fs.mkdirs(staged.getParent)
     new java.io.PrintWriter(new java.io.OutputStreamWriter(

@@ -636,30 +636,32 @@ class DedupSimSpec extends SparkSpec {
       s"eviction shares must sum to 10000 bp minus truncation, got $shareSum")
   }
 
-  test("d25 soft weights: singletons 1e6, cluster members 1e6/size, mass matches d10") {
+  test("d25 soft weights: singletons 1e6, remainder to the canonical member, " +
+      "cluster mass exactly 1e6, total mass exactly the d10 keep count") {
     val sp = spark
     import sp.implicits._
-    // hand frame: docs 1-2-3 one cluster, 4 a singleton
+    // hand frame: docs 1-2-3 one cluster (canonical 1), 4 a singleton
     val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
-    val clusters = Seq((1L, 3L), (2L, 3L), (3L, 3L)).toDF("doc_id", "n_members")
+    val clusters = Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L))
+      .toDF("doc_id", "cluster_id", "n_members")
     val hand = Dedup.softDedupWeightsOf(docs, clusters).collect()
     val byId = hand.map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(hand.length === 4)
     assert(byId(4L) === ((1L, 1000000L)))
-    Seq(1L, 2L, 3L).foreach(id => assert(byId(id) === ((3L, 333333L))))
+    // canonical member carries the 1e6 % 3 = 1 remainder: 333334 + 2x333333 = 1e6
+    assert(byId(1L) === ((3L, 333334L)))
+    Seq(2L, 3L).foreach(id => assert(byId(id) === ((3L, 333333L))))
 
-    // fixture: every corpus doc weighted; cluster mass ~= one doc-equivalent
+    // fixture: every corpus doc weighted; total mass EXACTLY the d10 keep
+    // count (each cluster sums to exactly 1e6 post-remainder-distribution)
     val rows = Dedup.queries("d25_soft_dedup_weights")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val clusterRows = Dedup.queries("d8_dedup_clusters")(spark, sfDir).collect()
-      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
     val keep = Dedup.queries("d10_deduped_corpus")(spark, sfDir).count()
     val totalE6 = rows.map(_._3).sum
-    // Σ weights = (#docs - #dup members) + Σ_c n_c * (1e6 div n_c) / 1e6:
-    // equals the d10 keep count up to one truncated millionth per member
-    assert(totalE6 <= keep * 1000000L)
-    assert(totalE6 >= keep * 1000000L - clusterRows.length.toLong)
-    rows.foreach { case (_, sz, we6) => assert(we6 === 1000000L / sz) }
+    assert(totalE6 === keep * 1000000L)
+    rows.foreach { case (_, sz, we6) =>
+      assert(we6 === 1000000L / sz || we6 === 1000000L / sz + 1000000L % sz)
+    }
   }
 
   test("emb9 norm audit: a planted exploding vector flags, uniform labels stay clean") {
