@@ -195,15 +195,20 @@ object Bench {
         timings(i)._2.sentinelBefore > 2 * sentinelMedian ||
           sentinelAfter(i) > 2 * sentinelMedian)
 
-    // Retry pass (round-9 verdict): ambient driver-host load is transient —
-    // the r9 driver sweep flagged 30/196 entries it could likely have
-    // recovered minutes later. ONE retry per flagged entry at sweep end,
-    // bracketed by its own sentinel probes judged against the ORIGINAL
-    // session median (the cleanest load reference available): if the retry
-    // settles AND both brackets are quiet, its warm/spread/n_warm replace
-    // the first pass's and the flag clears, with "retried": true recording
-    // the provenance. Otherwise the original flagged numbers stand — same
-    // honesty guarantees, cold is never retried (one-shot by nature).
+    // Retry passes (round-9 verdict; second deferred round added in
+    // round-14): ambient driver-host load is transient — the r9 driver
+    // sweep flagged 30/196 entries it could likely have recovered minutes
+    // later, and the r13 sweep's single retry round still left 5 flags a
+    // later isolated run cleared easily. Up to TWO retry rounds per
+    // flagged entry at sweep end; the second round only runs if the first
+    // left flags, so by construction the re-attempt happens minutes after
+    // the original spike. Each retry is bracketed by its own sentinel
+    // probes judged against the ORIGINAL session median (the cleanest
+    // load reference available): if it settles AND both brackets are
+    // quiet, its warm/spread/n_warm replace the prior pass's and the flag
+    // clears, with "retried": true recording the provenance. Otherwise
+    // the original flagged numbers stand — same honesty guarantees, cold
+    // is never retried (one-shot by nature).
     // warm ≫ cold is physically implausible for a clean measurement (warm
     // re-runs the identical plan with JIT + page cache already paid), so
     // it flags the entry for the same end-of-sweep retry — the round-12
@@ -212,22 +217,28 @@ object Bench {
     // cold > 0.5 s guards sub-second noise ratios.
     def warmImplausible(cold: Double, warm: Double): Boolean =
       cold > 0.5 && warm > 2 * cold
-    val finalEntries = timings.zipWithIndex.map { case ((name, e), i) =>
-      val flagged = e.unsettled || loadFlagged(i) ||
-        warmImplausible(e.cold, e.warm)
-      if (!flagged || e.warm < 0) (name, e, flagged)
-      else {
-        val sb = sentinelOnce()
-        val (w2, sp2, n2, uns2) = sampleWarm(SparkEntry.queries(name))
-        val sa = sentinelOnce()
-        val quiet = sentinelMedian > 0 &&
-          sb <= 2 * sentinelMedian && sa <= 2 * sentinelMedian
-        if (w2 >= 0 && !uns2 && quiet && !warmImplausible(e.cold, w2))
-          (name, e.copy(warm = w2, spread = sp2, nWarm = n2, unsettled = false,
-            sentinelBefore = sb, retried = true), false)
-        else (name, e, true)
+    def retryPass(entries: Seq[(String, Entry, Boolean)]): Seq[(String, Entry, Boolean)] =
+      entries.map { case (name, e, flagged) =>
+        if (!flagged || e.warm < 0) (name, e, flagged)
+        else {
+          val sb = sentinelOnce()
+          val (w2, sp2, n2, uns2) = sampleWarm(SparkEntry.queries(name))
+          val sa = sentinelOnce()
+          val quiet = sentinelMedian > 0 &&
+            sb <= 2 * sentinelMedian && sa <= 2 * sentinelMedian
+          if (w2 >= 0 && !uns2 && quiet && !warmImplausible(e.cold, w2))
+            (name, e.copy(warm = w2, spread = sp2, nWarm = n2, unsettled = false,
+              sentinelBefore = sb, retried = true), false)
+          else (name, e, true)
+        }
       }
+    val firstFlags = timings.zipWithIndex.map { case ((name, e), i) =>
+      (name, e, e.unsettled || loadFlagged(i) || warmImplausible(e.cold, e.warm))
     }
+    val afterFirstRetry = retryPass(firstFlags)
+    val finalEntries =
+      if (afterFirstRetry.exists(_._3)) retryPass(afterFirstRetry)
+      else afterFirstRetry
 
     val totalWarm = finalEntries.map { case (_, e, _) => math.max(e.warm, 0.0) }.sum
     val totalCold = finalEntries.map { case (_, e, _) => math.max(e.cold, 0.0) }.sum
@@ -236,10 +247,12 @@ object Bench {
       "an adjacent fixed-work load sentinel (min of 2 probes, so one-off GC " +
       "aftermath is discarded) ran >2x the session median OR warm > 2x cold " +
       "with cold > 0.5s (physically implausible measurement); flagged " +
-      "entries get ONE end-of-sweep retry (retried=true) that clears the " +
-      "flag only if it settles between quiet sentinel brackets and is not " +
-      "itself warm-implausible; pinned storage blocks (incl. checkpoint " +
-      "blocks clearCache cannot free) are swept between runs"
+      "entries get up to TWO end-of-sweep retry rounds (retried=true; the " +
+      "second round runs only if the first left flags, minutes after the " +
+      "original spike) that clear the flag only if the retry settles " +
+      "between quiet sentinel brackets and is not itself warm-implausible; " +
+      "pinned storage blocks (incl. checkpoint blocks clearCache cannot " +
+      "free) are swept between runs"
     val onlyJson = only.map(_.map(p => s""""$p"""").mkString("[", ",", "]"))
       .getOrElse("null")
 

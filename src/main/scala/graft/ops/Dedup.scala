@@ -46,7 +46,7 @@ object Dedup {
           expr("substring(text, instr(text, ' ') + 1)").as("text")))
   }
 
-  private val corpusCte: String =
+  private[ops] val corpusCte: String =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

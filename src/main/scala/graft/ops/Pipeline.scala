@@ -176,13 +176,151 @@ object Pipeline {
        |JOIN qm ON qm.doc_id = d.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ---- PIPE3: end-to-end curation MATERIALIZATION ----
+
+  private val Pipe3QualityMin = 7450L
+  private val Pipe3Budget = 150000L
+  private val Pipe3PackBudget = 512L
+
+  /** Per-JVM output-dir token (the src4 convention): concurrent runs
+    * against one dataset never share a sink directory; same-JVM re-runs
+    * reuse and overwrite one. */
+  private lazy val Pipe3Token =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
+
+  /** PIPE3: the end-to-end curation job a real user ships — every stage
+    * is an already-verified operator, composed into ONE run that ends in
+    * a MATERIALIZED corpus (not a report):
+    *
+    *  1. ingest the d3/d10 dup-injected corpus (originals + exact copies
+    *     + first-word-stripped near-copies), metadata recovered from the
+    *     original row (orig = doc_id % 10⁶);
+    *  2. near-dup KEEP-LIST (d10): MinHash bands → verified pairs →
+    *     connected components → canonical member per cluster;
+    *  3. quality GATE (t5's integer score ≥ 7450, n_chars = text length
+    *     so injected near-copies score their own shortened text);
+    *  4. BUDGET CUT (sel2): global (quality DESC, doc_id) rank via the
+    *     distributed PrefixSum, maximal prefix with Σ tokens ≤ 150 000;
+    *  5. sequence PACKING (pack1): per-language 512-token windows;
+    *  6. MATERIALIZE through the GraftTsvSink two-phase commit and read
+    *     the published files back.
+    *
+    * The oracle replays stages 1-5 in DuckDB and compares the READ-BACK
+    * rows — a hash match certifies the whole chain AND the sink's
+    * serialize → stage → commit → publish round trip at once.
+    *
+    * Scale: each stage is its verified operator's plan (banded candidate
+    * generation, broadcast keep-list anti-join, one PrefixSum exchange,
+    * per-shard pack windows, per-task staged sink files); no stage
+    * collects rows to the driver beyond PrefixSum's bounded per-partition
+    * totals. */
+  val pipe3: Q = (s, d) => {
+    val corp = Dedup.corpus(s, d)
+    val meta = Tables.documents(s, d)
+      .select(col("doc_id").as("orig"), col("lang"))
+    // 2. keep-list: collapse near-dup clusters to canonical members
+    val kept = Dedup.dedupedCorpusOf(corp)
+    val withMeta = kept.withColumn("orig", col("doc_id") % 1000000L)
+      .join(meta, Seq("orig")).drop("orig")
+    // 3. quality gate over the kept docs' own text
+    val q = TextAnalysis.qualityScoreOf(
+        withMeta.select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars")))
+      .filter(col("quality") >= Pipe3QualityMin)
+      .select(col("doc_id"), col("quality"))
+    val scored = withMeta.select(col("doc_id"), col("lang"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("toks"))
+      .join(q, Seq("doc_id"))
+    // 4. budget cut: exact global prefix under the token budget
+    val ranked = PrefixSum.prefixRank(scored,
+      Seq(col("quality").desc, col("doc_id").asc), sumCol = Some("toks")).df
+    val selected = ranked
+      .filter(col("g_cum_excl") + col("toks") <= Pipe3Budget)
+      .select(col("doc_id"), col("lang"), col("toks"))
+    // 5. pack into per-language training windows
+    val packed = ScaleOps.packWindowsOf(
+        selected, "lang", "doc_id", "toks", Pipe3PackBudget)
+      .select(col("doc_id"), col("lang"), col("win"), col("toks"))
+    // 6. materialize + read back
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_pipe3_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" + Pipe3Token).toString
+    packed.write.format("graft.sources.GraftTsvSink")
+      .option("path", out).mode("overwrite").save()
+    s.read.text(out + "/part-*.tsv")
+      .select(split(col("value"), "\t").as("f"))
+      .select(expr("CAST(f[0] AS BIGINT)").as("doc_id"),
+        col("f").getItem(1).as("lang"),
+        expr("CAST(f[2] AS BIGINT)").as("win"),
+        expr("CAST(f[3] AS BIGINT)").as("toks"))
+      .orderBy("doc_id")
+  }
+  val pipe3Sql: String =
+    s"""WITH RECURSIVE p AS (${Dedup.d3Sql}),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM p),
+       |reach(id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.lbl = e.a),
+       |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |${Dedup.corpusCte},
+       |kept AS (
+       |  SELECT c.doc_id, c.text FROM corpus c
+       |  WHERE c.doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)),
+       |km AS (
+       |  SELECT k.doc_id, k.text, d.lang
+       |  FROM kept k JOIN documents d ON d.doc_id = k.doc_id % 1000000),
+       |qb AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(str_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS toks,
+       |         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |         CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS sum_tok_len,
+       |         CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM km),
+       |qs AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop FROM (
+       |    SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM km)
+       |  WHERE word IN ${TextAnalysis.stopListSql} GROUP BY doc_id),
+       |qq AS (
+       |  SELECT b.doc_id, b.toks, b.n_tokens,
+       |         b.sum_tok_len * 100 // b.n_tokens AS mean_tok_len_x100,
+       |         b.n_alpha * 10000 // greatest(b.n_chars, 1) AS alpha_bp,
+       |         coalesce(s.n_stop, 0) * 10000 // b.n_tokens AS stop_bp
+       |  FROM qb b LEFT JOIN qs s ON b.doc_id = s.doc_id),
+       |gate AS (
+       |  SELECT q.doc_id, m.lang, q.toks,
+       |         (CASE WHEN q.n_tokens >= 20 THEN 2500 ELSE q.n_tokens * 125 END)
+       |         + q.alpha_bp // 4 + q.stop_bp // 4
+       |         + (CASE WHEN q.mean_tok_len_x100 BETWEEN 300 AND 800 THEN 2500 ELSE 0 END)
+       |           AS quality
+       |  FROM qq q JOIN km m ON m.doc_id = q.doc_id),
+       |sel AS (
+       |  SELECT doc_id, lang, toks FROM (
+       |    SELECT doc_id, lang, toks,
+       |           coalesce(sum(toks) OVER (ORDER BY quality DESC, doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+       |    FROM gate WHERE quality >= $Pipe3QualityMin)
+       |  WHERE cum_excl + toks <= $Pipe3Budget)
+       |SELECT doc_id, lang,
+       |       CAST(coalesce(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |         // $Pipe3PackBudget AS BIGINT) AS win,
+       |       toks
+       |FROM sel ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pipe1_pretrain_report" -> pipe1,
     "pipe2_curation_report" -> pipe2,
+    "pipe3_curated_corpus" -> pipe3,
   )
 
   val oracle: Map[String, String] = Map(
     "pipe1_pretrain_report" -> pipe1Sql,
     "pipe2_curation_report" -> pipe2Sql,
+    "pipe3_curated_corpus" -> pipe3Sql,
   )
 }

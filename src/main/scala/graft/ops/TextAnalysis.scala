@@ -39,7 +39,7 @@ object TextAnalysis {
   private val dictSql: String =
     LangDict.map { case (w, l) => s"('$w', '$l')" }.mkString("(VALUES ", ", ", ") AS dict(word, dlang)")
 
-  private val stopListSql: String = StopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[ops] val stopListSql: String = StopWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   // ---- T4: language identification (dictionary-hit argmax) ----
 
