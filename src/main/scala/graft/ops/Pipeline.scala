@@ -256,7 +256,7 @@ object Pipeline {
       .orderBy("doc_id")
   }
   val pipe3Sql: String =
-    s"""WITH RECURSIVE p AS (${Dedup.d3Sql}),
+    s"""WITH RECURSIVE p AS MATERIALIZED (${Dedup.d3Sql}),
        |edges AS (
        |  SELECT id_a AS a, id_b AS b FROM p
        |  UNION ALL
@@ -265,12 +265,12 @@ object Pipeline {
        |  SELECT a, a FROM edges
        |  UNION
        |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.lbl = e.a),
-       |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |cc AS MATERIALIZED (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
        |${Dedup.corpusCte},
        |kept AS (
        |  SELECT c.doc_id, c.text FROM corpus c
        |  WHERE c.doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)),
-       |km AS (
+       |km AS MATERIALIZED (
        |  SELECT k.doc_id, k.text, d.lang
        |  FROM kept k JOIN documents d ON d.doc_id = k.doc_id % 1000000),
        |qb AS (

@@ -69,7 +69,8 @@ class LeakSpec extends SparkSpec {
     "dq9_repetition_audit",       // new round-13 op — plain aggregates
     "t22_kneser_ney",             // four vocab-domain model aggregates
     "d25_soft_dedup_weights",     // dedupClustersOf loop (1 result pin)
-    "d26_leakage_safe_split"      // same cluster loop under the split
+    "d26_leakage_safe_split",     // same cluster loop under the split
+    "pipe3_curated_corpus"        // cluster loop + PrefixSum checkpoint (round-14)
   )
 
   /** Result-backing pins allowed per call: a handful of ops legitimately
