@@ -502,6 +502,15 @@ object GraftApi {
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
     Retrieval.bm25TopKOf(docs, queries, k)
 
+  /** Ranking-quality report for BM25 retrieval over deterministic
+    * binary relevance (a doc is relevant iff it contains EVERY query
+    * term as a whole token): per query — corpus-wide relevant count,
+    * relevant-in-top-k, first relevant rank, MRR, precision@k, and
+    * nDCG@k with literal-integer 1/log₂(i+1) discounts (no float log in
+    * either engine). Registry twin: `ret5_ranking_quality`. */
+  def rankingMetrics(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
+    Retrieval.rankingMetricsOf(docs, queries, k)
+
   /** Hybrid-retrieval fusion: reciprocal-rank fusion (Cormack et al.,
     * SIGIR 2009; K = 60) of a sparse ranking (`bm25TopK`'s shape:
     * query_id, rnk, doc_id) and a dense ranking (`cosineTopK`'s shape:

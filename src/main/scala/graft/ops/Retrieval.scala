@@ -405,11 +405,134 @@ object Retrieval {
        |FROM rk WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
+  // ---- RET5: ranking-quality metrics — nDCG@k, MRR, precision@k ----
+
+  /** Literal integer DCG rank weights w_i = round(10⁹·ln2/ln(i+1)) —
+    * the standard 1/log₂(i+1) discount frozen to exact integers at plan
+    * build (the sim11 RBO-literal convention), so DCG/IDCG sums and the
+    * final integral ratio are bit-identical cross-engine; no log is ever
+    * evaluated inside either engine. */
+  private def dcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e9 * math.log(2) / math.log(i + 1.0)))
+
+  /** Ranking-quality report for a retrieval system over binary
+    * relevance — the evaluation every retrieval/RAG pipeline runs before
+    * shipping an index or reranker: per query, corpus-wide relevant
+    * count, relevant-in-top-k, first relevant rank, MRR (10⁶ div first
+    * rank), precision@k, and nDCG@k with the literal-integer discount
+    * above (IDCG over min(R, k) ideal slots; 0 when the query has no
+    * relevant docs). Relevance truth here is deterministic containment:
+    * a document is relevant iff it contains EVERY query term as a whole
+    * token — the exact-match oracle both engines can replay.
+    *
+    * Exactness: integer weights, integer division (non-negative domain),
+    * DECIMAL widening on dcg·10⁶ (Σw ~ 3·10⁹ at k=5; safe to k ~ 10⁴).
+    * Scale: the ranked frame is k·|queries| rows; the relevance probe is
+    * one distinct (doc, term) explode joined against the broadcast query
+    * vocabulary and counted per (query, doc) — work proportional to docs
+    * CONTAINING query terms, never all-pairs. Library entry point:
+    * [[graft.api.GraftApi.rankingMetrics]]. */
+  private[graft] def rankingMetricsOf(docs: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val w = dcgWeights(k)
+    val prefix = w.scanLeft(0L)(_ + _).tail
+    val ranked = bm25TopKOf(docs, queries, k)
+    val qt = queries.select("query_id", "term").distinct()
+    val nTerms = qt.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    val docTerms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0).distinct()
+    val rel = docTerms.join(broadcast(qt), Seq("term"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(nTerms), Seq("query_id"))
+      .filter(col("n_hit") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"), lit(1L).as("rel"))
+    val relCount = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel_corpus"))
+    val wCase = (1 to k).map(i => s"WHEN $i THEN ${w(i - 1)}L")
+      .mkString("CASE rnk ", " ", " ELSE 0L END")
+    val idcgCase = (1 to k).map(j => s"WHEN $j THEN ${prefix(j - 1)}L")
+      .mkString(s"CASE least(n_rel_corpus, ${k}L) ", " ", " ELSE 0L END")
+    val perQ = ranked.join(rel, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id").agg(
+        sum(when(col("rel").isNotNull, 1L).otherwise(0L)).as("n_rel_topk"),
+        min(when(col("rel").isNotNull, col("rnk"))).cast("long").as("first_rel_rank"),
+        sum(when(col("rel").isNotNull, expr(wCase)).otherwise(0L)).as("dcg"))
+    queries.select("query_id").distinct()
+      .join(perQ, Seq("query_id"), "left")
+      .join(relCount, Seq("query_id"), "left")
+      .select(col("query_id").cast("long").as("query_id"),
+        coalesce(col("n_rel_corpus"), lit(0L)).as("n_rel_corpus"),
+        coalesce(col("n_rel_topk"), lit(0L)).as("n_rel_topk"),
+        col("first_rel_rank"),
+        coalesce(col("dcg"), lit(0L)).as("dcg"))
+      .select(col("query_id"), col("n_rel_corpus"), col("n_rel_topk"),
+        col("first_rel_rank"),
+        when(col("first_rel_rank").isNull, 0L)
+          .otherwise(expr("1000000L div first_rel_rank")).as("mrr_e6"),
+        expr(s"n_rel_topk * 1000000L div ${k}L").as("p_at_k_e6"),
+        expr(s"CASE WHEN ($idcgCase) = 0 THEN 0L ELSE " +
+          s"CAST(CAST(dcg AS DECIMAL(38,0)) * 1000000 div ($idcgCase) AS BIGINT) END")
+          .as("ndcg_e6"))
+  }
+
+  /** RET5 on the fixture: ret1's BM25 top-5 ranking judged against
+    * all-terms containment relevance. */
+  val ret5: Q = (s, d) =>
+    rankingMetricsOf(Tables.documents(s, d), queryDf(s), k = 5)
+      .orderBy("query_id")
+  val ret5Sql: String = {
+    val k = 5
+    val w = dcgWeights(k)
+    val prefix = w.scanLeft(0L)(_ + _).tail
+    val wCase = (1 to k).map(i => s"WHEN $i THEN ${w(i - 1)}")
+      .mkString("CASE t.rnk ", " ", " ELSE 0 END")
+    val idcgCase = (1 to k).map(j => s"WHEN $j THEN ${prefix(j - 1)}")
+      .mkString(s"CASE least(n_rel_corpus, $k) ", " ", " ELSE 0 END")
+    s"""WITH $bm25Ctes,
+       |topk AS (SELECT query_id, rnk, doc_id FROM ranked WHERE rnk <= $k),
+       |dterms AS (SELECT DISTINCT doc_id, term FROM toks WHERE len(term) > 0),
+       |qt AS (SELECT DISTINCT query_id, term FROM q),
+       |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms FROM qt GROUP BY query_id),
+       |rel AS (
+       |  SELECT h.query_id, h.doc_id FROM (
+       |    SELECT qt.query_id, dt.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+       |    FROM dterms dt JOIN qt ON qt.term = dt.term
+       |    GROUP BY qt.query_id, dt.doc_id) h
+       |  JOIN nt ON nt.query_id = h.query_id
+       |  WHERE h.n_hit = nt.n_terms),
+       |relc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel_corpus
+       |         FROM rel GROUP BY query_id),
+       |perq AS (
+       |  SELECT t.query_id,
+       |         CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_topk,
+       |         CAST(min(CASE WHEN r.doc_id IS NOT NULL THEN t.rnk END) AS BIGINT) AS first_rel_rank,
+       |         CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN ($wCase) ELSE 0 END) AS BIGINT) AS dcg
+       |  FROM topk t LEFT JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+       |  GROUP BY t.query_id),
+       |base AS (
+       |  SELECT CAST(qq.query_id AS BIGINT) AS query_id,
+       |         coalesce(relc.n_rel_corpus, 0) AS n_rel_corpus,
+       |         coalesce(perq.n_rel_topk, 0) AS n_rel_topk,
+       |         perq.first_rel_rank,
+       |         coalesce(perq.dcg, 0) AS dcg
+       |  FROM (SELECT DISTINCT query_id FROM q) qq
+       |  LEFT JOIN perq ON perq.query_id = qq.query_id
+       |  LEFT JOIN relc ON relc.query_id = qq.query_id)
+       |SELECT query_id, n_rel_corpus, n_rel_topk, first_rel_rank,
+       |       CAST(CASE WHEN first_rel_rank IS NULL THEN 0
+       |                 ELSE 1000000 // first_rel_rank END AS BIGINT) AS mrr_e6,
+       |       CAST(n_rel_topk * 1000000 // $k AS BIGINT) AS p_at_k_e6,
+       |       CAST(CASE WHEN ($idcgCase) = 0 THEN 0
+       |                 ELSE CAST(dcg AS HUGEINT) * 1000000 // ($idcgCase) END AS BIGINT) AS ndcg_e6
+       |FROM base ORDER BY query_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "ret1_bm25_topk" -> ret1,
     "ret2_hybrid_rrf_topk" -> ret2,
     "ret3_expanded_bm25" -> ret3,
     "ret4_query_likelihood_topk" -> ret4,
+    "ret5_ranking_quality" -> ret5,
   )
 
   val oracle: Map[String, String] = Map(
@@ -417,5 +540,6 @@ object Retrieval {
     "ret2_hybrid_rrf_topk" -> ret2Sql,
     "ret3_expanded_bm25" -> ret3Sql,
     "ret4_query_likelihood_topk" -> ret4Sql,
+    "ret5_ranking_quality" -> ret5Sql,
   )
 }

@@ -110,4 +110,33 @@ class RetrievalSpec extends SparkSpec {
     // same tf, longer doc scores lower (the Dirichlet norm)
     assert(byDoc(2L) > byDoc(3L), s"$byDoc")
   }
+
+  test("ret5 ranking metrics: perfect rankings score nDCG = MRR = 1e6; a " +
+      "single relevant doc scores exactly its rank's literal discount") {
+    val out = GraftApi.rankingMetrics(docs, q, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // q1 {spark}: docs 1,2,5 are all the scored docs AND all relevant ->
+    // a perfect ranking: mrr = ndcg = 1e6, p@5 = 3/5
+    assert(out(1) === ((3L, 3L, 1L, 1000000L, 600000L, 1000000L)))
+    // q2 {hash, merge}: only doc 3 contains both terms and it ranks first
+    assert(out(2) === ((1L, 1L, 1L, 1000000L, 200000L, 1000000L)))
+
+    // q3 {spark, data}: doc 2 is the ONLY relevant doc (both terms) but
+    // competes with spark-heavy docs — wherever BM25 lands it, nDCG must
+    // equal that rank's literal integer discount and MRR its reciprocal
+    val q3 = Seq((3, "spark"), (3, "data")).toDF("query_id", "term")
+    val Array(row) = GraftApi.rankingMetrics(docs, q3, k = 5).collect()
+    val w = Seq(1000000000L, 630929754L, 500000000L, 430676558L, 386852807L)
+    val r = row.getLong(3)
+    assert(row.getLong(1) === 1L && row.getLong(2) === 1L)
+    assert(row.getLong(4) === 1000000L / r)
+    assert(row.getLong(6) === w(r.toInt - 1) * 1000000L / 1000000000L)
+
+    // a query whose terms appear nowhere: zero relevance, all-zero metrics
+    val q4 = Seq((9, "zzzznope")).toDF("query_id", "term")
+    val Array(z) = GraftApi.rankingMetrics(docs, q4, k = 5).collect()
+    assert(z.getLong(1) === 0L && z.getLong(2) === 0L && z.isNullAt(3))
+    assert(z.getLong(4) === 0L && z.getLong(5) === 0L && z.getLong(6) === 0L)
+  }
 }
