@@ -22,8 +22,15 @@ import org.apache.spark.sql.functions._
   *    top-k) through a code path sharing nothing with sim1's
   *    broadcast-join + window plan.
   *
+  * The two class COMPANIONS are cross-checked too: d23 (dedup health —
+  * shares d8's recursive oracle) is recomputed over d18's independently
+  * produced cluster frame, and sim11 (RBO between exact and LSH
+  * rankings) is re-derived in plain driver Scala from the two engine
+  * rankings for the sampled queries.
+  *
   * Usage: `runMain graft.tools.CrossCheckSf10 <sfDir> <outJson>`.
-  * Writes {"d8_vs_d18": {...}, "sim1_recompute": {...}} with pass flags.
+  * Writes {"d8_vs_d18": {...}, "d23_via_d18": {...},
+  * "sim1_recompute": {...}, "sim11_recompute": {...}} with pass flags.
   */
 object CrossCheckSf10 {
   def main(args: Array[String]): Unit = {
@@ -53,6 +60,17 @@ object CrossCheckSf10 {
     val ccMismatch = joined.getLong(1)
     val ccPass = ccMismatch == 0 && rowsD8 == rowsD18 && rowsD8 > 0
     println(s"[crosscheck] d8=$rowsD8 d18=$rowsD18 mismatched=$ccMismatch pass=$ccPass")
+    graft.ops.Pinned.releaseAll(spark)
+
+    // ---- 1b. d23 health stats re-derived over d18's cluster frame ----
+    val d23 = graft.ops.Dedup.queries("d23_dedup_health")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val d23ViaD18 = graft.ops.Dedup.dedupHealthOf(
+        graft.ops.Dedup.queries("d18_cc_largestar")(spark, dir)
+          .select("doc_id", "cluster_id"))
+      .collect().map(_.toSeq).toSet
+    val d23Pass = d23.nonEmpty && d23 == d23ViaD18
+    println(s"[crosscheck] d23 rows=${d23.size} viaD18=${d23ViaD18.size} pass=$d23Pass")
     graft.ops.Pinned.releaseAll(spark)
 
     // ---- 2. sim1 exact driver recompute on a sampled query subset ----
@@ -116,13 +134,51 @@ object CrossCheckSf10 {
     val simPass = simMismatch == 0 && qidSet.nonEmpty && got.nonEmpty
     println(s"[crosscheck] sim1 queries=${qidSet.size} mismatched=$simMismatch pass=$simPass")
 
+    // ---- 2b. sim11 RBO re-derived in plain Scala from the two engine
+    // rankings (exact top-3 and LSH), for the same sampled queries ----
+    val RboDepths = 3
+    val rboW = (1 to RboDepths).map { dd =>
+      (BigDecimal("0.1") * BigDecimal("0.9").pow(dd - 1) * BigDecimal(1000000000))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    }
+    def ranks(q: org.apache.spark.sql.DataFrame): Map[(Long, Long), Int] =
+      q.filter(col("q_id").isInCollection(qidSet)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val exactR = ranks(graft.ops.Similarity
+      .queries("sim1_ann_bruteforce_topk")(spark, dir).filter(col("rk") <= RboDepths))
+    val lshR = ranks(graft.ops.Similarity.queries("sim3_lsh_ann_topk")(spark, dir))
+    val rboExpected = qidSet.map { q =>
+      val a = exactR.collect { case ((qq, c), r) if qq == q => c -> r }
+      val b = lshR.collect { case ((qq, c), r) if qq == q => c -> r }
+      val dmin = a.keySet.intersect(b.keySet).toSeq
+        .map(c => math.max(a(c), b(c)))
+      val rbo = (1 to RboDepths).map { dd =>
+        val c = dmin.count(_ <= dd)
+        rboW(dd - 1) * c / dd
+      }.sum
+      q -> ((rbo, dmin.count(_ <= RboDepths).toLong))
+    }.toMap
+    val rboGot = graft.ops.Similarity.queries("sim11_rbo")(spark, dir)
+      .filter(col("q_id").isInCollection(qidSet)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rboMismatch = qidSet.count(q =>
+      rboExpected.get(q) != rboGot.get(q) &&
+        // queries with NO shared candidates at depth 3 legitimately emit
+        // (0, 0) — both sides must then agree on the zero
+        !(rboExpected.get(q).exists(_._1 == 0L) && !rboGot.contains(q)))
+    val rboPass = rboMismatch == 0 && rboGot.nonEmpty
+    println(s"[crosscheck] sim11 queries=${qidSet.size} mismatched=$rboMismatch pass=$rboPass")
+
     val json =
       s"""{
          |  "sf_dir": "$dir",
          |  "d8_vs_d18": {"rows_d8": $rowsD8, "rows_d18": $rowsD18,
          |    "mismatched": $ccMismatch, "pass": $ccPass},
+         |  "d23_via_d18": {"rows": ${d23.size}, "pass": $d23Pass},
          |  "sim1_recompute": {"queries_checked": ${qidSet.size}, "k": $K,
-         |    "mismatched_queries": $simMismatch, "pass": $simPass}
+         |    "mismatched_queries": $simMismatch, "pass": $simPass},
+         |  "sim11_recompute": {"queries_checked": ${qidSet.size},
+         |    "mismatched_queries": $rboMismatch, "pass": $rboPass}
          |}
          |""".stripMargin
     Files.writeString(Paths.get(out), json)
