@@ -104,6 +104,18 @@ object GraftApi {
   def softDedupWeights(docs: DataFrame, clusters: DataFrame): DataFrame =
     Dedup.softDedupWeightsOf(docs, clusters)
 
+  /** End-to-end corpus curation transform over a (doc_id, text, lang)
+    * frame: near-dup keep-list (min-id canonical member per cluster) →
+    * integer quality gate ≥ `qualityMin` → exact global token-budget cut
+    * (PrefixSum-ranked by quality DESC, never a single-reducer window) →
+    * per-language `packBudget`-token training windows. Returns
+    * (doc_id, lang, win, toks). Registry twin: `pipe3_curated_corpus`
+    * (which additionally materializes through the DSv2 two-phase-commit
+    * sink and oracles the read-back). */
+  def curateCorpus(docs: DataFrame, qualityMin: Long = 7450L,
+      budget: Long = 150000L, packBudget: Long = 512L): DataFrame =
+    graft.ops.Pipeline.curateAndPackOf(docs, qualityMin, budget, packBudget)
+
   /** Leakage-safe train/eval split: the split key is the near-dup
     * cluster id (falling back to doc_id for singletons), so every
     * cluster lands whole on one side and eval can never contain a

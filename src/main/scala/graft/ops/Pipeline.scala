@@ -214,19 +214,23 @@ object Pipeline {
     * per-shard pack windows, per-task staged sink files); no stage
     * collects rows to the driver beyond PrefixSum's bounded per-partition
     * totals. */
-  val pipe3: Q = (s, d) => {
-    val corp = Dedup.corpus(s, d)
-    val meta = Tables.documents(s, d)
-      .select(col("doc_id").as("orig"), col("lang"))
+  /** The pipe3 TRANSFORM over any (doc_id, text, lang) corpus — every
+    * stage 2-5 of the composite, without the sink: near-dup keep-list →
+    * quality gate ≥ `qualityMin` → exact global budget cut (Σ tokens ≤
+    * `budget`, PrefixSum-ranked by quality DESC) → per-lang
+    * `packBudget`-token windows. Returns (doc_id, lang, win, toks) —
+    * the library entry point ([[graft.api.GraftApi.curateCorpus]]). */
+  private[graft] def curateAndPackOf(docs: DataFrame,
+      qualityMin: Long = Pipe3QualityMin, budget: Long = Pipe3Budget,
+      packBudget: Long = Pipe3PackBudget): DataFrame = {
     // 2. keep-list: collapse near-dup clusters to canonical members
-    val kept = Dedup.dedupedCorpusOf(corp)
-    val withMeta = kept.withColumn("orig", col("doc_id") % 1000000L)
-      .join(meta, Seq("orig")).drop("orig")
+    val kept = Dedup.dedupedCorpusOf(docs.select(col("doc_id"), col("text")))
+    val withMeta = kept.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
     // 3. quality gate over the kept docs' own text
     val q = TextAnalysis.qualityScoreOf(
         withMeta.select(col("doc_id"), col("text"),
           length(col("text")).cast("long").as("n_chars")))
-      .filter(col("quality") >= Pipe3QualityMin)
+      .filter(col("quality") >= qualityMin)
       .select(col("doc_id"), col("quality"))
     val scored = withMeta.select(col("doc_id"), col("lang"),
         size(filter(split(col("text"), " "), w => length(w) > 0))
@@ -236,12 +240,22 @@ object Pipeline {
     val ranked = PrefixSum.prefixRank(scored,
       Seq(col("quality").desc, col("doc_id").asc), sumCol = Some("toks")).df
     val selected = ranked
-      .filter(col("g_cum_excl") + col("toks") <= Pipe3Budget)
+      .filter(col("g_cum_excl") + col("toks") <= budget)
       .select(col("doc_id"), col("lang"), col("toks"))
     // 5. pack into per-language training windows
-    val packed = ScaleOps.packWindowsOf(
-        selected, "lang", "doc_id", "toks", Pipe3PackBudget)
+    ScaleOps.packWindowsOf(selected, "lang", "doc_id", "toks", packBudget)
       .select(col("doc_id"), col("lang"), col("win"), col("toks"))
+  }
+
+  val pipe3: Q = (s, d) => {
+    // 1. ingest the dup-injected corpus, lang recovered from the original
+    val corp = Dedup.corpus(s, d)
+    val meta = Tables.documents(s, d)
+      .select(col("doc_id").as("orig"), col("lang"))
+    val ingest = corp.withColumn("orig", col("doc_id") % 1000000L)
+      .join(meta, Seq("orig")).drop("orig")
+    // 2-5. the transform stages
+    val packed = curateAndPackOf(ingest)
     // 6. materialize + read back
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       "graft_pipe3_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" + Pipe3Token).toString

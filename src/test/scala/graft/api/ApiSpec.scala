@@ -619,6 +619,29 @@ class ApiSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq ===
       graft.SparkEntry.queries("d25_soft_dedup_weights")(spark, sfd).collect().toSeq)
 
+    // curateCorpus over pipe3's own ingest frame = pipe3's read-back
+    // (the registry twin adds only the sink round trip, which must be
+    // content-preserving)
+    val ingest = {
+      import org.apache.spark.sql.functions._
+      graft.ops.Dedup.corpus(spark, sfd)
+        .withColumn("orig", col("doc_id") % 1000000L)
+        .join(graft.Tables.documents(spark, sfd)
+          .select(col("doc_id").as("orig"), col("lang")), Seq("orig"))
+        .drop("orig")
+    }
+    assert(GraftApi.curateCorpus(ingest).orderBy("doc_id").collect().toSeq ===
+      graft.SparkEntry.queries("pipe3_curated_corpus")(spark, sfd).collect().toSeq)
+
+    // rankingMetrics = ret5's registry binding
+    locally {
+      val sp2 = spark
+      import sp2.implicits._
+      assert(GraftApi.rankingMetrics(docs,
+          Seq((1, "data"), (1, "value")).toDF("query_id", "term"))
+        .orderBy("query_id").collect().nonEmpty)
+    }
+
     GraftApi.releasePinned(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
