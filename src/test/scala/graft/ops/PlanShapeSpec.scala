@@ -387,4 +387,45 @@ class PlanShapeSpec extends SparkSpec {
         "(lineage is truncated at the last round's checkpoint)")
     Pinned.releaseAll(spark)
   }
+
+  test("ret5 ranking metrics: query probes broadcast, never a cartesian") {
+    val p = plan(Retrieval.ret5(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      "relevance probe must be an equi-join on term\n" + p.take(800))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "the query-term and n_terms probes must broadcast\n" + p.take(800))
+    Pinned.releaseAll(spark)
+  }
+
+  test("pipe3 transform: no cartesian; drop-list anti-join and pack window " +
+      "are shard-keyed (never a global single-partition sort)") {
+    val sp = spark
+    import sp.implicits._
+    // the transform stages only (the registry query's sink + read-back
+    // would hide the interesting plan behind the text scan); a planted
+    // exact-copy pair guarantees a non-empty drop list so the anti-join
+    // survives into the plan (an empty drop list legitimately folds it —
+    // the sf0.001 fixture has no near-dups)
+    // >= 20 tokens, stopword-rich, mean token length in band: the docs
+    // must PASS the quality gate or PrefixSum's eager partition-count
+    // collect lets Catalyst fold the whole (empty) plan to a
+    // LocalTableScan and there is no join left to assert on
+    val body = ("the data value row " * 5).trim
+    val docs = ((1L to 30L).map(i => (i, s"$body kilo$i lima$i", "en")) :+
+      ((101L, s"$body kilo1 lima1", "en"))).toDF("doc_id", "text", "lang")
+    // the final plan starts at PrefixSum's checkpoint barrier (lineage
+    // truncated — budget-cut join, pack window): shard-keyed, no cartesian
+    val p = plan(graft.api.GraftApi.curateCorpus(docs))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("windowspecdefinition(lang"),
+      "pack windows must partition by the language shard\n" + p.take(800))
+    assert(p.contains("Scan ExistingRDD"),
+      "the budget cut must read the PrefixSum checkpoint barrier\n" + p.take(800))
+    // the keep-list stage (upstream of the barrier): a broadcast-able
+    // ANTI join against the non-canonical member list, never a cartesian
+    val kp = plan(Dedup.dedupedCorpusOf(docs.select($"doc_id", $"text")))
+    assert(kp.contains("LeftAnti"), "keep-list must be an ANTI join\n" + kp.take(800))
+    assert(!kp.contains("CartesianProduct"), kp.take(800))
+    Pinned.releaseAll(spark)
+  }
 }
