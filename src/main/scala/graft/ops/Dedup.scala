@@ -1358,8 +1358,11 @@ object Dedup {
     incrementalKeepOf(c.filter(col("doc_id") % 3 =!= 0), c.filter(col("doc_id") % 3 === 0))
       .select("doc_id").orderBy("doc_id")
   }
-  val d13Sql: String =
-    s"""WITH $minhashCte,
+  /** d13's CTE chain through `dropped` (the new-side ids with a verified
+    * old-side near-dup) — shared with pipe4's incremental-admission
+    * oracle, which appends its quality/rollup tail. */
+  private[ops] val d13Ctes: String =
+    s"""$minhashCte,
        |bands AS (
        |  SELECT doc_id, mh0 * $MhP + mh1 AS band, 0 AS bi FROM minhash
        |  UNION ALL
@@ -1384,7 +1387,10 @@ object Dedup {
        |  SELECT DISTINCT i.id_new FROM ints i
        |  JOIN sizes nn ON nn.doc_id = i.id_new
        |  JOIN sizes no ON no.doc_id = i.id_old
-       |  WHERE i.inter * 10000 >= (nn.n + no.n - i.inter) * 8000)
+       |  WHERE i.inter * 10000 >= (nn.n + no.n - i.inter) * 8000)""".stripMargin
+
+  val d13Sql: String =
+    s"""WITH $d13Ctes
        |SELECT c.doc_id FROM corpus c
        |WHERE c.doc_id % 3 = 0 AND c.doc_id NOT IN (SELECT id_new FROM dropped)
        |ORDER BY c.doc_id""".stripMargin

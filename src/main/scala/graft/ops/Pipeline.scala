@@ -326,15 +326,116 @@ object Pipeline {
        |       toks
        |FROM sel ORDER BY doc_id""".stripMargin
 
+  // ---- PIPE4: incremental ingest admission (the nightly batch) ----
+
+  /** PIPE4: the DAILY-INGEST composite beside pipe3's full build — a new
+    * batch arrives and is admitted against the EXISTING corpus without
+    * touching old×old:
+    *
+    *  1. split: d13's fixture convention (old = doc_id % 3 ≠ 0 of the
+    *     dup-injected corpus, new = % 3 = 0 — the planted shells
+    *     guarantee real cross-split near-dups);
+    *  2. incremental dedup (d13's stored-index shape: the new batch's
+    *     band keys probe the old corpus's capped band table; only cross
+    *     candidates verify);
+    *  3. quality gate (t5 ≥ 7450 on each survivor's own text);
+    *  4. per-language admission accounting: arrived, surviving dedup,
+    *     admitted past the gate, and the token budget the admitted docs
+    *     actually add.
+    *
+    * Exactness: every stage is integer/set arithmetic over the d13 and
+    * t5 machinery; the oracle replays the chain off the shared
+    * `d13Ctes`. Scale: the old band table is the append-only dedup
+    * index (built once per doc); the probe is |new batch| bands; the
+    * quality gate and rollup touch only the new batch. */
+  val pipe4: Q = (s, d) => {
+    val c = Dedup.corpus(s, d)
+    val oldDocs = c.filter(col("doc_id") % 3 =!= 0)
+    val newDocs = c.filter(col("doc_id") % 3 === 0)
+    val meta = Tables.documents(s, d)
+      .select(col("doc_id").as("orig"), col("lang"))
+    val arrived = newDocs.withColumn("orig", col("doc_id") % 1000000L)
+      .join(meta, Seq("orig")).drop("orig")
+      .withColumn("toks",
+        size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long"))
+    val kept = Dedup.incrementalKeepOf(oldDocs, newDocs).select("doc_id")
+    val q = TextAnalysis.qualityScoreOf(
+        arrived.select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars")))
+      .select(col("doc_id"), col("quality"))
+    val admitted = arrived.join(kept, Seq("doc_id")).join(q, Seq("doc_id"))
+      .withColumn("admit", col("quality") >= Pipe3QualityMin)
+    arrived.groupBy("lang").agg(count(lit(1)).as("n_arrived"))
+      .join(admitted.groupBy("lang").agg(
+          count(lit(1)).as("n_nondup"),
+          sum(when(col("admit"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("admit"), col("toks")).otherwise(0L)).as("toks_admitted")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_arrived"),
+        coalesce(col("n_nondup"), lit(0L)).as("n_nondup"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("toks_admitted"), lit(0L)).as("toks_admitted"))
+      .orderBy("lang")
+  }
+  val pipe4Sql: String =
+    s"""WITH ${Dedup.d13Ctes},
+       |arrived AS MATERIALIZED (
+       |  SELECT c.doc_id, c.text, d.lang,
+       |         CAST(len(list_filter(str_split(c.text, ' '), w -> len(w) > 0)) AS BIGINT) AS toks
+       |  FROM corpus c JOIN documents d ON d.doc_id = c.doc_id % 1000000
+       |  WHERE c.doc_id % 3 = 0),
+       |nondup AS (
+       |  SELECT doc_id FROM arrived
+       |  WHERE doc_id NOT IN (SELECT id_new FROM dropped)),
+       |aqb AS (
+       |  SELECT doc_id,
+       |         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |         CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS sum_tok_len,
+       |         CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM arrived),
+       |aqs AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop FROM (
+       |    SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM arrived)
+       |  WHERE word IN ${TextAnalysis.stopListSql} GROUP BY doc_id),
+       |aqual AS (
+       |  SELECT b.doc_id,
+       |         (CASE WHEN b.n_tokens >= 20 THEN 2500 ELSE b.n_tokens * 125 END)
+       |         + (b.n_alpha * 10000 // greatest(b.n_chars, 1)) // 4
+       |         + (coalesce(s.n_stop, 0) * 10000 // b.n_tokens) // 4
+       |         + (CASE WHEN b.sum_tok_len * 100 // b.n_tokens BETWEEN 300 AND 800
+       |                 THEN 2500 ELSE 0 END) AS quality
+       |  FROM aqb b LEFT JOIN aqs s ON s.doc_id = b.doc_id),
+       |adm AS (
+       |  SELECT a.lang, a.toks, q.quality >= $Pipe3QualityMin AS admit
+       |  FROM arrived a
+       |  JOIN nondup n ON n.doc_id = a.doc_id
+       |  JOIN aqual q ON q.doc_id = a.doc_id)
+       |SELECT a.lang,
+       |       CAST(count(*) AS BIGINT) AS n_arrived,
+       |       CAST(coalesce(m.n_nondup, 0) AS BIGINT) AS n_nondup,
+       |       CAST(coalesce(m.n_admitted, 0) AS BIGINT) AS n_admitted,
+       |       CAST(coalesce(m.toks_admitted, 0) AS BIGINT) AS toks_admitted
+       |FROM arrived a
+       |LEFT JOIN (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_nondup,
+       |         CAST(sum(CASE WHEN admit THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |         CAST(sum(CASE WHEN admit THEN toks ELSE 0 END) AS BIGINT) AS toks_admitted
+       |  FROM adm GROUP BY lang) m ON m.lang = a.lang
+       |GROUP BY a.lang, m.n_nondup, m.n_admitted, m.toks_admitted
+       |ORDER BY a.lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "pipe1_pretrain_report" -> pipe1,
     "pipe2_curation_report" -> pipe2,
     "pipe3_curated_corpus" -> pipe3,
+    "pipe4_incremental_admission" -> pipe4,
   )
 
   val oracle: Map[String, String] = Map(
     "pipe1_pretrain_report" -> pipe1Sql,
     "pipe2_curation_report" -> pipe2Sql,
     "pipe3_curated_corpus" -> pipe3Sql,
+    "pipe4_incremental_admission" -> pipe4Sql,
   )
 }

@@ -87,4 +87,18 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(rows.forall(r => kept.contains(r._1)))
   }
+
+  test("pipe4 admission funnel only shrinks, and the dedup stage ties out " +
+      "against standalone d13") {
+    val rows = Pipeline.pipe4(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, arrived, nondup, admitted, toks) =>
+      assert(arrived >= nondup && nondup >= admitted && admitted >= 0)
+      assert((admitted == 0) == (toks == 0))
+    }
+    // Σ n_nondup across languages == d13's surviving-new-doc count
+    val d13n = Dedup.queries("d13_incremental_dedup")(spark, sfDir).count()
+    assert(rows.map(_._3).sum === d13n)
+  }
 }
