@@ -36,15 +36,21 @@ object Dedup {
 
   // ---- corpus with injected duplicates ----
 
-  private[graft] def corpus(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+  /** The fixture's duplicate injection over ANY (doc_id, text) base
+    * frame — factored so the streaming twins can derive each
+    * micro-batch's corpus members locally (a base row and its shells
+    * always land in the same batch, so batch-wise injection ≡ corpus
+    * filtering — the st32 additivity argument). */
+  private[graft] def injectShells(base: DataFrame): DataFrame =
     base
       .unionAll(base.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
       .unionAll(base.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 2000000).as("doc_id"),
           expr("substring(text, instr(text, ' ') + 1)").as("text")))
-  }
+
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame =
+    injectShells(Tables.documents(s, d).select(col("doc_id"), col("text")))
 
   private[ops] val corpusCte: String =
     """corpus AS (

@@ -348,17 +348,16 @@ object Pipeline {
     * `d13Ctes`. Scale: the old band table is the append-only dedup
     * index (built once per doc); the probe is |new batch| bands; the
     * quality gate and rollup touch only the new batch. */
-  val pipe4: Q = (s, d) => {
-    val c = Dedup.corpus(s, d)
-    val oldDocs = c.filter(col("doc_id") % 3 =!= 0)
-    val newDocs = c.filter(col("doc_id") % 3 === 0)
-    val meta = Tables.documents(s, d)
-      .select(col("doc_id").as("orig"), col("lang"))
-    val arrived = newDocs.withColumn("orig", col("doc_id") % 1000000L)
-      .join(meta, Seq("orig")).drop("orig")
-      .withColumn("toks",
-        size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long"))
-    val kept = Dedup.incrementalKeepOf(oldDocs, newDocs).select("doc_id")
+  /** The pipe4 per-lang admission rollup for ONE arriving slice against
+    * a static old corpus — `arrived` is (doc_id, text, lang, toks). Each
+    * doc's verdict depends only on (its own text, the OLD corpus), so
+    * these stats are an ADDITIVE monoid across arriving slices — what
+    * lets the streaming twin (st32) maintain them by summed per-batch
+    * deltas and finish bit-identical to the batch composite. */
+  private[graft] def admissionDeltaOf(oldDocs: DataFrame,
+      arrived: DataFrame): DataFrame = {
+    val kept = Dedup.incrementalKeepOf(oldDocs,
+      arrived.select(col("doc_id"), col("text"))).select("doc_id")
     val q = TextAnalysis.qualityScoreOf(
         arrived.select(col("doc_id"), col("text"),
           length(col("text")).cast("long").as("n_chars")))
@@ -375,7 +374,23 @@ object Pipeline {
         coalesce(col("n_nondup"), lit(0L)).as("n_nondup"),
         coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
         coalesce(col("toks_admitted"), lit(0L)).as("toks_admitted"))
-      .orderBy("lang")
+  }
+
+  /** pipe4's arriving slice for a (doc_id, text) new-doc frame: lang
+    * recovered from the original row, nonempty-token count attached. */
+  private[graft] def arrivedOf(newDocs: DataFrame, meta: DataFrame): DataFrame =
+    newDocs.withColumn("orig", col("doc_id") % 1000000L)
+      .join(meta, Seq("orig")).drop("orig")
+      .withColumn("toks",
+        size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long"))
+
+  val pipe4: Q = (s, d) => {
+    val c = Dedup.corpus(s, d)
+    val oldDocs = c.filter(col("doc_id") % 3 =!= 0)
+    val newDocs = c.filter(col("doc_id") % 3 === 0)
+    val meta = Tables.documents(s, d)
+      .select(col("doc_id").as("orig"), col("lang"))
+    admissionDeltaOf(oldDocs, arrivedOf(newDocs, meta)).orderBy("lang")
   }
   val pipe4Sql: String =
     s"""WITH ${Dedup.d13Ctes},

@@ -1656,6 +1656,69 @@ object Streams {
     graft.ops.TextAnalysis.curveFromTf(s.read.parquet(latest._2))
   }
 
+  /** ST32: streaming ingest-admission monitor — the live face of pipe4
+    * for a document feed ("of what arrived this hour, how much was
+    * duplicate, how much passed the gate, how many tokens did we
+    * actually add?"). Each micro-batch's docs (plus their fixture dup
+    * shells, derived batch-locally — a base row and its shells always
+    * share a batch) are probed against the STATIC old-corpus band index
+    * and quality-gated; per-doc verdicts depend only on (doc, old
+    * corpus), so the per-lang admission stats are an additive monoid
+    * merged by SUM into generation-dir state (langs × 4 longs), and the
+    * stream finishes bit-identical to the batch composite under the
+    * shared `pipe4Sql` oracle. At 100 TB the old band table is the
+    * stored append-only dedup index; here it is rebuilt per batch from
+    * the static parquet (the fixture-scale stand-in for an index
+    * lookup). */
+  val st32: Q = (s, d) => {
+    val srcDir = stagedTableSplit(s, d, "st32", table = "documents", key = "doc_id")
+    val physical = s.read.parquet(s"$d/documents.parquet").schema
+    val src = s.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val statRoot = Files.createTempDirectory("graft_st32_stats").toString
+    def gens(): Seq[(Long, String)] = {
+      val fs = Option(new java.io.File(statRoot).listFiles()).getOrElse(Array.empty)
+      fs.filter(_.getName.startsWith("gen_")).toSeq
+        .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_st32").toString
+    val writer = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        graft.ops.Pinned.scoped(sess) {
+          val oldDocs = graft.ops.Dedup.corpus(sess, d)
+            .filter(col("doc_id") % 3 =!= 0)
+          val meta = graft.Tables.documents(sess, d)
+            .select(col("doc_id").as("orig"), col("lang"))
+          val newBatch = graft.ops.Dedup.injectShells(
+              batch.toDF().select(col("doc_id"), col("text")))
+            .filter(col("doc_id") % 3 === 0)
+          val delta = graft.ops.Pipeline.admissionDeltaOf(oldDocs,
+            graft.ops.Pipeline.arrivedOf(newBatch, meta))
+          val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
+          val merged = prior match {
+            case None => delta
+            case Some((_, path)) =>
+              sess.read.parquet(path).unionAll(delta).groupBy("lang")
+                .agg(sum("n_arrived").as("n_arrived"),
+                  sum("n_nondup").as("n_nondup"),
+                  sum("n_admitted").as("n_admitted"),
+                  sum("toks_admitted").as("toks_admitted"))
+          }
+          merged.write.mode("overwrite").parquet(s"$statRoot/gen_$batchId")
+        }
+        (): Unit
+      }
+    runBounded(s, writer)
+    val latest = gens().maxBy(_._1)
+    require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
+    s.read.parquet(latest._2)
+      .select(col("lang"), col("n_arrived"), col("n_nondup"),
+        col("n_admitted"), col("toks_admitted"))
+      .orderBy("lang")
+  }
+
   /** ST29: streaming OHLC bars — result contract of Events.e15. The
     * batch op's struct-min/max formulation is what makes this a legal
     * (and cheap) streaming aggregate: open/close/high/low/count/sum are
@@ -1720,6 +1783,7 @@ object Streams {
     "st29_stream_ohlc" -> st29,
     "st30_stream_bursts" -> st30,
     "st31_stream_vocab_curve" -> st31,
+    "st32_stream_admission" -> st32,
     "st27_stream_ess" -> st27,
     "st26_stream_simpson" -> st26,
     "st25_stream_isotropy" -> st25,
@@ -1759,6 +1823,7 @@ object Streams {
     "st29_stream_ohlc" -> graft.ops.Events.e15Sql,
     "st30_stream_bursts" -> graft.ops.Events.e16Sql,
     "st31_stream_vocab_curve" -> graft.ops.TextAnalysis.voc6Sql,
+    "st32_stream_admission" -> graft.ops.Pipeline.pipe4Sql,
     "st27_stream_ess" -> graft.ops.ScaleOps.samp7Sql,
     "st18_stream_benford" -> graft.ops.Evaluation.dq5Sql,
     "st19_stream_markov" -> graft.ops.Curation.markov1Sql,

@@ -432,6 +432,17 @@ class StreamsSpec extends SparkSpec {
     assert(live === batch)
   }
 
+  test("st32 streaming admission monitor equals the batch pipe4 report bit-for-bit") {
+    // per-doc verdicts depend only on (doc, static old corpus), so the
+    // per-lang admission stats are an additive monoid; summed per-batch
+    // deltas must land on exactly the batch composite's rollup
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val live = canon(Streams.st32(spark, sfDir).collect())
+    val batch = canon(graft.ops.Pipeline.pipe4(spark, sfDir).collect())
+    assert(live === batch)
+  }
+
   test("st30 streaming burst flags equal the batch e16 set bit-for-bit") {
     // the (hour x type) count table is an additive monoid; the shared
     // burstsFromCounts cut must flag the identical window set
