@@ -95,12 +95,17 @@ object GraftApi {
 
   /** Soft dedup: keep every document, down-weight duplicates — each doc
     * gets sampling weight 1e6 div cluster_size (singletons 1e6), with
-    * the integer remainder assigned to the cluster's canonical (min-id)
-    * member so every cluster's weights sum to EXACTLY 1e6 — one
+    * the integer remainder assigned to the cluster's canonical member —
+    * the min doc_id PRESENT in `docs` — so when `docs` covers every
+    * cluster member each cluster's weights sum to EXACTLY 1e6: one
     * document-equivalent of expected training mass per duplicated
-    * content unit, no truncation drift. `clusters` is [[dedupClusters]]
-    * output (or any (doc_id, cluster_id, n_members) frame). Emits
-    * (doc_id, cluster_size, weight_e6). */
+    * content unit, no truncation drift. If `docs` excludes members, the
+    * remainder still lands on the min present member (never silently
+    * lost) but present mass is < 1e6 — the absent shares are gone by
+    * design. `clusters` is [[dedupClusters]] output and MUST carry
+    * (doc_id, cluster_id, n_members) — since round 14 the cluster_id
+    * column is required (older (doc_id, n_members)-only frames fail at
+    * analysis). Emits (doc_id, cluster_size, weight_e6). */
   def softDedupWeights(docs: DataFrame, clusters: DataFrame): DataFrame =
     Dedup.softDedupWeightsOf(docs, clusters)
 

@@ -860,12 +860,13 @@ object Curation {
     * ([[graft.api.GraftApi.bestOfNCurve]]).
     *
     * Exactness: rewards are exact cents; the running max over a
-    * deterministic order is engine-independent; the average is FLOOR
-    * division (round-14 advice: a plain Spark `div` truncates toward
-    * zero while the DuckDB oracle's `//` floors, so the library entry
-    * point diverged on negative reward sums — plausible for RLHF
-    * rewards; the explicit floor-correction below makes both engines
-    * agree on the full signed domain).
+    * deterministic order is engine-independent; the average is integer
+    * division TRUNCATING TOWARD ZERO — Spark's `div` and DuckDB's `//`
+    * both truncate on integers ((-7) div 2 = (-7)//2 = -3, verified on
+    * DuckDB 1.0.0), so the two engines agree on the full signed domain
+    * with no correction. (Round 14 briefly shipped a floor-correction
+    * CASE on the premise that DuckDB floors; that premise was wrong and
+    * the CASE itself caused the only divergence — reverted.)
     *
     * Scale: ONE window partitioned by prompt — per-prompt state, never a
     * global sort; the post-filter keeps ≤ |ns| rows per prompt, so the
@@ -882,12 +883,8 @@ object Curation {
       .filter(col("rn").isin(ns.map(Integer.valueOf): _*))
       .groupBy(col("rn").cast("long").as("n"))
       .agg(count(lit(1)).as("n_prompts"), sum("best_c").as("sum_best_c"))
-      // floor division (n_prompts > 0 always): trunc and floor differ
-      // only for inexact negative quotients, where trunc sits one high
-      .withColumn("avg_best_c", expr(
-        "CASE WHEN sum_best_c < 0 AND sum_best_c % n_prompts != 0 " +
-          "THEN sum_best_c div n_prompts - 1 " +
-          "ELSE sum_best_c div n_prompts END"))
+      // trunc-toward-zero on both engines (Spark div == DuckDB //)
+      .withColumn("avg_best_c", expr("sum_best_c div n_prompts"))
       .orderBy("n")
   }
 

@@ -1980,30 +1980,42 @@ object Dedup {
     * (the soft-deduplication alternative: down-weight, don't delete —
     * preserves rare in-cluster variation that hard dedup discards).
     * Output: (doc_id, cluster_size, weight_e6) for EVERY corpus doc;
-    * singletons get weight 1e6. Each cluster's canonical (min-id) member
-    * carries the integer-division remainder (1e6 % size) on top of the
-    * shared 1e6 div size, so every cluster's weights sum to EXACTLY 1e6
-    * and Σ weight_e6 / 1e6 equals the deduplicated effective corpus
-    * size — the same count d10 materializes by deletion (round-14
-    * advice: the un-remaindered weights undershot by up to (size−1)
-    * millionths per cluster). The library entry point
+    * singletons get weight 1e6. Each cluster's canonical member carries
+    * the integer-division remainder (1e6 % size) on top of the shared
+    * 1e6 div size, so every cluster's weights sum to EXACTLY 1e6 and
+    * Σ weight_e6 / 1e6 equals the deduplicated effective corpus size —
+    * the same count d10 materializes by deletion. Canonical = the min
+    * doc_id PRESENT IN `docs` within the cluster (round-15 advice: keying
+    * the remainder on doc_id == cluster_id silently dropped it whenever a
+    * caller's docs frame excluded the cluster-id member; the
+    * min-present-member rule never loses it). If docs excludes members,
+    * cluster_size still reports the FULL cluster size, so present mass is
+    * (#present)·(1e6 div size) + remainder < 1e6 — by design: the absent
+    * members' shares are genuinely gone. `clusters` must carry
+    * (doc_id, cluster_id, n_members). The library entry point
     * ([[graft.api.GraftApi.softDedupWeights]]).
     *
     * Scale: the cluster frame (dedupClustersOf over d3's banded pairs)
     * covers only documents that HAVE a duplicate — a vanishing fraction
     * of a 100 TB corpus — so the LEFT join back to the corpus broadcasts
-    * (or shuffles on doc_id, the corpus's natural key); weights are pure
-    * integer division, hash-exact cross-engine. */
-  private[graft] def softDedupWeightsOf(docs: DataFrame, clusters: DataFrame): DataFrame =
-    docs.select(col("doc_id"))
+    * (or shuffles on doc_id, the corpus's natural key); the canonical
+    * window runs ONLY over that clustered subset (singletons bypass it
+    * map-side); weights are pure integer division, hash-exact
+    * cross-engine. */
+  private[graft] def softDedupWeightsOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val joined = docs.select(col("doc_id"))
       .join(clusters.select(col("doc_id"), col("cluster_id"), col("n_members")),
         Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_members"), lit(1L)).as("cluster_size"),
-        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("is_canon"))
-      .withColumn("weight_e6", expr("1000000 div cluster_size + " +
-        "CASE WHEN is_canon THEN 1000000 % cluster_size ELSE 0L END"))
-      .drop("is_canon")
+    val singles = joined.filter(col("cluster_id").isNull)
+      .select(col("doc_id"), lit(1L).as("cluster_size"), lit(1000000L).as("weight_e6"))
+    val wmin = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    val clustered = joined.filter(col("cluster_id").isNotNull)
+      .withColumn("is_canon", col("doc_id") === min(col("doc_id")).over(wmin))
+      .withColumn("weight_e6", expr("1000000 div n_members + " +
+        "CASE WHEN is_canon THEN 1000000 % n_members ELSE 0L END"))
+      .select(col("doc_id"), col("n_members").as("cluster_size"), col("weight_e6"))
+    singles.unionByName(clustered)
+  }
 
   val d25: Q = (s, d) =>
     softDedupWeightsOf(corpus(s, d),
@@ -2024,13 +2036,20 @@ object Dedup {
        |  SELECT cc.id AS doc_id, cc.cluster_id, CAST(sz.n AS BIGINT) AS n_members
        |  FROM cc JOIN (SELECT cluster_id, count(*) AS n
        |                FROM cc GROUP BY cluster_id) sz USING (cluster_id)),
-       |$corpusCte
+       |$corpusCte,
+       |wp AS (
+       |  SELECT w.doc_id, w.cluster_id, w.n_members
+       |  FROM w JOIN corpus c ON c.doc_id = w.doc_id),
+       |canon AS (
+       |  SELECT cluster_id, min(doc_id) AS canon_id FROM wp GROUP BY cluster_id)
        |SELECT c.doc_id,
-       |       CAST(coalesce(w.n_members, 1) AS BIGINT) AS cluster_size,
-       |       CAST(1000000 // coalesce(w.n_members, 1)
-       |            + CASE WHEN coalesce(w.cluster_id, c.doc_id) = c.doc_id
-       |                   THEN 1000000 % coalesce(w.n_members, 1) ELSE 0 END AS BIGINT) AS weight_e6
-       |FROM corpus c LEFT JOIN w ON w.doc_id = c.doc_id
+       |       CAST(coalesce(wp.n_members, 1) AS BIGINT) AS cluster_size,
+       |       CAST(1000000 // coalesce(wp.n_members, 1)
+       |            + CASE WHEN wp.doc_id IS NULL OR wp.doc_id = canon.canon_id
+       |                   THEN 1000000 % coalesce(wp.n_members, 1) ELSE 0 END AS BIGINT) AS weight_e6
+       |FROM corpus c
+       |LEFT JOIN wp ON wp.doc_id = c.doc_id
+       |LEFT JOIN canon ON canon.cluster_id = wp.cluster_id
        |ORDER BY c.doc_id""".stripMargin
 
   // ---- D26: leakage-safe train/eval split ----

@@ -26,4 +26,21 @@ class MlPipelinesSpec extends SparkSpec {
     assert(out.length === 1)
     assert(!out.head.isNullAt(4), "accuracy must be computed")
   }
+
+  test("f123 (retired from registry) deterministic projection equals the " +
+      "hash-green f1c entry row-for-row; idf mass stays finite") {
+    // round-15 verdict #3: f1_hashing_tf_idf duplicated f1c's 312 rows
+    // plus one engine-defined double. The registry entry is gone; this
+    // pins the library function to the oracled twin instead.
+    val full = MlPipelines.f123(spark, sfDir).collect()
+    val det = full.map(r =>
+      (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    val golden = MlPipelines.f1c(spark, sfDir).collect().map(r =>
+      (r.getLong(0).toInt, r.getLong(1), r.getLong(2).toInt, r.getLong(3))).toSeq
+    assert(det === golden, "f123 minus idf mass must be exactly f1c")
+    full.foreach { r =>
+      val m = r.getDouble(4)
+      assert(!m.isNaN && !m.isInfinite && m >= 0.0, "idf mass finite and >= 0")
+    }
+  }
 }

@@ -124,6 +124,23 @@ class CurationSpec extends SparkSpec {
     assert(got(2)._3 === 300L, "best of all three samples")
   }
 
+  test("pref3 signed rewards: avg_best_c truncates toward zero like DuckDB //") {
+    val sp = spark
+    import sp.implicits._
+    // Two prompts whose best-of-1 rewards sum to -7 over 2 prompts: an
+    // inexact NEGATIVE quotient, the exact case where trunc (-3) and
+    // floor (-4) disagree. DuckDB 1.0.0's integer // truncates toward
+    // zero, so Spark `div` must be used bare (round-14 regression).
+    val samples = Seq((1L, 10L, -3L), (2L, 20L, -4L))
+      .toDF("prompt_id", "sample_id", "reward_c")
+    val got = Curation.bestOfNCurveOf(samples, Seq(1)).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(1) === 2L && r.getLong(2) === -7L)
+    assert(r.getLong(3) === -3L,
+      "trunc-toward-zero: (-7) div 2 = -3, matching DuckDB (-7)//2")
+  }
+
   test("pref3 fixture: avg best-of-8 dominates avg best-of-1 and counts nest") {
     val rows = Curation.pref3(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)

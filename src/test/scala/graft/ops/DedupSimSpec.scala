@@ -572,6 +572,36 @@ class DedupSimSpec extends SparkSpec {
     c.foreach { case (na, sc) => assert(na === 1L && sc === -5231827L) }
   }
 
+  test("d24 record linkage: a nonzero minScoreE6 away from attainable sums " +
+      "cuts deterministically (the documented custom-threshold contract)") {
+    val s2 = spark
+    import s2.implicits._
+    val recs = Seq(
+      (1L, "b1", "123", "5", "a"), (2L, "b1", "123", "5", "a"),
+      (3L, "b1", "999", "7", "z"), (4L, "b2", "123", "6", "a"),
+      (5L, "b2", "555", "8", "q"))
+      .toDF("id", "block", "f1", "f2", "f3")
+    val all = graft.api.GraftApi.recordLinkage(recs, cap = 40,
+        minScoreE6 = Long.MinValue).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    val scores = all.values.toSeq.sorted
+    val top = scores.last
+    val second = scores(scores.length - 2)
+    assert(top - second > 2L, "fixture must leave a real gap to threshold into")
+    // the scaladoc contract: a threshold in the middle of a score gap is
+    // "away from attainable sums" — the ±1e-6 display-rounding boundary
+    // cannot flip membership there, so the cut is deterministic
+    val mid = second + (top - second) / 2
+    val kept = graft.api.GraftApi.recordLinkage(recs, cap = 40, minScoreE6 = mid)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept === Set((1L, 2L)), "only the planted pair clears the mid-gap cut")
+    // a threshold strictly below every attainable sum keeps everything
+    val floorAll = graft.api.GraftApi.recordLinkage(recs, cap = 40,
+      minScoreE6 = scores.head - 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(floorAll === all.keySet)
+  }
+
   test("d20 containment finds an embedded quote that symmetric Jaccard down-scores") {
     val s2 = spark
     import s2.implicits._
@@ -662,6 +692,24 @@ class DedupSimSpec extends SparkSpec {
     rows.foreach { case (_, sz, we6) =>
       assert(we6 === 1000000L / sz || we6 === 1000000L / sz + 1000000L % sz)
     }
+  }
+
+  test("d25 soft weights: docs excluding the cluster-id member still place " +
+      "the remainder (min present member), never silently lose it") {
+    val sp = spark
+    import sp.implicits._
+    // cluster {1,2,3} canonical 1, but the caller's docs frame excludes
+    // doc 1 (round-15 advice: keying on doc_id == cluster_id dropped the
+    // remainder here) — it must land on doc 2, the min PRESENT member
+    val docs = Seq(2L, 3L, 4L).toDF("doc_id")
+    val clusters = Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L))
+      .toDF("doc_id", "cluster_id", "n_members")
+    val byId = Dedup.softDedupWeightsOf(docs, clusters).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(byId.keySet === Set(2L, 3L, 4L))
+    assert(byId(2L) === ((3L, 333334L)), "remainder goes to min present member")
+    assert(byId(3L) === ((3L, 333333L)))
+    assert(byId(4L) === ((1L, 1000000L)))
   }
 
   test("emb9 norm audit: a planted exploding vector flags, uniform labels stay clean") {
