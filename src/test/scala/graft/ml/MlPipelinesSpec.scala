@@ -27,6 +27,26 @@ class MlPipelinesSpec extends SparkSpec {
     assert(!out.head.isNullAt(4), "accuracy must be computed")
   }
 
+  test("m1b/m3b golden pipelines are run-to-run deterministic (pinned layout) " +
+      "with binary predictions on every test row") {
+    // the property the frozen sf0.01 VALUES oracles rest on: repartition
+    // by doc_id + randomSplit's within-partition sort + coalesce(1) fit
+    // make the per-row prediction set a pure function of the input
+    for (name <- Seq("m1b_ml_nb_predictions", "m3b_ml_svc_predictions")) {
+      val q = MlPipelines.queries(name)
+      val a = q(spark, sfDir).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val b = q(spark, sfDir).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(a === b, s"$name must be bit-stable across runs")
+      assert(a.nonEmpty)
+      a.foreach { case (_, l, p) =>
+        assert((l == 0L || l == 1L) && (p == 0L || p == 1L))
+      }
+      assert(a.map(_._1) === a.map(_._1).sorted, "ordered by doc_id")
+    }
+  }
+
   test("f123 (retired from registry) deterministic projection equals the " +
       "hash-green f1c entry row-for-row; idf mass stays finite") {
     // round-15 verdict #3: f1_hashing_tf_idf duplicated f1c's 312 rows
