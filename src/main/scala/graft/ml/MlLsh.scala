@@ -46,9 +46,14 @@ object MlLsh {
 
   /** Token-set vectors for MinHashLSH (CountVectorizer binary=true).
     * `private[graft]` so MlLshSpec can band them independently. */
-  private[graft] def tokenVectors(s: SparkSession, d: String): DataFrame = {
+  private[graft] def tokenVectors(s: SparkSession, d: String): DataFrame =
+    tokenVectorsOf(Tables.documents(s, d))
+
+  /** Frame-based twin of [[tokenVectors]] over any (doc_id, text) frame —
+    * the hook the d3 cross-check spec feeds planted fixtures through. */
+  private[graft] def tokenVectorsOf(in: DataFrame): DataFrame = {
     val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
-    val docs = tok.transform(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    val docs = tok.transform(in.select(col("doc_id"), col("text")))
     val cv = new CountVectorizer().setInputCol("words").setOutputCol("features")
       .setBinary(true).fit(docs)
     cv.transform(docs).select(col("doc_id"), col("features"))
@@ -109,12 +114,18 @@ object MlLsh {
     * GC-frees checkpoint blocks in-process (the round-13 probe; the
     * round-8 "ContextCleaner frees it" claim was wrong), so a long-lived
     * session frees it with [[graft.api.GraftApi.releasePinned]]. */
-  private[ml] def lsh1Pairs(s: SparkSession, d: String): DataFrame = {
+  private[ml] def lsh1Pairs(s: SparkSession, d: String): DataFrame =
+    lsh1PairsOf(tokenVectors(s, d))
+
+  /** Frame-based core of [[lsh1Pairs]] over a (doc_id, features) token-set
+    * vector frame — lets the cross-check spec run the MLlib path and the
+    * in-house d3 path over the SAME planted fixture. */
+  private[graft] def lsh1PairsOf(vecsIn: DataFrame): DataFrame = {
     import org.apache.spark.ml.linalg.{Vector => MlVector}
     // persist: the vectors feed the fit, the band projection, AND the
     // two feature lookups of the pair join — uncached, the
     // tokenize+vectorize pipeline reruns per consumer
-    val vecs = tokenVectors(s, d)
+    val vecs = vecsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = lsh1BandsOf(vecs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -155,6 +155,61 @@ class MlLshSpec extends SparkSpec {
     }
   }
 
+  test("lsh1 (stock MinHashLSH) and nearDupPairs (in-house d3 machinery) agree " +
+      "pair-for-pair on a planted fixture — two engines as each other's oracle") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    // planted groups of IDENTICAL 6-word docs with pairwise-disjoint
+    // vocabularies: token-set Jaccard and 3-shingle Jaccard are BOTH
+    // exactly 1 inside a group and 0 across, so the MLlib-MinHash path
+    // (lsh1, dist <= 0.2) and the in-house md5-LSH path (d3 machinery,
+    // jac >= 8000 bp) must return the SAME pair set — the round-15
+    // verdict's path-independent cross-check. Group sizes stay far under
+    // both bucket caps (50), so no pair is cap-exempt.
+    val g1 = "alpha bravo charlie delta echo foxtrot"
+    val g2 = "golf hotel india juliet kilo lima"
+    val g3 = "mike november oscar papa quebec romeo"
+    val docs = Seq(
+      (1L, g1), (2L, g1), (3L, g1),
+      (10L, g2), (11L, g2), (12L, g2),
+      (20L, g3), (21L, g3),
+      (30L, "sierra tango uniform victor whiskey xray"),
+      (31L, "yankee zulu signal beacon relay prism"),
+      (32L, "quartz marble granite basalt slate shale")).toDF("doc_id", "text")
+    val expected = Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+    val mllib = MlLsh.lsh1PairsOf(MlLsh.tokenVectorsOf(docs))
+      .filter(col("jaccard_dist") <= 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inhouse = graft.ops.Dedup.nearDupPairsOf(docs, 8000)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mllib === expected, "MLlib MinHash path must find exactly the planted pairs")
+    assert(inhouse === expected, "in-house d3 path must find exactly the planted pairs")
+    assert(mllib === inhouse)
+  }
+
+  test("lsh2 BRP kNN recall vs the in-house sim1 exact top-k path (cross-check)") {
+    import org.apache.spark.sql.functions._
+    // same keys lsh2 uses, ground truth through graft.ops.Similarity's
+    // cosineTopKOf — the sim1 registry machinery, which shares NOTHING
+    // with MLlib's BRP hashing (int-quantized dots + graft_dot codegen)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val keys = emb.filter(col("vec_id") % 100 === 0).orderBy("vec_id").limit(3)
+    val exact = graft.ops.Similarity.cosineTopKOf(emb, keys, 5).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val approx = MlLsh.lsh2(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(approx.keySet === exact.keySet, "both paths must serve the same query keys")
+    val recalls = exact.map { case (q, ids) =>
+      (approx(q) intersect ids).size.toDouble / ids.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5,
+      s"mean BRP recall vs the sim1 exact path must stay >= 0.5, got $avg")
+  }
+
   test("lsh2 seeded runs are deterministic within a session") {
     val a = MlLsh.lsh2(spark, sfDir).collect().toSeq
     val b = MlLsh.lsh2(spark, sfDir).collect().toSeq
