@@ -1673,7 +1673,9 @@ object Streams {
     * per-batch DEDUP work proportional to the batch, not the corpus
     * (17.8 s rebuild-per-batch → 13.4 s indexed at sf0.1; the remaining
     * floor is the per-batch quality/minhash explodes of the batch's own
-    * text plus micro-batch machinery, both batch-proportional). */
+    * text plus micro-batch machinery, both batch-proportional). Doc
+    * metadata (lang) is read from the batch's own rows, never the stored
+    * corpus, so NOTHING in the loop scales with corpus size. */
   val st32: Q = (s, d) => {
     val srcDir = stagedTableSplit(s, d, "st32", table = "documents", key = "doc_id")
     val physical = s.read.parquet(s"$d/documents.parquet").schema
@@ -1694,8 +1696,12 @@ object Streams {
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
           val sess = batch.sparkSession
           graft.ops.Pinned.scoped(sess) {
-            val meta = graft.Tables.documents(sess, d)
-              .select(col("doc_id").as("orig"), col("lang"))
+            // metadata comes from the BATCH itself (the staged files carry
+            // the full documents schema, and a shell's original base row is
+            // always in the same batch) — no full-corpus read per batch, so
+            // per-batch work is strictly batch-proportional (round-15
+            // verdict #5; a real feed likewise carries its own metadata)
+            val meta = batch.toDF().select(col("doc_id").as("orig"), col("lang"))
             val newBatch = graft.ops.Dedup.injectShells(
                 batch.toDF().select(col("doc_id"), col("text")))
               .filter(col("doc_id") % 3 === 0)
