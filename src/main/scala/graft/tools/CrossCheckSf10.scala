@@ -46,31 +46,39 @@ object CrossCheckSf10 {
     spark.sparkContext.setLogLevel("ERROR")
 
     // ---- 1. d8 == d18 row equality (full outer join on the unique key) ----
+    // d18's cluster pipeline is the expensive leg at sf10, and it feeds
+    // BOTH the equality join and the d23 re-derivation below — persist ONE
+    // frame and reuse it (round-15 advice: the tool used to run the
+    // large-star pipeline twice and pay two extra count() jobs). Row
+    // counts come from the same join aggregate (doc_id is unique per
+    // side, cluster_id never null, so non-null side = presence).
     val d8 = graft.ops.Dedup.queries("d8_dedup_clusters")(spark, dir)
       .select(col("doc_id"), col("cluster_id").as("c8"), col("n_members").as("n8"))
     val d18 = graft.ops.Dedup.queries("d18_cc_largestar")(spark, dir)
       .select(col("doc_id"), col("cluster_id").as("c18"), col("n_members").as("n18"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val joined = d8.join(d18, Seq("doc_id"), "full_outer")
-      .agg(count(lit(1)).as("n"),
+      .agg(
+        sum(when(col("c8").isNotNull, 1L).otherwise(0L)).as("rows_d8"),
+        sum(when(col("c18").isNotNull, 1L).otherwise(0L)).as("rows_d18"),
         sum(when(col("c8") === col("c18") && col("n8") === col("n18"), 0L)
           .otherwise(1L)).as("mismatched"))
       .collect()(0)
-    val rowsD8 = d8.count()
-    val rowsD18 = d18.count()
-    val ccMismatch = joined.getLong(1)
+    val rowsD8 = joined.getLong(0)
+    val rowsD18 = joined.getLong(1)
+    val ccMismatch = joined.getLong(2)
     val ccPass = ccMismatch == 0 && rowsD8 == rowsD18 && rowsD8 > 0
     println(s"[crosscheck] d8=$rowsD8 d18=$rowsD18 mismatched=$ccMismatch pass=$ccPass")
-    graft.ops.Pinned.releaseAll(spark)
 
     // ---- 1b. d23 health stats re-derived over d18's cluster frame ----
     val d23 = graft.ops.Dedup.queries("d23_dedup_health")(spark, dir)
       .collect().map(_.toSeq).toSet
     val d23ViaD18 = graft.ops.Dedup.dedupHealthOf(
-        graft.ops.Dedup.queries("d18_cc_largestar")(spark, dir)
-          .select("doc_id", "cluster_id"))
+        d18.select(col("doc_id"), col("c18").as("cluster_id")))
       .collect().map(_.toSeq).toSet
     val d23Pass = d23.nonEmpty && d23 == d23ViaD18
     println(s"[crosscheck] d23 rows=${d23.size} viaD18=${d23ViaD18.size} pass=$d23Pass")
+    d18.unpersist()
     graft.ops.Pinned.releaseAll(spark)
 
     // ---- 2. sim1 exact driver recompute on a sampled query subset ----
