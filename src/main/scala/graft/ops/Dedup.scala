@@ -827,8 +827,8 @@ object Dedup {
   }
   val d8Sql: String = {
     val d3NoTrailing = d3Sql
-    s"""WITH RECURSIVE p AS ($d3NoTrailing),
-       |edges AS (
+    s"""WITH RECURSIVE p AS MATERIALIZED ($d3NoTrailing),
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS a, id_b AS b FROM p
        |  UNION ALL
        |  SELECT id_b, id_a FROM p),
@@ -1018,8 +1018,8 @@ object Dedup {
   val d10: Q = (s, d) =>
     dedupedCorpusOf(corpus(s, d)).select("doc_id").orderBy("doc_id")
   val d10Sql: String =
-    s"""WITH RECURSIVE p AS ($d3Sql),
-       |edges AS (
+    s"""WITH RECURSIVE p AS MATERIALIZED ($d3Sql),
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS a, id_b AS b FROM p
        |  UNION ALL
        |  SELECT id_b, id_a FROM p),
@@ -1073,8 +1073,8 @@ object Dedup {
     bestKeeperOf(members)
   }
   val d22Sql: String =
-    s"""WITH RECURSIVE p AS ($d3Sql),
-       |edges AS (
+    s"""WITH RECURSIVE p AS MATERIALIZED ($d3Sql),
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS a, id_b AS b FROM p
        |  UNION ALL
        |  SELECT id_b, id_a FROM p),
@@ -1132,8 +1132,8 @@ object Dedup {
   val d23: Q = (s, d) =>
     dedupHealthOf(dedupClustersOf(d3Verified(s, d).select(col("id_a"), col("id_b"))))
   val d23Sql: String =
-    s"""WITH RECURSIVE p AS ($d3Sql),
-       |edges AS (
+    s"""WITH RECURSIVE p AS MATERIALIZED ($d3Sql),
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS a, id_b AS b FROM p
        |  UNION ALL
        |  SELECT id_b, id_a FROM p),
@@ -1469,13 +1469,13 @@ object Dedup {
     out
   }
   val d12Sql: String =
-    s"""WITH RECURSIVE p AS ($d7Sql),
+    s"""WITH RECURSIVE p AS MATERIALIZED ($d7Sql),
        |${qvecSql("vec_id % 5 = 0").replace("qvec AS (", "qbase AS (")},
        |pop AS (
        |  SELECT vec_id FROM qbase
        |  UNION ALL
        |  SELECT vec_id + 100000 FROM qbase WHERE vec_id % 10 = 0),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS a, id_b AS b FROM p
        |  UNION ALL
        |  SELECT id_b, id_a FROM p),
@@ -2022,8 +2022,8 @@ object Dedup {
       dedupClustersOf(d3Verified(s, d).select(col("id_a"), col("id_b"))))
       .orderBy("doc_id")
   val d25Sql: String =
-    s"""WITH RECURSIVE p AS ($d3Sql),
-       |edges AS (
+    s"""WITH RECURSIVE p AS MATERIALIZED ($d3Sql),
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS a, id_b AS b FROM p
        |  UNION ALL
        |  SELECT id_b, id_a FROM p),
@@ -2083,8 +2083,8 @@ object Dedup {
       dedupClustersOf(d3Verified(s, d).select(col("id_a"), col("id_b"))))
       .orderBy("doc_id")
   val d26Sql: String =
-    s"""WITH RECURSIVE p AS ($d3Sql),
-       |edges AS (
+    s"""WITH RECURSIVE p AS MATERIALIZED ($d3Sql),
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS a, id_b AS b FROM p
        |  UNION ALL
        |  SELECT id_b, id_a FROM p),
