@@ -42,12 +42,24 @@ object Dedup {
     * always land in the same batch, so batch-wise injection ≡ corpus
     * filtering — the st32 additivity argument). */
   private[graft] def injectShells(base: DataFrame): DataFrame =
-    base
-      .unionAll(base.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-      .unionAll(base.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    injectShellsKeeping(base, Nil)
+
+  /** Shell injection preserving per-row metadata columns — shells INHERIT
+    * their base row's values structurally. This is the coherent-at-any-id
+    * way to give shells metadata: recovering it later via doc_id % 1e6
+    * aliases to the WRONG row whenever base ids exceed 1e6 (e.g. a
+    * GenScale'd corpus), and a batch-local join on the alias silently
+    * drops rows whose alias landed in another micro-batch (the round-15
+    * sf1 st32 finding). */
+  private[graft] def injectShellsKeeping(base: DataFrame, keep: Seq[String]): DataFrame = {
+    val ident = col("doc_id") +: col("text") +: keep.map(col)
+    val shell7 = (col("doc_id") + 1000000).as("doc_id") +: col("text") +: keep.map(col)
+    val shell11 = (col("doc_id") + 2000000).as("doc_id") +:
+      expr("substring(text, instr(text, ' ') + 1)").as("text") +: keep.map(col)
+    base.select(ident: _*)
+      .unionAll(base.filter(col("doc_id") % 7 === 0).select(shell7: _*))
+      .unionAll(base.filter(col("doc_id") % 11 === 0).select(shell11: _*))
+  }
 
   private[graft] def corpus(s: SparkSession, d: String): DataFrame =
     injectShells(Tables.documents(s, d).select(col("doc_id"), col("text")))

@@ -387,28 +387,37 @@ object Pipeline {
         coalesce(col("toks_admitted"), lit(0L)).as("toks_admitted"))
   }
 
-  /** pipe4's arriving slice for a (doc_id, text) new-doc frame: lang
-    * recovered from the original row, nonempty-token count attached. */
-  private[graft] def arrivedOf(newDocs: DataFrame, meta: DataFrame): DataFrame =
-    newDocs.withColumn("orig", col("doc_id") % 1000000L)
-      .join(meta, Seq("orig")).drop("orig")
-      .withColumn("toks",
-        size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long"))
+  /** pipe4's arriving slice for a (doc_id, text, lang) new-doc frame —
+    * lang rides WITH the row (shells inherit their base row's lang
+    * structurally via [[graft.ops.Dedup.injectShellsKeeping]]); only the
+    * nonempty-token count is attached. Round-15: this replaced a
+    * doc_id % 1e6 metadata join, which aliased to the wrong document for
+    * base ids ≥ 1e6 and silently dropped batch-local rows in the
+    * streaming twin — metadata must travel with the row, never be
+    * re-derived from an id convention. */
+  private[graft] def arrivedFrom(newDocs: DataFrame): DataFrame =
+    newDocs.withColumn("toks",
+      size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long"))
 
   val pipe4: Q = (s, d) => {
-    val c = Dedup.corpus(s, d)
-    val oldDocs = c.filter(col("doc_id") % 3 =!= 0)
+    val c = Dedup.injectShellsKeeping(
+      Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+      Seq("lang"))
+    val oldDocs = c.select("doc_id", "text").filter(col("doc_id") % 3 =!= 0)
     val newDocs = c.filter(col("doc_id") % 3 === 0)
-    val meta = Tables.documents(s, d)
-      .select(col("doc_id").as("orig"), col("lang"))
-    admissionDeltaOf(oldDocs, arrivedOf(newDocs, meta)).orderBy("lang")
+    admissionDeltaOf(oldDocs, arrivedFrom(newDocs)).orderBy("lang")
   }
   val pipe4Sql: String =
     s"""WITH ${Dedup.d13Ctes},
        |arrived AS MATERIALIZED (
-       |  SELECT c.doc_id, c.text, d.lang,
+       |  SELECT c.doc_id, c.text, c.lang,
        |         CAST(len(list_filter(str_split(c.text, ' '), w -> len(w) > 0)) AS BIGINT) AS toks
-       |  FROM corpus c JOIN documents d ON d.doc_id = c.doc_id % 1000000
+       |  FROM (SELECT doc_id, text, lang FROM documents
+       |        UNION ALL
+       |        SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 7 = 0
+       |        UNION ALL
+       |        SELECT doc_id + 2000000, substr(text, strpos(text, ' ') + 1), lang
+       |        FROM documents WHERE doc_id % 11 = 0) c
        |  WHERE c.doc_id % 3 = 0),
        |nondup AS (
        |  SELECT doc_id FROM arrived

@@ -537,10 +537,17 @@ object Relational {
   // =====================================================================
 
   /** W1: running revenue per supplier (window aggregate, no shuffle beyond
-    * the hash partition on l_suppkey). */
+    * the hash partition on l_suppkey). The fixture lineitem is NOT
+    * TPC-H-unique on (l_orderkey, l_linenumber) — 118k duplicate key
+    * pairs at sf0.1 — so the ROWS frame needs `rev_e4` as the final
+    * tie-breaker to be a well-defined total order: after it, any still-
+    * tied rows are identical in every frame-relevant field and their
+    * order cannot change the running sum (found by the round-15 full-sf1
+    * oracle sweep: ONE tied pair at sf0.1 replicates 10x at sf1 and the
+    * engines split 3/10 on the intermediate sum without the tiebreak). */
   val w1: Q = (s, d) => {
     val w = Window.partitionBy("l_suppkey")
-      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("rev_e4"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li(s, d).select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
       (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("rev_e4"),
@@ -552,7 +559,8 @@ object Relational {
   val w1Sql =
     s"""SELECT l_suppkey, l_orderkey, l_linenumber,
        |  CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}))
-       |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+       |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+       |          ${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_e4
        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 

@@ -1696,17 +1696,19 @@ object Streams {
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
           val sess = batch.sparkSession
           graft.ops.Pinned.scoped(sess) {
-            // metadata comes from the BATCH itself (the staged files carry
-            // the full documents schema, and a shell's original base row is
-            // always in the same batch) — no full-corpus read per batch, so
-            // per-batch work is strictly batch-proportional (round-15
-            // verdict #5; a real feed likewise carries its own metadata)
-            val meta = batch.toDF().select(col("doc_id").as("orig"), col("lang"))
-            val newBatch = graft.ops.Dedup.injectShells(
-                batch.toDF().select(col("doc_id"), col("text")))
+            // metadata rides WITH the batch rows: shells inherit lang from
+            // their base row structurally (injectShellsKeeping), so there
+            // is no metadata join at all — no full-corpus read, no
+            // doc_id-convention aliasing, per-batch work strictly
+            // batch-proportional (round-15 verdict #5 + the sf1 finding
+            // that a % 1e6 alias join drops rows whose alias row lives in
+            // another micro-batch)
+            val newBatch = graft.ops.Dedup.injectShellsKeeping(
+                batch.toDF().select(col("doc_id"), col("text"), col("lang")),
+                Seq("lang"))
               .filter(col("doc_id") % 3 === 0)
             val delta = graft.ops.Pipeline.admissionDeltaAgainst(
-              cappedBands, oldSets, graft.ops.Pipeline.arrivedOf(newBatch, meta))
+              cappedBands, oldSets, graft.ops.Pipeline.arrivedFrom(newBatch))
             val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
             val merged = prior match {
               case None => delta
