@@ -34,7 +34,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ SentimentNb.oracle ++ SentimentSvm.oracle ++
-      Events.oracle ++ MlPipelines.oracle ++
+      Events.oracle ++ MlPipelines.oracle ++ graft.ml.SvmSgd.oracle ++
       Dedup.oracle ++ TextAnalysis.oracle ++ Similarity.oracle ++
       graft.streaming.Streams.oracle ++ graft.multimodal.Multimodal.oracle ++
       SqlSurface.oracle ++ graft.ml.MlLsh.oracle ++ AsOf.oracle ++ ops.ScaleOps.oracle ++

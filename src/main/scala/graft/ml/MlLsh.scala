@@ -13,8 +13,10 @@ import graft.Tables
   * approximate cosine neighbors, and `ml.feature.NGram` for shingling.
   * These complement the hand-built md5-LSH queries (graft.ops.Dedup /
   * Similarity): the hand-built ones are oracle-checkable; these are the
-  * stock-MLlib path a Spark shop would reach for first. Engine-defined
-  * hashes ⇒ rows-only checks + recall assertions in `MlLshSpec`.
+  * stock-MLlib path a Spark shop would reach for first. Hashes are
+  * engine-defined but SEEDED, so since round 15 both LSH entries are
+  * hash-checked against sf0.01-frozen goldens, on top of the recall and
+  * d3/sim1 cross-check assertions in `MlLshSpec`.
   */
 object MlLsh {
   type Q = (SparkSession, String) => DataFrame
@@ -159,10 +161,11 @@ object MlLsh {
     out
   }
 
-  /** LSH1: MinHashLSH near-dup candidates at Jaccard distance ≤ 0.3 —
-    * rows-only (MinHash perms are seeded but engine-defined). The pair
-    * space on this shared-vocab corpus is dense, so emit the distance
-    * histogram, not raw pairs. */
+  /** LSH1: MinHashLSH near-dup candidates at Jaccard distance ≤ 0.3. The
+    * pair space on this shared-vocab corpus is dense, so emit the distance
+    * histogram, not raw pairs. MinHash perms are seeded (42) and therefore
+    * bit-stable per Spark version — hash-checked against the frozen
+    * sf0.01 golden `lsh1Sql` since round 15. */
   val lsh1: Q = (s, d) =>
     lsh1Pairs(s, d)
       .filter(col("jaccard_dist") <= 0.3)
@@ -172,7 +175,8 @@ object MlLsh {
 
   /** LSH2: BucketedRandomProjectionLSH kNN over L2-normalized embeddings —
     * Euclidean distance on the unit sphere is monotone in cosine, so this
-    * is cosine ANN the stock-MLlib way. Rows-only. */
+    * is cosine ANN the stock-MLlib way. Seeded (42) ⇒ hash-checked against
+    * the frozen sf0.01 golden `lsh2Sql` since round 15. */
   val lsh2: Q = (s, d) => {
     val sp = s
     import sp.implicits._
@@ -223,8 +227,52 @@ object MlLsh {
     "lsh2_ml_brp_knn" -> lsh2,
   )
 
-  /** t8 is deterministic (pure token math); the LSH ops are engine-defined. */
+  /** Frozen at sf0.01 by `graft.tools.FreezeSeededGoldens` (round 15):
+    * MinHashLSH/BRP hash families are engine-defined but SEEDED (seed 42),
+    * so their outputs are bit-stable per Spark version — the f1c/m1b
+    * precedent upgrades them from rows-only to hash-checked. SF-SPECIFIC
+    * by construction: at other scales the queries run but these VALUES
+    * oracles do not apply (named exclusions in scale artifacts). Any drift
+    * in MLlib's hash-coefficient RNG breaks the match loudly. */
+  val lsh1Sql: String =
+    """SELECT CAST(dist_bucket AS DOUBLE) AS dist_bucket,
+      |       CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       CAST(sample_id_a AS BIGINT) AS sample_id_a
+      |FROM (VALUES
+      |      (0.0, 116, 8),
+      |      (0.1, 996, 4),
+      |      (0.2, 1430, 2),
+      |      (0.3, 752, 2))
+      |  AS t(dist_bucket, n_pairs, sample_id_a)
+      |ORDER BY dist_bucket""".stripMargin
+
+  val lsh2Sql: String =
+    """SELECT CAST(q_id AS BIGINT) AS q_id, CAST(cand_id AS BIGINT) AS cand_id,
+      |       CAST(dist AS DOUBLE) AS dist
+      |FROM (VALUES
+      |      (0, 365, 1.1225),
+      |      (0, 387, 1.1566),
+      |      (0, 423, 1.1858),
+      |      (0, 73, 1.1871),
+      |      (0, 7, 1.1893),
+      |      (100, 398, 1.1328),
+      |      (100, 279, 1.1426),
+      |      (100, 360, 1.1688),
+      |      (100, 478, 1.1765),
+      |      (100, 45, 1.181),
+      |      (200, 204, 1.0555),
+      |      (200, 143, 1.1372),
+      |      (200, 410, 1.1809),
+      |      (200, 135, 1.2082),
+      |      (200, 409, 1.2085))
+      |  AS t(q_id, cand_id, dist)
+      |ORDER BY q_id, dist, cand_id""".stripMargin
+
+  /** t8 is deterministic (pure token math); lsh1/lsh2 are seeded goldens
+    * frozen at the sf0.01 gate (see above). */
   val oracle: Map[String, String] = Map(
     "t8_ml_ngram" -> t8Sql,
+    "lsh1_ml_minhash_join" -> lsh1Sql,
+    "lsh2_ml_brp_knn" -> lsh2Sql,
   )
 }

@@ -17,11 +17,13 @@ import graft.ops.Corpus
   * Tokenizer → HashingTF(2^18) → IDF → {NaiveBayes | LinearSVC(maxIter=10,
   * regParam=0.1)} → randomSplit(0.75/0.25, seed=1234) → metrics.
   *
-  * These queries are rows-only checked (no DuckDB oracle): feature hashing
-  * (MurmurHash3 buckets) and the estimators are engine-defined, and
-  * `randomSplit` membership is partition-layout-dependent (SURVEY §2.9 R1).
+  * The m1/m3 metric entries are rows-only checked (estimators are
+  * engine-defined and `randomSplit` membership is partition-layout-
+  * dependent, SURVEY §2.9 R1), but since round 15 the flagship pipelines
+  * are ALSO hash-checked per row through the pinned-layout golden twins
+  * m1b/m3b (frozen VALUES oracles), and the featurizer through f1b/f1c.
   * Deterministic sub-results (token counts, metric arithmetic) are oracled
-  * through the hand-rolled pipeline queries instead.
+  * through the hand-rolled pipeline queries as before.
   *
   * Scale: `fit` runs per-partition treeAggregate jobs (NB single-pass;
   * LinearSVC OWLQN ≤10 iterations over cached instances) — no driver-side

@@ -78,16 +78,42 @@ object SvmSgd {
     (summaries.result().toDF("epoch", "n_misclassified", "n_weights", "w_norm"), weights)
   }
 
-  /** Rows-only query for the registry: per-epoch training summary. The
-    * summaries frame is a local relation (built from driver-side scalars),
-    * so the final weights cache — whose handle this path discards — can be
-    * released immediately instead of leaking for the session's life. */
+  /** Registry query: per-epoch training summary, w_norm rounded to 6 dp at
+    * the output boundary so the entry can freeze as a VALUES golden (raw
+    * float sums carry last-ulp partition-merge wobble; the rounded value
+    * is stable — `graft.tools.FreezeSeededGoldens` runs the loop twice and
+    * requires bit-identical output before printing). The summaries frame
+    * is a local relation (built from driver-side scalars), so the final
+    * weights cache — whose handle this path discards — can be released
+    * immediately instead of leaking for the session's life. */
   val query: (SparkSession, String) => DataFrame = (s, d) => {
     val (summaries, weights) = train(s, d, 5)
     weights.unpersist()
-    summaries
+    summaries.withColumn("w_norm", round(col("w_norm"), 6))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("m7c_svm_corrected_epochs" -> query)
+
+  /** Frozen at sf0.01 by `graft.tools.FreezeSeededGoldens` (round 15):
+    * the epoch loop is deterministic given the gate corpus (integer
+    * misclassification counts; w_norm rounded 6 dp at the boundary), so
+    * the per-epoch summary freezes as a VALUES golden — SF-specific by
+    * construction, named exclusion in scale artifacts. */
+  val m7cSql: String =
+    """SELECT CAST(epoch AS INTEGER) AS epoch,
+      |       CAST(n_misclassified AS BIGINT) AS n_misclassified,
+      |       CAST(n_weights AS BIGINT) AS n_weights,
+      |       CAST(w_norm AS DOUBLE) AS w_norm
+      |FROM (VALUES
+      |      (1, 375, 31, 29.864741),
+      |      (2, 173, 31, 151.998736),
+      |      (3, 202, 31, 78.256103),
+      |      (4, 173, 31, 109.844988),
+      |      (5, 202, 31, 109.883247))
+      |  AS t(epoch, n_misclassified, n_weights, w_norm)
+      |ORDER BY epoch""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "m7c_svm_corrected_epochs" -> m7cSql)
 }
