@@ -1243,13 +1243,25 @@ object GraftApi {
     * blocking. At the default `minScoreE6 = 0` the pair cut is an EXACT
     * integer cross-multiplied ratio-product comparison (cross-engine
     * set-stable — no transcendental in the gate); the e6-rounded ln
-    * weights are display columns. A nonzero threshold gates on the
+    * weights are display columns. A nonzero `minScoreE6` gates on the
     * rounded score sum and can flip a boundary pair on a 1-ulp libm
-    * difference — pick it away from attainable sums, or post-filter on
-    * n_agree. Registry twin: `d24_record_linkage`. */
+    * difference — for a custom threshold with the exact-set guarantee
+    * use the rational overload below. Registry twin:
+    * `d24_record_linkage`. */
   def recordLinkage(recs: DataFrame, cap: Int = 40,
       minScoreE6: Long = 0L): DataFrame =
     graft.ops.Dedup.recordLinkageOf(recs, cap, minScoreE6)
+
+  /** Record linkage with an EXACT rational likelihood-ratio threshold
+    * (round-16): keeps a pair iff its exact integer LR product satisfies
+    * Π m_f / Π u_f ≥ `minLrNum`/`minLrDen`, cross-multiplied in
+    * DECIMAL(38,0) — engine-independent set membership for ANY caller
+    * threshold, no ln() in the gate. For a ln-scale threshold θ pass a
+    * rational near e^θ (e.g. θ = 2 → 739/100); the rational IS the set
+    * definition. `(1, 1)` reproduces the default LR ≥ 1 cut exactly. */
+  def recordLinkage(recs: DataFrame, cap: Int,
+      minLrNum: Long, minLrDen: Long): DataFrame =
+    graft.ops.Dedup.recordLinkageLrOf(recs, cap, minLrNum, minLrDen)
 
   /** WordPiece vocabulary-utilization audit over a distinct-`word`
     * frame: per vocabulary piece (plus the [UNK] sink) the distinct

@@ -589,7 +589,8 @@ object MlPipelines {
     *     every float accumulation a single deterministic left fold,
     *     killing treeAggregate's task-completion-order wobble in NB's
     *     class-conditional sums and OWLQN's gradient reductions. At the
-    *     sf0.01 gate (312 docs) one partition is exact-scale-appropriate;
+    *     sf0.01 gate (500 docs; 139 land in the test split) one partition
+    *     is exact-scale-appropriate;
     *     this is a VERIFICATION fixture — the production entries (m1/m3)
     *     keep the distributed fit.
     * transform itself is a per-row map (argmax / margin sign), so the
@@ -623,8 +624,52 @@ object MlPipelines {
     out.orderBy("doc_id")
   }
 
+  /** Round-16 verdict #4: the DISTRIBUTED-fit twin of
+    * [[goldenPredictions]] — identical pinned input layout
+    * (repartition(4, doc_id) + seeded randomSplit) but the estimator fits
+    * on `train` AS-IS (4 partitions), exercising the production m1/m3
+    * accumulation path (NB's aggregateByKey class-conditional sums,
+    * OWLQN's treeAggregate gradients) instead of the coalesce(1) single
+    * left fold. Emits per-row raw scores alongside the argmax so the
+    * determinism probe ([[graft.tools.ProbeDistributedFit]]) can
+    * distinguish "bit-stable floats" from "stable argmax over wobbling
+    * floats". */
+  private[graft] def distributedPredictions[M <: org.apache.spark.ml.Model[M]](
+      s: SparkSession, d: String,
+      estimator: org.apache.spark.ml.Estimator[M],
+      rawCol: String): DataFrame = {
+    val (tok, tf, idf) = featurize
+    val data = Corpus.docs(s, d)
+      .select(col("doc_id"), Corpus.label.as("label"), col("text").as("tweet"))
+      .repartition(4, col("doc_id"))
+    val pipe = new Pipeline().setStages(Array(tok, tf, idf))
+    val prepared = pipe.fit(data).transform(data)
+      .select("doc_id", "label", "features")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val Array(train, test) = prepared.randomSplit(Array(0.75, 0.25), seed = Seed)
+    val model = estimator.fit(train).copy(org.apache.spark.ml.param.ParamMap.empty)
+    val scored = model.transform(test).select(
+      col("doc_id"),
+      col("label").cast("long").as("label"),
+      col("prediction").cast("long").as("prediction"),
+      col(rawCol).cast("string").as("raw"))
+    val rows = scored.collect().toSeq
+    val out = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), scored.schema)
+    prepared.unpersist()
+    out.orderBy("doc_id")
+  }
+
   /** M1b: the MLlib NB flagship's per-row (doc_id, label, prediction) on
-    * the pinned layout — hash-checked against the frozen golden. */
+    * the pinned layout — hash-checked against the frozen golden.
+    *
+    * KNOWN DEGENERACY (round-16 advice): at the 500-doc sf0.01 gate the NB
+    * fit is majority-class-degenerate — the frozen golden predicts class 0
+    * for all 139 test rows, so the prediction column alone would not catch
+    * a regression that also predicts constant 0. Compensations: (a)
+    * `MlPipelinesSpec` asserts m3b stays NON-constant (LinearSVC splits
+    * 0/1 on the same gate), and (b) m1/a4/a6 pin NB's metric surface where
+    * a model change shows up even under a constant-argmax golden. */
   val m1b: Q = (s, d) => goldenPredictions(s, d, new NaiveBayes())
 
   /** M3b: the LinearSVC flagship's per-row predictions, same contract. */
@@ -942,6 +987,318 @@ object MlPipelines {
        |  AS t(doc_id, label, prediction)
        |ORDER BY doc_id""".stripMargin
 
+
+  /** M1c / M3c (round-16 verdict #4): the DISTRIBUTED-fit twins of
+    * m1b/m3b — same pinned input layout, but the estimator fits on the
+    * 4-partition train split exactly as the production m1/m3 entries do,
+    * so the per-row hash check now covers the distributed accumulation
+    * path (NB's aggregateByKey sums, OWLQN's treeAggregate gradients).
+    * `graft.tools.ProbeDistributedFit` measured the fit bit-identical
+    * over 6 same-session runs AND across fresh JVMs (raw probability /
+    * rawPrediction vectors compared stringified, not just argmax) before
+    * these goldens froze. m1c inherits m1b's constant-0 degeneracy (see
+    * m1b's scaladoc); m3c splits 0/1. SF-SPECIFIC: frozen at sf0.01. */
+  val m1c: Q = (s, d) =>
+    distributedPredictions(s, d, new NaiveBayes(), "probability")
+      .drop("raw")
+
+  val m3c: Q = (s, d) =>
+    distributedPredictions(s, d,
+      new LinearSVC().setMaxIter(10).setRegParam(0.1), "rawPrediction")
+      .drop("raw")
+
+  val m1cSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS label,
+       |       CAST(prediction AS BIGINT) AS prediction
+       |FROM (VALUES
+       |      (4, 0, 0),
+       |      (11, 0, 0),
+       |      (12, 0, 0),
+       |      (14, 1, 0),
+       |      (21, 0, 0),
+       |      (39, 1, 0),
+       |      (43, 0, 0),
+       |      (51, 1, 0),
+       |      (53, 1, 0),
+       |      (56, 0, 0),
+       |      (57, 1, 0),
+       |      (60, 0, 0),
+       |      (65, 1, 0),
+       |      (66, 1, 0),
+       |      (67, 0, 0),
+       |      (68, 0, 0),
+       |      (70, 0, 0),
+       |      (79, 0, 0),
+       |      (84, 0, 0),
+       |      (88, 0, 0),
+       |      (91, 1, 0),
+       |      (92, 1, 0),
+       |      (93, 1, 0),
+       |      (95, 1, 0),
+       |      (96, 0, 0),
+       |      (97, 0, 0),
+       |      (102, 0, 0),
+       |      (110, 1, 0),
+       |      (112, 1, 0),
+       |      (117, 1, 0),
+       |      (118, 1, 0),
+       |      (120, 0, 0),
+       |      (122, 1, 0),
+       |      (129, 0, 0),
+       |      (131, 0, 0),
+       |      (135, 0, 0),
+       |      (136, 1, 0),
+       |      (140, 1, 0),
+       |      (149, 0, 0),
+       |      (150, 0, 0),
+       |      (152, 0, 0),
+       |      (156, 1, 0),
+       |      (162, 0, 0),
+       |      (166, 0, 0),
+       |      (167, 1, 0),
+       |      (170, 0, 0),
+       |      (175, 1, 0),
+       |      (177, 1, 0),
+       |      (179, 0, 0),
+       |      (187, 0, 0),
+       |      (189, 0, 0),
+       |      (197, 0, 0),
+       |      (199, 1, 0),
+       |      (201, 0, 0),
+       |      (207, 1, 0),
+       |      (208, 1, 0),
+       |      (211, 0, 0),
+       |      (215, 0, 0),
+       |      (218, 0, 0),
+       |      (222, 0, 0),
+       |      (224, 0, 0),
+       |      (233, 0, 0),
+       |      (237, 0, 0),
+       |      (239, 1, 0),
+       |      (241, 1, 0),
+       |      (242, 0, 0),
+       |      (243, 0, 0),
+       |      (245, 1, 0),
+       |      (248, 0, 0),
+       |      (259, 0, 0),
+       |      (265, 0, 0),
+       |      (266, 0, 0),
+       |      (271, 0, 0),
+       |      (277, 0, 0),
+       |      (281, 0, 0),
+       |      (285, 1, 0),
+       |      (287, 0, 0),
+       |      (290, 1, 0),
+       |      (291, 0, 0),
+       |      (292, 0, 0),
+       |      (293, 1, 0),
+       |      (295, 0, 0),
+       |      (296, 0, 0),
+       |      (297, 1, 0),
+       |      (305, 0, 0),
+       |      (307, 0, 0),
+       |      (311, 0, 0),
+       |      (321, 1, 0),
+       |      (327, 1, 0),
+       |      (336, 1, 0),
+       |      (339, 1, 0),
+       |      (352, 1, 0),
+       |      (354, 1, 0),
+       |      (355, 1, 0),
+       |      (359, 0, 0),
+       |      (366, 1, 0),
+       |      (369, 0, 0),
+       |      (374, 0, 0),
+       |      (376, 1, 0),
+       |      (379, 1, 0),
+       |      (380, 1, 0),
+       |      (382, 0, 0),
+       |      (384, 0, 0),
+       |      (385, 0, 0),
+       |      (393, 0, 0),
+       |      (394, 1, 0),
+       |      (396, 1, 0),
+       |      (397, 0, 0),
+       |      (401, 1, 0),
+       |      (402, 0, 0),
+       |      (404, 0, 0),
+       |      (407, 0, 0),
+       |      (410, 0, 0),
+       |      (412, 1, 0),
+       |      (417, 0, 0),
+       |      (421, 1, 0),
+       |      (422, 1, 0),
+       |      (423, 0, 0),
+       |      (428, 0, 0),
+       |      (429, 0, 0),
+       |      (430, 0, 0),
+       |      (434, 0, 0),
+       |      (437, 0, 0),
+       |      (438, 0, 0),
+       |      (440, 0, 0),
+       |      (442, 0, 0),
+       |      (443, 1, 0),
+       |      (445, 0, 0),
+       |      (446, 1, 0),
+       |      (447, 1, 0),
+       |      (455, 1, 0),
+       |      (463, 1, 0),
+       |      (465, 0, 0),
+       |      (472, 0, 0),
+       |      (478, 1, 0),
+       |      (486, 0, 0),
+       |      (489, 1, 0),
+       |      (491, 1, 0),
+       |      (492, 0, 0))
+       |  AS t(doc_id, label, prediction)
+       |ORDER BY doc_id""".stripMargin
+
+  val m3cSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS label,
+       |       CAST(prediction AS BIGINT) AS prediction
+       |FROM (VALUES
+       |      (4, 0, 1),
+       |      (11, 0, 0),
+       |      (12, 0, 0),
+       |      (14, 1, 1),
+       |      (21, 0, 0),
+       |      (39, 1, 0),
+       |      (43, 0, 0),
+       |      (51, 1, 0),
+       |      (53, 1, 0),
+       |      (56, 0, 0),
+       |      (57, 1, 1),
+       |      (60, 0, 0),
+       |      (65, 1, 0),
+       |      (66, 1, 0),
+       |      (67, 0, 1),
+       |      (68, 0, 0),
+       |      (70, 0, 1),
+       |      (79, 0, 0),
+       |      (84, 0, 1),
+       |      (88, 0, 0),
+       |      (91, 1, 0),
+       |      (92, 1, 0),
+       |      (93, 1, 0),
+       |      (95, 1, 1),
+       |      (96, 0, 0),
+       |      (97, 0, 1),
+       |      (102, 0, 0),
+       |      (110, 1, 0),
+       |      (112, 1, 0),
+       |      (117, 1, 0),
+       |      (118, 1, 0),
+       |      (120, 0, 0),
+       |      (122, 1, 0),
+       |      (129, 0, 1),
+       |      (131, 0, 0),
+       |      (135, 0, 1),
+       |      (136, 1, 0),
+       |      (140, 1, 0),
+       |      (149, 0, 0),
+       |      (150, 0, 0),
+       |      (152, 0, 0),
+       |      (156, 1, 0),
+       |      (162, 0, 0),
+       |      (166, 0, 1),
+       |      (167, 1, 0),
+       |      (170, 0, 0),
+       |      (175, 1, 1),
+       |      (177, 1, 0),
+       |      (179, 0, 0),
+       |      (187, 0, 1),
+       |      (189, 0, 1),
+       |      (197, 0, 1),
+       |      (199, 1, 0),
+       |      (201, 0, 1),
+       |      (207, 1, 1),
+       |      (208, 1, 0),
+       |      (211, 0, 1),
+       |      (215, 0, 0),
+       |      (218, 0, 0),
+       |      (222, 0, 1),
+       |      (224, 0, 0),
+       |      (233, 0, 0),
+       |      (237, 0, 0),
+       |      (239, 1, 0),
+       |      (241, 1, 0),
+       |      (242, 0, 0),
+       |      (243, 0, 0),
+       |      (245, 1, 1),
+       |      (248, 0, 0),
+       |      (259, 0, 0),
+       |      (265, 0, 0),
+       |      (266, 0, 0),
+       |      (271, 0, 0),
+       |      (277, 0, 0),
+       |      (281, 0, 0),
+       |      (285, 1, 1),
+       |      (287, 0, 0),
+       |      (290, 1, 1),
+       |      (291, 0, 0),
+       |      (292, 0, 0),
+       |      (293, 1, 1),
+       |      (295, 0, 0),
+       |      (296, 0, 0),
+       |      (297, 1, 1),
+       |      (305, 0, 0),
+       |      (307, 0, 0),
+       |      (311, 0, 1),
+       |      (321, 1, 0),
+       |      (327, 1, 0),
+       |      (336, 1, 1),
+       |      (339, 1, 0),
+       |      (352, 1, 0),
+       |      (354, 1, 0),
+       |      (355, 1, 0),
+       |      (359, 0, 0),
+       |      (366, 1, 0),
+       |      (369, 0, 0),
+       |      (374, 0, 0),
+       |      (376, 1, 1),
+       |      (379, 1, 0),
+       |      (380, 1, 1),
+       |      (382, 0, 0),
+       |      (384, 0, 0),
+       |      (385, 0, 1),
+       |      (393, 0, 0),
+       |      (394, 1, 1),
+       |      (396, 1, 0),
+       |      (397, 0, 0),
+       |      (401, 1, 0),
+       |      (402, 0, 0),
+       |      (404, 0, 0),
+       |      (407, 0, 0),
+       |      (410, 0, 1),
+       |      (412, 1, 0),
+       |      (417, 0, 0),
+       |      (421, 1, 1),
+       |      (422, 1, 1),
+       |      (423, 0, 0),
+       |      (428, 0, 0),
+       |      (429, 0, 0),
+       |      (430, 0, 1),
+       |      (434, 0, 1),
+       |      (437, 0, 1),
+       |      (438, 0, 0),
+       |      (440, 0, 0),
+       |      (442, 0, 1),
+       |      (443, 1, 0),
+       |      (445, 0, 1),
+       |      (446, 1, 0),
+       |      (447, 1, 1),
+       |      (455, 1, 0),
+       |      (463, 1, 1),
+       |      (465, 0, 1),
+       |      (472, 0, 0),
+       |      (478, 1, 0),
+       |      (486, 0, 0),
+       |      (489, 1, 0),
+       |      (491, 1, 0),
+       |      (492, 0, 0))
+       |  AS t(doc_id, label, prediction)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m1_ml_naive_bayes" -> mlNb,
     "m3_ml_linear_svc" -> mlSvm,
@@ -950,6 +1307,8 @@ object MlPipelines {
     // idf-mass column it added is pinned by MlPipelinesSpec instead.
     "m1b_ml_nb_predictions" -> m1b,
     "m3b_ml_svc_predictions" -> m3b,
+    "m1c_ml_nb_dist_predictions" -> m1c,
+    "m3c_ml_svc_dist_predictions" -> m3c,
     "f1b_hashing_tf_golden" -> f1b,
     "f1c_tfidf_shape_full" -> f1c,
     "r1_random_split" -> r1,
@@ -961,6 +1320,8 @@ object MlPipelines {
   val oracle: Map[String, String] = Map(
     "m1b_ml_nb_predictions" -> m1bSql,
     "m3b_ml_svc_predictions" -> m3bSql,
+    "m1c_ml_nb_dist_predictions" -> m1cSql,
+    "m3c_ml_svc_dist_predictions" -> m3cSql,
     "f1b_hashing_tf_golden" -> f1bSql,
     "f1c_tfidf_shape_full" -> f1cSql)
 }

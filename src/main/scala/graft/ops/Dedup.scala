@@ -1837,8 +1837,53 @@ object Dedup {
     * block; the weight table is a broadcast 1-row frame; never an
     * all-pairs join. Library entry point:
     * [[graft.api.GraftApi.recordLinkage]]. */
+  /** Exact-gate variant (round-16 verdict #6): survival iff the exact
+    * integer likelihood ratio Π num_f / Π den_f ≥ `lrNum`/`lrDen` — the
+    * same DECIMAL(38,0) cross-multiplication as the default gate, so the
+    * kept SET is engine-independent for ANY caller threshold, removing
+    * the e6-rounded-ln ±1e-6 boundary caveat entirely. A caller with a
+    * ln-scale threshold θ passes any rational p/q of their choice near
+    * e^θ (attainable LRs are rational, e^θ is not, so the rational choice
+    * IS the set definition — there is no "the" exact e^θ gate to miss).
+    * Overflow-proof for EVERY Long p/q: a naive lr·q cross-multiply can
+    * exceed DECIMAL(38,0) (products reach 10³⁶ and thresholds like
+    * 361/2250 pushed it past 10³⁸ under ANSI), so each side is compared
+    * as two exact 10¹⁸-radix limbs — hi = (lr div 10¹⁸)·t + (lo·t div
+    * 10¹⁸), lo = lo·t mod 10¹⁸, then a lexicographic (hi, lo) compare.
+    * Every intermediate stays < 10³⁷ (lr ≤ 10³⁶ ⇒ limbs < 10¹⁸, t <
+    * 9.3·10¹⁸), so the gate is exact for any caller threshold with NO
+    * overflow path at all. The fraction is gcd-reduced for headroom. */
+  private[graft] def recordLinkageLrOf(recs: DataFrame, cap: Int,
+      lrNum: Long, lrDen: Long): DataFrame = {
+    require(lrNum >= 0L && lrDen >= 1L, "threshold must be a nonneg/positive rational")
+    val g = BigInt(lrNum).gcd(BigInt(lrDen)).toLong max 1L
+    val (p, q) = (lrNum / g, lrDen / g)
+    val S = "1000000000000000000" // 10^18 limb radix
+    def limbs(prod: String, t: Long): (String, String) = {
+      val lo = s"(($prod % $S) * CAST($t AS DECIMAL(38,0)))"
+      (s"(($prod div $S) * CAST($t AS DECIMAL(38,0)) + $lo div $S)", s"($lo % $S)")
+    }
+    val (aHi, aLo) = limbs("lr_num", q)
+    val (bHi, bLo) = limbs("lr_den", p)
+    linkageScoredPairsOf(recs, cap)
+      .filter(expr(s"$aHi > $bHi OR ($aHi = $bHi AND $aLo >= $bLo)"))
+      .select(col("id_a"), col("id_b"), col("n_agree"), col("score_e6"))
+      .orderBy("id_a", "id_b")
+  }
+
   private[graft] def recordLinkageOf(recs: DataFrame, cap: Int = 40,
-      minScoreE6: Long = 0L): DataFrame = {
+      minScoreE6: Long = 0L): DataFrame =
+    linkageScoredPairsOf(recs, cap)
+      .filter(if (minScoreE6 == 0L) col("lr_num") >= col("lr_den")
+        else col("score_e6") >= minScoreE6)
+      .select(col("id_a"), col("id_b"), col("n_agree"), col("score_e6"))
+      .orderBy("id_a", "id_b")
+
+  /** Shared Fellegi–Sunter scoring pipeline: blocked+capped candidate
+    * pairs with the e6 display score AND the exact DECIMAL(38,0)
+    * likelihood-ratio products (`lr_num`, `lr_den`) both attached; the
+    * public entry points differ only in the survival filter. */
+  private def linkageScoredPairsOf(recs: DataFrame, cap: Int): DataFrame = {
     // EXACT GATE (round-14, closing the round-13 fragility): pair
     // membership at the default `minScoreE6 = 0` is decided by an exact
     // integer likelihood-ratio product, never a transcendental. The
@@ -1858,8 +1903,8 @@ object Dedup {
     // ±1e-6 at a .5 boundary but can no longer change the returned SET.
     // A caller passing a nonzero `minScoreE6` gates on the rounded score
     // sum (e^threshold is not rational) and inherits the display
-    // columns' boundary caveat — pick thresholds away from attainable
-    // sums, or post-filter on n_agree.
+    // columns' boundary caveat; callers wanting a custom threshold with
+    // the exact set guarantee use recordLinkageLrOf's rational p/q gate.
     val d38 = "DECIMAL(38,0)"
     val E12 = "1000000000000"
     def fieldW(f: String): DataFrame =
@@ -1903,10 +1948,6 @@ object Dedup {
         s"CAST(CASE WHEN ${f}a = ${f}b THEN u12_$f " +
           s"WHEN u12_$f >= $E12 THEN 1 ELSE $E12 - u12_$f END AS $d38)")
         .mkString(" * ")))
-      .filter(if (minScoreE6 == 0L) col("lr_num") >= col("lr_den")
-        else col("score_e6") >= minScoreE6)
-      .select(col("id_a"), col("id_b"), col("n_agree"), col("score_e6"))
-      .orderBy("id_a", "id_b")
   }
 
   /** Registry instance over the customer fixture's available fields:

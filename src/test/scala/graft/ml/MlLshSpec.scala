@@ -206,8 +206,13 @@ class MlLshSpec extends SparkSpec {
       (approx(q) intersect ids).size.toDouble / ids.size
     }
     val avg = recalls.sum / recalls.size
-    assert(avg >= 0.5,
-      s"mean BRP recall vs the sim1 exact path must stay >= 0.5, got $avg")
+    // round-16 verdict #3: the old >= 0.5 floor would let a silent MLlib
+    // quality regression (say 0.93 -> 0.55) pass. Measured on this fixture:
+    // mean = 0.9333 (per-key 1.0, 0.8, 1.0) — freeze the band at
+    // [measured - 0.1, 1.0] so any real drop in BRP fidelity trips loudly.
+    assert(avg >= 0.8333 && avg <= 1.0,
+      s"mean BRP recall vs the sim1 exact path must stay in [0.8333, 1.0] " +
+        s"(measured 0.9333 at freeze time), got $avg")
   }
 
   test("lsh2 seeded runs are deterministic within a session") {

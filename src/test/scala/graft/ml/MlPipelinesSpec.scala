@@ -47,6 +47,19 @@ class MlPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("m3b predictions are NON-constant at the sf0.01 golden gate " +
+      "(guards the m1b majority-class degeneracy)") {
+    // The frozen m1b golden is constant-0 (NB is majority-class-degenerate
+    // on the 500-doc gate), so m1b's hash check cannot distinguish a broken
+    // model that also emits constant 0. m3b's LinearSVC DOES split 0/1 on
+    // the same gate — pin that here so at least one per-row golden retains
+    // discriminating power. Runs at sf0.01, the scale the goldens froze at.
+    val preds = MlPipelines.queries("m3b_ml_svc_predictions")(
+      spark, "/root/testdata/sf0.01").collect().map(_.getLong(2)).toSet
+    assert(preds === Set(0L, 1L),
+      s"m3b must predict both classes at the golden gate, got $preds")
+  }
+
   test("f123 (retired from registry) deterministic projection equals the " +
       "hash-green f1c entry row-for-row; idf mass stays finite") {
     // round-15 verdict #3: f1_hashing_tf_idf duplicated f1c's 312 rows

@@ -602,6 +602,43 @@ class DedupSimSpec extends SparkSpec {
     assert(floorAll === all.keySet)
   }
 
+  test("d24 exact rational LR gate: boundary-adjacent thresholds cut exactly " +
+      "(round-16: custom thresholds without the ±1e-6 ln caveat)") {
+    val s2 = spark
+    import s2.implicits._
+    // One block of 4, engineered so every u12 division is EXACT:
+    //   f1 counts (x:2, y:1, z:1) -> Σc² = 6,  u12 = 6e12/16  = 375e9
+    //   f2 all distinct           -> Σc² = 4,  u12 = 4e12/16  = 250e9
+    //   f3 constant               -> Σc² = 16, u12 = 1e12 (neutral branch)
+    // Pair (1,2) = f1-agree / f2-disagree / f3-agree:
+    //   LR = (95e10·5e10·95e10)/(375e9·750e9·1e12) = 45125/281250 = 361/2250
+    // All other pairs = f1-disagree / f2-disagree / f3-agree:
+    //   LR = (5e10·5e10·95e10)/(625e9·750e9·1e12) = 19/3750
+    val recs = Seq(
+      (1L, "b", "x", "p", "k"), (2L, "b", "x", "q", "k"),
+      (3L, "b", "y", "r", "k"), (4L, "b", "z", "s", "k"))
+      .toDF("id", "block", "f1", "f2", "f3")
+    def kept(p: Long, q: Long): Set[(Long, Long)] =
+      graft.api.GraftApi.recordLinkage(recs, cap = 40, minLrNum = p, minLrDen = q)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    // LR >= 0 keeps every candidate pair
+    assert(kept(0L, 1L) === allPairs)
+    // a cut at EXACTLY the top pair's LR keeps it (gate is inclusive)...
+    assert(kept(361L, 2250L) === Set((1L, 2L)))
+    // ...and one attainable-LR-adjacent notch above drops it
+    assert(kept(3611L, 22500L) === Set.empty)
+    // same boundary discipline at the lower attainable LR = 19/3750
+    assert(kept(19L, 3750L) === allPairs)
+    assert(kept(20L, 3750L) === Set((1L, 2L)))
+    // an unreduced fraction gates identically (gcd reduction)
+    assert(kept(722L, 4500L) === Set((1L, 2L)))
+    // (1,1) reproduces the default LR >= 1 cut exactly
+    val default = graft.api.GraftApi.recordLinkage(recs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept(1L, 1L) === default)
+  }
+
   test("d20 containment finds an embedded quote that symmetric Jaccard down-scores") {
     val s2 = spark
     import s2.implicits._
