@@ -654,13 +654,22 @@ object Dedup {
        |    FROM embeddings WHERE $filter)
        |  WHERE CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) > 0)""".stripMargin
 
-  /** Banding parameters: 24 hyperplanes in 4 bands of 6 sign bits. A true
+  /** Banding parameters: 48 hyperplanes in 8 bands of 6 sign bits. A true
     * near-dup (cos ≥ 0.9 ⇒ per-bit flip prob ≤ acos(.9)/π ≈ 0.14; the
-    * planted pairs sit at cos ≈ 0.999 ⇒ ≈ 0.014) collides in ≥1 band
-    * w.p. ≈ 1 − (1 − 0.986⁶)⁴ ≈ 1 − 5e-5, while a random pair survives a
-    * 6-bit band only ≈ 1/64 of the time — candidates come from equi-joins
-    * on the (band, key) column, NEVER an all-pairs product. */
-  private val D7Bands = 4
+    * planted pairs sit at cos ≈ 0.999 ⇒ ≈ 0.014) misses a 6-bit band
+    * w.p. ≈ 1 − 0.986⁶ ≈ 0.081, so it collides in ≥1 of 8 bands w.p.
+    * ≈ 1 − 0.081⁸ ≈ 1 − 2e-9, while a random pair survives a 6-bit band
+    * only ≈ 1/64 of the time — candidates come from equi-joins on the
+    * (band, key) column, NEVER an all-pairs product. Widened 4 → 8 bands
+    * in round 16: the sf10 brute-force cross-check caught 5 of 56,000
+    * true pairs missed at 4 bands (≈ 1e-4, exactly the then-documented
+    * (1−0.919)⁴ ≈ 4e-5 false-negative rate materializing once the pair
+    * population got large enough — a near-boundary vector whose ±50
+    * shell perturbation flipped a bit in all 4 bands). More bands only
+    * ADD candidates and the cos gate is exact, so every smaller-SF
+    * all-pairs oracle stays equal; the recall budget now survives ~1e9
+    * true pairs per false negative, the right margin for 100 TB. */
+  private val D7Bands = 8
   private val D7BitsPerBand = 6
 
   /** d7's vector population: the %5 quantized sample plus the injected
