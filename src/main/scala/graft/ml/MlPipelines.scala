@@ -637,28 +637,11 @@ object MlPipelines {
   private[graft] def distributedPredictions[M <: org.apache.spark.ml.Model[M]](
       s: SparkSession, d: String,
       estimator: org.apache.spark.ml.Estimator[M],
-      rawCol: String): DataFrame = {
-    val (tok, tf, idf) = featurize
-    val data = Corpus.docs(s, d)
-      .select(col("doc_id"), Corpus.label.as("label"), col("text").as("tweet"))
-      .repartition(4, col("doc_id"))
-    val pipe = new Pipeline().setStages(Array(tok, tf, idf))
-    val prepared = pipe.fit(data).transform(data)
-      .select("doc_id", "label", "features")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val Array(train, test) = prepared.randomSplit(Array(0.75, 0.25), seed = Seed)
-    val model = estimator.fit(train).copy(org.apache.spark.ml.param.ParamMap.empty)
-    val scored = model.transform(test).select(
-      col("doc_id"),
-      col("label").cast("long").as("label"),
-      col("prediction").cast("long").as("prediction"),
-      col(rawCol).cast("string").as("raw"))
-    val rows = scored.collect().toSeq
-    val out = s.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), scored.schema)
-    prepared.unpersist()
-    out.orderBy("doc_id")
-  }
+      rawCol: String): DataFrame =
+    distributedPredictionsRaw(s, d, estimator, rawCol)
+      .select(col("doc_id"), col("label"), col("prediction"),
+        col("raw_arr").cast("string").as("raw"))
+      .orderBy("doc_id")
 
   /** M1b: the MLlib NB flagship's per-row (doc_id, label, prediction) on
     * the pinned layout — hash-checked against the frozen golden.
@@ -1007,6 +990,68 @@ object MlPipelines {
       new LinearSVC().setMaxIter(10).setRegParam(0.1), "rawPrediction")
       .drop("raw")
 
+  /** M1d / M3d (round-16, closing the m1b degeneracy advice): per-row
+    * SCORE goldens — NB's class-conditional log-probability gap and the
+    * SVC margin, e6-rounded — on the same pinned distributed-fit layout
+    * as m1c/m3c. Where m1b/m1c's argmax column is constant 0 (the NB
+    * majority-class degeneracy at the 500-doc gate) and would pass any
+    * regression that also predicts 0, the score gap is a CONTINUOUS
+    * function of the fitted model: a one-count change in any class-
+    * conditional sum moves some row's e6 gap. Safe to freeze because
+    * ProbeDistributedFit measured the underlying vectors bit-identical
+    * across runs and JVMs; e6 rounding adds slack on top.
+    * Both emit round((raw[1] − raw[0]) · 1e6): for NB that is the
+    * class-1-vs-class-0 log-posterior gap (negative everywhere at the
+    * gate — class 0 always wins, consistent with m1b); for the SVC,
+    * rawPrediction = (−m, m), so the column is 2·margin in e6. */
+  val m1d: Q = (s, d) =>
+    distributedScores(s, d, new NaiveBayes(), "rawPrediction", "gap_e6")
+
+  val m3d: Q = (s, d) =>
+    distributedScores(s, d,
+      new LinearSVC().setMaxIter(10).setRegParam(0.1), "rawPrediction",
+      "margin_e6")
+
+  private def distributedScores[M <: org.apache.spark.ml.Model[M]](
+      s: SparkSession, d: String,
+      estimator: org.apache.spark.ml.Estimator[M],
+      rawCol: String, scoreName: String): DataFrame = {
+    val scored = distributedPredictionsRaw(s, d, estimator, rawCol)
+    scored.select(
+      col("doc_id"), col("label"), col("prediction"),
+      expr(s"CAST(round((raw_arr[1] - raw_arr[0]) * 1000000) AS BIGINT)")
+        .as(scoreName))
+      .orderBy("doc_id")
+  }
+
+  /** Like [[distributedPredictions]] but keeps the raw score VECTOR as a
+    * double array (`raw_arr`) instead of a display string. */
+  private def distributedPredictionsRaw[M <: org.apache.spark.ml.Model[M]](
+      s: SparkSession, d: String,
+      estimator: org.apache.spark.ml.Estimator[M],
+      rawCol: String): DataFrame = {
+    val (tok, tf, idf) = featurize
+    val data = Corpus.docs(s, d)
+      .select(col("doc_id"), Corpus.label.as("label"), col("text").as("tweet"))
+      .repartition(4, col("doc_id"))
+    val pipe = new Pipeline().setStages(Array(tok, tf, idf))
+    val prepared = pipe.fit(data).transform(data)
+      .select("doc_id", "label", "features")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val Array(train, test) = prepared.randomSplit(Array(0.75, 0.25), seed = Seed)
+    val model = estimator.fit(train).copy(org.apache.spark.ml.param.ParamMap.empty)
+    val scored = model.transform(test).select(
+      col("doc_id"),
+      col("label").cast("long").as("label"),
+      col("prediction").cast("long").as("prediction"),
+      org.apache.spark.ml.functions.vector_to_array(col(rawCol)).as("raw_arr"))
+    val rows = scored.collect().toSeq
+    val out = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), scored.schema)
+    prepared.unpersist()
+    out
+  }
+
   val m1cSql: String =
     """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS label,
        |       CAST(prediction AS BIGINT) AS prediction
@@ -1299,6 +1344,306 @@ object MlPipelines {
        |  AS t(doc_id, label, prediction)
        |ORDER BY doc_id""".stripMargin
 
+
+  /** Frozen at sf0.01 (round 16) from two independent fresh-JVM dumps
+    * compared row-identical; regenerate by dumping the query at the gate
+    * if the corpus fixture ever changes. All 139 e6 score values are
+    * DISTINCT — unlike m1b's constant-0 argmax, any perturbation of the
+    * fitted model moves some row here. */
+  val m1dSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS label,
+       |       CAST(prediction AS BIGINT) AS prediction,
+       |       CAST(gap_e6 AS BIGINT) AS gap_e6
+       |FROM (VALUES
+       |      (4, 0, 0, -2539353),
+       |      (11, 0, 0, -3582264),
+       |      (12, 0, 0, -3692602),
+       |      (14, 1, 0, -5010715),
+       |      (21, 0, 0, -2146354),
+       |      (39, 1, 0, -1580489),
+       |      (43, 0, 0, -1799980),
+       |      (51, 1, 0, -3517737),
+       |      (53, 1, 0, -2164903),
+       |      (56, 0, 0, -5617589),
+       |      (57, 1, 0, -4538884),
+       |      (60, 0, 0, -5405309),
+       |      (65, 1, 0, -1328282),
+       |      (66, 1, 0, -3815037),
+       |      (67, 0, 0, -3498697),
+       |      (68, 0, 0, -2252441),
+       |      (70, 0, 0, -6814746),
+       |      (79, 0, 0, -862249),
+       |      (84, 0, 0, -3851641),
+       |      (88, 0, 0, -3209153),
+       |      (91, 1, 0, -4414761),
+       |      (92, 1, 0, -3196053),
+       |      (93, 1, 0, -1822337),
+       |      (95, 1, 0, -3159726),
+       |      (96, 0, 0, -4852642),
+       |      (97, 0, 0, -3509195),
+       |      (102, 0, 0, -5708951),
+       |      (110, 1, 0, -813269),
+       |      (112, 1, 0, -3404001),
+       |      (117, 1, 0, -2717808),
+       |      (118, 1, 0, -3948222),
+       |      (120, 0, 0, -3688491),
+       |      (122, 1, 0, -1289900),
+       |      (129, 0, 0, -4463698),
+       |      (131, 0, 0, -3093986),
+       |      (135, 0, 0, -5507923),
+       |      (136, 1, 0, -3752056),
+       |      (140, 1, 0, -1793550),
+       |      (149, 0, 0, -1735145),
+       |      (150, 0, 0, -2998166),
+       |      (152, 0, 0, -3847684),
+       |      (156, 1, 0, -1281325),
+       |      (162, 0, 0, -4840380),
+       |      (166, 0, 0, -3317209),
+       |      (167, 1, 0, -5024120),
+       |      (170, 0, 0, -1378308),
+       |      (175, 1, 0, -1661679),
+       |      (177, 1, 0, -2936218),
+       |      (179, 0, 0, -5424855),
+       |      (187, 0, 0, -5093621),
+       |      (189, 0, 0, -2141831),
+       |      (197, 0, 0, -5471632),
+       |      (199, 1, 0, -1827217),
+       |      (201, 0, 0, -3184745),
+       |      (207, 1, 0, -4077192),
+       |      (208, 1, 0, -1329189),
+       |      (211, 0, 0, -2929016),
+       |      (215, 0, 0, -5826793),
+       |      (218, 0, 0, -4796324),
+       |      (222, 0, 0, -2930239),
+       |      (224, 0, 0, -4611730),
+       |      (233, 0, 0, -5049770),
+       |      (237, 0, 0, -4658540),
+       |      (239, 1, 0, -1847073),
+       |      (241, 1, 0, -5709561),
+       |      (242, 0, 0, -4042545),
+       |      (243, 0, 0, -1979827),
+       |      (245, 1, 0, -4683687),
+       |      (248, 0, 0, -4692901),
+       |      (259, 0, 0, -2850850),
+       |      (265, 0, 0, -2908494),
+       |      (266, 0, 0, -2547771),
+       |      (271, 0, 0, -3262734),
+       |      (277, 0, 0, -2084056),
+       |      (281, 0, 0, -1936820),
+       |      (285, 1, 0, -6522533),
+       |      (287, 0, 0, -1190340),
+       |      (290, 1, 0, -6162907),
+       |      (291, 0, 0, -4566323),
+       |      (292, 0, 0, -5065635),
+       |      (293, 1, 0, -3731030),
+       |      (295, 0, 0, -3505957),
+       |      (296, 0, 0, -4149509),
+       |      (297, 1, 0, -3639853),
+       |      (305, 0, 0, -927933),
+       |      (307, 0, 0, -3400526),
+       |      (311, 0, 0, -5112357),
+       |      (321, 1, 0, -3082961),
+       |      (327, 1, 0, -1989316),
+       |      (336, 1, 0, -3941666),
+       |      (339, 1, 0, -1955301),
+       |      (352, 1, 0, -5938226),
+       |      (354, 1, 0, -4601102),
+       |      (355, 1, 0, -3680516),
+       |      (359, 0, 0, -3834108),
+       |      (366, 1, 0, -3354379),
+       |      (369, 0, 0, -2965941),
+       |      (374, 0, 0, -2064623),
+       |      (376, 1, 0, -3942442),
+       |      (379, 1, 0, -4471960),
+       |      (380, 1, 0, -4528205),
+       |      (382, 0, 0, -1738349),
+       |      (384, 0, 0, -991662),
+       |      (385, 0, 0, -3920730),
+       |      (393, 0, 0, -6210475),
+       |      (394, 1, 0, -4020929),
+       |      (396, 1, 0, -2556649),
+       |      (397, 0, 0, -3095387),
+       |      (401, 1, 0, -4647830),
+       |      (402, 0, 0, -1990667),
+       |      (404, 0, 0, -2549103),
+       |      (407, 0, 0, -1166426),
+       |      (410, 0, 0, -4051096),
+       |      (412, 1, 0, -4242798),
+       |      (417, 0, 0, -5269895),
+       |      (421, 1, 0, -4750803),
+       |      (422, 1, 0, -3589796),
+       |      (423, 0, 0, -3853565),
+       |      (428, 0, 0, -2840044),
+       |      (429, 0, 0, -5744536),
+       |      (430, 0, 0, -3875237),
+       |      (434, 0, 0, -4506973),
+       |      (437, 0, 0, -4481809),
+       |      (438, 0, 0, -2091757),
+       |      (440, 0, 0, -2511793),
+       |      (442, 0, 0, -4918709),
+       |      (443, 1, 0, -3083278),
+       |      (445, 0, 0, -3410801),
+       |      (446, 1, 0, -3178447),
+       |      (447, 1, 0, -5373412),
+       |      (455, 1, 0, -682589),
+       |      (463, 1, 0, -5108146),
+       |      (465, 0, 0, -3251180),
+       |      (472, 0, 0, -2279926),
+       |      (478, 1, 0, -3364573),
+       |      (486, 0, 0, -3379013),
+       |      (489, 1, 0, -3370280),
+       |      (491, 1, 0, -4390031),
+       |      (492, 0, 0, -880906))
+       |  AS t(doc_id, label, prediction, gap_e6)
+       |ORDER BY doc_id""".stripMargin
+
+  val m3dSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS label,
+       |       CAST(prediction AS BIGINT) AS prediction,
+       |       CAST(margin_e6 AS BIGINT) AS margin_e6
+       |FROM (VALUES
+       |      (4, 0, 1, 31421),
+       |      (11, 0, 0, -1355047),
+       |      (12, 0, 0, -206938),
+       |      (14, 1, 1, 433497),
+       |      (21, 0, 0, -420579),
+       |      (39, 1, 0, -1638762),
+       |      (43, 0, 0, -1583997),
+       |      (51, 1, 0, -1313719),
+       |      (53, 1, 0, -1838731),
+       |      (56, 0, 0, -1058577),
+       |      (57, 1, 1, 1453074),
+       |      (60, 0, 0, -474301),
+       |      (65, 1, 0, -1436453),
+       |      (66, 1, 0, -1913264),
+       |      (67, 0, 1, 102784),
+       |      (68, 0, 0, -2141425),
+       |      (70, 0, 1, 636124),
+       |      (79, 0, 0, -1070541),
+       |      (84, 0, 1, 1598538),
+       |      (88, 0, 0, -2415327),
+       |      (91, 1, 0, -100878),
+       |      (92, 1, 0, -2752928),
+       |      (93, 1, 0, -2045464),
+       |      (95, 1, 1, 77231),
+       |      (96, 0, 0, -2556846),
+       |      (97, 0, 1, 36857),
+       |      (102, 0, 0, -2670860),
+       |      (110, 1, 0, -1216530),
+       |      (112, 1, 0, -75827),
+       |      (117, 1, 0, -36583),
+       |      (118, 1, 0, -84318),
+       |      (120, 0, 0, -1403384),
+       |      (122, 1, 0, -1241951),
+       |      (129, 0, 1, 2145602),
+       |      (131, 0, 0, -97473),
+       |      (135, 0, 1, 644277),
+       |      (136, 1, 0, -193508),
+       |      (140, 1, 0, -1420803),
+       |      (149, 0, 0, -1651388),
+       |      (150, 0, 0, -2019404),
+       |      (152, 0, 0, -2227374),
+       |      (156, 1, 0, -816404),
+       |      (162, 0, 0, -1193117),
+       |      (166, 0, 1, 1906113),
+       |      (167, 1, 0, -416194),
+       |      (170, 0, 0, -800212),
+       |      (175, 1, 1, 91391),
+       |      (177, 1, 0, -476909),
+       |      (179, 0, 0, -3383894),
+       |      (187, 0, 1, 1654609),
+       |      (189, 0, 1, 239156),
+       |      (197, 0, 1, 441772),
+       |      (199, 1, 0, -553687),
+       |      (201, 0, 1, 631640),
+       |      (207, 1, 1, 1384745),
+       |      (208, 1, 0, -290720),
+       |      (211, 0, 1, 390660),
+       |      (215, 0, 0, -1006685),
+       |      (218, 0, 0, -824684),
+       |      (222, 0, 1, 462147),
+       |      (224, 0, 0, -1731617),
+       |      (233, 0, 0, -2448061),
+       |      (237, 0, 0, -304184),
+       |      (239, 1, 0, -624715),
+       |      (241, 1, 0, -2430433),
+       |      (242, 0, 0, -912182),
+       |      (243, 0, 0, -929921),
+       |      (245, 1, 1, 1065658),
+       |      (248, 0, 0, -1447822),
+       |      (259, 0, 0, -1952179),
+       |      (265, 0, 0, -1396681),
+       |      (266, 0, 0, -1441776),
+       |      (271, 0, 0, -1355058),
+       |      (277, 0, 0, -968513),
+       |      (281, 0, 0, -1295936),
+       |      (285, 1, 1, 1871873),
+       |      (287, 0, 0, -1082990),
+       |      (290, 1, 1, 4943908),
+       |      (291, 0, 0, -1006823),
+       |      (292, 0, 0, -885104),
+       |      (293, 1, 1, 2799662),
+       |      (295, 0, 0, -2739880),
+       |      (296, 0, 0, -1702778),
+       |      (297, 1, 1, 59968),
+       |      (305, 0, 0, -2183734),
+       |      (307, 0, 0, -1840828),
+       |      (311, 0, 1, 919012),
+       |      (321, 1, 0, -1670767),
+       |      (327, 1, 0, -931941),
+       |      (336, 1, 1, 218810),
+       |      (339, 1, 0, -374638),
+       |      (352, 1, 0, -2655699),
+       |      (354, 1, 0, -2026016),
+       |      (355, 1, 0, -738813),
+       |      (359, 0, 0, -2692539),
+       |      (366, 1, 0, -798363),
+       |      (369, 0, 0, -605796),
+       |      (374, 0, 0, -2328691),
+       |      (376, 1, 1, 470598),
+       |      (379, 1, 0, -2281280),
+       |      (380, 1, 1, 140029),
+       |      (382, 0, 0, -2006671),
+       |      (384, 0, 0, -510098),
+       |      (385, 0, 1, 157483),
+       |      (393, 0, 0, -2412714),
+       |      (394, 1, 1, 374769),
+       |      (396, 1, 0, -296834),
+       |      (397, 0, 0, -459416),
+       |      (401, 1, 0, -1342479),
+       |      (402, 0, 0, -1133113),
+       |      (404, 0, 0, -229032),
+       |      (407, 0, 0, -175285),
+       |      (410, 0, 1, 1672017),
+       |      (412, 1, 0, -801982),
+       |      (417, 0, 0, -181021),
+       |      (421, 1, 1, 90912),
+       |      (422, 1, 1, 1936124),
+       |      (423, 0, 0, -721658),
+       |      (428, 0, 0, -671149),
+       |      (429, 0, 0, -1937710),
+       |      (430, 0, 1, 1778300),
+       |      (434, 0, 1, 359652),
+       |      (437, 0, 1, 2097102),
+       |      (438, 0, 0, -2388674),
+       |      (440, 0, 0, -883635),
+       |      (442, 0, 1, 316595),
+       |      (443, 1, 0, -946179),
+       |      (445, 0, 1, 66549),
+       |      (446, 1, 0, -2819599),
+       |      (447, 1, 1, 1047314),
+       |      (455, 1, 0, -335417),
+       |      (463, 1, 1, 692497),
+       |      (465, 0, 1, 1934767),
+       |      (472, 0, 0, -1073840),
+       |      (478, 1, 0, -3332302),
+       |      (486, 0, 0, -1736980),
+       |      (489, 1, 0, -692659),
+       |      (491, 1, 0, -3336798),
+       |      (492, 0, 0, -818245))
+       |  AS t(doc_id, label, prediction, margin_e6)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m1_ml_naive_bayes" -> mlNb,
     "m3_ml_linear_svc" -> mlSvm,
@@ -1309,6 +1654,8 @@ object MlPipelines {
     "m3b_ml_svc_predictions" -> m3b,
     "m1c_ml_nb_dist_predictions" -> m1c,
     "m3c_ml_svc_dist_predictions" -> m3c,
+    "m1d_ml_nb_score_gap" -> m1d,
+    "m3d_ml_svc_margin" -> m3d,
     "f1b_hashing_tf_golden" -> f1b,
     "f1c_tfidf_shape_full" -> f1c,
     "r1_random_split" -> r1,
@@ -1322,6 +1669,8 @@ object MlPipelines {
     "m3b_ml_svc_predictions" -> m3bSql,
     "m1c_ml_nb_dist_predictions" -> m1cSql,
     "m3c_ml_svc_dist_predictions" -> m3cSql,
+    "m1d_ml_nb_score_gap" -> m1dSql,
+    "m3d_ml_svc_margin" -> m3dSql,
     "f1b_hashing_tf_golden" -> f1bSql,
     "f1c_tfidf_shape_full" -> f1cSql)
 }
