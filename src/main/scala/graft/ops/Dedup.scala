@@ -1964,14 +1964,29 @@ object Dedup {
     * f3 = the balance's last cents digit (a near-uniform weak field).
     * The +100000-cent offset keeps the bucket/digit operands positive
     * so Spark `div`/`%` (trunc) and DuckDB `//`/`%` (floor) agree. */
-  val d24: Q = (s, d) =>
-    recordLinkageOf(Tables.customer(s, d).select(
+  private def d24Recs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
       col("c_custkey").as("id"),
       col("c_nationkey").cast("string").as("block"),
       col("c_mktsegment").as("f1"),
       expr(s"CAST((${graft.ops.Money.centsSql("c_acctbal")} + 100000) div 100000 AS STRING)").as("f2"),
-      expr(s"CAST((${graft.ops.Money.centsSql("c_acctbal")} + 100000) % 10 AS STRING)").as("f3")))
-  val d24Sql: String =
+      expr(s"CAST((${graft.ops.Money.centsSql("c_acctbal")} + 100000) % 10 AS STRING)").as("f3"))
+
+  val d24: Q = (s, d) => recordLinkageOf(d24Recs(s, d))
+
+  /** D27: record linkage at a CUSTOM exact rational LR threshold — the
+    * registry face of [[recordLinkageLrOf]], cross-engine-verifying the
+    * round-16 limb-comparison gate itself (the d24 default gate only
+    * exercises LR ≥ 1). Threshold e² ≈ 739/100 (a ln-scale cut of 2):
+    * keeps pairs whose exact integer likelihood ratio is ≥ 7.39. The
+    * DuckDB oracle mirrors the SAME 10¹⁸-radix hi/lo comparison in
+    * HUGEINT (a naive lr_den·739 would overflow HUGEINT's ~1.7e38 just
+    * as it overflowed DECIMAL(38,0)), so both engines decide boundary
+    * pairs by identical integer arithmetic — no transcendental anywhere. */
+  val d27: Q = (s, d) => recordLinkageLrOf(d24Recs(s, d), cap = 40,
+    lrNum = 739L, lrDen = 100L)
+
+  private val d24Ctes: String =
     """WITH recs AS (
       |  SELECT c_custkey AS id,
       |         c_nationkey::VARCHAR AS block,
@@ -2029,9 +2044,28 @@ object Dedup {
       |         (CASE WHEN a.f3 = b.f3 THEN CAST(u12_f3 AS HUGEINT)
       |               WHEN u12_f3 >= 1000000000000 THEN 1 ELSE 1000000000000 - u12_f3 END) AS lr_den
       |  FROM capped a JOIN capped b ON a.block = b.block AND a.id < b.id
-      |  CROSS JOIN w1 CROSS JOIN w2 CROSS JOIN w3)
-      |SELECT id_a, id_b, n_agree, score_e6 FROM pairs
-      |WHERE lr_num >= lr_den ORDER BY id_a, id_b""".stripMargin
+      |  CROSS JOIN w1 CROSS JOIN w2 CROSS JOIN w3)""".stripMargin
+
+  val d24Sql: String =
+    s"""$d24Ctes
+       |SELECT id_a, id_b, n_agree, score_e6 FROM pairs
+       |WHERE lr_num >= lr_den ORDER BY id_a, id_b""".stripMargin
+
+  /** d27's oracle: the identical 1e18-radix limb comparison in HUGEINT —
+    * hi/lo of lr_num·100 vs lr_den·739, lexicographic. */
+  val d27Sql: String = {
+    val S = "1000000000000000000"
+    def limbs(prod: String, t: Long): (String, String) = {
+      val lo = s"(($prod % $S) * $t)"
+      (s"(($prod // $S) * $t + $lo // $S)", s"($lo % $S)")
+    }
+    val (aHi, aLo) = limbs("lr_num", 100L)
+    val (bHi, bLo) = limbs("lr_den", 739L)
+    s"""$d24Ctes
+       |SELECT id_a, id_b, n_agree, score_e6 FROM pairs
+       |WHERE $aHi > $bHi OR ($aHi = $bHi AND $aLo >= $bLo)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   // ---- D25: soft dedup — down-weight duplicates instead of dropping ----
 
@@ -2169,6 +2203,7 @@ object Dedup {
     "d26_leakage_safe_split" -> d26,
     "d25_soft_dedup_weights" -> d25,
     "d24_record_linkage" -> d24,
+    "d27_linkage_thresholded" -> d27,
     "d17_ppjoin_pairs" -> d17,
     "d16_fuzzy_decontamination" -> d16,
     "d15_substring_removal" -> d15,
@@ -2197,6 +2232,7 @@ object Dedup {
     "d26_leakage_safe_split" -> d26Sql,
     "d25_soft_dedup_weights" -> d25Sql,
     "d24_record_linkage" -> d24Sql,
+    "d27_linkage_thresholded" -> d27Sql,
     "d17_ppjoin_pairs" -> d17Sql,
     "d16_fuzzy_decontamination" -> d16Sql,
     "d15_substring_removal" -> d15Sql,
