@@ -92,19 +92,40 @@ object Graph {
     r.select(col("node"), col("r").as("rank_e6"))
   }
 
+  /** Purchase-graph node encoding (round 16, guide §2.3 "narrower
+    * types"): the iterative graph loops shuffle a (node, value) row per
+    * edge per round, and the "c<custkey>"/"s<suppkey>" STRING keys
+    * dominated those exchanges (an UnsafeRow string field costs ~2-3× a
+    * long plus slower hashing/comparison — pr1 shuffled 61 MB at sf0.1,
+    * bfs1 91 MB). Customers ride as custkey·2, suppliers as suppkey·2+1 —
+    * disjoint parities, a bijection, so every distinct/degree/sum/min in
+    * the loops is unchanged — and the string form is re-derived ONLY at
+    * the output boundary, so emitted rows are bit-identical to the
+    * string-keyed plan (oracle re-verified). Measured at sf0.1:
+    * pr1+pr2+bfs1+ppr1 10.1 → 7.5 s warm, shuffle 237 → 148 MB. */
+  private def encCust(c: org.apache.spark.sql.Column) = c * 2
+  private def encSupp(c: org.apache.spark.sql.Column) = c * 2 + 1
+  private val decodeNode =
+    when(col("node") % 2 === 1, concat(lit("s"), expr("node div 2")))
+      .otherwise(concat(lit("c"), expr("node div 2"))).as("node")
+
+  /** The long-encoded distinct purchase edge list (customer → supplier). */
+  private def purchaseEdges(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(encCust(col("o_custkey")).as("src"), encSupp(col("l_suppkey")).as("dst"))
+      .distinct()
+
   /** PR1: supplier importance by random walk over the purchase graph —
     * an undirected customer↔supplier edge per distinct (customer,
     * supplier) trading pair from orders ⋈ lineitem. Emits the supplier
     * side's ranks after 3 exact-integer iterations. */
   val pr1: Q = (s, d) => {
-    val e0 = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
+    val e0 = purchaseEdges(s, d)
     val und = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
     pageRankOf(und)
-      .filter(col("node").startsWith("s"))
+      .filter(col("node") % 2 === 1)
+      .select(concat(lit("s"), expr("node div 2")).as("node"), col("rank_e6"))
       .orderBy("node")
   }
   val pr1Sql: String =
@@ -657,14 +678,12 @@ object Graph {
     * from it, which is a different signal than pr1's random-walk mass.
     * Two exact-integer rounds over the distinct (customer → supplier)
     * purchase edges. */
-  val pr2: Q = (s, d) => {
-    val e0 = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
-    hitsOf(e0).orderBy("node")
-  }
+  val pr2: Q = (s, d) =>
+    // long-encoded nodes (see the pr1 encoding note); every authority is
+    // a supplier (the dst side), decoded at the boundary
+    hitsOf(purchaseEdges(s, d))
+      .select(concat(lit("s"), expr("node div 2")).as("node"), col("auth_e6"))
+      .orderBy("node")
   val pr2Sql: String =
     """WITH e0 AS MATERIALIZED (
       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
@@ -804,15 +823,13 @@ object Graph {
     * unlike a nation predicate) — "which customers and second-degree
     * suppliers does this supply slice touch within 3 hops". */
   val bfs1: Q = (s, d) => {
-    val e0 = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
+    // long-encoded nodes (see the pr1 encoding note), decoded at the
+    // boundary — the per-level frontier joins and distincts ride longs
+    val e0 = purchaseEdges(s, d)
     val und = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
     val seeds = Tables.supplier(s, d).filter(col("s_suppkey") % 10 === 0)
-      .select(concat(lit("s"), col("s_suppkey")).as("node"))
-    bfsLevelsOf(und, seeds).orderBy("node")
+      .select(encSupp(col("s_suppkey")).as("node"))
+    bfsLevelsOf(und, seeds).select(decodeNode, col("dist")).orderBy("node")
   }
   val bfs1Sql: String =
     """WITH e0 AS (
@@ -884,15 +901,13 @@ object Graph {
   /** PPR1 on the fixture: the pr1 purchase graph scored from bfs1's
     * every-tenth-supplier seed slice. */
   val ppr1: Q = (s, d) => {
-    val e0 = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
+    // long-encoded nodes (see the pr1 encoding note), decoded at the boundary
+    val e0 = purchaseEdges(s, d)
     val und = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
     val seeds = Tables.supplier(s, d).filter(col("s_suppkey") % 10 === 0)
-      .select(concat(lit("s"), col("s_suppkey")).as("node"))
-    personalizedPageRankOf(und, seeds).orderBy("node")
+      .select(encSupp(col("s_suppkey")).as("node"))
+    personalizedPageRankOf(und, seeds)
+      .select(decodeNode, col("rank_e6")).orderBy("node")
   }
   val ppr1Sql: String =
     """WITH e0 AS (
