@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -582,23 +584,52 @@ object Curation {
     * deviation) of line-item price in exact integer cents via the apx3
     * value-histogram percentile pick, then the |dev| > 3·MAD count — the
     * distribution-drift check a data pipeline runs per partition before
-    * accepting a batch. Two bounded percentile passes (each one shuffle
-    * on the group + per-group windows over DISTINCT values, never a
-    * global sort) + one final aggregate. */
+    * accepting a batch.
+    *
+    * Scale (round-16, guide §2.3 "aggregate before you shuffle" / §2.4):
+    * the input is reduced ONCE to its (grp, v, f) value histogram — the
+    * sufficient statistic for every downstream step — and the median,
+    * the deviation histogram, the MAD and the outlier counts all derive
+    * from that persisted frame. The previous shape re-joined the RAW
+    * rows against the medians and re-scanned the base input four times
+    * (median pass, dev build, MAD pass, final aggregate: 4 parquet scans
+    * in the physical plan); now the base input is scanned exactly once
+    * and everything after the first partial-aggregated shuffle is
+    * O(distinct values), never O(rows). The ≤|groups|-row result is
+    * collected and rebuilt as a local frame so the histogram persist can
+    * be dropped before returning (no storage pinned on the session —
+    * round-12 leak discipline). */
   /** Median/MAD outlier audit of any integer (grp, v) frame — the
     * library entry point ([[graft.api.GraftApi.madOutliers]]). */
   private[graft] def madOutliersOf(li: DataFrame): DataFrame = {
-    val med = ScaleOps.exactPercentilesOf(li, "grp", "v", Seq(0.5))
-      .select(col("grp"), col("exact_pct").as("med"))
-    val dev = li.join(broadcast(med), Seq("grp"))
-      .withColumn("dev", abs(col("v") - col("med")))
-    val mad = ScaleOps.exactPercentilesOf(
-        dev.select(col("grp"), col("dev").as("v")), "grp", "v", Seq(0.5))
-      .select(col("grp"), col("exact_pct").as("mad"))
-    dev.join(broadcast(mad), Seq("grp"))
+    // Everything below is WINDOW functions over the one partitioning the
+    // problem has (grp), so the whole audit is a single linear plan:
+    // scan → partial-agg histogram exchange → grp exchange → two in-
+    // partition sorts (by v, then by dv) → final hash-agg. No joins, no
+    // broadcasts, no persist. med = smallest v whose running frequency
+    // reaches ceil(0.5·n) (identical double math to
+    // ScaleOps.exactPercentilesOf); the running sum over ties uses
+    // Spark's default RANGE frame, so equal dv values share one
+    // cumulative — exactly the value-histogram cf. Null groups are
+    // excluded up front, matching the old shape where the med/mad inner
+    // joins dropped them. Per-group state is value-domain-bounded
+    // (distinct cents), never O(rows), so the 3-task window stage at
+    // local[32] is a property of |groups|, not a scale hazard.
+    val wg = Window.partitionBy("grp")
+    val target = ceil(lit(0.5d) * col("n"))
+    val step = li
+      .filter(col("grp").isNotNull)
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("f"))
+      .withColumn("cf", sum("f").over(wg.orderBy("v")))
+      .withColumn("n", sum("f").over(wg))
+      .withColumn("med", min(when(col("cf") >= target, col("v"))).over(wg))
+      .withColumn("dv", abs(col("v") - col("med")))
+      .withColumn("cfd", sum("f").over(wg.orderBy("dv")))
+      .withColumn("mad", min(when(col("cfd") >= target, col("dv"))).over(wg))
+    step
       .groupBy(col("grp"), col("med"), col("mad"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_out"))
+      .agg(sum(col("f")).as("n"),
+        sum(when(col("dv") > col("mad") * 3, col("f")).otherwise(0L)).as("n_out"))
       .select(col("grp"), col("med").as("med_c"),
         col("mad").as("mad_c"), col("n"), col("n_out"),
         expr("n_out * 10000 div greatest(n, 1)").as("out_bp"))

@@ -1548,23 +1548,28 @@ object Dedup {
           s"CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, $w))), 1, 15), 16, 10) AS LONG))"))
         .as(Seq("i", "wh")))
 
-  /** Window hashes occurring in ≥ 2 distinct docs — the dup predicate of
-    * d14/d15 (one partial-aggregated groupBy on the 8-byte hash). */
-  private def dupWindowHashesOf(wins: DataFrame): DataFrame =
-    wins.groupBy("wh").agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+  /** Per-window dup flag: a window hash is duplicated iff it occurs in
+    * ≥ 2 DISTINCT docs ⟺ min(doc_id) ≠ max(doc_id) over its occurrences
+    * — as a window function over `wh`, so the (expensive, md5-per-token)
+    * window-hash generation is computed ONCE and flows through a single
+    * exchange. The previous shape aggregated the dup-hash set separately
+    * and joined it back, which planned the whole windowHashesOf subtree
+    * (corpus scan + split + md5 per window) TWICE (round-16, guide §2.4:
+    * two operations keyed the same way share one exchange). */
+  private def flagDupWindows(wins: DataFrame): DataFrame = {
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("wh")
+    wins.withColumn("isdup",
+      min(col("doc_id")).over(byHash) =!= max(col("doc_id")).over(byHash))
+  }
 
-  private[graft] def substringDupStatsOf(docs: DataFrame, w: Int = D14W): DataFrame = {
-    val wins = windowHashesOf(docs, w)
-    val dupHashes = dupWindowHashesOf(wins).select(col("wh"), lit(1).as("isdup"))
-    wins.join(dupHashes, Seq("wh"), "left")
+  private[graft] def substringDupStatsOf(docs: DataFrame, w: Int = D14W): DataFrame =
+    flagDupWindows(windowHashesOf(docs, w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("isdup").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
+        sum(when(col("isdup"), 1L).otherwise(0L)).as("n_dup_windows"))
       .filter(col("n_dup_windows") > 0)
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
         expr("n_dup_windows * 10000 div n_windows").as("dup_bp"))
-  }
 
   val d14: Q = (s, d) =>
     substringDupStatsOf(corpus(s, d)).orderBy("doc_id")
@@ -1602,9 +1607,10 @@ object Dedup {
     * aggregate. Docs with nothing to remove never enter the join (inner
     * on the dup-start frame). */
   private[graft] def substringRemovalOf(docs: DataFrame, w: Int = D14W): DataFrame = {
-    val wins = windowHashesOf(docs, w)
-    val dupStarts = wins
-      .join(dupWindowHashesOf(wins).select("wh"), Seq("wh"), "left_semi")
+    // dup flag via the shared min≠max window (one windowHashesOf compute
+    // instead of the semi-join's two — round-16, see flagDupWindows)
+    val dupStarts = flagDupWindows(windowHashesOf(docs, w))
+      .filter(col("isdup"))
       .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("ds"))
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -875,10 +877,16 @@ object Relational {
     * engines ⇒ bit-exact. At 100 TB the sketch (apx1) is the everyday
     * path; this is the exact audit path. */
   val apx2: Q = (s, d) => {
+    // round-16 (guide §2.4): the (price_c, f) histogram feeds THREE
+    // consumers (bucket prefix, total n, within-bucket cumsum) — persist
+    // it so lineitem is scanned once instead of three times; the ≤3-row
+    // result is collected and rebuilt locally so the persist drops
+    // before returning (no storage pinned on the session)
     val freq = li(s, d)
       .groupBy(cents(col("l_extendedprice")).as("price_c"))
       .agg(count(lit(1)).as("f"))
       .withColumn("bkt", expr("price_c div 100000"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket totals: one row per range bucket — small enough that ITS
     // running sum can safely run on a single partition
     val bktPrefix = freq.groupBy("bkt").agg(sum("f").as("bf"))
@@ -893,9 +901,13 @@ object Relational {
       .withColumn("cf", col("bprefix") + col("wcum"))
       .crossJoin(broadcast(n))
     val pcts = s.sql("SELECT explode(array(0.5D, 0.95D, 0.99D)) AS pct")
-    cum.join(broadcast(pcts), col("cf") >= ceil(col("pct") * col("n")))
+    val res = cum.join(broadcast(pcts), col("cf") >= ceil(col("pct") * col("n")))
       .groupBy("pct").agg(min("price_c").as("exact_pct_c"))
       .orderBy("pct")
+    val rows = res.collect().toSeq
+    freq.unpersist()
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), res.schema)
   }
   val apx2Sql: String =
     s"""WITH freq AS (
