@@ -1334,12 +1334,43 @@ object Dedup {
     * Split-then-hash ≡ hash-then-split (a doc's signature depends only
     * on its own shingles), which is what makes the exact oracle on the
     * unified corpus possible. */
+  /** Fused per-doc signature frame (doc_id, hs, mh0..mh3): ONE md5 pass
+    * over the distinct shingles yields both the 60-bit shingle-set
+    * hashes (`hs`, [[shSetsOf]]'s content) and the four MinHash mins
+    * ([[minhashOf]]'s values) in a SINGLE aggregation — the 28-bit h and
+    * the 60-bit h60 are different prefixes of the same md5 hex string,
+    * so the old two-pass shape (minhash agg + set agg, each re-exploding
+    * and re-hashing every shingle) was pure diamond reuse (round-16,
+    * guide §2.3/§2.4). Values are bit-identical to the unfused helpers:
+    * min over (h·A+B) mod P of the same distinct-shingle h's, and
+    * collect_list order is irrelevant (hs is consumed only by
+    * order-insensitive array_intersect/size). */
+  private[graft] def sigSetsOf(docs: DataFrame): DataFrame =
+    shinglesOf(docs)
+      .select(col("doc_id"), md5(col("shingle")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h60"),
+        conv(substring(col("m"), 1, 7), 16, 10).cast("long").as("h"))
+      .groupBy("doc_id")
+      .agg(
+        collect_list(col("h60")).as("hs"),
+        (0 until 4).map(k =>
+          min((col("h") * MhA(k) + MhB(k)) % MhP).as(s"mh$k")): _*)
+
+  /** Band rows of a [[sigSetsOf]] frame via a 2-element EXPLODE (not a
+    * self-union, which would plan the upstream aggregation twice — the
+    * two union branches prune different mh columns, so exchange reuse
+    * cannot merge them). `keep` columns ride along with each band row. */
+  private def bandsOfSigs(sigs: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    sigs.select(col("doc_id") +: keep.map(col) :+
+        explode(array(
+          struct((col("mh0") * MhP + col("mh1")).as("band"), lit(0).as("bi")),
+          struct((col("mh2") * MhP + col("mh3")).as("band"), lit(1).as("bi")))).as("b"): _*)
+      .select(col("doc_id") +: keep.map(col) :+ col("b.band") :+ col("b.bi"): _*)
+
   /** Per-doc MinHash band keys in the incremental-index layout. */
-  private[graft] def idxBandsOf(df: DataFrame): DataFrame = {
-    val mh = minhashOf(df)
-    mh.select(col("doc_id"), (col("mh0") * MhP + col("mh1")).as("band"), lit(0).as("bi"))
-      .unionAll(mh.select(col("doc_id"), (col("mh2") * MhP + col("mh3")).as("band"), lit(1).as("bi")))
-  }
+  private[graft] def idxBandsOf(df: DataFrame): DataFrame =
+    bandsOfSigs(sigSetsOf(df)).select("doc_id", "band", "bi")
 
   /** The STORED old-corpus side of the incremental-dedup probe,
     * materialized once: the hot-band-capped band table and the per-doc
@@ -1351,16 +1382,32 @@ object Dedup {
     * handle releases both checkpoint blocks. */
   private[graft] def incrementalIndexOf(
       oldDocs: DataFrame): (DataFrame, DataFrame, () => Unit) = {
-    val oldBands = idxBandsOf(oldDocs)
+    // ONE pass over the old corpus text (round-16): the fused signature
+    // frame is checkpointed first, and both index faces — the capped band
+    // table and the shingle sets — derive from those blocks instead of
+    // re-exploding and re-hashing the corpus once each (2 text passes → 1).
+    val (sig, freeSig) = Pinned.checkpoint(sigSetsOf(oldDocs))
+    val oldBands = bandsOfSigs(sig).select("doc_id", "band", "bi")
     val okOld = oldBands.groupBy("band", "bi").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= D3MaxBand).select("band", "bi")
     val (ob, freeOb) = Pinned.checkpoint(oldBands.join(okOld, Seq("band", "bi")))
     val (os, freeOs) = Pinned.checkpoint(
-      shSetsOf(oldDocs).select(col("doc_id").as("id_old"), col("hs").as("ho")))
+      sig.select(col("doc_id").as("id_old"), col("hs").as("ho")))
+    freeSig() // both faces are materialized; the fused blocks can go
     (ob, os, () => { freeOb(); freeOs() })
   }
 
   private[graft] def incrementalKeepOf(oldDocs: DataFrame, newDocs: DataFrame,
+      minJacBp: Int = 8000): DataFrame =
+    newDocs.join(incrementalDroppedOf(oldDocs, newDocs, minJacBp),
+      Seq("doc_id"), "left_anti")
+
+  /** The new-side doc_ids with a verified old-side near-dup — the DROP
+    * set [[incrementalKeepOf]] anti-joins away. Exposed separately so a
+    * consumer that only needs the verdict flag (pipe4/st32's admission
+    * rollup) can LEFT-join this small frame instead of re-joining the
+    * full arriving batch against its own kept subset. */
+  private[graft] def incrementalDroppedOf(oldDocs: DataFrame, newDocs: DataFrame,
       minJacBp: Int = 8000): DataFrame = {
     // single-shot path: the old side stays LAZY (no index materialized —
     // one probe pays one scan either way)
@@ -1370,11 +1417,12 @@ object Dedup {
     // to cap·|new bands| regardless of corpus size. (In the append-only
     // index deployment the bucket width check is maintained at append
     // time for free.)
-    val oldBands = idxBandsOf(oldDocs)
+    val oldSig = sigSetsOf(oldDocs)
+    val oldBands = bandsOfSigs(oldSig).select("doc_id", "band", "bi")
     val okOld = oldBands.groupBy("band", "bi").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= D3MaxBand).select("band", "bi")
-    incrementalKeepAgainst(oldBands.join(okOld, Seq("band", "bi")),
-      shSetsOf(oldDocs).select(col("doc_id").as("id_old"), col("hs").as("ho")),
+    incrementalDroppedAgainst(oldBands.join(okOld, Seq("band", "bi")),
+      oldSig.select(col("doc_id").as("id_old"), col("hs").as("ho")),
       newDocs, minJacBp)
   }
 
@@ -1383,13 +1431,25 @@ object Dedup {
     * math to [[incrementalKeepOf]], the old side just comes
     * materialized. */
   private[graft] def incrementalKeepAgainst(cappedBands: DataFrame,
-      oldSets: DataFrame, newDocs: DataFrame, minJacBp: Int = 8000): DataFrame = {
-    val cand = idxBandsOf(newDocs).as("n").join(cappedBands.as("o"),
+      oldSets: DataFrame, newDocs: DataFrame, minJacBp: Int = 8000): DataFrame =
+    newDocs.join(incrementalDroppedAgainst(cappedBands, oldSets, newDocs, minJacBp),
+      Seq("doc_id"), "left_anti")
+
+  /** [[incrementalDroppedOf]] against a prebuilt index. Round-16 probe
+    * shape: the arriving batch's fused signature frame ([[sigSetsOf]]) is
+    * consumed ONCE — its shingle sets ride WITH the band rows through the
+    * candidate join (first(hn) per candidate pair is well-defined: every
+    * band row of a doc carries the identical hs array), so the batch's
+    * shingle machinery runs once per probe instead of twice (the old
+    * cand-side minhash agg + set-side agg were separate passes, and the
+    * self-union band shape planned the minhash agg twice more). */
+  private[graft] def incrementalDroppedAgainst(cappedBands: DataFrame,
+      oldSets: DataFrame, newDocs: DataFrame, minJacBp: Int = 8000): DataFrame =
+    bandsOfSigs(sigSetsOf(newDocs), keep = Seq("hs")).as("n")
+      .join(cappedBands.as("o"),
         col("n.band") === col("o.band") && col("n.bi") === col("o.bi"))
-      .select(col("n.doc_id").as("id_new"), col("o.doc_id").as("id_old"))
-      .distinct()
-    val dropped = cand
-      .join(shSetsOf(newDocs).select(col("doc_id").as("id_new"), col("hs").as("hn")), Seq("id_new"))
+      .groupBy(col("n.doc_id").as("id_new"), col("o.doc_id").as("id_old"))
+      .agg(first(col("n.hs")).as("hn"))
       .join(oldSets, Seq("id_old"))
       .select(col("id_new"),
         expr("size(array_intersect(hn, ho))").cast("long").as("inter"),
@@ -1397,8 +1457,6 @@ object Dedup {
       .filter(col("inter") * 10000 >= (col("sz") - col("inter")) * minJacBp)
       .select(col("id_new").as("doc_id"))
       .distinct()
-    newDocs.join(dropped, Seq("doc_id"), "left_anti")
-  }
 
   // PRECONDITION for the incremental verify: `hs` must be a SET per doc —
   // `array_intersect` has distinct semantics while the d13 oracle counts

@@ -356,8 +356,8 @@ object Pipeline {
     * deltas and finish bit-identical to the batch composite. */
   private[graft] def admissionDeltaOf(oldDocs: DataFrame,
       arrived: DataFrame): DataFrame =
-    admissionRollup(arrived, Dedup.incrementalKeepOf(oldDocs,
-      arrived.select(col("doc_id"), col("text"))).select("doc_id"))
+    admissionRollup(arrived, Dedup.incrementalDroppedOf(oldDocs,
+      arrived.select(col("doc_id"), col("text"))))
 
   /** The delta against a PREBUILT incremental index
     * ([[graft.ops.Dedup.incrementalIndexOf]]) — what the streaming twin
@@ -365,26 +365,29 @@ object Pipeline {
     * micro-batch. */
   private[graft] def admissionDeltaAgainst(cappedBands: DataFrame,
       oldSets: DataFrame, arrived: DataFrame): DataFrame =
-    admissionRollup(arrived, Dedup.incrementalKeepAgainst(cappedBands, oldSets,
-      arrived.select(col("doc_id"), col("text"))).select("doc_id"))
+    admissionRollup(arrived, Dedup.incrementalDroppedAgainst(cappedBands, oldSets,
+      arrived.select(col("doc_id"), col("text"))))
 
-  private def admissionRollup(arrived: DataFrame, kept: DataFrame): DataFrame = {
-    val q = TextAnalysis.qualityScoreOf(
-        arrived.select(col("doc_id"), col("text"),
-          length(col("text")).cast("long").as("n_chars")))
-      .select(col("doc_id"), col("quality"))
-    val admitted = arrived.join(kept, Seq("doc_id")).join(q, Seq("doc_id"))
-      .withColumn("admit", col("quality") >= Pipe3QualityMin)
-    arrived.groupBy("lang").agg(count(lit(1)).as("n_arrived"))
-      .join(admitted.groupBy("lang").agg(
-          count(lit(1)).as("n_nondup"),
-          sum(when(col("admit"), 1L).otherwise(0L)).as("n_admitted"),
-          sum(when(col("admit"), col("toks")).otherwise(0L)).as("toks_admitted")),
-        Seq("lang"), "left")
-      .select(col("lang"), col("n_arrived"),
-        coalesce(col("n_nondup"), lit(0L)).as("n_nondup"),
-        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
-        coalesce(col("toks_admitted"), lit(0L)).as("toks_admitted"))
+  /** Round-16 rollup shape (guide §2.3 "aggregate before you shuffle" /
+    * §2.4): ONE groupBy(lang) with conditional sums over the arriving
+    * frame LEFT-joined to the small DROP set, instead of the old
+    * arrived-groupBy ⋈ admitted-groupBy diamond (which re-joined the
+    * full batch against its own kept subset and shuffled the batch
+    * twice). Quality is a pure projection ([[TextAnalysis.withQuality]]),
+    * so no quality join either. Equivalence: `dropped` holds distinct
+    * doc_ids (the left join cannot duplicate), quality is total over
+    * arrived, and a lang whose docs are all dropped sums to 0 exactly
+    * like the old left-join coalesce. */
+  private def admissionRollup(arrived: DataFrame, dropped: DataFrame): DataFrame = {
+    val admit = col("isdup").isNull && col("quality") >= Pipe3QualityMin
+    TextAnalysis.withQuality(
+        arrived.withColumn("n_chars", length(col("text")).cast("long")))
+      .join(dropped.select(col("doc_id"), lit(1).as("isdup")), Seq("doc_id"), "left")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_arrived"),
+        sum(when(col("isdup").isNull, 1L).otherwise(0L)).as("n_nondup"),
+        sum(when(admit, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(admit, col("toks")).otherwise(0L)).as("toks_admitted"))
   }
 
   /** pipe4's arriving slice for a (doc_id, text, lang) new-doc frame —

@@ -90,29 +90,39 @@ object TextAnalysis {
 
   // ---- T5: quality scoring (length / word-shape / stopword ratios) ----
 
-  /** Integer quality scores over any (doc_id, text, n_chars) frame — the
-    * library entry point ([[graft.api.GraftApi.qualityScore]]). */
-  private[graft] def qualityScoreOf(docs: DataFrame): DataFrame = {
-    val nTok = size(split(col("text"), " ")).cast("long")
-    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
-    val sumTokLen = length(regexp_replace(col("text"), " ", "")).cast("long")
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val stops = toks.filter(col("word").isInCollection(StopWords))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_stop"))
+  /** Quality columns appended to any (…, text, n_chars) frame as a PURE
+    * PROJECTION — no explode, no aggregation, no join (round-16, guide
+    * §2.4 "remove shuffles outright"): the stopword count is
+    * `size(filter(split(text), w -> w IN stoplist))` over the 5-word
+    * stoplist, which counts token OCCURRENCES exactly like the old
+    * explode → filter → groupBy → join-back (and the 0-stopword doc needs
+    * no coalesce — filter yields an empty array, size 0). Every quality
+    * consumer (t5, pipe1-4/st32, cur1, pref1/pref2, eval/dq entries) now
+    * pays one map over its input instead of two exchanges and a join. */
+  private[graft] def withQuality(docs: DataFrame): DataFrame = {
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
     docs
-      .select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"),
-        nAlpha.as("n_alpha"), sumTokLen.as("sum_tok_len"))
-      .join(stops, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        expr("sum_tok_len * 100 div n_tokens").as("mean_tok_len_x100"),
-        expr("n_alpha * 10000 div greatest(n_chars, 1)").as("alpha_bp"),
-        expr("coalesce(n_stop, 0) * 10000 div n_tokens").as("stop_bp"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_alpha",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("sum_tok_len",
+        length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(split(text, ' '), w -> w IN ($stopList))) AS BIGINT)"))
+      .withColumn("mean_tok_len_x100", expr("sum_tok_len * 100 div n_tokens"))
+      .withColumn("alpha_bp", expr("n_alpha * 10000 div greatest(n_chars, 1)"))
+      .withColumn("stop_bp", expr("n_stop * 10000 div n_tokens"))
       .withColumn("quality",
         expr("(CASE WHEN n_tokens >= 20 THEN 2500 ELSE n_tokens * 125 END)" +
           " + alpha_bp div 4 + stop_bp div 4" +
           " + (CASE WHEN mean_tok_len_x100 BETWEEN 300 AND 800 THEN 2500 ELSE 0 END)"))
   }
+
+  /** Integer quality scores over any (doc_id, text, n_chars) frame — the
+    * library entry point ([[graft.api.GraftApi.qualityScore]]). */
+  private[graft] def qualityScoreOf(docs: DataFrame): DataFrame =
+    withQuality(docs).select(col("doc_id"), col("n_tokens"),
+      col("mean_tok_len_x100"), col("alpha_bp"), col("stop_bp"), col("quality"))
 
   val t5: Q = (s, d) =>
     qualityScoreOf(Tables.documents(s, d)).orderBy("doc_id")

@@ -358,6 +358,30 @@ class DedupSimSpec extends SparkSpec {
     assert(kept.contains(1002L), "novel doc kept")
   }
 
+  test("fused sigSetsOf equals the unfused minhashOf + shSetsOf pair (round-16 probe fusion)") {
+    import spark.implicits._
+    // mixed corpus: multi-shingle docs, a <3-word fallback doc, exact dups
+    val docs = Seq(
+      (1L, "red green blue cyan magenta yellow"),
+      (2L, "red green blue cyan magenta pink"),
+      (3L, "short doc"), // <3 words -> single whole-text shingle
+      (4L, "red green blue cyan magenta yellow") // exact dup of 1
+    ).toDF("doc_id", "text")
+    val fused = Dedup.sigSetsOf(docs).collect().map { r =>
+      (r.getLong(0), r.getSeq[Long](1).sorted,
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    }.sortBy(_._1)
+    val mh = Dedup.minhashOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val sets = Dedup.shSetsOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    assert(fused.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    fused.foreach { case (id, hs, mins) =>
+      assert(mins === mh(id), s"minhash mismatch for doc $id")
+      assert(hs === sets(id), s"shingle-set mismatch for doc $id")
+    }
+  }
+
   test("D17 prefix filtering is exact: finds boundary-tau pairs, excludes below-tau, no cap loss on hot shingles") {
     import spark.implicits._
     // d17 shingles at w = 5. A/B: 8-word docs differing in the last word
