@@ -242,49 +242,39 @@ object Dedup {
   private[graft] val D3MaxBand = 50
 
   private[graft] def nearDupPairsOf(docs: DataFrame, minJacBp: Int = 8000): DataFrame = {
-    // NOT cached: measured at sf0.1, materializing the wide shingle/signature
-    // frames costs more than the recompute it saves — uncached, Catalyst
-    // prunes each band projection to 2 of the 4 min-md5 aggs and keeps the
-    // whole pipeline in codegen (cache-wins pattern: small aggregates like
-    // d5's signatures; cache-loses: big exploded frames like shingles)
-    val mh = minhashOf(docs)
+    // Round-16 single-pass shape (guide §2.4 "remove shuffles outright"):
+    // the old plan evaluated the shingle→md5→aggregate machinery ~5× per
+    // run — the minhash agg twice under the band self-union (each branch
+    // prunes different mh columns, so exchange reuse never merged them),
+    // twice more under the hot-band groupBy + join-back diamond, and a
+    // fifth shingle pass for the verify sets. Now:
+    //   - ONE fused aggregation ([[sigSetsOf]]) yields minhash mins AND
+    //     the verify sets from one md5 pass;
+    //   - band rows come from a 2-element explode, hs riding along;
+    //   - the hot-band cap is a COUNT WINDOW over the band exchange the
+    //     self-join needs anyway (same ≤ D3MaxBand groups; one shuffle
+    //     instead of a groupBy pass + join-back), and the self-join's two
+    //     sides are the identical subtree, which AQE stage reuse
+    //     materializes once.
     // band key = mh_i·P + mh_j packs the 2-signature band into ONE long
-    // (mh < P ⇒ no collisions across distinct pairs, max < P² ≈ 2^58) —
-    // the equi-join shuffles 8 bytes per row where an md5 key shuffled 32
-    val bands = mh.select(col("doc_id"), (col("mh0") * MhP + col("mh1")).as("band"), lit(0).as("bi"))
-      .unionAll(mh.select(col("doc_id"), (col("mh2") * MhP + col("mh3")).as("band"), lit(1).as("bi")))
-    // scale guard: see D3MaxBand — hot bands out before the self-join
-    val okBands = bands.groupBy("band", "bi").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= D3MaxBand).select("band", "bi")
-    val bounded = bands.join(okBands, Seq("band", "bi"))
+    // (mh < P ⇒ no collisions across distinct pairs, max < P² ≈ 2^58).
+    // Verify stays exact-integer over the 60-bit md5-prefix SETS
+    // (PRECONDITION: `hs` is a set per doc — shinglesOf is `.distinct()`);
+    // candidate pairs colliding in both bands carry identical arrays, so
+    // first(hs) per (id_a, id_b) equals the old distinct + set re-join.
+    val bands = bandsOfSigs(sigSetsOf(docs), keep = Seq("hs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bi")
+    val bounded = bands.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= D3MaxBand).drop("bn")
     val cand = bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.bi") === col("b.bi") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
-    // intersections join on the 60-bit md5-prefix key, not the shingle
-    // STRING: the exchange carries 8 bytes per row instead of the full
-    // shingle text, and both engines derive the key from the same md5 —
-    // an h60 collision (≈2^-60 per distinct pair) would be counted
-    // identically on both sides, so bit-exactness is preserved
-    // verify via per-doc shingle-hash SETS: one aggregate builds each
-    // doc's h60 array, the candidate pair joins fetch TWO arrays by id,
-    // and the intersection is a map-side array_intersect (PRECONDITION:
-    // `hs` must be a set per doc — shinglesOf is `.distinct()`; see the
-    // identical note at the d13 site below) — versus the
-    // round-≤5 shingle×shingle equi-join, the exchange carries one
-    // ~30-element long array per candidate side instead of re-shuffling
-    // the whole exploded shingle frame twice (h60 is injective per doc
-    // up to a ≈2⁻⁶⁰ collision, the same assumption the join form made)
-    val shSets = shinglesOf(docs)
-      .groupBy("doc_id")
-      .agg(collect_list(h60(col("shingle"))).as("hs"))
-    val inter = cand
-      .join(shSets.select(col("doc_id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
-      .join(shSets.select(col("doc_id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(first(col("a.hs")).as("ha"), first(col("b.hs")).as("hb"))
+    cand
       .select(col("id_a"), col("id_b"),
         expr("size(array_intersect(ha, hb))").cast("long").as("inter"),
         (size(col("ha")) + size(col("hb"))).cast("long").as("sz"))
-    inter
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("sz") - col("inter")).as("uni"))
       .filter(col("inter") * 10000 >= col("uni") * minJacBp)
