@@ -938,13 +938,17 @@ object Dedup {
         freeEdges = freeNext
         // fixpoint ⟺ the edge list is a star forest: every source has ONE
         // target, and no target is itself a source. Both checks run on
-        // the dup-only edge frame, not the corpus.
-        val singleTarget = edges.groupBy("u")
+        // the dup-only edge frame, not the corpus — and in ONE action
+        // (round-16): the converging case used to pay two driver probes
+        // per round; a union of the two violation frames probes both with
+        // one job wave (star ⟺ both empty).
+        val multiTarget = edges.groupBy("u")
           .agg(countDistinct(col("v")).as("nd"))
-          .filter(col("nd") > 1).head(1).isEmpty
-        star = singleTarget && edges.select(col("v"))
+          .filter(col("nd") > 1).select(lit(1).as("viol"))
+        val chainedTarget = edges.select(col("v"))
           .join(edges.select(col("u").as("v")), Seq("v"), "left_semi")
-          .head(1).isEmpty
+          .select(lit(1).as("viol"))
+        star = multiTarget.unionAll(chainedTarget).head(1).isEmpty
         rounds += 1
       }
       require(star, s"large-star/small-star did not converge in $rounds rounds")

@@ -226,16 +226,19 @@ object Pipeline {
     // 2. keep-list: collapse near-dup clusters to canonical members
     val kept = Dedup.dedupedCorpusOf(docs.select(col("doc_id"), col("text")))
     val withMeta = kept.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    // 3. quality gate over the kept docs' own text
-    val q = TextAnalysis.qualityScoreOf(
-        withMeta.select(col("doc_id"), col("text"),
-          length(col("text")).cast("long").as("n_chars")))
+    // 3. quality gate over the kept docs' own text — quality is a pure
+    // projection ([[TextAnalysis.withQuality]]) since round 16, so the
+    // gate fuses into the token projection instead of self-joining two
+    // projections of the kept frame (whose upstream anti-join + meta
+    // join used to evaluate twice); kept doc_ids are unique, so the old
+    // inner join on q was exactly this filter
+    val scored = TextAnalysis.withQuality(
+        withMeta.withColumn("n_chars", length(col("text")).cast("long")))
       .filter(col("quality") >= qualityMin)
-      .select(col("doc_id"), col("quality"))
-    val scored = withMeta.select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"),
         size(filter(split(col("text"), " "), w => length(w) > 0))
-          .cast("long").as("toks"))
-      .join(q, Seq("doc_id"))
+          .cast("long").as("toks"),
+        col("quality"))
     // 4. budget cut: exact global prefix under the token budget
     val ranked = PrefixSum.prefixRank(scored,
       Seq(col("quality").desc, col("doc_id").asc), sumCol = Some("toks")).df
