@@ -28,11 +28,7 @@ object SvmSgd {
   private def eta(e: Int): Double = 0.1 / (1.0 + e * 0.01)
 
   /** Run `epochs` corrected epochs; returns (epoch summaries DF, final weights DF).
-    * Weights schema: (word, weight double) plus the final epoch's
-    * misclassified-count column `m` (constant across rows — the broadcast
-    * counter that rides the update so each epoch is one action); the
-    * returned frame is the persisted cache itself, so the caller's
-    * `unpersist()` releases the block. */
+    * Weights schema: (word, weight double). */
   def train(s: SparkSession, d: String, epochs: Int = 5,
     checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
     val toks = Corpus.tokensSvm(s, d).filter(col("is_train"))
@@ -44,7 +40,6 @@ object SvmSgd {
     var weights = Seq.empty[(String, Double)].toDF("word", "weight")
     val summaries = Seq.newBuilder[(Int, Long, Long, Double)]
 
-    var prevCache: Option[DataFrame] = None
     for (e <- 1 to epochs) {
       val et = eta(e)
       // margin per doc under current weights (missing word → 0); the margin
@@ -55,46 +50,32 @@ object SvmSgd {
         .agg(sum(coalesce(col("weight"), lit(0.0))).as("dot"))
         .filter(col("label") * col("dot") < 1.0)
         .select("doc_id")
-      // the reference's misclassified counter rides as a broadcast 1-row
-      // frame instead of a separate count() action (round-16): each epoch
-      // is now ONE action — the summary head() below materializes the new
-      // weight cache, the gradient AND the counter in a single job wave.
-      val mDf = misIds.agg(count(lit(1)).as("m"))
+      val mCount = misIds.count() // driver scalar, like the reference's counter
       // hinge gradient: +eta·label per token occurrence of misclassified docs
       val grad = toks.join(misIds, "doc_id")
         .groupBy("word").agg(sum(col("label")).as("msum"))
         .select(col("word"), (lit(et) * col("msum")).as("delta"))
       // L2 shrink: the reference emits −eta·λ·w_k per misclassified doc,
       // all against the SAME epoch-start weights, then sums — a linear
-      // batch delta w·(1 − eta·λ·M), not a compounded (1−eta·λ)^M.
-      // The column form multiplies the identical doubles in the identical
-      // order as the old driver-scalar shrink (1.0 − (et·λ)·m, with et·λ
-      // folded on the driver), and 0·shrink = 0 exactly for grad-only
-      // words, so weights stay bit-identical to the two-action shape.
-      val updated = weights
+      // batch delta w·(1 − eta·λ·M), not a compounded (1−eta·λ)^M
+      val shrink = 1.0 - et * Lambda * mCount.toDouble
+      val prev = weights
+      weights = weights
+        .select(col("word"), (col("weight") * shrink).as("weight"))
         .join(grad, Seq("word"), "full_outer")
-        .crossJoin(broadcast(mDf))
         .select(col("word"),
-          (coalesce(col("weight"), lit(0.0))
-            * (lit(1.0) - lit(et * Lambda) * col("m").cast("double"))
-            + coalesce(col("delta"), lit(0.0))).as("weight"),
-          col("m"))
+          (coalesce(col("weight"), lit(0.0)) + coalesce(col("delta"), lit(0.0))).as("weight"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      weights = updated.select("word", "weight")
       checkpointDir.foreach(dir =>
         weights.write.mode("overwrite").parquet(s"$dir/model_epoch_$e"))
       // one job materializes the new cache AND computes the epoch summary
-      val stats = updated.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("weight") * col("weight")), lit(0.0)).as("nrm"),
-        max(col("m")).as("m")).head()
-      val mCount = if (stats.isNullAt(2)) 0L else stats.getLong(2)
-      prevCache.foreach(_.unpersist())
-      prevCache = Some(updated)
+      val stats = weights.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("weight") * col("weight")), lit(0.0)).as("nrm")).head()
+      prev.unpersist()
       summaries += ((e, mCount, stats.getLong(0), math.sqrt(stats.getDouble(1))))
     }
     toks.unpersist()
-    (summaries.result().toDF("epoch", "n_misclassified", "n_weights", "w_norm"),
-      prevCache.getOrElse(weights))
+    (summaries.result().toDF("epoch", "n_misclassified", "n_weights", "w_norm"), weights)
   }
 
   /** Registry query: per-epoch training summary, w_norm rounded to 6 dp at

@@ -493,8 +493,17 @@ object SentimentNb {
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
         sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("o"))
-    val tot = bins.agg(sum("n").as("nn"), sum("o").as("oo"))
-    bins.crossJoin(broadcast(tot))
+    // totals via an unbounded window over the ≤11-row bin table
+    // (coalesce(1) explicit — the mix3/dq2 bounded-value-domain idiom),
+    // NOT a separate aggregate crossJoined back: that diamond re-planned
+    // the ENTIRE upstream NB scoring chain once per consumer (round-16;
+    // cal2 was ~2× cal3's wall for the same scan work)
+    val w = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    bins.coalesce(1)
+      .withColumn("nn", sum("n").over(w))
+      .withColumn("oo", sum("o").over(w))
       .select(col("n"), col("nn"), col("oo"),
         expr("CAST(n * (2 * bin + 11) - 22 * o AS DECIMAL(38,0))").as("reld"),
         expr("CAST(o * nn - oo * n AS DECIMAL(38,0))").as("resd"))
