@@ -448,30 +448,36 @@ object Dedup {
     // the ONE shared shingle definition (shinglesOf — same as d2/d3/d9, so
     // the <3-word fallback cannot drift), with the (lang, source) block key
     // joined back on doc_id (constant per doc ⇒ per-doc distinct unchanged)
+    // Round-16 single-pass shape (the d3/d20 treatment): stop-shingle cap
+    // as a count window on the block-key exchange the self-join needs
+    // anyway, capped per-doc size as a second count window riding each
+    // row, first(n) per pair replacing both size joins — the old shape
+    // re-exploded the shingles ~5× (cap groupBy + join-back, two
+    // self-join sides, two size joins). Shingle passes 5 → 1; results
+    // identical (inner joins ⇒ same pair set; same capped sizes).
+    val w = org.apache.spark.sql.expressions.Window
     val sh = shinglesOf(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), h60(col("shingle")).as("sh")) // 8-byte join key (see d3)
       .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
-    // scale guard: see D6MaxDf — stop-shingles out before sizes AND the join
-    val dfok = sh.groupBy("lang", "source", "sh").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= D6MaxDf).select("lang", "source", "sh")
-    val bounded = sh.join(dfok, Seq("lang", "source", "sh"))
-    val sizes = bounded.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // scale guard: see D6MaxDf — stop-shingles out before sizes AND the join;
     // intersection counts straight off a shingle-equality self-join within
     // the block: only pairs that actually SHARE a shingle are materialized,
     // instead of enumerating every intra-block doc pair first — at scale the
     // all-pairs frame is quadratic per block while this is quadratic only
     // per shingle bucket (inner joins ⇒ same result set), and the D6MaxDf
     // guard bounds every bucket
-    val inter = bounded.as("sa").join(bounded.as("sb"),
+    val bounded = sh
+      .withColumn("bn", count(lit(1)).over(w.partitionBy("lang", "source", "sh")))
+      .filter(col("bn") <= D6MaxDf).drop("bn")
+      .withColumn("n", count(lit(1)).over(w.partitionBy("doc_id")))
+    bounded.as("sa").join(bounded.as("sb"),
         col("sa.lang") === col("sb.lang") && col("sa.source") === col("sb.source") &&
           col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
       .groupBy(col("sa.doc_id").as("id_a"), col("sb.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("na"), col("id_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("id_b") === col("nb.doc_id"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("sa.n")).as("na"), first(col("sb.n")).as("nb"))
       .select(col("id_a"), col("id_b"),
-        expr("inter * 10000 div (na.n + nb.n - inter)").as("jac_bp"))
+        expr("inter * 10000 div (na + nb - inter)").as("jac_bp"))
       .filter(col("jac_bp") >= 500)
       .orderBy("id_a", "id_b")
   }
@@ -499,22 +505,30 @@ object Dedup {
     * [[graft.api.GraftApi.containmentPairs]]. */
   private[graft] def containmentPairsOf(docs: DataFrame,
       minBp: Long = 8000L): DataFrame = {
+    // Round-16 single-pass shape (the d3/nearDupPairsOf treatment): the
+    // old plan re-exploded the shingles ~5× — under the stop-shingle
+    // groupBy + join-back, under each self-join side, and TWICE more
+    // under the per-doc size joins. Now the stop-shingle cap is a count
+    // window on the (sh) exchange the self-join needs anyway, the capped
+    // per-doc size is a second count window riding each row, and
+    // first(n) per pair replaces both size joins (n is constant per
+    // doc). Shingle passes 5 → 1; results identical (inner joins ⇒ same
+    // pair set; same capped representation for sizes).
+    val w = org.apache.spark.sql.expressions.Window
     val sh = shinglesOf(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), h60(col("shingle")).as("sh"))
-    val dfok = sh.groupBy("sh").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= D6MaxDf).select("sh")
-    val bounded = sh.join(dfok, Seq("sh"))
-    val sizes = bounded.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = bounded.as("sa").join(bounded.as("sb"),
+    val bounded = sh
+      .withColumn("bn", count(lit(1)).over(w.partitionBy("sh")))
+      .filter(col("bn") <= D6MaxDf).drop("bn")
+      .withColumn("n", count(lit(1)).over(w.partitionBy("doc_id")))
+    bounded.as("sa").join(bounded.as("sb"),
         col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
       .groupBy(col("sa.doc_id").as("id_a"), col("sb.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("na"), col("id_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("id_b") === col("nb.doc_id"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("sa.n")).as("na"), first(col("sb.n")).as("nb"))
       .select(col("id_a"), col("id_b"),
-        expr("inter * 10000 div na.n").as("cont_a_bp"),
-        expr("inter * 10000 div nb.n").as("cont_b_bp"))
+        expr("inter * 10000 div na").as("cont_a_bp"),
+        expr("inter * 10000 div nb").as("cont_b_bp"))
       .filter(greatest(col("cont_a_bp"), col("cont_b_bp")) >= minBp)
       .orderBy("id_a", "id_b")
   }
