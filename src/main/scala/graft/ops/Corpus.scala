@@ -43,7 +43,14 @@ object Corpus {
   /** One row per token occurrence: (doc_id, label, is_train, word).
     * T1 semantics: split on single space (`NB.java:92`). */
   def tokensNb(s: SparkSession, d: String): DataFrame =
-    cleanedNb(s, d)
+    tokensFromCleaned(cleanedNb(s, d))
+
+  /** Token derivation over an already-built cleaned frame — split out
+    * (round 16) so a scoring pipeline that PERSISTS the cleaned frame
+    * can tokenize from the cache instead of re-running the regexp
+    * cleaning chain per consumer. */
+  def tokensFromCleaned(cleaned: DataFrame): DataFrame =
+    cleaned
       .filter(length(trim(col("clean"))) > 0) // P3 empty-text guard
       .select(col("doc_id"), col("label"), col("is_train"),
         explode(TextOps.tokenizeSpace(col("clean"))).as("word"))

@@ -113,10 +113,37 @@ object SentimentNb {
   //  scoring (M6, log-space) + confusion (A4) + metrics (A6)
   // =====================================================================
 
-  /** Internal: (doc_id, label, clean, prediction) over the test split. */
+  /** Internal: (doc_id, label, clean, prediction) over the test split.
+    *
+    * Round-16: the cleaned corpus is PERSISTED for the duration of the
+    * query — the regexp cleaning chain used to re-run once per consumer
+    * (the train-side model, the test-side probe, the stats words pass
+    * and the final test projection: 4 full-corpus cleaning passes per
+    * scoring query), and every m6/a4/a6/cal/eval entry pays it. The
+    * cache is doc-level (smaller than SvmSgd's precedented train-token
+    * persist), MEMORY_AND_DISK, and is released by the harness's
+    * between-entry sweep (Bench/Verify call Pinned.releaseAll) — the
+    * per-doc token order is row-local, so per-doc float sums (and the
+    * round(…, 6) margins) are unchanged by the caching. */
   private def scoredDf(s: SparkSession, d: String): DataFrame = {
-    val perDoc = Corpus.tokensNb(s, d).filter(!col("is_train"))
-      .join(broadcast(model(s, d)), "word")
+    val cleaned = Corpus.cleanedNb(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = Corpus.tokensFromCleaned(cleaned)
+    val modelT = toks.filter(col("is_train"))
+      .groupBy("word")
+      .agg(sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("pos"),
+           sum(when(col("label") === 1.0, 0L).otherwise(1L)).as("neg"))
+    val docsAgg = cleaned.filter(col("is_train")).agg(
+      count(lit(1)).as("tweets"),
+      sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("pos_tweets"),
+      sum(when(col("label") === 1.0, 0L).otherwise(1L)).as("neg_tweets"))
+    val wordsAgg = toks.filter(col("is_train")).agg(
+      sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("pos_words"),
+      sum(when(col("label") === 1.0, 0L).otherwise(1L)).as("neg_words"),
+      countDistinct(col("word")).as("features"))
+    val stats = docsAgg.crossJoin(wordsAgg)
+    val perDoc = toks.filter(!col("is_train"))
+      .join(broadcast(modelT), "word")
       .groupBy("doc_id")
       .agg(sum(log(col("pos") + lit(1.0))).as("sp"),
            sum(log(col("neg") + lit(1.0))).as("sn"),
@@ -132,9 +159,9 @@ object SentimentNb {
       (coalesce(col("sn"), lit(0.0))
         - coalesce(col("n"), lit(0L)) * log(nullif(col("neg_words") + col("features"), lit(0L)))
         + log(nullif(col("neg_tweets"), lit(0L)) / col("tweets")))
-    Corpus.cleanedNb(s, d).filter(!col("is_train"))
+    cleaned.filter(!col("is_train"))
       .join(perDoc, Seq("doc_id"), "left")
-      .crossJoin(broadcast(corpusStats(s, d)))
+      .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("label").cast("double").as("label"), col("clean"),
         when(round(margin, 6) > 0, 1.0).otherwise(0.0).as("prediction"),
         round(margin, 6).as("margin_r6"))

@@ -75,15 +75,27 @@ object SentimentSvm {
   // =====================================================================
 
   /** Per-doc dot product over the test split: left join (missing word → 0,
-    * the `getOrDefault` of SVM.java:83) then Σ; dot = eta_5 · Σm (exact). */
-  val f4: Q = (s, d) =>
-    Corpus.tokensSvm(s, d).filter(!col("is_train"))
-      .join(broadcast(weights(s, d)), Seq("word"), "left")
+    * the `getOrDefault` of SVM.java:83) then Σ; dot = eta_5 · Σm (exact).
+    * The cleaned corpus is persisted for the query (the scoredDf
+    * round-16 note): the train-side weights and the test-side probe
+    * both tokenize from the cache instead of re-running the regexp
+    * cleaning chain. */
+  val f4: Q = (s, d) => {
+    val cleaned = Corpus.cleanedSvm(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = Corpus.tokensFromCleaned(cleaned)
+    val wts = toks.filter(col("is_train"))
+      .groupBy("word")
+      .agg(sum(col("label").cast("long")).as("m"))
+      .select(col("word"), col("m"), (lit(eta(5)) * col("m")).as("weight"))
+    toks.filter(!col("is_train"))
+      .join(broadcast(wts), Seq("word"), "left")
       .groupBy("doc_id")
       .agg(sum(coalesce(col("m"), lit(0L))).as("msum"), count(lit(1)).as("n_tokens"))
       .select(col("doc_id"), col("msum"), col("n_tokens"),
         (lit(eta(5)) * col("msum")).as("dot"))
       .orderBy("doc_id")
+  }
   val f4Sql: String =
     s"""WITH $weightsCte
        |SELECT t.doc_id, CAST(sum(coalesce(w.m, 0)) AS BIGINT) AS msum,
@@ -97,12 +109,25 @@ object SentimentSvm {
   // =====================================================================
 
   /** Internal: (doc_id, label ±1, prediction ±1) over the test split.
-    * Empty/unmatched docs get msum 0 → `>= 0` → POSITIVE (SVM.java:150). */
+    * Empty/unmatched docs get msum 0 → `>= 0` → POSITIVE (SVM.java:150).
+    * Round-16: the cleaned corpus is PERSISTED for the query — the
+    * regexp cleaning used to re-run 3× (weights train pass, test probe,
+    * final test projection); see the NB scoredDf note (same contract:
+    * doc-level cache, MEMORY_AND_DISK, released by the harness's
+    * between-entry sweep; per-doc sums are row-local so results are
+    * bit-identical). */
   private def scoredDf(s: SparkSession, d: String): DataFrame = {
-    val perDoc = Corpus.tokensSvm(s, d).filter(!col("is_train"))
-      .join(broadcast(weights(s, d)), "word")
+    val cleaned = Corpus.cleanedSvm(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = Corpus.tokensFromCleaned(cleaned)
+    val wts = toks.filter(col("is_train"))
+      .groupBy("word")
+      .agg(sum(col("label").cast("long")).as("m"))
+      .select(col("word"), col("m"), (lit(eta(5)) * col("m")).as("weight"))
+    val perDoc = toks.filter(!col("is_train"))
+      .join(broadcast(wts), "word")
       .groupBy("doc_id").agg(sum(col("m")).as("msum"))
-    Corpus.cleanedSvm(s, d).filter(!col("is_train"))
+    cleaned.filter(!col("is_train"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("label"),
         when(coalesce(col("msum"), lit(0L)) >= 0, 1).otherwise(-1).as("prediction"))
