@@ -793,11 +793,21 @@ object Dedup {
         struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("e"))
       .select(col("e.id_a"), col("e.id_b")),
       eager = false) // materialized by the count below
+    // Round-17 note: fusing this emptiness probe into round 1's
+    // convergence aggregate (NULL sum ⟺ empty) was tried and MEASURED
+    // SLOWER (d10 1.27-1.38× across four sf0.1 sweeps,
+    // plans/r17/scoped_after*.json): the count is also the checkpoint's
+    // MATERIALIZING action, and without it round 1's edge⋈label join is
+    // planned over an unmaterialized RDD scan with unknown statistics —
+    // a degraded join strategy that costs far more than the one trivial
+    // count job the fusion saved. (The d18 loop is different: its fusion
+    // saves one action PER ROUND and its probe is a plain aggregate, and
+    // it measured 0.69-0.84× — kept.) The NULL-sum guard below stays:
+    // robustness no longer rides on this count.
     if (edges.count() == 0) {
       // no near-dup pairs at all: the recursive-CTE oracle yields an empty
-      // result; mirror it (the loop below would NPE on a NULL sum(lbl))
-      // (limit(0) folds to an empty LocalRelation — OptimizeLimitZero —
-      // so the frame never touches the freed edge blocks)
+      // result; mirror it (limit(0) folds to an empty LocalRelation —
+      // OptimizeLimitZero — so the frame never touches the freed blocks)
       val empty = edges.select(col("id_a").as("doc_id"), col("id_b").as("cluster_id"),
         lit(0L).as("n_members")).limit(0)
       freeEdges()
@@ -820,9 +830,13 @@ object Dedup {
         labels = labels.join(neighborMin, col("id") === col("id_a"), "left")
           .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sum = labels.agg(org.apache.spark.sql.functions.sum("lbl")).head().getLong(0)
-        converged = sum == prevSum
-        prevSum = sum
+        val sumRow = labels.agg(org.apache.spark.sql.functions.sum("lbl")).head()
+        // NULL sum ⟺ zero label rows ⟺ no near-dup pairs at all: the
+        // recursive-CTE oracle yields an empty result; the fixpoint is
+        // reached trivially and the empty labels frame flows through the
+        // (empty) cluster materialization below unchanged
+        converged = sumRow.isNullAt(0) || sumRow.getLong(0) == prevSum
+        prevSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
         prev.unpersist()
         rounds += 1
       }
@@ -910,14 +924,14 @@ object Dedup {
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct(),
-      eager = false) // materialized by the emptiness probe below
-    if (edges.head(1).isEmpty) {
-      // limit(0) folds to an empty LocalRelation, so freeing here is safe
-      val empty = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"),
-        lit(0L).as("n_members")).limit(0)
-      freeEdges()
-      empty
-    } else {
+      eager = false) // materialized by round 1's star probe
+    // Round-17: no separate emptiness probe — an empty pair list flows
+    // through round 1 (every frame in it is empty, the union probe sees
+    // no violations, star = true) and out of the empty labels/cluster
+    // materialization below with the same schema, so the old
+    // edges.head(1) pre-probe was a driver action spent answering a
+    // question round 1 answers anyway.
+    locally {
       var star = false
       var rounds = 0
       while (!star && rounds < 16) {
@@ -938,31 +952,40 @@ object Dedup {
         // neighbors to m = min of its out-neighborhood — the hop-halving
         // step that gives the logarithmic bound.
         val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
-        // eager: the new round must be MATERIALIZED before the previous
-        // round's blocks are freed — a lazy checkpoint would still read
-        // them at first action, after the free (lineage is already cut)
+        // LAZY checkpoint (round-17): the star probe below is the round's
+        // single action — its groupBy exchange computes EVERY partition of
+        // the new edge frame map-side, which materializes the checkpoint
+        // blocks in the same job wave (the round-16 shape paid a separate
+        // eager-materialization action first: 2 driver actions per round,
+        // now 1). The previous round's blocks are freed only AFTER the
+        // probe, so the new round is fully materialized by then and the
+        // cut lineage is never re-read.
         val (next, freeNext) = Pinned.checkpoint(large.join(mins2, "u")
           .select(explode(array(
             struct(col("u").as("a"), col("m").as("b")),
             struct(col("v").as("a"), col("m").as("b")))).as("e"))
           .select(col("e.a").as("u"), col("e.b").as("v"))
-          .filter(col("u") =!= col("v")).distinct())
-        freeEdges()
-        edges = next
-        freeEdges = freeNext
+          .filter(col("u") =!= col("v")).distinct(),
+          eager = false)
         // fixpoint ⟺ the edge list is a star forest: every source has ONE
         // target, and no target is itself a source. Both checks run on
         // the dup-only edge frame, not the corpus — and in ONE action
         // (round-16): the converging case used to pay two driver probes
         // per round; a union of the two violation frames probes both with
-        // one job wave (star ⟺ both empty).
-        val multiTarget = edges.groupBy("u")
+        // one job wave (star ⟺ both empty). The probe's aggregate/semi-join
+        // exchanges force full materialization of `next` regardless of how
+        // early executeTake finds a violation row (the map side of the
+        // first exchange scans every partition).
+        val multiTarget = next.groupBy("u")
           .agg(countDistinct(col("v")).as("nd"))
           .filter(col("nd") > 1).select(lit(1).as("viol"))
-        val chainedTarget = edges.select(col("v"))
-          .join(edges.select(col("u").as("v")), Seq("v"), "left_semi")
+        val chainedTarget = next.select(col("v"))
+          .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
           .select(lit(1).as("viol"))
         star = multiTarget.unionAll(chainedTarget).head(1).isEmpty
+        freeEdges()
+        edges = next
+        freeEdges = freeNext
         rounds += 1
       }
       require(star, s"large-star/small-star did not converge in $rounds rounds")

@@ -241,7 +241,8 @@ object Pipeline {
         col("quality"))
     // 4. budget cut: exact global prefix under the token budget
     val ranked = PrefixSum.prefixRank(scored,
-      Seq(col("quality").desc, col("doc_id").asc), sumCol = Some("toks")).df
+      Seq(col("quality").desc, col("doc_id").asc), sumCol = Some("toks"),
+      pinInput = true).df
     val selected = ranked
       .filter(col("g_cum_excl") + col("toks") <= budget)
       .select(col("doc_id"), col("lang"), col("toks"))

@@ -45,17 +45,43 @@ object Retrieval {
   private[graft] def bm25TopKOf(docs: DataFrame, queries: DataFrame, k: Int): DataFrame =
     bm25WeightedTopKOf(docs, queries.withColumn("wt_bp", lit(10000L)), k)
 
+  /** The aggregated postings frame (doc_id, term, tf) — the inverted
+    * index every retrieval operator decomposes over. Round-17: persisted
+    * MEMORY_AND_DISK for the query's duration (the round-16 cleaned-corpus
+    * precedent, released by the harness's between-entry
+    * `Pinned.releaseAll` sweep / [[graft.api.GraftApi.releasePinned]]):
+    * the old plans re-ran the corpus explode + count aggregate once per
+    * consumer — dl, corpus stats, df and the per-term probe each embedded
+    * their own copy, 4 full-corpus passes per ret query (guide §2.4). At
+    * 100 TB this frame IS the stored index (built once, term- resp.
+    * doc-partitioned); within one query the persist bounds corpus passes
+    * to one. */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Weighted-term BM25 top-k: `queries` carries (query_id, term, wt_bp)
     * and each term's contribution is scaled by wt_bp/10⁴ — the shape
     * query-expansion retrieval needs (expansion terms down-weighted vs
     * the user's own terms). wt_bp = 10000 multiplies by exactly 1.0, so
     * [[bm25TopKOf]] delegates here without perturbing a single bit. */
-  private[graft] def bm25WeightedTopKOf(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+  private[graft] def bm25WeightedTopKOf(docs: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bm25FromPostings(postingsOf(docs), queries, k)
+
+  /** BM25 over a prebuilt (persisted) postings frame — shared by the
+    * bm25 entry points and ret5's metrics probe (which derives its
+    * relevance term set from the SAME postings instead of a second
+    * corpus explode). */
+  private def bm25FromPostings(tf: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // dl is read twice (stats rollup + the per-term join) — from the
+    // cached postings each derivation is one exchange, no corpus scan;
+    // the doc-length frame itself is narrow (two longs per doc), so it
+    // rides its own persist for the same query-scoped duration
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     // df only for terms the query set mentions: probe-then-aggregate keeps
     // the frame ≤ |query vocabulary| rows, so it broadcasts
@@ -240,8 +266,16 @@ object Retrieval {
         Window.partitionBy("query_id", "term").orderBy(col("pmi_e6").desc, col("partner"))))
       .filter(col("rk") <= 2)
       .select(col("query_id"), col("partner").as("term"), lit(5000L).as("wt_bp"))
+    // Round-17: the expanded query frame is ≤ 3·|query terms| rows but
+    // its lineage embeds the whole PMI co-occurrence chain (distinct
+    // explode + self-join over the corpus), and bm25WeightedTopKOf
+    // consumes `queries` TWICE (the qterms vocabulary probe and the
+    // per-term broadcast) — each consumption re-ran the PMI build.
+    // Persisting the tiny frame bounds the PMI chain to one evaluation
+    // (released by the harness's between-entry sweep / releasePinned).
     val qx = q0.withColumn("wt_bp", lit(10000L)).unionAll(exp)
       .groupBy("query_id", "term").agg(max("wt_bp").as("wt_bp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bm25WeightedTopKOf(docs, qx, k = 5).orderBy("query_id", "rnk")
   }
   val ret3Sql: String =
@@ -331,11 +365,11 @@ object Retrieval {
     * (the inverted-index probe); scale shape identical to ret1. */
   private[graft] def queryLikelihoodTopKOf(docs: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // one persisted postings pass feeds dl/ctot/cf/present (round-17,
+    // the bm25FromPostings shape — see [[postingsOf]])
+    val tf = postingsOf(docs)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctot = dl.agg(sum("dl").as("c_total"))
     val qterms = broadcast(queries.select("term").distinct())
     val cf = tf.join(qterms, Seq("term")).groupBy("term").agg(sum("tf").as("cf"))
@@ -436,12 +470,15 @@ object Retrieval {
       k: Int): DataFrame = {
     val w = dcgWeights(k)
     val prefix = w.scanLeft(0L)(_ + _).tail
-    val ranked = bm25TopKOf(docs, queries, k)
+    // one persisted postings frame serves BOTH the BM25 ranking and the
+    // relevance probe: the postings' (doc_id, term) key set IS the
+    // distinct doc-term containment relation the old second corpus
+    // explode re-derived (round-17, guide §2.4)
+    val tf = postingsOf(docs)
+    val ranked = bm25FromPostings(tf, queries.withColumn("wt_bp", lit(10000L)), k)
     val qt = queries.select("query_id", "term").distinct()
     val nTerms = qt.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
-    val docTerms = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(length(col("term")) > 0).distinct()
+    val docTerms = tf.select(col("doc_id"), col("term"))
     val rel = docTerms.join(broadcast(qt), Seq("term"))
       .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_hit"))
       .join(broadcast(nTerms), Seq("query_id"))

@@ -279,7 +279,7 @@ object SentimentNb {
     // original shape). At the tested SFs the wall time is dominated by
     // the upstream NB scoring pipeline either way (eval2 ≈ cal1 ≈ 9 s at
     // sf1), so this is a scale-shape fix, not a measured sf1 win.
-    PrefixSum.prefixRank(per, Seq(col("m")), Some("q")).df
+    PrefixSum.prefixRank(per, Seq(col("m")), Some("q"), pinInput = true).df
       .withColumn("qb", col("g_cum_excl"))
       // DECIMAL(38,0) accumulation: auc2 ≈ 2·n_pos·n_neg exceeds int64
       // once each class passes ~2e9 docs (well under the 100 TB target),
@@ -343,7 +343,7 @@ object SentimentNb {
     val base = scores.select(col(scoreCol).as("m"), col("tie"),
       col(labelCol).cast("long").as("lbl"))
     val r = PrefixSum.prefixRank(base,
-      Seq(col("m").desc, col("tie").asc), sumCol = Some("lbl"))
+      Seq(col("m").desc, col("tie").asc), sumCol = Some("lbl"), pinInput = true)
     r.df.filter(col("g_rank").isin(ks.map(k => java.lang.Long.valueOf(k.toLong)): _*))
       .select(col("g_rank").as("k"),
         (col("g_cum_excl") + col("lbl")).as("pos_at_k"))
@@ -372,7 +372,7 @@ object SentimentNb {
     // two prefix passes over the tiny value-domain frame: cum_n (all
     // rows at-or-above the score) then cum_p (positives at-or-above)
     val byDesc = Seq(col("m").desc)
-    val r1 = PrefixSum.prefixRank(per, byDesc, sumCol = Some("t"))
+    val r1 = PrefixSum.prefixRank(per, byDesc, sumCol = Some("t"), pinInput = true)
     val withCumN = r1.df.select(col("m"), col("p"), col("t"),
       (col("g_cum_excl") + col("t")).as("cum_n"))
     val r2 = PrefixSum.prefixRank(withCumN, byDesc, sumCol = Some("p"))

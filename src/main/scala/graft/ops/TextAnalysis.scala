@@ -782,6 +782,13 @@ object TextAnalysis {
     * rounded to micro-units; output ordered by the pair key, so ranking
     * never depends on float comparison. */
   private[graft] def pmiCooccurrenceOf(docs: DataFrame, minSupport: Long): DataFrame = {
+    // Round-17 note: persisting this distinct (doc_id, w) frame was tried
+    // (it is consumed by the unigram aggregate and both self-join sides)
+    // and MEASURED SLOWER at sf0.1 (t14 1.07-1.35×, ret3 1.28-1.51× —
+    // plans/r17/scoped_after{1,2}.json): the columnar cache write of the
+    // wide exploded string frame costs more than the extra codegen'd
+    // explode pass, and AQE exchange reuse already merges the two
+    // identical self-join sides. Left unpersisted on the measurement.
     val toksD = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)

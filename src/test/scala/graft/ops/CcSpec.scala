@@ -42,4 +42,14 @@ class CcSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.ccLargeStarSmallStar(empty).collect().isEmpty)
   }
+
+  test("d8 label propagation on an empty pair list returns an empty cluster frame") {
+    // round-17: the emptiness probe is fused into round 1's convergence
+    // aggregate (NULL sum ⟺ no edges) — pin that the empty input still
+    // converges immediately and yields the empty frame with the full schema
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Dedup.dedupClustersOf(empty)
+    assert(out.columns.toSeq === Seq("doc_id", "cluster_id", "n_members"))
+    assert(out.collect().isEmpty)
+  }
 }

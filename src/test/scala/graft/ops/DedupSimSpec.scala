@@ -382,6 +382,44 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("sigSetsOf hs is a SET per doc (the first(hs) soundness invariant, vs pure-Scala md5)") {
+    import spark.implicits._
+    // Round-17 (advice item): d3/d6/d20 and the incremental probe take
+    // first(hs)/first(n) per candidate pair, which is sound ONLY while
+    // hs is constant per doc AND duplicate-free — both rest on shinglesOf
+    // keeping .distinct(). The round-16 fused-vs-unfused test compares
+    // sigSetsOf against shSetsOf, but a dropped distinct would change
+    // BOTH sides identically and sail through; this test recomputes the
+    // expected distinct-shingle hash set in plain Scala so the invariant
+    // fails loudly instead of drifting Jaccard silently.
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // repeated shingles: 3 distinct of 7 total
+      (2L, "x y z x y z"),       // 3 distinct of 4 total
+      (3L, "lone pair")          // <3 words -> single whole-text shingle
+    ).toDF("doc_id", "text")
+    def h60(sh: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sh.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def expected(text: String): Seq[Long] = {
+      val w = text.split(" ")
+      val shingles = if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq(text)
+      shingles.distinct.map(h60).sorted
+    }
+    val got = Dedup.sigSetsOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    Seq(1L -> "a b c a b c a b c", 2L -> "x y z x y z", 3L -> "lone pair")
+      .foreach { case (id, text) =>
+        val hs = got(id)
+        assert(hs.distinct.size === hs.size,
+          s"doc $id: hs carries duplicates — shinglesOf lost .distinct(), first(hs) Jaccard is now wrong")
+        assert(hs.sorted === expected(text),
+          s"doc $id: hs != pure-Scala distinct-shingle md5 set")
+      }
+  }
+
   test("D17 prefix filtering is exact: finds boundary-tau pairs, excludes below-tau, no cap loss on hot shingles") {
     import spark.implicits._
     // d17 shingles at w = 5. A/B: 8-word docs differing in the last word
