@@ -1051,7 +1051,15 @@ object TextAnalysis {
     * INDEX is stored once and probed many times, never recomputed per
     * probe. */
   private[graft] def fingerprintRowsOf(docs: DataFrame): DataFrame =
-    winnowingOf(docs).select(col("doc_id"), col("fps")).localCheckpoint(true)
+    // LAZY checkpoint (round-17): the barrier only needs to be a PLAN
+    // barrier (LogicalRDD blocks CollapseProject identically whether the
+    // blocks exist yet or not), so the first consumer's action computes
+    // the winnow frame once into the checkpoint blocks and every later
+    // consumer reads them — the old eager form paid a separate driver
+    // action per call, which st17 re-paid on EVERY micro-batch. The
+    // single-compute guarantee is unchanged (d19's broadcast side builds
+    // before its probe stage runs).
+    winnowingOf(docs).select(col("doc_id"), col("fps")).localCheckpoint(false)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
 
   val d19: Q = (s, d) => {
