@@ -1203,8 +1203,12 @@ object Streams {
         val sess = batch.sparkSession
         // one staging of the batch for stats + count; freed before the
         // closure exits — an untracked per-batch checkpoint pins one
-        // block set PER MICRO-BATCH for the session's lifetime
-        val (b, freeB) = graft.ops.Pinned.checkpoint(batch.toDF())
+        // block set PER MICRO-BATCH for the session's lifetime.
+        // LAZY (round-17): the count below is the first action and
+        // materializes the blocks itself — the eager form paid a separate
+        // driver action per micro-batch computing exactly what the count
+        // recomputes; the stats write then reads the stored blocks.
+        val (b, freeB) = graft.ops.Pinned.checkpoint(batch.toDF(), eager = false)
         val deltaStats = graft.ops.TextAnalysis.burstinessStatsOf(b)
         val deltaN = b.count()
         val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
@@ -1442,8 +1446,13 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val sess = batch.sparkSession
-        // one staging for both stat halves; freed before the closure exits
-        val (b, freeB) = graft.ops.Pinned.checkpoint(batch.toDF())
+        // one staging for both stat halves; freed before the closure
+        // exits. LAZY (round-17): the dims write below is the first
+        // action — a plain aggregate over the staged batch, so it
+        // materializes the blocks in its own job wave and the norms
+        // write reads them; the eager form paid a separate driver action
+        // per micro-batch for the same materialization.
+        val (b, freeB) = graft.ops.Pinned.checkpoint(batch.toDF(), eager = false)
         val deltaDims = graft.ops.Similarity.isotropyDimStatsOf(b)
         val deltaNorms = graft.ops.Similarity.isotropyNormStatsOf(b)
         val prior = gens().filter(_._1 < batchId).sortBy(-_._1).headOption
